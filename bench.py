@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with the `noop` sink so timing covers the full
+plan (scan → shuffle → agg) without driver-collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipelines_spark import suite  # noqa: E402
+from data_pipelines_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship flood dataflow + one representative per
+# operator family (join/agg, window, dense, dedup, similarity, temporal).
+HEADLINE = (
+    "flood_detailed_forecast",
+    "flood_summary_forecast",
+    "multiway_join_revenue",
+    "argmax_per_group",
+    "dense_group_count",
+    "semi_join_filter",
+    "events_tumbling_window",
+    "exact_dedup_docs",
+    "minhash_near_dup_pairs",
+    "embedding_cosine_topk",
+    "text_stats",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="data-pipelines-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = suite.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        # Warm the JVM/code paths once at a tiny touch, then time.
+        df = fn(spark, sf_dir)
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Grid-key canonicalization and cell geometry.
+
+Float lat/lon values are only usable as equi-join keys after rounding to
+a fixed precision — the reference proves an unrounded float join returns
+0 rows (`data_pipelines_tests/flood/test_transforms.py:73-121`) and
+rounds to 3 decimals everywhere (`utils/flood/config.py:11-12`,
+`assets/flood/discharge.py:265-270`). This module is the engine-wide
+policy for that: every grid table passes through :func:`round_grid_keys`
+at its schema boundary before any join.
+
+At 100 TB scale these keys are also the partitioning keys for every
+flood-side shuffle, so canonicalizing once at ingestion (instead of
+per-join) lets repeated joins/aggregations reuse the same hash
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Reference conventions: utils/flood/config.py:11-12.
+GRID_RESOLUTION = 0.05
+GRID_PRECISION = 3
+
+
+def round_grid_keys(
+    df: DataFrame,
+    cols: tuple[str, ...] = ("latitude", "longitude"),
+    precision: int = GRID_PRECISION,
+) -> DataFrame:
+    """Canonicalize float grid-key columns by rounding (reference F1)."""
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), precision))
+    return df
+
+
+def snap_to_grid(col: Column | str, resolution: float = GRID_RESOLUTION) -> Column:
+    """Snap a coordinate to the nearest grid-cell center.
+
+    Used for nearest-neighbor grid alignment between two regular grids of
+    the same resolution (reference J6 / P8,
+    `utils/flood/filter_by_upstream.py:63-67` does
+    ``reindex(method="nearest")``; for co-resolved 0.05° grids snapping
+    both sides to the cell center makes the join an exact equi-join).
+    Cell centers sit at resolution/2 offsets, e.g. -0.025, 0.025, 0.075.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    half = resolution / 2.0
+    return F.round(F.floor(c / resolution) * resolution + half, GRID_PRECISION)
+
+
+def restrict_area(
+    df: DataFrame,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    buffer: float = 0.0,
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+) -> DataFrame:
+    """Restrict rows to a lat/lon bounding box ± buffer (reference P1,
+    `utils/flood/utils.py:4-29`).
+
+    A pure predicate: Catalyst pushes it into the parquet scan (row-group
+    min/max pruning), which replaces the reference's hand-placed
+    "slice immediately after load" optimization.
+    """
+    return df.where(
+        (F.col(lat_col) >= lat_min - buffer)
+        & (F.col(lat_col) <= lat_max + buffer)
+        & (F.col(lon_col) >= lon_min - buffer)
+        & (F.col(lon_col) <= lon_max + buffer)
+    )
+
+
+def _fixed(col: Column, precision: int) -> Column:
+    """Render a rounded coordinate with a fixed decimal count.
+
+    The reference stringifies python floats (`transforms.py:287-309`);
+    we use fixed-precision decimal rendering, which is deterministic
+    across engines and locales.
+    """
+    return F.round(col, precision).cast(f"decimal(12,{precision})").cast("string")
+
+
+def cell_wkt(
+    lat: Column | str,
+    lon: Column | str,
+    half_grid_size: float = GRID_RESOLUTION / 2.0,
+    precision: int = GRID_PRECISION,
+) -> Column:
+    """WKT POLYGON string for the grid cell centered at (lat, lon).
+
+    Native-expression re-expression of the reference's pandas
+    ``add_geometry`` (`utils/flood/transforms.py:268-315`): four rounded
+    corners concatenated into ``POLYGON ((...))``, closing on the first
+    corner. No UDF — stays inside whole-stage codegen.
+    """
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    min_lat = _fixed(lat - half_grid_size, precision)
+    max_lat = _fixed(lat + half_grid_size, precision)
+    min_lon = _fixed(lon - half_grid_size, precision)
+    max_lon = _fixed(lon + half_grid_size, precision)
+    sp = F.lit(" ")
+    comma = F.lit(",")
+    return F.concat(
+        F.lit("POLYGON (("),
+        min_lon, sp, min_lat, comma,
+        min_lon, sp, max_lat, comma,
+        max_lon, sp, max_lat, comma,
+        max_lon, sp, min_lat, comma,
+        min_lon, sp, min_lat,
+        F.lit("))"),
+    )

@@ -1,0 +1,273 @@
+"""Deduplication operators for document corpora at scale.
+
+Four tiers, all shuffle-safe and collect-free:
+
+- :func:`exact_duplicates` — content-hash groupBy (cheapest; catches
+  byte-identical docs).
+- :func:`minhash_near_duplicates` — shingle → MinHash signature → LSH
+  banding → candidate bucket join → Jaccard verification. The classic
+  near-dup pipeline (Broder 1997; used by most LLM-corpus dedup stacks).
+- :func:`simhash_signatures` — 64-bit SimHash (Charikar 2002) for
+  Hamming-distance near-dup on token profiles.
+- embedding-cosine near-dup lives in ``operators/similarity.py``.
+
+Everything is built from native expressions (`xxhash64`, `transform`,
+`aggregate`, `explode`) — no Python in the hot path. At 100 TB the only
+wide operations are the LSH band groupBy (keys are (band, hash) — well
+distributed by construction) and the candidate self-join (bounded by
+bucket sizes; skew-safe under AQE because giant buckets mean giant
+near-dup clusters, which are themselves salted by band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Large prime for universal hashing; coefficients stay small enough that
+# a*h32 + b < 2^63 (no overflow under ANSI arithmetic).
+_MERSENNE = 2_147_483_647  # 2^31 - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficient pairs for the MinHash family."""
+    rnd_a, rnd_b = 1_103_515_245, 12_345  # LCG constants — reproducible
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * rnd_a + rnd_b) % _MERSENNE
+        a = state % 1_000_003 + 1
+        state = (state * rnd_a + rnd_b) % _MERSENNE
+        b = state % 1_000_033
+        params.append((a, b))
+    return params
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-character shingles of lowercased text (array<string>).
+
+    Built with sequence+transform — no explode, no UDF.
+    """
+    t = F.lower(text)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.when(n >= k, F.transform(idx, lambda i: t.substr(i, F.lit(k)))).otherwise(
+            F.array(t)
+        )
+    )
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: group by content hash; keep the smallest id as the
+    canonical representative. Output: (text_md5, keeper_id, dup_cnt)."""
+    hashed = docs.select(
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("text_md5"), F.col(id_col)
+    )
+    return hashed.groupBy("text_md5").agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dup_cnt")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signatures as array<long> of length ``num_hashes``.
+
+    h_i(s) = (a_i * x + b_i) mod p over 32-bit shingle hashes x; the
+    signature element is the min over the doc's shingle set. One narrow
+    projection — no shuffle.
+    """
+    shingles = char_shingles(F.col(text_col), shingle_k)
+    # Stage 1 projection: materialize the 32-bit shingle hashes ONCE per
+    # row. Without this, each of the num_hashes min-expressions would
+    # re-evaluate the whole shingle+hash pipeline (no CSE across array
+    # elements) — a ~num_hashes× blowup measured at bench time.
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(
+            shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(4_294_967_296))
+        ).alias("shingle_hashes"),
+    )
+
+    def _family(a: int, b: int):
+        return lambda x: F.pmod(x * a + b, F.lit(_MERSENNE))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingle_hashes"), _family(a, b)))
+            for a, b in _hash_params(num_hashes)
+        ]
+    )
+    return hashed.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_band_buckets(
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: split each signature into ``num_bands`` bands of
+    ``num_hashes // num_bands`` rows and hash each band →
+    (band, band_hash, doc_id) rows. Docs sharing any (band, band_hash)
+    are near-dup candidates."""
+    rows_per_band = num_hashes // num_bands
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("minhash")[band * rows_per_band + j].cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            )
+            for band in range(num_bands)
+        ]
+    )
+    exploded = F.posexplode(band_hashes)
+    return signatures.select(F.col(id_col), exploded.alias("band", "band_hash"))
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-dup detection.
+
+    Output: (doc_a, doc_b, est_jaccard) pairs with doc_a < doc_b whose
+    *signature-estimated* Jaccard >= threshold, discovered via LSH
+    bucketing (so only candidate pairs are ever compared).
+    """
+    # The signature frame feeds three consumers (bucketing + both sides
+    # of the verification join); persist so it is computed once.
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k).persist()
+    buckets = minhash_band_buckets(sigs, num_hashes, num_bands, id_col)
+
+    left = buckets.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("doc_a")
+    )
+    right = buckets.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("doc_b")
+    )
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).cast("double")
+            / F.size("sig_a"),
+        )
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+    return est
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Pairs are restricted to the same ``bucket_col`` value when given
+    (at scale you never do the unrestricted cross join; LSH or a
+    blocking key bounds candidates). Output: (doc_a, doc_b, jaccard).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        *( [F.col(bucket_col)] if bucket_col else [] ),
+        char_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    join_keys = [bucket_col] if bucket_col else []
+    a = sh.select(
+        *join_keys, F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        *join_keys, F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = (
+        (a.join(b, join_keys) if join_keys else a.crossJoin(b))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    For each bit position, sum +1/-1 over token hashes and take the
+    sign. Computed with explode + groupBy (one shuffle on doc id, which
+    partial aggregation collapses to 64 longs per doc)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    from functools import reduce
+
+    bit_exprs = [
+        F.when(
+            F.col(f"b{i}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    sig = bit_sums.select(
+        F.col(id_col),
+        reduce(lambda x, y: x.bitwiseOR(y), bit_exprs).alias("simhash"),
+    )
+    return sig
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures stored as longs."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)

@@ -1,0 +1,286 @@
+"""Flood-forecast analytics: the reference's flagship dataflow on Spark.
+
+Reference lifecycle (SURVEY.md §3.1): ensemble discharge long-form table
+⨝ return-period thresholds → exceedance flags → per-(cell, day) ensemble
+statistics (``detailed_forecast``) → control broadcast → peak-timing /
+tendency / intensity classifications → merged ``summary_forecast``.
+
+Spark-first re-expression choices (vs the reference's dask dataflow,
+`utils/flood/transforms.py` + `assets/flood/discharge.py`):
+
+- Threshold join is a **broadcast hash join** (thresholds are one row per
+  grid cell — small next to the member×step fact) instead of the
+  reference's persist()+wait() approximation (`discharge.py:192-193`).
+- The control member (step==1 median) is distributed with a **window
+  first()** instead of a self-join (`discharge.py:292-302`).
+- The 10-day max probability is a **window max** instead of
+  agg-then-join-back (`transforms.py:101-112`) — one shuffle, reused.
+- Per-cell argmax (peak step) is a **row_number() window** with a total
+  order; the reference's per-partition sort+first
+  (`transforms.py:128-139`) is only correct when each cell is
+  co-partitioned and has an unstable tie order — we add ``step`` as a
+  deterministic tie-break (documented deviation, SURVEY.md §7.4).
+- Quantiles are **exact percentiles** (`F.percentile`): the reference's
+  custom dd.Aggregations are only correct at npartitions==1 (its tested
+  configuration, `transforms.py:43-53`); we implement the intended
+  semantics. ``approx_percentile`` is the opt-in scale path.
+- All classification chains are native ``F.when`` expressions
+  (`functions/classify.py`) — no Python in the hot path.
+
+Scale notes (100 TB): the fact table shuffles once on the 5-part group
+key whose prefix is (latitude, longitude); every subsequent per-cell
+window/aggregation reuses that clustering. The reference's 4×4 subarea
+loop (`discharge.py:223-238`) exists only to bound dask worker memory
+and is intentionally absent — Spark's external shuffle/spill + AQE
+handle it; write-side tiling, if wanted for output layout, is a
+``partitionBy`` on the sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.functions.classify import (
+    condition_severity,
+    exceedance_flags,
+    intensity_label,
+    peak_timing_label,
+    tendency_label,
+)
+from data_pipelines_spark.functions.grid import GRID_RESOLUTION, cell_wkt, round_grid_keys
+
+CELL_KEY = ["latitude", "longitude"]
+
+
+def compute_detailed_forecast(
+    forecast_df: DataFrame,
+    threshold_df: DataFrame,
+    periods: tuple[int, ...] = (2, 5, 20),
+    exact_quantiles: bool = True,
+    approx_accuracy: int = 10000,
+) -> DataFrame:
+    """Ensemble statistics + exceedance probabilities per (cell, day).
+
+    Reference A1/J1/F5: `utils/flood/transforms.py:13-72`.
+
+    ``forecast_df``: long-form ensemble rows (number, step, latitude,
+    longitude, issued_on, valid_for, dis24). ``threshold_df``: one row
+    per cell with threshold_{2,5,20}y.
+
+    With ``exact_quantiles=False`` the quantiles switch to
+    ``approx_percentile`` (single-pass sketch, no per-group sort) — the
+    recommended setting at full scale where 1e-4 quantile error is
+    acceptable.
+    """
+    forecast_df = round_grid_keys(forecast_df)
+    threshold_df = round_grid_keys(threshold_df)
+
+    joined = forecast_df.join(F.broadcast(threshold_df), CELL_KEY, "left")
+    joined = exceedance_flags(joined, "dis24", periods)
+
+    dis = F.col("dis24")
+    if exact_quantiles:
+        q1, med, q3 = (
+            F.percentile(dis, F.lit(0.25)),
+            F.median(dis),
+            F.percentile(dis, F.lit(0.75)),
+        )
+    else:
+        q1, med, q3 = (
+            F.approx_percentile(dis, F.lit(0.25), F.lit(approx_accuracy)),
+            F.approx_percentile(dis, F.lit(0.5), F.lit(approx_accuracy)),
+            F.approx_percentile(dis, F.lit(0.75), F.lit(approx_accuracy)),
+        )
+
+    aggs = [
+        F.min(dis).alias("min_dis"),
+        q1.alias("q1_dis"),
+        med.alias("median_dis"),
+        q3.alias("q3_dis"),
+        F.max(dis).alias("max_dis"),
+    ] + [F.avg(F.col(f"exceed_{p}y")).alias(f"p_above_{p}y") for p in periods]
+
+    return joined.groupBy(*CELL_KEY, "issued_on", "valid_for", "step").agg(*aggs)
+
+
+def add_control_member(detailed_df: DataFrame, control_step: int = 1) -> DataFrame:
+    """Distribute each cell's step-1 median to all its rows as
+    ``control_dis``.
+
+    Reference J2 (`assets/flood/discharge.py:292-302`) does this with a
+    self-join against the step==1 slice; a window ``first(ignorenulls)``
+    over the cell partition computes the same value with no second scan
+    or join shuffle.
+    """
+    w = Window.partitionBy(*CELL_KEY)
+    control = F.first(
+        F.when(F.col("step") == control_step, F.col("median_dis")),
+        ignorenulls=True,
+    ).over(w)
+    return detailed_df.withColumn("control_dis", control)
+
+
+def compute_peak_timing(detailed_df: DataFrame) -> DataFrame:
+    """Per-cell peak step/day + BB/GC/GB timing label.
+
+    Reference A2/A5/J7 + F6: `utils/flood/transforms.py:75-160`.
+    Output: (latitude, longitude, peak_step, peak_day, peak_timing).
+    """
+    cell_w = Window.partitionBy(*CELL_KEY)
+    max_2y_start = F.max(
+        F.when(F.col("step").between(1, 10), F.col("p_above_2y"))
+    ).over(cell_w)
+
+    ranked = (
+        detailed_df.withColumn("max_2y_start", max_2y_start)
+        .withColumn(
+            "condition",
+            condition_severity(
+                F.col("p_above_20y"), F.col("p_above_5y"), F.col("p_above_2y")
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(*CELL_KEY).orderBy(
+                    F.desc("condition"), F.desc("median_dis"), F.asc("step")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+
+    return ranked.select(
+        *CELL_KEY,
+        F.col("step").alias("peak_step"),
+        F.col("valid_for").alias("peak_day"),
+        peak_timing_label(F.col("step"), F.col("max_2y_start")).alias("peak_timing"),
+    )
+
+
+def compute_tendency(detailed_df: DataFrame) -> DataFrame:
+    """Per-cell U/C/D tendency from median/extreme trajectories.
+
+    Reference A3 + F6: `utils/flood/transforms.py:163-212`. ``control_dis``
+    is constant per cell (see :func:`add_control_member`), so ``max`` is a
+    safe stand-in for the reference's partition-dependent ``first``.
+    """
+    g = detailed_df.groupBy(*CELL_KEY).agg(
+        F.max("median_dis").alias("max_median_dis"),
+        F.min("median_dis").alias("min_median_dis"),
+        F.max("control_dis").alias("control_dis"),
+        F.max("max_dis").alias("max_max_dis"),
+        F.min("min_dis").alias("min_min_dis"),
+    )
+    return g.withColumn(
+        "tendency",
+        tendency_label(
+            F.col("max_median_dis"), F.col("min_median_dis"), F.col("control_dis")
+        ),
+    )
+
+
+def compute_intensity(detailed_df: DataFrame) -> DataFrame:
+    """Per-cell P/R/Y/G intensity from max exceedance probabilities.
+
+    Reference A4 + F6: `utils/flood/transforms.py:215-265`.
+    """
+    g = detailed_df.groupBy(*CELL_KEY).agg(
+        F.max("p_above_20y").alias("max_p_above_20y"),
+        F.max("p_above_5y").alias("max_p_above_5y"),
+        F.max("p_above_2y").alias("max_p_above_2y"),
+    )
+    return g.withColumn(
+        "intensity",
+        intensity_label(
+            F.col("max_p_above_20y"),
+            F.col("max_p_above_5y"),
+            F.col("max_p_above_2y"),
+        ),
+    )
+
+
+def compute_summary_forecast(
+    detailed_with_control: DataFrame,
+    drop_gray: bool = True,
+    with_geometry: bool = True,
+) -> DataFrame:
+    """Merged per-cell summary: peak timing ⨝ tendency ⨝ intensity.
+
+    Reference J3/P4/F9: `assets/flood/discharge.py:320-366`. The three
+    inputs are per-cell aggregates of the same frame — Catalyst plans
+    co-partitioned joins (all three shuffles share the cell key); the
+    detailed frame should be cached by the caller when it also feeds the
+    detailed sink (reference persists it, `discharge.py:313-314`).
+    """
+    peak = compute_peak_timing(detailed_with_control)
+    tend = compute_tendency(detailed_with_control)
+    inten = compute_intensity(detailed_with_control)
+
+    summary = peak.join(tend, CELL_KEY, "left").join(inten, CELL_KEY, "left")
+    if drop_gray:
+        # Reference P4: discharge.py:341-343.
+        summary = summary.where(F.col("intensity") != "G")
+    if with_geometry:
+        summary = summary.withColumn(
+            "wkt", cell_wkt("latitude", "longitude", GRID_RESOLUTION / 2.0)
+        )
+    return summary
+
+
+def filter_detailed_by_summary(
+    detailed_df: DataFrame, summary_df: DataFrame
+) -> DataFrame:
+    """Keep only detailed rows whose cell survived the summary filter.
+
+    Reference J4 (`assets/flood/discharge.py:347-352`) uses an inner
+    merge purely as a filter; ``left_semi`` expresses the intent and
+    never duplicates or widens rows.
+    """
+    return detailed_df.join(
+        summary_df.select(*CELL_KEY), CELL_KEY, "left_semi"
+    )
+
+
+def filter_by_upstream_area(
+    discharge_df: DataFrame,
+    uparea_df: DataFrame,
+    threshold: float = 250_000_000.0,
+) -> DataFrame:
+    """Keep discharge rows on cells whose drainage area >= threshold.
+
+    Reference P7/P8/J6 (`utils/flood/filter_by_upstream.py:36-73`):
+    nearest-neighbor alignment of the upstream grid to the discharge
+    grid, NaN-masking, then dropping masked rows. Both grids are regular
+    0.05° lattices, so after rounding both keys to 3 decimals the
+    nearest-neighbor reindex is an exact equi-join; the mask+dropna
+    collapses to join+filter. The uparea table is filtered *before* the
+    join (predicate pushdown sparsifies it to the river network —
+    typically <1% of cells) and broadcast when small.
+    """
+    discharge_df = round_grid_keys(discharge_df)
+    flt = round_grid_keys(uparea_df).where(F.col("uparea") >= threshold)
+    return discharge_df.join(
+        flt.select(*CELL_KEY).distinct(), CELL_KEY, "left_semi"
+    )
+
+
+def flood_pipeline(
+    forecast_df: DataFrame,
+    threshold_df: DataFrame,
+    exact_quantiles: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Full flagship dataflow → (detailed_forecast, summary_forecast).
+
+    The detailed frame feeds four consumers (sink + three summary aggs);
+    callers running both outputs should ``.cache()`` it — mirrors the
+    reference's persist point (`discharge.py:313-314`).
+    """
+    detailed = add_control_member(
+        compute_detailed_forecast(
+            forecast_df, threshold_df, exact_quantiles=exact_quantiles
+        )
+    )
+    summary = compute_summary_forecast(detailed)
+    return detailed, summary

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_scores` / :func:`brute_force_topk` — exact baseline:
+  broadcast the query vector(s), score every row with native array
+  expressions (`zip_with` + `aggregate` — JVM-side, no Python).
+- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH
+  assigns each vector a bucket signature; search touches only matching
+  buckets. Recall < 1 by design; `num_planes` trades recall vs fanout.
+- :func:`embedding_near_duplicates` — pairwise cosine >= threshold
+  within LSH buckets (the embedding tier of the dedup stack).
+
+At 100 TB the embedding table is partitioned by bucket; queries prune
+to one bucket per plane-signature (plus optional multi-probe), so a
+top-k is a partition-pruned scan + local top-k + global top-k merge —
+no full-table shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_scores(
+    embeddings: DataFrame,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Score every embedding row against every query row (queries are
+    few — broadcast)."""
+    a = _to_double(F.col(vec_col))
+    b = _to_double(F.col(query_vec_col))
+    return embeddings.crossJoin(F.broadcast(query)).withColumn(
+        "cosine_raw", cosine(a, b)
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k by cosine for a single query vector.
+
+    orderBy+limit over scored rows: Spark executes this as per-partition
+    top-k (TakeOrderedAndProject) — no global sort materialization.
+    """
+    scored = cosine_scores(embeddings, query, vec_col, query_vec_col)
+    return (
+        scored.orderBy(F.desc("cosine_raw"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def random_hyperplanes(dim: int, num_planes: int = 8, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def plane_signature(vec: Column, planes: np.ndarray) -> Column:
+    """LSH bucket id: sign-bit signature of the vector against each
+    hyperplane, packed into a long."""
+    from functools import reduce
+
+    bits = []
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(v)) for v in plane])
+        bits.append(
+            F.when(dot(vec, plane_col) >= 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return reduce(lambda x, y: x.bitwiseOR(y), bits)
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k: only embeddings in the query's hyperplane
+    bucket are scored. With ``num_planes`` planes the candidate set is
+    ~N/2^planes — the 100 TB path (bucket = partition key)."""
+    planes = random_hyperplanes(dim, num_planes, seed)
+    emb_b = embeddings.withColumn(
+        "bucket", plane_signature(_to_double(F.col(vec_col)), planes)
+    )
+    qry_b = query.withColumn(
+        "bucket", plane_signature(_to_double(F.col(query_vec_col)), planes)
+    )
+    scored = emb_b.join(F.broadcast(qry_b), "bucket").withColumn(
+        "cosine_raw",
+        cosine(_to_double(F.col(vec_col)), _to_double(F.col(query_vec_col))),
+    )
+    return (
+        scored.orderBy(F.desc("cosine_raw"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pairs (vec_a, vec_b, cosine) with cosine >= threshold, candidate
+    -limited to LSH buckets (high-cosine pairs land in the same bucket
+    with high probability)."""
+    planes = random_hyperplanes(dim, num_planes, seed)
+    emb_b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        plane_signature(_to_double(F.col(vec_col)), planes).alias("bucket"),
+    )
+    a = emb_b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = emb_b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cosine(_to_double(F.col("va")), _to_double(F.col("vb"))))
+        .where(F.col("cosine_raw") >= threshold)
+        .select(
+            "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine")
+        )
+    )

@@ -1,0 +1,74 @@
+"""SparkSession construction and tuning.
+
+Two entry points:
+
+- :func:`get_spark` builds a session for local runs (tests, bench) with
+  the scale-oriented defaults baked in at construction time.
+- :func:`tune` applies the subset of those defaults that are runtime
+  mutable to an *externally provided* session (the correctness driver
+  hands us its own session), so queries behave identically either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-mutable confs, applied defensively to any session we receive.
+_RUNTIME_CONF = {
+    # Deterministic timestamp rendering regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime coalescing, skew-join splitting,
+    # broadcast-join conversion from runtime stats.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-interop path (Pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables in this engine are small; let more joins broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-mutable engine defaults to an existing session."""
+    for key, value in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Some confs may be locked down by the hosting driver; the
+            # engine still functions, just with the host's settings.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "data-pipelines-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession for local execution.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster this would instead be sized to ~2-3x total executor cores
+    (or left to AQE's coalescing with a high initial value).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for key, value in _RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,76 @@
+"""Structured Streaming extension: windowed event aggregation.
+
+The reference has NO streaming surface (SURVEY.md §2.10) — its
+incrementality is a daily cron re-materialization. This module is the
+engine's honest mapping of that model plus a real streaming extension:
+
+- :func:`tumbling_event_counts` — watermarked tumbling-window aggregation;
+  the streaming twin of the batch `events_tumbling_window` suite query
+  (same plan shape, same results on bounded input).
+- :func:`incremental_file_stream` — `Trigger.AvailableNow`-style file
+  pickup, the Spark-native version of the reference's "daily cron
+  re-reads the new GRIB drops" loop (`jobs.py:24-29`).
+
+At scale: the windowed aggregate state is keyed by (window, event_type)
+— bounded by the watermark horizon; shuffle partitions carry state, so
+`spark.sql.shuffle.partitions` should be sized to state volume, and
+RocksDB state store enabled for large keyspaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_aggregation(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) window aggregation with
+    late-data handling. Works identically on a batch DataFrame (no-op
+    watermark) and a streaming one (state + late-row dropping)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return (
+        df.groupBy(win.alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "event_cnt",
+            "min_value",
+            "max_value",
+            "sum_value",
+        )
+    )
+
+
+def stream_events_from_dir(
+    spark,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory — the incremental
+    pickup shape (new daily drops processed exactly once)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)

@@ -1,0 +1,249 @@
+"""LLM-training-data operators over the `documents` and `embeddings`
+tables: dedup tiers, text analysis, similarity search.
+
+Queries without an oracle entry (minhash/simhash — they depend on
+Spark's xxhash64, which DuckDB cannot reproduce) get the driver's
+rows-only check; their semantics are unit-tested against hand-built
+fixtures in tests/test_dedup.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.functions.text import (
+    byte_length,
+    punct_count,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+)
+from data_pipelines_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from data_pipelines_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from data_pipelines_spark.session import tune
+from data_pipelines_spark.sources.tables import load_table
+from data_pipelines_spark.suite._registry import make_registry
+
+QUERIES, ORACLES, register = make_registry()
+
+
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT md5(text) AS text_md5,
+           min(doc_id) AS keeper_id,
+           count(*)    AS dup_cnt
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup_docs(spark, sf_dir):
+    """Exact deduplication via content hash: one row per distinct text
+    with the canonical (minimum) doc id and the duplicate count."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs)
+
+
+@register(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+'))
+                END AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                AS BIGINT) AS n_punct
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Per-document text statistics: char/byte length, whitespace token
+    count, punctuation count — all native expressions."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_calc"),
+        byte_length(t).alias("n_bytes"),
+        token_count(t).alias("n_tokens"),
+        punct_count(t).alias("n_punct"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    r"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+'))
+                    END AS BIGINT) AS n_tok,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                    AS BIGINT) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND((
+               least(n_chars / 500.0, CAST(1.0 AS DOUBLE))
+               + CASE WHEN n_tok > 0
+                           AND n_chars / n_tok >= 3
+                           AND n_chars / n_tok <= 12
+                      THEN 1.0 ELSE 0.5 END
+               + CASE WHEN n_chars > 0
+                      THEN 1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 5.0,
+                                       CAST(1.0 AS DOUBLE))
+                      ELSE 0.0 END
+           ) / 3.0, 6) AS quality
+    FROM base
+    """,
+)
+def doc_quality_scores(spark, sf_dir):
+    """Heuristic quality scoring (length / token-shape / punctuation
+    terms) — the cheap filter stage of a corpus pipeline."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint (base 31 mod
+    2^31-1), computed natively with aggregate() over the char array."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine_raw
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, ROUND(cosine_raw, 6) AS cosine
+    FROM scored
+    ORDER BY cosine_raw DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against vec_id=0 — the exact ANN
+    baseline (native zip_with/aggregate arithmetic, broadcast query)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    return brute_force_topk(emb.where(F.col("vec_id") != 0), query, k=10)
+
+
+@register("embedding_near_dup_pairs")
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs within LSH hyperplane
+    buckets (approximate by design → rows-only check; exactness of the
+    cosine kernel is covered by embedding_cosine_topk's oracle)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, dim=64, threshold=0.3, num_planes=4)
+
+
+@register("embedding_lsh_topk")
+def embedding_lsh_topk(spark, sf_dir):
+    """Approximate top-k via random-hyperplane buckets — the 100 TB
+    search path (bucket = partition-prunable key)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    return lsh_bucketed_topk(
+        emb.where(F.col("vec_id") != 0), query, dim=64, k=10, num_planes=4
+    )
+
+
+@register("minhash_near_dup_pairs")
+def minhash_near_dup_pairs(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidate pairs with signature-
+    estimated Jaccard (xxhash64-based → no SQL oracle; semantics
+    unit-tested on planted near-duplicates in tests/test_dedup.py)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, jaccard_threshold=0.5)
+
+
+@register("simhash_signatures")
+def simhash_signatures_q(spark, sf_dir):
+    """64-bit SimHash signature per document (token-profile hash for
+    Hamming-distance near-dup)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs)
+
+
+@register(
+    "ngram_jaccard_same_source",
+    """
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(length(text) - 2, 1) + 1),
+                   i -> substr(lower(text), i, 3))) AS shingles
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))),
+               6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+def ngram_jaccard_same_source(spark, sf_dir):
+    """Exact character-3-gram Jaccard over candidate pairs blocked by
+    `source` — the verification stage of the dedup stack, with the
+    blocking key standing in for LSH buckets."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.5, bucket_col="source"
+    )

@@ -1,0 +1,321 @@
+"""Relational operator coverage: filters, joins, windows, aggregations,
+set ops — each mirroring a reference operator (SURVEY.md §2 tags noted
+per query) on the driver's TPC-H-ish tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.operators.zonal import coarsen_sum
+from data_pipelines_spark.plans.dense import dense_agg, key_universe
+from data_pipelines_spark.plans.windows import (
+    constant_from_marker,
+    group_max_broadcast,
+    top1_per_group,
+)
+from data_pipelines_spark.session import tune
+from data_pipelines_spark.sources.tables import load_table
+from data_pipelines_spark.suite._registry import make_registry
+
+QUERIES, ORACLES, register = make_registry()
+
+
+@register(
+    "roi_restrict_projection",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_quantity >= 10 AND l_quantity <= 30
+      AND l_discount >= 0.02 AND l_discount <= 0.08
+    """,
+)
+def roi_restrict_projection(spark, sf_dir):
+    """P1/P3/P6: bounding-box-style range predicate + projection; the
+    predicate and column set both reach the parquet scan (pushdown +
+    pruning), replacing the reference's hand-placed post-load slices."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_quantity").between(10, 30) & F.col("l_discount").between(0.02, 0.08)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+@register(
+    "rounded_key_broadcast_join",
+    """
+    WITH keyed AS (
+        SELECT CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS tax_key,
+               l_quantity, l_extendedprice
+        FROM lineitem
+    ),
+    bands(tax_key, tax_band) AS (
+        VALUES (0, 'T0'), (1, 'T1'), (2, 'T2'), (3, 'T3'), (4, 'T4'),
+               (5, 'T5'), (6, 'T6'), (7, 'T7'), (8, 'T8')
+    )
+    SELECT COALESCE(b.tax_band, 'OTHER') AS tax_band,
+           count(*)             AS line_cnt,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           sum(l_quantity)      AS sum_qty
+    FROM keyed k LEFT JOIN bands b ON k.tax_key = b.tax_key
+    GROUP BY 1
+    """,
+)
+def rounded_key_broadcast_join(spark, sf_dir):
+    """F1/J1: float keys are only joinable after canonicalization
+    (reference rounds all grid keys to 3 decimals before every join);
+    the dimension side is an explicit broadcast."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax_key"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    bands = spark.createDataFrame(
+        [(i, f"T{i}") for i in range(9)], "tax_key bigint, tax_band string"
+    )
+    return (
+        keyed.join(F.broadcast(bands), "tax_key", "left")
+        .groupBy(F.coalesce(F.col("tax_band"), F.lit("OTHER")).alias("tax_band"))
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "control_marker_window",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           max(CASE WHEN l_linenumber = 1 THEN l_quantity END)
+               OVER (PARTITION BY l_orderkey) AS control_qty
+    FROM lineitem
+    """,
+)
+def control_marker_window(spark, sf_dir):
+    """J2-as-window: distribute a marker row's value (the 'control
+    member', reference `discharge.py:292-302`) to every row of its group
+    without a self-join. max() because the marker is not unique here."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.max(F.when(F.col("l_linenumber") == 1, F.col("l_quantity"))).over(w).alias(
+            "control_qty"
+        ),
+    )
+
+
+@register(
+    "argmax_per_group",
+    """
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS peak_linenumber,
+           l_quantity                   AS peak_qty
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY l_orderkey
+            ORDER BY l_quantity DESC, l_linenumber ASC) AS rn
+        FROM lineitem
+    )
+    WHERE rn = 1
+    """,
+)
+def argmax_per_group(spark, sf_dir):
+    """A5/O2: deterministic top-1 per group via a ranking window (the
+    reference's sort-then-first `transforms.py:128-139`, with the total
+    order covering every output column so ties are value-identical)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    top = top1_per_group(
+        li, ["l_orderkey"], [F.desc("l_quantity"), F.asc("l_linenumber")]
+    )
+    return top.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("peak_linenumber"),
+        F.col("l_quantity").alias("peak_qty"),
+    )
+
+
+@register(
+    "group_max_broadcast_window",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           max(l_extendedprice) OVER (PARTITION BY l_orderkey) AS max_order_price
+    FROM lineitem
+    """,
+)
+def group_max_broadcast_window(spark, sf_dir):
+    """A2/J7-as-window: group max attached to detail rows in one shuffle
+    (reference computes agg then joins back, `transforms.py:101-112`)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return group_max_broadcast(
+        li, ["l_orderkey"], "l_extendedprice", "max_order_price"
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "max_order_price")
+
+
+@register(
+    "semi_join_filter",
+    """
+    SELECT l_returnflag,
+           count(*)        AS line_cnt,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 250000)
+    GROUP BY 1
+    """,
+)
+def semi_join_filter(spark, sf_dir):
+    """J4: left-semi join used purely as a filter (reference
+    `discharge.py:347-352` uses an inner merge for this). Money sums go
+    through DECIMAL so partial-aggregation order can't perturb them."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 250000).select("o_orderkey")
+    return (
+        li.join(hi, li.l_orderkey == hi.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "dense_group_count",
+    """
+    SELECT c.c_custkey, p.o_orderpriority, COALESCE(o.order_cnt, 0) AS order_cnt
+    FROM customer c
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    LEFT JOIN (
+        SELECT o_custkey, o_orderpriority, count(*) AS order_cnt
+        FROM orders GROUP BY 1, 2
+    ) o ON o.o_custkey = c.c_custkey AND o.o_orderpriority = p.o_orderpriority
+    """,
+)
+def dense_group_count(spark, sf_dir):
+    """A7: the dense-group contract — one row for EVERY (customer,
+    priority) pair including zero counts, like the reference's zonal
+    count with ``expected_groups`` (`global_forest_watch.py:200-206`)."""
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    universe = key_universe(
+        customer.select("c_custkey"),
+        orders.select("o_orderpriority").distinct(),
+    )
+    dense = dense_agg(
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderpriority"
+        ),
+        universe,
+        ["c_custkey", "o_orderpriority"],
+        [F.count(F.lit(1)).alias("order_cnt")],
+        fill={"order_cnt": 0},
+    )
+    return dense
+
+
+@register(
+    "coarsen_block_sum",
+    """
+    SELECT CAST(FLOOR(l_partkey / 10) AS BIGINT) AS block_x,
+           CAST(FLOOR(l_suppkey / 5)  AS BIGINT) AS block_y,
+           sum(l_quantity) AS l_quantity_sum
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def coarsen_block_sum(spark, sf_dir):
+    """A8: spatial block-sum downsample (reference
+    ``coarsen(x=200,y=200).sum()``, `global_forest_watch.py:71`) —
+    groupBy on floor-divided coordinates with map-side partials."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return coarsen_sum(
+        li, block_x=10, block_y=5, x_col="l_partkey", y_col="l_suppkey",
+        value_col="l_quantity",
+    )
+
+
+@register(
+    "multiway_join_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           count(*) AS line_cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST(1.0 - l_discount AS DECIMAL(8, 2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def multiway_join_revenue(spark, sf_dir):
+    """J5-shaped chained joins (fact → small dims): Catalyst broadcasts
+    every dimension side; revenue in exact decimal arithmetic."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,2)")
+    ).cast("double")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("line_cnt"), revenue.alias("revenue"))
+    )
+
+
+@register(
+    "union_concat_branches",
+    """
+    SELECT branch, count(*) AS line_cnt, sum(l_quantity) AS sum_qty
+    FROM (
+        SELECT 'HI' AS branch, l_quantity FROM lineitem WHERE l_discount >= 0.05
+        UNION ALL
+        SELECT 'LO' AS branch, l_quantity FROM lineitem WHERE l_discount < 0.05
+    )
+    GROUP BY 1
+    """,
+)
+def union_concat_branches(spark, sf_dir):
+    """U1/U3: unionByName of branch frames then aggregate (the
+    reference's ensemble concat along the member axis,
+    `io_managers.py:206`)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = li.where(F.col("l_discount") >= 0.05).select(
+        F.lit("HI").alias("branch"), "l_quantity"
+    )
+    lo = li.where(F.col("l_discount") < 0.05).select(
+        F.lit("LO").alias("branch"), "l_quantity"
+    )
+    return (
+        hi.unionByName(lo)
+        .groupBy("branch")
+        .agg(F.count(F.lit(1)).alias("line_cnt"), F.sum("l_quantity").alias("sum_qty"))
+    )

@@ -1,0 +1,82 @@
+"""Grid canonicalization, geometry, and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.functions.geo import haversine_km, parse_tile_name
+from data_pipelines_spark.functions.grid import (
+    cell_wkt,
+    restrict_area,
+    round_grid_keys,
+    snap_to_grid,
+)
+from data_pipelines_spark.operators.multimodal import (
+    extract_features,
+    filter_nodata,
+)
+
+
+def test_snap_to_grid_cell_centers(spark):
+    df = spark.createDataFrame(
+        [(5.725,), (5.73,), (5.749,), (-0.01,)], "c double"
+    )
+    out = [r["s"] for r in df.select(snap_to_grid("c").alias("s")).collect()]
+    assert out == [5.725, 5.725, 5.725, -0.025]
+
+
+def test_round_grid_keys_and_restrict(spark):
+    df = spark.createDataFrame(
+        [(1.0250000001, 2.0), (8.0, 2.0)], "latitude double, longitude double"
+    )
+    rounded = round_grid_keys(df).collect()
+    assert rounded[0]["latitude"] == 1.025
+    within = restrict_area(df, 0.0, 5.0, 0.0, 5.0).collect()
+    assert len(within) == 1
+
+
+def test_cell_wkt_fixed_precision(spark):
+    df = spark.createDataFrame([(2.025, 0.025)], "latitude double, longitude double")
+    wkt = df.select(cell_wkt("latitude", "longitude").alias("w")).collect()[0]["w"]
+    assert wkt == (
+        "POLYGON ((0.000 2.000,0.000 2.050,0.050 2.050,0.050 2.000,0.000 2.000))"
+    )
+
+
+def test_haversine_known_distance(spark):
+    # London (51.5074, -0.1278) → Paris (48.8566, 2.3522) ≈ 343.5 km
+    df = spark.createDataFrame([(51.5074, -0.1278, 48.8566, 2.3522)],
+                               "a double, b double, c double, d double")
+    km = df.select(
+        haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+    ).collect()[0]["km"]
+    assert 340 < km < 347
+
+
+def test_parse_tile_name(spark):
+    df = spark.createDataFrame([("10N_020W",), ("00S_130E",)], "tile string")
+    lat, lon = parse_tile_name("tile")
+    out = df.select(lat.alias("lat"), lon.alias("lon")).collect()
+    assert (out[0]["lat"], out[0]["lon"]) == (10.0, -20.0)
+    assert (out[1]["lat"], out[1]["lon"]) == (0.0, 130.0)
+
+
+def _media(spark):
+    rows = [
+        (0, "image", bytearray(b"\x01\x02\x03\x04"), "png", 2, 2, 4),
+        (1, "image", bytearray(b""), "png", 0, 0, 0),
+        (2, "audio", bytearray(b"\xff\xfe"), "wav", None, None, 2),
+    ]
+    from data_pipelines_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_multimodal_filter_and_features(spark):
+    media = filter_nodata(_media(spark))
+    assert media.count() == 2  # empty payload dropped
+    feats = extract_features(media, dim=4).collect()
+    by_id = {r["media_id"]: r["feature"] for r in feats}
+    assert len(by_id[0]) == 4
+    # deterministic fake: byte histogram / len
+    assert by_id[0][0] == (1 + 0) / 4 + 0  # bytes 1 and (none) at positions 0,4

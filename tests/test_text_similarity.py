@@ -1,0 +1,113 @@
+"""Text-function and similarity-search tests."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.functions.text import (
+    lang_guess,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+)
+from data_pipelines_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+
+
+def test_token_count_and_empty(spark):
+    df = spark.createDataFrame(
+        [(0, "a b  c"), (1, ""), (2, "   "), (3, "single")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", token_count(F.col("text")).alias("n")).collect()}
+    assert out == {0: 3, 1: 0, 2: 0, 3: 1}
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    text = "hello world"
+    expected = 0
+    for ch in text:
+        expected = (expected * 31 + ord(ch)) % 2_147_483_647
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(rolling_fingerprint(F.col("text")).alias("f")).collect()[0]["f"]
+    assert got == expected
+
+
+def test_lang_guess(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog run to the house with a ball"),
+            (1, "der hund und die katze sind nicht mit der maus"),
+            (2, "le chat et le chien sont dans la maison pour que"),
+            (3, "xyzzy qwerty zzz"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["g"] for r in df.select("id", lang_guess(F.col("text")).alias("g")).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "und"
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame(
+        [(0, "a good long sentence with reasonable words here"), (1, "")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["q"] for r in df.select("id", quality_score(F.col("text")).alias("q")).collect()}
+    assert 0.0 <= out[0] <= 1.0
+    assert 0.0 <= out[1] <= 1.0
+
+
+def _emb_df(spark, n=40, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, vecs = _emb_df(spark)
+    q = vecs[0].astype("float64")
+    others = vecs[1:].astype("float64")
+    cos = (others @ q) / (np.linalg.norm(others, axis=1) * np.linalg.norm(q))
+    expected = [i + 1 for i in np.argsort(-cos)[:5]]
+
+    query = df.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    got = brute_force_topk(df.where(F.col("vec_id") != 0), query, k=5).collect()
+    assert [r["vec_id"] for r in got] == expected
+    # cosine values agree with numpy to rounding precision
+    for r, i in zip(got, expected):
+        assert math.isclose(r["cosine"], cos[i - 1], abs_tol=1e-5)
+
+
+def test_lsh_topk_returns_bucket_subset(spark):
+    df, _ = _emb_df(spark)
+    query = df.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = {r["vec_id"]: r["cosine"] for r in
+             brute_force_topk(df.where(F.col("vec_id") != 0), query, k=39).collect()}
+    approx = lsh_bucketed_topk(
+        df.where(F.col("vec_id") != 0), query, dim=8, k=5, num_planes=2
+    ).collect()
+    assert 0 < len(approx) <= 5
+    for r in approx:
+        assert math.isclose(r["cosine"], exact[r["vec_id"]], abs_tol=1e-9)
+
+
+def test_embedding_near_duplicates_finds_clone(spark):
+    df, vecs = _emb_df(spark)
+    clone = [float(x) for x in vecs[5]]
+    df2 = df.union(
+        df.sparkSession.createDataFrame([(999, clone)], "vec_id long, embedding array<float>")
+    )
+    pairs = embedding_near_duplicates(df2, dim=8, threshold=0.999, num_planes=4)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    assert (5, 999) in got
