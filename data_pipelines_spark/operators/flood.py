@@ -266,6 +266,23 @@ def filter_by_upstream_area(
     )
 
 
+def combine_thresholds(
+    t2: DataFrame, t5: DataFrame, t20: DataFrame, sort_output: bool = True
+) -> DataFrame:
+    """Combine per-return-period threshold tables into one per-cell row.
+
+    Reference J5/O1 (`assets/flood/rp_thresholds.py:108-131`): iterative
+    inner joins on rounded (lat, lon), then an ordered write. Each input
+    has one row per cell — equi-joins on the canonical grid key,
+    co-partitioned after the first shuffle.
+    """
+    t2, t5, t20 = (round_grid_keys(t) for t in (t2, t5, t20))
+    combined = t2.join(t5, CELL_KEY, "inner").join(t20, CELL_KEY, "inner")
+    if sort_output:
+        combined = combined.orderBy(*CELL_KEY)
+    return combined
+
+
 def flood_pipeline(
     forecast_df: DataFrame,
     threshold_df: DataFrame,

@@ -25,9 +25,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_pipelines_spark.suite import core, llmdata, relational, temporal
+from data_pipelines_spark.suite import (
+    analytics,
+    core,
+    geospatial,
+    llmdata,
+    relational,
+    temporal,
+)
 
-_MODULES = (core, relational, temporal, llmdata)
+_MODULES = (core, relational, temporal, analytics, geospatial, llmdata)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,366 @@
+"""Classic analytical query shapes (TPC-H-style) + advanced SQL surface:
+rollup, set ops, lead/lag, sliding windows, as-of join.
+
+These go beyond the reference's own operator set (SURVEY.md §2.5 notes
+grouping sets / count-distinct / top-k as absent there) — they are part
+of making the engine a complete analytics surface, and every one is
+exactly oracle-checked.
+
+Determinism: money math in DECIMAL (exact), averages as exact-sum /
+exact-count double division, LIMIT queries carry a total tie-break
+order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.operators.joins import asof_join
+from data_pipelines_spark.session import tune
+from data_pipelines_spark.sources.tables import load_events, load_table
+from data_pipelines_spark.suite._registry import make_registry
+
+QUERIES, ORACLES, register = make_registry()
+
+_DEC_PRICE = "decimal(18,2)"
+
+
+def _disc_price():
+    return F.col("l_extendedprice").cast(_DEC_PRICE) * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(8,2)")
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l_discount AS DECIMAL(8,2))
+                    * CAST(1.0 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+           sum(l_quantity) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide aggregate over the fact table; one scan, one
+    shuffle of partial aggregates. Averages computed as exact-decimal
+    sums over exact counts so engines agree bit-for-bit."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    base = F.col("l_extendedprice").cast(_DEC_PRICE)
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(base).cast("double").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(
+                _disc_price() * (F.lit(1.0) + F.col("l_tax")).cast("decimal(8,2)")
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum("l_quantity") / cnt).alias("avg_qty"),
+            (F.sum(base).cast("double") / cnt).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(8,2)")).cast("double") / cnt).alias(
+                "avg_disc"
+            ),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+           count(*) AS line_cnt
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: highly selective scan-filter-aggregate. Every
+    predicate reaches the parquet row-group stats."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC_PRICE)
+                * F.col("l_discount").cast("decimal(8,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: selective dimension filter → fact join → top-k by
+    aggregate. Customer/orders broadcast; the LIMIT is a TakeOrdered —
+    no global sort. Total tie-break (orderkey) keeps the k-set stable."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "order_date")
+    )
+
+
+@register(
+    "rollup_region_nation",
+    """
+    SELECT COALESCE(r.r_name, 'ALL')  AS region,
+           COALESCE(n.n_name, 'ALL')  AS nation,
+           count(*) AS supp_cnt,
+           CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark, sf_dir):
+    """ROLLUP hierarchy totals (region → nation → grand total) — the
+    grouping-sets surface the reference lacks (SURVEY.md §2.5). NULL
+    subtotal keys are coalesced to a sentinel for engine-stable output.
+    """
+    tune(spark)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("supp_cnt"),
+            F.sum(F.col("s_acctbal").cast(_DEC_PRICE)).cast("double").alias("total_bal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "supp_cnt",
+            "total_bal",
+        )
+    )
+
+
+@register(
+    "set_ops_customers",
+    """
+    SELECT 'BOTH' AS bucket, count(*) AS cust_cnt FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    UNION ALL
+    SELECT 'URGENT_ONLY' AS bucket, count(*) AS cust_cnt FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    """,
+)
+def set_ops_customers(spark, sf_dir):
+    """INTERSECT / EXCEPT set semantics (absent in the reference; free
+    in Spark)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both = urgent.intersect(low).agg(F.count(F.lit(1)).alias("cust_cnt")).select(
+        F.lit("BOTH").alias("bucket"), "cust_cnt"
+    )
+    only = urgent.subtract(low).agg(F.count(F.lit(1)).alias("cust_cnt")).select(
+        F.lit("URGENT_ONLY").alias("bucket"), "cust_cnt"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "global_agg_distinct",
+    """
+    SELECT min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           count(*) AS line_cnt,
+           count(DISTINCT l_suppkey) AS supp_cnt,
+           count(DISTINCT (l_returnflag, l_linestatus)) AS flag_status_cnt
+    FROM lineitem
+    """,
+)
+def global_agg_distinct(spark, sf_dir):
+    """A9/A10: global scalar aggregates + exact count-distinct (the
+    reference's min/max-per-subarea and distinct key-set shapes)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("line_cnt"),
+        F.countDistinct("l_suppkey").alias("supp_cnt"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("flag_status_cnt"),
+    )
+
+
+@register(
+    "lead_lag_events",
+    """
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lead_lag_events(spark, sf_dir):
+    """lead/lag over a total per-user order — frame-based window surface
+    beyond the reference's three patterns (SURVEY.md §2.6)."""
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "events_sliding_window",
+    """
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS ws,
+               event_type, value
+        FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)   AS event_cnt,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding window (1 h size, 30 min slide): each event lands in two
+    overlapping windows — the streaming-extension shape, checked against
+    an explicit two-assignment SQL oracle."""
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    win = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "event_cnt",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@register(
+    "asof_join_purchases",
+    """
+    WITH purchases AS (
+        SELECT user_id, ts, max(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, p.purchase_value AS last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN purchases p
+        ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_join_purchases(spark, sf_dir):
+    """Merge-asof: each event annotated with the latest at-or-before
+    purchase value of the same user — implemented as the scalable
+    union+window plan (operators/joins.py), oracle-checked against
+    DuckDB's native ASOF JOIN."""
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("purchase_value").alias("last_purchase_value")
+    )

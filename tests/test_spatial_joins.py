@@ -1,0 +1,104 @@
+"""Spatial join (J9) and as-of join tests on general shapes."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.operators.joins import asof_join
+from data_pipelines_spark.operators.spatial import (
+    parse_wkt_polygon,
+    point_in_polygon_join,
+    points_in_ring,
+    rasterize_zones,
+)
+from data_pipelines_spark.operators.zonal import dense_zonal_count
+
+
+TRIANGLE = "POLYGON ((0 0,10 0,0 10,0 0))"
+CONCAVE = "POLYGON ((0 0,10 0,10 10,5 5,0 10,0 0))"  # notch at top
+
+
+def test_parse_wkt_polygon():
+    ring = parse_wkt_polygon(TRIANGLE)
+    assert ring.shape == (4, 2)
+    assert ring[0].tolist() == [0.0, 0.0]
+
+
+def test_ray_casting_triangle_and_concave():
+    px = np.array([1.0, 6.0, 9.0, 2.0])
+    py = np.array([1.0, 6.0, 0.5, 7.0])
+    tri = points_in_ring(px, py, parse_wkt_polygon(TRIANGLE))
+    # inside: (1,1), (2,7); outside: (6,6) beyond hypotenuse, (9,0.5) in
+    assert tri.tolist() == [True, False, True, True]
+    conc = points_in_ring(
+        np.array([5.0, 5.0, 1.0]), np.array([8.0, 4.0, 1.0]),
+        parse_wkt_polygon(CONCAVE),
+    )
+    # (5,8) sits in the notch → outside; (5,4) and (1,1) inside
+    assert conc.tolist() == [False, True, True]
+
+
+def test_point_in_polygon_join_mixed_shapes(spark):
+    zones = spark.createDataFrame(
+        [(1, TRIANGLE), (2, "POLYGON ((20 20,30 20,30 30,20 30,20 20))")],
+        "id long, geometry string",
+    )
+    points = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 25.0, 25.0), (2, 15.0, 15.0), (3, 0.5, 8.5)],
+        "point_id long, x double, y double",
+    )
+    got = {
+        (r["point_id"], r["zone_id"])
+        for r in point_in_polygon_join(points, zones, bucket_size=10.0).collect()
+    }
+    assert got == {(0, 1), (3, 1), (1, 2)}
+
+
+def test_rasterize_then_dense_zonal_count(spark):
+    """End-to-end deforestation kernel: rasterize zones onto a pixel
+    grid, then dense per-(zone, year) loss counts — the reference's
+    `treeloss_per_basin` dataflow on synthetic rectangles."""
+    zones = spark.createDataFrame(
+        [(1, "POLYGON ((0 0,4 0,4 4,0 4,0 0))"),
+         (2, "POLYGON ((4 0,8 0,8 4,4 4,4 0))")],
+        "id long, geometry string",
+    )
+    # pixel centers at .5 offsets; lossyear 1 on x<2, else 0
+    pixels = spark.createDataFrame(
+        [
+            (x + 0.5, y + 0.5, 1 if x < 2 else 0)
+            for x in range(8)
+            for y in range(4)
+        ],
+        "x double, y double, lossyear long",
+    )
+    zoned = rasterize_zones(pixels, zones, bucket_size=4.0)
+    assert zoned.count() == 32  # every pixel claimed by exactly one zone
+    counts = dense_zonal_count(zoned, zones, years=(1, 2))
+    got = {(r["id"], r["year"]): r["loss_incidents"] for r in counts.collect()}
+    assert got == {
+        (1, 2001): 8, (1, 2002): 0,   # zone 1 holds all lossyear-1 pixels
+        (2, 2001): 0, (2, 2002): 0,   # zone 2 dense zeros
+    }
+
+
+def test_asof_join_backward_and_forward(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 20), (3, "u", 35), (4, "v", 5)],
+        "event_id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 100.0), ("u", 30, 300.0), ("v", 50, 500.0)],
+        "k string, t long, val double",
+    )
+    back = asof_join(left, right, ["k"], "t", "t", ["val"], "backward")
+    got = {r["event_id"]: r["val"] for r in back.collect()}
+    # t=10 matches the equal-ts right row; t=20 → still 100; t=35 → 300;
+    # v@5 has no prior right row → null
+    assert got == {1: 100.0, 2: 100.0, 3: 300.0, 4: None}
+
+    fwd = asof_join(left, right, ["k"], "t", "t", ["val"], "forward")
+    got_f = {r["event_id"]: r["val"] for r in fwd.collect()}
+    assert got_f == {1: 100.0, 2: 300.0, 3: None, 4: 500.0}
