@@ -25,11 +25,16 @@ from data_pipelines_spark.session import get_spark  # noqa: E402
 HEADLINE = (
     "flood_detailed_forecast",
     "flood_summary_forecast",
+    "q1_pricing_summary",
+    "q3_top_orders",
     "multiway_join_revenue",
     "argmax_per_group",
     "dense_group_count",
     "semi_join_filter",
+    "asof_join_purchases",
+    "spatial_join_zones",
     "events_tumbling_window",
+    "events_sliding_window",
     "exact_dedup_docs",
     "minhash_near_dup_pairs",
     "embedding_cosine_topk",

@@ -78,6 +78,14 @@ def compute_detailed_forecast(
 
     joined = forecast_df.join(F.broadcast(threshold_df), CELL_KEY, "left")
     joined = exceedance_flags(joined, "dis24", periods)
+    # NOTE on partitioning: a manual repartition(CELL_KEY) here cannot
+    # be reused by the groupBy — Spark normalizes floating-point group
+    # keys (knownfloatingpointnormalized), so the aggregate's required
+    # distribution never matches a user hash on the raw doubles and a
+    # second exchange appears (measured). The 5-key aggregation shuffle
+    # below is therefore the dataflow's one full-data shuffle; every
+    # later shuffle moves per-cell aggregates (~1/n_members·n_steps of
+    # the rows), which is the right shape at 100 TB.
 
     dis = F.col("dis24")
     if exact_quantiles:
@@ -205,20 +213,81 @@ def compute_summary_forecast(
     detailed_with_control: DataFrame,
     drop_gray: bool = True,
     with_geometry: bool = True,
+    single_pass: bool = True,
 ) -> DataFrame:
-    """Merged per-cell summary: peak timing ⨝ tendency ⨝ intensity.
+    """Merged per-cell summary: peak timing + tendency + intensity.
 
-    Reference J3/P4/F9: `assets/flood/discharge.py:320-366`. The three
-    inputs are per-cell aggregates of the same frame — Catalyst plans
-    co-partitioned joins (all three shuffles share the cell key); the
-    detailed frame should be cached by the caller when it also feeds the
-    detailed sink (reference persists it, `discharge.py:313-314`).
+    Reference J3/P4/F9: `assets/flood/discharge.py:320-366` computes
+    three separate per-cell aggregates and merges them with two joins.
+    All three group on the same cell key, so the engine fuses them into
+    ONE aggregation (``single_pass=True``, the default): the peak-step
+    argmax becomes ``max_by`` over the total order (condition,
+    median_dis, -step), the 10-day max and the control value become
+    conditional aggregates, and the classification chains run on the
+    single aggregated row. One shuffle, zero joins — measured 9
+    exchanges → 2 on the full dataflow.
+
+    ``single_pass=False`` keeps the reference-shaped modular plan
+    (three aggs + joins) for comparison; both paths are semantically
+    identical and tested against each other.
     """
-    peak = compute_peak_timing(detailed_with_control)
-    tend = compute_tendency(detailed_with_control)
-    inten = compute_intensity(detailed_with_control)
+    if not single_pass:
+        peak = compute_peak_timing(detailed_with_control)
+        tend = compute_tendency(detailed_with_control)
+        inten = compute_intensity(detailed_with_control)
+        summary = peak.join(tend, CELL_KEY, "left").join(inten, CELL_KEY, "left")
+    else:
+        cond = condition_severity(
+            F.col("p_above_20y"), F.col("p_above_5y"), F.col("p_above_2y")
+        )
+        ranked = detailed_with_control.withColumn("condition", cond)
+        peak_val = F.struct(
+            F.col("step").alias("peak_step"), F.col("valid_for").alias("peak_day")
+        )
+        peak_ord = F.struct(
+            F.col("condition"), F.col("median_dis"), (-F.col("step")).alias("neg_step")
+        )
+        g = ranked.groupBy(*CELL_KEY).agg(
+            F.max_by(peak_val, peak_ord).alias("peak"),
+            F.max(
+                F.when(F.col("step").between(1, 10), F.col("p_above_2y"))
+            ).alias("max_2y_start"),
+            F.max("median_dis").alias("max_median_dis"),
+            F.min("median_dis").alias("min_median_dis"),
+            F.max("control_dis").alias("control_dis"),
+            F.max("max_dis").alias("max_max_dis"),
+            F.min("min_dis").alias("min_min_dis"),
+            F.max("p_above_20y").alias("max_p_above_20y"),
+            F.max("p_above_5y").alias("max_p_above_5y"),
+            F.max("p_above_2y").alias("max_p_above_2y"),
+        )
+        summary = g.select(
+            *CELL_KEY,
+            F.col("peak.peak_step").alias("peak_step"),
+            F.col("peak.peak_day").alias("peak_day"),
+            peak_timing_label(
+                F.col("peak.peak_step"), F.col("max_2y_start")
+            ).alias("peak_timing"),
+            "max_median_dis",
+            "min_median_dis",
+            "control_dis",
+            "max_max_dis",
+            "min_min_dis",
+            tendency_label(
+                F.col("max_median_dis"),
+                F.col("min_median_dis"),
+                F.col("control_dis"),
+            ).alias("tendency"),
+            "max_p_above_20y",
+            "max_p_above_5y",
+            "max_p_above_2y",
+            intensity_label(
+                F.col("max_p_above_20y"),
+                F.col("max_p_above_5y"),
+                F.col("max_p_above_2y"),
+            ).alias("intensity"),
+        )
 
-    summary = peak.join(tend, CELL_KEY, "left").join(inten, CELL_KEY, "left")
     if drop_gray:
         # Reference P4: discharge.py:341-343.
         summary = summary.where(F.col("intensity") != "G")

@@ -266,3 +266,28 @@ def test_filter_by_upstream_area(spark):
     got = {(r["latitude"], r["longitude"]) for r in out.collect()}
     assert got == keep
     assert out.count() == 25 * 3
+
+
+def test_summary_single_pass_equals_modular(spark):
+    rows = []
+    for lat in (1.025, 2.025, 3.025):
+        for s in range(1, 12):
+            rows.append(
+                _detailed_row(
+                    lat,
+                    step=s,
+                    median=50.0 + (s * 7 % 13) + lat,
+                    p2=((s * 3) % 10) / 10.0,
+                    p5=((s * 5) % 10) / 20.0,
+                    p20=((s * 7) % 10) / 30.0,
+                    control=50.0 + lat,
+                )
+            )
+    df = _detailed_df(spark, rows)
+    fused = compute_summary_forecast(df, single_pass=True)
+    modular = compute_summary_forecast(df, single_pass=False)
+    cols = sorted(fused.columns)
+    assert cols == sorted(modular.columns)
+    f = sorted([tuple(r[c] for c in cols) for r in fused.collect()])
+    m = sorted([tuple(r[c] for c in cols) for r in modular.collect()])
+    assert f == m
