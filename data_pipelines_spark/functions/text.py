@@ -73,20 +73,15 @@ def quality_score(text: Column) -> Column:
 
 def lang_guess(text: Column) -> Column:
     """Stopword-profile language ID: the language with the most stopword
-    hits wins; ties and zero hits fall back to 'und' (undetermined).
-    Tie-break is lexicographic on language code for determinism."""
+    hits wins; zero hits fall back to 'und' (undetermined). Equal hit
+    counts resolve to the lexicographically larger code (struct-max
+    comparison on (hits, code)) — deterministic by construction."""
     hits = [
         F.struct(
             stopword_hits(text, words).alias("hits"), F.lit(code).alias("code")
         )
         for code, words in sorted(LANG_STOPWORDS.items())
     ]
-    # greatest() on structs compares fields in order: (hits, code); we
-    # want max hits with lexicographically-smallest code on ties, so
-    # negate via comparing (hits, reversed-code) — simpler: pick
-    # greatest of (hits, code) then require hits > 0. On equal hits the
-    # *larger* code wins with plain greatest; invert by ordering the
-    # array and taking the deterministic winner instead.
     best = F.array_max(F.array(*hits))
     return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
 

@@ -71,12 +71,27 @@ def exact_duplicates(
     )
 
 
+def _shingle_hash32(s, portable: bool):
+    """32-bit shingle hash.
+
+    Fast path: xxhash64 (JVM intrinsic) folded to 32 bits. Portable
+    path: first 8 hex chars of md5 — reproducible in any engine (the
+    DuckDB oracle recomputes it), at ~2-3x the cost.
+    """
+    if portable:
+        return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8), 16, 10).cast(
+            "long"
+        )
+    return F.pmod(F.xxhash64(s), F.lit(4_294_967_296))
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures as array<long> of length ``num_hashes``.
 
@@ -92,7 +107,7 @@ def minhash_signatures(
     hashed = docs.select(
         F.col(id_col),
         F.transform(
-            shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(4_294_967_296))
+            shingles, lambda s: _shingle_hash32(s, portable)
         ).alias("shingle_hashes"),
     )
 
@@ -113,27 +128,27 @@ def minhash_band_buckets(
     num_hashes: int = 64,
     num_bands: int = 16,
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """LSH banding: split each signature into ``num_bands`` bands of
     ``num_hashes // num_bands`` rows and hash each band →
     (band, band_hash, doc_id) rows. Docs sharing any (band, band_hash)
     are near-dup candidates."""
     rows_per_band = num_hashes // num_bands
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("minhash")[band * rows_per_band + j].cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                )
-            )
-            for band in range(num_bands)
-        ]
-    )
-    exploded = F.posexplode(band_hashes)
+
+    def band_key(band: int):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col("minhash")[band * rows_per_band + j].cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+        # Fast path hashes the band to an 8-byte shuffle key; portable
+        # mode keeps the raw string so external engines group identically.
+        return joined if portable else F.xxhash64(joined).cast("string")
+
+    exploded = F.posexplode(F.array(*[band_key(b) for b in range(num_bands)]))
     return signatures.select(F.col(id_col), exploded.alias("band", "band_hash"))
 
 
@@ -145,17 +160,22 @@ def minhash_near_duplicates(
     num_bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
     """End-to-end near-dup detection.
 
     Output: (doc_a, doc_b, est_jaccard) pairs with doc_a < doc_b whose
     *signature-estimated* Jaccard >= threshold, discovered via LSH
     bucketing (so only candidate pairs are ever compared).
+    ``portable=True`` switches every hash to md5-derived values so the
+    whole pipeline is reproducible by the DuckDB oracle.
     """
     # The signature frame feeds three consumers (bucketing + both sides
     # of the verification join); persist so it is computed once.
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k).persist()
-    buckets = minhash_band_buckets(sigs, num_hashes, num_bands, id_col)
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_k, portable
+    ).persist()
+    buckets = minhash_band_buckets(sigs, num_hashes, num_bands, id_col, portable)
 
     left = buckets.select(
         F.col("band"), F.col("band_hash"), F.col(id_col).alias("doc_a")

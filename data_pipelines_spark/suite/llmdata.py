@@ -197,6 +197,76 @@ def embedding_lsh_topk(spark, sf_dir):
     )
 
 
+def _minhash_oracle_sql(num_hashes: int = 64, num_bands: int = 16, k: int = 5,
+                        threshold: float = 0.5) -> str:
+    """Build the exact SQL twin of the portable MinHash pipeline: char
+    shingles → md5-derived 32-bit hashes → universal-hash minima → band
+    keys → candidate pairs → signature-estimated Jaccard."""
+    from data_pipelines_spark.operators.dedup import _hash_params
+
+    r = num_hashes // num_bands
+    hash_exprs = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % 2147483647))"
+        for a, b in _hash_params(num_hashes)
+    )
+    band_key = " || ',' || ".join(
+        f"CAST(sig[band * {r} + {j + 1}] AS VARCHAR)" for j in range(r)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(length(text) - {k - 1}, 1) + 1),
+                   i -> substr(lower(text), i, {k}))) AS s
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(s, sg -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(sg), 1, 8), ''),
+                                      c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+                   (a, x) -> a * 16 + x)) AS hs
+        FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+               [{hash_exprs}] AS sig
+        FROM hashed
+    ),
+    buckets AS (
+        SELECT doc_id, band, {band_key} AS key
+        FROM sigs, range(0, {num_bands}) t(band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_filter(range(1, {num_hashes + 1}),
+                                    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+               / {num_hashes} AS est
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = cand.doc_a
+        JOIN sigs sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(est, 6) AS est_jaccard
+    FROM pairs WHERE est >= {threshold}
+    """
+
+
+@register("minhash_near_dup_portable", _minhash_oracle_sql())
+def minhash_near_dup_portable(spark, sf_dir):
+    """The full MinHash+LSH pipeline in portable-hash mode (md5-derived
+    shingle hashes, raw band keys) — EXACTLY reproduced by a DuckDB
+    oracle, including bucket membership and the estimated Jaccard."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, jaccard_threshold=0.5, portable=True)
+
+
 @register("minhash_near_dup_pairs")
 def minhash_near_dup_pairs(spark, sf_dir):
     """MinHash+LSH near-duplicate candidate pairs with signature-
@@ -205,6 +275,53 @@ def minhash_near_dup_pairs(spark, sf_dir):
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates(docs, jaccard_threshold=0.5)
+
+
+def _lang_oracle_sql() -> str:
+    from data_pipelines_spark.functions.text import LANG_STOPWORDS
+
+    hit_cols = []
+    for code, words in sorted(LANG_STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+            f" t -> list_contains([{lst}], t))) AS hits_{code}"
+        )
+    hits_sql = ",\n               ".join(hit_cols)
+    codes_desc = sorted(LANG_STOPWORDS, reverse=True)
+    best = ", ".join(f"hits_{c}" for c in sorted(LANG_STOPWORDS))
+    case = "\n                ".join(
+        f"WHEN hits_{c} = greatest({best}) THEN '{c}'" for c in codes_desc[:-1]
+    )
+    return f"""
+    WITH hits AS (
+        SELECT doc_id, lang AS labeled_lang,
+               {hits_sql}
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN greatest({best}) = 0 THEN 'und'
+                {case}
+                ELSE '{codes_desc[-1]}' END AS guessed_lang
+    FROM hits
+    """
+
+
+@register("lang_guess_docs", _lang_oracle_sql())
+def lang_guess_docs(spark, sf_dir):
+    """Stopword-profile language ID per document, next to the labeled
+    lang column. Tie-break: most hits wins; equal hits → the
+    lexicographically larger code (struct-max semantics), mirrored by
+    the descending CASE chain in the oracle."""
+    from data_pipelines_spark.functions.text import lang_guess
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_guess(F.col("text")).alias("guessed_lang"),
+    )
 
 
 @register("simhash_signatures")
