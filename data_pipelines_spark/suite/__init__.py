@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_pipelines_spark.suite import (
+    advanced,
     analytics,
     core,
     geospatial,
@@ -34,7 +35,7 @@ from data_pipelines_spark.suite import (
     temporal,
 )
 
-_MODULES = (core, relational, temporal, analytics, geospatial, llmdata)
+_MODULES = (core, relational, temporal, analytics, advanced, geospatial, llmdata)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,189 @@
+"""Second tier of relational coverage: anti join, scalar subquery,
+pivot, cube, frame-spec windows, top-k per group.
+
+Same determinism rules as suite/analytics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.session import tune
+from data_pipelines_spark.sources.tables import load_events, load_table
+from data_pipelines_spark.suite._registry import make_registry
+
+QUERIES, ORACLES, register = make_registry()
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "anti_join_idle_customers",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_idle_customers(spark, sf_dir):
+    """Left-anti join: customers that never ordered (the complement of
+    the reference's semi-filter J4)."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "orders_above_median",
+    """
+    SELECT o_orderpriority, count(*) AS hi_cnt
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) FROM orders
+    )
+    GROUP BY 1
+    """,
+)
+def orders_above_median(spark, sf_dir):
+    """Scalar-subquery filter: orders above the exact median total price
+    (median is sort-based and engine-exact, unlike a float mean)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.agg(F.median("o_totalprice").alias("m"))
+    return (
+        orders.join(F.broadcast(med))
+        .where(F.col("o_totalprice") > F.col("m"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("hi_cnt"))
+    )
+
+
+@register(
+    "pivot_priority_by_segment",
+    f"""
+    SELECT c.c_mktsegment,
+           {", ".join(
+               'count(*) FILTER (WHERE o.o_orderpriority = ' + repr(p) + ') AS "' + p + '"'
+               for p in PRIORITIES
+           )}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def pivot_priority_by_segment(spark, sf_dir):
+    """Pivot (long→wide counts): order priorities as columns per market
+    segment — groupBy().pivot() with an explicit value list so column
+    names are stable."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", PRIORITIES)
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "cube_flag_status",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS line_cnt,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark, sf_dir):
+    """CUBE over two dimensions — all 2^2 grouping sets with sentinel
+    keys for the subtotal rows."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("line_cnt"), F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "line_cnt",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "moving_window_events",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS frame_cnt,
+           min(value) OVER w AS frame_min,
+           max(value) OVER w AS frame_max,
+           CAST(sum(CAST(value AS DECIMAL(18, 6))) OVER w AS DOUBLE) AS frame_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_window_events(spark, sf_dir):
+    """Frame-spec window (ROWS BETWEEN): 3-event moving aggregates per
+    user — the rowsBetween surface the reference never needed
+    (SURVEY.md §2.6). Frame sums in DECIMAL for engine-exactness."""
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("frame_cnt"),
+        F.min("value").over(w).alias("frame_min"),
+        F.max("value").over(w).alias("frame_max"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias(
+            "frame_sum"
+        ),
+    )
+
+
+@register(
+    "topk_lines_per_flag",
+    """
+    SELECT l_returnflag, l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_extendedprice
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+        FROM lineitem
+    )
+    WHERE rn <= 3
+    """,
+)
+def topk_lines_per_flag(spark, sf_dir):
+    """Top-k (k>1) per group via ranking window with a total order over
+    every output column — generalizes the reference's top-1 argmax."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "l_extendedprice",
+        )
+    )

@@ -80,3 +80,23 @@ def test_codec_readers_gated(spark):
         pass
     with pytest.raises(NotImplementedError, match="rasterio"):
         read_geotiff(spark, "/nonexistent.tif")
+
+
+def test_json_manifest_roundtrip(spark):
+    """S8: JSON manifest write/read (reference io_managers.py:226-236)."""
+    import json
+
+    tmp = tempfile.mkdtemp(prefix="dps_json_")
+    try:
+        manifest = [
+            {"tile": "10N_020W", "files": 3, "done": True},
+            {"tile": "00N_010E", "files": 5, "done": False},
+        ]
+        with open(f"{tmp}/manifest.json", "w") as f:
+            for rec in manifest:
+                f.write(json.dumps(rec) + "\n")
+        df = spark.read.json(f"{tmp}/manifest.json")
+        got = {r["tile"]: (r["files"], r["done"]) for r in df.collect()}
+        assert got == {"10N_020W": (3, True), "00N_010E": (5, False)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -64,3 +64,78 @@ def test_task_map_success_and_retry_capture(spark):
     assert not rows[1]["ok"] and "exploding task" in rows[1]["error"]
     assert rows[1]["attempts"] == 2  # 1 try + 1 retry
     assert rows[2]["ok"] and rows[2]["result"] == "C"
+
+
+def test_stateful_sessionizer_matches_batch_oracle(spark):
+    """applyInPandasWithState sessionizer over a stream (fed in two
+    files to exercise cross-batch state) must agree with the batch
+    lag-window formulation."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.streaming.stateful import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        t = base + dt.timedelta(minutes=user)
+        for burst in range(user):          # user N has N sessions
+            for i in range(3):
+                rows.append((eid, t, user)); eid += 1
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(minutes=45)  # gap > 30 min → new session
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+    # batch oracle: lag-window session starts
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.select(
+            "user_id",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 1800),
+                1,
+            ).otherwise(0).alias("s"),
+        )
+        .groupBy("user_id").agg(F.sum("s").alias("session_cnt"))
+    )
+    expected = {r["user_id"]: r["session_cnt"] for r in batch.collect()}
+
+    tmp = tempfile.mkdtemp(prefix="dps_state_")
+    try:
+        # two chronological chunks → two micro-batches → state must carry
+        ordered = ev.orderBy("ts").collect()
+        half = len(ordered) // 2
+        spark.createDataFrame(ordered[:half], ev.schema).coalesce(1).write.parquet(f"{tmp}/in/a")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName("sess_test")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        spark.createDataFrame(ordered[half:], ev.schema).coalesce(1).write.parquet(f"{tmp}/in/b")
+        q.processAllAvailable()
+        # counts only grow, so the max update per user is the final state
+        final = spark.sql(
+            "SELECT user_id, max(session_cnt) AS session_cnt "
+            "FROM sess_test GROUP BY user_id"
+        )
+        got = {r["user_id"]: r["session_cnt"] for r in final.collect()}
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert got == expected == {1: 1, 2: 2, 3: 3}
