@@ -29,6 +29,22 @@ from pyspark.sql import functions as F
 _MERSENNE = 2_147_483_647  # 2^31 - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row work uses the cluster's parallelism.
+
+    Small inputs arrive as one file split; signature computation is
+    compute-bound (higher-order array expressions are interpreted, not
+    codegen'd), so a single partition serializes it onto one core
+    (measured 12s → <1s at sf0.1). Inputs already wider than the
+    default parallelism are left untouched — at real scale this is a
+    no-op, never a coalesce.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) coefficient pairs for the MinHash family."""
     rnd_a, rnd_b = 1_103_515_245, 12_345  # LCG constants — reproducible
@@ -99,28 +115,27 @@ def minhash_signatures(
     signature element is the min over the doc's shingle set. One narrow
     projection — no shuffle.
     """
-    shingles = char_shingles(F.col(text_col), shingle_k)
-    # Stage 1 projection: materialize the 32-bit shingle hashes ONCE per
-    # row. Without this, each of the num_hashes min-expressions would
-    # re-evaluate the whole shingle+hash pipeline (no CSE across array
-    # elements) — a ~num_hashes× blowup measured at bench time.
-    hashed = docs.select(
+    docs = _spread(docs)
+    # Explode distinct shingles to rows and take the 64 minima with
+    # plain aggregate expressions. Higher-order array lambdas
+    # (transform/array_min) are interpreted per element (~µs each —
+    # measured 7.6s for 93M ops at sf0.1); the exploded form runs the
+    # same arithmetic inside whole-stage codegen (~sub-second) and
+    # partial aggregation collapses each partition to 64 longs per doc
+    # before the shuffle.
+    ex = docs.select(
         F.col(id_col),
-        F.transform(
-            shingles, lambda s: _shingle_hash32(s, portable)
-        ).alias("shingle_hashes"),
-    )
+        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("__sh"),
+    ).select(F.col(id_col), _shingle_hash32(F.col("__sh"), portable).alias("x"))
 
-    def _family(a: int, b: int):
-        return lambda x: F.pmod(x * a + b, F.lit(_MERSENNE))
-
-    sig = F.array(
+    mins = ex.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(F.col("shingle_hashes"), _family(a, b)))
-            for a, b in _hash_params(num_hashes)
+            F.min(F.pmod(F.col("x") * a + b, F.lit(_MERSENNE))).alias(f"__m{i}")
+            for i, (a, b) in enumerate(_hash_params(num_hashes))
         ]
     )
-    return hashed.select(F.col(id_col), sig.alias("minhash"))
+    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    return mins.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_band_buckets(
@@ -260,7 +275,7 @@ def simhash_signatures(
     For each bit position, sum +1/-1 over token hashes and take the
     sign. Computed with explode + groupBy (one shuffle on doc id, which
     partial aggregation collapses to 64 longs per doc)."""
-    toks = docs.select(
+    toks = _spread(docs).select(
         F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = toks.groupBy(id_col).agg(

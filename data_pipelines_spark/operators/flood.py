@@ -88,28 +88,34 @@ def compute_detailed_forecast(
     # the rows), which is the right shape at 100 TB.
 
     dis = F.col("dis24")
+    # All three quantiles from ONE percentile evaluation (one per-group
+    # sort instead of three): percentile() accepts an array of
+    # percentages and returns an array.
+    fractions = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
     if exact_quantiles:
-        q1, med, q3 = (
-            F.percentile(dis, F.lit(0.25)),
-            F.median(dis),
-            F.percentile(dis, F.lit(0.75)),
-        )
+        qs = F.percentile(dis, fractions)
     else:
-        q1, med, q3 = (
-            F.approx_percentile(dis, F.lit(0.25), F.lit(approx_accuracy)),
-            F.approx_percentile(dis, F.lit(0.5), F.lit(approx_accuracy)),
-            F.approx_percentile(dis, F.lit(0.75), F.lit(approx_accuracy)),
-        )
+        qs = F.approx_percentile(dis, fractions, F.lit(approx_accuracy))
 
     aggs = [
         F.min(dis).alias("min_dis"),
-        q1.alias("q1_dis"),
-        med.alias("median_dis"),
-        q3.alias("q3_dis"),
+        qs.alias("__qs"),
         F.max(dis).alias("max_dis"),
     ] + [F.avg(F.col(f"exceed_{p}y")).alias(f"p_above_{p}y") for p in periods]
 
-    return joined.groupBy(*CELL_KEY, "issued_on", "valid_for", "step").agg(*aggs)
+    out = joined.groupBy(*CELL_KEY, "issued_on", "valid_for", "step").agg(*aggs)
+    return out.select(
+        *CELL_KEY,
+        "issued_on",
+        "valid_for",
+        "step",
+        "min_dis",
+        F.col("__qs")[0].alias("q1_dis"),
+        F.col("__qs")[1].alias("median_dis"),
+        F.col("__qs")[2].alias("q3_dis"),
+        "max_dis",
+        *[f"p_above_{p}y" for p in periods],
+    )
 
 
 def add_control_member(detailed_df: DataFrame, control_step: int = 1) -> DataFrame:

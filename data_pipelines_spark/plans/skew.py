@@ -1,0 +1,60 @@
+"""Skew-safe aggregation: two-stage salted groupBy.
+
+AQE's skew handling covers joins; a groupBy over a heavily skewed key
+still funnels each hot key through one reducer. The classic fix is
+salting: aggregate on (key, salt) first — spreading each hot key over
+``salt_buckets`` reducers — then combine the partials. Works for any
+algebraic aggregate (sum/count/min/max); averages are carried as
+(sum, count) pairs.
+
+At 100 TB this is the difference between a straggler-bound shuffle and
+an even one when e.g. one grid cell / one document source dominates the
+distribution. The salt is derived from a hash of the full row via
+`rand`-free deterministic columns when reproducibility matters; here we
+use `spark_partition_id` mixing, which is deterministic per input
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+    salt_col: Column | None = None,
+) -> DataFrame:
+    """Two-stage aggregation over skewed keys.
+
+    ``aggs``: {output_name: (input_col, fn)} with fn in
+    {"sum", "count", "min", "max"}. Stage 1 groups on
+    (keys..., salt) — partial aggregation + an even shuffle; stage 2
+    combines partials on the true keys (tiny input: |keys| x salt rows).
+    """
+    combiner = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    stage1_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for name, (col, fn) in aggs.items():
+        if fn not in combiner:
+            raise ValueError(f"{name}: unsupported aggregate '{fn}'")
+
+    salt = (
+        salt_col
+        if salt_col is not None
+        else F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    stage1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
+        *[
+            stage1_fn[fn](F.col(col) if fn != "count" else F.lit(1)).alias(f"__{name}")
+            for name, (col, fn) in aggs.items()
+        ]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[
+            combiner[fn](F.col(f"__{name}")).alias(name)
+            for name, (col, fn) in aggs.items()
+        ]
+    )

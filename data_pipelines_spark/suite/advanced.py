@@ -187,3 +187,20 @@ def topk_lines_per_flag(spark, sf_dir):
             "l_extendedprice",
         )
     )
+
+
+@register("approx_sketch_aggregates")
+def approx_sketch_aggregates(spark, sf_dir):
+    """Sketch-based scale paths: approx_count_distinct (HyperLogLog++)
+    and approx_percentile (KLL-style) over the fact table. Approximate
+    by design → rows-only driver check; the exact twins are oracle-
+    checked in global_agg_distinct / flood_detailed_forecast."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_suppkey").alias("approx_supp"),
+        F.approx_count_distinct("l_partkey").alias("approx_part"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median_price"
+        ),
+    )

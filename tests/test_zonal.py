@@ -78,3 +78,39 @@ def test_treeloss_per_basin_joins_area(spark):
     rows = out.collect()
     assert len(rows) == 2 * 22  # dense over default 22 years
     assert all(r["pixel_area_km2"] is not None for r in rows)
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    """Two-stage salted aggregation must equal the direct groupBy on a
+    skewed distribution (one hot key holding ~90% of rows)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.plans.skew import salted_agg
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 7).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    plain = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"s": ("v", "sum"), "c": ("v", "count"), "mn": ("v", "min"), "mx": ("v", "max")},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == plain
