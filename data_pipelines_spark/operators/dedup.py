@@ -268,16 +268,32 @@ def ngram_jaccard_pairs(
 
 
 def simhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens.
+    """SimHash over whitespace tokens.
 
     For each bit position, sum +1/-1 over token hashes and take the
     sign. Computed with explode + groupBy (one shuffle on doc id, which
-    partial aggregation collapses to 64 longs per doc)."""
+    partial aggregation collapses to ``bits`` longs per doc).
+
+    ``portable=True`` derives a 60-bit token hash from md5 (first 15
+    hex chars) and caps ``bits`` at 60 so the DuckDB oracle reproduces
+    the signature exactly; the fast path uses xxhash64's full 64 bits.
+    """
+    if portable:
+        bits = min(bits, 60)
+        token_hash = F.conv(
+            F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        token_hash = F.xxhash64("tok")
     toks = _spread(docs).select(
         F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash)
     bit_sums = toks.groupBy(id_col).agg(
         *[
             F.sum(

@@ -173,20 +173,75 @@ def embedding_cosine_topk(spark, sf_dir):
     return brute_force_topk(emb.where(F.col("vec_id") != 0), query, k=10)
 
 
-@register("embedding_near_dup_pairs")
+def _planes_sql(num_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """SQL expression computing the hyperplane-LSH bucket id for a
+    DOUBLE[] column named ``v`` — the plane coefficients are the SAME
+    deterministic numpy draw the Spark operator uses, embedded as list
+    literals, so bucket assignment matches bit-for-bit."""
+    from data_pipelines_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, num_planes, seed)
+    bits = [
+        f"(CASE WHEN list_dot_product(v, "
+        f"[{', '.join(repr(float(x)) for x in plane)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    ]
+    return " + ".join(bits)
+
+
+_NEAR_DUP_SQL = f"""
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {_planes_sql()} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, c.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_dot_product(a.v, c.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(c.v, c.v))) >= 0.3
+"""
+
+
+@register("embedding_near_dup_pairs", _NEAR_DUP_SQL)
 def embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs within LSH hyperplane
-    buckets (approximate by design → rows-only check; exactness of the
-    cosine kernel is covered by embedding_cosine_topk's oracle)."""
+    buckets. The oracle embeds the SAME seeded hyperplanes as SQL list
+    literals, so bucketing, pairing, and cosine all reproduce exactly."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(emb, dim=64, threshold=0.3, num_planes=4)
 
 
-@register("embedding_lsh_topk")
+_LSH_TOPK_SQL = f"""
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {_planes_sql()} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qvec, bucket FROM b WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               list_dot_product(e.v, q.qvec)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine_raw
+        FROM b e JOIN q ON e.bucket = q.bucket
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, ROUND(cosine_raw, 6) AS cosine
+    FROM scored ORDER BY cosine_raw DESC, vec_id ASC LIMIT 10
+"""
+
+
+@register("embedding_lsh_topk", _LSH_TOPK_SQL)
 def embedding_lsh_topk(spark, sf_dir):
     """Approximate top-k via random-hyperplane buckets — the 100 TB
-    search path (bucket = partition-prunable key)."""
+    search path (bucket = partition-prunable key); oracle shares the
+    seeded planes."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select(
@@ -327,10 +382,53 @@ def lang_guess_docs(spark, sf_dir):
 @register("simhash_signatures")
 def simhash_signatures_q(spark, sf_dir):
     """64-bit SimHash signature per document (token-profile hash for
-    Hamming-distance near-dup)."""
+    Hamming-distance near-dup) — fast xxhash64 path, rows-only check."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     return simhash_signatures(docs)
+
+
+def _simhash_oracle_sql(bits: int = 60) -> str:
+    """SQL twin of the portable SimHash: md5-derived 60-bit token
+    hashes, per-bit +1/-1 sums, sign bits packed into a BIGINT."""
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(md5(tok), 1, 15), ''),
+                                      c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+                   (a, x) -> a * 16 + x) AS h
+        FROM toks
+    ),
+    sums AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {packed} AS simhash
+    FROM sums
+    """
+
+
+@register("simhash_portable", _simhash_oracle_sql())
+def simhash_portable(spark, sf_dir):
+    """Portable 60-bit SimHash — md5-derived token hashes reproduced
+    exactly by the DuckDB oracle (per-bit vote sums + sign packing)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs, portable=True)
 
 
 @register(

@@ -1,0 +1,96 @@
+"""Asset-graph orchestration tests: lineage order, checkpointed
+materialization, retry isolation, subset selection — and the flood
+job end-to-end through the graph."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.pipelines.assets import Asset, AssetGraph, flood_asset_graph
+
+
+def test_topo_order_and_selection():
+    g = AssetGraph()
+    g.add(Asset("a", lambda spark: None))
+    g.add(Asset("b", lambda spark: None, deps=("a",)))
+    g.add(Asset("c", lambda spark: None, deps=("a",)))
+    g.add(Asset("d", lambda spark: None, deps=("b", "c")))
+    order = g.topo_order()
+    assert order.index("a") < order.index("b") < order.index("d")
+    assert order.index("c") < order.index("d")
+    # selection pulls the dependency closure only
+    assert set(g.topo_order(["b"])) == {"a", "b"}
+
+
+def test_cycle_detection():
+    g = AssetGraph()
+    g.add(Asset("x", lambda spark: None, deps=("y",)))
+    g.add(Asset("y", lambda spark: None, deps=("x",)))
+    with pytest.raises(ValueError, match="cycle"):
+        g.topo_order()
+
+
+def test_materialize_with_retry_and_checkpoint(spark):
+    tmp = tempfile.mkdtemp(prefix="dps_assets_")
+    attempts = {"n": 0}
+    try:
+        g = AssetGraph()
+
+        @g.asset("base")
+        def base(spark):
+            return spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+        @g.asset("flaky_derived", deps=("base",))
+        def derived(spark, base):
+            attempts["n"] += 1
+            if attempts["n"] == 1:
+                raise RuntimeError("transient failure")
+            return base.groupBy().agg(F.sum("v").alias("total"))
+
+        res = g.materialize(spark, tmp, max_retries=2)
+        assert res["base"].rows == 10
+        assert res["flaky_derived"].attempts == 2  # failed once, retried
+        total = spark.read.parquet(res["flaky_derived"].path).collect()[0]["total"]
+        assert total == 90
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_flood_asset_graph_end_to_end(spark):
+    """SURVEY.md §3.1 as assets: ingestion parquet → detailed → summary,
+    each stage checkpointed like the reference's IO-manager boundary."""
+    tmp = tempfile.mkdtemp(prefix="dps_flood_")
+    issued = dt.date(2026, 8, 1)
+    try:
+        forecast = spark.createDataFrame(
+            [
+                (m, s, 1.025, 0.025, issued, issued + dt.timedelta(days=s),
+                 float(10 * m + s))
+                for m in range(4)
+                for s in range(1, 6)
+            ],
+            "number long, step long, latitude double, longitude double, "
+            "issued_on date, valid_for date, dis24 double",
+        )
+        thresholds = spark.createDataFrame(
+            [(1.025, 0.025, 5.0, 15.0, 30.0)],
+            "latitude double, longitude double, threshold_2y double, "
+            "threshold_5y double, threshold_20y double",
+        )
+        forecast.write.parquet(f"{tmp}/transformed_discharge")
+        thresholds.write.parquet(f"{tmp}/rp_combined_thresholds")
+
+        res = flood_asset_graph().materialize(spark, tmp)
+        assert res["detailed_forecast"].rows == 5  # 1 cell x 5 steps
+        summary = spark.read.parquet(res["summary_forecast"].path).collect()
+        assert len(summary) == 1
+        assert summary[0]["intensity"] in ("P", "R", "Y")
+        assert summary[0]["wkt"].startswith("POLYGON ((")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
