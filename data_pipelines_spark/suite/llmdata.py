@@ -462,3 +462,29 @@ def ngram_jaccard_same_source(spark, sf_dir):
     return ngram_jaccard_pairs(
         docs, shingle_k=3, threshold=0.5, bucket_col="source"
     )
+
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+@register(
+    "bpe_token_counts",
+    rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark, sf_dir):
+    """BPE-style pre-tokenization count: letter runs, short digit runs,
+    and individual symbols (the GPT-2-style splitter shape, restricted
+    to a regex dialect identical in Java and RE2)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))
+        ).cast("long").alias("n_bpe_tokens"),
+    )

@@ -138,3 +138,29 @@ def sessionized_gaps(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("session_cnt"))
     )
+
+
+@register(
+    "events_props_json",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           event_type,
+           count(*) AS event_cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_props_json(spark, sf_dir):
+    """Semi-structured processing: extract a field from the JSON props
+    column (get_json_object — JVM-side JSON path evaluation) and
+    aggregate on it."""
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket"),
+            "event_type",
+        )
+        .groupBy("k_bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+    )
