@@ -318,6 +318,84 @@ def simhash_signatures(
     return sig
 
 
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → cluster ids.
+
+    The last stage of a corpus-dedup pipeline: pairwise matches
+    (from minhash/simhash/embedding tiers) are transitive in intent —
+    (a~b, b~c) means {a,b,c} is one duplicate cluster with a single
+    keeper. Computed by iterative min-label propagation: every doc
+    starts labeled with its own id; each round every node takes the
+    minimum label in its neighborhood; fixpoint in O(diameter) rounds
+    (near-dup clusters are tiny, so 3-4 rounds in practice).
+
+    Output: (id_col, cluster_id) for EVERY doc (singletons keep their
+    own id); cluster_id = min doc id in the component — the canonical
+    keeper, so ``where(col(id_col) != col("cluster_id"))`` is the
+    drop-list.
+
+    Scale notes: each round is one join + one groupBy on the doc id.
+    Lineage is cut every round with localCheckpoint (iterative Spark
+    plans otherwise grow exponentially); convergence is detected with a
+    1-row aggregate, not a collect of the data.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = docs.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col(id_col).alias("dst"), F.col("cluster_id").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min, labels[id_col] == neighbor_min["src"], "left"
+            )
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce(F.col("nmin"), F.col("cluster_id")) < F.col("cluster_id"))
+                .cast("long")
+                .alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.agg(F.sum("changed")).first()[0] or 0
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Filter docs to one representative (the min-id keeper) per
+    duplicate cluster."""
+    keepers = clusters.where(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return docs.join(keepers, id_col, "left_semi")
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures stored as longs."""
     x = a.bitwiseXOR(b)

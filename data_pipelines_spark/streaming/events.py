@@ -62,6 +62,24 @@ def windowed_event_aggregation(
     )
 
 
+def deduplicate_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once streaming deduplication on business keys.
+
+    `dropDuplicates` over a watermarked stream keeps key state only for
+    the watermark horizon — the streaming tier of the dedup stack
+    (exact-id dedup for replayed/duplicated events; content dedup runs
+    in batch). On a batch frame this is plain dropDuplicates."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.dropDuplicates(keys)
+
+
 def stream_events_from_dir(
     spark,
     path: str,

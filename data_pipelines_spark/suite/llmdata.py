@@ -322,6 +322,38 @@ def minhash_near_dup_portable(spark, sf_dir):
     return minhash_near_duplicates(docs, jaccard_threshold=0.5, portable=True)
 
 
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id
+    FROM reach GROUP BY a
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_SQL)
+def dedup_clusters(spark, sf_dir):
+    """The full dedup stack end-to-end: portable minhash pairs →
+    connected components (iterative min-label propagation) → cluster
+    assignment per doc. Oracle: the same pairs fed through a recursive
+    CTE computing each node's minimum reachable id — an iterative Spark
+    algorithm exactly checked against recursive SQL."""
+    from data_pipelines_spark.operators.dedup import duplicate_clusters
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5, portable=True)
+    return duplicate_clusters(docs, pairs)
+
+
 @register("minhash_near_dup_pairs")
 def minhash_near_dup_pairs(spark, sf_dir):
     """MinHash+LSH near-duplicate candidate pairs with signature-

@@ -80,3 +80,39 @@ def test_simhash_hamming_orders_similarity(spark):
     assert ham[(0, 3)] == 0                 # identical docs
     assert ham[(0, 1)] < ham[(0, 2)]        # near-dup closer than far doc
     assert ham[(0, 1)] < 16
+
+
+def test_duplicate_clusters_and_survivors(spark):
+    """Transitive closure: a~b, b~c ⇒ {a,b,c} one cluster with min-id
+    keeper; isolated docs are their own singleton clusters."""
+    from data_pipelines_spark.operators.dedup import (
+        dedup_survivors,
+        duplicate_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (0, 4)], "doc_a long, doc_b long"
+    )
+    clusters = duplicate_clusters(docs, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0, 5: 1}
+    survivors = sorted(r["doc_id"] for r in dedup_survivors(docs, clusters).collect())
+    assert survivors == [0, 1, 2]
+
+
+def test_full_dedup_pipeline_end_to_end(spark):
+    """minhash pairs → clusters → survivors over planted duplicates."""
+    from data_pipelines_spark.operators.dedup import (
+        dedup_survivors,
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+
+    docs = _docs(spark)  # 0 == 3 exact, 1 near-dup of both, 2 distinct
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    clusters = duplicate_clusters(docs, pairs)
+    survivors = sorted(r["doc_id"] for r in dedup_survivors(docs, clusters).collect())
+    assert survivors == [0, 2]  # 1 and 3 collapse into cluster 0

@@ -139,3 +139,44 @@ def test_stateful_sessionizer_matches_batch_oracle(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
     assert got == expected == {1: 1, 2: 2, 3: 3}
+
+
+def test_streaming_deduplication(spark):
+    """Duplicate event_ids replayed across two micro-batches must be
+    emitted exactly once (watermarked dropDuplicates state)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from data_pipelines_spark.streaming.events import (
+        deduplicate_stream,
+        stream_events_from_dir,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda ids: [(i, base + dt.timedelta(minutes=i), float(i)) for i in ids]
+    schema = "event_id long, ts timestamp, value double"
+
+    tmp = tempfile.mkdtemp(prefix="dps_dedup_")
+    try:
+        spark.createDataFrame(mk([1, 2, 3, 2]), schema).coalesce(1).write.parquet(f"{tmp}/in/a")
+        stream = stream_events_from_dir(
+            spark, f"{tmp}/in/*",
+            spark.createDataFrame([], schema).schema, max_files_per_trigger=1,
+        )
+        q = (
+            deduplicate_stream(stream, ["event_id"])
+            .writeStream.format("memory").queryName("dedup_test")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        # second batch replays ids 2 and 3, adds 4
+        spark.createDataFrame(mk([2, 3, 4]), schema).coalesce(1).write.parquet(f"{tmp}/in/b")
+        q.processAllAvailable()
+        got = sorted(r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_test").collect())
+        q.stop()
+        assert got == [1, 2, 3, 4]  # each id exactly once despite replays
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
