@@ -49,10 +49,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = suite.queries()
+
+    # JVM/codegen warmup: run the cheapest query once and touch each
+    # table so timings measure the engine, not first-query JIT.
+    registry["text_stats"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    from data_pipelines_spark.sources.tables import DRIVER_TABLES, load_table
+
+    for t in DRIVER_TABLES:
+        try:
+            load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        # Warm the JVM/code paths once at a tiny touch, then time.
         df = fn(spark, sf_dir)
         start = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()

@@ -204,3 +204,84 @@ def approx_sketch_aggregates(spark, sf_dir):
             "approx_median_price"
         ),
     )
+
+
+@register(
+    "array_agg_lines",
+    """
+    SELECT l_orderkey,
+           list_sort(list(CAST(l_linenumber AS BIGINT))) AS line_numbers,
+           list_sort(list(l_quantity)) AS quantities
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def array_agg_lines(spark, sf_dir):
+    """Nested-type aggregation: per-order arrays, sorted for engine-
+    stable output (collect_list order is nondeterministic by design)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_linenumber").cast("long"))).alias(
+            "line_numbers"
+        ),
+        F.sort_array(F.collect_list("l_quantity")).alias("quantities"),
+    )
+
+
+@register(
+    "rank_distribution_windows",
+    """
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_quantity,
+           ntile(4) OVER w AS qty_quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS qty_pct_rank
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_quantity, l_linenumber, l_partkey, l_suppkey)
+    """,
+)
+def rank_distribution_windows(spark, sf_dir):
+    """Distribution windows (ntile, percent_rank) under a total order —
+    percent_rank's (rank-1)/(n-1) arithmetic is exact in both engines."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_quantity", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_quantity",
+        F.ntile(4).over(w).cast("long").alias("qty_quartile"),
+        F.percent_rank().over(w).alias("qty_pct_rank"),
+    )
+
+
+@register(
+    "correlated_min_price_parts",
+    """
+    SELECT p.p_partkey, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (
+        SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def correlated_min_price_parts(spark, sf_dir):
+    """Correlated subquery (TPC-H Q2 shape): parts at their brand's
+    minimum price — decorrelated by Catalyst into an aggregate+join."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part")
+    part.createOrReplaceTempView("__part_corr")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_retailprice
+        FROM __part_corr p
+        WHERE p.p_retailprice = (
+            SELECT min(p2.p_retailprice) FROM __part_corr p2
+            WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )

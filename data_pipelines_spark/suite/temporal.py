@@ -164,3 +164,53 @@ def events_props_json(spark, sf_dir):
         .groupBy("k_bucket", "event_type")
         .agg(F.count(F.lit(1)).alias("event_cnt"))
     )
+
+
+@register(
+    "events_session_windows",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no, count(*) AS event_cnt,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+)
+def events_session_windows(spark, sf_dir):
+    """Native session windows (30-min gap): Spark's session_window
+    groups directly; the oracle reconstructs the same sessions with the
+    classic gaps-and-islands SQL. Session numbering is by start order
+    per user so both sides share keys."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    sw = (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("start_ts"),
+            "event_cnt",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("start_ts")
+    return sw.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_no"),
+        "event_cnt",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
