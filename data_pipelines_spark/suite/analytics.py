@@ -364,3 +364,98 @@ def asof_join_purchases(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.col("purchase_value").alias("last_purchase_value")
     )
+
+
+@register(
+    "q4_order_priority_check",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_cnt
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+    GROUP BY 1
+    """,
+)
+def q4_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS with a correlated non-equi condition →
+    Catalyst plans a left-semi join with the range predicate."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate.cast("date"), 30).cast("timestamp")),
+        "inner",
+    ).select("o_orderkey").distinct()
+    return (
+        orders.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    """
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_cnt,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_cnt
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: conditional-count aggregation over a fact-dim
+    join (CASE inside sum)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_orderpriority")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_cnt"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_cnt"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    """
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1.0 - l.l_discount AS DECIMAL(8,2))
+                    ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+           / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1.0 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q14_promo_revenue_ratio(spark, sf_dir):
+    """TPC-H Q14 shape: conditional revenue ratio — both sums exact in
+    DECIMAL, the final ratio a single double division."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = _disc_price()
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc).otherwise(
+            F.lit(0).cast("decimal(27,4)")
+        )
+    ).cast("double")
+    total = F.sum(disc).cast("double")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                li.l_partkey == F.col("p_partkey"))
+        .agg((F.lit(100.0) * promo / total).cast("double").alias("promo_revenue_pct"))
+    )
