@@ -29,20 +29,7 @@ from pyspark.sql import functions as F
 _MERSENNE = 2_147_483_647  # 2^31 - 1
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure CPU-bound per-row work uses the cluster's parallelism.
-
-    Small inputs arrive as one file split; signature computation is
-    compute-bound (higher-order array expressions are interpreted, not
-    codegen'd), so a single partition serializes it onto one core
-    (measured 12s → <1s at sf0.1). Inputs already wider than the
-    default parallelism are left untouched — at real scale this is a
-    no-op, never a coalesce.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from data_pipelines_spark.plans.parallelism import spread as _spread
 
 
 def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:

@@ -168,3 +168,124 @@ def embedding_near_duplicates(
             "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine")
         )
     )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    max_iterations: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means coarse quantizer (the IVF index's
+    training step).
+
+    Initialization: the k vectors with the smallest ids (deterministic,
+    no RNG). Each iteration: assign every vector to its nearest
+    centroid (native expressions), recompute centroids as per-dimension
+    means via posexplode + groupBy. Only the k x dim centroid matrix is
+    ever collected to the driver — the model, not the data.
+    """
+    init = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(_to_double(F.col(vec_col)).alias("c"))
+        .collect()
+    )
+    centroids = [list(r["c"]) for r in init]
+
+    for _ in range(max_iterations):
+        assigned = ivf_assign(embeddings, centroids, vec_col)
+        per_dim = (
+            assigned.select(
+                "cluster", F.posexplode(_to_double(F.col(vec_col))).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        for r in per_dim:
+            new_centroids[r["cluster"]][r["pos"]] = r["m"]
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the nearest-centroid id as ``cluster`` (squared-L2)."""
+    v = _to_double(F.col(vec_col))
+    scored = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.lit(i).alias("cluster"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return embeddings.withColumn("cluster", F.array_min(F.array(*scored))["cluster"])
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    query: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """IVF search: probe only the query's ``nprobe`` nearest inverted
+    lists, then exact cosine within them. ``indexed`` must carry the
+    ``cluster`` column (from :func:`ivf_assign` — at scale this is the
+    table's partition key, so the probe is partition pruning)."""
+    probed = ivf_assign(
+        query.withColumnRenamed(query_vec_col, "__qv"), centroids, "__qv"
+    )
+    # nprobe nearest clusters for the query vector
+    qv = _to_double(F.col("__qv"))
+    dists = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.lit(i).alias("cluster"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    probe_clusters = probed.select(
+        F.col("__qv"),
+        F.slice(F.array_sort(F.array(*dists)), 1, nprobe)["cluster"].alias(
+            "probe"
+        ),
+    ).select(F.col("__qv").alias(query_vec_col), F.explode("probe").alias("cluster"))
+
+    cand = indexed.join(F.broadcast(probe_clusters), "cluster")
+    scored = cand.withColumn(
+        "cosine_raw",
+        cosine(_to_double(F.col(vec_col)), _to_double(F.col(query_vec_col))),
+    )
+    return (
+        scored.orderBy(F.desc("cosine_raw"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("cosine_raw", 6).alias("cosine"))
+    )

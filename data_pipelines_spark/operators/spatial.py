@@ -145,6 +145,12 @@ def point_in_polygon_join(
         & (F.col("__py") <= F.col("max_y"))
     )
 
+    from data_pipelines_spark.plans.parallelism import spread
+
+    # The exact test is Python-side; spread candidates so a single-file
+    # input doesn't serialize it onto one core.
+    cand = spread(cand)
+
     out_schema = f"{point_id} long, zone_id long"
 
     def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -520,3 +520,24 @@ def bpe_token_counts(spark, sf_dir):
             F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))
         ).cast("long").alias("n_bpe_tokens"),
     )
+
+
+@register("embedding_ivf_topk")
+def embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic k-means coarse quantizer → probe the
+    query's nearest inverted lists → exact cosine within them. The
+    second approximate-search tier next to hyperplane LSH (rows-only:
+    the k-means fit is iterative float averaging, engine-specific by
+    nature; the cosine kernel itself is oracle-checked elsewhere)."""
+    from data_pipelines_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, max_iterations=5)
+    indexed = ivf_assign(emb.where(F.col("vec_id") != 0), cents)
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return ivf_topk(indexed, query, cents, k=10, nprobe=2)

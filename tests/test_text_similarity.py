@@ -111,3 +111,39 @@ def test_embedding_near_duplicates_finds_clone(spark):
     pairs = embedding_near_duplicates(df2, dim=8, threshold=0.999, num_planes=4)
     got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
     assert (5, 999) in got
+
+
+def test_ivf_index_recovers_blob_neighbors(spark):
+    """3 well-separated blobs: k-means recovers the structure and IVF
+    search with nprobe=1 returns the same top-k as brute force for an
+    in-blob query."""
+    from data_pipelines_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[10.0] * 4, [-10.0] * 4, [10.0, -10.0, 10.0, -10.0]])
+    vecs = np.concatenate(
+        [c + 0.5 * rng.standard_normal((20, 4)) for c in centers]
+    ).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_centroids(df, k=3, max_iterations=8)
+    indexed = ivf_assign(df, cents)
+    # every blob maps to exactly one cluster
+    sizes = sorted(
+        r["count"] for r in indexed.groupBy("cluster").count().collect()
+    )
+    assert sizes == [20, 20, 20]
+
+    query = df.where(F.col("vec_id") == 5).select(F.col("embedding").alias("qvec"))
+    approx = ivf_topk(indexed.where(F.col("vec_id") != 5), query, cents,
+                      k=5, nprobe=1)
+    exact = brute_force_topk(df.where(F.col("vec_id") != 5), query, k=5)
+    assert [r["vec_id"] for r in approx.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
