@@ -40,6 +40,15 @@ def tune(spark: SparkSession) -> SparkSession:
             # Some confs may be locked down by the hosting driver; the
             # engine still functions, just with the host's settings.
             pass
+    try:
+        # The stock 200 shuffle partitions waste task overhead at local
+        # scale and in iterative plans AQE can't re-coalesce (e.g.
+        # after localCheckpoint). Only replace the untouched default —
+        # an explicitly configured value (ours or the host's) wins.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "64")
+    except Exception:
+        pass
     return spark
 
 
