@@ -108,6 +108,55 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "media_id long, frame_no int, frame_offset long, frame bytes".replace(
+        "bytes", "binary"
+    )
+)
+
+
+def sample_frames(
+    media: DataFrame, num_frames: int = 4, frame_bytes: int = 1024
+) -> DataFrame:
+    """Evenly-spaced frame sampling from video/audio payloads.
+
+    One input row fans out to ``num_frames`` rows of (media_id,
+    frame_no, frame_offset, frame). Real deployments put a demuxer
+    (ffmpeg/pyav — not available here) where the byte-window slice is;
+    the fan-out shape, offsets, schema, and Arrow batching are the real
+    plumbing either way. Deterministic: offsets depend only on payload
+    length.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "frame_offset": [], "frame": []}
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                n = len(content)
+                if n == 0:
+                    continue
+                step = max(n // num_frames, 1)
+                for i in range(num_frames):
+                    off = min(i * step, max(n - 1, 0))
+                    out["media_id"].append(row["media_id"])
+                    out["frame_no"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame"].append(bytes(content[off : off + frame_bytes]))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_stub(frames: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB: raster resize needs a codec/imaging library. The engine
+    carries the contract (adds target dims, passes payload through) so
+    pipelines can be wired and tested before the kernel lands."""
+    return frames.withColumn("target_width", F.lit(width)).withColumn(
+        "target_height", F.lit(height)
+    )
+
+
 def filter_nodata(media: DataFrame, min_bytes: int = 1) -> DataFrame:
     """Drop empty/placeholder payloads (reference
     `preprocess_filter_nodata`, `preprocessing.py:136-159` — drops

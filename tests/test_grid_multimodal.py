@@ -80,3 +80,23 @@ def test_multimodal_filter_and_features(spark):
     assert len(by_id[0]) == 4
     # deterministic fake: byte histogram / len
     assert by_id[0][0] == (1 + 0) / 4 + 0  # bytes 1 and (none) at positions 0,4
+
+
+def test_frame_sampling_and_resize_plumbing(spark):
+    from data_pipelines_spark.operators.multimodal import resize_stub, sample_frames
+
+    media = _media(spark)  # ids 0 (4 bytes), 1 (empty), 2 (2 bytes)
+    frames = sample_frames(media, num_frames=2, frame_bytes=2)
+    rows = sorted(
+        (r["media_id"], r["frame_no"], r["frame_offset"], bytes(r["frame"]))
+        for r in frames.collect()
+    )
+    # empty payload contributes no frames; 4-byte payload → offsets 0,2
+    assert rows == [
+        (0, 0, 0, b"\x01\x02"),
+        (0, 1, 2, b"\x03\x04"),
+        (2, 0, 0, b"\xff\xfe"),
+        (2, 1, 1, b"\xfe"),
+    ]
+    resized = resize_stub(frames, 64, 64)
+    assert resized.select("target_width").first()[0] == 64
