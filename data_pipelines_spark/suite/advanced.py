@@ -285,3 +285,84 @@ def correlated_min_price_parts(spark, sf_dir):
         )
         """
     )
+
+
+@register(
+    "discrete_quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.25) AS q1_disc,
+           quantile_disc(l_quantity, 0.5)  AS med_disc,
+           quantile_disc(l_quantity, 0.9)  AS q90_disc
+    FROM lineitem GROUP BY 1
+    """,
+)
+def discrete_quantiles(spark, sf_dir):
+    """Discrete (lower-value) quantiles: the sorted-array formulation —
+    element at floor(q*(n-1))+1 — matching DuckDB's quantile_disc."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def qd(v, q):
+        pos = F.floor(F.lit(q) * (F.size(v) - 1).cast("double")).cast("int") + 1
+        return F.element_at(v, pos)
+
+    g = li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_list("l_quantity")).alias("v")
+    )
+    return g.select(
+        "l_returnflag",
+        qd(F.col("v"), 0.25).alias("q1_disc"),
+        qd(F.col("v"), 0.5).alias("med_disc"),
+        qd(F.col("v"), 0.9).alias("q90_disc"),
+    )
+
+
+@register(
+    "string_function_suite",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           reverse(c_mktsegment) AS segment_rev,
+           CAST(levenshtein(c_mktsegment, 'MACHINERY') AS BIGINT) AS seg_lev,
+           substr(c_name, 1, 8) AS name_prefix,
+           replace(c_name, '#', '-') AS name_dashed
+    FROM customer
+    """,
+)
+def string_function_suite(spark, sf_dir):
+    """Composite scalar string surface: case, padding, reverse,
+    edit distance, substring, replace — all JVM-side."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse("c_mktsegment").alias("segment_rev"),
+        F.levenshtein("c_mktsegment", F.lit("MACHINERY")).cast("long").alias("seg_lev"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+    )
+
+
+@register(
+    "bool_aggregates",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_totalprice > 400000)  AS any_over_400k,
+           count(*) AS order_cnt
+    FROM orders GROUP BY 1
+    """,
+)
+def bool_aggregates(spark, sf_dir):
+    """every()/any() boolean aggregates per group."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.lit(1)).alias("order_cnt"),
+    )

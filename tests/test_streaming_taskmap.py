@@ -180,3 +180,53 @@ def test_streaming_deduplication(spark):
         assert got == [1, 2, 3, 4]  # each id exactly once despite replays
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows(spark):
+    """Append-mode window agg with a 10-minute watermark: an event
+    arriving after its window's watermark has passed must not appear."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    tmp = tempfile.mkdtemp(prefix="dps_late_")
+    try:
+        # batch 1: events up to 02:00 → watermark advances to ~01:50
+        b1 = [(i, base + dt.timedelta(minutes=m), "x", 1.0)
+              for i, m in enumerate([5, 65, 120])]
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{tmp}/in/a")
+        stream = (
+            spark.readStream.schema(spark.createDataFrame([], schema).schema)
+            .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/*")
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("window.start").alias("ws"), "cnt")
+        )
+        q = (
+            agg.writeStream.format("memory").queryName("late_test")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt").start()
+        )
+        q.processAllAvailable()
+        # batch 2: one LATE event for hour-0 (already past watermark) and
+        # one fresh event at 03:00 that closes hour-2's window
+        b2 = [(10, base + dt.timedelta(minutes=7), "x", 1.0),
+              (11, base + dt.timedelta(minutes=185), "x", 1.0)]
+        spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{tmp}/in/b")
+        q.processAllAvailable()
+        got = {r["ws"]: r["cnt"] for r in spark.sql("SELECT * FROM late_test").collect()}
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # hour-0 window was finalized with ONLY the on-time event — the late
+    # arrival (id 10) was dropped, not double-counted
+    assert got.get(base) == 1
+    assert got.get(base + dt.timedelta(hours=1)) == 1

@@ -147,3 +147,21 @@ def test_ivf_index_recovers_blob_neighbors(spark):
     assert [r["vec_id"] for r in approx.collect()] == [
         r["vec_id"] for r in exact.collect()
     ]
+
+
+def test_chunk_text_udtf(spark):
+    """Python UDTF: document → overlapping training chunks via LATERAL."""
+    from data_pipelines_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "")], "doc_id long, text string"
+    ).createOrReplaceTempView("chunk_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, c.chunk_no, c.start, c.chunk "
+        "FROM chunk_docs d, LATERAL chunk_text(text, 4, 1) c"
+    ).collect()
+    got = sorted((r["doc_id"], r["chunk_no"], r["start"], r["chunk"]) for r in rows)
+    assert got == [
+        (1, 0, 0, "abcd"), (1, 1, 3, "defg"), (1, 2, 6, "ghij"), (1, 3, 9, "j"),
+    ]  # empty doc yields nothing
