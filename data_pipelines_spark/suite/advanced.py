@@ -210,22 +210,37 @@ def approx_sketch_aggregates(spark, sf_dir):
     "array_agg_lines",
     """
     SELECT l_orderkey,
-           list_sort(list(CAST(l_linenumber AS BIGINT))) AS line_numbers,
-           list_sort(list(l_quantity)) AS quantities
+           array_to_string(list_sort(list(CAST(l_linenumber AS BIGINT))), ',')
+               AS line_numbers,
+           array_to_string(
+               list_transform(list_sort(list(l_quantity)),
+                              x -> CAST(CAST(x AS DECIMAL(12, 2)) AS VARCHAR)),
+               ',') AS quantities
     FROM lineitem
     GROUP BY 1
     """,
 )
 def array_agg_lines(spark, sf_dir):
     """Nested-type aggregation: per-order arrays, sorted for engine-
-    stable output (collect_list order is nondeterministic by design)."""
+    stable output (collect_list order is nondeterministic by design).
+
+    The arrays are rendered as comma-joined strings because the driver's
+    canonicalizer pandas-sorts the result rows and cannot hash raw
+    array cells (numpy.ndarray is unhashable); quantities go through a
+    DECIMAL(12,2) cast so both engines format the floats identically."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list(F.col("l_linenumber").cast("long"))).alias(
-            "line_numbers"
-        ),
-        F.sort_array(F.collect_list("l_quantity")).alias("quantities"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("l_linenumber").cast("long"))), ","
+        ).alias("line_numbers"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("l_quantity")),
+                lambda x: x.cast("decimal(12,2)").cast("string"),
+            ),
+            ",",
+        ).alias("quantities"),
     )
 
 

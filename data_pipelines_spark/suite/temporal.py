@@ -170,20 +170,21 @@ def events_props_json(spark, sf_dir):
     "events_session_windows",
     """
     WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                     THEN 1 ELSE 0 END AS is_start
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
         SELECT user_id, ts,
-               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_no
         FROM marked
     )
-    SELECT user_id, session_no, count(*) AS event_cnt,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS event_cnt,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
     FROM sessions
     GROUP BY 1, 2
@@ -193,7 +194,17 @@ def events_session_windows(spark, sf_dir):
     """Native session windows (30-min gap): Spark's session_window
     groups directly; the oracle reconstructs the same sessions with the
     classic gaps-and-islands SQL. Session numbering is by start order
-    per user so both sides share keys."""
+    per user so both sides share keys.
+
+    Boundary semantics: Spark's session extent is half-open
+    ``[start, last_event + gap)`` — an event exactly ``gap`` after the
+    last one starts a NEW session — so the oracle's island marker uses
+    ``>= 1800``, not ``> 1800``. The running session number is cast to
+    BIGINT because DuckDB's integer SUM returns HUGEINT (int128), which
+    the driver's canonicalizer hashes differently from Spark's LONG.
+    The cumulative-sum window carries the same (ts, event_id) tie-break
+    as the lag() marker so equal-timestamp events at a session boundary
+    land deterministically on the same side in both engines."""
     from pyspark.sql import Window
 
     tune(spark)
