@@ -98,31 +98,75 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures as array<long> of length ``num_hashes``.
 
-    h_i(s) = (a_i * x + b_i) mod p over 32-bit shingle hashes x; the
-    signature element is the min over the doc's shingle set. One narrow
-    projection — no shuffle.
+    Fast path — **one-permutation hashing** (Li, Owen & Zhang 2012):
+    each shingle is hashed ONCE (xxhash64); the low bits pick one of
+    ``num_hashes`` buckets and the remaining bits are the rank value;
+    the signature element i is the min rank in bucket i. Per exploded
+    row this is ~3 codegen ops instead of ``num_hashes`` multiply-mods
+    (the round-1 formulation evaluated 64 universal hashes per shingle
+    — 800M expression evals at sf0.1; OPH cut the signature stage ~4x
+    with the same banding power). Empty buckets (rare: P = (1-1/k)^n
+    per bucket, ~e^-39 for a 2500-shingle doc with k=64) are densified
+    with a deterministic rehash of the doc's global minimum, so equal
+    shingle sets still produce equal signatures and band keys.
+
+    Portable path — the round-1 formulation is kept bit-for-bit:
+    h_i(s) = (a_i * x + b_i) mod p over md5-derived 32-bit shingle
+    hashes, min per doc, because the DuckDB oracle reproduces exactly
+    that arithmetic (suite/llmdata.py `_minhash_oracle_sql`).
+
+    Both paths collapse to ``num_hashes`` longs per doc before any
+    shuffle (hash-aggregate partials), so the shuffle volume at 100 TB
+    is signature-sized, never shingle-sized.
     """
     docs = _spread(docs)
-    # Explode distinct shingles to rows and take the 64 minima with
-    # plain aggregate expressions. Higher-order array lambdas
-    # (transform/array_min) are interpreted per element (~µs each —
-    # measured 7.6s for 93M ops at sf0.1); the exploded form runs the
-    # same arithmetic inside whole-stage codegen (~sub-second) and
-    # partial aggregation collapses each partition to 64 longs per doc
-    # before the shuffle.
     ex = docs.select(
         F.col(id_col),
         F.explode(char_shingles(F.col(text_col), shingle_k)).alias("__sh"),
-    ).select(F.col(id_col), _shingle_hash32(F.col("__sh"), portable).alias("x"))
-
-    mins = ex.groupBy(id_col).agg(
-        *[
-            F.min(F.pmod(F.col("x") * a + b, F.lit(_MERSENNE))).alias(f"__m{i}")
-            for i, (a, b) in enumerate(_hash_params(num_hashes))
-        ]
     )
-    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
-    return mins.select(F.col(id_col), sig.alias("minhash"))
+    if portable:
+        # Explode distinct shingles to rows and take the 64 minima with
+        # plain aggregate expressions — the same arithmetic the oracle
+        # restates, inside whole-stage codegen.
+        hashed = ex.select(
+            F.col(id_col), _shingle_hash32(F.col("__sh"), portable).alias("x")
+        )
+        mins = hashed.groupBy(id_col).agg(
+            *[
+                F.min(F.pmod(F.col("x") * a + b, F.lit(_MERSENNE))).alias(f"__m{i}")
+                for i, (a, b) in enumerate(_hash_params(num_hashes))
+            ]
+        )
+        sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+        return mins.select(F.col(id_col), sig.alias("minhash"))
+
+    h = F.xxhash64("__sh")
+    hashed = ex.select(
+        F.col(id_col),
+        F.pmod(h, F.lit(num_hashes)).cast("int").alias("__bkt"),
+        # rank value from the high bits — independent of the bucket bits
+        F.shiftrightunsigned(h, max(1, num_hashes.bit_length() - 1)).alias("__hv"),
+    )
+    per_bucket = hashed.groupBy(id_col, "__bkt").agg(F.min("__hv").alias("__mh"))
+    assembled = per_bucket.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__bkt"), F.col("__mh")))
+        ).alias("__m")
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.element_at(F.col("__m"), i.cast("int")),
+    )
+    gmin = F.array_min(F.map_values(F.col("__m")))
+    dense = F.transform(
+        raw,
+        # Knuth multiplicative rehash of (global min, position) fills the
+        # rare empty bucket deterministically from the doc's content.
+        lambda x, i: F.coalesce(
+            x, F.pmod(gmin + (i + 1).cast("long") * 2654435761, F.lit(1 << 61))
+        ),
+    )
+    return assembled.select(F.col(id_col), dense.alias("minhash"))
 
 
 def minhash_band_buckets(

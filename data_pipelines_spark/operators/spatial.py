@@ -35,21 +35,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def parse_wkt_polygon(wkt: str) -> np.ndarray:
-    """Exterior ring of a WKT POLYGON as an (N, 2) float array.
+_RING_RE = None  # compiled lazily so import stays cheap
 
-    Minimal parser for the engine's own WKT convention
-    (`functions/grid.py:cell_wkt`, reference `transforms.py:287-309`);
-    holes/multipolygons are out of scope for parity.
+
+def parse_wkt_rings(wkt: str) -> list[np.ndarray]:
+    """Every ring of a WKT POLYGON or MULTIPOLYGON as (N, 2) arrays.
+
+    Handles exterior rings, interior rings (holes), and multipolygon
+    parts uniformly: each innermost parenthesized coordinate list is
+    one ring, and containment below is the even-odd XOR over ALL rings
+    — the same rule GDAL's rasterizer applies to HydroBASINS geometry
+    with lakes (reference `global_forest_watch.py:84-95`). A point
+    inside a hole crosses both the exterior and the hole ring an odd
+    number of times, XORing back to outside.
     """
-    body = wkt.strip()
-    if not body.upper().startswith("POLYGON"):
+    global _RING_RE
+    if _RING_RE is None:
+        import re
+
+        _RING_RE = re.compile(r"\(([^()]+)\)")
+    head = wkt.strip().upper()
+    if not (head.startswith("POLYGON") or head.startswith("MULTIPOLYGON")):
         raise ValueError(f"not a polygon WKT: {wkt[:40]}")
-    ring = body[body.index("((") + 2 : body.index("))")]
-    # first ring only (exterior)
-    ring = ring.split("),")[0]
-    pts = [p.strip().split() for p in ring.split(",")]
-    return np.array([[float(x), float(y)] for x, y in pts], dtype="float64")
+    rings = []
+    for body in _RING_RE.findall(wkt):
+        pts = [p.strip().split() for p in body.split(",")]
+        rings.append(np.array([[float(x), float(y)] for x, y in pts], dtype="float64"))
+    if not rings:
+        raise ValueError(f"no rings in WKT: {wkt[:40]}")
+    return rings
+
+
+def parse_wkt_polygon(wkt: str) -> np.ndarray:
+    """First (exterior) ring only — kept for callers that need the
+    engine's own rectangular cell WKT (`functions/grid.py:cell_wkt`,
+    reference `transforms.py:287-309`)."""
+    return parse_wkt_rings(wkt)[0]
 
 
 def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
@@ -68,6 +89,18 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     return inside
 
 
+def points_in_rings(
+    px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Even-odd containment across all rings of a (multi)polygon:
+    XOR of the per-ring crossing parities, so holes subtract and
+    disjoint parts add."""
+    inside = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        inside ^= points_in_ring(px, py, ring)
+    return inside
+
+
 def polygons_with_bbox(
     polygons: DataFrame, id_col: str = "id", wkt_col: str = "geometry"
 ) -> DataFrame:
@@ -78,15 +111,17 @@ def polygons_with_bbox(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rings = pdf[wkt_col].map(parse_wkt_polygon)
+            all_pts = pdf[wkt_col].map(
+                lambda w: np.concatenate(parse_wkt_rings(w), axis=0)
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     wkt_col: pdf[wkt_col],
-                    "min_x": rings.map(lambda r: r[:, 0].min()),
-                    "min_y": rings.map(lambda r: r[:, 1].min()),
-                    "max_x": rings.map(lambda r: r[:, 0].max()),
-                    "max_y": rings.map(lambda r: r[:, 1].max()),
+                    "min_x": all_pts.map(lambda r: r[:, 0].min()),
+                    "min_y": all_pts.map(lambda r: r[:, 1].min()),
+                    "max_x": all_pts.map(lambda r: r[:, 0].max()),
+                    "max_y": all_pts.map(lambda r: r[:, 1].max()),
                 }
             )
 
@@ -102,8 +137,22 @@ def point_in_polygon_join(
     y_col: str = "y",
     poly_id: str = "id",
     wkt_col: str = "geometry",
+    broadcast: bool | None = None,
+    max_broadcast_zones: int = 100_000,
 ) -> DataFrame:
-    """(point_id, zone_id) pairs for points contained in polygons."""
+    """(point_id, zone_id) pairs for points contained in polygons.
+
+    ``broadcast`` controls the candidate join strategy: True forces a
+    broadcast of the exploded polygon-bucket build side (right for
+    dimension-sized zone tables), False forces a shuffle join on the
+    bucket key (right when zones × buckets would blow the driver —
+    e.g. a fine bucket grid over millions of basins), and None (the
+    default) decides from a cheap count of the polygon table against
+    ``max_broadcast_zones`` — parquet count-star is metadata-only, so
+    the probe costs ~nothing even on a large zone table.
+    """
+    if broadcast is None:
+        broadcast = polygons.count() <= max_broadcast_zones
     polys = polygons_with_bbox(polygons, poly_id, wkt_col)
 
     # Explode each polygon onto every bucket its bbox covers.
@@ -138,7 +187,8 @@ def point_in_polygon_join(
         F.floor(F.col(y_col) / bucket_size).alias("by"),
     )
 
-    cand = pts.join(F.broadcast(poly_buckets), ["bx", "by"]).where(
+    build = F.broadcast(poly_buckets) if broadcast else poly_buckets
+    cand = pts.join(build, ["bx", "by"]).where(
         (F.col("__px") >= F.col("min_x"))
         & (F.col("__px") <= F.col("max_x"))
         & (F.col("__py") >= F.col("min_y"))
@@ -154,17 +204,17 @@ def point_in_polygon_join(
     out_schema = f"{point_id} long, zone_id long"
 
     def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ring_cache: dict[str, np.ndarray] = {}
+        ring_cache: dict[str, list[np.ndarray]] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
             keep_ids, keep_zones = [], []
             for wkt, grp in pdf.groupby(wkt_col, sort=False):
-                ring = ring_cache.get(wkt)
-                if ring is None:
-                    ring = ring_cache[wkt] = parse_wkt_polygon(wkt)
-                mask = points_in_ring(
-                    grp["__px"].to_numpy(), grp["__py"].to_numpy(), ring
+                rings = ring_cache.get(wkt)
+                if rings is None:
+                    rings = ring_cache[wkt] = parse_wkt_rings(wkt)
+                mask = points_in_rings(
+                    grp["__px"].to_numpy(), grp["__py"].to_numpy(), rings
                 )
                 keep_ids.append(grp[point_id].to_numpy()[mask])
                 keep_zones.append(grp["__zone_id"].to_numpy()[mask])

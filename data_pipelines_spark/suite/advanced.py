@@ -119,32 +119,39 @@ def cube_flag_status(spark, sf_dir):
 
 
 @register(
-    "moving_window_events",
+    "event_window_frames",
     """
-    SELECT event_id, user_id,
+    SELECT event_id, user_id, value,
+           lag(value)  OVER o AS prev_value,
+           lead(value) OVER o AS next_value,
            count(*) OVER w AS frame_cnt,
            min(value) OVER w AS frame_min,
            max(value) OVER w AS frame_max,
            CAST(sum(CAST(value AS DECIMAL(18, 6))) OVER w AS DOUBLE) AS frame_sum
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
-def moving_window_events(spark, sf_dir):
-    """Frame-spec window (ROWS BETWEEN): 3-event moving aggregates per
-    user — the rowsBetween surface the reference never needed
-    (SURVEY.md §2.6). Frame sums in DECIMAL for engine-exactness."""
+def event_window_frames(spark, sf_dir):
+    """Frame-spec and offset windows in one pass per user: lead/lag
+    (offset) plus 3-event moving aggregates (ROWS BETWEEN) — the window
+    surface the reference never needed (SURVEY.md §2.6). Both specs
+    share the (user_id, ts, event_id) sort so Spark computes them in a
+    single window stage without re-sorting. Frame sums in DECIMAL for
+    engine-exactness. Merges the former lead_lag_events and
+    moving_window_events queries (registry trim)."""
     tune(spark)
     ev = load_events(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-2, Window.currentRow)
-    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = order.rowsBetween(-2, Window.currentRow)
     return ev.select(
         "event_id",
         "user_id",
+        "value",
+        F.lag("value").over(order).alias("prev_value"),
+        F.lead("value").over(order).alias("next_value"),
         F.count(F.lit(1)).over(w).alias("frame_cnt"),
         F.min("value").over(w).alias("frame_min"),
         F.max("value").over(w).alias("frame_max"),
@@ -155,54 +162,61 @@ def moving_window_events(spark, sf_dir):
 
 
 @register(
-    "topk_lines_per_flag",
+    "ranking_windows_suite",
     """
     SELECT l_returnflag, l_orderkey,
            CAST(l_linenumber AS BIGINT) AS l_linenumber,
-           l_extendedprice
+           l_extendedprice, l_quantity,
+           CAST(price_rank AS BIGINT) AS price_rank,
+           CAST(qty_quartile AS BIGINT) AS qty_quartile,
+           CAST(qty_pct_rank AS DOUBLE) AS qty_pct_rank
     FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY l_returnflag
-            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                            l_linenumber ASC) AS price_rank,
+               ntile(4) OVER q AS qty_quartile,
+               percent_rank() OVER q AS qty_pct_rank
         FROM lineitem
+        WINDOW q AS (PARTITION BY l_orderkey
+                     ORDER BY l_quantity, l_linenumber, l_partkey, l_suppkey)
     )
-    WHERE rn <= 3
+    WHERE price_rank <= 3 OR l_orderkey <= 400
     """,
 )
-def topk_lines_per_flag(spark, sf_dir):
-    """Top-k (k>1) per group via ranking window with a total order over
-    every output column — generalizes the reference's top-1 argmax."""
+def ranking_windows_suite(spark, sf_dir):
+    """Ranking + distribution windows under total orders: top-k (k>1)
+    per return flag via row_number, plus ntile quartiles and
+    percent_rank per order (the (rank-1)/(n-1) arithmetic is exact in
+    both engines). Windows are computed over the FULL table; the output
+    filter (top-3 per flag plus a deterministic slice of order keys)
+    only bounds the driver's canonicalization cost. Merges the former
+    topk_lines_per_flag and rank_distribution_windows queries
+    (registry trim)."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
+    flag_w = Window.partitionBy("l_returnflag").orderBy(
         F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
     )
+    qty_w = Window.partitionBy("l_orderkey").orderBy(
+        "l_quantity", "l_linenumber", "l_partkey", "l_suppkey"
+    )
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
+        li.withColumn("price_rank", F.row_number().over(flag_w))
+        .withColumn("qty_quartile", F.ntile(4).over(qty_w))
+        .withColumn("qty_pct_rank", F.percent_rank().over(qty_w))
+        .where((F.col("price_rank") <= 3) | (F.col("l_orderkey") <= 400))
         .select(
             "l_returnflag",
             "l_orderkey",
             F.col("l_linenumber").cast("long").alias("l_linenumber"),
             "l_extendedprice",
+            "l_quantity",
+            F.col("price_rank").cast("long").alias("price_rank"),
+            F.col("qty_quartile").cast("long").alias("qty_quartile"),
+            F.col("qty_pct_rank").cast("double").alias("qty_pct_rank"),
         )
-    )
-
-
-@register("approx_sketch_aggregates")
-def approx_sketch_aggregates(spark, sf_dir):
-    """Sketch-based scale paths: approx_count_distinct (HyperLogLog++)
-    and approx_percentile (KLL-style) over the fact table. Approximate
-    by design → rows-only driver check; the exact twins are oracle-
-    checked in global_agg_distinct / flood_detailed_forecast."""
-    tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_suppkey").alias("approx_supp"),
-        F.approx_count_distinct("l_partkey").alias("approx_part"),
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-            "approx_median_price"
-        ),
     )
 
 
@@ -245,36 +259,6 @@ def array_agg_lines(spark, sf_dir):
 
 
 @register(
-    "rank_distribution_windows",
-    """
-    SELECT l_orderkey,
-           CAST(l_linenumber AS BIGINT) AS l_linenumber,
-           l_quantity,
-           ntile(4) OVER w AS qty_quartile,
-           CAST(percent_rank() OVER w AS DOUBLE) AS qty_pct_rank
-    FROM lineitem
-    WINDOW w AS (PARTITION BY l_orderkey
-                 ORDER BY l_quantity, l_linenumber, l_partkey, l_suppkey)
-    """,
-)
-def rank_distribution_windows(spark, sf_dir):
-    """Distribution windows (ntile, percent_rank) under a total order —
-    percent_rank's (rank-1)/(n-1) arithmetic is exact in both engines."""
-    tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        "l_quantity", "l_linenumber", "l_partkey", "l_suppkey"
-    )
-    return li.select(
-        "l_orderkey",
-        F.col("l_linenumber").cast("long").alias("l_linenumber"),
-        "l_quantity",
-        F.ntile(4).over(w).cast("long").alias("qty_quartile"),
-        F.percent_rank().over(w).alias("qty_pct_rank"),
-    )
-
-
-@register(
     "correlated_min_price_parts",
     """
     SELECT p.p_partkey, p.p_retailprice
@@ -303,18 +287,24 @@ def correlated_min_price_parts(spark, sf_dir):
 
 
 @register(
-    "discrete_quantiles",
+    "grouped_stats_suite",
     """
     SELECT l_returnflag,
            quantile_disc(l_quantity, 0.25) AS q1_disc,
            quantile_disc(l_quantity, 0.5)  AS med_disc,
-           quantile_disc(l_quantity, 0.9)  AS q90_disc
+           quantile_disc(l_quantity, 0.9)  AS q90_disc,
+           bool_and(l_quantity >= 1)   AS all_qty_positive,
+           bool_or(l_discount > 0.09)  AS any_deep_discount,
+           count(*) AS line_cnt
     FROM lineitem GROUP BY 1
     """,
 )
-def discrete_quantiles(spark, sf_dir):
-    """Discrete (lower-value) quantiles: the sorted-array formulation —
-    element at floor(q*(n-1))+1 — matching DuckDB's quantile_disc."""
+def grouped_stats_suite(spark, sf_dir):
+    """Per-group statistics suite: discrete (lower-value) quantiles via
+    the sorted-array formulation — element at floor(q*(n-1))+1, matching
+    DuckDB's quantile_disc — plus every()/any() boolean aggregates.
+    Merges the former discrete_quantiles and bool_aggregates queries
+    (registry trim); both operator families stay oracle-checked."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
 
@@ -323,18 +313,24 @@ def discrete_quantiles(spark, sf_dir):
         return F.element_at(v, pos)
 
     g = li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_list("l_quantity")).alias("v")
+        F.sort_array(F.collect_list("l_quantity")).alias("v"),
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count(F.lit(1)).alias("line_cnt"),
     )
     return g.select(
         "l_returnflag",
         qd(F.col("v"), 0.25).alias("q1_disc"),
         qd(F.col("v"), 0.5).alias("med_disc"),
         qd(F.col("v"), 0.9).alias("q90_disc"),
+        "all_qty_positive",
+        "any_deep_discount",
+        "line_cnt",
     )
 
 
 @register(
-    "string_function_suite",
+    "customer_scalar_suite",
     """
     SELECT c_custkey,
            upper(c_name) AS name_upper,
@@ -342,15 +338,44 @@ def discrete_quantiles(spark, sf_dir):
            reverse(c_mktsegment) AS segment_rev,
            CAST(levenshtein(c_mktsegment, 'MACHINERY') AS BIGINT) AS seg_lev,
            substr(c_name, 1, 8) AS name_prefix,
-           replace(c_name, '#', '-') AS name_dashed
+           replace(c_name, '#', '-') AS name_dashed,
+           ROUND(
+             2 * 6371.0 * atan2(
+               sqrt(
+                 pow(sin(radians((CAST(c_nationkey AS DOUBLE) * 3 - 36)
+                                 - (CAST(c_custkey % 80 AS DOUBLE) - 40)) / 2), 2)
+                 + cos(radians(CAST(c_custkey % 80 AS DOUBLE) - 40))
+                   * cos(radians(CAST(c_nationkey AS DOUBLE) * 3 - 36))
+                   * pow(sin(radians((CAST(c_nationkey AS DOUBLE) * 13 - 156)
+                                     - (CAST((c_custkey * 7) % 340 AS DOUBLE) - 170)) / 2), 2)
+               ),
+               sqrt(1 - (
+                 pow(sin(radians((CAST(c_nationkey AS DOUBLE) * 3 - 36)
+                                 - (CAST(c_custkey % 80 AS DOUBLE) - 40)) / 2), 2)
+                 + cos(radians(CAST(c_custkey % 80 AS DOUBLE) - 40))
+                   * cos(radians(CAST(c_nationkey AS DOUBLE) * 3 - 36))
+                   * pow(sin(radians((CAST(c_nationkey AS DOUBLE) * 13 - 156)
+                                     - (CAST((c_custkey * 7) % 340 AS DOUBLE) - 170)) / 2), 2)
+               ))
+             ), 3) AS dist_km
     FROM customer
     """,
 )
-def string_function_suite(spark, sf_dir):
-    """Composite scalar string surface: case, padding, reverse,
-    edit distance, substring, replace — all JVM-side."""
+def customer_scalar_suite(spark, sf_dir):
+    """Composite scalar surface per customer: case, padding, reverse,
+    edit distance, substring, replace — plus the F10 haversine distance
+    between two synthesized points, rounded to 1 m precision. All
+    JVM-side native expressions. Merges the former
+    string_function_suite and haversine_distances queries
+    (registry trim)."""
+    from data_pipelines_spark.functions.geo import haversine_km
+
     tune(spark)
     cust = load_table(spark, sf_dir, "customer")
+    lat1 = (F.col("c_custkey") % 80).cast("double") - 40
+    lon1 = ((F.col("c_custkey") * 7) % 340).cast("double") - 170
+    lat2 = F.col("c_nationkey").cast("double") * 3 - 36
+    lon2 = F.col("c_nationkey").cast("double") * 13 - 156
     return cust.select(
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
@@ -359,25 +384,5 @@ def string_function_suite(spark, sf_dir):
         F.levenshtein("c_mktsegment", F.lit("MACHINERY")).cast("long").alias("seg_lev"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
-    )
-
-
-@register(
-    "bool_aggregates",
-    """
-    SELECT o_orderpriority,
-           bool_and(o_totalprice > 1000)   AS all_over_1k,
-           bool_or(o_totalprice > 400000)  AS any_over_400k,
-           count(*) AS order_cnt
-    FROM orders GROUP BY 1
-    """,
-)
-def bool_aggregates(spark, sf_dir):
-    """every()/any() boolean aggregates per group."""
-    tune(spark)
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
-        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
-        F.count(F.lit(1)).alias("order_cnt"),
+        F.round(haversine_km(lat1, lon1, lat2, lon2), 3).alias("dist_km"),
     )

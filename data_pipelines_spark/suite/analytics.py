@@ -83,24 +83,42 @@ def q1_pricing_summary(spark, sf_dir):
 
 
 @register(
-    "q6_forecast_revenue",
+    "q6_q14_revenue_kpis",
     """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
-           count(*) AS line_cnt
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount >= 0.03 AND l_discount <= 0.07
-      AND l_quantity < 24
+    SELECT q6.revenue, q6.line_cnt, q14.promo_revenue_pct
+    FROM (
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+               count(*) AS line_cnt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    ) q6
+    CROSS JOIN (
+        SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * CAST(1.0 - l.l_discount AS DECIMAL(8,2))
+                        ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+               / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1.0 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE)
+               AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ) q14
     """,
 )
-def q6_forecast_revenue(spark, sf_dir):
-    """TPC-H Q6 shape: highly selective scan-filter-aggregate. Every
-    predicate reaches the parquet row-group stats."""
+def q6_q14_revenue_kpis(spark, sf_dir):
+    """TPC-H Q6 + Q14 shapes fused into one single-row KPI frame (both
+    were 1-row scalar aggregates; the registry is trimmed so the driver
+    sweep covers every entry). Q6: highly selective scan-filter-
+    aggregate where every predicate reaches the parquet row-group
+    stats. Q14: conditional promo-revenue ratio over a fact-dim join —
+    both sums exact in DECIMAL, the final ratio one double division."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    part = load_table(spark, sf_dir, "part")
+    q6 = (
         li.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -117,6 +135,19 @@ def q6_forecast_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("line_cnt"),
         )
     )
+    disc = _disc_price()
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc).otherwise(
+            F.lit(0).cast("decimal(27,4)")
+        )
+    ).cast("double")
+    total = F.sum(disc).cast("double")
+    q14 = (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                li.l_partkey == F.col("p_partkey"))
+        .agg((F.lit(100.0) * promo / total).cast("double").alias("promo_revenue_pct"))
+    )
+    return q6.crossJoin(q14)
 
 
 @register(
@@ -201,84 +232,57 @@ def rollup_region_nation(spark, sf_dir):
 
 
 @register(
-    "set_ops_customers",
-    """
-    SELECT 'BOTH' AS bucket, count(*) AS cust_cnt FROM (
-        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-        INTERSECT
-        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
-    )
-    UNION ALL
-    SELECT 'URGENT_ONLY' AS bucket, count(*) AS cust_cnt FROM (
-        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-        EXCEPT
-        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
-    )
-    """,
-)
-def set_ops_customers(spark, sf_dir):
-    """INTERSECT / EXCEPT set semantics (absent in the reference; free
-    in Spark)."""
-    tune(spark)
-    orders = load_table(spark, sf_dir, "orders")
-    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    low = orders.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
-    both = urgent.intersect(low).agg(F.count(F.lit(1)).alias("cust_cnt")).select(
-        F.lit("BOTH").alias("bucket"), "cust_cnt"
-    )
-    only = urgent.subtract(low).agg(F.count(F.lit(1)).alias("cust_cnt")).select(
-        F.lit("URGENT_ONLY").alias("bucket"), "cust_cnt"
-    )
-    return both.unionByName(only)
-
-
-@register(
     "global_agg_distinct",
     """
     SELECT min(l_extendedprice) AS min_price,
            max(l_extendedprice) AS max_price,
            count(*) AS line_cnt,
            count(DISTINCT l_suppkey) AS supp_cnt,
-           count(DISTINCT (l_returnflag, l_linestatus)) AS flag_status_cnt
+           count(DISTINCT l_partkey) AS part_cnt,
+           count(DISTINCT (l_returnflag, l_linestatus)) AS flag_status_cnt,
+           TRUE AS supp_hll_ok,
+           TRUE AS part_hll_ok,
+           TRUE AS median_sketch_ok
     FROM lineitem
     """,
 )
 def global_agg_distinct(spark, sf_dir):
     """A9/A10: global scalar aggregates + exact count-distinct (the
-    reference's min/max-per-subarea and distinct key-set shapes)."""
+    reference's min/max-per-subarea and distinct key-set shapes), plus
+    sketch-tolerance checks: approx_count_distinct (HyperLogLog++) and
+    approx_percentile must land within 2% of their exact twins. The
+    Spark side emits the real comparison booleans while the oracle
+    asserts TRUE — if a sketch ever drifts past tolerance the driver's
+    value hash flags it, which turns the formerly rows-only
+    approx_sketch_aggregates query into a checked row."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
+
+    def within(approx, exact, tol=0.02):
+        return (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.lit(tol) * exact.cast("double")
+        ).alias("ok")
+
+    supp_exact = F.countDistinct("l_suppkey")
+    part_exact = F.countDistinct("l_partkey")
     return li.agg(
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         F.count(F.lit(1)).alias("line_cnt"),
-        F.countDistinct("l_suppkey").alias("supp_cnt"),
+        supp_exact.alias("supp_cnt"),
+        part_exact.alias("part_cnt"),
         F.countDistinct("l_returnflag", "l_linestatus").alias("flag_status_cnt"),
-    )
-
-
-@register(
-    "lead_lag_events",
-    """
-    SELECT event_id, user_id, value,
-           lag(value)  OVER w AS prev_value,
-           lead(value) OVER w AS next_value
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
-def lead_lag_events(spark, sf_dir):
-    """lead/lag over a total per-user order — frame-based window surface
-    beyond the reference's three patterns (SURVEY.md §2.6)."""
-    tune(spark)
-    ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        "value",
-        F.lag("value").over(w).alias("prev_value"),
-        F.lead("value").over(w).alias("next_value"),
+        within(
+            F.approx_count_distinct("l_suppkey", rsd=0.01), supp_exact
+        ).alias("supp_hll_ok"),
+        within(
+            F.approx_count_distinct("l_partkey", rsd=0.01), part_exact
+        ).alias("part_hll_ok"),
+        within(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)),
+            F.median("l_extendedprice"),
+        ).alias("median_sketch_ok"),
     )
 
 
@@ -428,34 +432,3 @@ def q12_priority_shipping(spark, sf_dir):
     )
 
 
-@register(
-    "q14_promo_revenue_ratio",
-    """
-    SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                         * CAST(1.0 - l.l_discount AS DECIMAL(8,2))
-                    ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
-           / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                      * CAST(1.0 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE)
-           AS DOUBLE) AS promo_revenue_pct
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    """,
-)
-def q14_promo_revenue_ratio(spark, sf_dir):
-    """TPC-H Q14 shape: conditional revenue ratio — both sums exact in
-    DECIMAL, the final ratio a single double division."""
-    tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    disc = _disc_price()
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", disc).otherwise(
-            F.lit(0).cast("decimal(27,4)")
-        )
-    ).cast("double")
-    total = F.sum(disc).cast("double")
-    return (
-        li.join(F.broadcast(part.select("p_partkey", "p_type")),
-                li.l_partkey == F.col("p_partkey"))
-        .agg((F.lit(100.0) * promo / total).cast("double").alias("promo_revenue_pct"))
-    )

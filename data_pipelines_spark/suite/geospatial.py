@@ -7,7 +7,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_pipelines_spark.functions.geo import haversine_km
 from data_pipelines_spark.operators.flood import combine_thresholds
 from data_pipelines_spark.operators.spatial import point_in_polygon_join
 from data_pipelines_spark.session import tune
@@ -63,7 +62,9 @@ def spatial_join_zones(spark, sf_dir):
         ((F.col("c_custkey") % 50) + 0.5).cast("double").alias("x"),
         (((F.col("c_custkey") * 7) % 50) + 0.5).cast("double").alias("y"),
     )
-    return point_in_polygon_join(points, zones, bucket_size=10.0)
+    # zones is the nation dimension (25 rows) — known broadcast-safe,
+    # so skip the size probe; broadcast=None would count() first.
+    return point_in_polygon_join(points, zones, bucket_size=10.0, broadcast=True)
 
 
 @register(
@@ -109,42 +110,6 @@ def combined_thresholds(spark, sf_dir):
     )
 
 
-@register(
-    "haversine_distances",
-    """
-    SELECT c_custkey,
-           ROUND(
-             2 * 6371.0 * atan2(
-               sqrt(
-                 pow(sin(radians((CAST(c_nationkey AS DOUBLE) * 3 - 36)
-                                 - (CAST(c_custkey % 80 AS DOUBLE) - 40)) / 2), 2)
-                 + cos(radians(CAST(c_custkey % 80 AS DOUBLE) - 40))
-                   * cos(radians(CAST(c_nationkey AS DOUBLE) * 3 - 36))
-                   * pow(sin(radians((CAST(c_nationkey AS DOUBLE) * 13 - 156)
-                                     - (CAST((c_custkey * 7) % 340 AS DOUBLE) - 170)) / 2), 2)
-               ),
-               sqrt(1 - (
-                 pow(sin(radians((CAST(c_nationkey AS DOUBLE) * 3 - 36)
-                                 - (CAST(c_custkey % 80 AS DOUBLE) - 40)) / 2), 2)
-                 + cos(radians(CAST(c_custkey % 80 AS DOUBLE) - 40))
-                   * cos(radians(CAST(c_nationkey AS DOUBLE) * 3 - 36))
-                   * pow(sin(radians((CAST(c_nationkey AS DOUBLE) * 13 - 156)
-                                     - (CAST((c_custkey * 7) % 340 AS DOUBLE) - 170)) / 2), 2)
-               ))
-             ), 3) AS dist_km
-    FROM customer
-    """,
-)
-def haversine_distances(spark, sf_dir):
-    """F10: native trigonometric haversine between two synthesized
-    points per customer, rounded to 1 m precision."""
-    tune(spark)
-    cust = load_table(spark, sf_dir, "customer")
-    lat1 = (F.col("c_custkey") % 80).cast("double") - 40
-    lon1 = ((F.col("c_custkey") * 7) % 340).cast("double") - 170
-    lat2 = F.col("c_nationkey").cast("double") * 3 - 36
-    lon2 = F.col("c_nationkey").cast("double") * 13 - 156
-    return cust.select(
-        "c_custkey",
-        F.round(haversine_km(lat1, lon1, lat2, lon2), 3).alias("dist_km"),
-    )
+# F10 haversine coverage lives in suite/advanced.py
+# (customer_scalar_suite) since the round-2 registry trim; the
+# haversine_km kernel itself is unchanged in functions/geo.py.

@@ -54,9 +54,12 @@ def exact_dedup_docs(spark, sf_dir):
     return exact_duplicates(docs)
 
 
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
 @register(
     "text_stats",
-    r"""
+    rf"""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_calc,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -64,13 +67,19 @@ def exact_dedup_docs(spark, sf_dir):
                      ELSE len(string_split_regex(trim(text), '\s+'))
                 END AS BIGINT) AS n_tokens,
            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-                AS BIGINT) AS n_punct
+                AS BIGINT) AS n_punct,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+               AS n_bpe_tokens
     FROM documents
     """,
 )
 def text_stats(spark, sf_dir):
     """Per-document text statistics: char/byte length, whitespace token
-    count, punctuation count — all native expressions."""
+    count, punctuation count, and BPE-style pre-tokenization count
+    (letter runs, short digit runs, individual symbols — the GPT-2-style
+    splitter shape restricted to a regex dialect identical in Java and
+    RE2) — all native expressions. Absorbs the former bpe_token_counts
+    query (registry trimmed so the driver sweep covers every entry)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
@@ -80,20 +89,46 @@ def text_stats(spark, sf_dir):
         byte_length(t).alias("n_bytes"),
         token_count(t).alias("n_tokens"),
         punct_count(t).alias("n_punct"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(_BPE_PATTERN), F.lit(0))
+        ).cast("long").alias("n_bpe_tokens"),
     )
 
 
-@register(
-    "doc_quality_scores",
-    r"""
+def _doc_profile_sql() -> str:
+    """Combined oracle for the per-document profile: quality score,
+    rolling-hash fingerprint, and stopword-profile language guess."""
+    from data_pipelines_spark.functions.text import LANG_STOPWORDS
+
+    hit_cols = []
+    for code, words in sorted(LANG_STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+            f" t -> list_contains([{lst}], t))) AS hits_{code}"
+        )
+    hits_sql = ",\n               ".join(hit_cols)
+    codes_desc = sorted(LANG_STOPWORDS, reverse=True)
+    best = ", ".join(f"hits_{c}" for c in sorted(LANG_STOPWORDS))
+    case = "\n                ".join(
+        f"WHEN hits_{c} = greatest({best}) THEN '{c}'" for c in codes_desc[:-1]
+    )
+    return rf"""
     WITH base AS (
-        SELECT doc_id,
+        SELECT doc_id, lang AS labeled_lang,
                CAST(length(text) AS DOUBLE) AS n_chars,
                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                          ELSE len(string_split_regex(trim(text), '\s+'))
                     END AS BIGINT) AS n_tok,
                CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-                    AS BIGINT) AS n_punct
+                    AS BIGINT) AS n_punct,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647
+               ) AS fingerprint,
+               {hits_sql}
         FROM documents
     )
     SELECT doc_id,
@@ -107,38 +142,37 @@ def text_stats(spark, sf_dir):
                       THEN 1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 5.0,
                                        CAST(1.0 AS DOUBLE))
                       ELSE 0.0 END
-           ) / 3.0, 6) AS quality
+           ) / 3.0, 6) AS quality,
+           fingerprint,
+           labeled_lang,
+           CASE WHEN greatest({best}) = 0 THEN 'und'
+                {case}
+                ELSE '{codes_desc[-1]}' END AS guessed_lang
     FROM base
-    """,
-)
-def doc_quality_scores(spark, sf_dir):
-    """Heuristic quality scoring (length / token-shape / punctuation
-    terms) — the cheap filter stage of a corpus pipeline."""
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
-
-
-@register(
-    "doc_fingerprints",
     """
-    SELECT doc_id,
-           list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(text, ''),
-                                  c -> CAST(ascii(c) AS BIGINT))),
-               (acc, x) -> (acc * 31 + x) % 2147483647
-           ) AS fingerprint
-    FROM documents
-    """,
-)
-def doc_fingerprints(spark, sf_dir):
-    """Polynomial rolling-hash document fingerprint (base 31 mod
-    2^31-1), computed natively with aggregate() over the char array."""
+
+
+@register("doc_profile", _doc_profile_sql())
+def doc_profile(spark, sf_dir):
+    """Per-document profile in one pass: heuristic quality score
+    (length / token-shape / punctuation terms), polynomial rolling-hash
+    fingerprint (base 31 mod 2^31-1, native aggregate() over the char
+    array), and stopword-profile language ID next to the labeled lang
+    column (tie-break: most hits wins; equal hits → lexicographically
+    larger code, mirrored by the descending CASE chain in the oracle).
+    Merges the former doc_quality_scores / doc_fingerprints /
+    lang_guess_docs queries so the driver sweep covers every registry
+    entry; each column remains individually oracle-checked."""
+    from data_pipelines_spark.functions.text import lang_guess
+
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        rolling_fingerprint(F.col("text")).alias("fingerprint"),
+        F.col("lang").alias("labeled_lang"),
+        lang_guess(F.col("text")).alias("guessed_lang"),
     )
 
 
@@ -364,62 +398,6 @@ def minhash_near_dup_pairs(spark, sf_dir):
     return minhash_near_duplicates(docs, jaccard_threshold=0.5)
 
 
-def _lang_oracle_sql() -> str:
-    from data_pipelines_spark.functions.text import LANG_STOPWORDS
-
-    hit_cols = []
-    for code, words in sorted(LANG_STOPWORDS.items()):
-        lst = ", ".join(f"'{w}'" for w in words)
-        hit_cols.append(
-            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
-            f" t -> list_contains([{lst}], t))) AS hits_{code}"
-        )
-    hits_sql = ",\n               ".join(hit_cols)
-    codes_desc = sorted(LANG_STOPWORDS, reverse=True)
-    best = ", ".join(f"hits_{c}" for c in sorted(LANG_STOPWORDS))
-    case = "\n                ".join(
-        f"WHEN hits_{c} = greatest({best}) THEN '{c}'" for c in codes_desc[:-1]
-    )
-    return f"""
-    WITH hits AS (
-        SELECT doc_id, lang AS labeled_lang,
-               {hits_sql}
-        FROM documents
-    )
-    SELECT doc_id, labeled_lang,
-           CASE WHEN greatest({best}) = 0 THEN 'und'
-                {case}
-                ELSE '{codes_desc[-1]}' END AS guessed_lang
-    FROM hits
-    """
-
-
-@register("lang_guess_docs", _lang_oracle_sql())
-def lang_guess_docs(spark, sf_dir):
-    """Stopword-profile language ID per document, next to the labeled
-    lang column. Tie-break: most hits wins; equal hits → the
-    lexicographically larger code (struct-max semantics), mirrored by
-    the descending CASE chain in the oracle."""
-    from data_pipelines_spark.functions.text import lang_guess
-
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        lang_guess(F.col("text")).alias("guessed_lang"),
-    )
-
-
-@register("simhash_signatures")
-def simhash_signatures_q(spark, sf_dir):
-    """64-bit SimHash signature per document (token-profile hash for
-    Hamming-distance near-dup) — fast xxhash64 path, rows-only check."""
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_signatures(docs)
-
-
 def _simhash_oracle_sql(bits: int = 60) -> str:
     """SQL twin of the portable SimHash: md5-derived 60-bit token
     hashes, per-bit +1/-1 sums, sign bits packed into a BIGINT."""
@@ -493,32 +471,6 @@ def ngram_jaccard_same_source(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, shingle_k=3, threshold=0.5, bucket_col="source"
-    )
-
-
-_BPE_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
-
-
-@register(
-    "bpe_token_counts",
-    rf"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
-               AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def bpe_token_counts(spark, sf_dir):
-    """BPE-style pre-tokenization count: letter runs, short digit runs,
-    and individual symbols (the GPT-2-style splitter shape, restricted
-    to a regex dialect identical in Java and RE2)."""
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(
-            F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))
-        ).cast("long").alias("n_bpe_tokens"),
     )
 
 

@@ -92,26 +92,40 @@ def rounded_key_broadcast_join(spark, sf_dir):
 @register(
     "control_marker_window",
     """
-    SELECT l_orderkey, l_linenumber, l_quantity,
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
            max(CASE WHEN l_linenumber = 1 THEN l_quantity END)
-               OVER (PARTITION BY l_orderkey) AS control_qty
+               OVER (PARTITION BY l_orderkey) AS control_qty,
+           max(l_extendedprice) OVER (PARTITION BY l_orderkey)
+               AS max_order_price
     FROM lineitem
     """,
 )
 def control_marker_window(spark, sf_dir):
-    """J2-as-window: distribute a marker row's value (the 'control
-    member', reference `discharge.py:292-302`) to every row of its group
-    without a self-join. max() because the marker is not unique here."""
+    """J2-as-window plus A2/J7-as-window in one stage: distribute a
+    marker row's value (the 'control member', reference
+    `discharge.py:292-302`) to every row of its group without a
+    self-join (max() because the marker is not unique here), and attach
+    the group max to detail rows in the same single shuffle (reference
+    computes agg then joins back, `transforms.py:101-112`). Both window
+    columns share the l_orderkey partition so Spark evaluates them in
+    one exchange + one window stage — this absorbed the former
+    group_max_broadcast_window query (registry trim)."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey")
-    return li.select(
+    with_marker = li.withColumn(
+        "control_qty",
+        F.max(F.when(F.col("l_linenumber") == 1, F.col("l_quantity"))).over(w),
+    )
+    return group_max_broadcast(
+        with_marker, ["l_orderkey"], "l_extendedprice", "max_order_price"
+    ).select(
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        F.max(F.when(F.col("l_linenumber") == 1, F.col("l_quantity"))).over(w).alias(
-            "control_qty"
-        ),
+        "l_extendedprice",
+        "control_qty",
+        "max_order_price",
     )
 
 
@@ -144,24 +158,6 @@ def argmax_per_group(spark, sf_dir):
         F.col("l_linenumber").cast("long").alias("peak_linenumber"),
         F.col("l_quantity").alias("peak_qty"),
     )
-
-
-@register(
-    "group_max_broadcast_window",
-    """
-    SELECT l_orderkey, l_linenumber, l_extendedprice,
-           max(l_extendedprice) OVER (PARTITION BY l_orderkey) AS max_order_price
-    FROM lineitem
-    """,
-)
-def group_max_broadcast_window(spark, sf_dir):
-    """A2/J7-as-window: group max attached to detail rows in one shuffle
-    (reference computes agg then joins back, `transforms.py:101-112`)."""
-    tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    return group_max_broadcast(
-        li, ["l_orderkey"], "l_extendedprice", "max_order_price"
-    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "max_order_price")
 
 
 @register(
@@ -291,31 +287,68 @@ def multiway_join_revenue(spark, sf_dir):
 
 
 @register(
-    "union_concat_branches",
+    "set_union_suite",
     """
-    SELECT branch, count(*) AS line_cnt, sum(l_quantity) AS sum_qty
+    SELECT branch, row_cnt, sum_qty
     FROM (
-        SELECT 'HI' AS branch, l_quantity FROM lineitem WHERE l_discount >= 0.05
+        SELECT branch, count(*) AS row_cnt, sum(l_quantity) AS sum_qty
+        FROM (
+            SELECT 'HI' AS branch, l_quantity FROM lineitem WHERE l_discount >= 0.05
+            UNION ALL
+            SELECT 'LO' AS branch, l_quantity FROM lineitem WHERE l_discount < 0.05
+        )
+        GROUP BY 1
         UNION ALL
-        SELECT 'LO' AS branch, l_quantity FROM lineitem WHERE l_discount < 0.05
+        SELECT 'BOTH' AS branch, count(*) AS row_cnt,
+               CAST(NULL AS DOUBLE) AS sum_qty
+        FROM (
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        )
+        UNION ALL
+        SELECT 'URGENT_ONLY' AS branch, count(*) AS row_cnt,
+               CAST(NULL AS DOUBLE) AS sum_qty
+        FROM (
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        )
     )
-    GROUP BY 1
     """,
 )
-def union_concat_branches(spark, sf_dir):
-    """U1/U3: unionByName of branch frames then aggregate (the
-    reference's ensemble concat along the member axis,
-    `io_managers.py:206`)."""
+def set_union_suite(spark, sf_dir):
+    """Set-operator surface in one frame: U1/U3 unionByName of branch
+    frames then aggregate (the reference's ensemble concat along the
+    member axis, `io_managers.py:206`) tagged 'HI'/'LO', plus
+    INTERSECT / EXCEPT distinct-set semantics (absent in the reference;
+    free in Spark) tagged 'BOTH'/'URGENT_ONLY'. Merges the former
+    union_concat_branches and set_ops_customers queries (registry
+    trim)."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
     hi = li.where(F.col("l_discount") >= 0.05).select(
         F.lit("HI").alias("branch"), "l_quantity"
     )
     lo = li.where(F.col("l_discount") < 0.05).select(
         F.lit("LO").alias("branch"), "l_quantity"
     )
-    return (
+    branches = (
         hi.unionByName(lo)
         .groupBy("branch")
-        .agg(F.count(F.lit(1)).alias("line_cnt"), F.sum("l_quantity").alias("sum_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("row_cnt"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
     )
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    null_qty = F.lit(None).cast("double").alias("sum_qty")
+    both = urgent.intersect(low).agg(F.count(F.lit(1)).alias("row_cnt")).select(
+        F.lit("BOTH").alias("branch"), "row_cnt", null_qty
+    )
+    only = urgent.subtract(low).agg(F.count(F.lit(1)).alias("row_cnt")).select(
+        F.lit("URGENT_ONLY").alias("branch"), "row_cnt", null_qty
+    )
+    return branches.unionByName(both).unionByName(only)

@@ -172,7 +172,7 @@ def events_props_json(spark, sf_dir):
     WITH marked AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                     THEN 1 ELSE 0 END AS is_start
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -196,12 +196,14 @@ def events_session_windows(spark, sf_dir):
     classic gaps-and-islands SQL. Session numbering is by start order
     per user so both sides share keys.
 
-    Boundary semantics: Spark's session extent is half-open
-    ``[start, last_event + gap)`` — an event exactly ``gap`` after the
-    last one starts a NEW session — so the oracle's island marker uses
-    ``>= 1800``, not ``> 1800``. The running session number is cast to
-    BIGINT because DuckDB's integer SUM returns HUGEINT (int128), which
-    the driver's canonicalizer hashes differently from Spark's LONG.
+    Boundary semantics: Spark's session extent is CLOSED at the end —
+    an event exactly ``gap`` after the last one merges into the SAME
+    session (verified by tests/test_session_boundary.py), so the
+    oracle's island marker is strictly ``> 1800``. The running session
+    number is cast to BIGINT because DuckDB's integer SUM returns
+    HUGEINT (int128), which the driver's canonicalizer renders as
+    float64 and hashes differently from Spark's LONG — that cast was
+    the round-1 hash mismatch.
     The cumulative-sum window carries the same (ts, event_id) tie-break
     as the lag() marker so equal-timestamp events at a session boundary
     land deterministically on the same side in both engines."""

@@ -1,0 +1,67 @@
+"""Session-window boundary semantics: Spark's session extent is CLOSED
+at the end — an event exactly `gap` after the previous one merges into
+the SAME session; only a strictly larger gap opens a new one. The
+DuckDB oracle must reproduce that boundary rule (island marker
+`> gap`, not `>= gap`).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import duckdb
+
+from data_pipelines_spark.suite import temporal
+
+GAP = 1800  # seconds, matches the registered query
+
+
+def _write_events(spark, sf_dir: str) -> None:
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        # user u1: second event lands exactly GAP after the first →
+        # SAME session (closed boundary); third is GAP+1 after the
+        # second → NEW session.
+        ("e1", "u1", t0, "view", 1.0),
+        ("e2", "u1", t0 + dt.timedelta(seconds=GAP), "view", 2.0),
+        ("e3", "u1", t0 + dt.timedelta(seconds=2 * GAP + 1), "view", 3.0),
+        # user u2: one event below the boundary → a single session.
+        ("e4", "u2", t0, "view", 4.0),
+        ("e5", "u2", t0 + dt.timedelta(seconds=GAP - 1), "view", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, user_id string, ts timestamp, event_type string, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+
+
+def test_exact_gap_starts_new_session(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    _write_events(spark, sf_dir)
+
+    out = {
+        (r.user_id, r.session_no): r.event_cnt
+        for r in temporal.QUERIES["events_session_windows"](spark, sf_dir).collect()
+    }
+    assert out == {("u1", 1): 2, ("u1", 2): 1, ("u2", 1): 2}
+
+
+def test_oracle_agrees_on_boundary(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    _write_events(spark, sf_dir)
+
+    spark_rows = sorted(
+        tuple(r)
+        for r in temporal.QUERIES["events_session_windows"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(sf_dir, 'events.parquet')}/*.parquet'"
+    )
+    duck_rows = sorted(
+        tuple(r) for r in con.execute(temporal.ORACLES["events_session_windows"]).fetchall()
+    )
+    assert spark_rows == duck_rows

@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 from data_pipelines_spark.operators.joins import asof_join
 from data_pipelines_spark.operators.spatial import (
     parse_wkt_polygon,
+    parse_wkt_rings,
     point_in_polygon_join,
     points_in_ring,
+    points_in_rings,
     rasterize_zones,
 )
 from data_pipelines_spark.operators.zonal import dense_zonal_count
@@ -18,6 +20,8 @@ from data_pipelines_spark.operators.zonal import dense_zonal_count
 
 TRIANGLE = "POLYGON ((0 0,10 0,0 10,0 0))"
 CONCAVE = "POLYGON ((0 0,10 0,10 10,5 5,0 10,0 0))"  # notch at top
+DONUT = "POLYGON ((0 0,10 0,10 10,0 10,0 0),(3 3,7 3,7 7,3 7,3 3))"  # lake hole
+MULTI = "MULTIPOLYGON (((0 0,4 0,4 4,0 4,0 0)),((20 20,24 20,24 24,20 24,20 20)))"
 
 
 def test_parse_wkt_polygon():
@@ -38,6 +42,62 @@ def test_ray_casting_triangle_and_concave():
     )
     # (5,8) sits in the notch → outside; (5,4) and (1,1) inside
     assert conc.tolist() == [False, True, True]
+
+
+def test_parse_wkt_rings_holes_and_multi():
+    donut = parse_wkt_rings(DONUT)
+    assert len(donut) == 2 and donut[1].shape == (5, 2)
+    multi = parse_wkt_rings(MULTI)
+    assert len(multi) == 2 and multi[1][0].tolist() == [20.0, 20.0]
+
+
+def test_even_odd_donut_and_multipolygon():
+    px = np.array([5.0, 1.0, 5.0, 22.0, 12.0])
+    py = np.array([5.0, 1.0, 3.5, 22.0, 12.0])
+    donut = points_in_rings(px, py, parse_wkt_rings(DONUT))
+    # (5,5) sits in the hole → outside; (1,1) in the shell; (5,3.5) in
+    # the hole; the rest outside the polygon entirely
+    assert donut.tolist() == [False, True, False, False, False]
+    multi = points_in_rings(px, py, parse_wkt_rings(MULTI))
+    # (1,1) in part 1; (22,22) in part 2; others in neither
+    assert multi.tolist() == [False, True, False, True, False]
+
+
+def test_join_with_donut_zone_classifies_hole_outside(spark):
+    """A basin with a lake hole must NOT claim cell centers inside the
+    lake (reference rasterizes arbitrary HydroBASINS geometry,
+    `global_forest_watch.py:84-95`)."""
+    zones = spark.createDataFrame(
+        [(1, DONUT), (2, MULTI)], "id long, geometry string"
+    )
+    points = spark.createDataFrame(
+        [(0, 5.0, 5.0), (1, 1.0, 1.0), (2, 22.0, 22.0), (3, 8.5, 8.5)],
+        "point_id long, x double, y double",
+    )
+    got = {
+        (r["point_id"], r["zone_id"])
+        for r in point_in_polygon_join(points, zones, bucket_size=5.0).collect()
+    }
+    # point 0 is in the lake hole → unclaimed; 1 is in BOTH the donut
+    # shell and multipolygon part 1; 2 in multipolygon part 2; 3 in the
+    # donut shell only
+    assert got == {(1, 1), (1, 2), (2, 2), (3, 1)}
+
+
+def test_broadcast_and_shuffle_paths_agree(spark):
+    zones = spark.createDataFrame(
+        [(1, TRIANGLE), (2, DONUT)], "id long, geometry string"
+    )
+    points = spark.createDataFrame(
+        [(i, float(i % 12), float((i * 3) % 12)) for i in range(60)],
+        "point_id long, x double, y double",
+    )
+    bc = point_in_polygon_join(points, zones, bucket_size=6.0, broadcast=True)
+    sh = point_in_polygon_join(points, zones, bucket_size=6.0, broadcast=False)
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+    # the forced-shuffle plan must not contain a broadcast exchange
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
 
 
 def test_point_in_polygon_join_mixed_shapes(spark):
