@@ -55,6 +55,13 @@ def main() -> None:
     registry["text_stats"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Python-worker warmup: the first Arrow/mapInPandas stage of a
+    # session pays ~5-7s of worker-pool + serializer startup; spin the
+    # pool up here so the spatial/multimodal timings below measure the
+    # operator, not process forking.
+    spark.range(256).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
+        .mapInPandas(lambda it: it, "id long") \
+        .write.format("noop").mode("overwrite").save()
     from data_pipelines_spark.sources.tables import DRIVER_TABLES, load_table
 
     for t in DRIVER_TABLES:

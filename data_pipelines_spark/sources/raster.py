@@ -110,17 +110,114 @@ def read_netcdf_grid(
     )
 
 
+_TIFF_DTYPES = {
+    # (SampleFormat, BitsPerSample) -> numpy dtype char
+    (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+    (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
+    (3, 32): "f4", (3, 64): "f8",
+}
+
+
+def read_tiff_minimal(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Baseline single-band uncompressed (Geo)TIFF → (array, xs, ys).
+
+    A dependency-free reader for the simplest profile GDAL emits
+    (`gdal_translate -co COMPRESS=NONE`): classic TIFF, one band,
+    strip-organized, Compression=1. Parses the IFD directly with
+    struct/numpy and applies the GeoTIFF ModelPixelScale/ModelTiepoint
+    tags for cell-center coordinates. Anything fancier (tiles,
+    compression, BigTIFF) raises with a pointer to the rasterio path —
+    this is the smoke-proof that S6 ingestion runs end-to-end, not a
+    GDAL replacement.
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    magic, ifd_off = struct.unpack(e + "HI", data[2:8])
+    if magic != 42:
+        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
+
+    (n_entries,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+    for i in range(n_entries):
+        off = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack(e + "HHI", data[off : off + 8])
+        size = type_size.get(typ, 1) * cnt
+        raw = (
+            data[off + 8 : off + 8 + size]
+            if size <= 4
+            else data[
+                struct.unpack(e + "I", data[off + 8 : off + 12])[0] :
+            ][:size]
+        )
+        tags[tag] = (typ, cnt, raw)
+
+    def ints(tag: int, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, raw = tags[tag]
+        fmt = {3: "H", 4: "I"}[typ]
+        return list(struct.unpack(e + fmt * cnt, raw))
+
+    def doubles(tag: int):
+        if tag not in tags:
+            return None
+        _, cnt, raw = tags[tag]
+        return list(struct.unpack(e + "d" * cnt, raw))
+
+    width, height = ints(256)[0], ints(257)[0]
+    bits = ints(258, [32])[0]
+    compression = ints(259, [1])[0]
+    if compression != 1:
+        raise NotImplementedError(
+            "compressed TIFF: use the rasterio path or re-emit with "
+            "COMPRESS=NONE"
+        )
+    samples = ints(277, [1])[0]
+    if samples != 1:
+        raise NotImplementedError("multi-band TIFF: use the rasterio path")
+    sample_format = ints(339, [1])[0]
+    dt = np.dtype(e + _TIFF_DTYPES[(sample_format, bits)])
+    offsets = ints(273)
+    counts = ints(279)
+    raster = np.frombuffer(
+        b"".join(data[o : o + c] for o, c in zip(offsets, counts)), dtype=dt
+    ).reshape(height, width)
+
+    scale = doubles(33550) or [1.0, 1.0, 0.0]
+    tie = doubles(33922) or [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    # GDAL geotransform from the GeoTIFF tags (north-up): origin at the
+    # tiepoint, y decreasing.
+    xs = tie[3] + np.arange(width) * scale[0]
+    ys = tie[4] - np.arange(height) * scale[1]
+    return raster.astype("float64"), xs, ys
+
+
 def read_geotiff(
     spark: SparkSession, path: str, value_col: str = "value"
 ):
     """GeoTIFF/COG → long-form (x, y, value) (reference S6,
-    `io_managers.py:108-110`)."""
+    `io_managers.py:108-110`).
+
+    Prefers rasterio (full GDAL format coverage); without it, falls
+    back to :func:`read_tiff_minimal` for baseline uncompressed
+    single-band files — which keeps this reader genuinely runnable
+    (and tested end-to-end) in codec-free environments."""
     try:
         import rasterio
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "GeoTIFF ingestion requires rasterio; convert externally"
-        ) from e
+    except ImportError:
+        arr, xs, ys = read_tiff_minimal(path)
+        return grid_to_long_form(
+            spark, arr, {"y": ys, "x": xs}, value_col=value_col
+        )
     with rasterio.open(path) as src:  # pragma: no cover
         arr = src.read(1).astype("float64")
         xs = np.arange(src.width) * src.transform.a + src.transform.c

@@ -10,10 +10,20 @@ session starts after `gap_sec` of inactivity). Its batch twin is the
 `sessionized_gaps` suite query (lag-window formulation), which the test
 uses as the oracle.
 
-Scale: state is one small tuple per key, partitioned by the grouping
-key across executors; late/out-of-order data within a batch is handled
-by sorting the batch, and a production deployment would add a watermark
-timeout (`GroupStateTimeout.EventTimeTimeout`) to expire idle keys.
+Scale posture:
+
+- State is one small tuple per key, partitioned by the grouping key
+  across executors.
+- ``expire_idle=True`` arms ``GroupStateTimeout.EventTimeTimeout``: a
+  key whose last event is more than ``gap_sec`` behind the watermark
+  emits its final tally and DROPS its state — without this, a 100 TB
+  corpus of transient users grows state without bound. Requires a
+  watermark on the event-time column (applied here).
+- The state backend is whatever ``spark.sql.streaming.stateStore
+  .providerClass`` names; tests exercise both the default HDFS-backed
+  store and RocksDB (`RocksDBStateStoreProvider`), which keeps state
+  off-heap and scales past executor memory — the right choice for
+  large keyspaces.
 """
 
 from __future__ import annotations
@@ -28,6 +38,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 SESSION_SCHEMA = "user_id long, session_cnt long, last_ts double"
 STATE_SCHEMA = "session_cnt long, last_ts double"
 
+_GAP_SEC = 1800.0
+
 
 def _sessionize(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
     (user_id,) = key
@@ -36,10 +48,9 @@ def _sessionize(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
     else:
         session_cnt, last_ts = 0, None
 
-    gap_sec = 1800.0
     for pdf in pdf_iter:
         for ts in sorted(pdf["ts_sec"]):
-            if last_ts is None or ts - last_ts > gap_sec:
+            if last_ts is None or ts - last_ts > _GAP_SEC:
                 session_cnt += 1
             last_ts = ts
 
@@ -53,7 +64,54 @@ def _sessionize(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
     )
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def _sessionize_expiring(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+    """EventTimeTimeout variant: on timeout, emit the final tally and
+    drop the key's state; a returning key starts a fresh count."""
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        session_cnt, last_ts = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_cnt": [session_cnt],
+                "last_ts": [last_ts],
+            }
+        )
+        return
+
+    if state.exists:
+        session_cnt, last_ts = state.get
+    else:
+        session_cnt, last_ts = 0, None
+
+    for pdf in pdf_iter:
+        for ts in sorted(pdf["ts_sec"]):
+            if last_ts is None or ts - last_ts > _GAP_SEC:
+                session_cnt += 1
+            last_ts = ts
+
+    state.update((session_cnt, last_ts))
+    # Expire once the watermark passes the session gap after the last
+    # event; the timestamp must lead the current watermark or Spark
+    # rejects it.
+    expire_ms = int((last_ts + _GAP_SEC) * 1000)
+    state.setTimeoutTimestamp(max(expire_ms, state.getCurrentWatermarkMs() + 1))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_cnt": [session_cnt],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    expire_idle: bool = False,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
     """Per-user running session counts over an events frame with
     columns (user_id, ts).
 
@@ -61,6 +119,10 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     micro-batches). Batch input → the exact lag-window twin (Spark
     forbids applyInPandasWithState in batch queries), so callers get
     one operator for both modes with identical results on bounded data.
+
+    ``expire_idle=True`` (streaming only) arms EventTimeTimeout: keys
+    idle past the session gap relative to the watermark emit their
+    final count and free their state.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -71,12 +133,24 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         prev = F.lag(F.col("ts")).over(w).cast("double")
         starts = events.select(
             "user_id",
-            F.when(prev.isNull() | (ts - prev > 1800.0), 1).otherwise(0).alias("s"),
+            F.when(prev.isNull() | (ts - prev > _GAP_SEC), 1).otherwise(0).alias("s"),
             ts.alias("ts_sec"),
         )
         return starts.groupBy("user_id").agg(
             F.sum("s").cast("long").alias("session_cnt"),
             F.max("ts_sec").alias("last_ts"),
+        )
+
+    if expire_idle:
+        prepared = events.withWatermark("ts", watermark_delay).select(
+            "user_id", "ts", F.col("ts").cast("double").alias("ts_sec")
+        )
+        return prepared.groupBy("user_id").applyInPandasWithState(
+            _sessionize_expiring,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
 
     prepared = events.select(

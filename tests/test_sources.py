@@ -73,13 +73,20 @@ def test_codec_readers_gated(spark):
     """Without codec libs the readers raise NotImplementedError with an
     actionable message instead of crashing at import time."""
     try:
-        import rasterio  # noqa: F401
+        import xarray  # noqa: F401
 
-        pytest.skip("rasterio installed; gate not exercised")
+        pytest.skip("xarray installed; gate not exercised")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="rasterio"):
-        read_geotiff(spark, "/nonexistent.tif")
+    from data_pipelines_spark.sources.raster import (
+        read_grib_ensemble,
+        read_netcdf_grid,
+    )
+
+    with pytest.raises(NotImplementedError, match="cfgrib"):
+        read_grib_ensemble(spark, "/nonexistent.grib")
+    with pytest.raises(NotImplementedError, match="h5netcdf"):
+        read_netcdf_grid(spark, "/nonexistent.nc", "var")
 
 
 def test_json_manifest_roundtrip(spark):
@@ -100,3 +107,75 @@ def test_json_manifest_roundtrip(spark):
         assert got == {"10N_020W": (3, True), "00N_010E": (5, False)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _write_tiny_geotiff(path: str) -> "np.ndarray":
+    """Hand-assemble a baseline little-endian single-band float32
+    GeoTIFF (the COMPRESS=NONE profile gdal_translate emits) so the S6
+    reader can be exercised end-to-end without rasterio."""
+    import struct
+
+    import numpy as np
+
+    w, h = 4, 3
+    arr = np.arange(w * h, dtype="<f4").reshape(h, w) * 1.5
+    pixels = arr.tobytes()
+    data_off = 8
+    ifd_off = data_off + len(pixels)
+
+    entries = []
+
+    def entry(tag, typ, cnt, value_bytes):
+        entries.append(struct.pack("<HHI", tag, typ, cnt) + value_bytes.ljust(4, b"\0"))
+
+    n = 12
+    ext_off = ifd_off + 2 + n * 12 + 4
+    entry(256, 3, 1, struct.pack("<H", w))            # ImageWidth
+    entry(257, 3, 1, struct.pack("<H", h))            # ImageLength
+    entry(258, 3, 1, struct.pack("<H", 32))           # BitsPerSample
+    entry(259, 3, 1, struct.pack("<H", 1))            # Compression=none
+    entry(262, 3, 1, struct.pack("<H", 1))            # Photometric
+    entry(273, 4, 1, struct.pack("<I", data_off))     # StripOffsets
+    entry(277, 3, 1, struct.pack("<H", 1))            # SamplesPerPixel
+    entry(278, 4, 1, struct.pack("<I", h))            # RowsPerStrip
+    entry(279, 4, 1, struct.pack("<I", len(pixels)))  # StripByteCounts
+    entry(339, 3, 1, struct.pack("<H", 3))            # SampleFormat=float
+    entry(33550, 12, 3, struct.pack("<I", ext_off))   # ModelPixelScale
+    entry(33922, 12, 6, struct.pack("<I", ext_off + 24))  # ModelTiepoint
+
+    scale = struct.pack("<3d", 0.25, 0.5, 0.0)
+    # raster (0,0) pinned to world (10.0, 60.0)
+    tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, 10.0, 60.0, 0.0)
+
+    blob = (
+        b"II" + struct.pack("<HI", 42, ifd_off)
+        + pixels
+        + struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+        + scale + tiepoint
+    )
+    with open(path, "wb") as f:
+        f.write(blob)
+    return arr
+
+
+def test_geotiff_ingestion_end_to_end(spark, tmp_path):
+    """S6 smoke-proof: a real (baseline) GeoTIFF file on disk, read by
+    the engine's reader into long-form rows with world coordinates."""
+    import numpy as np
+
+    from data_pipelines_spark.sources.raster import read_geotiff, read_tiff_minimal
+
+    path = str(tmp_path / "tiny.tif")
+    arr = _write_tiny_geotiff(path)
+
+    raw, xs, ys = read_tiff_minimal(path)
+    assert np.allclose(raw, arr)
+    assert np.allclose(xs, 10.0 + np.arange(4) * 0.25)
+    assert np.allclose(ys, 60.0 - np.arange(3) * 0.5)
+
+    df = read_geotiff(spark, path, value_col="elev")
+    rows = {(r["y"], r["x"]): r["elev"] for r in df.collect()}
+    assert len(rows) == 12
+    assert rows[(60.0, 10.0)] == 0.0
+    assert rows[(60.0 - 0.5, 10.0 + 0.25)] == arr[1, 1]
+    assert rows[(59.0, 10.75)] == arr[2, 3]

@@ -230,3 +230,124 @@ def test_watermark_drops_late_rows(spark):
     # arrival (id 10) was dropped, not double-counted
     assert got.get(base) == 1
     assert got.get(base + dt.timedelta(hours=1)) == 1
+
+
+def test_stateful_sessionizer_under_rocksdb_provider(spark):
+    """The cross-batch state test again, but with the RocksDB state
+    store provider — the off-heap backend a large keyspace needs."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from data_pipelines_spark.streaming.stateful import sessionize_stream
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for user in (1, 2):
+        t = base + dt.timedelta(minutes=user)
+        for _burst in range(user):
+            for _ in range(2):
+                rows.append((eid, t, user)); eid += 1
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(minutes=45)
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+    tmp = tempfile.mkdtemp(prefix="dps_rocks_")
+    try:
+        ordered = ev.orderBy("ts").collect()
+        half = len(ordered) // 2
+        spark.createDataFrame(ordered[:half], ev.schema).coalesce(1).write.parquet(f"{tmp}/in/a")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName("rocks_test")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        spark.createDataFrame(ordered[half:], ev.schema).coalesce(1).write.parquet(f"{tmp}/in/b")
+        q.processAllAvailable()
+        final = spark.sql(
+            "SELECT user_id, max(session_cnt) AS session_cnt "
+            "FROM rocks_test GROUP BY user_id"
+        )
+        got = {r["user_id"]: r["session_cnt"] for r in final.collect()}
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert got == {1: 1, 2: 2}
+
+
+def test_event_time_timeout_expires_idle_state(spark):
+    """EventTimeTimeout: a key idle past the session gap (relative to
+    the watermark) emits its tally and frees its state — a returning
+    key then restarts from a fresh count instead of continuing."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from data_pipelines_spark.streaming.stateful import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long"
+    tmp = tempfile.mkdtemp(prefix="dps_timeout_")
+    try:
+        # batch 1: user 1 has a 2-event session at t0
+        b1 = [(0, base, 1), (1, base + dt.timedelta(minutes=5), 1)]
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{tmp}/in/a")
+        stream = (
+            spark.readStream.schema(
+                spark.createDataFrame([], schema).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        q = (
+            sessionize_stream(stream, expire_idle=True, watermark_delay="1 minute")
+            .writeStream.format("memory")
+            .queryName("timeout_test")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        # batch 2: only user 2, three hours later → watermark sails past
+        # user 1's expiry point; user 1's state times out and drops
+        b2 = [(2, base + dt.timedelta(hours=3), 2)]
+        spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{tmp}/in/b")
+        q.processAllAvailable()
+        # batch 3: user 1 returns — with state expired, the count
+        # restarts at 1 (NoTimeout behavior would report 2 sessions)
+        b3 = [(3, base + dt.timedelta(hours=3, minutes=5), 1)]
+        spark.createDataFrame(b3, schema).coalesce(1).write.parquet(f"{tmp}/in/c")
+        q.processAllAvailable()
+        hist = spark.sql(
+            "SELECT user_id, session_cnt FROM timeout_test"
+        ).collect()
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    by_user: dict[int, list[int]] = {}
+    for r in hist:
+        by_user.setdefault(r["user_id"], []).append(r["session_cnt"])
+    # user 1's final (post-return) emission is a fresh count of 1, and
+    # the pre-expiry emission of its first session is also present
+    assert by_user[1][-1] == 1 and 1 in by_user[1][:-1]
+    assert by_user[2] == [1]
