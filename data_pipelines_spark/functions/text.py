@@ -86,6 +86,83 @@ def lang_guess(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
 
 
+# PII patterns restricted to a regex dialect identical in Java (Spark)
+# and RE2/DuckDB: no backreferences, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+
+
+def email_count(text: Column) -> Column:
+    """Count of email-shaped substrings — the detection half of a PII
+    scrub stage (redaction = regexp_replace with the same pattern)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))
+    ).cast("long")
+
+
+def phone_count(text: Column) -> Column:
+    """Count of phone-number-shaped substrings (international-ish)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(PHONE_PATTERN), F.lit(0))
+    ).cast("long")
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email/phone matches with typed sentinels — the scrub
+    stage a training-data pipeline runs before tokenization."""
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line — the
+    Gopher-style repetition signal for boilerplate-heavy pages
+    (nav bars, cookie banners). 0.0 for single-line docs; native
+    split/array arithmetic, no shuffle."""
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    return F.when(n > 0, (n - n_distinct).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def top_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of the document's word-n-grams taken by the single most
+    frequent n-gram — high values flag templated/repetitive text
+    (the second Gopher repetition signal). Computed natively: build the
+    n-gram array, then aggregate a (gram → count) map and take its max.
+    Per-row state is one small map; no shuffle, no UDF."""
+    toks = tokens(F.lower(text))
+    cnt = F.size(toks)
+    # Guard: sequence(a, b) with b < a generates a DESCENDING sequence
+    # in Spark, so short docs need an explicit empty-array branch.
+    grams = F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = F.aggregate(
+        grams,
+        F.create_map().cast("map<string,int>"),
+        lambda acc, g: F.map_zip_with(
+            acc,
+            F.create_map(g, F.lit(1)),
+            lambda k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+        ),
+    )
+    top = F.array_max(F.map_values(counts))
+    total = F.size(grams)
+    return F.when(total > 0, top.cast("double") / total).otherwise(F.lit(0.0))
+
+
 def rolling_fingerprint(text: Column, modulus: int = 2_147_483_647) -> Column:
     """Polynomial rolling hash (base 31) over the document's bytes-as
     -codepoints — a deterministic document fingerprint computed natively

@@ -1,0 +1,150 @@
+"""Corpus-level operators for training-data curation: vocabulary
+statistics, deterministic stratified sampling (data mixing), and
+benchmark decontamination.
+
+All three are shuffle-minimal by construction:
+
+- vocabulary counts shuffle only (token, partial_count) pairs — the
+  classic map-side-combine wordcount, fine at any scale;
+- sampling is a pure narrow filter (hash predicate), no shuffle at all,
+  reproducible across runs and engines;
+- decontamination broadcasts the benchmark n-gram set (benchmarks are
+  dimension-sized: thousands of questions, not terabytes) and
+  semi-joins the exploded document n-grams against it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.functions.text import tokens
+
+
+def vocabulary_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus token-frequency table: (token, token_cnt, doc_cnt, rank).
+
+    Explode → groupBy(token) with map-side partial aggregation; rank by
+    descending frequency with a deterministic tie-break. ``top_k``
+    bounds the output via TakeOrdered (no global sort materialization).
+    The Zipf head this produces drives tokenizer-vocabulary and
+    stopword decisions in a corpus pipeline.
+    """
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("token_cnt"),
+        F.countDistinct("doc_id").alias("doc_cnt"),
+    )
+    ordered = counts.orderBy(F.desc("token_cnt"), F.asc("token"))
+    if top_k is not None:
+        ordered = ordered.limit(top_k)
+    from pyspark.sql import Window
+
+    # rank AFTER the limit so the window only sorts top_k rows
+    w = Window.orderBy(F.desc("token_cnt"), F.asc("token"))
+    return ordered.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def hash_fraction(id_col: Column, salt: str = "sample") -> Column:
+    """Uniform [0,1) value derived from a row id — the deterministic
+    coin every sampling decision flips. Same id + salt → same value on
+    any run, any engine, any partitioning."""
+    return (
+        F.pmod(F.xxhash64(id_col.cast("string"), F.lit(salt)), F.lit(1_000_000))
+        / 1_000_000.0
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing stage of a
+    training pipeline ("keep 30% of crawl, 100% of books, ...").
+
+    Hash-based, not random(): reproducible across runs and resumable
+    (a re-run keeps exactly the same rows), and a pure narrow filter —
+    no shuffle, no state, pushes through whatever partitioning the
+    input has. Rates are a {stratum: fraction} mapping; unlisted
+    strata get ``default_rate``.
+    """
+    rate = None
+    for value, r in sorted(rates.items()):
+        cond = F.col(strata_col) == value
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(
+            cond, F.lit(float(r))
+        )
+    rate_col = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    return docs.where(hash_fraction(F.col(id_col), salt) < rate_col)
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    toks = tokens(F.lower(text))
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Flag documents that contain any benchmark n-gram — the
+    decontamination stage that keeps eval questions out of training
+    data (the n-gram-overlap rule used by most LLM data stacks).
+
+    Scale shape: the benchmark side is dimension-sized, so its distinct
+    n-grams are broadcast; document n-grams are exploded and
+    inner-joined (broadcast hash join), then re-aggregated per doc.
+    Output: (doc_id, matched_ngrams) for contaminated docs only —
+    anti-join it back to drop them.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_ngrams(F.col(bench_text_col), ngram_n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col("doc_id"),
+        F.explode(_word_ngrams(F.col(text_col), ngram_n)).alias("gram"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("matched_ngrams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Docs with every benchmark-overlapping document removed."""
+    flagged = contamination_check(docs, benchmark, text_col, ngram_n=ngram_n)
+    return docs.join(flagged, "doc_id", "left_anti")

@@ -97,8 +97,13 @@ def text_stats(spark, sf_dir):
 
 def _doc_profile_sql() -> str:
     """Combined oracle for the per-document profile: quality score,
-    rolling-hash fingerprint, and stopword-profile language guess."""
-    from data_pipelines_spark.functions.text import LANG_STOPWORDS
+    rolling-hash fingerprint, stopword-profile language guess, PII
+    counts, and repetition signals."""
+    from data_pipelines_spark.functions.text import (
+        EMAIL_PATTERN,
+        LANG_STOPWORDS,
+        PHONE_PATTERN,
+    )
 
     hit_cols = []
     for code, words in sorted(LANG_STOPWORDS.items()):
@@ -128,10 +133,41 @@ def _doc_profile_sql() -> str:
                                       c -> CAST(ascii(c) AS BIGINT))),
                    (acc, x) -> (acc * 31 + x) % 2147483647
                ) AS fingerprint,
+               CAST(len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PHONE_PATTERN}')) AS BIGINT)
+                   AS n_phones,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          l -> trim(l)),
+                           l -> length(l) > 0) AS lines,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE string_split_regex(trim(lower(text)), '\s+')
+               END AS toks,
                {hits_sql}
         FROM documents
+    ),
+    rep AS (
+        SELECT doc_id,
+               CASE WHEN len(lines) > 0
+                    THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                         / len(lines)
+                    ELSE 0.0 END AS dup_line_frac_raw,
+               CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+               ELSE [] END AS grams
+        FROM base
+    ),
+    rep2 AS (
+        SELECT doc_id, dup_line_frac_raw,
+               CASE WHEN len(grams) > 0
+                    THEN CAST(list_max(list_transform(list_distinct(grams),
+                             g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
+                         / len(grams)
+                    ELSE 0.0 END AS top_bigram_frac_raw
+        FROM rep
     )
-    SELECT doc_id,
+    SELECT base.doc_id,
            ROUND((
                least(n_chars / 500.0, CAST(1.0 AS DOUBLE))
                + CASE WHEN n_tok > 0
@@ -147,8 +183,12 @@ def _doc_profile_sql() -> str:
            labeled_lang,
            CASE WHEN greatest({best}) = 0 THEN 'und'
                 {case}
-                ELSE '{codes_desc[-1]}' END AS guessed_lang
-    FROM base
+                ELSE '{codes_desc[-1]}' END AS guessed_lang,
+           n_emails,
+           n_phones,
+           ROUND(dup_line_frac_raw, 6) AS dup_line_frac,
+           ROUND(top_bigram_frac_raw, 6) AS top_bigram_frac
+    FROM base JOIN rep2 ON base.doc_id = rep2.doc_id
     """
 
 
@@ -157,13 +197,23 @@ def doc_profile(spark, sf_dir):
     """Per-document profile in one pass: heuristic quality score
     (length / token-shape / punctuation terms), polynomial rolling-hash
     fingerprint (base 31 mod 2^31-1, native aggregate() over the char
-    array), and stopword-profile language ID next to the labeled lang
+    array), stopword-profile language ID next to the labeled lang
     column (tie-break: most hits wins; equal hits → lexicographically
-    larger code, mirrored by the descending CASE chain in the oracle).
-    Merges the former doc_quality_scores / doc_fingerprints /
-    lang_guess_docs queries so the driver sweep covers every registry
-    entry; each column remains individually oracle-checked."""
-    from data_pipelines_spark.functions.text import lang_guess
+    larger code, mirrored by the descending CASE chain in the oracle),
+    PII detection counts (email/phone regex, RE2-compatible dialect),
+    and Gopher-style repetition signals (duplicate-line fraction,
+    top-bigram fraction). Merges the former doc_quality_scores /
+    doc_fingerprints / lang_guess_docs queries so the driver sweep
+    covers every registry entry; each column remains individually
+    oracle-checked. One narrow projection — every signal is a native
+    expression over the row, no shuffle."""
+    from data_pipelines_spark.functions.text import (
+        duplicate_line_fraction,
+        email_count,
+        lang_guess,
+        phone_count,
+        top_ngram_fraction,
+    )
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -173,6 +223,10 @@ def doc_profile(spark, sf_dir):
         rolling_fingerprint(F.col("text")).alias("fingerprint"),
         F.col("lang").alias("labeled_lang"),
         lang_guess(F.col("text")).alias("guessed_lang"),
+        email_count(F.col("text")).alias("n_emails"),
+        phone_count(F.col("text")).alias("n_phones"),
+        F.round(duplicate_line_fraction(F.col("text")), 6).alias("dup_line_frac"),
+        F.round(top_ngram_fraction(F.col("text"), 2), 6).alias("top_bigram_frac"),
     )
 
 

@@ -1,0 +1,116 @@
+"""Corpus-curation operators: vocabulary, stratified sampling,
+decontamination, PII, repetition signals."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.functions.text import (
+    duplicate_line_fraction,
+    email_count,
+    phone_count,
+    redact_pii,
+    top_ngram_fraction,
+)
+from data_pipelines_spark.operators.corpus import (
+    contamination_check,
+    decontaminate,
+    stratified_sample,
+    vocabulary_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_vocabulary_stats_counts_and_rank(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a", "the cat sat"),
+            (2, "a", "the dog sat on the mat"),
+            (3, "b", "cat"),
+        ],
+    )
+    out = {r["token"]: (r["token_cnt"], r["doc_cnt"], r["rank"]) for r in
+           vocabulary_stats(docs).collect()}
+    assert out["the"] == (3, 2, 1)        # 3 occurrences across 2 docs
+    assert out["cat"][0] == 2 and out["cat"][1] == 2
+    assert out["sat"][0] == 2
+    top2 = vocabulary_stats(docs, top_k=2).collect()
+    assert [r["token"] for r in top2] == ["the", "cat"]  # tie: cat < sat
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    docs = _docs(spark, [(i, "crawl" if i % 2 else "books", f"doc {i}")
+                         for i in range(2000)])
+    out = stratified_sample(docs, {"books": 1.0, "crawl": 0.25})
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b                                   # reproducible
+    books = [i for i in a if i % 2 == 0]
+    crawl = [i for i in a if i % 2 == 1]
+    assert len(books) == 1000                       # rate 1.0 keeps all
+    assert 150 <= len(crawl) <= 350                 # ~25% of 1000
+    # unlisted strata default to dropped
+    extra = _docs(spark, [(9999, "forum", "x")])
+    assert stratified_sample(extra, {"books": 1.0}).count() == 0
+
+
+def test_contamination_check_and_decontaminate(spark):
+    bench = spark.createDataFrame(
+        [(1, "what is the capital of france paris is the answer",)],
+        "qid long, text string",
+    )
+    leak = "trivia: what is the capital of france paris is the answer ok"
+    docs = _docs(
+        spark,
+        [
+            (1, "a", leak),                          # contains the 8-gram
+            (2, "a", "an innocent document about cats and dogs playing"),
+        ],
+    )
+    flagged = contamination_check(docs, bench, ngram_n=8).collect()
+    assert [r["doc_id"] for r in flagged] == [1]
+    assert flagged[0]["matched_ngrams"] >= 1
+    clean = decontaminate(docs, bench, ngram_n=8)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@site.org or call 555-123-4567 today")],
+        "doc_id long, text string",
+    )
+    row = df.select(
+        email_count(F.col("text")).alias("e"),
+        phone_count(F.col("text")).alias("p"),
+        redact_pii(F.col("text")).alias("r"),
+    ).first()
+    assert row["e"] == 1 and row["p"] == 1
+    assert "<EMAIL>" in row["r"] and "<PHONE>" in row["r"]
+    assert "site.org" not in row["r"] and "4567" not in row["r"]
+
+
+def test_repetition_signals(spark):
+    boiler = "menu\nhome\nmenu\nhome\nmenu"       # 3 of 5 lines repeat
+    clean = "a\nb\nc"
+    spammy = "buy now buy now buy now buy now"     # top bigram dominates
+    df = spark.createDataFrame(
+        [(1, boiler), (2, clean), (3, spammy), (4, ""), (5, "one")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dl"], r["tb"])
+        for r in df.select(
+            "doc_id",
+            F.round(duplicate_line_fraction(F.col("text")), 4).alias("dl"),
+            F.round(top_ngram_fraction(F.col("text"), 2), 4).alias("tb"),
+        ).collect()
+    }
+    assert out[1][0] == 0.6                        # 3/5 duplicate lines
+    assert out[2][0] == 0.0
+    # "buy now"*4 + "now buy"*3 over 7 bigrams → 4/7
+    assert abs(out[3][1] - 4 / 7) < 1e-3
+    assert out[4] == (0.0, 0.0) and out[5] == (0.0, 0.0)
