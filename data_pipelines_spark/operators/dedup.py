@@ -74,18 +74,14 @@ def exact_duplicates(
     )
 
 
-def _shingle_hash32(s, portable: bool):
-    """32-bit shingle hash.
-
-    Fast path: xxhash64 (JVM intrinsic) folded to 32 bits. Portable
-    path: first 8 hex chars of md5 — reproducible in any engine (the
-    DuckDB oracle recomputes it), at ~2-3x the cost.
-    """
-    if portable:
-        return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8), 16, 10).cast(
-            "long"
-        )
-    return F.pmod(F.xxhash64(s), F.lit(4_294_967_296))
+def _shingle_hash32(s):
+    """Portable 32-bit shingle hash: first 8 hex chars of md5 —
+    reproducible in any engine (the DuckDB oracle recomputes it). The
+    fast path doesn't use this; it takes raw xxhash64 inside
+    :func:`minhash_signatures`'s one-permutation formulation."""
+    return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8), 16, 10).cast(
+        "long"
+    )
 
 
 def minhash_signatures(
@@ -129,7 +125,7 @@ def minhash_signatures(
         # plain aggregate expressions — the same arithmetic the oracle
         # restates, inside whole-stage codegen.
         hashed = ex.select(
-            F.col(id_col), _shingle_hash32(F.col("__sh"), portable).alias("x")
+            F.col(id_col), _shingle_hash32(F.col("__sh")).alias("x")
         )
         mins = hashed.groupBy(id_col).agg(
             *[

@@ -73,7 +73,14 @@ detailed AS (
 
 
 def _forecast_inputs(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
+    from data_pipelines_spark.plans.parallelism import spread
+
+    # The driver's tables are single-file / single-row-group parquet, so
+    # the scan stage (and everything Spark fuses into it: the broadcast
+    # threshold join, exceedance flags, partial aggregation) would run
+    # on ONE core. spread() repartitions only when the input is narrower
+    # than the cluster — a no-op on a real many-file table.
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     part = load_table(spark, sf_dir, "part")
     issued = F.to_date(F.lit(ISSUED))
     forecast = li.select(
