@@ -7,28 +7,74 @@ the cluster's parallelism — at real scale (inputs already wide) it is
 a no-op, never a coalesce. Measured effects: minhash signatures 12s →
 <1s core-time, spatial exact test similar.
 
+Reserve `spread` for stages whose per-row cost dwarfs one exchange
+(Python UDF paths, interpreted higher-order functions). Pure-JVM
+codegen dataflows should NOT spread: the forced round-robin exchange
+of the raw input costs more than the serial partial-agg it parallels
+(measured on the flood pair, driver bench r02: 3.1 s → 6.5 s).
+
 Width is estimated WITHOUT converting the plan to an RDD
 (`df.rdd.getNumPartitions()` compiles the physical plan to RDD on
-every call — wasteful inside hot operators). Instead we count the
-leaf scan files (`df.inputFiles()`, metadata-only): a 100 TB table is
-thousands of files so the guard no-ops; a one-file local fixture or an
-in-memory frame reads as narrow and gets spread. Callers that know
-their width can pass ``width_hint`` to skip even that lookup.
+every call — wasteful inside hot operators). The estimate counts leaf
+scan files (`df.inputFiles()`, metadata-only) AND, for local files,
+their total size against `spark.sql.files.maxPartitionBytes`: Spark
+splits large files into ~maxPartitionBytes scan tasks, so a 10 GB
+single-file table is ~80 splits wide, not 1 — treating it as narrow
+would force a full-table shuffle. Non-file sources (in-memory frames,
+computed intermediates we cannot size) are left untouched: forcing a
+shuffle on an unsized input is exactly the scale hazard this guard
+exists to avoid. Callers that know their width pass ``width_hint``.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _max_partition_bytes(spark) -> int:
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(_DEFAULT_MAX_PARTITION_BYTES)
+    )
+    digits = "".join(ch for ch in str(raw) if ch.isdigit())
+    return int(digits) if digits else _DEFAULT_MAX_PARTITION_BYTES
+
+
+def estimate_scan_width(df: DataFrame) -> int | None:
+    """Estimated number of scan splits for ``df``'s leaf files.
+
+    Returns ``None`` when the width cannot be determined (non-file
+    source, or files we cannot stat) — callers should treat unknown as
+    "leave the plan alone".
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total_bytes = 0
+    for f in files:
+        path = f[7:] if f.startswith("file:") and f[5:7] == "//" else (
+            f[5:] if f.startswith("file:") else f
+        )
+        try:
+            total_bytes += os.path.getsize(path)
+        except OSError:
+            # Remote / non-local scheme: can't stat cheaply. At real
+            # scale such tables are many files, so file count alone is
+            # an adequate lower bound.
+            return len(files)
+    max_bytes = _max_partition_bytes(df.sparkSession)
+    return max(len(files), -(-total_bytes // max_bytes))
 
 
 def spread(df: DataFrame, width_hint: int | None = None) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
-    width = width_hint
-    if width is None:
-        try:
-            width = len(df.inputFiles())
-        except Exception:
-            width = 0  # non-file source: assume narrow, spread it
-    if width >= target:
+    width = width_hint if width_hint is not None else estimate_scan_width(df)
+    if width is None or width >= target:
         return df
     return df.repartition(target)

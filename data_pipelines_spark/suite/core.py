@@ -73,14 +73,16 @@ detailed AS (
 
 
 def _forecast_inputs(spark, sf_dir):
-    from data_pipelines_spark.plans.parallelism import spread
-
-    # The driver's tables are single-file / single-row-group parquet, so
-    # the scan stage (and everything Spark fuses into it: the broadcast
-    # threshold join, exceedance flags, partial aggregation) would run
-    # on ONE core. spread() repartitions only when the input is narrower
-    # than the cluster — a no-op on a real many-file table.
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    # No spread() here, deliberately. The flood dataflow is pure JVM
+    # codegen (broadcast join + conditional flags + partial agg fused
+    # into the scan stage): even when the local fixture scans as ONE
+    # partition, the serialized work is cheap per row, and forcing a
+    # round-robin exchange of the whole fact table costs more than the
+    # parallelism it buys (driver bench r02: 3.14 s -> 6.49 s). spread()
+    # stays reserved for Python/CPU-bound stages (minhash, spatial exact
+    # test) where per-row work dwarfs one exchange. At real scale the
+    # scan is many-split and this question disappears entirely.
+    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     issued = F.to_date(F.lit(ISSUED))
     forecast = li.select(
