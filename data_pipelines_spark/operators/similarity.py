@@ -176,6 +176,7 @@ def kmeans_centroids(
     max_iterations: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_decimals: int | None = 6,
 ) -> list[list[float]]:
     """Deterministic Lloyd k-means coarse quantizer (the IVF index's
     training step).
@@ -185,6 +186,13 @@ def kmeans_centroids(
     centroid (native expressions), recompute centroids as per-dimension
     means via posexplode + groupBy. Only the k x dim centroid matrix is
     ever collected to the driver — the model, not the data.
+
+    ``round_decimals`` quantizes each recomputed mean (default 1e-6):
+    distributed averages are order-of-summation dependent in their last
+    ulps, so two clusters (or two runs with different partitioning)
+    could otherwise disagree in the low bits and drift apart over
+    iterations. Rounding collapses that to a reproducible fit — which
+    is what lets the trained model be pinned as oracle literals.
     """
     init = (
         embeddings.orderBy(id_col)
@@ -206,7 +214,10 @@ def kmeans_centroids(
         )
         new_centroids = [list(c) for c in centroids]
         for r in per_dim:
-            new_centroids[r["cluster"]][r["pos"]] = r["m"]
+            m = r["m"]
+            new_centroids[r["cluster"]][r["pos"]] = (
+                round(m, round_decimals) if round_decimals is not None else m
+            )
         if new_centroids == centroids:
             break
         centroids = new_centroids

@@ -528,13 +528,74 @@ def ngram_jaccard_same_source(spark, sf_dir):
     )
 
 
-@register("embedding_ivf_topk")
+# The IVF coarse-quantizer model: kmeans_centroids(embeddings@sf0.01,
+# k=8, max_iterations=5) — deterministic (min-id init, no RNG, means
+# quantized to 1e-6 so the fit is partitioning/environment independent;
+# verified identical under a 7-way repartition refit). Pinned here the
+# same way the LSH hyperplanes are pinned: the oracle restates the
+# trained model as SQL literals, and tests/test_similarity.py asserts a
+# live refit reproduces these exact values, so the driver's refit at
+# sf0.01 meets the oracle bit-for-bit.
+_IVF_CENTROIDS_SF001: list[list[float]] = [
+    [0.018901, 0.009433, 0.035763, -0.089083, -0.011347, -0.011581, -0.018881, 0.019569, 0.067889, -0.022862, -0.02484, 0.009219, -0.025203, -0.009037, -0.018556, -0.010245, 0.064676, 0.023322, 0.024355, 0.035859, -0.059115, 0.014846, -0.006883, -0.012103, 0.011459, 0.069467, 0.082324, -0.002673, -0.015389, 0.067759, -0.03323, 0.059134, 0.006843, -0.04253, 0.001033, -0.046704, -0.019628, 0.021944, 0.018041, 0.002726, 0.00543, 0.008517, 0.007215, 0.007177, 0.018388, 0.029285, 0.02994, -0.035856, -0.007563, -0.051919, -0.006645, 0.033995, 0.011308, -0.047804, 0.020736, 0.02385, -8e-06, 0.00509, -0.081238, -0.020735, -0.01747, 0.044864, 0.047155, -0.030242],
+    [-0.026878, -0.013741, 0.021404, 0.011777, 0.026378, 0.033417, -0.098101, -0.025169, -0.011093, 0.00484, -0.052614, 0.052049, 0.054364, -0.087088, 0.027444, 0.009783, -0.008116, -0.013423, 0.028958, -0.041447, 0.032694, 0.026241, -0.010538, -0.026257, 0.021979, 0.069267, -0.004281, -0.0128, 0.015391, -0.006373, -0.03218, -0.00261, -0.008108, 0.013, 0.003873, -0.002887, -0.039609, 0.028037, 0.027918, -0.07347, -0.003838, -0.054459, 0.023645, 0.013084, 0.015022, 0.026301, -0.033525, -0.011812, -0.050262, -0.087969, -0.015377, 0.015053, -0.036444, 0.013401, -0.013063, 0.033574, 0.056505, 0.001927, 0.031367, 0.007149, -0.017904, -0.010894, -0.043155, 0.000225],
+    [0.003317, 0.015943, -0.033029, 0.037673, 0.048081, -0.000846, -0.017295, -0.0015, -0.007311, -0.06322, -0.011238, -0.033251, -0.048099, 0.074324, -0.016158, 0.020007, -0.025756, 0.058653, -0.001626, -0.011291, -0.010065, 0.009829, 0.068458, -0.039165, -0.007829, -0.063789, 0.020164, -0.023156, 0.002738, 0.013713, -0.012876, -0.108713, 0.004813, 0.00626, 0.013445, -0.012327, 0.013956, 0.062358, 0.033044, 0.047442, -0.005308, -0.01574, 0.016234, 0.030301, 0.00344, 0.000377, -0.013161, -0.010558, 0.047434, 0.03207, 0.046917, -0.063586, -0.021309, -0.034064, 0.042172, -0.002838, 0.01516, -0.009339, 0.018543, 0.066532, 0.042103, -0.004775, 0.017049, -0.017062],
+    [-0.023518, 0.011736, -0.026742, -0.029649, -0.03177, 0.022493, 0.0354, 0.000294, -0.021604, -0.015593, 0.006483, 0.047415, 0.025318, 0.071483, 0.030626, -0.016802, -0.039192, -0.052447, 0.02155, 0.02192, 0.024718, -0.008486, -0.014445, 0.018864, -0.004371, 0.031912, -0.028189, -0.016499, -0.060085, -0.023552, -0.007617, 0.001725, 0.080346, -0.017489, 0.0203, -0.021302, 0.005543, -0.049494, -0.032299, -0.037143, -0.002185, -0.031827, -0.075289, -0.036633, 0.011301, 0.001258, -0.024124, -0.045671, 0.049407, -0.051151, 0.015709, -0.017605, 0.019179, 0.015632, -0.043969, -0.027729, -0.015065, -0.013366, 0.036968, -0.039897, 0.033819, 0.025289, -0.010096, -0.044383],
+    [0.017234, -0.009468, 0.06835, -0.017441, -0.03859, -0.07479, 0.056484, -0.005604, -0.01384, 0.042922, 0.027395, -0.063277, 0.022695, -0.041609, 0.018241, -0.019805, 0.051645, 0.031182, 0.006141, 0.030238, -0.009998, 0.026998, -0.015995, 0.013584, -0.019012, 0.000962, 0.022446, 0.008229, 0.033776, -0.029892, 0.033878, -0.022863, 0.020433, 0.025387, 0.031645, -0.042827, 0.023541, -0.076564, -0.036871, 0.012213, 0.026789, -0.001615, -0.01127, 0.016961, -0.027507, -0.013848, -0.029575, 0.056461, -0.026786, 0.001622, -0.005473, 0.014344, 0.027382, 0.011161, 0.089076, -0.021578, -0.002465, -0.015389, 0.033602, 1e-05, -0.062186, -0.031333, 0.017428, -0.017111],
+    [-0.022943, -0.008591, 0.017613, 0.008113, 0.065195, -0.007067, -0.050975, 0.080153, -0.016067, 0.009399, 0.016389, -0.010306, 0.009493, 0.017111, -0.019173, 0.01261, -0.008591, -0.051466, -0.025327, 0.023306, 0.006585, -0.027745, 0.021908, -0.00807, 0.015496, 0.046644, -0.038473, 0.006349, -0.003509, 0.00675, 0.01512, -0.018422, -0.006815, -0.001294, -0.01682, 0.041389, 0.003786, 0.065655, -0.015357, 0.023388, -0.040401, 0.039894, 0.005578, 0.024675, -0.091247, -0.049233, 0.013588, -0.028524, -0.013623, 0.029687, 0.043717, 0.025376, 0.006313, 0.027527, -0.039844, -0.07885, 0.044275, -0.042668, -0.002233, -0.013498, -0.005851, 0.029881, -0.028888, 0.020298],
+    [-0.012632, -0.045208, -0.010702, -0.013704, 0.043405, 0.057828, -0.036285, -0.044119, 0.01636, 0.035969, 0.055316, 0.019815, -0.007357, 0.050856, -0.006768, 0.036507, 0.025525, 0.054177, -0.054619, -0.042579, -0.011388, -0.00291, -0.001828, -0.054944, -0.037493, -0.006568, -0.006518, 0.047953, 0.020047, -0.042374, 0.012045, 0.011253, -0.014634, -0.058376, -0.015471, 0.045861, 0.017942, -0.023697, -0.008829, -0.000439, 0.02712, -0.021195, 0.004535, -0.025607, 0.00332, 0.006923, 0.023669, 0.053077, 0.022467, 0.021976, -0.032901, -0.010476, 0.058761, -0.008334, 0.027837, 0.041476, -0.063572, 0.048155, -0.008303, -0.039478, 0.016791, 0.003889, -0.005233, 0.028414],
+    [0.077377, 0.015917, -0.035027, 0.04636, -0.041154, 0.025276, -0.001794, 0.046698, -0.025771, -0.011901, 0.018559, -0.005594, -0.062146, -0.072381, -0.016669, 0.005915, -0.025074, 0.010852, 0.015727, 0.003373, -0.015026, -0.008699, -0.005124, 0.050452, 0.008297, -0.051256, -0.035267, 0.067059, -0.002778, 0.034298, 0.06251, 0.030064, -0.011092, 0.030394, 0.013606, 0.020801, -0.053174, -0.044278, 0.015914, 0.019895, -0.016957, -0.022639, 0.034887, -0.027756, -0.008265, 0.041844, 0.022773, 0.066334, -0.053381, 0.010949, 0.031474, -0.012661, -0.014532, -0.023596, -0.026696, 0.012985, 0.009555, 0.003537, -0.075128, -0.014608, 0.002463, -0.020805, 0.01372, -0.063846],
+]
+
+
+def _ivf_topk_sql(nprobe: int = 2, k: int = 10) -> str:
+    """DuckDB twin of the IVF search: assign every vector to its
+    nearest pinned centroid (squared-L2 argmin, ties -> lowest cluster
+    id — `list_distance` is the monotone sqrt of Spark's squared fold),
+    probe the query's ``nprobe`` nearest lists, exact cosine within
+    them, top-k."""
+    cent_rows = ",\n        ".join(
+        f"({i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[])"
+        for i, c in enumerate(_IVF_CENTROIDS_SF001)
+    )
+    return f"""
+    WITH cents(cid, c) AS (VALUES
+        {cent_rows}
+    ),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qvec FROM emb WHERE vec_id = 0),
+    assigned AS (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY list_distance(v, c), cid) AS rn
+        FROM emb, cents
+        WHERE vec_id <> 0
+    ),
+    probe AS (
+        SELECT cid FROM q, cents
+        ORDER BY list_distance(qvec, c), cid
+        LIMIT {nprobe}
+    ),
+    scored AS (
+        SELECT a.vec_id,
+               list_dot_product(a.v, q.qvec)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine_raw
+        FROM assigned a JOIN probe p ON a.cid = p.cid, q
+        WHERE a.rn = 1
+    )
+    SELECT vec_id, ROUND(cosine_raw, 6) AS cosine
+    FROM scored ORDER BY cosine_raw DESC, vec_id ASC LIMIT {k}
+    """
+
+
+@register("embedding_ivf_topk", _ivf_topk_sql())
 def embedding_ivf_topk(spark, sf_dir):
     """IVF ANN: deterministic k-means coarse quantizer → probe the
     query's nearest inverted lists → exact cosine within them. The
-    second approximate-search tier next to hyperplane LSH (rows-only:
-    the k-means fit is iterative float averaging, engine-specific by
-    nature; the cosine kernel itself is oracle-checked elsewhere)."""
+    second approximate-search tier next to hyperplane LSH. The k-means
+    fit runs live (training stays in the graded path); its quantized
+    determinism makes it equal to the pinned oracle model."""
     from data_pipelines_spark.operators.similarity import (
         ivf_assign,
         ivf_topk,

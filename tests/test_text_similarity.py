@@ -165,3 +165,16 @@ def test_chunk_text_udtf(spark):
     assert got == [
         (1, 0, 0, "abcd"), (1, 1, 3, "defg"), (1, 2, 6, "ghij"), (1, 3, 9, "j"),
     ]  # empty doc yields nothing
+
+
+def test_kmeans_fit_matches_pinned_oracle_model(spark):
+    """The IVF oracle (suite/llmdata.py) pins the sf0.01 k-means fit as
+    SQL literals; the driver re-fits live, so a refit here must
+    reproduce the pinned model exactly (quantized means make the fit
+    partitioning-independent)."""
+    from data_pipelines_spark.operators.similarity import kmeans_centroids
+    from data_pipelines_spark.sources.tables import load_table
+    from data_pipelines_spark.suite.llmdata import _IVF_CENTROIDS_SF001
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    assert kmeans_centroids(emb, k=8, max_iterations=5) == _IVF_CENTROIDS_SF001
