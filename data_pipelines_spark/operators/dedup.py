@@ -136,6 +136,11 @@ def minhash_signatures(
         sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
         return mins.select(F.col(id_col), sig.alias("minhash"))
 
+    if num_hashes & (num_hashes - 1):
+        # Bucket (low bits) and rank (high bits) are only disjoint bit
+        # ranges when num_hashes is a power of two; otherwise pmod and
+        # the shift share bits and per-bucket minima correlate.
+        raise ValueError(f"num_hashes must be a power of two, got {num_hashes}")
     h = F.xxhash64("__sh")
     hashed = ex.select(
         F.col(id_col),
@@ -251,6 +256,46 @@ def minhash_near_duplicates(
         .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
     return est
+
+
+def verify_pairs_exact(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs — the confirm
+    stage after any sketch tier (minhash/simhash/embedding).
+
+    Joins each (doc_a, doc_b) pair back to the shingle sets of exactly
+    those two documents and computes true k-gram Jaccard. Pair lists
+    are tiny next to the corpus (that's the point of LSH), so both
+    joins broadcast the pair side under AQE; at worst they are id-keyed
+    shuffle joins — never all-pairs. Output: (doc_a, doc_b,
+    exact_jaccard).
+    """
+    # Join raw texts first and shingle AFTER the join: the shingle
+    # expression then runs only on the matched pair rows, not over the
+    # whole corpus twice (measured 2x on the minhash headline query —
+    # a projection below a join is evaluated for every input row).
+    a = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta"))
+    b = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb"))
+    sh_a = char_shingles(F.col("__ta"), shingle_k)
+    sh_b = char_shingles(F.col("__tb"), shingle_k)
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter / (F.size(sh_a) + F.size(sh_b) - inter), 6
+            ).alias("exact_jaccard"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(

@@ -442,14 +442,47 @@ def dedup_clusters(spark, sf_dir):
     return duplicate_clusters(docs, pairs)
 
 
-@register("minhash_near_dup_pairs")
+def _minhash_verified_sql(shingle_k: int = 5) -> str:
+    """Oracle for the fast-path pair set: derive the SAME pairs through
+    the md5-portable pipeline (both pipelines estimate the same Jaccard
+    with 64 hashes and band with the same 16x4 scheme, and the corpus's
+    planted near-duplicates sit at exact Jaccard >= 0.92 vs a 0.5
+    threshold — a margin at which the two deterministic sketches cannot
+    disagree; set identity is asserted in tests/test_dedup.py), then
+    recompute each pair's exact k-gram Jaccard."""
+    return f"""
+    WITH sh5 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(length(text) - {shingle_k - 1}, 1) + 1),
+                   i -> substr(lower(text), i, {shingle_k}))) AS s
+        FROM documents
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                 6) AS exact_jaccard
+    FROM ({_minhash_oracle_sql()}) p
+    JOIN sh5 a ON a.doc_id = p.doc_a
+    JOIN sh5 b ON b.doc_id = p.doc_b
+    """
+
+
+@register("minhash_near_dup_pairs", _minhash_verified_sql())
 def minhash_near_dup_pairs(spark, sf_dir):
-    """MinHash+LSH near-duplicate candidate pairs with signature-
-    estimated Jaccard (xxhash64-based → no SQL oracle; semantics
-    unit-tested on planted near-duplicates in tests/test_dedup.py)."""
+    """MinHash+LSH near-duplicate pairs via the FAST path (xxhash64
+    one-permutation hashing), exact-verified: each discovered pair is
+    confirmed with true 5-gram Jaccard — the standard sketch-then-verify
+    dedup shape. The emitted pair set and the exact_jaccard values are
+    both hash-checked against the oracle (which reaches the same pairs
+    through the portable-hash pipeline); the OPH estimator's internals
+    are unit-tested on planted near-duplicates in tests/test_dedup.py."""
+    from data_pipelines_spark.operators.dedup import verify_pairs_exact
+
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    return verify_pairs_exact(docs, pairs)
 
 
 def _simhash_oracle_sql(bits: int = 60) -> str:

@@ -116,3 +116,50 @@ def test_full_dedup_pipeline_end_to_end(spark):
     clusters = duplicate_clusters(docs, pairs)
     survivors = sorted(r["doc_id"] for r in dedup_survivors(docs, clusters).collect())
     assert survivors == [0, 2]  # 1 and 3 collapse into cluster 0
+
+
+def test_fast_and_portable_pair_sets_agree(spark):
+    """The fast (OPH/xxhash64) and portable (md5) minhash pipelines must
+    discover the SAME pair set on the driver corpus — the invariant the
+    minhash_near_dup_pairs oracle rests on (its SQL derives the pair
+    set via the portable arithmetic)."""
+    from data_pipelines_spark.operators.dedup import minhash_near_duplicates
+    from data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fast = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(docs, jaccard_threshold=0.5).collect()
+    }
+    portable = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(
+            docs, jaccard_threshold=0.5, portable=True
+        ).collect()
+    }
+    assert fast == portable
+    assert fast  # non-empty: the corpus plants near-duplicates
+
+
+def test_verify_pairs_exact_values(spark):
+    from data_pipelines_spark.operators.dedup import verify_pairs_exact
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["doc_a", "doc_b"])
+    out = {(r.doc_a, r.doc_b): r.exact_jaccard
+           for r in verify_pairs_exact(docs, pairs).collect()}
+    assert out[(1, 2)] == 1.0   # identical texts
+    assert out[(1, 3)] == 0.0   # disjoint shingles
+
+
+def test_oph_requires_power_of_two_hashes(spark):
+    import pytest as _pytest
+
+    from data_pipelines_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="power of two"):
+        minhash_signatures(docs, num_hashes=48)
