@@ -42,20 +42,47 @@ def vocabulary_stats(
         F.count(F.lit(1)).alias("token_cnt"),
         F.countDistinct("doc_id").alias("doc_cnt"),
     )
-    ordered = counts.orderBy(F.desc("token_cnt"), F.asc("token"))
+    order = [F.desc("token_cnt"), F.asc("token")]
     if top_k is not None:
-        ordered = ordered.limit(top_k)
-    from pyspark.sql import Window
+        # TakeOrdered head, then rank only the top_k rows — the single-
+        # partition window touches a bounded head, never the corpus.
+        from pyspark.sql import Window
 
-    # rank AFTER the limit so the window only sorts top_k rows
-    w = Window.orderBy(F.desc("token_cnt"), F.asc("token"))
-    return ordered.withColumn("rank", F.row_number().over(w).cast("long"))
+        head = counts.orderBy(*order).limit(top_k)
+        w = Window.orderBy(*order)
+        return head.withColumn("rank", F.row_number().over(w).cast("long"))
+
+    # Unbounded output: two-phase distributed rank — a full-vocabulary
+    # Window.orderBy would funnel tens of millions of tokens through
+    # one task at corpus scale.
+    from data_pipelines_spark.plans.windows import global_rank
+
+    return global_rank(counts, order)
 
 
-def hash_fraction(id_col: Column, salt: str = "sample") -> Column:
+def hash_fraction(
+    id_col: Column, salt: str = "sample", portable: bool = False
+) -> Column:
     """Uniform [0,1) value derived from a row id — the deterministic
     coin every sampling decision flips. Same id + salt → same value on
-    any run, any engine, any partitioning."""
+    any run, any engine, any partitioning.
+
+    ``portable=True`` derives the value from md5 (first 8 hex chars /
+    2^32) instead of xxhash64, so external engines (the DuckDB oracle)
+    reproduce the exact sampling decision; the default fast path keeps
+    the cheaper JVM-native hash.
+    """
+    if portable:
+        h = F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat_ws(":", id_col.cast("string"), F.lit(salt)), "UTF-8")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h / F.lit(float(1 << 32))
     return (
         F.pmod(F.xxhash64(id_col.cast("string"), F.lit(salt)), F.lit(1_000_000))
         / 1_000_000.0
@@ -69,6 +96,7 @@ def stratified_sample(
     id_col: str = "doc_id",
     default_rate: float = 0.0,
     salt: str = "sample",
+    portable: bool = False,
 ) -> DataFrame:
     """Deterministic per-stratum sampling — the data-mixing stage of a
     training pipeline ("keep 30% of crawl, 100% of books, ...").
@@ -90,7 +118,7 @@ def stratified_sample(
         if rate is not None
         else F.lit(float(default_rate))
     )
-    return docs.where(hash_fraction(F.col(id_col), salt) < rate_col)
+    return docs.where(hash_fraction(F.col(id_col), salt, portable) < rate_col)
 
 
 def _word_ngrams(text: Column, n: int) -> Column:

@@ -44,3 +44,44 @@ def top1_per_group(df: DataFrame, keys: list[str], order: list[Column]) -> DataF
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def global_rank(df: DataFrame, order: list[Column], alias: str = "rank") -> DataFrame:
+    """Total-order rank over the whole frame WITHOUT a single-partition
+    sort.
+
+    A bare ``Window.orderBy(...)`` funnels every row through one task —
+    the classic global-window scale-killer. This is the two-phase
+    scheme instead: range-repartition by the order columns (distributed
+    sort), rank locally within each range partition, then add each
+    partition's cumulative row-count offset (a partition-count-sized
+    aggregate — the only tiny single-partition step). Ranks are
+    identical to the naive window's for any total order, at any width.
+    """
+    parts = df.repartitionByRange(*order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "__lrank", F.row_number().over(Window.partitionBy("__pid").orderBy(*order))
+    )
+    offsets = (
+        parts.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__n")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(alias, (F.col("__lrank") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__lrank", "__offset")
+    )

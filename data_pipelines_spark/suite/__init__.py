@@ -29,13 +29,23 @@ from data_pipelines_spark.suite import (
     advanced,
     analytics,
     core,
+    corpus,
     geospatial,
     llmdata,
     relational,
     temporal,
 )
 
-_MODULES = (core, relational, temporal, analytics, advanced, geospatial, llmdata)
+_MODULES = (
+    core,
+    relational,
+    temporal,
+    analytics,
+    advanced,
+    geospatial,
+    llmdata,
+    corpus,
+)
 
 # The driver sweeps queries() in dict (insertion) order under a budget:
 # in round 1 it stopped after entry #50, leaving the whole LLM-dedup /
@@ -46,6 +56,9 @@ _MODULES = (core, relational, temporal, analytics, advanced, geospatial, llmdata
 # runs the round-1-unchecked tier first, then the repaired queries,
 # then the flagships and the rest.
 _PRIORITY = (
+    # tier 0 — new this round (no CORRECTNESS row yet)
+    "vocabulary_stats",
+    "corpus_doc_curation",
     # tier 1 — no CORRECTNESS row in round 1 (driver budget ran out)
     "minhash_near_dup_portable",
     "dedup_clusters",

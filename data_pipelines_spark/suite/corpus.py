@@ -1,0 +1,146 @@
+"""Corpus-curation queries over the `documents` table: vocabulary
+statistics, deterministic data-mixing (stratified sampling), and
+benchmark decontamination — the training-data-pipeline tier above
+dedup (operators/corpus.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.operators.corpus import (
+    contamination_check,
+    hash_fraction,
+    vocabulary_stats,
+)
+from data_pipelines_spark.session import tune
+from data_pipelines_spark.sources.tables import load_table
+from data_pipelines_spark.suite._registry import make_registry
+
+QUERIES, ORACLES, register = make_registry()
+
+_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+)
+
+
+@register(
+    "vocabulary_stats",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token,
+               count(*) AS token_cnt,
+               count(DISTINCT doc_id) AS doc_cnt
+        FROM toks GROUP BY token
+    )
+    SELECT token, token_cnt, doc_cnt,
+           CAST(row_number() OVER (ORDER BY token_cnt DESC, token)
+                AS BIGINT) AS rank
+    FROM counts
+    ORDER BY token_cnt DESC, token
+    LIMIT 100
+    """,
+)
+def vocabulary_stats_query(spark, sf_dir):
+    """Zipf head of the corpus vocabulary: top-100 tokens by frequency
+    with document counts and a deterministic rank (ties broken by
+    token). TakeOrdered head + bounded-head rank — no corpus-wide
+    single-partition window (the unbounded path uses the two-phase
+    `plans.windows.global_rank`)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return vocabulary_stats(docs, top_k=100)
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+_BENCH_MAX_ID = 20  # docs below this id play the held-out benchmark
+_NGRAM_N = 8
+
+
+def _grams_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n} + 2), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+_CURATION_SQL = rf"""
+    WITH corpus AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id >= {_BENCH_MAX_ID}
+    ),
+    bench_grams AS (
+        SELECT DISTINCT unnest(grams) AS gram
+        FROM (
+            SELECT {_grams_sql(_NGRAM_N)} AS grams
+            FROM (SELECT {_TOKS} AS toks FROM documents
+                  WHERE doc_id < {_BENCH_MAX_ID})
+        )
+    ),
+    doc_grams AS (
+        SELECT doc_id, unnest(grams) AS gram
+        FROM (
+            SELECT doc_id, {_grams_sql(_NGRAM_N)} AS grams
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM corpus)
+        )
+    ),
+    contaminated AS (
+        SELECT d.doc_id, count(DISTINCT d.gram) AS matched_ngrams
+        FROM doc_grams d JOIN bench_grams b ON d.gram = b.gram
+        GROUP BY d.doc_id
+    )
+    SELECT c.doc_id, c.source,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                   string_split(substr(md5(CAST(c.doc_id AS VARCHAR) || ':' || 'mix'), 1, 8), ''),
+                   ch -> CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT))),
+               (a, x) -> a * 16 + x) / 4294967296.0
+           < CASE c.source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                           WHEN 'src2' THEN 0.25 ELSE {_MIX_DEFAULT} END
+               AS keep_sample,
+           COALESCE(ct.matched_ngrams, 0) AS matched_ngrams
+    FROM corpus c LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+"""
+
+
+@register("corpus_doc_curation", _CURATION_SQL)
+def corpus_doc_curation(spark, sf_dir):
+    """Doc-grain curation decisions, fused (one row per corpus doc):
+
+    - ``keep_sample`` — the deterministic stratified-sampling predicate
+      (data mixing: keep 100% of src0, 50% of src1, 25% of src2, 10%
+      otherwise; `operators.corpus.stratified_sample` filters on exactly
+      this column). Portable-hash mode so the oracle reproduces every
+      coin flip; the xxhash64 fast path is equivalence-tested in
+      tests/test_corpus.py.
+    - ``matched_ngrams`` — benchmark decontamination: count of distinct
+      8-gram overlaps with the held-out set (docs with id < 20), 0 for
+      clean docs. Broadcast n-gram semi-join, the 100 TB shape.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < _BENCH_MAX_ID)
+    corpus = docs.where(F.col("doc_id") >= _BENCH_MAX_ID)
+
+    rate = F.lit(float(_MIX_DEFAULT))
+    for src, r in sorted(_MIX_RATES.items(), reverse=True):
+        rate = F.when(F.col("source") == src, F.lit(float(r))).otherwise(rate)
+    keep = hash_fraction(F.col("doc_id"), "mix", portable=True) < rate
+
+    flagged = contamination_check(corpus, bench, ngram_n=_NGRAM_N)
+    return (
+        corpus.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            keep.alias("keep_sample"),
+            F.coalesce(F.col("matched_ngrams"), F.lit(0)).alias("matched_ngrams"),
+        )
+    )

