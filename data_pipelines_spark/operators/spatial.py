@@ -139,6 +139,7 @@ def point_in_polygon_join(
     wkt_col: str = "geometry",
     broadcast: bool | None = None,
     max_broadcast_zones: int = 100_000,
+    max_broadcast_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """(point_id, zone_id) pairs for points contained in polygons.
 
@@ -147,12 +148,21 @@ def point_in_polygon_join(
     dimension-sized zone tables), False forces a shuffle join on the
     bucket key (right when zones × buckets would blow the driver —
     e.g. a fine bucket grid over millions of basins), and None (the
-    default) decides from a cheap count of the polygon table against
-    ``max_broadcast_zones`` — parquet count-star is metadata-only, so
-    the probe costs ~nothing even on a large zone table.
+    default) decides from Catalyst's plan statistics — metadata only,
+    NO job runs at plan-construction time (an eager ``count()`` here
+    would execute the whole upstream plan once per call for any
+    computed polygon frame). Scan-backed frames get exact file sizes;
+    derived frames get Catalyst's (over)estimate, which conservatively
+    falls back to the shuffle join. Callers that know their zone table
+    (as the suite does) pass ``broadcast`` explicitly.
     """
     if broadcast is None:
-        broadcast = polygons.count() <= max_broadcast_zones
+        stats = polygons._jdf.queryExecution().optimizedPlan().stats()
+        row_count = stats.rowCount()
+        if row_count.isDefined():
+            broadcast = int(str(row_count.get())) <= max_broadcast_zones
+        else:
+            broadcast = int(str(stats.sizeInBytes())) <= max_broadcast_bytes
     polys = polygons_with_bbox(polygons, poly_id, wkt_col)
 
     # Explode each polygon onto every bucket its bbox covers.

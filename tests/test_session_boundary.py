@@ -38,7 +38,7 @@ def _write_events(spark, sf_dir: str) -> None:
     )
 
 
-def test_exact_gap_starts_new_session(spark, tmp_path):
+def test_exact_gap_merges_same_session(spark, tmp_path):
     sf_dir = str(tmp_path)
     _write_events(spark, sf_dir)
 

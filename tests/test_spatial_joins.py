@@ -162,3 +162,44 @@ def test_asof_join_backward_and_forward(spark):
     fwd = asof_join(left, right, ["k"], "t", "t", ["val"], "forward")
     got_f = {r["event_id"]: r["val"] for r in fwd.collect()}
     assert got_f == {1: 100.0, 2: 300.0, 3: None, 4: 500.0}
+
+
+def test_broadcast_probe_runs_no_job(spark):
+    """broadcast=None must decide from plan statistics WITHOUT executing
+    the polygon plan: build a polygon frame whose evaluation raises, and
+    check that constructing the join (which probes) doesn't trigger it."""
+    import pandas as pd
+
+    from data_pipelines_spark.operators.spatial import point_in_polygon_join
+
+    def boom(batches):
+        raise RuntimeError("polygon plan was executed eagerly")
+        yield  # pragma: no cover
+
+    polys = (
+        spark.createDataFrame(
+            [(1, "POLYGON ((0 0,1 0,1 1,0 1,0 0))")], "id long, geometry string"
+        )
+        .mapInPandas(boom, "id long, geometry string")
+    )
+    points = spark.createDataFrame([(1, 0.5, 0.5)], "point_id long, x double, y double")
+    # plan construction must not raise (no eager job)
+    out = point_in_polygon_join(points, polys, bucket_size=1.0, broadcast=None)
+    assert "point_id" in out.columns
+
+
+def test_broadcast_probe_uses_file_stats(spark):
+    from data_pipelines_spark.operators.spatial import point_in_polygon_join
+
+    points = spark.createDataFrame([(1, 0.5, 0.5)], "point_id long, x double, y double")
+    polys = spark.createDataFrame(
+        [(1, "POLYGON ((0 0,1 0,1 1,0 1,0 0))")], "id long, geometry string"
+    )
+    # tiny in-memory frame: stats say bytes << threshold -> broadcast path
+    out = point_in_polygon_join(points, polys, bucket_size=1.0, broadcast=None)
+    assert [(r.point_id, r.zone_id) for r in out.collect()] == [(1, 1)]
+    # force the conservative fallback with a 1-byte cap -> shuffle path
+    out2 = point_in_polygon_join(
+        points, polys, bucket_size=1.0, broadcast=None, max_broadcast_bytes=1
+    )
+    assert [(r.point_id, r.zone_id) for r in out2.collect()] == [(1, 1)]

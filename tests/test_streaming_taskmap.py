@@ -338,16 +338,23 @@ def test_event_time_timeout_expires_idle_state(spark):
         spark.createDataFrame(b3, schema).coalesce(1).write.parquet(f"{tmp}/in/c")
         q.processAllAvailable()
         hist = spark.sql(
-            "SELECT user_id, session_cnt FROM timeout_test"
+            "SELECT user_id, session_cnt, last_ts FROM timeout_test"
         ).collect()
         q.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    by_user: dict[int, list[int]] = {}
-    for r in hist:
-        by_user.setdefault(r["user_id"], []).append(r["session_cnt"])
-    # user 1's final (post-return) emission is a fresh count of 1, and
-    # the pre-expiry emission of its first session is also present
-    assert by_user[1][-1] == 1 and 1 in by_user[1][:-1]
-    assert by_user[2] == [1]
+    # Key emissions by their event-time payload (last_ts), not by row
+    # order — collect() order from the memory sink is not guaranteed
+    # across micro-batches.
+    u1 = [(r["session_cnt"], r["last_ts"]) for r in hist if r["user_id"] == 1]
+    u2 = [r["session_cnt"] for r in hist if r["user_id"] == 2]
+    latest_cnt, latest_ts = max(u1, key=lambda p: p[1])
+    earlier = [c for c, t in u1 if t < latest_ts]
+    # the post-return emission carries a LATER last_ts and a fresh count
+    # of 1 (surviving state would have reported 2 sessions)...
+    assert latest_cnt == 1
+    # ...and the first session's pre-expiry emission(s) are present with
+    # their own count of 1
+    assert earlier and all(c == 1 for c in earlier)
+    assert u2 == [1]
