@@ -264,16 +264,20 @@ def verify_pairs_exact(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs — the confirm
     stage after any sketch tier (minhash/simhash/embedding).
 
     Joins each (doc_a, doc_b) pair back to the shingle sets of exactly
     those two documents and computes true k-gram Jaccard. Pair lists
-    are tiny next to the corpus (that's the point of LSH), so both
-    joins broadcast the pair side under AQE; at worst they are id-keyed
-    shuffle joins — never all-pairs. Output: (doc_a, doc_b,
-    exact_jaccard).
+    are tiny next to the corpus (that's the point of LSH);
+    ``broadcast_pairs=True`` pins both joins to broadcast-hash with the
+    docs scan streaming through (zero doc shuffles, both joins fused
+    into one stage) — use it when the pair list is known-bounded. The
+    default leaves the choice to AQE, which falls back to id-keyed
+    shuffle joins for a huge pair list — never all-pairs. Output:
+    (doc_a, doc_b, exact_jaccard).
     """
     # Join raw texts first and shingle AFTER the join: the shingle
     # expression then runs only on the matched pair rows, not over the
@@ -284,9 +288,17 @@ def verify_pairs_exact(
     sh_a = char_shingles(F.col("__ta"), shingle_k)
     sh_b = char_shingles(F.col("__tb"), shingle_k)
     inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    p = pairs.select("doc_a", "doc_b")
+    if broadcast_pairs:
+        # Hint BOTH pair-sized sides (the raw pairs and the pairs+text_a
+        # intermediate) so each join is broadcast-hash over the streamed
+        # docs scan.
+        p = F.broadcast(p)
+    first = p.join(a, "doc_a")
+    if broadcast_pairs:
+        first = F.broadcast(first)
     return (
-        pairs.select("doc_a", "doc_b")
-        .join(a, "doc_a")
+        first
         .join(b, "doc_b")
         .select(
             "doc_a",

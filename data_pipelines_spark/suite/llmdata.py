@@ -482,7 +482,7 @@ def minhash_near_dup_pairs(spark, sf_dir):
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
-    return verify_pairs_exact(docs, pairs)
+    return verify_pairs_exact(docs, pairs, broadcast_pairs=True)
 
 
 def _simhash_oracle_sql(bits: int = 60) -> str:
