@@ -55,6 +55,123 @@ def grid_to_long_form(
     return spark.createDataFrame(pdf)
 
 
+def _sm_int(raw: bytes) -> int:
+    """GRIB2 sign-magnitude integer: MSB is the sign bit, remaining
+    bits the magnitude (NOT two's complement)."""
+    v = int.from_bytes(raw, "big")
+    sign_bit = 1 << (len(raw) * 8 - 1)
+    return -(v & (sign_bit - 1)) if v & sign_bit else v
+
+
+def read_grib2_minimal(path: str):
+    """Minimal GRIB2 (WMO FM 92 edition 2) parser — no libraries.
+
+    Covers the profile ECMWF/NOAA disseminate for regular grids: grid
+    definition template 3.0 (equidistant lat/lon), data representation
+    template 5.0 (grid-point simple packing: Y = (R + X·2^E) / 10^D
+    over an nbits big-endian bit-packed array), optional bitmap, any
+    number of messages per file (ensemble members). Anything else —
+    spectral/jpeg2000/png packing, other grids — raises with a pointer
+    to the cfgrib path.
+
+    Returns a list of (meta, values[Nj, Ni], lats, lons) per message;
+    ``meta`` carries the product-definition template number and, for
+    ensemble templates (4.1/4.11), the perturbation number.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+
+    out = []
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 4] != b"GRIB":
+            raise ValueError(f"bad GRIB indicator at byte {pos}")
+        edition = data[pos + 7]
+        if edition != 2:
+            raise NotImplementedError("GRIB edition 1: use the cfgrib path")
+        total_len = int.from_bytes(data[pos + 8 : pos + 16], "big")
+        end = pos + total_len
+        sec_pos = pos + 16
+
+        grid = packing = None
+        bitmap_bits = None
+        meta: dict = {}
+        values = None
+        while sec_pos < end:
+            if data[sec_pos : sec_pos + 4] == b"7777":
+                sec_pos += 4
+                break
+            sec_len = int.from_bytes(data[sec_pos : sec_pos + 4], "big")
+            sec_num = data[sec_pos + 4]
+            body = data[sec_pos : sec_pos + sec_len]
+
+            if sec_num == 3:
+                template = int.from_bytes(body[12:14], "big")
+                if template != 0:
+                    raise NotImplementedError(
+                        f"grid template 3.{template}: use the cfgrib path"
+                    )
+                ni = int.from_bytes(body[30:34], "big")
+                nj = int.from_bytes(body[34:38], "big")
+                la1 = _sm_int(body[46:50]) / 1e6
+                lo1 = int.from_bytes(body[50:54], "big") / 1e6
+                di = int.from_bytes(body[63:67], "big") / 1e6
+                dj = int.from_bytes(body[67:71], "big") / 1e6
+                scan = body[71]
+                lons = lo1 + np.arange(ni) * di
+                jsign = 1.0 if scan & 0x40 else -1.0
+                lats = la1 + jsign * np.arange(nj) * dj
+                grid = (ni, nj, lats, lons)
+            elif sec_num == 4:
+                meta["pdt"] = int.from_bytes(body[7:9], "big")
+                if meta["pdt"] in (1, 11):  # ensemble templates
+                    meta["member"] = body[35]
+            elif sec_num == 5:
+                n_points = int.from_bytes(body[5:9], "big")
+                template = int.from_bytes(body[9:11], "big")
+                if template != 0:
+                    raise NotImplementedError(
+                        f"packing template 5.{template}: use the cfgrib path"
+                    )
+                ref = np.frombuffer(body[11:15], dtype=">f4")[0]
+                e_scale = _sm_int(body[15:17])
+                d_scale = _sm_int(body[17:19])
+                nbits = body[19]
+                packing = (n_points, float(ref), e_scale, d_scale, nbits)
+            elif sec_num == 6:
+                indicator = body[5]
+                if indicator == 0:
+                    bitmap_bits = np.unpackbits(
+                        np.frombuffer(body[6:], dtype="u1")
+                    )
+                elif indicator != 255:
+                    raise NotImplementedError(
+                        "predefined bitmaps: use the cfgrib path"
+                    )
+            elif sec_num == 7:
+                n_points, ref, e_scale, d_scale, nbits = packing
+                if nbits == 0:
+                    unpacked = np.full(n_points, ref)
+                else:
+                    bits = np.unpackbits(np.frombuffer(body[5:], dtype="u1"))
+                    weights = 1 << np.arange(nbits - 1, -1, -1, dtype=np.int64)
+                    x = bits[: n_points * nbits].reshape(n_points, nbits) @ weights
+                    unpacked = (ref + x * 2.0**e_scale) / 10.0**d_scale
+                ni, nj, lats, lons = grid
+                if bitmap_bits is not None:
+                    full = np.full(ni * nj, np.nan)
+                    full[bitmap_bits[: ni * nj].astype(bool)] = unpacked
+                    unpacked = full
+                values = unpacked.reshape(nj, ni)
+
+            sec_pos += sec_len
+
+        ni, nj, lats, lons = grid
+        out.append((meta, values, lats, lons))
+        pos = end
+    return out
+
+
 def read_grib_ensemble(
     spark: SparkSession,
     path: str,
@@ -65,16 +182,29 @@ def read_grib_ensemble(
     `io_managers.py:193-210`: opens control (`cf`) and perturbed (`pf`)
     datasets and concatenates along the member axis).
 
-    Requires cfgrib/xarray — not installed here; the conversion path it
-    feeds (`grid_to_long_form`) is fully tested without them.
+    Prefers cfgrib/xarray (full GRIB coverage); without them, falls
+    back to :func:`read_grib2_minimal` for simple-packed regular-grid
+    GRIB2 — one message per ensemble member, stacked on the ``number``
+    axis — so S4 ingestion genuinely runs (and is tested end-to-end)
+    in codec-free environments.
     """
     try:
         import xarray as xr  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env without codecs
-        raise NotImplementedError(
-            "GRIB ingestion requires xarray+cfgrib; convert externally to "
-            "parquet or install the codecs"
-        ) from e
+    except ImportError:
+        messages = read_grib2_minimal(path)
+        if not messages:
+            raise ValueError(f"no GRIB messages in {path}")
+        members = np.array(
+            [float(m.get("member", i)) for i, (m, *_rest) in enumerate(messages)]
+        )
+        _, _, lats, lons = messages[0]
+        stacked = np.stack([v for _, v, _, _ in messages])
+        return grid_to_long_form(
+            spark,
+            stacked,
+            {"number": members, "latitude": lats, "longitude": lons},
+            value_col=value_var,
+        )
     datasets = []
     kinds = (["cf", "pf"] if use_control_member else ["pf"])
     for kind in kinds:  # pragma: no cover - env without codecs
@@ -93,16 +223,163 @@ def read_grib_ensemble(
     )
 
 
+# Classic-NetCDF external types: nc_type id -> (big-endian dtype, size).
+_NC_TYPES = {
+    1: ("i1", 1),   # NC_BYTE
+    2: ("S1", 1),   # NC_CHAR
+    3: (">i2", 2),  # NC_SHORT
+    4: (">i4", 4),  # NC_INT
+    5: (">f4", 4),  # NC_FLOAT
+    6: (">f8", 8),  # NC_DOUBLE
+}
+
+_NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
+
+
+def read_netcdf_minimal(path: str):
+    """Classic NetCDF (CDF-1 / CDF-2) parser — no libraries.
+
+    The classic format is a public, fully specified flat binary layout
+    (magic ``CDF\\x01``/``\\x02``, big-endian header of dim/attr/var
+    lists, then contiguous fixed-size variable data), so fixed-shape
+    grids — the raster shape the reference ingests — need none of the
+    HDF5 machinery. Record (unlimited-dimension) variables raise: those
+    need per-record interleaving and belong to the xarray path.
+
+    Returns ``(dims, variables)`` where ``dims`` is an ordered
+    {name: size} and ``variables`` maps name → (dim_names, ndarray,
+    attrs). Attribute values come back as python scalars/strings/
+    ndarrays.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:3] != b"CDF" or data[3] not in (1, 2):
+        raise ValueError("not a classic NetCDF file (HDF5-based NetCDF-4 "
+                         "needs the xarray path)")
+    version = data[3]
+    pos = 4
+
+    def u4() -> int:
+        nonlocal pos
+        v = int.from_bytes(data[pos : pos + 4], "big")
+        pos += 4
+        return v
+
+    def u8() -> int:
+        nonlocal pos
+        v = int.from_bytes(data[pos : pos + 8], "big")
+        pos += 8
+        return v
+
+    def name() -> str:
+        nonlocal pos
+        n = u4()
+        s = data[pos : pos + n].decode("utf-8")
+        pos += (n + 3) // 4 * 4  # names pad to 4-byte boundary
+        return s
+
+    def attr_list() -> dict:
+        nonlocal pos
+        tag, cnt = u4(), u4()
+        out: dict = {}
+        if tag == 0 and cnt == 0:  # ABSENT
+            return out
+        if tag != _NC_ATTRIBUTE:
+            raise ValueError(f"bad attribute-list tag 0x{tag:x}")
+        for _ in range(cnt):
+            nm = name()
+            typ, n = u4(), u4()
+            dt, size = _NC_TYPES[typ]
+            nbytes = size * n
+            raw = data[pos : pos + nbytes]
+            pos += (nbytes + 3) // 4 * 4  # values pad to 4-byte boundary
+            if typ == 2:
+                out[nm] = raw.decode("utf-8")
+            else:
+                vals = np.frombuffer(raw, dtype=dt, count=n)
+                out[nm] = vals[0] if n == 1 else vals
+        return out
+
+    u4()  # numrecs (or STREAMING) — unused: record vars are rejected below
+    tag, cnt = u4(), u4()
+    dims: list[tuple[str, int]] = []
+    if tag == _NC_DIMENSION:
+        dims = [(name(), u4()) for _ in range(cnt)]
+    elif not (tag == 0 and cnt == 0):
+        raise ValueError(f"bad dimension-list tag 0x{tag:x}")
+
+    attr_list()  # global attributes — parsed (cursor must advance), unused
+
+    tag, cnt = u4(), u4()
+    variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]] = {}
+    if tag == _NC_VARIABLE:
+        for _ in range(cnt):
+            nm = name()
+            ndims = u4()
+            dimids = [u4() for _ in range(ndims)]
+            vatts = attr_list()
+            typ, _vsize = u4(), u4()
+            begin = u4() if version == 1 else u8()
+            if any(dims[d][1] == 0 for d in dimids):
+                raise NotImplementedError(
+                    "record (unlimited-dimension) variables: use the "
+                    "xarray path"
+                )
+            shape = tuple(dims[d][1] for d in dimids)
+            dim_names = tuple(dims[d][0] for d in dimids)
+            dt, _ = _NC_TYPES[typ]
+            n_elem = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            arr = np.frombuffer(
+                data, dtype=dt, count=n_elem, offset=begin
+            ).reshape(shape)
+            variables[nm] = (dim_names, arr, vatts)
+    elif not (tag == 0 and cnt == 0):
+        raise ValueError(f"bad variable-list tag 0x{tag:x}")
+
+    return dict(dims), variables
+
+
+def _apply_cf_attrs(arr: np.ndarray, attrs: dict) -> np.ndarray:
+    """CF unpacking: mask _FillValue/missing_value to NaN, then apply
+    scale_factor/add_offset — the same unpacking xarray performs."""
+    out = arr.astype("float64")
+    for key in ("_FillValue", "missing_value"):
+        if key in attrs:
+            out = np.where(arr == attrs[key], np.nan, out)
+    if "scale_factor" in attrs:
+        out = out * float(attrs["scale_factor"])
+    if "add_offset" in attrs:
+        out = out + float(attrs["add_offset"])
+    return out
+
+
 def read_netcdf_grid(
     spark: SparkSession, path: str, value_var: str
 ):
-    """NetCDF grid → long-form (reference S5, `io_managers.py:222-223`)."""
+    """NetCDF grid → long-form (reference S5, `io_managers.py:222-223`).
+
+    Prefers xarray (NetCDF-4/HDF5, record dims, full CF decoding);
+    without it, falls back to :func:`read_netcdf_minimal` for classic-
+    format fixed-shape grids with CF fill/scale/offset unpacking — so
+    S5 ingestion genuinely runs (and is tested end-to-end) in
+    codec-free environments.
+    """
     try:
         import xarray as xr
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "NetCDF ingestion requires xarray+h5netcdf"
-        ) from e
+    except ImportError:
+        dims, variables = read_netcdf_minimal(path)
+        dim_names, arr, vatts = variables[value_var]
+        coords = {
+            d: (
+                variables[d][1].astype("float64")
+                if d in variables
+                else np.arange(dims[d], dtype="float64")
+            )
+            for d in dim_names
+        }
+        return grid_to_long_form(
+            spark, _apply_cf_attrs(arr, vatts), coords, value_col=value_var
+        )
     ds = xr.open_dataset(path)  # pragma: no cover
     da = ds[value_var]  # pragma: no cover
     return grid_to_long_form(  # pragma: no cover
