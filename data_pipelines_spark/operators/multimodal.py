@@ -7,12 +7,13 @@ metadata struct; decode / feature-extraction steps are Arrow-batched
 Decode coverage is tiered by what the environment can honestly do:
 
 - **Real, dependency-free**: PNM images (PGM/PPM — numpy header+buffer
-  parse, real nearest-neighbor resize) and WAV audio (stdlib `wave` —
-  real sample decode, RMS / zero-crossing features). These run
-  end-to-end in tests against byte-assembled files.
-- **Library-gated**: JPEG/PNG/MP4 and friends need PIL/opencv/pyav;
-  `decode_image` falls back to the PNM parser and raises a clearly
-  marked NotImplementedError for compressed formats.
+  parse, real nearest-neighbor resize), 8-bit PNG (stdlib zlib inflate
+  + all five scanline filters, gray/RGB/palette/alpha), and WAV audio
+  (stdlib `wave` — real sample decode, RMS / zero-crossing features).
+  These run end-to-end in tests against byte-assembled files.
+- **Library-gated**: JPEG/MP4/16-bit-PNG and friends need
+  PIL/opencv/pyav; `decode_image` raises a clearly marked
+  NotImplementedError for them.
 
 Reference analogue: the sentinel imagery pipeline (SURVEY.md §3.3) is
 exactly this shape — opaque blobs moved through per-file task maps with
@@ -111,12 +112,100 @@ def encode_pgm(arr: "object") -> bytes:
     return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def decode_png(content: bytes) -> "object":
+    """Real PNG decode — zlib (stdlib) inflate + scanline defiltering,
+    no codec library.
+
+    Covers the common profile: 8-bit depth, non-interlaced, color types
+    gray / RGB / palette / gray+alpha / RGBA, all five scanline filters
+    (None/Sub/Up/Average/Paeth). 16-bit and Adam7 interlacing raise
+    with a pointer to the PIL path. Returns (H, W) for grayscale, else
+    (H, W, channels) uint8.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 8 <= len(content):
+        ln, typ = struct.unpack(">I4s", content[pos : pos + 8])
+        body = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + payload + crc (crc not verified)
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, "u1").reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced PNG decodes natively; use PIL for "
+            "16-bit or Adam7 payloads"
+        )
+    channels = _PNG_CHANNELS[color]
+    stride = width * channels
+    raw = zlib.decompress(b"".join(idat))
+
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rp = 0
+    for y in range(height):
+        ftype = raw[rp]
+        line = np.frombuffer(raw, "u1", stride, rp + 1)
+        rp += 1 + stride
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 2:  # Up — fully vectorized (uint8 wraps = mod 256)
+            cur = line + prev
+        else:  # Sub/Average/Paeth depend on the left neighbor: scan the row
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                if ftype == 1:
+                    v = line[i] + a
+                elif ftype == 3:
+                    v = line[i] + ((a + b) >> 1)
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    v = line[i] + pred
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                cur[i] = v & 0xFF
+        out[y] = cur
+        prev = cur
+
+    img = out.reshape(height, width, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[img[..., 0]]
+    return img.reshape(height, width) if channels == 1 else img
+
+
 def decode_image(content: bytes) -> "object":
-    """Decode an image payload to a numpy array. PNM (P5/P6) decodes
-    natively; other formats need a codec library (PIL/opencv) not
-    present in this environment."""
+    """Decode an image payload to a numpy array. PNM (P5/P6) and PNG
+    (8-bit, via :func:`decode_png`) decode natively; JPEG and friends
+    need a codec library (PIL/opencv) not present in this environment."""
     if content[:2] in (b"P5", b"P6"):
         return decode_pnm(content)
+    if content[:8] == _PNG_SIGNATURE:
+        return decode_png(content)
     try:  # pragma: no cover - env without codecs
         import io
 
@@ -127,7 +216,7 @@ def decode_image(content: bytes) -> "object":
     except ImportError as e:
         raise NotImplementedError(
             "compressed image decode requires a codec library (PIL/opencv); "
-            "PNM payloads decode natively"
+            "PNM and 8-bit PNG payloads decode natively"
         ) from e
 
 
@@ -252,10 +341,11 @@ IMAGE_STATS_SCHEMA = (
 
 
 def image_stats(media: DataFrame) -> DataFrame:
-    """Real decode + per-image statistics for PNM payloads: dimensions,
-    channel count, mean/std intensity — the quality-filter inputs of an
-    image-corpus pipeline (drop tiny/blank/low-variance images).
-    Arrow-batched mapInPandas; numpy does the math per payload."""
+    """Real decode + per-image statistics for PNM/PNG payloads:
+    dimensions, channel count, mean/std intensity — the quality-filter
+    inputs of an image-corpus pipeline (drop tiny/blank/low-variance
+    images). Arrow-batched mapInPandas; numpy does the math per
+    payload."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -264,7 +354,7 @@ def image_stats(media: DataFrame) -> DataFrame:
                    ("media_id", "width", "height", "channels",
                     "mean_intensity", "std_intensity")}
             for _, row in pdf.iterrows():
-                arr = decode_pnm(row["content"])
+                arr = decode_image(row["content"])
                 h, w = arr.shape[:2]
                 out["media_id"].append(row["media_id"])
                 out["width"].append(w)
@@ -281,17 +371,17 @@ RESIZED_SCHEMA = "media_id long, width int, height int, content binary"
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL nearest-neighbor resize for grayscale PNM payloads: decode →
-    numpy index-sample → re-encode P5. The shape every image pipeline
-    needs before batching into a vision model; swap the kernel for
-    PIL/opencv interpolation when codecs are available."""
+    """REAL nearest-neighbor resize for PNM/PNG payloads: decode →
+    numpy index-sample → re-encode P5 (grayscale). The shape every
+    image pipeline needs before batching into a vision model; swap the
+    kernel for PIL/opencv interpolation when codecs are available."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "content": []}
             for _, row in pdf.iterrows():
-                arr = decode_pnm(row["content"])
+                arr = decode_image(row["content"])
                 if arr.ndim == 3:
                     arr = arr.mean(axis=2).astype("uint8")
                 h, w = arr.shape

@@ -182,3 +182,129 @@ def test_wav_decode_and_audio_features(spark):
     assert abs(row["rms"] - 0.5 / math.sqrt(2)) < 0.01
     # 440 Hz sine crosses zero ~880 times/sec → ZCR ~ 880/8000
     assert abs(row["zero_crossing_rate"] - 2 * freq / rate) < 0.01
+
+
+def _encode_png(arr: "np.ndarray", color: int, plte: bytes | None = None) -> bytes:
+    """Test-side PNG encoder: cycles through all five scanline filters
+    so the decoder's Sub/Up/Average/Paeth paths all get exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line = arr[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            a = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            filt = line - a
+        elif f == 2:  # Up
+            filt = line - prev
+        elif f == 3:  # Average
+            a = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            filt = line - ((a + prev) >> 1)
+        else:  # Paeth
+            a = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            b = prev
+            cc = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+            p = a + b - cc
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc)
+            )
+            filt = line - pred
+        raw.append(f)
+        raw.extend((filt & 0xFF).astype("u1").tobytes())
+        prev = line
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_all_filters_rgb(spark):
+    import numpy as np
+
+    from data_pipelines_spark.operators.multimodal import decode_image, decode_png
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    png = _encode_png(arr, color=2)
+    assert np.array_equal(decode_png(png), arr)
+    assert np.array_equal(decode_image(png), arr)   # signature dispatch
+
+
+def test_png_decode_gray_and_rgba(spark):
+    import numpy as np
+
+    from data_pipelines_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(8)
+    gray = rng.integers(0, 256, size=(6, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(_encode_png(gray, color=0)), gray)
+    rgba = rng.integers(0, 256, size=(6, 4, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(_encode_png(rgba, color=6)), rgba)
+
+
+def test_png_decode_palette(spark):
+    import numpy as np
+
+    from data_pipelines_spark.operators.multimodal import decode_png
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    png = _encode_png(idx, color=3, plte=palette.tobytes())
+    assert np.array_equal(decode_png(png), palette[idx])
+
+
+def test_png_unsupported_profiles_raise(spark):
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipelines_spark.operators.multimodal import decode_png
+
+    # 16-bit IHDR
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    body = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + body)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+
+
+def test_image_stats_over_png_payloads(spark):
+    import numpy as np
+
+    from data_pipelines_spark.operators.multimodal import image_stats
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(_encode_png(arr, color=2)))], "media_id long, content binary"
+    )
+    row = image_stats(media).first()
+    assert (row["width"], row["height"], row["channels"]) == (6, 8, 3)
+    assert abs(row["mean_intensity"] - float(arr.mean())) < 1e-9
