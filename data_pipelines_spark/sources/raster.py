@@ -504,6 +504,105 @@ def read_geotiff(
     )
 
 
+def read_zarr_minimal(path: str):
+    """Minimal Zarr v2 array reader — no libraries.
+
+    Zarr v2 is a public spec of JSON metadata (``.zarray``) plus flat
+    chunk files, so the common profile needs no library: C-order
+    chunks, raw / zlib / gzip compression (blosc and filters raise
+    with a pointer to the zarr-python path), missing chunks filled
+    with ``fill_value``. Returns (ndarray, attrs) where ``attrs`` is
+    the ``.zattrs`` dict (xarray stores dimension names there under
+    ``_ARRAY_DIMENSIONS``).
+
+    Scale shape: this reads ONE array — the per-task kernel. A 100 TB
+    store is ingested chunk-parallel (one task per chunk range via
+    `operators/taskmap.py`, each writing a parquet partition), never
+    through a single driver-side read.
+    """
+    import gzip
+    import itertools
+    import json
+    import math
+    import os
+    import zlib
+
+    with open(os.path.join(path, ".zarray")) as f:
+        meta = json.load(f)
+    if meta.get("zarr_format") != 2:
+        raise NotImplementedError("only Zarr v2 stores decode natively")
+    if meta.get("order", "C") != "C":
+        raise NotImplementedError("F-order Zarr: use the zarr library path")
+    if meta.get("filters"):
+        raise NotImplementedError("Zarr filters: use the zarr library path")
+    comp = meta.get("compressor")
+    comp_id = comp["id"] if comp else None
+    if comp_id not in (None, "zlib", "gzip"):
+        raise NotImplementedError(
+            f"Zarr compressor {comp_id!r}: use the zarr library path"
+        )
+
+    shape, chunks = meta["shape"], meta["chunks"]
+    dtype = np.dtype(meta["dtype"])
+    fill = meta.get("fill_value")
+    out = np.full(shape, fill if fill is not None else 0, dtype=dtype)
+    sep = meta.get("dimension_separator", ".")
+    grid = [math.ceil(s / c) for s, c in zip(shape, chunks)]
+    for idx in itertools.product(*[range(g) for g in grid]):
+        fp = os.path.join(path, sep.join(map(str, idx)))
+        if not os.path.exists(fp):
+            continue  # missing chunk = fill_value
+        with open(fp, "rb") as f:
+            raw = f.read()
+        if comp_id == "zlib":
+            raw = zlib.decompress(raw)
+        elif comp_id == "gzip":
+            raw = gzip.decompress(raw)
+        block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+        dest = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, shape)
+        )
+        out[dest] = block[tuple(slice(0, d.stop - d.start) for d in dest)]
+
+    attrs = {}
+    zattrs = os.path.join(path, ".zattrs")
+    if os.path.exists(zattrs):
+        with open(zattrs) as f:
+            attrs = json.load(f)
+    return out, attrs
+
+
+def read_zarr_grid(
+    spark: SparkSession, store: str, value_var: str
+):
+    """Zarr store → long-form (reference S7: the reference materializes
+    its global grids as Zarr groups; `io_managers.py:117-160`).
+
+    Reads the value array plus the coordinate arrays named by xarray's
+    ``_ARRAY_DIMENSIONS`` attribute (falling back to positional
+    ``dim_i`` indices), all via :func:`read_zarr_minimal` — runnable
+    and tested with no zarr/xarray installed.
+    """
+    import os
+
+    values, attrs = read_zarr_minimal(os.path.join(store, value_var))
+    dim_names = attrs.get(
+        "_ARRAY_DIMENSIONS", [f"dim_{i}" for i in range(values.ndim)]
+    )
+    coords = {}
+    for i, d in enumerate(dim_names):
+        cdir = os.path.join(store, d)
+        if os.path.isdir(cdir):
+            carr, _ = read_zarr_minimal(cdir)
+            coords[d] = carr.astype("float64")
+        else:
+            coords[d] = np.arange(values.shape[i], dtype="float64")
+    return grid_to_long_form(
+        spark, values.astype("float64"), coords, value_col=value_var
+    )
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:

@@ -327,3 +327,94 @@ def test_grib2_ensemble_ingestion_end_to_end(spark, tmp_path):
     assert len(rows) == 12                           # 2 members x 6 cells
     assert abs(rows[(0.0, 50.0, 10.0)] - 0.15) < 1e-12
     assert abs(rows[(1.0, 49.5, 11.0)] - (1.5 + 255 * 0.5) / 10.0) < 1e-12
+
+
+def _write_tiny_zarr(store: str) -> "np.ndarray":
+    """Assemble a Zarr v2 store by hand: value array dis24(lat=3, lon=4)
+    with zlib chunks (2x2 chunking, one chunk MISSING -> fill_value) and
+    xarray-style _ARRAY_DIMENSIONS + coordinate arrays."""
+    import json
+    import os
+    import zlib
+
+    import numpy as np
+
+    vals = np.arange(12, dtype="<f8").reshape(3, 4)
+
+    def arr_dir(name: str, meta: dict, attrs: dict | None = None) -> str:
+        d = os.path.join(store, name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        if attrs is not None:
+            with open(os.path.join(d, ".zattrs"), "w") as f:
+                json.dump(attrs, f)
+        return d
+
+    d = arr_dir(
+        "dis24",
+        {
+            "zarr_format": 2, "shape": [3, 4], "chunks": [2, 2],
+            "dtype": "<f8", "order": "C", "filters": None,
+            "fill_value": -1.0, "compressor": {"id": "zlib", "level": 1},
+        },
+        {"_ARRAY_DIMENSIONS": ["lat", "lon"]},
+    )
+    for ci in range(2):
+        for cj in range(2):
+            if (ci, cj) == (1, 1):
+                continue  # missing chunk -> fill_value
+            block = np.full((2, 2), -1.0)
+            src = vals[ci * 2 : ci * 2 + 2, cj * 2 : cj * 2 + 2]
+            block[: src.shape[0], : src.shape[1]] = src
+            with open(os.path.join(d, f"{ci}.{cj}"), "wb") as f:
+                f.write(zlib.compress(block.astype("<f8").tobytes()))
+
+    for name, coord in (("lat", [10.0, 10.5, 11.0]), ("lon", [20.0, 20.25, 20.5, 20.75])):
+        cd = arr_dir(
+            name,
+            {
+                "zarr_format": 2, "shape": [len(coord)], "chunks": [len(coord)],
+                "dtype": "<f8", "order": "C", "filters": None,
+                "fill_value": None, "compressor": None,
+            },
+        )
+        with open(os.path.join(cd, "0"), "wb") as f:
+            f.write(np.array(coord, dtype="<f8").tobytes())
+    expected = vals.copy()
+    expected[2:3, 2:4] = -1.0  # the missing (1,1) chunk region
+    return expected
+
+
+def test_zarr_ingestion_end_to_end(spark, tmp_path):
+    import numpy as np
+
+    from data_pipelines_spark.sources.raster import read_zarr_grid, read_zarr_minimal
+
+    store = str(tmp_path / "store.zarr")
+    expected = _write_tiny_zarr(store)
+
+    arr, attrs = read_zarr_minimal(f"{store}/dis24")
+    assert np.array_equal(arr, expected)
+    assert attrs["_ARRAY_DIMENSIONS"] == ["lat", "lon"]
+
+    df = read_zarr_grid(spark, store, "dis24")
+    rows = {(r["lat"], r["lon"]): r["dis24"] for r in df.collect()}
+    assert len(rows) == 12
+    assert rows[(10.0, 20.0)] == 0.0
+    assert rows[(11.0, 20.75)] == -1.0  # filled from the missing chunk
+
+
+def test_fetch_binary_with_retries(spark, tmp_path):
+    from data_pipelines_spark.sources.fetch import fetch_binary
+
+    p = tmp_path / "payload.bin"
+    p.write_bytes(b"grib-bytes")
+    urls = [p.as_uri(), (tmp_path / "missing.bin").as_uri()]
+    rows = {r["url"]: r for r in fetch_binary(spark, urls, max_retries=1).collect()}
+    good, bad = rows[urls[0]], rows[urls[1]]
+    assert good["ok"] and bytes(good["content"]) == b"grib-bytes"
+    assert good["n_bytes"] == 10 and good["attempts"] == 1
+    assert not bad["ok"] and bad["content"] is None
+    assert bad["attempts"] == 2  # initial try + 1 retry
+    assert "Error" in bad["error"] or "error" in bad["error"].lower()
