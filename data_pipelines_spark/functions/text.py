@@ -163,6 +163,110 @@ def top_ngram_fraction(text: Column, n: int = 2) -> Column:
     return F.when(total > 0, top.cast("double") / total).otherwise(F.lit(0.0))
 
 
+def mean_word_length(text: Column) -> Column:
+    """Mean token length in characters (0.0 for empty docs) — one of the
+    Gopher outlier signals (Rae et al. 2021): prose sits around 3-10;
+    far outside that is usually code, tables, or junk."""
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction(text: Column) -> Column:
+    """Fraction of tokens containing at least one ASCII letter — low
+    values flag numeric tables / markup / binary-ish text."""
+    toks = tokens(text)
+    n = F.size(toks)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(n > 0, n_alpha.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# of '#' characters + # of '...' runs) per token — the Gopher
+    symbol-noise signal. Counted by length arithmetic (no regex)."""
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    n_tok = token_count(text)
+    return F.when(
+        n_tok > 0, (n_hash + n_ellipsis).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+
+
+def _nonempty_lines(text: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def bullet_line_fraction(text: Column) -> Column:
+    """Fraction of non-empty lines starting with a bullet marker
+    ('-', '*', or '•') — mostly-bullets pages are navigation/listing
+    chrome, not prose."""
+    lines = _nonempty_lines(text)
+    n = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(l, 1, 1).isin("-", "*", "•"),
+        )
+    )
+    return F.when(n > 0, n_bullet.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_fraction(text: Column) -> Column:
+    """Fraction of non-empty lines ending in '...' or '…' —
+    truncated-snippet pages (search results, previews)."""
+    lines = _nonempty_lines(text)
+    n = F.size(lines)
+    n_ell = F.size(
+        F.filter(
+            lines,
+            lambda l: l.endswith("...") | l.endswith("…"),
+        )
+    )
+    return F.when(n > 0, n_ell.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def passes_gopher_rules(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_fraction: float = 0.8,
+    max_bullet_fraction: float = 0.9,
+    max_ellipsis_fraction: float = 0.3,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """The Gopher rule-based quality gate (Rae et al. 2021, table A1) as
+    ONE boolean column: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, alphabetic-word fraction, bullet/ellipsis line
+    fractions, and a minimum stopword presence. Entirely native
+    expressions — at 100 TB this is a narrow projection that pushes
+    through any partitioning; a curation pipeline runs it before the
+    (much more expensive) dedup tiers to shrink their input."""
+    n_tok = token_count(text)
+    mwl = mean_word_length(text)
+    return (
+        (n_tok >= min_words)
+        & (n_tok <= max_words)
+        & (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len)
+        & (symbol_word_ratio(text) <= max_symbol_ratio)
+        & (alpha_word_fraction(text) >= min_alpha_fraction)
+        & (bullet_line_fraction(text) <= max_bullet_fraction)
+        & (ellipsis_line_fraction(text) <= max_ellipsis_fraction)
+        & (stopword_hits(text, LANG_STOPWORDS["en"]) >= min_stopword_hits)
+    )
+
+
 def rolling_fingerprint(text: Column, modulus: int = 2_147_483_647) -> Column:
     """Polynomial rolling hash (base 31) over the document's bytes-as
     -codepoints — a deterministic document fingerprint computed natively

@@ -121,6 +121,98 @@ def stratified_sample(
     return docs.where(hash_fraction(F.col(id_col), salt, portable) < rate_col)
 
 
+def boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """Lines that appear (as trimmed, non-empty lines) in at least
+    ``min_doc_count`` DISTINCT documents — navigation bars, cookie
+    banners, boilerplate footers. Output: (line, doc_cnt).
+
+    Scale shape: each doc contributes its distinct lines once
+    (array_distinct before explode), so the groupBy sees at most
+    docs x distinct-lines rows and map-side partial aggregation
+    collapses repeats; the shuffle key is the line itself (well
+    distributed — identical lines are exactly what we're counting)."""
+    per_doc = docs.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)
+                    ),
+                    lambda l: F.length(l) > 0,
+                )
+            )
+        ).alias("line")
+    )
+    return (
+        per_doc.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("doc_cnt"))
+        .where(F.col("doc_cnt") >= min_doc_count)
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """C4-style line-level corpus dedup: drop every line that occurs in
+    ``min_doc_count``+ distinct documents, keep the rest in original
+    order. Output: one row per input doc —
+    (id_col, clean_text, n_lines, n_boiler_lines).
+
+    The line-frequency table is corpus-derived but much smaller than the
+    corpus (only repeated lines survive the HAVING); the anti-join
+    against it is left to AQE (broadcast when it fits, shuffle
+    otherwise). Reassembly sorts each doc's surviving lines by original
+    position inside a per-doc aggregate — no global sort."""
+    boiler = boilerplate_lines(docs, text_col, min_doc_count)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.filter(
+                F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+                lambda l: F.length(l) > 0,
+            )
+        ).alias("pos", "line"),
+    )
+    kept = lines.join(boiler.select("line"), "line", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("line").alias("n_kept"),
+    )
+    n_lines = docs.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+                lambda l: F.length(l) > 0,
+            )
+        ).cast("long").alias("n_lines"),
+    )
+    return (
+        n_lines.join(clean, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_boiler_lines"),
+        )
+    )
+
+
 def _word_ngrams(text: Column, n: int) -> Column:
     toks = tokens(F.lower(text))
     cnt = F.size(toks)

@@ -95,6 +95,27 @@ _CURATION_SQL = rf"""
         SELECT d.doc_id, count(DISTINCT d.gram) AS matched_ngrams
         FROM doc_grams d JOIN bench_grams b ON d.gram = b.gram
         GROUP BY d.doc_id
+    ),
+    lines_pd AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          l -> trim(l)),
+                           l -> length(l) > 0) AS lines
+        FROM corpus
+    ),
+    boiler AS (
+        SELECT line FROM (
+            SELECT doc_id, unnest(list_distinct(lines)) AS line FROM lines_pd
+        ) GROUP BY line HAVING count(*) >= 2
+    ),
+    boiler_list AS (
+        SELECT coalesce(list(line), []) AS bl FROM boiler
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               len(lines) AS n_lines,
+               list_filter(lines, l -> NOT list_contains(bl, l)) AS kept
+        FROM lines_pd, boiler_list
     )
     SELECT c.doc_id, c.source,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -105,8 +126,13 @@ _CURATION_SQL = rf"""
            < CASE c.source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                            WHEN 'src2' THEN 0.25 ELSE {_MIX_DEFAULT} END
                AS keep_sample,
-           COALESCE(ct.matched_ngrams, 0) AS matched_ngrams
-    FROM corpus c LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+           COALESCE(ct.matched_ngrams, 0) AS matched_ngrams,
+           CAST(cl.n_lines AS BIGINT) AS n_lines,
+           CAST(cl.n_lines - len(cl.kept) AS BIGINT) AS n_boiler_lines,
+           md5(array_to_string(cl.kept, chr(10))) AS clean_text_md5
+    FROM corpus c
+    LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+    JOIN cleaned cl ON c.doc_id = cl.doc_id
 """
 
 
@@ -123,7 +149,14 @@ def corpus_doc_curation(spark, sf_dir):
     - ``matched_ngrams`` — benchmark decontamination: count of distinct
       8-gram overlaps with the held-out set (docs with id < 20), 0 for
       clean docs. Broadcast n-gram semi-join, the 100 TB shape.
+    - ``n_lines`` / ``n_boiler_lines`` / ``clean_text_md5`` — C4-style
+      corpus-level line dedup (`operators.corpus.remove_boilerplate_
+      lines`): lines appearing in >=2 distinct corpus docs are stripped,
+      survivors reassembled in original order (hashed here to keep the
+      row narrow; the oracle reproduces the full reassembly+md5).
     """
+    from data_pipelines_spark.operators.corpus import remove_boilerplate_lines
+
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") < _BENCH_MAX_ID)
@@ -135,12 +168,17 @@ def corpus_doc_curation(spark, sf_dir):
     keep = hash_fraction(F.col("doc_id"), "mix", portable=True) < rate
 
     flagged = contamination_check(corpus, bench, ngram_n=_NGRAM_N)
+    cleaned = remove_boilerplate_lines(corpus, min_doc_count=2)
     return (
         corpus.join(flagged, "doc_id", "left")
+        .join(cleaned, "doc_id")
         .select(
             "doc_id",
             "source",
             keep.alias("keep_sample"),
             F.coalesce(F.col("matched_ngrams"), F.lit(0)).alias("matched_ngrams"),
+            "n_lines",
+            "n_boiler_lines",
+            F.md5(F.encode(F.col("clean_text"), "UTF-8")).alias("clean_text_md5"),
         )
     )

@@ -120,7 +120,7 @@ def _doc_profile_sql() -> str:
     )
     return rf"""
     WITH base AS (
-        SELECT doc_id, lang AS labeled_lang,
+        SELECT doc_id, lang AS labeled_lang, text,
                CAST(length(text) AS DOUBLE) AS n_chars,
                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                          ELSE len(string_split_regex(trim(text), '\s+'))
@@ -187,7 +187,40 @@ def _doc_profile_sql() -> str:
            n_emails,
            n_phones,
            ROUND(dup_line_frac_raw, 6) AS dup_line_frac,
-           ROUND(top_bigram_frac_raw, 6) AS top_bigram_frac
+           ROUND(top_bigram_frac_raw, 6) AS top_bigram_frac,
+           ROUND(CASE WHEN n_tok > 0
+                 THEN CAST(list_sum(list_transform(toks, t -> length(t)))
+                           AS DOUBLE) / n_tok
+                 ELSE 0.0 END, 6) AS mean_word_len,
+           ROUND(CASE WHEN n_tok > 0
+                 THEN CAST(len(list_filter(toks,
+                               t -> regexp_matches(t, '[A-Za-z]')))
+                           AS DOUBLE) / n_tok
+                 ELSE 0.0 END, 6) AS alpha_word_frac,
+           (n_tok >= 50 AND n_tok <= 100000
+            AND (CASE WHEN n_tok > 0
+                 THEN CAST(list_sum(list_transform(toks, t -> length(t)))
+                           AS DOUBLE) / n_tok ELSE 0.0 END) >= 3.0
+            AND (CASE WHEN n_tok > 0
+                 THEN CAST(list_sum(list_transform(toks, t -> length(t)))
+                           AS DOUBLE) / n_tok ELSE 0.0 END) <= 10.0
+            AND (CASE WHEN n_tok > 0 THEN
+                 CAST(length(text) - length(replace(text, '#', ''))
+                      + (length(text) - length(replace(text, '...', ''))) / 3
+                      AS DOUBLE) / n_tok ELSE 0.0 END) <= 0.1
+            AND (CASE WHEN n_tok > 0
+                 THEN CAST(len(list_filter(toks,
+                               t -> regexp_matches(t, '[A-Za-z]')))
+                           AS DOUBLE) / n_tok ELSE 0.0 END) >= 0.8
+            AND (CASE WHEN len(lines) > 0
+                 THEN CAST(len(list_filter(lines,
+                               l -> substr(l, 1, 1) IN ('-', '*', '•')))
+                           AS DOUBLE) / len(lines) ELSE 0.0 END) <= 0.9
+            AND (CASE WHEN len(lines) > 0
+                 THEN CAST(len(list_filter(lines,
+                               l -> l LIKE '%...' OR l LIKE '%…'))
+                           AS DOUBLE) / len(lines) ELSE 0.0 END) <= 0.3
+            AND hits_en >= 2) AS passes_gopher
     FROM base JOIN rep2 ON base.doc_id = rep2.doc_id
     """
 
@@ -202,15 +235,21 @@ def doc_profile(spark, sf_dir):
     larger code, mirrored by the descending CASE chain in the oracle),
     PII detection counts (email/phone regex, RE2-compatible dialect),
     and Gopher-style repetition signals (duplicate-line fraction,
-    top-bigram fraction). Merges the former doc_quality_scores /
-    doc_fingerprints / lang_guess_docs queries so the driver sweep
-    covers every registry entry; each column remains individually
-    oracle-checked. One narrow projection — every signal is a native
-    expression over the row, no shuffle."""
+    top-bigram fraction), plus the Gopher rule-based gate (Rae et al.
+    2021): mean word length, alphabetic-word fraction, and the fused
+    pass/fail boolean over word-count / word-shape / symbol-ratio /
+    bullet / ellipsis / stopword rules. Merges the former
+    doc_quality_scores / doc_fingerprints / lang_guess_docs queries so
+    the driver sweep covers every registry entry; each column remains
+    individually oracle-checked. One narrow projection — every signal
+    is a native expression over the row, no shuffle."""
     from data_pipelines_spark.functions.text import (
+        alpha_word_fraction,
         duplicate_line_fraction,
         email_count,
         lang_guess,
+        mean_word_length,
+        passes_gopher_rules,
         phone_count,
         top_ngram_fraction,
     )
@@ -227,6 +266,9 @@ def doc_profile(spark, sf_dir):
         phone_count(F.col("text")).alias("n_phones"),
         F.round(duplicate_line_fraction(F.col("text")), 6).alias("dup_line_frac"),
         F.round(top_ngram_fraction(F.col("text"), 2), 6).alias("top_bigram_frac"),
+        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+        F.round(alpha_word_fraction(F.col("text")), 6).alias("alpha_word_frac"),
+        passes_gopher_rules(F.col("text")).alias("passes_gopher"),
     )
 
 

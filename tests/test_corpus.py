@@ -166,3 +166,104 @@ def test_portable_sampling_matches_rate_and_is_stable(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     assert a == sorted(r["doc_id"] for r in out.collect())
     assert 400 <= len(a) <= 600  # ~25% of 2000
+
+
+def test_boilerplate_line_removal(spark):
+    """Lines shared by >=2 docs are stripped; unique lines keep their
+    original order; all-boilerplate and empty docs come back empty."""
+    from data_pipelines_spark.operators.corpus import remove_boilerplate_lines
+
+    banner = "accept cookies to continue"
+    nav = "home | about | contact"
+    docs = _docs(
+        spark,
+        [
+            (1, "a", f"{banner}\nunique first line\n{nav}\nunique second"),
+            (2, "a", f"{banner}\nanother doc body\n{nav}"),
+            (3, "b", f"{banner}\n{nav}"),          # all boilerplate
+            (4, "b", "totally unique document"),
+            (5, "b", "   \n  \n"),                  # no non-empty lines
+        ],
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs).collect()}
+    assert out[1]["clean_text"] == "unique first line\nunique second"
+    assert (out[1]["n_lines"], out[1]["n_boiler_lines"]) == (4, 2)
+    assert out[2]["clean_text"] == "another doc body"
+    assert out[3]["clean_text"] == "" and out[3]["n_boiler_lines"] == 2
+    assert out[4]["clean_text"] == "totally unique document"
+    assert out[4]["n_boiler_lines"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_lines"] == 0
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_boilerplate_counts_distinct_docs_not_occurrences(spark):
+    """A line repeated many times inside ONE doc is not boilerplate."""
+    from data_pipelines_spark.operators.corpus import boilerplate_lines
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a", "echo\necho\necho\necho"),
+            (2, "a", "body text"),
+        ],
+    )
+    assert boilerplate_lines(docs).count() == 0
+
+
+def test_gopher_rules_pass_and_fail(spark):
+    from data_pipelines_spark.functions.text import (
+        alpha_word_fraction,
+        bullet_line_fraction,
+        ellipsis_line_fraction,
+        mean_word_length,
+        passes_gopher_rules,
+        symbol_word_ratio,
+    )
+
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog with great energy"] * 6
+    )
+    too_short = "the cat sat"
+    symbol_heavy = " ".join(["word ###"] * 40)
+    no_alpha = " ".join(["12345 67890"] * 40)
+    bullets = "\n".join(["- item one here"] * 10)
+    rows = [
+        (1, good),
+        (2, too_short),
+        (3, symbol_heavy),
+        (4, no_alpha),
+        (5, bullets),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            passes_gopher_rules(t).alias("ok"),
+            mean_word_length(t).alias("mwl"),
+            alpha_word_fraction(t).alias("alpha"),
+            symbol_word_ratio(t).alias("sym"),
+            bullet_line_fraction(t).alias("bullet"),
+            ellipsis_line_fraction(t).alias("ell"),
+        ).collect()
+    }
+    assert got[1]["ok"] is True
+    assert got[2]["ok"] is False          # < 50 words
+    assert got[3]["ok"] is False and got[3]["sym"] > 0.1
+    assert got[4]["ok"] is False and got[4]["alpha"] == 0.0
+    assert got[5]["ok"] is False and got[5]["bullet"] == 1.0
+    # spot-check the raw signals against hand arithmetic
+    assert abs(got[2]["mwl"] - 9 / 3) < 1e-9
+    assert got[1]["ell"] == 0.0
+
+
+def test_ellipsis_line_fraction(spark):
+    from data_pipelines_spark.functions.text import ellipsis_line_fraction
+
+    df = spark.createDataFrame(
+        [(1, "read more...\nfull line here\ntruncated again…\nanother full")],
+        "doc_id long, text string",
+    )
+    val = df.select(ellipsis_line_fraction(F.col("text")).alias("f")).first()["f"]
+    assert abs(val - 0.5) < 1e-9
