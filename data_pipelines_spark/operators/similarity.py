@@ -300,3 +300,45 @@ def ivf_topk(
         .limit(k)
         .select(F.col(id_col), F.round("cosine_raw", 6).alias("cosine"))
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: each vector is scaled by
+    its own max-abs so components land in [-127, 127] and stored as
+    array<tinyint> plus one float scale — a 4x storage/shuffle cut for
+    a 100 TB embedding table (float32 -> int8 + 4 bytes).
+
+    Cosine similarity is SCALE-INVARIANT, so searches over the
+    quantized column need no dequantization at all — the per-vector
+    scale cancels out of dot(a,b)/(|a||b|); only the int8 rounding
+    error remains (~1e-2 on the score for random vectors, see
+    tests/test_text_similarity.py). Ranking pipelines re-score the final
+    candidate page with the float column if exact order matters.
+
+    Output: input columns with ``vec_col`` replaced by
+    ``{vec_col}_q`` (array<tinyint>) and ``{vec_col}_scale`` (float).
+    """
+    v = _to_double(F.col(vec_col))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    return embeddings.withColumn(f"{vec_col}_q", q).withColumn(
+        f"{vec_col}_scale", scale.cast("float")
+    ).drop(vec_col)
+
+
+def dequantize_int8(
+    quantized: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8` (up to rounding): reconstruct
+    array<float> from the int8 codes and the per-vector scale."""
+    q = F.col(f"{vec_col}_q")
+    s = F.col(f"{vec_col}_scale").cast("double")
+    vec = F.transform(q, lambda x: (x.cast("double") * s).cast("float"))
+    return quantized.withColumn(vec_col, vec).drop(
+        f"{vec_col}_q", f"{vec_col}_scale"
+    )

@@ -80,6 +80,55 @@ def deduplicate_stream(
     return df.dropDuplicates(keys)
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    max_delay: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time range bound — the
+    impressions⨝clicks shape: a right-side row matches a left-side row
+    with the same key whose timestamp is within ``[left_ts, left_ts +
+    max_delay]``.
+
+    The range condition is what makes unbounded stream-stream join
+    feasible: together with the watermarks it gives Spark a provable
+    bound on how long each side's rows must be buffered, so join state
+    is evicted instead of growing forever. ``how`` may be ``inner`` or
+    ``left_outer`` (outer emits unmatched left rows only once the
+    watermark passes their join horizon). On batch frames the same
+    expression is a plain conditional join, so batch/stream twins can be
+    asserted equal on bounded input.
+
+    Ambiguous column names are resolved by suffixing the right side's
+    non-key columns with ``_r``. At 100 TB both sides shuffle-partition
+    on ``key_col`` — the state store is keyed the same way, so sizing
+    ``spark.sql.shuffle.partitions`` to state volume applies here too.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    renames = {
+        c: f"{c}_r"
+        for c in right.columns
+        if c != key_col and c in set(left.columns)
+    }
+    for old, new in renames.items():
+        right = right.withColumnRenamed(old, new)
+    r_ts = renames.get(right_ts, right_ts)
+    cond = (
+        (left[key_col] == right[key_col])
+        & (right[r_ts] >= left[left_ts])
+        & (right[r_ts] <= left[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return left.join(right, cond, how).drop(right[key_col])
+
+
 def stream_events_from_dir(
     spark,
     path: str,

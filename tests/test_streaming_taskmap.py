@@ -358,3 +358,59 @@ def test_event_time_timeout_expires_idle_state(spark):
     # their own count of 1
     assert earlier and all(c == 1 for c in earlier)
     assert u2 == [1]
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Watermarked stream-stream range join (impressions x clicks)
+    must produce exactly the batch join's matches on bounded input."""
+    import datetime as dt
+
+    from data_pipelines_spark.streaming.events import join_streams
+
+    base = dt.datetime(2024, 1, 1)
+    imps = [
+        (i, base + dt.timedelta(minutes=10 * i), i % 3)
+        for i in range(12)
+    ]
+    # clicks: in-window matches, plus one click before any impression
+    clicks = [
+        (100, base + dt.timedelta(minutes=5), 0),    # matches imp 0 (min 0)
+        (101, base + dt.timedelta(minutes=34), 0),   # matches imp 3 (min 30)
+        (102, base + dt.timedelta(minutes=52), 2),   # matches imp 5 (min 50)
+        (103, base - dt.timedelta(minutes=3), 1),    # before any impression
+    ]
+    imp_df = spark.createDataFrame(
+        imps, "imp_id long, ts timestamp, key int"
+    )
+    clk_df = spark.createDataFrame(
+        clicks, "click_id long, ts timestamp, key int"
+    )
+    batch = join_streams(
+        imp_df, clk_df, "key", max_delay="15 minutes"
+    ).select("imp_id", "click_id").collect()
+    want = sorted((r["imp_id"], r["click_id"]) for r in batch)
+    assert want == [(0, 100), (3, 101), (5, 102)]
+
+    tmp = tempfile.mkdtemp(prefix="dps_ssj_")
+    try:
+        imp_df.write.mode("overwrite").parquet(f"{tmp}/imps")
+        clk_df.write.mode("overwrite").parquet(f"{tmp}/clicks")
+        s_imp = stream_events_from_dir(spark, f"{tmp}/imps", imp_df.schema)
+        s_clk = stream_events_from_dir(spark, f"{tmp}/clicks", clk_df.schema)
+        joined = join_streams(s_imp, s_clk, "key", max_delay="15 minutes")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj_test")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        got = sorted(
+            (r["imp_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM ssj_test").collect()
+        )
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == want

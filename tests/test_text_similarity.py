@@ -178,3 +178,75 @@ def test_kmeans_fit_matches_pinned_oracle_model(spark):
 
     emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
     assert kmeans_centroids(emb, k=8, max_iterations=5) == _IVF_CENTROIDS_SF001
+
+
+def test_int8_quantization_roundtrip_and_cosine_error(spark):
+    from data_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        cosine,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df, vecs = _emb_df(spark, n=60, dim=16)
+    q = quantize_int8(df)
+    assert dict(q.dtypes)["embedding_q"] == "array<tinyint>"
+
+    # codes stay in [-127, 127]; the max-abs component hits exactly +-127
+    rng = q.select(
+        F.array_max(F.transform("embedding_q", lambda x: F.abs(x))).alias("m")
+    ).agg(F.min("m"), F.max("m")).first()
+    assert rng[0] == 127 and rng[1] == 127
+
+    # round-trip error bounded by scale/2 per component
+    rt = dequantize_int8(q)
+    joined = df.select("vec_id", F.col("embedding").alias("orig")).join(
+        rt.select("vec_id", F.col("embedding").alias("back")), "vec_id"
+    )
+    max_err = joined.select(
+        F.array_max(
+            F.zip_with("orig", "back", lambda a, b: F.abs(a.cast("double") - b))
+        ).alias("e")
+    ).agg(F.max("e")).first()[0]
+    # scale = max_abs/127 and vectors are N(0,1): components < ~5 abs
+    assert max_err < 5.0 / 127.0 / 2.0 + 1e-6
+
+    # cosine on the quantized codes (scale cancels) ~ cosine on floats
+    pairs = (
+        df.alias("a").crossJoin(df.alias("b"))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .limit(200)
+        .select(
+            cosine(
+                F.transform("a.embedding", lambda x: x.cast("double")),
+                F.transform("b.embedding", lambda x: x.cast("double")),
+            ).alias("exact"),
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+        )
+    )
+    qq = q.select("vec_id", "embedding_q")
+    approx = (
+        pairs.join(qq.select(F.col("vec_id").alias("ia"),
+                             F.col("embedding_q").alias("qa")), "ia")
+        .join(qq.select(F.col("vec_id").alias("ib"),
+                        F.col("embedding_q").alias("qb")), "ib")
+        .select(
+            "exact",
+            cosine(
+                F.transform("qa", lambda x: x.cast("double")),
+                F.transform("qb", lambda x: x.cast("double")),
+            ).alias("approx"),
+        )
+    )
+    worst = approx.select(F.max(F.abs(F.col("exact") - F.col("approx"))).alias("d")
+                          ).first()["d"]
+    assert worst < 0.02
+
+    # and top-k over dequantized vectors recovers the exact top-k head
+    query = df.sparkSession.createDataFrame(
+        [([float(x) for x in vecs[0]],)], "qvec array<float>"
+    )
+    exact_top = [r["vec_id"] for r in brute_force_topk(df, query, k=5).collect()]
+    quant_top = [r["vec_id"] for r in brute_force_topk(rt, query, k=5).collect()]
+    assert exact_top[0] == quant_top[0] == 0
+    assert len(set(exact_top) & set(quant_top)) >= 4
