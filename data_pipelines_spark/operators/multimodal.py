@@ -8,11 +8,13 @@ Decode coverage is tiered by what the environment can honestly do:
 
 - **Real, dependency-free**: PNM images (PGM/PPM — numpy header+buffer
   parse, real nearest-neighbor resize), 8-bit PNG (stdlib zlib inflate
-  + all five scanline filters, gray/RGB/palette/alpha), and WAV audio
-  (stdlib `wave` — real sample decode, RMS / zero-crossing features).
-  These run end-to-end in tests against byte-assembled files.
-- **Library-gated**: JPEG/MP4/16-bit-PNG and friends need
-  PIL/opencv/pyav; `decode_image` raises a clearly marked
+  + all five scanline filters, gray/RGB/palette/alpha), baseline JPEG
+  (`operators/jpeg.py` — full Huffman/DCT decode + encoder, 4:4:4 and
+  4:2:0), and WAV audio (stdlib `wave` — real sample decode, RMS /
+  zero-crossing features). These run end-to-end in tests against
+  byte-assembled files.
+- **Library-gated**: progressive/12-bit JPEG, MP4, 16-bit PNG and
+  friends need PIL/opencv/pyav; `decode_image` raises a clearly marked
   NotImplementedError for them.
 
 Reference analogue: the sentinel imagery pipeline (SURVEY.md §3.3) is
@@ -199,13 +201,19 @@ def decode_png(content: bytes) -> "object":
 
 
 def decode_image(content: bytes) -> "object":
-    """Decode an image payload to a numpy array. PNM (P5/P6) and PNG
-    (8-bit, via :func:`decode_png`) decode natively; JPEG and friends
-    need a codec library (PIL/opencv) not present in this environment."""
+    """Decode an image payload to a numpy array. PNM (P5/P6), PNG
+    (8-bit, via :func:`decode_png`) and baseline JPEG (via
+    :func:`~data_pipelines_spark.operators.jpeg.decode_jpeg`) decode
+    natively; exotic profiles need a codec library (PIL/opencv) not
+    present in this environment."""
     if content[:2] in (b"P5", b"P6"):
         return decode_pnm(content)
     if content[:8] == _PNG_SIGNATURE:
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from data_pipelines_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     try:  # pragma: no cover - env without codecs
         import io
 
@@ -216,7 +224,7 @@ def decode_image(content: bytes) -> "object":
     except ImportError as e:
         raise NotImplementedError(
             "compressed image decode requires a codec library (PIL/opencv); "
-            "PNM and 8-bit PNG payloads decode natively"
+            "PNM, 8-bit PNG and baseline JPEG payloads decode natively"
         ) from e
 
 
