@@ -213,6 +213,99 @@ def remove_boilerplate_lines(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    stream_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard pretraining
+    layout: within each stream, documents are logically concatenated in
+    ``id_col`` order and sliced into fixed ``seq_len``-token training
+    sequences. Adds, per doc:
+
+    - ``seq_id``    — index of the sequence its first token lands in;
+    - ``seq_off``   — token offset of the doc within that sequence;
+    - ``seq_spans`` — how many sequence boundaries the doc crosses + 1
+      (a doc longer than its sequence remainder straddles several).
+
+    Deterministic by construction (pure function of ids and token
+    counts — re-running on the same corpus reproduces the exact
+    layout), and scale-safe: the running total uses the two-phase
+    :func:`~data_pipelines_spark.plans.windows.grouped_running_sum`,
+    never a one-partition-per-stream window.
+    """
+    from data_pipelines_spark.plans.windows import grouped_running_sum
+
+    cum = grouped_running_sum(
+        docs,
+        [stream_col],
+        [F.col(id_col).asc()],
+        tokens_col,
+        alias="__cum_before",
+    )
+    before = F.col("__cum_before")
+    toks = F.col(tokens_col)
+    return (
+        cum.withColumn("seq_id", F.floor(before / seq_len).cast("long"))
+        .withColumn("seq_off", F.pmod(before, F.lit(seq_len)).cast("long"))
+        .withColumn(
+            "seq_spans",
+            (
+                F.floor((before + F.greatest(toks, F.lit(1)) - 1) / seq_len)
+                - F.floor(before / seq_len)
+                + 1
+            ).cast("long"),
+        )
+        .drop("__cum_before")
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Self-trained unigram language-model score per document: the mean
+    log10 probability of its tokens under the corpus's own unigram
+    distribution — the cheap stand-in for the KenLM-perplexity quality
+    filter every big corpus pipeline runs (low mean log-prob = unusual
+    token mix = gibberish or boilerplate candidate).
+
+    Output: (id_col, n_tokens, lm_logprob10), one row per doc with >=1
+    token. Scale shape: token counts are a map-side-combined wordcount;
+    the per-token score join shuffles on the token key; no UDFs.
+
+    Engine-portability: each token's log-prob is rounded to ``decimals``
+    and summed as DECIMAL — float sums are order-of-summation dependent
+    in their last ulps, so an unrounded double sum would differ between
+    runs (and engines) while this is bit-stable anywhere.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__lp",
+            F.round(F.log10(F.col("cnt") / F.col("total")), decimals).cast(
+                "decimal(28,8)"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("__lp").cast("double") / F.count(F.lit(1)), decimals
+        ).alias("lm_logprob10"),
+    )
+
+
 def _word_ngrams(text: Column, n: int) -> Column:
     toks = tokens(F.lower(text))
     cnt = F.size(toks)

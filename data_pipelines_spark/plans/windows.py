@@ -46,6 +46,61 @@ def top1_per_group(df: DataFrame, keys: list[str], order: list[Column]) -> DataF
     )
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    group: list[str],
+    order: list[Column],
+    value: str,
+    alias: str = "running_sum",
+) -> DataFrame:
+    """Exclusive running sum of ``value`` per ``group`` under ``order``
+    (sum over strictly-preceding rows) WITHOUT one-partition-per-group
+    windows.
+
+    A bare ``Window.partitionBy(group).orderBy(...)`` routes each
+    group's entire row set through a single task — fatal when groups are
+    few and huge (e.g. packing a trillion-token corpus split across a
+    handful of sources). Two-phase instead, same scheme as
+    :func:`global_rank`: range-repartition by (group, order) so each
+    group spans consecutive range partitions, accumulate locally within
+    (partition, group), then add per-(partition, group) offsets computed
+    from a partition-count-sized summary that is broadcast back.
+    Output equals the naive window's for any total order.
+    """
+    parts = df.repartitionByRange(*[F.col(g) for g in group], *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid", *group).orderBy(*order)
+    local = parts.withColumn(
+        "__lsum",
+        F.coalesce(
+            F.sum(value).over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    offsets = (
+        parts.groupBy("__pid", *group)
+        .agg(F.sum(value).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.partitionBy(*group)
+                    .orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .drop("__n")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__pid", *group])
+        .withColumn(alias, (F.col("__lsum") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__lsum", "__offset")
+    )
+
+
 def global_rank(df: DataFrame, order: list[Column], alias: str = "rank") -> DataFrame:
     """Total-order rank over the whole frame WITHOUT a single-partition
     sort.

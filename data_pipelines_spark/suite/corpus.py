@@ -61,6 +61,7 @@ _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 _MIX_DEFAULT = 0.1
 _BENCH_MAX_ID = 20  # docs below this id play the held-out benchmark
 _NGRAM_N = 8
+_SEQ_LEN = 512  # training-sequence length for the packing columns
 
 
 def _grams_sql(n: int) -> str:
@@ -116,23 +117,66 @@ _CURATION_SQL = rf"""
                len(lines) AS n_lines,
                list_filter(lines, l -> NOT list_contains(bl, l)) AS kept
         FROM lines_pd, boiler_list
+    ),
+    corpus_toks AS (
+        SELECT doc_id, unnest(toks) AS token
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM corpus)
+    ),
+    vocab AS (
+        SELECT token, count(*) AS cnt FROM corpus_toks GROUP BY token
+    ),
+    vocab_total AS (SELECT sum(cnt) AS total FROM vocab),
+    lm AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(CAST(sum(CAST(round(log10(cnt / total), 6)
+                                   AS DECIMAL(28,8))) AS DOUBLE)
+                     / count(*), 6) AS lm_logprob10
+        FROM corpus_toks JOIN vocab USING (token), vocab_total
+        GROUP BY doc_id
+    ),
+    decided AS (
+        SELECT c.doc_id, c.source,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       string_split(substr(md5(CAST(c.doc_id AS VARCHAR) || ':' || 'mix'), 1, 8), ''),
+                       ch -> CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT))),
+                   (a, x) -> a * 16 + x) / 4294967296.0
+               < CASE c.source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                               WHEN 'src2' THEN 0.25 ELSE {_MIX_DEFAULT} END
+                   AS keep_sample,
+               COALESCE(ct.matched_ngrams, 0) AS matched_ngrams
+        FROM corpus c
+        LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+    ),
+    packed AS (
+        SELECT doc_id,
+               CAST(floor(cum_before / {_SEQ_LEN}) AS BIGINT) AS seq_id,
+               CAST(cum_before % {_SEQ_LEN} AS BIGINT) AS seq_off,
+               CAST(floor((cum_before + greatest(n_tokens, 1) - 1) / {_SEQ_LEN})
+                    - floor(cum_before / {_SEQ_LEN}) + 1 AS BIGINT) AS seq_spans
+        FROM (
+            SELECT d.doc_id,
+                   COALESCE(l.n_tokens, 0) AS n_tokens,
+                   COALESCE(sum(l.n_tokens) OVER (
+                       PARTITION BY d.source ORDER BY d.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+            FROM decided d LEFT JOIN lm l ON d.doc_id = l.doc_id
+            WHERE d.keep_sample AND d.matched_ngrams = 0
+        )
     )
-    SELECT c.doc_id, c.source,
-           list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(
-                   string_split(substr(md5(CAST(c.doc_id AS VARCHAR) || ':' || 'mix'), 1, 8), ''),
-                   ch -> CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT))),
-               (a, x) -> a * 16 + x) / 4294967296.0
-           < CASE c.source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
-                           WHEN 'src2' THEN 0.25 ELSE {_MIX_DEFAULT} END
-               AS keep_sample,
-           COALESCE(ct.matched_ngrams, 0) AS matched_ngrams,
+    SELECT d.doc_id, d.source, d.keep_sample, d.matched_ngrams,
            CAST(cl.n_lines AS BIGINT) AS n_lines,
            CAST(cl.n_lines - len(cl.kept) AS BIGINT) AS n_boiler_lines,
-           md5(array_to_string(cl.kept, chr(10))) AS clean_text_md5
-    FROM corpus c
-    LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
-    JOIN cleaned cl ON c.doc_id = cl.doc_id
+           md5(array_to_string(cl.kept, chr(10))) AS clean_text_md5,
+           COALESCE(l.n_tokens, 0) AS n_tokens,
+           l.lm_logprob10,
+           p.seq_id, p.seq_off, p.seq_spans
+    FROM decided d
+    JOIN cleaned cl ON d.doc_id = cl.doc_id
+    LEFT JOIN lm l ON d.doc_id = l.doc_id
+    LEFT JOIN packed p ON d.doc_id = p.doc_id
 """
 
 
@@ -154,8 +198,22 @@ def corpus_doc_curation(spark, sf_dir):
       lines`): lines appearing in >=2 distinct corpus docs are stripped,
       survivors reassembled in original order (hashed here to keep the
       row narrow; the oracle reproduces the full reassembly+md5).
+    - ``n_tokens`` / ``lm_logprob10`` — self-trained unigram-LM quality
+      score (`operators.corpus.unigram_logprob`): mean log10 token
+      probability under the corpus's own unigram distribution, the
+      KenLM-perplexity-filter stand-in. DECIMAL-summed so the oracle
+      reproduces it bit-for-bit.
+    - ``seq_id`` / ``seq_off`` / ``seq_spans`` — concat-and-chunk
+      sequence packing (`operators.corpus.pack_sequences`) of the
+      CURATED subset (keep_sample, uncontaminated) into 512-token
+      training sequences per source stream; null for dropped docs.
+      Two-phase running sum — no one-partition-per-stream window.
     """
-    from data_pipelines_spark.operators.corpus import remove_boilerplate_lines
+    from data_pipelines_spark.operators.corpus import (
+        pack_sequences,
+        remove_boilerplate_lines,
+        unigram_logprob,
+    )
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -169,16 +227,41 @@ def corpus_doc_curation(spark, sf_dir):
 
     flagged = contamination_check(corpus, bench, ngram_n=_NGRAM_N)
     cleaned = remove_boilerplate_lines(corpus, min_doc_count=2)
-    return (
+    lm = unigram_logprob(corpus)
+
+    decided = (
         corpus.join(flagged, "doc_id", "left")
-        .join(cleaned, "doc_id")
         .select(
             "doc_id",
             "source",
             keep.alias("keep_sample"),
             F.coalesce(F.col("matched_ngrams"), F.lit(0)).alias("matched_ngrams"),
+        )
+    )
+    curated = (
+        decided.where(F.col("keep_sample") & (F.col("matched_ngrams") == 0))
+        .join(lm.select("doc_id", "n_tokens"), "doc_id", "left")
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+    )
+    packed = pack_sequences(curated, _SEQ_LEN).select(
+        "doc_id", "seq_id", "seq_off", "seq_spans"
+    )
+    return (
+        decided.join(cleaned, "doc_id")
+        .join(lm, "doc_id", "left")
+        .join(packed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "keep_sample",
+            "matched_ngrams",
             "n_lines",
             "n_boiler_lines",
             F.md5(F.encode(F.col("clean_text"), "UTF-8")).alias("clean_text_md5"),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            "lm_logprob10",
+            "seq_id",
+            "seq_off",
+            "seq_spans",
         )
     )

@@ -267,3 +267,96 @@ def test_ellipsis_line_fraction(spark):
     )
     val = df.select(ellipsis_line_fraction(F.col("text")).alias("f")).first()["f"]
     assert abs(val - 0.5) < 1e-9
+
+
+def test_grouped_running_sum_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    from data_pipelines_spark.plans.windows import grouped_running_sum
+
+    rows = [(i, f"s{i % 3}", (i * 7919) % 50 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, grp string, v long").repartition(13)
+    got = {
+        r["id"]: r["cum"]
+        for r in grouped_running_sum(
+            df, ["grp"], [F.col("id").asc()], "v", alias="cum"
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn(
+            "cum", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_layout(spark):
+    from data_pipelines_spark.operators.corpus import pack_sequences
+
+    # one stream, seq_len 10: docs of 4, 4, 5, 20, 1 tokens
+    docs = spark.createDataFrame(
+        [(1, "s", 4), (2, "s", 4), (3, "s", 5), (4, "s", 20), (5, "s", 1)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = {
+        r["doc_id"]: (r["seq_id"], r["seq_off"], r["seq_spans"])
+        for r in pack_sequences(docs, 10).collect()
+    }
+    assert out[1] == (0, 0, 1)   # tokens 0-3
+    assert out[2] == (0, 4, 1)   # tokens 4-7
+    assert out[3] == (0, 8, 2)   # tokens 8-12: crosses the seq 0/1 boundary
+    assert out[4] == (1, 3, 3)   # tokens 13-32: spans seqs 1,2,3
+    assert out[5] == (3, 3, 1)   # token 33
+    # zero-token doc occupies no space but gets a deterministic slot
+    docs2 = spark.createDataFrame(
+        [(1, "s", 10), (2, "s", 0), (3, "s", 2)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out2 = {
+        r["doc_id"]: (r["seq_id"], r["seq_off"], r["seq_spans"])
+        for r in pack_sequences(docs2, 10).collect()
+    }
+    assert out2[2] == (1, 0, 1)
+    assert out2[3] == (1, 0, 1)
+
+
+def test_pack_sequences_streams_are_independent(spark):
+    from data_pipelines_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a", 7), (2, "b", 7), (3, "a", 7), (4, "b", 7)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = {
+        r["doc_id"]: (r["seq_id"], r["seq_off"])
+        for r in pack_sequences(docs, 10).collect()
+    }
+    # each stream packs from its own offset 0
+    assert out[1] == (0, 0) and out[2] == (0, 0)
+    assert out[3] == (0, 7) and out[4] == (0, 7)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from data_pipelines_spark.operators.corpus import unigram_logprob
+
+    docs = _docs(spark, [(1, "s", "a a b"), (2, "s", "b c"), (3, "s", "  ")])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["lm_logprob10"])
+        for r in unigram_logprob(docs).collect()
+    }
+    # corpus counts: a=2, b=2, c=1, total=5
+    lp = {t: round(math.log10(c / 5), 6) for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    assert out[1][0] == 3
+    assert out[1][1] == round((2 * lp["a"] + lp["b"]) / 3, 6)
+    assert out[2][1] == round((lp["b"] + lp["c"]) / 2, 6)
+    assert 3 not in out  # blank doc has no tokens, no row
+    # rarer token mix scores lower
+    assert out[2][1] < out[1][1]
