@@ -12,6 +12,7 @@ Two entry points:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -50,6 +51,28 @@ def tune(spark: SparkSession) -> SparkSession:
     except Exception:
         pass
     return spark
+
+
+@contextmanager
+def scheduler_pool(spark: SparkSession, pool: str):
+    """Run the enclosed jobs in a named fair-scheduler pool (reference
+    D7: Dagster's run-queue concurrency limit by tag, `dagster.yaml:1-8`).
+
+    Spark's native form of per-workload concurrency control: with
+    ``spark.scheduler.mode=FAIR`` each pool gets its own share/weight
+    (configured via ``spark.scheduler.allocation.file``), so e.g. a
+    `sequential_backfill` pool with minShare 0 / weight 1 cannot starve
+    the interactive pool. The pool assignment itself is a thread-local
+    property and is honored in any scheduling mode; it is restored (not
+    just cleared) on exit so pools nest.
+    """
+    sc = spark.sparkContext
+    prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try:
+        yield spark
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", prev)
 
 
 def get_spark(

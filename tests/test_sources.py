@@ -418,3 +418,52 @@ def test_fetch_binary_with_retries(spark, tmp_path):
     assert not bad["ok"] and bad["content"] is None
     assert bad["attempts"] == 2  # initial try + 1 retry
     assert "Error" in bad["error"] or "error" in bad["error"].lower()
+
+
+def test_fsutils_roundtrip(spark, tmp_path):
+    from data_pipelines_spark.sources import fsutils
+
+    base = f"file://{tmp_path}"
+    assert fsutils.mkdirs(spark, f"{base}/a")
+    (tmp_path / "a" / "x.parquet").write_bytes(b"0123456789")
+    (tmp_path / "a" / "y.parquet").write_bytes(b"01")
+    (tmp_path / "a" / "z.txt").write_bytes(b"0")
+
+    assert fsutils.exists(spark, f"{base}/a/x.parquet")
+    assert not fsutils.exists(spark, f"{base}/a/missing")
+
+    listed = fsutils.list_objects(spark, f"{base}/a")
+    assert [f.path.rsplit("/", 1)[1] for f in listed] == [
+        "x.parquet", "y.parquet", "z.txt",
+    ]
+    assert listed[0].size == 10 and not listed[0].is_dir
+
+    globbed = fsutils.glob_objects(spark, f"{base}/a/*.parquet")
+    assert [f.path.rsplit("/", 1)[1] for f in globbed] == [
+        "x.parquet", "y.parquet",
+    ]
+    assert fsutils.glob_objects(spark, f"{base}/nope/*.parquet") == []
+
+    fsutils.copy(spark, f"{base}/a/x.parquet", f"{base}/b/x.parquet")
+    assert fsutils.exists(spark, f"{base}/b/x.parquet")
+    assert (tmp_path / "b" / "x.parquet").read_bytes() == b"0123456789"
+
+    assert fsutils.delete(spark, f"{base}/b/x.parquet")
+    assert not fsutils.delete(spark, f"{base}/b/x.parquet")  # already gone
+    assert fsutils.delete(spark, f"{base}/a", recursive=True)
+    assert not fsutils.exists(spark, f"{base}/a")
+
+
+def test_scheduler_pool_sets_and_restores(spark):
+    from data_pipelines_spark.session import scheduler_pool
+
+    sc = spark.sparkContext
+    assert sc.getLocalProperty("spark.scheduler.pool") is None
+    with scheduler_pool(spark, "sequential_backfill") as s:
+        assert sc.getLocalProperty("spark.scheduler.pool") == "sequential_backfill"
+        # jobs actually run under the pool assignment
+        assert s.range(10).count() == 10
+        with scheduler_pool(spark, "inner"):
+            assert sc.getLocalProperty("spark.scheduler.pool") == "inner"
+        assert sc.getLocalProperty("spark.scheduler.pool") == "sequential_backfill"
+    assert sc.getLocalProperty("spark.scheduler.pool") is None
