@@ -302,6 +302,66 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: assign every vector to its
+    nearest k-means centroid, then within each cluster drop any vector
+    that has a near-identical neighbor (cosine >= ``threshold``) with a
+    smaller id — the smallest id in each semantic group survives as the
+    representative.
+
+    Output, one row per input vector:
+    (id_col, cluster, dup_of, keep) — ``dup_of`` is the smallest
+    qualifying neighbor id (null for kept rows), so the decision is
+    auditable and the kept set is ``where(keep)``.
+
+    Scale shape: the pairwise comparison is confined to a cluster
+    (k ~ sqrt(N) keeps clusters ~sqrt(N)-sized), exactly the published
+    SemDeDup recipe — never an all-pairs join; the centroid model is
+    the only collected state. Deterministic: min-id-init quantized
+    k-means + a total-order tie rule, so re-runs reproduce the same
+    kept set.
+    """
+    assigned = ivf_assign(embeddings, centroids, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cluster")
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    dups = (
+        a.join(b, "cluster")
+        .where(F.col("__idb") < F.col("__ida"))
+        .where(
+            cosine(_to_double(F.col("__va")), _to_double(F.col("__vb")))
+            >= threshold
+        )
+        .groupBy("__ida")
+        .agg(F.min("__idb").alias("dup_of"))
+        .withColumnRenamed("__ida", id_col)
+    )
+    return (
+        assigned.join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("dup_of"),
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )
+
+
 def quantize_int8(
     embeddings: DataFrame,
     vec_col: str = "embedding",

@@ -59,6 +59,7 @@ _PRIORITY = (
     # tier 0 — new this round (no CORRECTNESS row yet)
     "vocabulary_stats",
     "corpus_doc_curation",
+    "semantic_dedup",
     # tier 1 — no CORRECTNESS row in round 1 (driver budget ran out)
     "minhash_near_dup_portable",
     "dedup_clusters",

@@ -664,6 +664,59 @@ def _ivf_topk_sql(nprobe: int = 2, k: int = 10) -> str:
     """
 
 
+def _semantic_dedup_sql(threshold: float = 0.3) -> str:
+    """DuckDB twin of SemDeDup over the SAME pinned centroid model as
+    the IVF oracle: nearest-centroid assignment (list_distance is the
+    monotone sqrt of Spark's squared-L2 fold, ties -> lowest cluster),
+    then min-id representative per semantic near-dup group."""
+    cent_rows = ",\n        ".join(
+        f"({i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[])"
+        for i, c in enumerate(_IVF_CENTROIDS_SF001)
+    )
+    return f"""
+    WITH cents(cid, c) AS (VALUES
+        {cent_rows}
+    ),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ranked AS (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY list_distance(v, c), cid) AS rn
+        FROM emb, cents
+    ),
+    asg AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
+    dups AS (
+        SELECT a.vec_id, min(b.vec_id) AS dup_of
+        FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+        GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+           d.dup_of, d.dup_of IS NULL AS keep
+    FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """
+
+
+@register("semantic_dedup", _semantic_dedup_sql())
+def semantic_dedup_query(spark, sf_dir):
+    """SemDeDup: k-means-cluster the embedding space, keep one
+    representative (smallest id) per semantic near-dup group within each
+    cluster — the embedding-space dedup tier above MinHash/SimHash. The
+    k-means fit runs live and its quantized determinism makes it equal
+    to the pinned oracle model (same fit as embedding_ivf_topk)."""
+    from data_pipelines_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, max_iterations=5)
+    return semantic_dedup(emb, cents, threshold=0.3)
+
+
 @register("embedding_ivf_topk", _ivf_topk_sql())
 def embedding_ivf_topk(spark, sf_dir):
     """IVF ANN: deterministic k-means coarse quantizer → probe the

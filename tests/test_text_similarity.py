@@ -250,3 +250,32 @@ def test_int8_quantization_roundtrip_and_cosine_error(spark):
     quant_top = [r["vec_id"] for r in brute_force_topk(rt, query, k=5).collect()]
     assert exact_top[0] == quant_top[0] == 0
     assert len(set(exact_top) & set(quant_top)) >= 4
+
+
+def test_semantic_dedup_keeps_min_id_representative(spark):
+    from data_pipelines_spark.operators.similarity import semantic_dedup
+
+    # two tight semantic groups around opposite corners + one singleton;
+    # centroids placed so each group lands in its own cluster
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),     # near-clone of 1
+        (5, [0.99, 0.02, 0.01]),     # near-clone of 1 too
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.999, 0.02]),     # near-clone of 3
+        (9, [0.0, 0.0, 1.0]),        # singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    out = {
+        r["vec_id"]: (r["cluster"], r["dup_of"], r["keep"])
+        for r in semantic_dedup(emb, cents, threshold=0.95).collect()
+    }
+    assert out[1] == (0, None, True)     # min id in its group survives
+    assert out[2] == (0, 1, False)
+    assert out[5] == (0, 1, False)       # dup_of is the MIN neighbor, not any
+    assert out[3] == (1, None, True)
+    assert out[4] == (1, 3, False)
+    assert out[9] == (2, None, True)     # singleton untouched
+    # cross-cluster near-misses are never compared: vec 1 vs vec 3 have
+    # cosine 0 < threshold anyway, but the join itself is cluster-local
