@@ -1,0 +1,95 @@
+"""URL/domain column functions for web-corpus curation.
+
+Crawl-derived corpora filter by URL before anything touches the text:
+domain blocklists, per-domain caps (one domain must not dominate the
+training mix), and URL-pattern rules are the cheapest, earliest gate in
+the pipeline. All native expressions — regexp + string ops, no UDFs —
+so they fuse into the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://host[:port]/...  -> host (lowercased, port and creds stripped)
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+
+# Multi-label public suffixes that need three labels for a registered
+# domain (a pragmatic head of the public-suffix list; a real deployment
+# swaps in the full PSL as a broadcast lookup).
+_TWO_LABEL_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tw", "com.sg", "co.za",
+)
+
+
+def url_host(url: Column) -> Column:
+    """Hostname of a URL (lowercase; credentials/port/path stripped);
+    null for non-URLs."""
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    return F.when(host != "", host)
+
+
+def registered_domain(url: Column) -> Column:
+    """eTLD+1 ("example.co.uk" from "a.b.example.co.uk") — the key for
+    per-domain caps and blocklists; label-count heuristic over a
+    suffix-list head."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    is_two_label = last2.isin(*_TWO_LABEL_SUFFIXES)
+    take3 = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    return F.when(host.isNull(), F.lit(None).cast("string")).when(
+        n <= 2, host
+    ).when(is_two_label & (n >= 3), take3).otherwise(last2)
+
+
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop documents whose registered domain is blocklisted.
+
+    The blocklist is dimension-sized (thousands to low millions of
+    domains) next to the corpus — broadcast anti-join, the same 100 TB
+    shape as benchmark decontamination. ``blocklist`` needs one
+    ``domain`` column; rows with un-parseable URLs are KEPT (they fail
+    toward manual review, not silent loss)."""
+    keyed = docs.withColumn("__dom", registered_domain(F.col(url_col)))
+    return keyed.join(
+        F.broadcast(blocklist.select(F.col("domain").alias("__dom"))),
+        "__dom",
+        "left_anti",
+    ).drop("__dom")
+
+
+def domain_cap_sample(
+    docs: DataFrame,
+    max_frac_per_domain: float,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    salt: str = "domaincap",
+) -> DataFrame:
+    """Per-domain frequency cap: deterministically keep at most
+    ``max_frac_per_domain`` of each registered domain's documents — the
+    anti-SEO-spam mixing rule (no domain should dominate the corpus).
+    Same hash-coin machinery as stratified sampling: a pure narrow
+    filter, no shuffle, reproducible across runs."""
+    from data_pipelines_spark.operators.corpus import hash_fraction
+
+    keyed = docs.withColumn("__dom", registered_domain(F.col(url_col)))
+    coin = hash_fraction(
+        F.concat_ws("/", F.col("__dom"), F.col(id_col).cast("string")), salt
+    )
+    return keyed.where(
+        F.col("__dom").isNull() | (coin < F.lit(float(max_frac_per_domain)))
+    ).drop("__dom")

@@ -360,3 +360,41 @@ def test_unigram_logprob_hand_computed(spark):
     assert 3 not in out  # blank doc has no tokens, no row
     # rarer token mix scores lower
     assert out[2][1] < out[1][1]
+
+
+def test_pack_sequences_property(spark):
+    """Property check over randomized corpora: packing is a bijection
+    onto contiguous token space per stream (seeded random data, one
+    Spark job per drawn corpus)."""
+    import random
+
+    from data_pipelines_spark.operators.corpus import pack_sequences
+
+    rng = random.Random(42)
+    examples = []
+    for _ in range(6):
+        n = rng.randint(1, 60)
+        examples.append([
+            (i, rng.choice("abc"), rng.randint(0, 400)) for i in range(n)
+        ])
+
+    seq_len = 128
+    for rows in examples:
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long"
+        ).repartition(5)
+        out = pack_sequences(df, seq_len).collect()
+        by_stream: dict = {}
+        for r in out:
+            by_stream.setdefault(r["source"], []).append(r)
+        for stream_rows in by_stream.values():
+            stream_rows.sort(key=lambda r: r["doc_id"])
+            cum = 0
+            for r in stream_rows:
+                # reconstruct: every doc starts exactly at the running total
+                assert r["seq_id"] == cum // seq_len
+                assert r["seq_off"] == cum % seq_len
+                end = cum + max(r["n_tokens"], 1) - 1
+                assert r["seq_spans"] == end // seq_len - cum // seq_len + 1
+                assert 0 <= r["seq_off"] < seq_len
+                cum += r["n_tokens"]

@@ -1,0 +1,74 @@
+"""URL/domain curation functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.functions.web import (
+    domain_cap_sample,
+    filter_blocked_domains,
+    registered_domain,
+    url_host,
+)
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+
+
+def test_url_host_and_registered_domain(spark):
+    df = _urls(spark, [
+        "https://news.example.com/a/b?q=1",
+        "http://user:pw@Sub.Example.CO.UK:8080/x",
+        "https://example.org",
+        "ftp://a.b.c.d.example.com.au/f",
+        "not a url",
+        None,
+    ]).select(
+        "doc_id",
+        url_host(F.col("url")).alias("host"),
+        registered_domain(F.col("url")).alias("dom"),
+    )
+    got = {r["doc_id"]: (r["host"], r["dom"]) for r in df.collect()}
+    assert got[0] == ("news.example.com", "example.com")
+    assert got[1] == ("sub.example.co.uk", "example.co.uk")   # creds+port stripped
+    assert got[2] == ("example.org", "example.org")           # bare eTLD+1
+    assert got[3] == ("a.b.c.d.example.com.au", "example.com.au")
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
+
+
+def test_filter_blocked_domains(spark):
+    docs = _urls(spark, [
+        "https://spam.bad.com/x",
+        "https://ok.example.org/y",
+        "garbage",                      # unparseable -> kept
+    ])
+    block = spark.createDataFrame([("bad.com",)], "domain string")
+    kept = sorted(r["doc_id"] for r in
+                  filter_blocked_domains(docs, block).collect())
+    assert kept == [1, 2]
+
+
+def test_domain_cap_sample_deterministic(spark):
+    docs = _urls(spark, [f"https://d{i % 4}.example.com/p{i}"
+                         for i in range(2000)])
+    out = domain_cap_sample(docs, 0.25)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b                      # reproducible
+    assert 300 <= len(a) <= 700        # ~25% of 2000
+    # every domain individually capped around the target rate
+    per_dom = (
+        domain_cap_sample(docs, 0.25)
+        .groupBy(registered_domain(F.col("url")).alias("d")).count().collect()
+    )
+    # all four subdomains share one registered domain
+    assert len(per_dom) == 1 and 300 <= per_dom[0]["count"] <= 700
+    # cap 1.0 keeps everything; unparseable URLs always kept
+    mixed = _urls(spark, ["junk", "https://x.example.com/a"])
+    assert domain_cap_sample(mixed, 1.0).count() == 2
+    assert domain_cap_sample(mixed, 0.0).where(
+        F.col("url") == "junk").count() == 1
