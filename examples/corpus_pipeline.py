@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Worked example: an end-to-end training-data curation pipeline.
+
+The complete corpus story this engine provides, stage by stage, on a
+tiny synthetic JSONL crawl — every stage is the 100 TB shape (broadcast
+dimension joins, hash-coin filters, banded LSH, two-phase running
+sums), just exercised small:
+
+    ingest JSONL  →  URL blocklist + per-domain cap  →  Gopher quality
+    gate  →  exact dedup  →  MinHash near-dup dedup  →  benchmark
+    decontamination  →  stratified mixing  →  unigram-LM scoring  →
+    sequence packing  →  curated JSONL + packing manifest
+
+    python examples/corpus_pipeline.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.functions.text import passes_gopher_rules
+from data_pipelines_spark.functions.web import (
+    domain_cap_sample,
+    filter_blocked_domains,
+)
+from data_pipelines_spark.operators.corpus import (
+    decontaminate,
+    pack_sequences,
+    stratified_sample,
+    unigram_logprob,
+)
+from data_pipelines_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+)
+from data_pipelines_spark.sources import corpus_io
+
+
+def curate(
+    spark: SparkSession,
+    raw: DataFrame,
+    benchmark: DataFrame,
+    blocklist: DataFrame,
+    seq_len: int = 128,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation dataflow; returns (curated docs with
+    quality/packing columns, near-dup pair audit trail)."""
+    # 1. URL gates — cheapest first, fused into the scan.
+    docs = filter_blocked_domains(raw, blocklist)
+    docs = domain_cap_sample(docs, max_frac_per_domain=0.9)
+
+    # 2. Rule-based quality gate (Gopher A1). Tiny docs in this demo, so
+    #    relax the word-count floor; production keeps the defaults.
+    docs = docs.where(passes_gopher_rules(F.col("text"), min_words=5,
+                                          min_stopword_hits=0))
+
+    # 3. Exact dedup: min-id representative per content hash.
+    keepers = exact_duplicates(docs).select(F.col("keeper_id").alias("doc_id"))
+    docs = docs.join(keepers, "doc_id", "left_semi")
+
+    # 4. Near-dup dedup: banded MinHash-LSH candidates; drop the larger
+    #    id of every confirmed pair (min-id representative policy).
+    pairs = minhash_near_duplicates(docs, shingle_k=3,
+                                    jaccard_threshold=0.6).persist()
+    docs = docs.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+                     "doc_id", "left_anti")
+
+    # 5. Decontamination: no benchmark 8-gram may survive into training.
+    docs = decontaminate(docs, benchmark, ngram_n=8)
+
+    # 6. Data mixing: deterministic per-source rates.
+    docs = stratified_sample(docs, {"books": 1.0, "crawl": 0.5},
+                             default_rate=0.2)
+
+    # 7. Quality score + token counts from the corpus's own unigram LM.
+    lm = unigram_logprob(docs)
+    docs = docs.join(lm, "doc_id", "left").withColumn(
+        "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0))
+    )
+
+    # 8. Pack the survivors into fixed-length training sequences.
+    packed = pack_sequences(docs, seq_len)
+    return packed, pairs
+
+
+def main() -> None:
+    from data_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus-pipeline-demo", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "crawl")
+        os.makedirs(src)
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"term{k}" for k in range(400)]
+        rows = []
+        for i in range(40):
+            body = " ".join(rng.choice(vocab) for _ in range(40))
+            rows.append({
+                "text": f"the article {i} is about {body} and more of that",
+                "source": "crawl" if i % 2 else "books",
+                "lang": "en",
+                "url": f"https://site{i % 5}.example.com/page/{i}",
+            })
+        # a near-duplicate mirror (one word changed) and a blocked domain
+        rows.append(rows[0] | {
+            "text": rows[0]["text"].replace("more", "extra"),
+            "url": "https://mirror.example.net/copy",
+        })
+        rows.append({"text": "spam spam spam", "source": "crawl", "lang": "en",
+                     "url": "https://blocked.bad/x"})
+        with open(os.path.join(src, "part0.jsonl"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+
+        raw = corpus_io.read_jsonl(spark, src).where(F.col("_corrupt").isNull())
+        benchmark = spark.createDataFrame(
+            [(0, "held out eval question that must not leak " * 3)],
+            "qid long, text string",
+        )
+        blocklist = spark.createDataFrame([("blocked.bad",)], "domain string")
+
+        curated, pairs = curate(spark, raw, benchmark, blocklist)
+        out = os.path.join(d, "curated")
+        corpus_io.write_jsonl(
+            curated.select("doc_id", "text", "source", "n_tokens",
+                           "lm_logprob10", "seq_id", "seq_off"),
+            out, compression=None, partitions=1,
+        )
+        n = curated.count()
+        n_seq = curated.agg(F.max("seq_id")).first()[0]
+        print(f"curated {n} docs into ~{(n_seq or 0) + 1} sequences per stream; "
+              f"near-dup pairs dropped: {pairs.count()}")
+        curated.orderBy("source", "doc_id").show(8)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -94,3 +94,60 @@ def test_flood_asset_graph_end_to_end(spark):
         assert summary[0]["wkt"].startswith("POLYGON ((")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_corpus_curation_pipeline_end_to_end(spark):
+    """The examples/corpus_pipeline.py dataflow: planted artifacts are
+    caught by the right stage and survivors carry packing columns."""
+    import importlib.util
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_pipeline_example",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "corpus_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = random.Random(11)
+    vocab = [f"w{k}" for k in range(300)]
+    rows = []
+    for i in range(20):
+        body = " ".join(rng.choice(vocab) for _ in range(40))
+        rows.append((i, f"the text {i} covers {body} and more of it",
+                     "books" if i % 2 == 0 else "crawl", f"https://s{i % 3}.ex.com/{i}"))
+    # planted: near-dup of doc 0 (higher id -> dropped), blocked domain,
+    # benchmark leak
+    rows.append((100, rows[0][1].replace("more", "extra"), "crawl",
+                 "https://mirror.ex.org/0"))
+    rows.append((101, rows[1][1], "crawl", "https://blocked.bad/x"))
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows.append((102, f"the text 102 covers {leak} and more of it", "books",
+                 "https://s0.ex.com/102"))
+    raw = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, url string")
+    benchmark = spark.createDataFrame([(0, leak)], "qid long, text string")
+    blocklist = spark.createDataFrame([("blocked.bad",)], "domain string")
+
+    curated, pairs = mod.curate(
+        spark, raw, benchmark, blocklist, seq_len=64)
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+
+    assert 101 not in kept                       # blocklist stage
+    assert 102 not in kept                       # decontamination stage
+    assert 100 not in kept                       # near-dup stage (min-id wins)
+    pair_rows = pairs.collect()
+    assert any(p["doc_a"] == 0 and p["doc_b"] == 100 for p in pair_rows)
+    # survivors carry LM + packing columns with sane values
+    sample = curated.where(F.col("doc_id") == 0).collect()
+    if sample:                                   # doc 0 may be mixed out
+        r = sample[0]
+        assert r["n_tokens"] > 0 and r["lm_logprob10"] < 0
+        assert r["seq_off"] is not None and 0 <= r["seq_off"] < 64
+    # packing is dense: offsets within each (source) stream are unique
+    offs = curated.groupBy("source", "seq_id", "seq_off").count()
+    assert offs.where(F.col("count") > 1).count() == 0
