@@ -398,3 +398,28 @@ def test_pack_sequences_property(spark):
                 assert r["seq_spans"] == end // seq_len - cum // seq_len + 1
                 assert 0 <= r["seq_off"] < seq_len
                 cum += r["n_tokens"]
+
+
+def test_pack_sequences_plan_has_no_per_stream_window(spark):
+    """Packing must scale past few-huge-streams: the executed plan's
+    only full-row sort is the distributed range partitioning; the
+    per-stream window runs within (shuffle partition, stream), never on
+    a bare stream key."""
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", i % 40) for i in range(200)],
+        "doc_id long, source string, n_tokens long",
+    )
+    from data_pipelines_spark.operators.corpus import pack_sequences
+
+    plan = (
+        pack_sequences(docs, 128)
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert "rangepartitioning" in plan
+    # every window partition spec must include the synthetic partition
+    # id, i.e. no window partitioned by the stream column alone
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "source" in spec:
+            assert "__pid" in spec, spec
