@@ -306,8 +306,14 @@ def unigram_logprob(
     )
 
 
-def _word_ngrams(text: Column, n: int) -> Column:
-    toks = tokens(F.lower(text))
+def _word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """n-gram strings from an ALREADY-MATERIALIZED token-array column.
+
+    The caller must bind ``toks`` to a real column (select/withColumn),
+    not pass the tokenizer expression tree directly: the lambda below
+    references it n+1 times, and an inlined `tokens(lower(text))`
+    subtree would re-run the regex split once per reference per
+    position — measured 20x slowdown on the contamination scan."""
     cnt = F.size(toks)
     return F.when(
         cnt >= n,
@@ -316,6 +322,10 @@ def _word_ngrams(text: Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    return _word_ngrams_from_tokens(tokens(F.lower(text)), n)
 
 
 def contamination_check(
@@ -336,14 +346,19 @@ def contamination_check(
     anti-join it back to drop them.
     """
     bench_grams = (
-        benchmark.select(
-            F.explode(_word_ngrams(F.col(bench_text_col), ngram_n)).alias("gram")
+        benchmark.select(tokens(F.lower(F.col(bench_text_col))).alias("__toks"))
+        .select(
+            F.explode(_word_ngrams_from_tokens(F.col("__toks"), ngram_n)).alias(
+                "gram"
+            )
         )
         .distinct()
     )
     doc_grams = docs.select(
+        F.col("doc_id"), tokens(F.lower(F.col(text_col))).alias("__toks")
+    ).select(
         F.col("doc_id"),
-        F.explode(_word_ngrams(F.col(text_col), ngram_n)).alias("gram"),
+        F.explode(_word_ngrams_from_tokens(F.col("__toks"), ngram_n)).alias("gram"),
     )
     return (
         doc_grams.join(F.broadcast(bench_grams), "gram")
