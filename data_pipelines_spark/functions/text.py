@@ -114,53 +114,88 @@ def redact_pii(text: Column) -> Column:
     return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
 
 
+def let(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE and let ``body`` reference it many times.
+
+    Higher-order-function lambdas are evaluated outside whole-stage
+    codegen, so Catalyst's common-subexpression elimination does not
+    apply inside them: a plain Python variable holding an expression
+    tree is re-EVALUATED at every reference site (measured: the 8-gram
+    scan re-ran its regex tokenizer 8x per position — a 20x slowdown).
+    Binding the value as a single-element-array lambda variable makes
+    every reference a cheap variable read instead.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def duplicate_line_fraction(text: Column) -> Column:
     """Fraction of lines that are repeats of an earlier line — the
     Gopher-style repetition signal for boilerplate-heavy pages
     (nav bars, cookie banners). 0.0 for single-line docs; native
     split/array arithmetic, no shuffle."""
-    lines = F.filter(
-        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
-        lambda l: F.length(l) > 0,
-    )
-    n = F.size(lines)
-    n_distinct = F.size(F.array_distinct(lines))
-    return F.when(n > 0, (n - n_distinct).cast("double") / n).otherwise(
-        F.lit(0.0)
+
+    def frac(lines: Column) -> Column:
+        n = F.size(lines)
+        n_distinct = F.size(F.array_distinct(lines))
+        return F.when(n > 0, (n - n_distinct).cast("double") / n).otherwise(
+            F.lit(0.0)
+        )
+
+    return let(
+        F.filter(
+            F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+            lambda l: F.length(l) > 0,
+        ),
+        frac,
     )
 
 
 def top_ngram_fraction(text: Column, n: int = 2) -> Column:
     """Fraction of the document's word-n-grams taken by the single most
     frequent n-gram — high values flag templated/repetitive text
-    (the second Gopher repetition signal). Computed natively: build the
-    n-gram array, then aggregate a (gram → count) map and take its max.
-    Per-row state is one small map; no shuffle, no UDF."""
-    toks = tokens(F.lower(text))
-    cnt = F.size(toks)
-    # Guard: sequence(a, b) with b < a generates a DESCENDING sequence
-    # in Spark, so short docs need an explicit empty-array branch.
-    grams = F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(1), cnt - n + 1),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
+    (the second Gopher repetition signal). Computed natively and in
+    linear time: build the n-gram array (tokens bound once via
+    :func:`let`), sort it, and take the longest run of equal adjacent
+    grams — same value as a frequency map's max, without per-element
+    map rebuilding. No shuffle, no UDF."""
+
+    def over_sorted(sg: Column) -> Column:
+        total = F.size(sg)
+        acc0 = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        )
+        run_next = lambda acc, g: F.when(  # noqa: E731
+            g == acc["prev"], acc["run"] + 1
+        ).otherwise(F.lit(1))
+        merged = F.aggregate(
+            sg,
+            acc0,
+            lambda acc, g: F.struct(
+                g.alias("prev"),
+                run_next(acc, g).alias("run"),
+                F.greatest(acc["best"], run_next(acc, g)).alias("best"),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    counts = F.aggregate(
-        grams,
-        F.create_map().cast("map<string,int>"),
-        lambda acc, g: F.map_zip_with(
-            acc,
-            F.create_map(g, F.lit(1)),
-            lambda k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
-        ),
-    )
-    top = F.array_max(F.map_values(counts))
-    total = F.size(grams)
-    return F.when(total > 0, top.cast("double") / total).otherwise(F.lit(0.0))
+        )
+        return F.when(
+            total > 0, merged["best"].cast("double") / total
+        ).otherwise(F.lit(0.0))
+
+    def over_toks(toks: Column) -> Column:
+        cnt = F.size(toks)
+        # Guard: sequence(a, b) with b < a generates a DESCENDING
+        # sequence in Spark, so short docs need an explicit empty branch.
+        grams = F.when(
+            cnt >= n,
+            F.transform(
+                F.sequence(F.lit(1), cnt - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return let(F.array_sort(grams), over_sorted)
+
+    return let(tokens(F.lower(text)), over_toks)
 
 
 def mean_word_length(text: Column) -> Column:
