@@ -49,16 +49,23 @@ def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 def char_shingles(text: Column, k: int = 5) -> Column:
     """Distinct k-character shingles of lowercased text (array<string>).
 
-    Built with sequence+transform — no explode, no UDF.
+    Built with sequence+transform — no explode, no UDF. The lowercased
+    text is bound once via :func:`~data_pipelines_spark.functions.text.
+    let`; referencing the `lower()` tree directly from the per-position
+    lambda would re-lowercase the whole document per shingle (O(len^2)).
     """
-    t = F.lower(text)
-    n = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.when(n >= k, F.transform(idx, lambda i: t.substr(i, F.lit(k)))).otherwise(
-            F.array(t)
+    from data_pipelines_spark.functions.text import let
+
+    def over(t: Column) -> Column:
+        n = F.length(t)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        return F.array_distinct(
+            F.when(
+                n >= k, F.transform(idx, lambda i: t.substr(i, F.lit(k)))
+            ).otherwise(F.array(t))
         )
-    )
+
+    return let(F.lower(text), over)
 
 
 def exact_duplicates(
