@@ -52,7 +52,35 @@ def read_jsonl(
     queries that reference only it, which breaks the obvious
     "count the bad lines" query).
     """
-    parsed = spark.read.text(path).select(
+    return _normalize_jsonl(spark.read.text(path), schema, id_field, text_field)
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENT_SCHEMA,
+    id_field: str | None = None,
+    text_field: str = "text",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental JSONL pickup as a Structured Stream — the corpus
+    analog of the reference's daily re-materialization cron: new drops
+    in ``path`` are processed exactly once (file-source checkpointing),
+    ``Trigger.AvailableNow`` on the writer gives the batch-shaped
+    "process everything new, then stop" run. Identical parsing and
+    normalization to :func:`read_jsonl` (shared code path), so every
+    stateless curation stage (quality gates, URL filters, hash-coin
+    sampling) applies unchanged to the stream."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _normalize_jsonl(reader.text(path), schema, id_field, text_field)
+
+
+def _normalize_jsonl(
+    raw: DataFrame, schema: str, id_field: str | None, text_field: str
+) -> DataFrame:
+    parsed = raw.select(
         F.from_json(
             F.col("value"),
             schema + ", _corrupt string",

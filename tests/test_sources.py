@@ -531,3 +531,55 @@ def test_text_dir_whole_file_documents(spark, tmp_path):
     assert df.count() == 2
     row = df.where(F.col("text") == "doc two").collect()[0]
     assert row["source"] == "dump" and row["path"].endswith("b.txt")
+
+
+def test_stream_jsonl_incremental_curation(spark, tmp_path):
+    """Streaming corpus pickup: new JSONL drops are parsed, quality-
+    gated, and stream-deduplicated exactly once per content hash —
+    the daily-ingest shape for a growing corpus."""
+    import json
+
+    from data_pipelines_spark.functions.text import passes_gopher_rules
+    from data_pipelines_spark.sources.corpus_io import stream_jsonl
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    good = {"text": "the quick brown fox jumps over the lazy dog near it",
+            "source": "crawl", "lang": "en", "url": "https://a.ex/1"}
+    drop("a.jsonl", [good,
+                     {**good, "text": "x", "url": "https://a.ex/junk"},  # fails gate
+                     ])
+
+    stream = stream_jsonl(spark, f"file://{src}/*", max_files_per_trigger=1)
+    curated = (
+        stream.where(F.col("_corrupt").isNull())
+        .where(passes_gopher_rules(F.col("text"), min_words=5,
+                                   min_stopword_hits=1))
+        .withColumn("text_md5", F.md5(F.encode(F.col("text"), "UTF-8")))
+        .dropDuplicates(["text_md5"])
+    )
+    q = (
+        curated.writeStream.format("memory").queryName("corpus_stream")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    )
+    q.processAllAvailable()
+    got1 = spark.sql("SELECT url FROM corpus_stream").collect()
+    assert [r["url"] for r in got1] == ["https://a.ex/1"]
+
+    # second drop: one exact duplicate (suppressed by stream dedup
+    # state), one genuinely new doc
+    drop("b.jsonl", [
+        {**good, "url": "https://mirror.ex/1"},     # same text -> deduped
+        {**good, "text": good["text"] + " again and again it goes on",
+         "url": "https://a.ex/2"},
+    ])
+    q.processAllAvailable()
+    got2 = sorted(r["url"] for r in
+                  spark.sql("SELECT url FROM corpus_stream").collect())
+    q.stop()
+    assert got2 == ["https://a.ex/1", "https://a.ex/2"]
