@@ -290,11 +290,28 @@ def verify_pairs_exact(
     # expression then runs only on the matched pair rows, not over the
     # whole corpus twice (measured 2x on the minhash headline query —
     # a projection below a join is evaluated for every input row).
+    from data_pipelines_spark.functions.text import let
+
     a = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta"))
     b = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb"))
-    sh_a = char_shingles(F.col("__ta"), shingle_k)
-    sh_b = char_shingles(F.col("__tb"), shingle_k)
-    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+
+    # let-bind shingle arrays and the intersection size so each is
+    # computed once per pair row (the naive expression tree evaluates
+    # the shingling 2x and the intersect 2x per row).
+    def jac(sa: Column, sb: Column) -> Column:
+        return let(
+            F.size(F.array_intersect(sa, sb)).cast("double"),
+            lambda inter: F.round(
+                inter / (F.size(sa) + F.size(sb) - inter), 6
+            ),
+        )
+
+    exact = let(
+        char_shingles(F.col("__ta"), shingle_k),
+        lambda sa: let(
+            char_shingles(F.col("__tb"), shingle_k), lambda sb: jac(sa, sb)
+        ),
+    )
     p = pairs.select("doc_a", "doc_b")
     if broadcast_pairs:
         # Hint BOTH pair-sized sides (the raw pairs and the pairs+text_a
@@ -307,13 +324,7 @@ def verify_pairs_exact(
     return (
         first
         .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                inter / (F.size(sh_a) + F.size(sh_b) - inter), 6
-            ).alias("exact_jaccard"),
-        )
+        .select("doc_a", "doc_b", exact.alias("exact_jaccard"))
     )
 
 
