@@ -229,24 +229,34 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Attach the nearest-centroid id as ``cluster`` (squared-L2)."""
-    v = _to_double(F.col(vec_col))
-    scored = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-            F.lit(i).alias("cluster"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    return embeddings.withColumn("cluster", F.array_min(F.array(*scored))["cluster"])
+    """Attach the nearest-centroid id as ``cluster`` (squared-L2).
+
+    The double-cast vector is let-bound so the cast transform runs once
+    per row, not once per centroid (HOF lambdas get no subexpression
+    elimination — see `functions.text.let`)."""
+    from data_pipelines_spark.functions.text import let
+
+    def nearest(v: Column) -> Column:
+        scored = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(i).alias("cluster"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+        return F.array_min(F.array(*scored))["cluster"]
+
+    return embeddings.withColumn(
+        "cluster", let(_to_double(F.col(vec_col)), nearest)
+    )
 
 
 def ivf_topk(
