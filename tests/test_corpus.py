@@ -423,3 +423,24 @@ def test_pack_sequences_plan_has_no_per_stream_window(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         if "source" in spec:
             assert "__pid" in spec, spec
+
+
+def test_let_binding_semantics(spark):
+    """let() must be value-transparent: same result as inlining, for
+    nulls, empties, nesting, and scalar/array values."""
+    from data_pipelines_spark.functions.text import let
+
+    df = spark.createDataFrame(
+        [("a b c",), (None,), ("",)], "text string"
+    )
+    out = df.select(
+        let(F.split(F.col("text"), " "),
+            lambda toks: F.size(toks) + F.size(toks)).alias("twice_n"),
+        let(F.lower(F.col("text")),
+            lambda t: let(F.length(t), lambda n: n * 2)).alias("nested"),
+        let(F.lit(5), lambda x: x + x).alias("scalar"),
+    ).collect()
+    by_idx = [(r["twice_n"], r["nested"], r["scalar"]) for r in out]
+    assert by_idx[0] == (6, 10, 10)      # "a b c": 3 tokens, len 5
+    assert by_idx[1] == (None, None, 10)  # null propagates through the binding
+    assert by_idx[2] == (2, 0, 10)       # "" splits to [""]
