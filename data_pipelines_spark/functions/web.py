@@ -72,6 +72,42 @@ def filter_blocked_domains(
     ).drop("__dom")
 
 
+def domain_count_cap(
+    docs: DataFrame,
+    max_docs_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    salt: str = "domaincap",
+) -> DataFrame:
+    """Absolute per-domain cap: keep ~``max_docs_per_domain`` documents
+    from each registered domain, deterministically.
+
+    Expected-count form: each doc flips its hash coin against
+    N / count(domain), so a domain with 10M pages contributes ~N docs
+    while small domains keep everything — without the per-domain
+    row_number window whose giant-domain partitions would skew at
+    corpus scale. One aggregation + one join on the domain key (AQE
+    broadcasts the count side when it fits); unparseable URLs are kept.
+    """
+    from data_pipelines_spark.operators.corpus import hash_fraction
+
+    keyed = docs.withColumn("__dom", registered_domain(F.col(url_col)))
+    counts = keyed.where(F.col("__dom").isNotNull()).groupBy("__dom").agg(
+        F.count(F.lit(1)).alias("__dom_cnt")
+    )
+    coin = hash_fraction(
+        F.concat_ws("/", F.col("__dom"), F.col(id_col).cast("string")), salt
+    )
+    rate = F.least(
+        F.lit(1.0), F.lit(float(max_docs_per_domain)) / F.col("__dom_cnt")
+    )
+    return (
+        keyed.join(counts, "__dom", "left")
+        .where(F.col("__dom").isNull() | (coin < rate))
+        .drop("__dom", "__dom_cnt")
+    )
+
+
 def domain_cap_sample(
     docs: DataFrame,
     max_frac_per_domain: float,

@@ -72,3 +72,23 @@ def test_domain_cap_sample_deterministic(spark):
     assert domain_cap_sample(mixed, 1.0).count() == 2
     assert domain_cap_sample(mixed, 0.0).where(
         F.col("url") == "junk").count() == 1
+
+
+def test_domain_count_cap(spark):
+    from data_pipelines_spark.functions.web import domain_count_cap
+
+    # one huge domain (1500 docs), one small (20), one junk URL
+    urls = [f"https://big.example.com/p{i}" for i in range(1500)]
+    urls += [f"https://small.example.org/p{i}" for i in range(20)]
+    urls += ["junk"]
+    docs = _urls(spark, urls)
+    out = domain_count_cap(docs, max_docs_per_domain=100)
+    a = sorted(r["doc_id"] for r in out.collect())
+    assert a == sorted(r["doc_id"] for r in out.collect())   # deterministic
+    big = [i for i in a if i < 1500]
+    small = [i for i in a if 1500 <= i < 1520]
+    assert 50 <= len(big) <= 160          # ~100 expected from the big domain
+    assert len(small) == 20               # small domains keep everything
+    assert 1520 in a                      # unparseable URL kept
+    # schema passthrough: cap columns are dropped
+    assert out.columns == docs.columns
