@@ -34,6 +34,7 @@ from data_pipelines_spark.suite import (
     llmdata,
     relational,
     temporal,
+    tpch,
 )
 
 _MODULES = (
@@ -45,6 +46,7 @@ _MODULES = (
     geospatial,
     llmdata,
     corpus,
+    tpch,
 )
 
 # The driver sweeps queries() in dict (insertion) order under a budget:
@@ -57,6 +59,8 @@ _MODULES = (
 # then the flagships and the rest.
 _PRIORITY = (
     # tier 0 — new this round (no CORRECTNESS row yet)
+    "tpch_adapted_suite",
+    "subquery_pivot_suite",
     "vocabulary_stats",
     "corpus_doc_curation",
     "semantic_dedup",

@@ -18,103 +18,161 @@ QUERIES, ORACLES, register = make_registry()
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
-@register(
-    "anti_join_idle_customers",
-    """
-    SELECT c.c_custkey, c.c_mktsegment
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
+_PIVOT_FILTERS = ", ".join(
+    "count(*) FILTER (WHERE o.o_orderpriority = " + repr(p) + ') AS "' + p + '"'
+    for p in PRIORITIES
 )
-def anti_join_idle_customers(spark, sf_dir):
-    """Left-anti join: customers that never ordered (the complement of
-    the reference's semi-filter J4)."""
-    tune(spark)
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_mktsegment")
 
-
-@register(
-    "orders_above_median",
-    """
-    SELECT o_orderpriority, count(*) AS hi_cnt
+_SUBQUERY_PIVOT_SQL = f"""
+WITH above_median AS (
+    SELECT 'above_median' AS q, o_orderpriority AS k1, '' AS k2,
+           count(*) AS cnt, CAST(NULL AS DOUBLE) AS val
     FROM orders
     WHERE o_totalprice > (
         SELECT CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) FROM orders
     )
-    GROUP BY 1
-    """,
-)
-def orders_above_median(spark, sf_dir):
-    """Scalar-subquery filter: orders above the exact median total price
-    (median is sort-based and engine-exact, unlike a float mean)."""
-    tune(spark)
-    orders = load_table(spark, sf_dir, "orders")
-    med = orders.agg(F.median("o_totalprice").alias("m"))
-    return (
-        orders.join(F.broadcast(med))
-        .where(F.col("o_totalprice") > F.col("m"))
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("hi_cnt"))
-    )
-
-
-@register(
-    "pivot_priority_by_segment",
-    f"""
-    SELECT c.c_mktsegment,
-           {", ".join(
-               'count(*) FILTER (WHERE o.o_orderpriority = ' + repr(p) + ') AS "' + p + '"'
-               for p in PRIORITIES
-           )}
+    GROUP BY 2
+),
+pivot_wide AS (
+    SELECT c.c_mktsegment, {_PIVOT_FILTERS}
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
-    """,
+),
+pivot_long AS (
+    SELECT 'pivot' AS q, c_mktsegment AS k1, pr AS k2, cnt,
+           CAST(NULL AS DOUBLE) AS val
+    FROM pivot_wide
+    UNPIVOT (cnt FOR pr IN ({", ".join('"' + p + '"' for p in PRIORITIES)}))
+),
+cube_fs AS (
+    SELECT 'cube' AS q,
+           COALESCE(l_returnflag, 'ALL') AS k1,
+           COALESCE(l_linestatus, 'ALL') AS k2,
+           count(*) AS cnt,
+           sum(l_quantity) AS val
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+),
+corr_min AS (
+    SELECT 'corr_min' AS q, CAST(p.p_partkey AS VARCHAR) AS k1, '' AS k2,
+           CAST(NULL AS BIGINT) AS cnt, p.p_retailprice AS val
+    FROM part p
+    WHERE p.p_retailprice = (
+        SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+),
+idle AS (
+    SELECT 'idle' AS q, CAST(c.c_custkey AS VARCHAR) AS k1,
+           c.c_mktsegment AS k2,
+           CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS val
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 )
-def pivot_priority_by_segment(spark, sf_dir):
-    """Pivot (long→wide counts): order priorities as columns per market
-    segment — groupBy().pivot() with an explicit value list so column
-    names are stable."""
+SELECT * FROM above_median UNION ALL SELECT * FROM pivot_long
+UNION ALL SELECT * FROM cube_fs UNION ALL SELECT * FROM corr_min
+UNION ALL SELECT * FROM idle
+"""
+
+
+@register("subquery_pivot_suite", _SUBQUERY_PIVOT_SQL)
+def subquery_pivot_suite(spark, sf_dir):
+    """Scalar subquery + pivot + cube + correlated subquery in one
+    driver sweep entry, normalized to the (q, k1, k2, cnt, val) grain
+    (registry trim — frees sweep budget for the TPC-H suite; every
+    operator stays individually hash-checked through its branch rows).
+
+    Branches:
+    - ``above_median``: orders above the exact global median total
+      price (1-row sort-based median, broadcast back as the filter).
+    - ``pivot``: groupBy().pivot() long→wide counts, unpivoted back to
+      the uniform grain with stack() — the pivot still runs; stack is
+      its inverse surface.
+    - ``cube``: all 2^2 grouping sets with sentinel subtotal keys.
+    - ``corr_min``: TPC-H Q2-shaped correlated min subquery,
+      decorrelated by Catalyst into an aggregate + join.
+    - ``idle``: left-anti join (customers that never ordered — the
+      complement of the reference's semi-filter J4).
+    """
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    return (
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("long")
+
+    med = orders.agg(F.median("o_totalprice").alias("m"))
+    above = (
+        orders.join(F.broadcast(med))
+        .where(F.col("o_totalprice") > F.col("m"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("above_median").alias("q"),
+            F.col("o_orderpriority").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("cnt").cast("long").alias("cnt"),
+            null_d.alias("val"),
+        )
+    )
+
+    wide = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderpriority", PRIORITIES)
         .count()
         .na.fill(0)
     )
+    stack_args = ", ".join(f"'{p}', `{p}`" for p in PRIORITIES)
+    pivot_long = wide.selectExpr(
+        "'pivot' AS q",
+        "c_mktsegment AS k1",
+        f"stack({len(PRIORITIES)}, {stack_args}) AS (k2, cnt)",
+        "CAST(NULL AS DOUBLE) AS val",
+    ).select("q", "k1", "k2", F.col("cnt").cast("long").alias("cnt"), "val")
 
-
-@register(
-    "cube_flag_status",
-    """
-    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-           COALESCE(l_linestatus, 'ALL') AS linestatus,
-           count(*) AS line_cnt,
-           sum(l_quantity) AS sum_qty
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def cube_flag_status(spark, sf_dir):
-    """CUBE over two dimensions — all 2^2 grouping sets with sentinel
-    keys for the subtotal rows."""
-    tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
+    cube_fs = (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("line_cnt"), F.sum("l_quantity").alias("sum_qty"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("val"))
         .select(
-            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
-            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
-            "line_cnt",
-            "sum_qty",
+            F.lit("cube").alias("q"),
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("k1"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("k2"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("val").cast("double").alias("val"),
         )
+    )
+
+    part.createOrReplaceTempView("__part_corr")
+    corr_min = spark.sql(
+        """
+        SELECT 'corr_min' AS q, CAST(p.p_partkey AS STRING) AS k1, '' AS k2,
+               CAST(NULL AS BIGINT) AS cnt, p.p_retailprice AS val
+        FROM __part_corr p
+        WHERE p.p_retailprice = (
+            SELECT min(p2.p_retailprice) FROM __part_corr p2
+            WHERE p2.p_brand = p.p_brand
+        )
+        """
+    ).select("q", "k1", "k2", null_l.alias("cnt"), F.col("val").cast("double").alias("val"))
+
+    idle = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(
+            F.lit("idle").alias("q"),
+            F.col("c_custkey").cast("string").alias("k1"),
+            F.col("c_mktsegment").alias("k2"),
+            null_l.alias("cnt"),
+            null_d.alias("val"),
+        )
+    )
+
+    return (
+        above.unionByName(pivot_long)
+        .unionByName(cube_fs)
+        .unionByName(corr_min)
+        .unionByName(idle)
     )
 
 
@@ -255,34 +313,6 @@ def array_agg_lines(spark, sf_dir):
             ),
             ",",
         ).alias("quantities"),
-    )
-
-
-@register(
-    "correlated_min_price_parts",
-    """
-    SELECT p.p_partkey, p.p_retailprice
-    FROM part p
-    WHERE p.p_retailprice = (
-        SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
-    )
-    """,
-)
-def correlated_min_price_parts(spark, sf_dir):
-    """Correlated subquery (TPC-H Q2 shape): parts at their brand's
-    minimum price — decorrelated by Catalyst into an aggregate+join."""
-    tune(spark)
-    part = load_table(spark, sf_dir, "part")
-    part.createOrReplaceTempView("__part_corr")
-    return spark.sql(
-        """
-        SELECT p.p_partkey, p.p_retailprice
-        FROM __part_corr p
-        WHERE p.p_retailprice = (
-            SELECT min(p2.p_retailprice) FROM __part_corr p2
-            WHERE p2.p_brand = p.p_brand
-        )
-        """
     )
 
 
