@@ -121,6 +121,72 @@ def stratified_sample(
     return docs.where(hash_fraction(F.col(id_col), salt, portable) < rate_col)
 
 
+def assign_splits(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    chosen by where the row's :func:`hash_fraction` lands in the
+    cumulative weight intervals (weights are normalized; split names
+    are processed in sorted order so the interval layout is stable).
+
+    Hash-based, not random(): every row keeps its split across re-runs,
+    engines, and repartitioning — the property that makes incremental
+    corpus rebuilds safe (a doc never migrates from test into train).
+    A pure narrow map: no shuffle, pushes through any partitioning.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    frac = hash_fraction(F.col(id_col), salt, portable)
+    expr = None
+    upper = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        upper += float(weights[name]) / total
+        branch = F.when(frac < F.lit(upper), F.lit(name))
+        expr = branch if expr is None else expr.when(frac < F.lit(upper), F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", split)
+
+
+def seeded_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: adds ``shuffle_pos``,
+    the row's 1-based position in the permutation ordered by
+    (:func:`hash_fraction`, id). Writing the corpus sorted by this
+    column yields the same "random" document order on every run — the
+    reproducible-shuffle contract pretraining jobs need for resumable
+    epochs.
+
+    Scale shape: the permutation rank comes from the two-phase
+    :func:`~data_pipelines_spark.plans.windows.global_rank`
+    (range-repartition distributed sort + partition-count-sized offsets)
+    — never a single-partition global window. The hash key is uniform,
+    so the range partitioning is balanced by construction even when the
+    input ids are skewed or clustered.
+    """
+    from data_pipelines_spark.plans.windows import global_rank
+
+    keyed = docs.withColumn(
+        "__shuffle_key", hash_fraction(F.col(id_col), salt, portable)
+    )
+    ranked = global_rank(
+        keyed,
+        [F.col("__shuffle_key").asc(), F.col(id_col).asc()],
+        alias="shuffle_pos",
+    )
+    return ranked.drop("__shuffle_key")
+
+
 def boilerplate_lines(
     docs: DataFrame,
     text_col: str = "text",

@@ -61,6 +61,7 @@ _PRIORITY = (
     # tier 0 — new this round (no CORRECTNESS row yet)
     "tpch_adapted_suite",
     "subquery_pivot_suite",
+    "corpus_split_shuffle",
     "vocabulary_stats",
     "corpus_doc_curation",
     "semantic_dedup",

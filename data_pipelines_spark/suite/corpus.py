@@ -57,6 +57,57 @@ def vocabulary_stats_query(spark, sf_dir):
     return vocabulary_stats(docs, top_k=100)
 
 
+def _md5_frac_sql(id_expr: str, salt: str) -> str:
+    """DuckDB restatement of hash_fraction(..., portable=True): first 8
+    md5 hex chars parsed to an integer over 2^32."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        f"string_split(substr(md5(CAST({id_expr} AS VARCHAR) || ':' || '{salt}'), 1, 8), ''), "
+        "ch -> CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT))), "
+        "(a, x) -> a * 16 + x) / 4294967296.0"
+    )
+
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+_SPLIT_SHUFFLE_SQL = f"""
+    WITH hashed AS (
+        SELECT doc_id, source,
+               {_md5_frac_sql("doc_id", "split")} AS f_split,
+               {_md5_frac_sql("doc_id", "shuffle")} AS f_shuffle
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN f_split < 0.05 THEN 'test'
+                WHEN f_split < 0.95 THEN 'train'
+                ELSE 'val' END AS split,
+           CAST(row_number() OVER (ORDER BY f_shuffle, doc_id) AS BIGINT)
+               AS shuffle_pos
+    FROM hashed
+"""
+
+
+@register("corpus_split_shuffle", _SPLIT_SHUFFLE_SQL)
+def corpus_split_shuffle(spark, sf_dir):
+    """Deterministic train/val/test assignment + seeded global shuffle
+    position per document (`operators.corpus.assign_splits` /
+    `seeded_shuffle`, portable-hash mode so the oracle reproduces every
+    coin flip and the full permutation).
+
+    The split is a pure narrow map (a doc never migrates between splits
+    across runs or repartitionings); the shuffle rank is the two-phase
+    `plans.windows.global_rank` over a uniform hash key — a distributed
+    range sort, never a single-partition window, balanced by
+    construction at any corpus size."""
+    from data_pipelines_spark.operators.corpus import assign_splits, seeded_shuffle
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = assign_splits(docs, _SPLIT_WEIGHTS, portable=True)
+    out = seeded_shuffle(out, portable=True)
+    return out.select("doc_id", "source", "split", "shuffle_pos")
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 _MIX_DEFAULT = 0.1
 _BENCH_MAX_ID = 20  # docs below this id play the held-out benchmark

@@ -444,3 +444,57 @@ def test_let_binding_semantics(spark):
     assert by_idx[0] == (6, 10, 10)      # "a b c": 3 tokens, len 5
     assert by_idx[1] == (None, None, 10)  # null propagates through the binding
     assert by_idx[2] == (2, 0, 10)       # "" splits to [""]
+
+
+def test_assign_splits_partition_invariant_and_exhaustive(spark):
+    from data_pipelines_spark.operators.corpus import assign_splits
+
+    docs = _docs(spark, [(i, "s", f"doc {i}") for i in range(3000)])
+    out = assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(rows.values()) <= {"train", "val", "test"}
+    # roughly proportional (hash-uniform; generous envelopes)
+    n = len(rows)
+    assert n == 3000
+    train = sum(1 for v in rows.values() if v == "train")
+    assert 0.72 * n <= train <= 0.88 * n
+    # identical assignment after an arbitrary repartition (narrow map)
+    rows2 = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            docs.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert rows == rows2
+    # portable twin flips the same coins as the SQL oracle path
+    p1 = {r["doc_id"]: r["split"]
+          for r in assign_splits(docs, {"a": 0.5, "b": 0.5},
+                                 portable=True).collect()}
+    p2 = {r["doc_id"]: r["split"]
+          for r in assign_splits(docs.repartition(7), {"a": 0.5, "b": 0.5},
+                                 portable=True).collect()}
+    assert p1 == p2
+
+
+def test_seeded_shuffle_is_reproducible_permutation(spark):
+    from data_pipelines_spark.operators.corpus import seeded_shuffle
+
+    docs = _docs(spark, [(i, "s", f"doc {i}") for i in range(500)])
+    out = seeded_shuffle(docs)
+    pos = {r["doc_id"]: r["shuffle_pos"] for r in out.collect()}
+    # a permutation of 1..n
+    assert sorted(pos.values()) == list(range(1, 501))
+    # not the identity (hash order != id order)
+    assert [pos[i] for i in range(500)] != list(range(1, 501))
+    # reproducible across runs and partitionings
+    pos2 = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in seeded_shuffle(docs.repartition(11)).collect()
+    }
+    assert pos == pos2
+    # a different salt yields a different permutation
+    pos3 = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in seeded_shuffle(docs, salt="epoch2").collect()
+    }
+    assert pos != pos3
