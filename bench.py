@@ -86,13 +86,29 @@ def main() -> None:
     # JMH-style steady state: one untimed warmup pass over the headline
     # set (JVM JIT needs row volume, not just codegen-cache hits — a
     # tiny-SF warmup measurably does NOT reach steady state), then the
-    # measured pass. Nothing is cached between passes (noop sink, no
-    # persist), so the measured pass re-executes every scan/shuffle/agg;
-    # what the warmup removes is one-time JIT/compile latency that a
-    # long-lived cluster at real scale amortizes to zero. Cold-start
+    # measured passes. Nothing is cached between passes (noop sink, no
+    # persist), so each measured pass re-executes every scan/shuffle/
+    # agg; what the warmup removes is one-time JIT/compile latency that
+    # a long-lived cluster at real scale amortizes to zero. Cold-start
     # numbers stay visible in the emitted `cold_queries` field.
+    #
+    # Between passes the JVM is asked to collect: the warmup pass
+    # leaves ~GBs of short-lived shuffle/codegen garbage, and letting
+    # the full GC land mid-measurement shows up as a random query
+    # paying a 5-10 s pause (observed). Two timed passes + per-query
+    # min absorbs any pause that still slips through.
+    def _jvm_gc() -> None:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     cold = run_pass()
-    timings = run_pass()
+    _jvm_gc()
+    t1 = run_pass()
+    _jvm_gc()
+    t2 = run_pass()
+    timings = {k: min(t1[k], t2[k]) for k in t1}
 
     total = round(sum(timings.values()), 3)
     print(

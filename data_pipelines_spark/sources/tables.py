@@ -45,24 +45,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the `events` table, normalizing nanosecond timestamps.
+    """Load the `events` table, normalizing `ts` to TIMESTAMP_LTZ.
 
-    The driver's events.parquet stores `ts` as TIMESTAMP(NANOS), which
-    Spark's vectorized parquet reader rejects outright. We read nanos as
-    LONG (legacy conf) and truncate to microseconds with exact integer
-    division — the same truncation DuckDB applies when it loads
-    nanosecond parquet into its microsecond TIMESTAMP, so both engines
-    see identical instants.
+    The driver's events.parquet has stored `ts` two ways across rounds:
+    TIMESTAMP(NANOS), which Spark's vectorized parquet reader rejects
+    outright (read as LONG via the legacy conf, truncated to micros with
+    exact integer division — the same truncation DuckDB applies), and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark surfaces as
+    TIMESTAMP_NTZ. Both are normalized here to the session-zone
+    TIMESTAMP: the session pins `spark.sql.session.timeZone=UTC`
+    (session.py), so the NTZ→LTZ cast reinterprets the naive wall-clock
+    as a UTC instant — exactly how DuckDB's naive TIMESTAMP behaves in
+    `epoch()`/`date_trunc`, keeping both engines on identical instants
+    while downstream arithmetic (`cast("double")`, `unix_micros`) stays
+    legal.
     """
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     df = load_table(spark, sf_dir, "events")
-    if isinstance(df.schema["ts"].dataType, LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
