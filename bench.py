@@ -33,8 +33,8 @@ HEADLINE = (
     "semi_join_filter",
     "asof_join_purchases",
     "spatial_join_zones",
-    "events_tumbling_window",
-    "events_sliding_window",
+    "events_windowed_agg",
+    "events_resample_fill",
     "exact_dedup_docs",
     "minhash_near_dup_pairs",
     "embedding_cosine_topk",

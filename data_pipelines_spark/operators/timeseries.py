@@ -1,0 +1,158 @@
+"""Time-series regularization: resample-to-grid, gap fill, and
+interpolation.
+
+The reference's domain is gridded weather series (daily discharge per
+cell, `utils/flood/transforms.py`; yearly rasters, `assets/*`), where
+the time axis arrives dense by construction. A general engine needs the
+inverse operator set for *irregular* series — the hypertable/rollup
+family: bucket events onto a fixed interval grid, materialize empty
+buckets, then carry values across gaps (forward fill) or reconstruct
+them (linear interpolation). These are the standard TimescaleDB
+`time_bucket_gapfill`/`locf`/`interpolate` semantics re-expressed as
+Spark dataflows.
+
+Scale shape (100 TB): :func:`resample` is the only full-data shuffle
+(one groupBy on (keys, bucket)); the grid is generated per key with
+``sequence``+``explode`` from a key-grained span aggregate — grid size
+is keys × span/interval, never a function of event count — and the
+gap-join and both window passes move key-grained frames partitioned by
+key. Nothing here sorts or collects globally; per-key window state is
+bounded by span/interval.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucket_epoch(ts: Column | str, interval_sec: int) -> Column:
+    """Epoch-aligned bucket start, as BIGINT epoch seconds.
+
+    Pure integer arithmetic on epoch MICROseconds (``us - us % step``)
+    so any engine (Spark, DuckDB, a SQL oracle) reproduces bucket
+    assignment bit-for-bit even for sub-second timestamps — no
+    time_bucket-origin, float-division, or timezone-rendering
+    ambiguity.
+    """
+    us = F.unix_micros(F.col(ts) if isinstance(ts, str) else ts)
+    step = F.lit(int(interval_sec) * 1_000_000).cast("long")
+    bucket_us = us - F.pmod(us, step)
+    return (bucket_us / F.lit(1_000_000)).cast("long")
+
+
+def resample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    interval_sec: int,
+    dense: bool = True,
+) -> DataFrame:
+    """Aggregate an irregular series onto a fixed-interval grid.
+
+    Output grain: one row per (keys, bucket_epoch) with ``n_events``
+    (BIGINT, 0 on gap buckets) and ``sum_value`` (DOUBLE via an exact
+    DECIMAL sum; NULL on gap buckets). With ``dense=True`` every bucket
+    between each key's first and last event is materialized
+    (TimescaleDB ``time_bucket_gapfill``): the per-key span comes from
+    a key-grained aggregate and expands via ``sequence``+``explode`` —
+    a narrow generate, not a join against a global calendar, so sparse
+    and long-lived keys coexist without a blowup.
+    """
+    keys = list(key_cols)
+    bucketed = (
+        df.withColumn("bucket_epoch", bucket_epoch(ts_col, interval_sec))
+        .groupBy(*keys, "bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    if not dense:
+        return bucketed
+
+    spans = bucketed.groupBy(*keys).agg(
+        F.min("bucket_epoch").alias("__mn"), F.max("bucket_epoch").alias("__mx")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.lit(interval_sec))
+        ).alias("bucket_epoch"),
+    )
+    return (
+        grid.join(bucketed, [*keys, "bucket_epoch"], "left")
+        .withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)))
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward (TimescaleDB ``locf``).
+
+    ``last(ignorenulls)`` over an UNBOUNDED PRECEDING row frame — one
+    window pass, linear per-key state, no self-join. Rows before the
+    first observation stay NULL.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col or f"{value_col}_ffill",
+        F.last(value_col, ignorenulls=True).over(w),
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation across NULL gaps (TimescaleDB
+    ``interpolate``).
+
+    Two window passes per key — last non-null (value, position) at or
+    before, first non-null at or after — then the lerp
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` in
+    plain double arithmetic (reproducible bit-for-bit by any IEEE-754
+    engine evaluating the same expression). Non-gap rows pass their
+    value through; rows before the first / after the last observation
+    stay NULL.
+    """
+    out = out_col or f"{value_col}_interp"
+    v = F.col(value_col)
+    t = F.col(order_col).cast("double")
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(v.isNotNull(), t)
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    prev_t = F.last(obs_t, ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_t = F.first(obs_t, ignorenulls=True).over(w_next)
+    lerp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    return df.withColumn(
+        out,
+        F.when(v.isNotNull(), v.cast("double")).otherwise(lerp),
+    )

@@ -59,6 +59,8 @@ _MODULES = (
 # then the flagships and the rest.
 _PRIORITY = (
     # tier 0 — new this round (no CORRECTNESS row yet)
+    "events_resample_fill",
+    "events_windowed_agg",
     "tpch_adapted_suite",
     "subquery_pivot_suite",
     "corpus_split_shuffle",
@@ -105,8 +107,6 @@ _PRIORITY = (
     "dense_group_count",
     "semi_join_filter",
     "asof_join_purchases",
-    "events_tumbling_window",
-    "events_sliding_window",
 )
 
 

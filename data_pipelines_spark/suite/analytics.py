@@ -305,51 +305,6 @@ def global_agg_distinct(spark, sf_dir):
 
 
 @register(
-    "events_sliding_window",
-    """
-    WITH assigned AS (
-        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type, value FROM events
-        UNION ALL
-        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS ws,
-               event_type, value
-        FROM events
-    )
-    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*)   AS event_cnt,
-           min(value) AS min_value,
-           max(value) AS max_value
-    FROM assigned
-    GROUP BY 1, 2
-    """,
-)
-def events_sliding_window(spark, sf_dir):
-    """Sliding window (1 h size, 30 min slide): each event lands in two
-    overlapping windows — the streaming-extension shape, checked against
-    an explicit two-assignment SQL oracle."""
-    tune(spark)
-    ev = load_events(spark, sf_dir)
-    win = F.window(F.col("ts"), "1 hour", "30 minutes")
-    return (
-        ev.groupBy(win.alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("event_cnt"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "window_start"
-            ),
-            "event_type",
-            "event_cnt",
-            "min_value",
-            "max_value",
-        )
-    )
-
-
-@register(
     "asof_join_purchases",
     """
     WITH purchases AS (

@@ -49,43 +49,169 @@ def date_arithmetic(spark, sf_dir):
 
 
 @register(
-    "events_tumbling_window",
+    "events_windowed_agg",
     """
-    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
-               AS window_start,
-           event_type,
-           count(*)   AS event_cnt,
-           min(value) AS min_value,
-           max(value) AS max_value,
-           CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY 1, 2
+    WITH tumble AS (
+        SELECT 'tumble' AS q,
+               strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*)   AS event_cnt,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 2, 3
+    ),
+    assigned AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS ws,
+               event_type, value
+        FROM events
+    ),
+    slide AS (
+        SELECT 'slide' AS q,
+               strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*)   AS event_cnt,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+        FROM assigned
+        GROUP BY 2, 3
+    )
+    SELECT * FROM tumble UNION ALL SELECT * FROM slide
     """,
 )
-def events_tumbling_window(spark, sf_dir):
-    """Tumbling 1-hour window aggregation on the event stream table —
-    the batch twin of the streaming extension (SURVEY.md §2.10). The
-    window start is rendered as a canonical UTC string so engines agree
-    on representation."""
+def events_windowed_agg(spark, sf_dir):
+    """Tumbling (1 h) + sliding (1 h size, 30 min slide) window
+    aggregations on the event stream table in one suite entry — the
+    batch twins of the streaming extension (SURVEY.md §2.10; merges the
+    former events_tumbling_window / events_sliding_window entries,
+    registry trim). Each sliding event lands in two overlapping
+    windows; the oracle reproduces that with an explicit two-assignment
+    union. Window starts are rendered as canonical UTC strings so
+    engines agree on representation."""
     tune(spark)
     ev = load_events(spark, sf_dir)
-    win = F.window(F.col("ts"), "1 hour")
-    return (
-        ev.groupBy(win.alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("event_cnt"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+
+    def windowed(win, q: str):
+        return (
+            ev.groupBy(win.alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("event_cnt"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.lit(q).alias("q"),
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "event_cnt",
+                "min_value",
+                "max_value",
+                "sum_value",
+            )
         )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "event_cnt",
-            "min_value",
-            "max_value",
-            "sum_value",
-        )
+
+    tumble = windowed(F.window(F.col("ts"), "1 hour"), "tumble")
+    slide = windowed(F.window(F.col("ts"), "1 hour", "30 minutes"), "slide")
+    return tumble.unionByName(slide)
+
+
+_RESAMPLE_SEC = 6 * 3600  # 6-hour buckets over the 30-day event span
+_RESAMPLE_SQL = f"""
+    WITH b AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(ts) % {_RESAMPLE_SEC * 1_000_000})
+                   // 1000000 AS bucket_epoch,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, min(bucket_epoch) AS mn, max(bucket_epoch) AS mx
+        FROM b GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(range(mn, mx + {_RESAMPLE_SEC}, {_RESAMPLE_SEC}))
+                   AS bucket_epoch
+        FROM spans
+    ),
+    g AS (
+        SELECT grid.user_id, grid.bucket_epoch,
+               COALESCE(b.n_events, 0) AS n_events,
+               b.sum_value
+        FROM grid LEFT JOIN b USING (user_id, bucket_epoch)
+    )
+    SELECT user_id, bucket_epoch, n_events, sum_value,
+           last_value(sum_value IGNORE NULLS) OVER w_prev AS ffill_value,
+           CASE WHEN sum_value IS NOT NULL THEN sum_value
+                ELSE last_value(sum_value IGNORE NULLS) OVER w_prev
+                     + (first_value(sum_value IGNORE NULLS) OVER w_next
+                        - last_value(sum_value IGNORE NULLS) OVER w_prev)
+                       * (CAST(bucket_epoch AS DOUBLE)
+                          - last_value(CASE WHEN sum_value IS NOT NULL
+                                            THEN CAST(bucket_epoch AS DOUBLE) END
+                                       IGNORE NULLS) OVER w_prev)
+                       / (first_value(CASE WHEN sum_value IS NOT NULL
+                                           THEN CAST(bucket_epoch AS DOUBLE) END
+                                      IGNORE NULLS) OVER w_next
+                          - last_value(CASE WHEN sum_value IS NOT NULL
+                                            THEN CAST(bucket_epoch AS DOUBLE) END
+                                       IGNORE NULLS) OVER w_prev)
+           END AS interp_value
+    FROM g
+    WINDOW w_prev AS (PARTITION BY user_id ORDER BY bucket_epoch
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_next AS (PARTITION BY user_id ORDER BY bucket_epoch
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("events_resample_fill", _RESAMPLE_SQL)
+def events_resample_fill(spark, sf_dir):
+    """Time-series regularization (`operators/timeseries.py`): resample
+    each user's irregular event stream onto an epoch-aligned 6-hour
+    grid with every gap bucket materialized, then carry values across
+    gaps two ways — forward fill (locf) and linear interpolation — the
+    TimescaleDB ``time_bucket_gapfill``/``locf``/``interpolate``
+    semantics as Spark dataflows.
+
+    Bucketing is exact integer µs arithmetic (``us - us % step``), the
+    per-key grid comes from ``sequence``+``explode`` over a key-grained
+    span aggregate (grid size = keys x span/interval, independent of
+    event count), and both fills are single window passes with linear
+    per-key state — nothing global, nothing quadratic. The lerp is
+    plain double arithmetic evaluated in the same expression shape in
+    both engines, so the hashes match bit-for-bit with no rounding."""
+    from data_pipelines_spark.operators.timeseries import (
+        forward_fill,
+        interpolate_linear,
+        resample,
+    )
+
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    dense = resample(ev, ["user_id"], "ts", "value", _RESAMPLE_SEC)
+    filled = forward_fill(
+        dense, ["user_id"], "bucket_epoch", "sum_value", "ffill_value"
+    )
+    interp = interpolate_linear(
+        filled, ["user_id"], "bucket_epoch", "sum_value", "interp_value"
+    )
+    return interp.select(
+        "user_id", "bucket_epoch", "n_events", "sum_value",
+        "ffill_value", "interp_value",
     )
 
 

@@ -27,7 +27,8 @@ EMPTY_OK = [
     "semi_join_filter",
     "asof_join_purchases",
     "spatial_join_zones",
-    "events_tumbling_window",
+    "events_windowed_agg",
+    "events_resample_fill",
     "events_session_windows",
     "exact_dedup_docs",
     "minhash_near_dup_pairs",

@@ -1,0 +1,122 @@
+"""Unit tests for operators/timeseries.py: resample-to-grid, forward
+fill, and linear interpolation (hand-computed goldens + plan shape)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.operators.timeseries import (
+    bucket_epoch,
+    forward_fill,
+    interpolate_linear,
+    resample,
+)
+
+H = 3600
+
+
+def _ts(epoch_sec: float) -> dt.datetime:
+    return dt.datetime.fromtimestamp(epoch_sec, dt.timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    # user "a": events in hours 0, 0, 3 (gap at 1, 2); user "b": hour 1 only.
+    rows = [
+        Row(user="a", ts=_ts(0), value=1.0),
+        Row(user="a", ts=_ts(1800.5), value=3.0),
+        Row(user="a", ts=_ts(3 * H + 7.25), value=10.0),
+        Row(user="b", ts=_ts(H + 59.0), value=5.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_bucket_epoch_subsecond_exact(spark):
+    # 1h bucket: 3599.999999s stays in bucket 0; 3600.000001 in bucket 3600.
+    df = spark.createDataFrame(
+        [Row(ts=_ts(3599.999999)), Row(ts=_ts(3600.000001))]
+    ).select(bucket_epoch("ts", H).alias("b"))
+    assert [r.b for r in df.collect()] == [0, 3600]
+
+
+def test_resample_dense_grid_and_gaps(spark, series):
+    out = resample(series, ["user"], "ts", "value", H).orderBy(
+        "user", "bucket_epoch"
+    )
+    rows = [(r.user, r.bucket_epoch, r.n_events, r.sum_value) for r in out.collect()]
+    assert rows == [
+        ("a", 0, 2, 4.0),        # two events summed
+        ("a", H, 0, None),       # gap bucket materialized
+        ("a", 2 * H, 0, None),   # gap bucket materialized
+        ("a", 3 * H, 1, 10.0),
+        ("b", H, 1, 5.0),        # b's grid spans only its own bucket
+    ]
+
+
+def test_forward_fill_and_interpolate(spark, series):
+    dense = resample(series, ["user"], "ts", "value", H)
+    filled = interpolate_linear(
+        forward_fill(dense, ["user"], "bucket_epoch", "sum_value", "ffill"),
+        ["user"],
+        "bucket_epoch",
+        "sum_value",
+        "interp",
+    )
+    got = {
+        (r.user, r.bucket_epoch): (r.ffill, r.interp)
+        for r in filled.collect()
+    }
+    assert got[("a", 0)] == (4.0, 4.0)
+    assert got[("a", H)] == (4.0, 4.0 + (10.0 - 4.0) * (1.0 / 3.0))
+    assert got[("a", 2 * H)] == (4.0, 4.0 + (10.0 - 4.0) * (2.0 / 3.0))
+    assert got[("a", 3 * H)] == (10.0, 10.0)
+    assert got[("b", H)] == (5.0, 5.0)
+
+
+def test_fill_edges_before_first_after_last(spark):
+    # Explicit NULL edges (not reachable via resample, whose grid ends
+    # on observed buckets): leading rows stay NULL in both fills;
+    # trailing rows stay NULL under interpolation but carry under locf.
+    df = spark.createDataFrame(
+        [
+            Row(k="x", pos=0, v=None),
+            Row(k="x", pos=1, v=2.0),
+            Row(k="x", pos=2, v=None),
+            Row(k="x", pos=3, v=4.0),
+            Row(k="x", pos=4, v=None),
+        ],
+        "k string, pos int, v double",
+    )
+    out = interpolate_linear(
+        forward_fill(df, ["k"], "pos", "v", "ffill"),
+        ["k"],
+        "pos",
+        "v",
+        "interp",
+    ).orderBy("pos")
+    rows = [(r.ffill, r.interp) for r in out.collect()]
+    assert rows == [
+        (None, None),
+        (2.0, 2.0),
+        (2.0, 3.0),
+        (4.0, 4.0),
+        (4.0, None),
+    ]
+
+
+def test_no_global_window_in_plan(spark, series):
+    dense = resample(series, ["user"], "ts", "value", H)
+    out = interpolate_linear(
+        forward_fill(dense, ["user"], "bucket_epoch", "sum_value", "f"),
+        ["user"],
+        "bucket_epoch",
+        "sum_value",
+        "i",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(user" in plan
