@@ -442,3 +442,101 @@ def decontaminate(
     """Docs with every benchmark-overlapping document removed."""
     flagged = contamination_check(docs, benchmark, text_col, ngram_n=ngram_n)
     return docs.join(flagged, "doc_id", "left_anti")
+
+
+def temperature_rates(
+    docs: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    weight_col: Column | None = None,
+    budget_factor: float = 1.0,
+) -> DataFrame:
+    """Per-stratum sampling rates for temperature-based data mixing.
+
+    The standard pretraining-mixture formula (the multinomial-
+    temperature reweighting used for multilingual/multi-source corpora):
+    a stratum holding weight ``n_i`` (token count by default via
+    ``weight_col``; row count if None) is resampled at
+
+        ``rate_i = share_i * B / n_i``,  ``share_i = n_i^α / Σ_j n_j^α``
+
+    with ``B = budget_factor * Σ n_j``, so α=1 is proportional
+    (identity), α=0 is uniform-per-stratum, and 0<α<1 flattens the
+    distribution — upsampling low-resource strata (rate > 1) and
+    downsampling dominant ones (rate < 1) while preserving the total
+    budget.
+
+    Output: one dimension-sized row per stratum
+    (``strata_col``, ``n_weight``, ``rate``), rates rounded to 6
+    decimals. Engine-portable by construction: α=0.5 uses ``sqrt``
+    (IEEE-exact in every engine, unlike ``pow``'s final-ulp latitude),
+    weights are rounded then DECIMAL-summed (order-independent exact
+    sum), and every later step is identical-expression double
+    arithmetic, so a SQL oracle reproduces each rate bit-for-bit.
+    Generic α falls back to ``pow`` — the 6-decimal rounding absorbs
+    its cross-engine ulp differences for all practical inputs.
+
+    Scale shape: one map-side-combined aggregation to stratum grain,
+    two 1-row totals broadcast back — nothing row-scaled leaves the
+    stratum aggregate.
+    """
+    w = F.lit(1).cast("long") if weight_col is None else weight_col.cast("long")
+    counts = docs.groupBy(strata_col).agg(F.sum(w).alias("n_weight"))
+    if alpha == 0.5:
+        raw = F.sqrt(F.col("n_weight"))
+    elif alpha == 1.0:
+        raw = F.col("n_weight").cast("double")
+    elif alpha == 0.0:
+        raw = F.lit(1.0)
+    else:
+        raw = F.pow(F.col("n_weight"), F.lit(float(alpha)))
+    wtd = counts.withColumn("__w6", F.round(raw, 6).cast("decimal(28,6)"))
+    totals = wtd.agg(
+        F.sum("__w6").alias("__sw"),
+        (F.sum("n_weight") * F.lit(float(budget_factor))).alias("__b"),
+    )
+    share = F.col("__w6").cast("double") / F.col("__sw").cast("double")
+    rate = share * F.col("__b").cast("double") / F.col("n_weight").cast("double")
+    return (
+        wtd.join(F.broadcast(totals))
+        .select(strata_col, "n_weight", F.round(rate, 6).alias("rate"))
+    )
+
+
+def temperature_upsample(
+    docs: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    weight_col: Column | None = None,
+    budget_factor: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "upsample",
+    portable: bool = False,
+) -> DataFrame:
+    """Materialize the :func:`temperature_rates` mixture: every row
+    gains ``n_repeats`` (``floor(rate)`` plus one deterministic
+    fractional coin via :func:`hash_fraction`) and is exploded into
+    that many copies with a 1-based ``copy_no`` — rows drawn into zero
+    copies (downsampled strata) drop out. Expected output size is the
+    budget; the decision is a pure function of (id, salt, stratum
+    weights), so re-runs and engines agree row-for-row.
+
+    Scale shape: the rate table is dimension-sized and broadcast; the
+    explode is a narrow per-row generate bounded by ``ceil(rate)``
+    copies — no shuffle anywhere.
+    """
+    rates = temperature_rates(docs, strata_col, alpha, weight_col, budget_factor)
+    frac = F.col("rate") - F.floor(F.col("rate"))
+    coin = (hash_fraction(F.col(id_col), salt, portable) < frac).cast("long")
+    n_rep = (F.floor(F.col("rate")).cast("long") + coin).alias("n_repeats")
+    joined = docs.join(F.broadcast(rates), strata_col).withColumn(
+        "n_repeats", n_rep
+    )
+    copies = F.when(
+        F.col("n_repeats") >= 1,
+        F.sequence(F.lit(1).cast("long"), F.col("n_repeats")),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        joined.withColumn("copy_no", F.explode(copies))
+        .drop("rate", "n_weight")
+    )

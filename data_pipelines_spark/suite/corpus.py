@@ -74,38 +74,83 @@ _SPLIT_SHUFFLE_SQL = f"""
     WITH hashed AS (
         SELECT doc_id, source,
                {_md5_frac_sql("doc_id", "split")} AS f_split,
-               {_md5_frac_sql("doc_id", "shuffle")} AS f_shuffle
+               {_md5_frac_sql("doc_id", "shuffle")} AS f_shuffle,
+               {_md5_frac_sql("doc_id", "upsample")} AS f_up,
+               len({_TOKS}) AS n_toks
         FROM documents
+    ),
+    counts AS (
+        SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_w
+        FROM hashed GROUP BY 1
+    ),
+    wts AS (
+        SELECT source, n_w,
+               CAST(round(sqrt(n_w), 6) AS DECIMAL(28,6)) AS w6
+        FROM counts
+    ),
+    tot AS (
+        SELECT sum(w6) AS sw, CAST(sum(n_w) AS DOUBLE) * 1.0 AS b
+        FROM wts
+    ),
+    rates AS (
+        SELECT source,
+               round(CAST(w6 AS DOUBLE) / CAST(sw AS DOUBLE) * b
+                     / CAST(n_w AS DOUBLE), 6) AS rate
+        FROM wts, tot
+    ),
+    positioned AS (
+        SELECT h.doc_id, h.source,
+               CASE WHEN h.f_split < 0.05 THEN 'test'
+                    WHEN h.f_split < 0.95 THEN 'train'
+                    ELSE 'val' END AS split,
+               CAST(row_number() OVER (ORDER BY h.f_shuffle, h.doc_id)
+                    AS BIGINT) AS shuffle_pos,
+               CAST(floor(r.rate) AS BIGINT)
+               + CASE WHEN h.f_up < r.rate - floor(r.rate)
+                      THEN 1 ELSE 0 END AS n_repeats
+        FROM hashed h JOIN rates r USING (source)
     )
-    SELECT doc_id, source,
-           CASE WHEN f_split < 0.05 THEN 'test'
-                WHEN f_split < 0.95 THEN 'train'
-                ELSE 'val' END AS split,
-           CAST(row_number() OVER (ORDER BY f_shuffle, doc_id) AS BIGINT)
-               AS shuffle_pos
-    FROM hashed
+    SELECT doc_id, source, split, shuffle_pos, n_repeats,
+           unnest(range(1, n_repeats + 1)) AS copy_no
+    FROM positioned
 """
 
 
 @register("corpus_split_shuffle", _SPLIT_SHUFFLE_SQL)
 def corpus_split_shuffle(spark, sf_dir):
     """Deterministic train/val/test assignment + seeded global shuffle
-    position per document (`operators.corpus.assign_splits` /
-    `seeded_shuffle`, portable-hash mode so the oracle reproduces every
-    coin flip and the full permutation).
+    position + temperature-based mixture upsampling per document
+    (`operators.corpus.assign_splits` / `seeded_shuffle` /
+    `temperature_upsample`, portable-hash mode so the oracle reproduces
+    every coin flip, the full permutation, and every mixture rate).
 
     The split is a pure narrow map (a doc never migrates between splits
     across runs or repartitionings); the shuffle rank is the two-phase
     `plans.windows.global_rank` over a uniform hash key — a distributed
     range sort, never a single-partition window, balanced by
-    construction at any corpus size."""
-    from data_pipelines_spark.operators.corpus import assign_splits, seeded_shuffle
+    construction at any corpus size. The α=0.5 mixture weighs each
+    source by its token count (sqrt-flattened, budget-preserving) and
+    explodes each doc into its drawn copies — `n_repeats` and `copy_no`
+    are hash-checked per copy, docs drawn zero times drop out."""
+    from data_pipelines_spark.functions.text import token_count
+    from data_pipelines_spark.operators.corpus import (
+        assign_splits,
+        seeded_shuffle,
+        temperature_upsample,
+    )
 
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.lower(F.col("text"))).alias("__ntok")
+    )
     out = assign_splits(docs, _SPLIT_WEIGHTS, portable=True)
     out = seeded_shuffle(out, portable=True)
-    return out.select("doc_id", "source", "split", "shuffle_pos")
+    up = temperature_upsample(
+        out, "source", alpha=0.5, weight_col=F.col("__ntok"), portable=True
+    )
+    return up.select(
+        "doc_id", "source", "split", "shuffle_pos", "n_repeats", "copy_no"
+    )
 
 
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}

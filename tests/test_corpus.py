@@ -498,3 +498,78 @@ def test_seeded_shuffle_is_reproducible_permutation(spark):
         for r in seeded_shuffle(docs, salt="epoch2").collect()
     }
     assert pos != pos3
+
+
+def test_temperature_rates_alpha_one_is_identity(spark):
+    from data_pipelines_spark.operators.corpus import temperature_rates
+
+    docs = _docs(
+        spark,
+        [(i, f"s{i % 3}", "w " * (i % 5 + 1)) for i in range(90)],
+    )
+    rates = {
+        r["source"]: r["rate"]
+        for r in temperature_rates(docs, alpha=1.0).collect()
+    }
+    assert all(abs(v - 1.0) < 1e-9 for v in rates.values())
+
+
+def test_temperature_rates_flatten_and_budget(spark):
+    from data_pipelines_spark.operators.corpus import temperature_rates
+
+    # 80 "big" docs vs 20 "small": alpha=0.5 upsamples the small stratum
+    # (rate > 1), downsamples the big one (rate < 1), and preserves the
+    # total budget sum(rate_i * n_i) = sum(n_i).
+    docs = _docs(
+        spark,
+        [(i, "big" if i < 80 else "small", "doc") for i in range(100)],
+    )
+    out = {r["source"]: (r["n_weight"], r["rate"])
+           for r in temperature_rates(docs, alpha=0.5).collect()}
+    assert out["small"][1] > 1.0 > out["big"][1]
+    budget = sum(n * r for n, r in out.values())
+    assert abs(budget - 100.0) < 1e-3
+    # alpha=0: uniform budget per stratum -> rate inversely proportional
+    uni = {r["source"]: r["rate"]
+           for r in temperature_rates(docs, alpha=0.0).collect()}
+    assert abs(uni["big"] - 50.0 / 80.0) < 1e-6
+    assert abs(uni["small"] - 50.0 / 20.0) < 1e-6
+
+
+def test_temperature_upsample_copies_and_determinism(spark):
+    from data_pipelines_spark.operators.corpus import (
+        temperature_rates,
+        temperature_upsample,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, "big" if i < 80 else "small", "doc") for i in range(100)],
+    )
+    up = temperature_upsample(docs, alpha=0.5, portable=True)
+    rows = up.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_no"])
+    # copy_no is 1..n_repeats per surviving doc
+    for r in rows:
+        assert sorted(by_doc[r["doc_id"]]) == list(range(1, r["n_repeats"] + 1))
+    rates = {r["source"]: r["rate"]
+             for r in temperature_rates(docs, alpha=0.5).collect()}
+    # every n_repeats is floor(rate) or ceil(rate) of its stratum
+    import math
+
+    for r in rows:
+        assert r["n_repeats"] in (
+            math.floor(rates[r["source"]]),
+            math.ceil(rates[r["source"]]),
+        )
+    # deterministic under repartitioning
+    again = temperature_upsample(docs.repartition(7), alpha=0.5, portable=True)
+    assert sorted((r["doc_id"], r["copy_no"]) for r in rows) == sorted(
+        (r["doc_id"], r["copy_no"]) for r in again.collect()
+    )
+    # downsampled stratum lost docs; upsampled stratum gained copies
+    n_big = sum(1 for r in rows if r["source"] == "big")
+    n_small = sum(1 for r in rows if r["source"] == "small")
+    assert n_big < 80 and n_small > 20
