@@ -185,25 +185,40 @@ def subquery_pivot_suite(spark, sf_dir):
            count(*) OVER w AS frame_cnt,
            min(value) OVER w AS frame_min,
            max(value) OVER w AS frame_max,
-           CAST(sum(CAST(value AS DECIMAL(18, 6))) OVER w AS DOUBLE) AS frame_sum
+           CAST(sum(CAST(value AS DECIMAL(18, 6))) OVER w AS DOUBLE) AS frame_sum,
+           count(*) OVER r AS range_cnt_1h,
+           CAST(sum(CAST(value AS DECIMAL(18, 6))) OVER r AS DOUBLE)
+               AS range_sum_1h
     FROM events
     WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id),
            w AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           r AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def event_window_frames(spark, sf_dir):
-    """Frame-spec and offset windows in one pass per user: lead/lag
-    (offset) plus 3-event moving aggregates (ROWS BETWEEN) — the window
-    surface the reference never needed (SURVEY.md §2.6). Both specs
-    share the (user_id, ts, event_id) sort so Spark computes them in a
-    single window stage without re-sorting. Frame sums in DECIMAL for
-    engine-exactness. Merges the former lead_lag_events and
-    moving_window_events queries (registry trim)."""
+    """Frame-spec and offset windows per user: lead/lag (offset),
+    3-event moving aggregates (ROWS BETWEEN), and a trailing-hour
+    time-RANGE frame (RANGE BETWEEN INTERVAL on the epoch-µs sort key —
+    the frame family where the window extent is data-dependent, sized
+    by timestamps rather than row counts; a RANGE frame at an equal
+    sort key spans ALL its peers, identically in both engines) — the
+    window surface the reference never needed (SURVEY.md §2.6). The
+    offset and ROWS specs share the (user_id, ts, event_id) sort so
+    Spark computes them in one window stage; the RANGE spec re-sorts
+    on the µs key within the same partitioning (no extra exchange).
+    Sums in DECIMAL for engine-exactness. Merges the former
+    lead_lag_events and moving_window_events queries (registry trim)."""
     tune(spark)
     ev = load_events(spark, sf_dir)
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w = order.rowsBetween(-2, Window.currentRow)
+    r = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
     return ev.select(
         "event_id",
         "user_id",
@@ -215,6 +230,10 @@ def event_window_frames(spark, sf_dir):
         F.max("value").over(w).alias("frame_max"),
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias(
             "frame_sum"
+        ),
+        F.count(F.lit(1)).over(r).alias("range_cnt_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(r).cast("double").alias(
+            "range_sum_1h"
         ),
     )
 
