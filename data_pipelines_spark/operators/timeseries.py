@@ -50,6 +50,7 @@ def resample(
     value_col: str,
     interval_sec: int,
     dense: bool = True,
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """Aggregate an irregular series onto a fixed-interval grid.
 
@@ -61,17 +62,45 @@ def resample(
     a key-grained aggregate and expands via ``sequence``+``explode`` —
     a narrow generate, not a join against a global calendar, so sparse
     and long-lived keys coexist without a blowup.
+
+    Works on a STREAMING frame too (``dense=False`` only — a dense
+    grid needs the key's full span): the bucket comes from a
+    watermarked ``window()`` group so Spark can evict state past the
+    horizon — grouping on a derived bucket column would accumulate
+    state forever. ``window()`` buckets are epoch-aligned exactly like
+    the integer arithmetic, so batch and stream emit identical rows on
+    bounded input (tested).
     """
     keys = list(key_cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    ]
+    if df.isStreaming:
+        if dense:
+            raise ValueError(
+                "dense grids need the full key span; use dense=False on streams"
+            )
+        win = F.window(F.col(ts_col), f"{int(interval_sec)} seconds")
+        return (
+            df.withWatermark(ts_col, watermark)
+            .groupBy(win.alias("__w"), *keys)
+            .agg(*aggs)
+            .select(
+                *keys,
+                (F.unix_micros(F.col("__w.start")) / F.lit(1_000_000))
+                .cast("long")
+                .alias("bucket_epoch"),
+                "n_events",
+                "sum_value",
+            )
+        )
     bucketed = (
         df.withColumn("bucket_epoch", bucket_epoch(ts_col, interval_sec))
         .groupBy(*keys, "bucket_epoch")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col(value_col).cast("decimal(18,6)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
+        .agg(*aggs)
     )
     if not dense:
         return bucketed

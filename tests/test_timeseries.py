@@ -120,3 +120,57 @@ def test_no_global_window_in_plan(spark, series):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "windowspecdefinition(user" in plan
+
+
+def test_resample_stream_equals_batch(spark):
+    import shutil
+    import tempfile
+
+    from data_pipelines_spark.streaming.events import stream_events_from_dir
+
+    rows = [
+        Row(user="a", ts=_ts(i * 733.0 + (17.5 if i % 3 else 0.25)), value=float(i))
+        for i in range(40)
+    ] + [Row(user="b", ts=_ts(i * 1900.0 + 3.75), value=float(i)) for i in range(15)]
+    ev = spark.createDataFrame(rows)
+    batch = resample(ev, ["user"], "ts", "value", H, dense=False).collect()
+
+    tmp = tempfile.mkdtemp(prefix="dps_ts_stream_")
+    try:
+        ev.write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = stream_events_from_dir(spark, f"{tmp}/in", ev.schema)
+        agg = resample(stream, ["user"], "ts", "value", H, dense=False)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("ts_resample_test")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM ts_resample_test").collect()
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    canon = lambda rs: sorted(
+        (r.user, r.bucket_epoch, r.n_events, r.sum_value) for r in rs
+    )
+    assert canon(batch) == canon(streamed) and len(batch) > 0
+
+
+def test_resample_stream_rejects_dense(spark):
+    import shutil
+    import tempfile
+
+    from data_pipelines_spark.streaming.events import stream_events_from_dir
+
+    ev = spark.createDataFrame([Row(user="a", ts=_ts(0), value=1.0)])
+    tmp = tempfile.mkdtemp(prefix="dps_ts_dense_")
+    try:
+        ev.write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = stream_events_from_dir(spark, f"{tmp}/in", ev.schema)
+        with pytest.raises(ValueError, match="dense"):
+            resample(stream, ["user"], "ts", "value", H, dense=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
