@@ -1,0 +1,120 @@
+"""Incremental re-materialization: key-wise upsert (MERGE) into a
+partitioned parquet dataset.
+
+The reference's incrementality model is a daily cron that re-reads and
+re-materializes whole assets (`jobs.py:24-29`, Dagster partitions
+`partitions.py:3-53`). At 100 TB a full rewrite per day is the
+bottleneck, and the scalable shape is MERGE: rewrite only the
+partitions an update batch touches, replacing matched keys and
+appending new ones. Table formats (Delta/Iceberg) give this
+transactionally; this module gives the plain-parquet engine the same
+dataflow with honest caveats.
+
+Scale shape: the update batch is joined against ONLY the affected
+partitions (partition-pruned read via an IN filter on the batch's
+partition values — dimension-sized, they are the batch's date/tile
+keys); the merge itself is one anti-join (or a versioned top-1 window)
+keyed on the merge key; the write uses dynamic partition overwrite so
+untouched partitions' files are never rewritten (asserted in tests).
+
+Caveats (documented, inherent to raw parquet): the
+read-merge-overwrite of the same path is not transactional — a reader
+racing the rewrite of an affected partition can see it mid-commit; use
+a table format where that matters. The merged affected-partition set
+is `localCheckpoint`ed to cut lineage before overwriting the files it
+was read from (Spark refuses a same-path read-write otherwise), so
+executors must hold the affected partitions — bounded by the update
+batch's partition fan-in, not the dataset.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+    version_col: str | None = None,
+) -> None:
+    """MERGE ``updates`` into the parquet dataset at ``path``.
+
+    Rows whose ``key_cols`` match an existing row replace it ("matched
+    → update"); unmatched rows append. With ``version_col`` the highest
+    version wins instead — including between an existing row and a
+    stale late update, and among duplicate keys within the batch
+    (ties break toward the update). Without it, updates win and the
+    batch must be key-unique.
+
+    Only partitions present in the update batch are read, merged, and
+    rewritten (dynamic partition overwrite); every other partition's
+    files are untouched.
+    """
+    keys = list(key_cols)
+    parts = list(partition_cols)
+    exists = os.path.exists(path) if "://" not in path else True
+    if not exists:
+        writer = updates.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(path)
+        return
+
+    existing = spark.read.parquet(path)
+    if parts:
+        # Partition-pruned read: the batch's partition-value set is
+        # dimension-sized (its date/tile keys) — inline it as an IN
+        # filter so the scan never opens untouched partitions.
+        pvals = [tuple(r) for r in updates.select(*parts).distinct().collect()]
+        if len(parts) == 1:
+            pred = F.col(parts[0]).isin([v[0] for v in pvals])
+        else:
+            clauses = [
+                reduce(
+                    lambda a, b: a & b,
+                    [F.col(c) == F.lit(v) for c, v in zip(parts, row)],
+                )
+                for row in pvals
+            ]
+            pred = reduce(lambda a, b: a | b, clauses)
+        existing = existing.where(pred)
+
+    if version_col is None:
+        merged = existing.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        ).unionByName(updates)
+    else:
+        tagged = existing.withColumn("__src", F.lit(0)).unionByName(
+            updates.withColumn("__src", F.lit(1))
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc(version_col), F.desc("__src")
+        )
+        merged = (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+
+    # Cut lineage from the files about to be overwritten.
+    merged = merged.localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer = merged.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+            writer.parquet(path)
+        else:
+            writer.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
