@@ -118,3 +118,51 @@ def upsert_partitioned(
             writer.parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two dataset versions: one row per
+    differing key with ``change ∈ {insert, delete, update}`` — the
+    audit/validation companion to :func:`upsert_partitioned` (diff a
+    re-materialization against the previous snapshot before promoting
+    it).
+
+    One full outer join on the key; change detection compares the
+    ``compare_cols`` structs (default: all non-key columns present on
+    both sides) null-safely. Output carries the new-side values for
+    inserts/updates and the old-side values for deletes.
+
+    Scale shape: a single co-partitioned shuffle join on the key;
+    unchanged keys are filtered before any downstream work, so the
+    result is change-volume-sized.
+    """
+    keys = list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in new.columns if c in set(old.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    cmp_cols = list(compare_cols)
+
+    o = old.select(
+        *keys, F.struct(*[F.col(c) for c in cmp_cols]).alias("__old")
+    )
+    n = new.select(
+        *keys, F.struct(*[F.col(c) for c in cmp_cols]).alias("__new")
+    )
+    joined = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update"))
+    )
+    diff = joined.withColumn("change", change).where(F.col("change").isNotNull())
+    vals = F.coalesce(F.col("__new"), F.col("__old"))
+    return diff.select(
+        *keys,
+        "change",
+        *[vals.getField(c).alias(c) for c in cmp_cols],
+    )

@@ -122,3 +122,24 @@ def test_unpartitioned_upsert_full_rewrite(spark, tmppath):
     upsert_partitioned(spark, upd, tmppath, ["k"])
     got = {(r.k): r.v for r in spark.read.parquet(tmppath).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_snapshot_diff_insert_update_delete(spark):
+    from data_pipelines_spark.sources.materialize import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a", w=1.0), Row(k=2, v="b", w=2.0), Row(k=3, v="c", w=None)],
+        "k long, v string, w double",
+    )
+    new = spark.createDataFrame(
+        [Row(k=2, v="B", w=2.0), Row(k=3, v="c", w=None), Row(k=4, v="d", w=4.0)],
+        "k long, v string, w double",
+    )
+    got = {r.k: (r.change, r.v, r.w)
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    # k=3 unchanged (NULL w compares null-safely equal) -> absent
+    assert got == {
+        1: ("delete", "a", 1.0),
+        2: ("update", "B", 2.0),
+        4: ("insert", "d", 4.0),
+    }
