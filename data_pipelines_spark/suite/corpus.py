@@ -140,9 +140,11 @@ def corpus_split_shuffle(spark, sf_dir):
     )
 
     tune(spark)
+    # The token-weighted projection feeds both the mixture-rate
+    # aggregation and the per-doc rows (measured: 6 scans unpersisted).
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", token_count(F.lower(F.col("text"))).alias("__ntok")
-    )
+    ).persist()
     out = assign_splits(docs, _SPLIT_WEIGHTS, portable=True)
     out = seeded_shuffle(out, portable=True)
     up = temperature_upsample(
@@ -314,7 +316,12 @@ def corpus_doc_curation(spark, sf_dir):
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") < _BENCH_MAX_ID)
-    corpus = docs.where(F.col("doc_id") >= _BENCH_MAX_ID)
+    # Five curation stages (sampling, contamination, boilerplate, LM
+    # scoring, packing) all re-derive from this frame; without the
+    # persist each re-scans the corpus parquet (measured: 21 scans in
+    # one plan). D1 persist-at-reuse: cache blocks are shared across
+    # branches even within a single action, so the corpus is read once.
+    corpus = docs.where(F.col("doc_id") >= _BENCH_MAX_ID).persist()
 
     rate = F.lit(float(_MIX_DEFAULT))
     for src, r in sorted(_MIX_RATES.items(), reverse=True):
