@@ -166,3 +166,47 @@ def snapshot_diff(
         "change",
         *[vals.getField(c).alias(c) for c in cmp_cols],
     )
+
+
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+    version_col: str | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming MERGE sink: apply each micro-batch to the parquet
+    dataset with :func:`upsert_partitioned` via ``foreachBatch`` — the
+    continuous form of the reference's daily re-materialization cron
+    (new drops stream in, only their keys/partitions are rewritten).
+
+    Delivery semantics, stated honestly: ``foreachBatch`` replays a
+    batch after failure (at-least-once). With ``version_col`` the merge
+    is IDEMPOTENT — replaying a batch re-resolves to the same winners —
+    so the sink is effectively exactly-once end-to-end; without it,
+    replays still converge because updates deterministically replace
+    matched keys, but interleaved writers are not serialized (plain
+    parquet has no transaction log — use a table format for that).
+
+    Returns the un-started ``DataStreamWriter`` so callers control
+    ``start()``/``awaitTermination``.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_partitioned(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            key_cols,
+            partition_cols,
+            version_col,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_apply).outputMode("update")
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

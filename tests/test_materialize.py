@@ -143,3 +143,39 @@ def test_snapshot_diff_insert_update_delete(spark):
         2: ("update", "B", 2.0),
         4: ("insert", "d", 4.0),
     }
+
+
+def test_stream_upsert_sink_merges_incremental_drops(spark):
+    from data_pipelines_spark.sources.materialize import stream_upsert_sink
+
+    d = tempfile.mkdtemp(prefix="dps_stream_upsert_")
+    src, tbl, ckpt = f"{d}/src", f"{d}/tbl", f"{d}/ckpt"
+    try:
+        # seed the table, then stage two incremental drops
+        upsert_partitioned(
+            spark, _rows(spark, [("d1", 1, "a"), ("d2", 2, "b")]),
+            tbl, ["k"], ["day"],
+        )
+        schema = "day string, k long, v string"
+        os.makedirs(src)
+        _rows(spark, [("d1", 1, "A"), ("d1", 3, "c")]).coalesce(1)\
+            .write.mode("append").parquet(src)
+        _rows(spark, [("d2", 2, "B2"), ("d2", 4, "d")]).coalesce(1)\
+            .write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_upsert_sink(
+            stream, tbl, ["k"], ["day"], checkpoint=ckpt
+        ).start()
+        q.awaitTermination(120)
+
+        assert _read(spark, tbl) == {
+            ("d1", 1): "A", ("d1", 3): "c",
+            ("d2", 2): "B2", ("d2", 4): "d",
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
