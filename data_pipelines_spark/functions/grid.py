@@ -115,3 +115,79 @@ def cell_wkt(
         min_lon, sp, min_lat,
         F.lit("))"),
     )
+
+
+def zorder_key(
+    lat: Column | str,
+    lon: Column | str,
+    bits: int = 16,
+) -> Column:
+    """Morton (Z-order) key interleaving the quantized latitude and
+    longitude — the space-filling-curve sort key that makes 2-D
+    locality survive a 1-D file layout.
+
+    Sorting (or range-partitioning) a write by this key clusters
+    spatially adjacent cells into the same parquet files/row groups, so
+    a bbox predicate (`restrict_area`, S10) skips most of the dataset
+    via min/max statistics instead of scanning it — the write-side
+    complement to the read-side pushdown. 16 bits per axis ≈ 0.003°
+    cells, finer than the 0.05° grid.
+
+    Pure native bit arithmetic (quantize → interleave via
+    shiftright/AND/shiftleft/OR), no UDF; monotone per axis at any
+    ``bits``.
+    """
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    scale = (1 << bits) - 1
+    y = F.least(
+        F.lit(scale).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(1 << bits)).cast(
+                "long"
+            ),
+        ),
+    )
+    x = F.least(
+        F.lit(scale).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(1 << bits)).cast(
+                "long"
+            ),
+        ),
+    )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        xbit = F.shiftleft(
+            F.shiftright(x, i).bitwiseAND(F.lit(1).cast("long")), 2 * i
+        )
+        ybit = F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1).cast("long")), 2 * i + 1
+        )
+        z = z.bitwiseOR(xbit).bitwiseOR(ybit)
+    return z
+
+
+def spatial_cluster(
+    df,
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    partitions: int | None = None,
+    bits: int = 16,
+):
+    """Re-arrange a frame along the Z-order curve before writing:
+    range-partition on :func:`zorder_key` then sort within partitions,
+    so each output file covers a compact spatial neighborhood (tested:
+    per-partition bbox area shrinks by orders of magnitude vs the
+    arrival order). One range shuffle — the standard cost of a
+    clustered write."""
+    key = zorder_key(lat_col, lon_col, bits)
+    tagged = df.withColumn("__z", key)
+    parted = (
+        tagged.repartitionByRange(partitions, "__z")
+        if partitions
+        else tagged.repartitionByRange("__z")
+    )
+    return parted.sortWithinPartitions("__z").drop("__z")

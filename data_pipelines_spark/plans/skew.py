@@ -58,3 +58,34 @@ def salted_agg(
             for name, (col, fn) in aggs.items()
         ]
     )
+
+
+def diagnose_skew(
+    df: DataFrame,
+    keys: list[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter report for a prospective shuffle key: the ``top_k``
+    most frequent key values with their row counts and share of the
+    table — the measurement step before choosing AQE skew-join,
+    :func:`salted_agg`, or broadcast.
+
+    Output: (keys..., key_cnt, total_cnt, frac), frequency-descending.
+    A ``frac`` near 1/shuffle-partitions means one reducer will carry
+    that key alone; several such rows mean salting (or a different key)
+    is warranted.
+
+    Scale shape: one map-side-combined count per key, a 1-row total
+    broadcast back, TakeOrdered head — no global sort, nothing
+    collected.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_cnt"))
+    total = counts.agg(F.sum("key_cnt").alias("total_cnt"))
+    return (
+        counts.join(F.broadcast(total))
+        .withColumn(
+            "frac", F.col("key_cnt").cast("double") / F.col("total_cnt")
+        )
+        .orderBy(F.desc("key_cnt"), *keys)
+        .limit(top_k)
+    )

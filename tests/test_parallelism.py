@@ -58,3 +58,24 @@ def test_width_hint_wins(spark, nation):
 def test_derived_frame_still_sized_from_leaves(spark, nation):
     derived = nation.select("n_nationkey").filter("n_nationkey > 2")
     assert estimate_scan_width(derived) is not None
+
+
+def test_diagnose_skew_reports_heavy_hitters(spark):
+    from data_pipelines_spark.plans.skew import diagnose_skew
+
+    rows = [("hot", i) for i in range(900)] + [
+        (f"k{i % 10}", i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    rep = diagnose_skew(df, ["k"], top_k=3).collect()
+    assert rep[0]["k"] == "hot"
+    assert rep[0]["key_cnt"] == 900
+    assert rep[0]["total_cnt"] == 1000
+    assert abs(rep[0]["frac"] - 0.9) < 1e-12
+    assert len(rep) == 3
+    # TakeOrdered head, not a global sort
+    plan = (
+        diagnose_skew(df, ["k"], top_k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
