@@ -141,3 +141,27 @@ def stream_events_from_dir(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment: join a stream against a (slowly
+    changing) dimension snapshot — user profiles onto an event stream,
+    thresholds onto a sensor feed.
+
+    Spark re-evaluates the STATIC side on every micro-batch, so a
+    dimension backed by a parquet/table path picks up upstream
+    refreshes between batches without restarting the query — the
+    streaming counterpart of the reference's threshold-join (J1), and
+    stateless (no watermark or join state: each batch joins against the
+    current snapshot). Dimension-sized sides should broadcast
+    (default); at 100 TB a fact-sized "dimension" would instead want
+    the stream bucketed on the key and ``broadcast_dim=False``.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, keys, how)

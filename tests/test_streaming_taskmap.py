@@ -414,3 +414,32 @@ def test_stream_stream_join_equals_batch(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     assert got == want
+
+
+def test_enrich_stream_joins_static_dimension(spark):
+    from data_pipelines_spark.streaming.events import enrich_stream
+
+    dim = spark.createDataFrame(
+        [("purchase", 2.0), ("view", 1.0)], "event_type string, weight double"
+    )
+    ev = _events(spark)
+    tmp = tempfile.mkdtemp(prefix="dps_enrich_")
+    try:
+        ev.write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = stream_events_from_dir(spark, f"{tmp}/in", ev.schema)
+        q = (
+            enrich_stream(stream, dim, ["event_type"])
+            .writeStream.format("memory")
+            .queryName("enrich_test")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM enrich_test").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    batch = {r["event_id"]: r["weight"] for r in enrich_stream(ev, dim, ["event_type"]).collect()}
+    streamed = {r["event_id"]: r["weight"] for r in got}
+    assert streamed == batch and len(streamed) == ev.count()
