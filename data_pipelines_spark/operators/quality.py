@@ -159,3 +159,48 @@ def validate(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def profile_numeric(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-pass numeric profile: per column
+    ``(column, n, n_null, min, max, mean, stddev, p25, p50, p75)`` —
+    the summary a pipeline owner reads before writing quality rules
+    (range bounds from observed quartiles, null budgets from n_null).
+
+    ALL columns' statistics compute in a single aggregation (one scan,
+    map-side partial aggregation); quartiles are exact ``percentile``
+    — swap for ``approx_percentile`` at full scale where sketch error
+    is acceptable. Values are profiled as DOUBLE.
+    """
+    names = list(cols)
+    aggs = []
+    for c in names:
+        v = F.col(c).cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.when(v.isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.min(v).alias(f"__min_{c}"),
+            F.max(v).alias(f"__max_{c}"),
+            F.avg(v).alias(f"__mean_{c}"),
+            F.stddev_samp(v).alias(f"__std_{c}"),
+            F.percentile(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
+                f"__q_{c}"
+            ),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__n_{c}").cast("long").alias("n"),
+            F.col(f"__nn_{c}").cast("long").alias("n_null"),
+            F.col(f"__min_{c}").alias("min"),
+            F.col(f"__max_{c}").alias("max"),
+            F.col(f"__mean_{c}").alias("mean"),
+            F.col(f"__std_{c}").alias("stddev"),
+            F.col(f"__q_{c}")[0].alias("p25"),
+            F.col(f"__q_{c}")[1].alias("p50"),
+            F.col(f"__q_{c}")[2].alias("p75"),
+        )
+        for c in names
+    ]
+    return row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")

@@ -77,3 +77,19 @@ def test_validate_combined_report(spark):
         "unique:k": False,
         "foreign_key:ref": True,
     }
+
+
+def test_profile_numeric_one_pass(spark):
+    from data_pipelines_spark.operators.quality import profile_numeric
+
+    df = spark.createDataFrame(
+        [Row(a=float(i), b=(None if i % 2 else float(i * 10))) for i in range(1, 6)]
+    )
+    prof = {r.column: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    a = prof["a"]
+    assert (a.n, a.n_null, a.min, a.max, a.mean, a.p50) == (5, 0, 1.0, 5.0, 3.0, 3.0)
+    assert a.p25 == 2.0 and a.p75 == 4.0
+    b = prof["b"]
+    assert (b.n, b.n_null, b.min, b.max) == (5, 3, 20.0, 40.0)
+    plan = profile_numeric(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
