@@ -60,8 +60,11 @@ def check_rows(df: DataFrame, rules: Sequence[tuple[str, Column]]) -> DataFrame:
     conditional count of rows failing its predicate (NULL predicate =
     violation, the conservative reading)."""
     aggs = [
-        F.sum(
-            F.when(F.coalesce(pred, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
+        F.coalesce(
+            F.sum(
+                F.when(F.coalesce(pred, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
+            ),
+            F.lit(0),
         ).alias(name)
         for name, pred in rules
     ]
@@ -111,21 +114,25 @@ def check_foreign_key(
     dim: DataFrame,
     dim_cols: Sequence[str] | None = None,
 ) -> DataFrame:
-    """One row: count of fact rows whose (non-null) key has no match in
-    the dimension — a left-anti join, broadcast when the dimension is
-    small (Catalyst/AQE decide)."""
+    """One row: count of fact rows whose key has no match in the
+    dimension — a left-anti join, broadcast when the dimension is small
+    (Catalyst/AQE decide).
+
+    Null handling follows SQL FOREIGN KEY *simple match*: only rows
+    with ALL key columns non-null are checked; any null component
+    exempts the row (composite keys included). A partially-null key can
+    therefore never be an orphan — matching ANSI and Delta/DBT
+    relationship-test semantics.
+    """
     fcols = list(cols)
     dcols = list(dim_cols or cols)
     d = dim.select(
         *[F.col(dc).alias(fc) for fc, dc in zip(fcols, dcols)]
     ).distinct()
-    present = df.where(
-        F.coalesce(
-            *[F.col(c).isNotNull() for c in fcols], F.lit(False)
-        )
-        if len(fcols) > 1
-        else F.col(fcols[0]).isNotNull()
-    )
+    all_non_null = F.lit(True)
+    for c in fcols:
+        all_non_null = all_non_null & F.col(c).isNotNull()
+    present = df.where(all_non_null)
     orphans = present.join(d, fcols, "left_anti").agg(
         F.count(F.lit(1)).alias("orphans")
     )
@@ -161,31 +168,45 @@ def validate(
     return out
 
 
-def profile_numeric(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def profile_numeric(
+    df: DataFrame, cols: Sequence[str], exact: bool = False, accuracy: int = 10000
+) -> DataFrame:
     """One-pass numeric profile: per column
     ``(column, n, n_null, min, max, mean, stddev, p25, p50, p75)`` —
     the summary a pipeline owner reads before writing quality rules
     (range bounds from observed quartiles, null budgets from n_null).
 
     ALL columns' statistics compute in a single aggregation (one scan,
-    map-side partial aggregation); quartiles are exact ``percentile``
-    — swap for ``approx_percentile`` at full scale where sketch error
-    is acceptable. Values are profiled as DOUBLE.
+    map-side partial aggregation). Quartiles default to
+    ``approx_percentile`` — a bounded-memory KLL-style sketch whose
+    buffer never holds the data, the only shape that survives a global
+    aggregate over a 100 TB table. ``exact=True`` opts into exact
+    ``percentile`` (the final reducer buffers every value of every
+    profiled column — small-table / audit use only), mirroring the
+    ``exact_quantiles`` contract of the flood ensemble aggregation.
+    ``accuracy`` tunes the sketch (error ~ 1/accuracy of rank). Values
+    are profiled as DOUBLE.
     """
     names = list(cols)
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
     aggs = []
     for c in names:
         v = F.col(c).cast("double")
+        quart = (
+            F.percentile(v, qs)
+            if exact
+            else F.approx_percentile(v, qs, F.lit(accuracy))
+        )
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(F.when(v.isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.coalesce(F.sum(F.when(v.isNull(), 1).otherwise(0)), F.lit(0)).alias(
+                f"__nn_{c}"
+            ),
             F.min(v).alias(f"__min_{c}"),
             F.max(v).alias(f"__max_{c}"),
             F.avg(v).alias(f"__mean_{c}"),
             F.stddev_samp(v).alias(f"__std_{c}"),
-            F.percentile(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
-                f"__q_{c}"
-            ),
+            quart.alias(f"__q_{c}"),
         ]
     row = df.agg(*aggs)
     per_col = [

@@ -9,10 +9,15 @@ algebraic aggregate (sum/count/min/max); averages are carried as
 
 At 100 TB this is the difference between a straggler-bound shuffle and
 an even one when e.g. one grid cell / one document source dominates the
-distribution. The salt is derived from a hash of the full row via
-`rand`-free deterministic columns when reproducibility matters; here we
-use `spark_partition_id` mixing, which is deterministic per input
-partitioning.
+distribution. The salt MUST be a pure function of row content: position
+sources (``spark_partition_id``, ``monotonically_increasing_id``,
+``rand``) are recomputation-unstable — when a stage-1 task is retried
+after a fetch failure (routine at scale), recomputed rows can land in
+different salt groups than the copies some reducers already fetched,
+the classic nondeterministic-shuffle-key double-count/loss hazard. We
+derive it as ``pmod(xxhash64(salt_on...), salt_buckets)`` over
+caller-named stable columns (default: every column of the frame), so a
+retried task reproduces the identical salt for every row.
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ def salted_agg(
     aggs: dict[str, tuple[str, str]],
     salt_buckets: int = 16,
     salt_col: Column | None = None,
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage aggregation over skewed keys.
 
@@ -34,6 +40,14 @@ def salted_agg(
     {"sum", "count", "min", "max"}. Stage 1 groups on
     (keys..., salt) — partial aggregation + an even shuffle; stage 2
     combines partials on the true keys (tiny input: |keys| x salt rows).
+
+    The salt is ``pmod(xxhash64(salt_on...), salt_buckets)`` —
+    deterministic under task retry and input repartitioning because it
+    reads only row content. ``salt_on`` defaults to all columns; pass a
+    stable row-id column when one exists (cheaper hash, and immune to
+    fully-duplicate rows hashing into one bucket — duplicates are the
+    one content-hash shape that cannot spread, which matters only if a
+    hot key's rows are near-identical).
     """
     combiner = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     stage1_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
@@ -44,7 +58,10 @@ def salted_agg(
     salt = (
         salt_col
         if salt_col is not None
-        else F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets))
+        else F.pmod(
+            F.xxhash64(*[F.col(c) for c in (salt_on or df.columns)]),
+            F.lit(salt_buckets),
+        )
     )
     stage1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
         *[

@@ -93,3 +93,52 @@ def test_profile_numeric_one_pass(spark):
     assert (b.n, b.n_null, b.min, b.max) == (5, 3, 20.0, 40.0)
     plan = profile_numeric(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1
+
+
+def test_check_rows_empty_table_is_clean(spark):
+    """Empty-but-clean table: violations must be 0 / passed True, never
+    NULL (sum over zero rows is NULL without the coalesce)."""
+    df = spark.createDataFrame([], "k int, score double")
+    rows = check_rows(df, [not_null("score"), in_range("score", 0.0, 1.0)]).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.violations == 0 and r.total == 0 and r.passed is True
+
+
+def test_check_foreign_key_composite_null_semantics(spark):
+    """SQL simple-match semantics for composite keys: any null
+    component exempts the row; only fully non-null keys are checked."""
+    fact = spark.createDataFrame(
+        [Row(a=1, b=None), Row(a=None, b=1), Row(a=1, b=1), Row(a=2, b=2)]
+    )
+    dim = spark.createDataFrame([Row(a=1, b=1)])
+    fk = check_foreign_key(fact, ["a", "b"], dim).first()
+    # (1,NULL) and (NULL,1) exempt; (1,1) matches; (2,2) is the only orphan
+    assert (fk.violations, fk.total, fk.passed) == (1, 4, False)
+
+
+def test_profile_numeric_default_is_sketch(spark):
+    """Default quartiles are approx_percentile (bounded-memory sketch);
+    exact=True opts into the exact buffer."""
+    from data_pipelines_spark.operators.quality import profile_numeric
+
+    df = spark.createDataFrame([Row(a=float(i)) for i in range(1, 101)])
+    plan_default = (
+        profile_numeric(df, ["a"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "approx_percentile" in plan_default
+    plan_exact = (
+        profile_numeric(df, ["a"], exact=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "approx_percentile" not in plan_exact and "percentile" in plan_exact
+    # both agree on this smooth distribution
+    d = profile_numeric(df, ["a"]).first()
+    e = profile_numeric(df, ["a"], exact=True).first()
+    assert abs(d.p50 - e.p50) <= 1.0 and d.min == e.min and d.max == e.max
+
+    empty = spark.createDataFrame([], "a double")
+    p = profile_numeric(empty, ["a"]).first()
+    assert (p.n, p.n_null) == (0, 0)

@@ -114,3 +114,54 @@ def test_salted_agg_matches_plain_groupby(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_salted_agg_salt_is_retry_deterministic(spark):
+    """The salt must be a pure function of row content: identical
+    results (and identical per-bucket stage-1 partials) regardless of
+    how the input happens to be partitioned — the property that makes
+    the shuffle key stable under task retry. Position-derived salts
+    (spark_partition_id / monotonically_increasing_id) fail this."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.plans.skew import salted_agg
+
+    df = spark.range(2_000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 13).cast("double").alias("v"),
+        F.col("id").alias("rid"),
+    )
+    aggs = {"s": ("v", "sum"), "c": ("v", "count")}
+
+    def stage1_partials(frame):
+        # reproduce the internal salt and materialize the stage-1 groups
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in frame.columns]), F.lit(8))
+        return sorted(
+            (r["k"], r["__salt"], r["s"], r["c"])
+            for r in frame.withColumn("__salt", salt)
+            .groupBy("k", "__salt")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+
+    base = stage1_partials(df)
+    for parts in (1, 7, 32):
+        assert stage1_partials(df.repartition(parts)) == base
+
+    out = sorted(
+        (r["k"], r["s"], r["c"]) for r in salted_agg(df, ["k"], aggs).collect()
+    )
+    for parts in (1, 7, 32):
+        redo = sorted(
+            (r["k"], r["s"], r["c"])
+            for r in salted_agg(df.repartition(parts), ["k"], aggs).collect()
+        )
+        assert redo == out
+
+    # the plan must not contain position-derived (retry-unstable) sources
+    plan = salted_agg(df, ["k"], aggs)._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    assert "SPARK_PARTITION_ID" not in plan.upper()
+    # salt_on narrows the hash to a named stable column
+    narrow = salted_agg(df, ["k"], aggs, salt_on=["rid"])
+    assert sorted((r["k"], r["s"], r["c"]) for r in narrow.collect()) == out
