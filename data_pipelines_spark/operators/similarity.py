@@ -193,35 +193,44 @@ def kmeans_centroids(
     could otherwise disagree in the low bits and drift apart over
     iterations. Rounding collapses that to a reproducible fit — which
     is what lets the trained model be pinned as oracle literals.
-    """
-    init = (
-        embeddings.orderBy(id_col)
-        .limit(k)
-        .select(_to_double(F.col(vec_col)).alias("c"))
-        .collect()
-    )
-    centroids = [list(r["c"]) for r in init]
 
-    for _ in range(max_iterations):
-        assigned = ivf_assign(embeddings, centroids, vec_col)
-        per_dim = (
-            assigned.select(
-                "cluster", F.posexplode(_to_double(F.col(vec_col))).alias("pos", "x")
-            )
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
+    The (id, double-vector) projection is persisted for the duration of
+    the fit: every Lloyd iteration is an action, and without the cache
+    each one would repeat the full source scan — free at test scale,
+    ``max_iterations`` extra passes over the corpus on a real one.
+    Unpersisted on exit either way.
+    """
+    data = embeddings.select(
+        F.col(id_col).alias(id_col), _to_double(F.col(vec_col)).alias("__v")
+    ).persist()
+    try:
+        init = (
+            data.orderBy(id_col).limit(k).select(F.col("__v").alias("c")).collect()
         )
-        new_centroids = [list(c) for c in centroids]
-        for r in per_dim:
-            m = r["m"]
-            new_centroids[r["cluster"]][r["pos"]] = (
-                round(m, round_decimals) if round_decimals is not None else m
+        centroids = [list(r["c"]) for r in init]
+
+        for _ in range(max_iterations):
+            assigned = ivf_assign(data, centroids, "__v")
+            per_dim = (
+                assigned.select(
+                    "cluster", F.posexplode(F.col("__v")).alias("pos", "x")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
             )
-        if new_centroids == centroids:
-            break
-        centroids = new_centroids
-    return centroids
+            new_centroids = [list(c) for c in centroids]
+            for r in per_dim:
+                m = r["m"]
+                new_centroids[r["cluster"]][r["pos"]] = (
+                    round(m, round_decimals) if round_decimals is not None else m
+                )
+            if new_centroids == centroids:
+                break
+            centroids = new_centroids
+        return centroids
+    finally:
+        data.unpersist()
 
 
 def ivf_assign(

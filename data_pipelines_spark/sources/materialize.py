@@ -29,12 +29,23 @@ batch's partition fan-in, not the dataset.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def dataset_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API, so it answers
+    correctly for every scheme Spark can write (file:, hdfs:, s3a:, …)
+    — a bare ``os.path.exists`` would say "no" for object stores and a
+    "has a scheme ⇒ assume yes" heuristic breaks the first-ever write
+    to an empty bucket prefix."""
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hadoop_path))
 
 
 def upsert_partitioned(
@@ -44,8 +55,10 @@ def upsert_partitioned(
     key_cols: Sequence[str],
     partition_cols: Sequence[str] = (),
     version_col: str | None = None,
+    prune_partitions: bool = True,
+    format: str = "parquet",
 ) -> None:
-    """MERGE ``updates`` into the parquet dataset at ``path``.
+    """MERGE ``updates`` into the dataset at ``path``.
 
     Rows whose ``key_cols`` match an existing row replace it ("matched
     → update"); unmatched rows append. With ``version_col`` the highest
@@ -54,14 +67,38 @@ def upsert_partitioned(
     (ties break toward the update). Without it, updates win and the
     batch must be key-unique.
 
-    Only partitions present in the update batch are read, merged, and
-    rewritten (dynamic partition overwrite); every other partition's
-    files are untouched.
+    With ``prune_partitions=True`` (default) only partitions present in
+    the update batch are read, merged, and rewritten (dynamic partition
+    overwrite); every other partition's files are untouched. **This
+    requires partition values to be immutable per key** — derived from
+    the key (e.g. ``date(key_ts)``, tile-of-cell), never free to change
+    between versions of the same key. If a key's partition value could
+    migrate, the old row lives in a partition the pruned read never
+    opens, and the key would end up duplicated. For migratable keys
+    pass ``prune_partitions=False``: the whole dataset is read, merged,
+    and statically rewritten — the reference's own daily full
+    re-materialization shape (`jobs.py:24-29`), correct for every
+    migration (including partitions emptied by the merge) at full
+    rewrite cost.
+
+    ``format`` is the table-format seam: ``"parquet"`` (default, tested
+    here) runs the read-merge-overwrite dataflow above; ``"delta"``
+    delegates to Delta Lake's transactional ``MERGE`` when the
+    ``delta-spark`` package is on the classpath (ImportError with a
+    pointer otherwise — no hard dependency). Transactionality,
+    concurrent-writer serialization, and key migration are then the
+    format's contract rather than this module's caveats.
     """
     keys = list(key_cols)
     parts = list(partition_cols)
-    exists = os.path.exists(path) if "://" not in path else True
-    if not exists:
+    if format == "delta":
+        _upsert_delta(spark, updates, path, keys, version_col)
+        return
+    if format != "parquet":
+        raise ValueError(
+            f"unsupported format '{format}' (supported: parquet, delta)"
+        )
+    if not dataset_exists(spark, path):
         writer = updates.write.mode("overwrite")
         if parts:
             writer = writer.partitionBy(*parts)
@@ -69,7 +106,7 @@ def upsert_partitioned(
         return
 
     existing = spark.read.parquet(path)
-    if parts:
+    if parts and prune_partitions:
         # Partition-pruned read: the batch's partition-value set is
         # dimension-sized (its date/tile keys) — inline it as an IN
         # filter so the scan never opens untouched partitions.
@@ -107,9 +144,13 @@ def upsert_partitioned(
     # Cut lineage from the files about to be overwritten.
     merged = merged.localCheckpoint(eager=True)
 
+    # Pruned merge: dynamic overwrite rewrites only the affected
+    # partitions. Unpruned (migration-safe) merge: static overwrite —
+    # the full rewrite also clears partitions the merge emptied.
+    mode = "dynamic" if prune_partitions else "static"
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
         writer = merged.write.mode("overwrite")
         if parts:
             writer = writer.partitionBy(*parts)
@@ -118,6 +159,50 @@ def upsert_partitioned(
             writer.parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _upsert_delta(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    version_col: str | None,
+) -> None:
+    """Delta Lake backend for :func:`upsert_partitioned`: the same
+    matched-update / unmatched-insert contract expressed as a
+    transactional ``MERGE`` on the Delta log (optimistic concurrency,
+    atomic commit, old-partition rows of migrated keys deleted by the
+    format). Import-gated — never a hard dependency of the engine."""
+    try:
+        from delta.tables import DeltaTable
+    except ImportError as exc:  # pragma: no cover - delta not installed here
+        raise ImportError(
+            "format='delta' needs the delta-spark package on the classpath "
+            "(pip install delta-spark, plus spark.sql.extensions="
+            "io.delta.sql.DeltaSparkSessionExtension); the plain-parquet "
+            "default needs no dependency"
+        ) from exc
+
+    if version_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.desc(version_col))
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if not DeltaTable.isDeltaTable(spark, path):
+        updates.write.format("delta").save(path)
+        return
+    target = DeltaTable.forPath(spark, path)
+    cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+    merge = target.alias("t").merge(updates.alias("s"), cond)
+    if version_col is not None:
+        merge = merge.whenMatchedUpdateAll(
+            condition=f"s.`{version_col}` >= t.`{version_col}`"
+        )
+    else:
+        merge = merge.whenMatchedUpdateAll()
+    merge.whenNotMatchedInsertAll().execute()
 
 
 def snapshot_diff(

@@ -148,7 +148,9 @@ def enrich_stream(
     dim: DataFrame,
     keys: list[str],
     how: str = "left",
-    broadcast_dim: bool = True,
+    broadcast_dim: bool | None = None,
+    max_broadcast_rows: int = 1_000_000,
+    max_broadcast_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Stream-static enrichment: join a stream against a (slowly
     changing) dimension snapshot — user profiles onto an event stream,
@@ -159,9 +161,25 @@ def enrich_stream(
     refreshes between batches without restarting the query — the
     streaming counterpart of the reference's threshold-join (J1), and
     stateless (no watermark or join state: each batch joins against the
-    current snapshot). Dimension-sized sides should broadcast
-    (default); at 100 TB a fact-sized "dimension" would instead want
-    the stream bucketed on the key and ``broadcast_dim=False``.
+    current snapshot).
+
+    ``broadcast_dim=None`` (default) sizes the dimension from
+    Catalyst's plan statistics — metadata only, no job runs — and
+    broadcasts only when it fits ``max_broadcast_rows`` /
+    ``max_broadcast_bytes``; a fact-sized "dimension" falls back to a
+    shuffle join instead of OOMing every executor each micro-batch.
+    True forces the broadcast; False forces the shuffle join (right
+    when the stream is bucketed on the key). Same probe contract as
+    ``operators.spatial.point_in_polygon_join``: scan-backed frames
+    get exact file sizes; derived frames get Catalyst's (over)estimate,
+    which conservatively falls back to the shuffle join.
     """
+    if broadcast_dim is None:
+        stats = dim._jdf.queryExecution().optimizedPlan().stats()
+        row_count = stats.rowCount()
+        if row_count.isDefined():
+            broadcast_dim = int(str(row_count.get())) <= max_broadcast_rows
+        else:
+            broadcast_dim = int(str(stats.sizeInBytes())) <= max_broadcast_bytes
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, keys, how)

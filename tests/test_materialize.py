@@ -179,3 +179,75 @@ def test_stream_upsert_sink_merges_incremental_drops(spark):
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dataset_exists_hadoop_probe(spark, tmppath):
+    """Existence probe goes through the Hadoop FS API so it is scheme-
+    aware: a file:// URI (the object-store shape locally available)
+    answers correctly both before and after the bootstrap write —
+    the old '://' heuristic would have claimed it existed and crashed
+    the first-ever upsert on the read."""
+    from data_pipelines_spark.sources.materialize import dataset_exists
+
+    uri = "file://" + tmppath
+    assert not dataset_exists(spark, uri)
+    assert not dataset_exists(spark, tmppath)
+    upsert_partitioned(
+        spark, _rows(spark, [("d1", 1, "a")]), uri, ["k"], ["day"]
+    )
+    assert dataset_exists(spark, uri)
+    assert _read(spark, tmppath) == {("d1", 1): "a"}
+    # second upsert through the URI path takes the merge branch
+    upsert_partitioned(
+        spark, _rows(spark, [("d1", 1, "A"), ("d2", 2, "b")]), uri, ["k"], ["day"]
+    )
+    assert _read(spark, tmppath) == {("d1", 1): "A", ("d2", 2): "b"}
+
+
+def test_unpruned_upsert_handles_partition_migration(spark, tmppath):
+    """prune_partitions=False is the migration-safe mode: a key whose
+    partition value changed is deleted from its old partition (even
+    when that empties the partition) instead of being duplicated."""
+    upsert_partitioned(
+        spark,
+        _rows(spark, [("d1", 1, "a"), ("d2", 2, "b")]),
+        tmppath,
+        ["k"],
+        ["day"],
+    )
+    # key 1 migrates d1 -> d3; d1 becomes empty.
+    upsert_partitioned(
+        spark,
+        _rows(spark, [("d3", 1, "a3")]),
+        tmppath,
+        ["k"],
+        ["day"],
+        prune_partitions=False,
+    )
+    assert _read(spark, tmppath) == {("d3", 1): "a3", ("d2", 2): "b"}
+    # contrast: the pruned default cannot see the old row -> documented
+    # duplicate (this is exactly why the contract requires immutable
+    # partition values per key).
+    upsert_partitioned(
+        spark, _rows(spark, [("d4", 2, "b4")]), tmppath, ["k"], ["day"]
+    )
+    got = _read(spark, tmppath)
+    assert got[("d4", 2)] == "b4" and got[("d2", 2)] == "b"
+
+
+def test_delta_format_seam_is_import_gated(spark, tmppath):
+    """format='delta' must fail with a clear ImportError when
+    delta-spark is absent (and never fall through to the parquet
+    dataflow); unknown formats are rejected."""
+    df = _rows(spark, [("d1", 1, "a")])
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark installed; gate not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="delta-spark"):
+        upsert_partitioned(spark, df, tmppath, ["k"], ["day"], format="delta")
+    assert not os.path.exists(tmppath)
+    with pytest.raises(ValueError, match="unsupported format"):
+        upsert_partitioned(spark, df, tmppath, ["k"], ["day"], format="orc")

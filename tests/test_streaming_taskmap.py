@@ -443,3 +443,52 @@ def test_enrich_stream_joins_static_dimension(spark):
     batch = {r["event_id"]: r["weight"] for r in enrich_stream(ev, dim, ["event_type"]).collect()}
     streamed = {r["event_id"]: r["weight"] for r in got}
     assert streamed == batch and len(streamed) == ev.count()
+
+
+def test_enrich_stream_broadcast_size_guard(spark):
+    """The default (broadcast_dim=None) sizes the dimension from
+    Catalyst plan statistics: a small scan-backed dimension broadcasts;
+    one exceeding the caps falls back to a shuffle join instead of
+    shipping a fact-sized table to every executor each micro-batch."""
+    from data_pipelines_spark.streaming.events import enrich_stream
+
+    local_dim = spark.createDataFrame(
+        [("purchase", 2.0), ("view", 1.0)], "event_type string, weight double"
+    )
+    ev = _events(spark)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    tmp = tempfile.mkdtemp(prefix="dps_enrich_guard_")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        local_dim.write.mode("overwrite").parquet(f"{tmp}/dim")
+        dim = spark.read.parquet(f"{tmp}/dim")  # scan-backed: exact stats
+        # disable Catalyst auto-broadcast so the plan shows exactly what
+        # the guard decided (the hint), not the optimizer's own choice
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert "BroadcastHashJoin" in plan(enrich_stream(ev, dim, ["event_type"]))
+        # caps of zero simulate a fact-sized dimension: no forced hint
+        guarded = enrich_stream(
+            ev, dim, ["event_type"],
+            max_broadcast_rows=0, max_broadcast_bytes=0,
+        )
+        assert "BroadcastHashJoin" not in plan(guarded)
+        # a stats-less derived frame (ExistingRDD: Catalyst over-
+        # estimates) conservatively falls back to the shuffle join...
+        assert "BroadcastHashJoin" not in plan(
+            enrich_stream(ev, local_dim, ["event_type"])
+        )
+        # ...and forced modes win over the probe either way
+        assert "BroadcastHashJoin" in plan(
+            enrich_stream(ev, local_dim, ["event_type"], broadcast_dim=True)
+        )
+        # results identical on every path
+        a = {r["event_id"]: r["weight"]
+             for r in enrich_stream(ev, dim, ["event_type"]).collect()}
+        b = {r["event_id"]: r["weight"] for r in guarded.collect()}
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -279,3 +279,44 @@ def test_semantic_dedup_keeps_min_id_representative(spark):
     assert out[9] == (2, None, True)     # singleton untouched
     # cross-cluster near-misses are never compared: vec 1 vs vec 3 have
     # cosine 0 < threshold anyway, but the join itself is cluster-local
+
+
+def test_kmeans_fit_reads_source_once_and_unpersists(spark):
+    """The Lloyd loop must persist the projected vectors: the whole fit
+    (init + max_iterations assignment/recompute actions) reads the
+    parquet source about once, not once per iteration. Measured end to
+    end via Hadoop FileSystem byte counters ('file' scheme — local[*]
+    executors share the JVM), which a per-iteration re-scan would
+    multiply by ~max_iterations. Cache is released on exit."""
+    import os
+
+    from data_pipelines_spark.operators.similarity import kmeans_centroids
+    from data_pipelines_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    parquet_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(os.path.join(sf_dir, "embeddings.parquet"))
+        for f in files
+        if f.endswith(".parquet")
+    ) or os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def bytes_read():
+        total = 0
+        for s in spark._jvm.org.apache.hadoop.fs.FileSystem.getAllStatistics():
+            if s.getScheme() == "file":
+                total += s.getBytesRead()
+        return total
+
+    before = bytes_read()
+    kmeans_centroids(emb, k=4, max_iterations=5)
+    delta = bytes_read() - before
+    assert delta > 0  # the counter is live
+    # one materializing scan (+ footer/metadata overhead) — five
+    # re-scans would put this at ~5x the file size
+    assert delta < 2.5 * parquet_bytes, (delta, parquet_bytes)
+    # nothing left cached
+    assert not [
+        i for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ]
