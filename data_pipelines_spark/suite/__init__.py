@@ -32,6 +32,7 @@ from data_pipelines_spark.suite import (
     corpus,
     geospatial,
     llmdata,
+    maintenance,
     relational,
     temporal,
     tpch,
@@ -47,6 +48,7 @@ _MODULES = (
     llmdata,
     corpus,
     tpch,
+    maintenance,
 )
 
 # The driver sweeps queries() in dict (insertion) order under a budget:
@@ -58,7 +60,12 @@ _MODULES = (
 # runs the round-1-unchecked tier first, then the repaired queries,
 # then the flagships and the rest.
 _PRIORITY = (
-    # tier 0 — new this round (no CORRECTNESS row yet)
+    # tier 0 — new this round (no CORRECTNESS row yet): the quality-
+    # validation and MERGE-upsert tiers, driver-checked for the first
+    # time (slots freed by fusing q4/q12 into tpch_adapted_suite)
+    "quality_report",
+    "upsert_readback",
+    # tier 0b — round-4 additions
     "events_resample_fill",
     "events_windowed_agg",
     "tpch_adapted_suite",
@@ -77,7 +84,6 @@ _PRIORITY = (
     "simhash_portable",
     "ngram_jaccard_same_source",
     # tier 2 — repaired (round-1 hash mismatch / crash) or newly fused
-    "q12_priority_shipping",
     "events_session_windows",
     "array_agg_lines",
     "global_agg_distinct",

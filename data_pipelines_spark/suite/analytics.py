@@ -343,65 +343,9 @@ def asof_join_purchases(spark, sf_dir):
     )
 
 
-@register(
-    "q4_order_priority_check",
-    """
-    SELECT o.o_orderpriority, count(*) AS order_cnt
-    FROM orders o
-    WHERE EXISTS (
-        SELECT 1 FROM lineitem l
-        WHERE l.l_orderkey = o.o_orderkey
-          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
-    )
-    GROUP BY 1
-    """,
-)
-def q4_order_priority_check(spark, sf_dir):
-    """TPC-H Q4 shape: EXISTS with a correlated non-equi condition →
-    Catalyst plans a left-semi join with the range predicate."""
-    tune(spark)
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    late = li.join(
-        orders,
-        (li.l_orderkey == orders.o_orderkey)
-        & (li.l_shipdate > F.date_add(orders.o_orderdate.cast("date"), 30).cast("timestamp")),
-        "inner",
-    ).select("o_orderkey").distinct()
-    return (
-        orders.join(late, "o_orderkey", "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_cnt"))
-    )
-
-
-@register(
-    "q12_priority_shipping",
-    """
-    SELECT l.l_returnflag,
-           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_cnt,
-           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_cnt
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY 1
-    """,
-)
-def q12_priority_shipping(spark, sf_dir):
-    """TPC-H Q12 shape: conditional-count aggregation over a fact-dim
-    join (CASE inside sum)."""
-    tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_orderpriority")),
-                li.l_orderkey == F.col("o_orderkey"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_cnt"),
-            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_cnt"),
-        )
-    )
+# q4_order_priority_check and q12_priority_shipping (standalone entries
+# through round 4) are fused into tpch_adapted_suite's q4/q12 branches
+# (suite/tpch.py) — their driver-sweep slots now carry the quality/
+# upsert tier (suite/maintenance.py).
 
 

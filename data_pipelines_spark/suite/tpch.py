@@ -6,9 +6,10 @@ columns, so each branch keeps the *query shape* (the join topology,
 subquery pattern, and aggregation grain that make the TPC-H query
 interesting) and substitutes available columns for the missing ones;
 every adaptation is noted on its branch. Together with the suite's
-existing q1/q3/q4/q6/q12/q14 entries this gives the engine a
-registered, hash-checked representative of every TPC-H query family
-that is expressible over the driver schema.
+existing q1/q3/q6/q14 entries this gives the engine a registered,
+hash-checked representative of every TPC-H query family that is
+expressible over the driver schema (q4 and q12 moved into this fused
+suite in round 5 to free two driver-sweep slots).
 
 All branches are normalized to one uniform grain
 ``(q, k1, k2, cnt, val)`` so the whole suite is a single driver sweep
@@ -63,6 +64,27 @@ WITH disc AS (
     SELECT l.*, CAST(l_extendedprice AS DECIMAL(18,2))
                 * CAST(1.0 - l_discount AS DECIMAL(8,2)) AS disc_price
     FROM lineitem l
+),
+q4 AS (
+    SELECT 'q4' AS q, o.o_orderpriority AS k1, '' AS k2,
+           count(*) AS cnt, CAST(NULL AS DOUBLE) AS val
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY 2
+),
+q12 AS (
+    SELECT 'q12' AS q, l_returnflag AS k1, prio AS k2,
+           count(*) AS cnt, CAST(NULL AS DOUBLE) AS val
+    FROM (
+        SELECT l.l_returnflag,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'high' ELSE 'low' END AS prio
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    GROUP BY 2, 3
 ),
 q5 AS (
     SELECT 'q5' AS q, n.n_name AS k1, '' AS k2,
@@ -240,6 +262,7 @@ q22 AS (
             AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     GROUP BY 2
 )
+SELECT * FROM q4   UNION ALL SELECT * FROM q12 UNION ALL
 SELECT * FROM q5   UNION ALL SELECT * FROM q7  UNION ALL
 SELECT * FROM q8   UNION ALL SELECT * FROM q9  UNION ALL
 SELECT * FROM q10  UNION ALL SELECT * FROM q13 UNION ALL
@@ -252,8 +275,11 @@ SELECT * FROM q22
 
 @register("tpch_adapted_suite", _TPCH_SQL)
 def tpch_adapted_suite(spark, sf_dir):
-    """Fused TPC-H families q5/q7/q8/q9/q10/q13/q15/q17/q18/q19/q20/q21/
-    q22, adapted to the driver schema (see module docstring)."""
+    """Fused TPC-H families q4/q5/q7/q8/q9/q10/q12/q13/q15/q17/q18/q19/
+    q20/q21/q22, adapted to the driver schema (see module docstring).
+    q4 and q12 were standalone registry entries through round 4; fusing
+    them here freed two driver-sweep slots for the quality/upsert tier
+    (suite/maintenance.py) while keeping both shapes hash-checked."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -269,6 +295,48 @@ def tpch_adapted_suite(spark, sf_dir):
     disc = li.withColumn("disc_price", _disc_price())
     rev = F.sum("disc_price").cast("double")
     cnt = F.count(F.lit(1))
+
+    # q4 — orders with at least one late line: the correlated EXISTS
+    # with its non-equi ship-after-order condition decorrelates to a
+    # distinct-late-orders frame plus a left-semi join.
+    late = (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (
+                li.l_shipdate
+                > F.date_add(orders.o_orderdate.cast("date"), 30).cast("timestamp")
+            ),
+            "inner",
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    q4 = _branch(
+        orders.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(cnt.alias("cnt")),
+        "q4", k1=F.col("o_orderpriority"), cnt=F.col("cnt"),
+    )
+
+    # q12 — priority mix per return flag over the fact-dim join: the
+    # CASE label becomes a group key (one fused conditional-count pass;
+    # no forced broadcast — orders scales with lineitem).
+    q12 = _branch(
+        li.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "prio",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+            ).otherwise("low"),
+        )
+        .groupBy("l_returnflag", "prio")
+        .agg(cnt.alias("cnt")),
+        "q12", k1=F.col("l_returnflag"), k2=F.col("prio"), cnt=F.col("cnt"),
+    )
 
     # q5 — regional customer=supplier-nation revenue (classic q5; the
     # c_nationkey = s_nationkey equality is part of the join condition).
@@ -565,7 +633,7 @@ def tpch_adapted_suite(spark, sf_dir):
         "q22", k1=F.col("k1"), cnt=F.col("cnt"), val=F.col("val"),
     )
 
-    out = q5
-    for b in (q7, q8, q9, q10, q13, q15, q17, q18, q19, q20, q21, q22):
+    out = q4
+    for b in (q12, q5, q7, q8, q9, q10, q13, q15, q17, q18, q19, q20, q21, q22):
         out = out.unionByName(b)
     return out
