@@ -86,11 +86,16 @@ def main() -> None:
     # JMH-style steady state: one untimed warmup pass over the headline
     # set (JVM JIT needs row volume, not just codegen-cache hits — a
     # tiny-SF warmup measurably does NOT reach steady state), then the
-    # measured passes. Nothing is cached between passes (noop sink, no
-    # persist), so each measured pass re-executes every scan/shuffle/
-    # agg; what the warmup removes is one-time JIT/compile latency that
-    # a long-lived cluster at real scale amortizes to zero. Cold-start
-    # numbers stay visible in the emitted `cold_queries` field.
+    # measured passes. No HEADLINE query persists anything today, and
+    # spark.catalog.clearCache() between passes enforces it for any
+    # future addition (some non-headline suite queries — the corpus
+    # fusions — do persist shared projections; without the clear,
+    # Spark's plan-matching cache would silently serve a later pass
+    # from the first pass's blocks): each measured pass re-executes
+    # every scan/shuffle/agg. What the warmup removes is one-time
+    # JIT/compile latency that a long-lived cluster at real scale
+    # amortizes to zero. Cold-start numbers stay visible in the
+    # emitted `cold_queries` field.
     #
     # Between passes the JVM is asked to collect: the warmup pass
     # leaves ~GBs of short-lived shuffle/codegen garbage, and letting
@@ -104,8 +109,10 @@ def main() -> None:
             pass
 
     cold = run_pass()
+    spark.catalog.clearCache()
     _jvm_gc()
     t1 = run_pass()
+    spark.catalog.clearCache()
     _jvm_gc()
     t2 = run_pass()
     timings = {k: min(t1[k], t2[k]) for k in t1}

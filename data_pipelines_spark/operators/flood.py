@@ -244,6 +244,7 @@ def compute_summary_forecast(
     drop_gray: bool = True,
     with_geometry: bool = True,
     single_pass: bool = True,
+    control_step: int = 1,
 ) -> DataFrame:
     """Merged per-cell summary: peak timing + tendency + intensity.
 
@@ -257,11 +258,27 @@ def compute_summary_forecast(
     single aggregated row. One shuffle, zero joins — measured 9
     exchanges → 2 on the full dataflow.
 
+    The input may arrive with or without :func:`add_control_member`
+    already applied. Without a ``control_dis`` column the control value
+    is derived INSIDE the fused aggregation as
+    ``max(when(step == control_step, median_dis))`` — same per-cell
+    value (the step-``control_step`` median), but no window pass: the
+    window's partition-sort over the full detailed frame disappears
+    from the plan, leaving aggregation-only work after the detailed
+    shuffle (measured ~20% off the flagship summary query). This is
+    also exactly the oracle's formulation
+    (``max(CASE WHEN step = 1 ...) OVER (PARTITION BY cell)``).
+
     ``single_pass=False`` keeps the reference-shaped modular plan
     (three aggs + joins) for comparison; both paths are semantically
     identical and tested against each other.
     """
+    has_control = "control_dis" in detailed_with_control.columns
     if not single_pass:
+        if not has_control:
+            detailed_with_control = add_control_member(
+                detailed_with_control, control_step
+            )
         peak = compute_peak_timing(detailed_with_control)
         tend = compute_tendency(detailed_with_control)
         inten = compute_intensity(detailed_with_control)
@@ -277,6 +294,13 @@ def compute_summary_forecast(
         peak_ord = F.struct(
             F.col("condition"), F.col("median_dis"), (-F.col("step")).alias("neg_step")
         )
+        control_agg = (
+            F.max("control_dis")
+            if has_control
+            else F.max(
+                F.when(F.col("step") == control_step, F.col("median_dis"))
+            )
+        )
         g = ranked.groupBy(*CELL_KEY).agg(
             F.max_by(peak_val, peak_ord).alias("peak"),
             F.max(
@@ -284,7 +308,7 @@ def compute_summary_forecast(
             ).alias("max_2y_start"),
             F.max("median_dis").alias("max_median_dis"),
             F.min("median_dis").alias("min_median_dis"),
-            F.max("control_dis").alias("control_dis"),
+            control_agg.alias("control_dis"),
             F.max("max_dis").alias("max_max_dis"),
             F.min("min_dis").alias("min_min_dis"),
             F.max("p_above_20y").alias("max_p_above_20y"),
@@ -392,11 +416,16 @@ def flood_pipeline(
     The detailed frame feeds four consumers (sink + three summary aggs);
     callers running both outputs should ``.cache()`` it — mirrors the
     reference's persist point (`discharge.py:313-314`).
+
+    The summary consumes the detailed frame WITHOUT the control window:
+    the fused summary aggregation derives the control value itself
+    (see :func:`compute_summary_forecast`), so the summary plan is
+    detailed-shuffle → one cell aggregation, no window sort. The
+    returned detailed frame still carries ``control_dis`` (lazily — the
+    window only executes for callers that materialize it).
     """
-    detailed = add_control_member(
-        compute_detailed_forecast(
-            forecast_df, threshold_df, exact_quantiles=exact_quantiles
-        )
+    detailed = compute_detailed_forecast(
+        forecast_df, threshold_df, exact_quantiles=exact_quantiles
     )
     summary = compute_summary_forecast(detailed)
-    return detailed, summary
+    return add_control_member(detailed), summary

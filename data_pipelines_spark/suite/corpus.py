@@ -142,6 +142,8 @@ def corpus_split_shuffle(spark, sf_dir):
     tune(spark)
     # The token-weighted projection feeds both the mixture-rate
     # aggregation and the per-doc rows (measured: 6 scans unpersisted).
+    # Session-scoped cache, same contract as corpus_doc_curation's:
+    # repeat-measuring harnesses clearCache() between passes (bench.py).
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", token_count(F.lower(F.col("text"))).alias("__ntok")
     ).persist()
@@ -321,6 +323,9 @@ def corpus_doc_curation(spark, sf_dir):
     # persist each re-scans the corpus parquet (measured: 21 scans in
     # one plan). D1 persist-at-reuse: cache blocks are shared across
     # branches even within a single action, so the corpus is read once.
+    # Cache lifetime is session-scoped by design (laziness forbids an
+    # in-query unpersist); harnesses that measure repeated invocations
+    # must clearCache() between passes, as bench.py does.
     corpus = docs.where(F.col("doc_id") >= _BENCH_MAX_ID).persist()
 
     rate = F.lit(float(_MIX_DEFAULT))
