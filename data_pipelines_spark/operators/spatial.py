@@ -211,7 +211,10 @@ def point_in_polygon_join(
     # input doesn't serialize it onto one core.
     cand = spread(cand)
 
-    out_schema = f"{point_id} long, zone_id long"
+    # Carry the caller's point-id type through the exact test unchanged
+    # (rasterize_zones passes a struct<x,y> content key, not a long).
+    pid_type = points.schema[point_id].dataType.simpleString()
+    out_schema = f"{point_id} {pid_type}, zone_id long"
 
     def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ring_cache: dict[str, list[np.ndarray]] = {}
@@ -250,19 +253,31 @@ def rasterize_zones(
     """Assign each pixel (cell center) its containing zone id — the
     relational equivalent of the reference's geocube rasterization
     (`global_forest_watch.py:84-95`). Pixels in no zone are dropped;
-    overlapping zones resolve to the smallest id (deterministic)."""
-    keyed = pixels.withColumn(
-        "__pid", F.monotonically_increasing_id()
-    )
+    overlapping zones resolve to the smallest id (deterministic).
+
+    The point key for the join-back is the pixel's own (x, y) pair —
+    content-derived, so it is identical under task retry and however
+    many times the lineage is re-evaluated. (A synthetic
+    ``monotonically_increasing_id`` here would be the retry-unstable
+    shuffle-key hazard `plans/skew.py` documents: the pixel frame is
+    evaluated on both sides of the join-back, and a recomputed task
+    could hand the same pixel two different ids.) Duplicate (x, y)
+    rows — e.g. a per-(pixel, year) long form — are deduplicated before
+    the spatial test and each receives the same zone, which is also
+    less exact-containment work than testing every duplicate."""
+    pts = pixels.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).distinct()
     pairs = point_in_polygon_join(
-        keyed.select(F.col("__pid").alias("point_id"), F.col(x_col).alias("x"),
-                     F.col(y_col).alias("y")),
+        pts.select(F.struct("x", "y").alias("point_id"), "x", "y"),
         zones,
         bucket_size,
         poly_id=zone_id,
         wkt_col=wkt_col,
     )
     best = pairs.groupBy("point_id").agg(F.min("zone_id").alias(zone_id))
-    return keyed.join(
-        best, keyed["__pid"] == best["point_id"], "inner"
-    ).drop("point_id", "__pid")
+    return pixels.join(
+        best,
+        (pixels[x_col] == best["point_id.x"]) & (pixels[y_col] == best["point_id.y"]),
+        "inner",
+    ).drop("point_id")

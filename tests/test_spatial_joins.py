@@ -203,3 +203,49 @@ def test_broadcast_probe_uses_file_stats(spark):
         points, polys, bucket_size=1.0, broadcast=None, max_broadcast_bytes=1
     )
     assert [(r.point_id, r.zone_id) for r in out2.collect()] == [(1, 1)]
+
+
+def test_rasterize_zones_key_is_content_derived(spark):
+    """The rasterization join-back key must be the pixel's own (x, y) —
+    identical output under any input partitioning (the retry-stability
+    property), no positional id in the plan, and duplicate (x, y) rows
+    (per-year long form) each keep their zone."""
+    from data_pipelines_spark.operators.spatial import rasterize_zones
+
+    zones = spark.createDataFrame(
+        [(1, "POLYGON ((0 0,4 0,4 4,0 4,0 0))"),
+         (2, "POLYGON ((4 0,8 0,8 4,4 4,4 0))")],
+        "id long, geometry string",
+    )
+    pixels = spark.createDataFrame(
+        [
+            (x + 0.5, y + 0.5, yr)
+            for x in range(8)
+            for y in range(2)
+            for yr in (2001, 2002)  # duplicate (x, y) across years
+        ],
+        "x double, y double, year long",
+    )
+    base = sorted(
+        (r["x"], r["y"], r["year"], r["id"])
+        for r in rasterize_zones(pixels, zones, bucket_size=4.0).collect()
+    )
+    assert len(base) == 32  # every (pixel, year) row claimed exactly once
+    assert all(
+        (zid == 1) == (x < 4.0) for x, _, _, zid in base
+    )
+    for parts in (1, 7):
+        redo = sorted(
+            (r["x"], r["y"], r["year"], r["id"])
+            for r in rasterize_zones(
+                pixels.repartition(parts), zones, bucket_size=4.0
+            ).collect()
+        )
+        assert redo == base
+    plan = (
+        rasterize_zones(pixels, zones, bucket_size=4.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "monotonically_increasing_id" not in plan

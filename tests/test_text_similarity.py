@@ -309,14 +309,16 @@ def test_kmeans_fit_reads_source_once_and_unpersists(spark):
                 total += s.getBytesRead()
         return total
 
-    before = bytes_read()
+    def cached_count():
+        return len(list(spark.sparkContext._jsc.sc().getRDDStorageInfo()))
+
+    before_bytes, before_cached = bytes_read(), cached_count()
     kmeans_centroids(emb, k=4, max_iterations=5)
-    delta = bytes_read() - before
+    delta = bytes_read() - before_bytes
     assert delta > 0  # the counter is live
     # one materializing scan (+ footer/metadata overhead) — five
     # re-scans would put this at ~5x the file size
     assert delta < 2.5 * parquet_bytes, (delta, parquet_bytes)
-    # nothing left cached
-    assert not [
-        i for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    ]
+    # the fit's own cache is released (compare against the pre-existing
+    # count: earlier suite queries hold session-scoped caches by design)
+    assert cached_count() <= before_cached
