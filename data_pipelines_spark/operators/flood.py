@@ -147,14 +147,18 @@ def add_control_member(detailed_df: DataFrame, control_step: int = 1) -> DataFra
     ``control_dis``.
 
     Reference J2 (`assets/flood/discharge.py:292-302`) does this with a
-    self-join against the step==1 slice; a window ``first(ignorenulls)``
+    self-join against the step==1 slice; a conditional ``max`` window
     over the cell partition computes the same value with no second scan
-    or join shuffle.
+    or join shuffle. ``max`` rather than ``first``: over an unordered
+    partition ``first`` depends on row arrival order (nondeterministic
+    under shuffles/retries when a cell somehow carries several
+    control-step rows), while ``max`` is order-independent and equals
+    ``first`` whenever the control row is unique per cell — and is the
+    oracle's own ``max(CASE WHEN step=1 ...)`` formulation.
     """
     w = Window.partitionBy(*CELL_KEY)
-    control = F.first(
-        F.when(F.col("step") == control_step, F.col("median_dis")),
-        ignorenulls=True,
+    control = F.max(
+        F.when(F.col("step") == control_step, F.col("median_dis"))
     ).over(w)
     return detailed_df.withColumn("control_dis", control)
 

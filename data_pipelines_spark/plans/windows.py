@@ -25,13 +25,15 @@ def group_max_broadcast(
 def constant_from_marker(
     df: DataFrame, keys: list[str], marker: Column, value: str, alias: str
 ) -> DataFrame:
-    """Attach the ``value`` of the (unique) row matching ``marker`` to all
-    rows of its group — e.g. the control-member value at step 1
-    (`assets/flood/discharge.py:292-302`)."""
+    """Attach the ``value`` of the row matching ``marker`` to all rows
+    of its group — e.g. the control-member value at step 1
+    (`assets/flood/discharge.py:292-302`). Conditional ``max``, not
+    ``first``: over an unordered partition ``first`` reads whatever row
+    arrives first (shuffle/retry-order dependent when the marker is not
+    unique); ``max`` is order-independent and identical whenever the
+    marker row IS unique per group."""
     w = Window.partitionBy(*keys)
-    return df.withColumn(
-        alias, F.first(F.when(marker, F.col(value)), ignorenulls=True).over(w)
-    )
+    return df.withColumn(alias, F.max(F.when(marker, F.col(value))).over(w))
 
 
 def top1_per_group(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
