@@ -10,7 +10,9 @@ judge's correctness gate covers the validation and upsert tiers too.
 - ``quality_report``: a realistic rule set over the driver's lineitem /
   orders tables (nulls, ranges, accepted values, key uniqueness,
   referential integrity) — one report row per rule, reproduced in
-  DuckDB as plain aggregate SQL. The synthetic data makes it a real
+  DuckDB as plain aggregate SQL, plus the numeric profile of
+  l_quantity unpivoted into the same grain (``profile:*`` rows carry
+  the statistic in ``metric``). The synthetic data makes it a real
   test: (l_orderkey, l_linenumber) genuinely duplicates, lineitem's FK
   to orders is genuinely clean, and the range/accepted rules are
   chosen so both passing and failing rules appear.
@@ -37,6 +39,7 @@ from data_pipelines_spark.operators.quality import (
     accepted_values,
     in_range,
     not_null,
+    profile_numeric,
     validate,
 )
 from data_pipelines_spark.session import tune
@@ -48,6 +51,8 @@ QUERIES, ORACLES, register = make_registry()
 
 
 _QUALITY_SQL = """
+SELECT rule, violations, total, passed, CAST(NULL AS DOUBLE) AS metric
+FROM (
 SELECT 'not_null:l_orderkey' AS rule,
        CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
        CAST(count(*) AS BIGINT) AS total,
@@ -149,14 +154,42 @@ SELECT 'foreign_key:o_custkey',
         WHERE o.o_custkey IS NOT NULL
           AND NOT EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_custkey = o.o_custkey)) = 0
+)
+UNION ALL
+SELECT 'profile:l_quantity:' || s.stat AS rule,
+       CAST(NULL AS BIGINT) AS violations,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS total,
+       CAST(NULL AS BOOLEAN) AS passed,
+       s.val AS metric
+FROM (
+    SELECT 'n_null' AS stat,
+           CAST(coalesce(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END), 0)
+                AS DOUBLE) AS val FROM lineitem
+    UNION ALL SELECT 'min',  CAST(min(l_quantity) AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'max',  CAST(max(l_quantity) AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'mean', CAST(avg(l_quantity) AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'p25',  CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'p50',  CAST(quantile_cont(l_quantity, 0.5)  AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'p75',  CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) FROM lineitem
+) s
 """
 
 
 @register("quality_report", _QUALITY_SQL)
 def quality_report(spark, sf_dir):
     """Declarative validation report over lineitem + orders: fused
-    row-rule pass (one scan per table), key-uniqueness shuffles, and
-    FK anti-joins — `(rule, violations, total, passed)` per rule."""
+    row-rule pass (one scan per table), key-uniqueness shuffles, and FK
+    anti-joins — `(rule, violations, total, passed, metric)` per rule —
+    plus the numeric profile of l_quantity unpivoted into the same
+    grain (`profile:l_quantity:*` rows, value in `metric`).
+
+    The profile runs `exact=True` deliberately: the driver compare
+    needs bit-equality with DuckDB `quantile_cont` (same type-7
+    interpolation as `percentile`, proven on the flood quantiles), and
+    l_quantity is integral-valued so min/max/mean are summation-order-
+    independent. The approx sketch stays the operator's scale default;
+    stddev is excluded from the hash-checked set because Welford-style
+    running moments are order-dependent across partitions."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -182,7 +215,23 @@ def quality_report(spark, sf_dir):
         unique_keys=[["o_orderkey"]],
         foreign_keys=[(["o_custkey"], cust, ["c_custkey"])],
     )
-    return rep_li.unionByName(rep_orders)
+    rules = rep_li.unionByName(rep_orders).withColumn(
+        "metric", F.lit(None).cast("double")
+    )
+
+    prof = profile_numeric(li, ["l_quantity"], exact=True)
+    stat_rows = [
+        F.struct(
+            F.lit(f"profile:l_quantity:{s}").alias("rule"),
+            F.lit(None).cast("long").alias("violations"),
+            F.col("n").cast("long").alias("total"),
+            F.lit(None).cast("boolean").alias("passed"),
+            F.col(s).cast("double").alias("metric"),
+        )
+        for s in ("n_null", "min", "max", "mean", "p25", "p50", "p75")
+    ]
+    stats = prof.select(F.explode(F.array(*stat_rows)).alias("s")).select("s.*")
+    return rules.unionByName(stats)
 
 
 _UPSERT_SQL = """
