@@ -108,21 +108,32 @@ def upsert_partitioned(
     existing = spark.read.parquet(path)
     if parts and prune_partitions:
         # Partition-pruned read: the batch's partition-value set is
-        # dimension-sized (its date/tile keys) — inline it as an IN
-        # filter so the scan never opens untouched partitions.
+        # dimension-sized (its date/tile keys) — inline per-column IN
+        # filters so the scan never opens untouched partitions. For
+        # composite partition keys the per-column INs admit the cross
+        # product (a superset of the batch's exact tuples), so an exact
+        # tuple restriction follows via a broadcast semi-join — a
+        # bounded-size plan at any tuple count, where the literal
+        # OR-of-ANDs chain this replaces grew one clause per tuple and
+        # bloated the optimizer at thousands of partitions. The
+        # semi-join keeps `merged` to exactly-affected partitions, so
+        # dynamic overwrite still never rewrites an untouched one.
+        # (NULL partition values never equal/IN-match — as before, such
+        # rows cannot be pruned-merged; use prune_partitions=False.)
         pvals = [tuple(r) for r in updates.select(*parts).distinct().collect()]
-        if len(parts) == 1:
-            pred = F.col(parts[0]).isin([v[0] for v in pvals])
-        else:
-            clauses = [
-                reduce(
-                    lambda a, b: a & b,
-                    [F.col(c) == F.lit(v) for c, v in zip(parts, row)],
-                )
-                for row in pvals
-            ]
-            pred = reduce(lambda a, b: a | b, clauses)
+        pred = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(c).isin([row[i] for row in pvals])
+                for i, c in enumerate(parts)
+            ],
+        )
         existing = existing.where(pred)
+        if len(parts) > 1:
+            tuples = spark.createDataFrame(
+                pvals, schema=updates.select(*parts).schema
+            )
+            existing = existing.join(F.broadcast(tuples), list(parts), "left_semi")
 
     if version_col is None:
         merged = existing.join(

@@ -251,3 +251,50 @@ def test_delta_format_seam_is_import_gated(spark, tmppath):
     assert not os.path.exists(tmppath)
     with pytest.raises(ValueError, match="unsupported format"):
         upsert_partitioned(spark, df, tmppath, ["k"], ["day"], format="orc")
+
+
+def test_composite_partition_prune_is_exact_tuples(spark, tmppath):
+    """Composite partition keys: per-column IN pruning admits the cross
+    product (day in {d1,d2} x region in {r1,r2} would sweep in (d1,r2)),
+    so the exact tuple semi-join must keep the merge — and the rewrite —
+    to exactly the batch's (day, region) pairs. The untouched
+    cross-product partition's files must not move."""
+
+    def rows(quads):
+        return spark.createDataFrame(
+            [Row(day=d, region=g, k=k, v=v) for d, g, k, v in quads],
+            "day string, region string, k long, v string",
+        )
+
+    upsert_partitioned(
+        spark,
+        rows([("d1", "r1", 1, "a"), ("d1", "r2", 2, "b"),
+              ("d2", "r1", 3, "c"), ("d2", "r2", 4, "d")]),
+        tmppath,
+        ["k"],
+        ["day", "region"],
+    )
+    bystander = os.path.join(tmppath, "day=d1", "region=r2")
+    files = sorted(glob.glob(os.path.join(bystander, "*.parquet")))
+    mtimes = [os.path.getmtime(f) for f in files]
+
+    # batch touches (d1,r1) and (d2,r2) — the per-column INs cover
+    # day in {d1,d2}, region in {r1,r2}; (d1,r2)/(d2,r1) must survive
+    upsert_partitioned(
+        spark,
+        rows([("d1", "r1", 1, "A"), ("d2", "r2", 9, "x")]),
+        tmppath,
+        ["k"],
+        ["day", "region"],
+    )
+    got = {
+        (r.day, r.region, r.k): r.v
+        for r in spark.read.parquet(tmppath).collect()
+    }
+    assert got == {
+        ("d1", "r1", 1): "A", ("d1", "r2", 2): "b",
+        ("d2", "r1", 3): "c", ("d2", "r2", 4): "d",
+        ("d2", "r2", 9): "x",
+    }
+    assert sorted(glob.glob(os.path.join(bystander, "*.parquet"))) == files
+    assert [os.path.getmtime(f) for f in files] == mtimes
