@@ -338,14 +338,26 @@ def array_agg_lines(spark, sf_dir):
 @register(
     "grouped_stats_suite",
     """
-    SELECT l_returnflag,
-           quantile_disc(l_quantity, 0.25) AS q1_disc,
-           quantile_disc(l_quantity, 0.5)  AS med_disc,
-           quantile_disc(l_quantity, 0.9)  AS q90_disc,
-           bool_and(l_quantity >= 1)   AS all_qty_positive,
-           bool_or(l_discount > 0.09)  AS any_deep_discount,
-           count(*) AS line_cnt
-    FROM lineitem GROUP BY 1
+    WITH stats AS (
+        SELECT l_returnflag,
+               quantile_disc(l_quantity, 0.25) AS q1_disc,
+               quantile_disc(l_quantity, 0.5)  AS med_disc,
+               quantile_disc(l_quantity, 0.9)  AS q90_disc,
+               bool_and(l_quantity >= 1)   AS all_qty_positive,
+               bool_or(l_discount > 0.09)  AS any_deep_discount,
+               count(*) AS line_cnt
+        FROM lineitem GROUP BY 1
+    ),
+    skew AS (
+        SELECT l_returnflag,
+               count(*) AS key_cnt,
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS total_cnt,
+               CAST(count(*) AS DOUBLE)
+                   / (SELECT count(*) FROM lineitem) AS frac
+        FROM lineitem GROUP BY 1
+    )
+    SELECT s.*, k.key_cnt, k.total_cnt, k.frac
+    FROM stats s JOIN skew k USING (l_returnflag)
     """,
 )
 def grouped_stats_suite(spark, sf_dir):
@@ -353,8 +365,14 @@ def grouped_stats_suite(spark, sf_dir):
     the sorted-array formulation — element at floor(q*(n-1))+1, matching
     DuckDB's quantile_disc — plus every()/any() boolean aggregates.
     Merges the former discrete_quantiles and bool_aggregates queries
-    (registry trim); both operator families stay oracle-checked."""
+    (registry trim), and joins in `plans.skew.diagnose_skew`'s
+    heavy-hitter report on the same key (top_k=3 covers all three
+    return flags), hash-checking the skew-measurement operator's counts
+    and frequency fractions — the last round-4 family that had no
+    driver row."""
     tune(spark)
+    from data_pipelines_spark.plans.skew import diagnose_skew
+
     li = load_table(spark, sf_dir, "lineitem")
 
     def qd(v, q):
@@ -367,7 +385,7 @@ def grouped_stats_suite(spark, sf_dir):
         F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
         F.count(F.lit(1)).alias("line_cnt"),
     )
-    return g.select(
+    stats = g.select(
         "l_returnflag",
         qd(F.col("v"), 0.25).alias("q1_disc"),
         qd(F.col("v"), 0.5).alias("med_disc"),
@@ -376,6 +394,8 @@ def grouped_stats_suite(spark, sf_dir):
         "any_deep_discount",
         "line_cnt",
     )
+    skew = diagnose_skew(li, ["l_returnflag"], top_k=3)
+    return stats.join(skew, "l_returnflag")
 
 
 @register(

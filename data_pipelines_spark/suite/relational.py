@@ -22,24 +22,59 @@ from data_pipelines_spark.suite._registry import make_registry
 QUERIES, ORACLES, register = make_registry()
 
 
-@register(
-    "roi_restrict_projection",
-    """
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+def _zkey_oracle_terms(bits: int = 16) -> str:
+    # Morton interleave over pre-bound zx/zy — mirrors functions.grid.
+    # zorder_key bit for bit (same shifts, same OR order).
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((zx >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((zy >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_ROI_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+       {_zkey_oracle_terms()} AS zkey
+FROM (
+    SELECT *,
+           least(65535, greatest(0, CAST(floor((l_quantity + 90.0) / 180.0
+               * 65536) AS BIGINT))) AS zy,
+           least(65535, greatest(0, CAST(floor((l_discount * 100 + 180.0)
+               / 360.0 * 65536) AS BIGINT))) AS zx
     FROM lineitem
     WHERE l_quantity >= 10 AND l_quantity <= 30
       AND l_discount >= 0.02 AND l_discount <= 0.08
-    """,
 )
+"""
+
+
+@register("roi_restrict_projection", _ROI_SQL)
 def roi_restrict_projection(spark, sf_dir):
-    """P1/P3/P6: bounding-box-style range predicate + projection; the
-    predicate and column set both reach the parquet scan (pushdown +
-    pruning), replacing the reference's hand-placed post-load slices."""
+    """P1/P3/P6 + S10 write-side clustering: bounding-box-style range
+    predicate + projection (predicate and column set both reach the
+    parquet scan — pushdown + pruning, replacing the reference's
+    hand-placed post-load slices), with the Morton Z-order key attached
+    as the write-layout sort key. l_quantity plays latitude and
+    l_discount*100 longitude; the oracle re-derives the quantization
+    and the 32-term bit interleave in SQL, so the space-filling-curve
+    arithmetic is hash-checked end to end, not just unit-pinned."""
     tune(spark)
+    from data_pipelines_spark.functions.grid import zorder_key
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.where(
-        F.col("l_quantity").between(10, 30) & F.col("l_discount").between(0.02, 0.08)
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+    return (
+        li.where(
+            F.col("l_quantity").between(10, 30)
+            & F.col("l_discount").between(0.02, 0.08)
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount",
+        )
+        .withColumn(
+            "zkey", zorder_key(F.col("l_quantity"), F.col("l_discount") * 100)
+        )
+    )
 
 
 @register(
