@@ -5,6 +5,13 @@
   (J6, `utils/flood/filter_by_upstream.py:63-67`) is the 2-D spatial
   cousin of this 1-D temporal operator; both reduce to deterministic
   single-shuffle plans.
+- :func:`interval_join` — point-in-interval (range) join via bin
+  bucketing, for the case where BOTH sides are large and there is no
+  equi key: Spark's native plan for ``p BETWEEN s AND e`` is a
+  nested-loop join (broadcast if one side is small, cartesian
+  otherwise), which is quadratic. Binning turns it into an equi
+  shuffle join at the cost of replicating each interval once per
+  covered bin.
 
 Scale notes: the classic formulations of as-of are a range join (O(n·m)
 explosion) or a per-key collect; this implementation is the
@@ -15,8 +22,11 @@ splits skewed partitions; the window itself is streaming-evaluated).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -85,3 +95,129 @@ def asof_join(
         *[F.last(v, ignorenulls=True).over(w).alias(v) for v in value_cols],
     )
     return filled.where(F.col("__is_left") == 1).drop("__is_left")
+
+
+def _to_number(df: DataFrame, col: str) -> Column:
+    """Numeric view of a point/bound column for binning only — the join
+    predicate itself compares the ORIGINAL values, so the cast's
+    precision only has to be good enough to land each value in the
+    right bin (epoch seconds for timestamps: exact; a value at x.9 s
+    and a bound at x.1 s share bin floor(x/w) regardless)."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.TimestampType | T.TimestampNTZType):
+        # Integer epoch seconds (floor) — no double rounding at 2^31+.
+        return F.col(col).cast("long")
+    if isinstance(dt, T.DateType):
+        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("long")
+    return F.col(col)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    key_cols: Sequence[str] = (),
+    how: str = "inner",
+    closed: str = "both",
+    max_bins_per_interval: int | None = 4096,
+) -> DataFrame:
+    """Join each point row to every interval row whose
+    ``[start_col, end_col]`` range contains ``point_col`` (plus optional
+    equi ``key_cols``), without a nested-loop plan.
+
+    ``closed='both'`` matches SQL ``BETWEEN`` (s <= p <= e);
+    ``closed='left'`` gives the half-open s <= p < e that tumbling
+    windows use. ``how`` is ``inner`` | ``left`` | ``left_semi``
+    (semi returns point rows that fall in at least one interval,
+    deduplicated by the join itself).
+
+    Plan shape: points get one bin key ``floor(p / bin_width)``;
+    intervals explode to one row per covered bin (``sequence`` over
+    [floor(s/w), floor(e/w)]); the join is then a plain equi shuffle
+    join on (bin, *key_cols) with the exact range predicate as a
+    post-filter. Each true (point, interval) pair meets in EXACTLY one
+    bin — the point's own — so inner/left multiplicities are correct
+    with no distinct pass.
+
+    At 100 TB: shuffle volume is |points| + |intervals| x bins-per-
+    interval; pick ``bin_width`` near the typical interval span so the
+    replication factor stays O(1). A runaway interval (one spanning the
+    whole timeline) would silently explode to millions of rows —
+    ``max_bins_per_interval`` turns that into a loud executor-side
+    error instead (None disables). Hot bins (a time range everyone
+    touches) are ordinary shuffle skew: AQE's skew-join splitting
+    applies because the join is a vanilla SortMergeJoin/SHJ after the
+    rewrite. Invalid intervals (NULL bounds or end < start) match
+    nothing under SQL semantics and are dropped before the explode.
+    """
+    if how not in ("inner", "left", "left_semi"):
+        raise ValueError(f"unknown how: {how}")
+    if closed not in ("both", "left"):
+        raise ValueError(f"unknown closed: {closed}")
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    overlap = set(points.columns) & set(intervals.columns) - set(key_cols)
+    if how != "left_semi" and overlap:
+        raise ValueError(
+            f"ambiguous output columns {sorted(overlap)}: rename one side "
+            "(key_cols are exempt — they are coalesced by the equi join)"
+        )
+
+    w = F.lit(int(bin_width)).cast("long")
+    lo = F.floor(_to_number(intervals, start_col) / w).cast("long")
+    hi = F.floor(_to_number(intervals, end_col) / w).cast("long")
+    bins = F.sequence(lo, hi)
+    if max_bins_per_interval is not None:
+        bins = F.when(
+            hi - lo < F.lit(int(max_bins_per_interval)), bins
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_join: interval covers more than "
+                        f"{max_bins_per_interval} bins of width {bin_width} "
+                        "(start="
+                    ),
+                    F.col(start_col).cast("string"),
+                    F.lit(", end="),
+                    F.col(end_col).cast("string"),
+                    F.lit("); widen bin_width or raise max_bins_per_interval"),
+                )
+            ).cast("array<long>")
+        )
+    ivals = (
+        intervals.where(
+            F.col(start_col).isNotNull()
+            & F.col(end_col).isNotNull()
+            & (F.col(end_col) >= F.col(start_col))
+        )
+        .withColumn("__bin", F.explode(bins))
+        .alias("__i")
+    )
+    pts = points.withColumn(
+        "__bin", F.floor(_to_number(points, point_col) / w).cast("long")
+    ).alias("__p")
+
+    upper = (
+        F.col(f"__p.{point_col}") <= F.col(f"__i.{end_col}")
+        if closed == "both"
+        else F.col(f"__p.{point_col}") < F.col(f"__i.{end_col}")
+    )
+    cond = (
+        (F.col("__p.__bin") == F.col("__i.__bin"))
+        & (F.col(f"__p.{point_col}") >= F.col(f"__i.{start_col}"))
+        & upper
+    )
+    for k in key_cols:
+        cond = cond & (F.col(f"__p.{k}") == F.col(f"__i.{k}"))
+
+    if how == "left_semi":
+        return pts.join(ivals, cond, "left_semi").drop("__bin")
+    joined = pts.join(ivals, cond, how)
+    out_cols = [F.col(f"__p.{c}") for c in points.columns] + [
+        F.col(f"__i.{c}") for c in intervals.columns if c not in key_cols
+    ]
+    return joined.select(*out_cols)

@@ -249,3 +249,142 @@ def test_rasterize_zones_key_is_content_derived(spark):
         .toString()
     )
     assert "monotonically_increasing_id" not in plan
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join
+
+
+def _naive_interval_pairs(pts, ivs):
+    """Oracle: cross join + BETWEEN filter (the plan interval_join avoids)."""
+    return (
+        pts.crossJoin(ivs)
+        .where((F.col("x") >= F.col("s")) & (F.col("x") <= F.col("e")))
+    )
+
+
+def _interval_fixtures(spark, seed=7, n_pts=400, n_ivs=50, span=80):
+    import random
+
+    rng = random.Random(seed)
+    pts = spark.createDataFrame(
+        [(i, rng.randint(0, 1000)) for i in range(n_pts)], "pid long, x long"
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, s, s + rng.randint(0, span))
+            for j in range(n_ivs)
+            for s in (rng.randint(0, 950),)
+        ],
+        "iid long, s long, e long",
+    )
+    return pts, ivs
+
+
+def test_interval_join_matches_naive_cross_join(spark):
+    from data_pipelines_spark.operators.joins import interval_join
+
+    pts, ivs = _interval_fixtures(spark)
+    naive = _naive_interval_pairs(pts, ivs).select("pid", "x", "iid", "s", "e")
+    want = sorted(map(tuple, naive.collect()))
+    # bin width below, near, and above the max interval span
+    for width in (8, 64, 2000):
+        got = interval_join(pts, ivs, "x", "s", "e", bin_width=width)
+        assert sorted(map(tuple, got.collect())) == want, f"width={width}"
+
+    semi = interval_join(pts, ivs, "x", "s", "e", 32, how="left_semi")
+    want_semi = sorted(
+        map(tuple, pts.join(naive.select("pid").distinct(), "pid", "left_semi").collect())
+    )
+    assert sorted(map(tuple, semi.collect())) == want_semi
+
+    left = interval_join(pts, ivs, "x", "s", "e", 32, how="left")
+    unmatched = pts.join(naive.select("pid").distinct(), "pid", "left_anti").count()
+    assert left.count() == naive.count() + unmatched
+    assert left.where(F.col("iid").isNull()).count() == unmatched
+
+
+def test_interval_join_no_nested_loop_in_plan(spark):
+    from data_pipelines_spark.operators.joins import interval_join
+
+    pts, ivs = _interval_fixtures(spark)
+    plan = (
+        interval_join(pts, ivs, "x", "s", "e", 32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_boundaries_keys_and_invalid_rows(spark):
+    from data_pipelines_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 10), (4, "a", None)],
+        "pid long, k string, x long",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (100, "a", 10, 20),      # closed-both matches x=10 and x=20
+            (101, "b", 5, 9),        # just misses x=10
+            (102, "a", 30, 25),      # end < start: matches nothing
+            (103, "b", None, 50),    # NULL bound: matches nothing
+        ],
+        "iid long, k string, s long, e long",
+    )
+    both = interval_join(pts, ivs, "x", "s", "e", 7, key_cols=["k"])
+    assert sorted((r.pid, r.iid) for r in both.collect()) == [(1, 100), (2, 100)]
+    half = interval_join(pts, ivs, "x", "s", "e", 7, key_cols=["k"], closed="left")
+    assert sorted((r.pid, r.iid) for r in half.collect()) == [(1, 100)]
+    # key columns appear once in the output (coalesced from the point side)
+    assert both.columns.count("k") == 1
+
+
+def test_interval_join_timestamp_points(spark):
+    from data_pipelines_spark.operators.joins import interval_join
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30.500"), (2, "2024-01-01 01:30:00")],
+        "id long, ts string",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 00:59:59.999")],
+        "iid long, s string, e string",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    out = interval_join(ev, iv, "ts", "s", "e", bin_width=3600)
+    assert [(r.id, r.iid) for r in out.collect()] == [(1, 10)]
+
+
+def test_interval_join_runaway_interval_guard(spark):
+    import pytest as _pytest
+
+    from data_pipelines_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame([(1, 5)], "pid long, x long")
+    wide = spark.createDataFrame([(1, 0, 10_000_000)], "iid long, s long, e long")
+    with _pytest.raises(Exception, match="interval_join"):
+        interval_join(
+            pts, wide, "x", "s", "e", 1, max_bins_per_interval=100
+        ).count()
+    # disabling the guard lets the same interval through
+    ok = interval_join(
+        pts, wide, "x", "s", "e", 1_000_000, max_bins_per_interval=None
+    )
+    assert ok.count() == 1
+
+
+def test_interval_join_rejects_ambiguous_columns(spark):
+    import pytest as _pytest
+
+    from data_pipelines_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame([(1, 5)], "pid long, x long")
+    ivs = spark.createDataFrame([(1, 0, 10)], "pid long, s long, e long")
+    with _pytest.raises(ValueError, match="ambiguous"):
+        interval_join(pts, ivs, "x", "s", "e", 10)
