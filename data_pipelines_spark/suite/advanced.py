@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from data_pipelines_spark.operators.joins import interval_join
 from data_pipelines_spark.session import tune
 from data_pipelines_spark.sources.tables import load_events, load_table
 from data_pipelines_spark.suite._registry import make_registry
@@ -179,22 +180,37 @@ def subquery_pivot_suite(spark, sf_dir):
 @register(
     "event_window_frames",
     """
-    SELECT event_id, user_id, value,
-           lag(value)  OVER o AS prev_value,
-           lead(value) OVER o AS next_value,
-           count(*) OVER w AS frame_cnt,
-           min(value) OVER w AS frame_min,
-           max(value) OVER w AS frame_max,
-           CAST(sum(CAST(value AS DECIMAL(18, 6))) OVER w AS DOUBLE) AS frame_sum,
-           count(*) OVER r AS range_cnt_1h,
-           CAST(sum(CAST(value AS DECIMAL(18, 6))) OVER r AS DOUBLE)
-               AS range_sum_1h
-    FROM events
-    WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id),
-           w AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
-           r AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    WITH frames AS (
+        SELECT event_id, user_id, value,
+               lag(value)  OVER o AS prev_value,
+               lead(value) OVER o AS next_value,
+               count(*) OVER w AS frame_cnt,
+               min(value) OVER w AS frame_min,
+               max(value) OVER w AS frame_max,
+               CAST(sum(CAST(value AS DECIMAL(18, 6))) OVER w AS DOUBLE)
+                   AS frame_sum,
+               count(*) OVER r AS range_cnt_1h,
+               CAST(sum(CAST(value AS DECIMAL(18, 6))) OVER r AS DOUBLE)
+                   AS range_sum_1h
+        FROM events
+        WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id),
+               w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+               r AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ),
+    wins AS (
+        SELECT ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end
+        FROM events WHERE event_type = 'error'
+    ),
+    covered AS (
+        SELECT e.event_id, count(*) AS n_error_windows
+        FROM events e
+        JOIN wins w ON e.ts >= w.w_start AND e.ts <= w.w_end
+        GROUP BY e.event_id
+    )
+    SELECT f.*, COALESCE(c.n_error_windows, 0) AS n_error_windows
+    FROM frames f LEFT JOIN covered c USING (event_id)
     """,
 )
 def event_window_frames(spark, sf_dir):
@@ -209,9 +225,29 @@ def event_window_frames(spark, sf_dir):
     Spark computes them in one window stage; the RANGE spec re-sorts
     on the µs key within the same partitioning (no extra exchange).
     Sums in DECIMAL for engine-exactness. Merges the former
-    lead_lag_events and moving_window_events queries (registry trim)."""
+    lead_lag_events and moving_window_events queries (registry trim).
+
+    Also hash-checks the binned interval (range) join
+    (operators/joins.py:interval_join): ``n_error_windows`` counts the
+    global 30-minute windows opened by 'error' events that cover each
+    event — both join sides are fact-derived and share NO equi key, the
+    case Spark would otherwise plan as a nested-loop join. The oracle
+    restates it as the naive BETWEEN join; bins of the window width
+    keep interval replication at <= 2 rows each."""
     tune(spark)
     ev = load_events(spark, sf_dir)
+    wins = ev.where(F.col("event_type") == "error").select(
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    covered = (
+        interval_join(
+            ev.select("event_id", "ts"), wins, "ts", "w_start", "w_end",
+            bin_width=1800,
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_error_windows"))
+    )
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w = order.rowsBetween(-2, Window.currentRow)
     r = (
@@ -219,7 +255,7 @@ def event_window_frames(spark, sf_dir):
         .orderBy(F.unix_micros(F.col("ts")))
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
-    return ev.select(
+    frames = ev.select(
         "event_id",
         "user_id",
         "value",
@@ -235,6 +271,10 @@ def event_window_frames(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,6)")).over(r).cast("double").alias(
             "range_sum_1h"
         ),
+    )
+    return frames.join(covered, "event_id", "left").withColumn(
+        "n_error_windows",
+        F.coalesce(F.col("n_error_windows"), F.lit(0)).cast("long"),
     )
 
 
