@@ -400,16 +400,30 @@ def contamination_check(
     text_col: str = "text",
     bench_text_col: str = "text",
     ngram_n: int = 8,
+    prefilter: str | None = None,
+    prefilter_fpp: float = 0.01,
+    bench_ngrams: int | None = None,
 ) -> DataFrame:
     """Flag documents that contain any benchmark n-gram — the
     decontamination stage that keeps eval questions out of training
     data (the n-gram-overlap rule used by most LLM data stacks).
 
-    Scale shape: the benchmark side is dimension-sized, so its distinct
-    n-grams are broadcast; document n-grams are exploded and
-    inner-joined (broadcast hash join), then re-aggregated per doc.
-    Output: (doc_id, matched_ngrams) for contaminated docs only —
-    anti-join it back to drop them.
+    Scale shape, default mode: the benchmark side is dimension-sized,
+    so its distinct n-grams are broadcast; document n-grams are
+    exploded and inner-joined (broadcast hash join), then re-aggregated
+    per doc. Output: (doc_id, matched_ngrams) for contaminated docs
+    only — anti-join it back to drop them.
+
+    ``prefilter='bloom'`` is the shape for benchmark suites whose
+    distinct n-grams no longer fit a broadcast: a Bloom sketch of the
+    benchmark grams (plans/bloom.py) discards definite-miss doc grams
+    locally, and only the might-contain remainder — |true matches| +
+    fpp·|doc grams| rows — pays the exact semi join, which now
+    SHUFFLES both sides instead of broadcasting. The result is
+    identical to the default mode (false positives die in the exact
+    join; Bloom filters have no false negatives). ``bench_ngrams``
+    (estimated distinct benchmark grams) sizes the sketch without an
+    eager count job.
     """
     bench_grams = (
         benchmark.select(tokens(F.lower(F.col(bench_text_col))).alias("__toks"))
@@ -426,10 +440,23 @@ def contamination_check(
         F.col("doc_id"),
         F.explode(_word_ngrams_from_tokens(F.col("__toks"), ngram_n)).alias("gram"),
     )
-    return (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("gram").alias("matched_ngrams"))
+    if prefilter == "bloom":
+        from data_pipelines_spark.plans.bloom import bloom_filter_join
+
+        matched = bloom_filter_join(
+            doc_grams,
+            bench_grams,
+            "gram",
+            how="left_semi",
+            fpp=prefilter_fpp,
+            expected_items=bench_ngrams,
+        )
+    elif prefilter is None:
+        matched = doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+    else:
+        raise ValueError(f"unknown prefilter: {prefilter}")
+    return matched.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("matched_ngrams")
     )
 
 

@@ -333,7 +333,15 @@ def corpus_doc_curation(spark, sf_dir):
         rate = F.when(F.col("source") == src, F.lit(float(r))).otherwise(rate)
     keep = hash_fraction(F.col("doc_id"), "mix", portable=True) < rate
 
-    flagged = contamination_check(corpus, bench, ngram_n=_NGRAM_N)
+    # Bloom-prefiltered mode: the sketch discards definite-miss doc
+    # grams before the exact semi join, and the oracle's naive
+    # gram-join SQL hash-checks that the result is identical to exact
+    # decontamination (Bloom false positives die in the re-check; no
+    # false negatives exist). bench_ngrams is a static overestimate so
+    # the plan stays fully lazy — oversizing only lowers the fpp.
+    flagged = contamination_check(
+        corpus, bench, ngram_n=_NGRAM_N, prefilter="bloom", bench_ngrams=50_000
+    )
     cleaned = remove_boilerplate_lines(corpus, min_doc_count=2)
     lm = unigram_logprob(corpus)
 

@@ -78,6 +78,39 @@ def test_contamination_check_and_decontaminate(spark):
     assert [r["doc_id"] for r in clean.collect()] == [2]
 
 
+def test_contamination_bloom_prefilter_equals_exact(spark):
+    """prefilter='bloom' must reproduce the broadcast-exact mode
+    row-for-row on real corpus text (false positives are re-verified,
+    false negatives are impossible), with and without a static
+    benchmark-size estimate."""
+    import os
+
+    from data_pipelines_spark.sources.tables import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_T2_DIR", "/root/testdata/sf0.01")
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 20)
+    corpus = docs.where(F.col("doc_id") >= 20)
+    want = sorted(
+        map(tuple, contamination_check(corpus, bench, ngram_n=8).collect())
+    )
+    assert want  # the synthetic corpus genuinely contains leaks
+    for est in (None, 50_000):
+        got = sorted(
+            map(
+                tuple,
+                contamination_check(
+                    corpus, bench, ngram_n=8, prefilter="bloom", bench_ngrams=est
+                ).collect(),
+            )
+        )
+        assert got == want, f"bench_ngrams={est}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="prefilter"):
+        contamination_check(corpus, bench, prefilter="nope")
+
+
 def test_pii_counts_and_redaction(spark):
     df = spark.createDataFrame(
         [(1, "mail me at jo.doe+x@site.org or call 555-123-4567 today")],
