@@ -11,6 +11,12 @@ Four tiers, all shuffle-safe and collect-free:
   Hamming-distance near-dup on token profiles.
 - embedding-cosine near-dup lives in ``operators/similarity.py``.
 
+Incremental dedup (new batch vs an already-ingested corpus too large
+to broadcast): anti-join the new docs' content hashes against the
+historical hash store with ``plans.bloom.bloom_filter_join(new_hashes,
+seen_hashes, "content_md5", how="left_anti")`` — definite-new docs skip
+the exact join entirely and the result is exactly the plain anti join.
+
 Everything is built from native expressions (`xxhash64`, `transform`,
 `aggregate`, `explode`) — no Python in the hot path. At 100 TB the only
 wide operations are the LSH band groupBy (keys are (band, hash) — well

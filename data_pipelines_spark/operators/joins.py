@@ -105,7 +105,9 @@ def _to_number(df: DataFrame, col: str) -> Column:
     and a bound at x.1 s share bin floor(x/w) regardless)."""
     dt = df.schema[col].dataType
     if isinstance(dt, T.TimestampType | T.TimestampNTZType):
-        # Integer epoch seconds (floor) — no double rounding at 2^31+.
+        # Integer epoch seconds. The cast truncates toward zero (not
+        # floor) for pre-1970 instants, but any MONOTONE map keeps
+        # s <= p <= e ordered in the image, which is all binning needs.
         return F.col(col).cast("long")
     if isinstance(dt, T.DateType):
         return F.datediff(F.col(col), F.lit("1970-01-01")).cast("long")
