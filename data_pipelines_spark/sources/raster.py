@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def grid_to_long_form(
@@ -604,9 +605,47 @@ def read_zarr_grid(
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    files_per_partition: int | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Hive-style partitioned parquet sink (reference D4/S3: per-
     partition-key independent materialization, `partitions.py:3-53`).
-    Readers filtering on the partition columns get partition pruning."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    Readers filtering on the partition columns get partition pruning.
+
+    The scale hazard of a naive ``partitionBy`` write is the
+    small-files problem: every one of N upstream tasks opens a writer
+    for every hive partition it touches, so a 2000-task stage writing
+    365 date partitions can emit ~730k tiny files — each a namenode
+    entry and a scan-time open. ``files_per_partition`` shuffles rows
+    so each hive partition is written by exactly that many tasks
+    (1 → one file per partition): for 1 it repartitions on the
+    partition columns; for n > 1 it adds a content-derived
+    ``pmod(xxhash64(all columns), n)`` sub-key — deterministic under
+    task retry, unlike a round-robin split. ``max_records_per_file``
+    caps rows per file so one giant hive partition (skew) still splits
+    into bounded files instead of a single monolith; use both together
+    for "few files, none huge".
+    """
+    if files_per_partition is not None:
+        if files_per_partition < 1:
+            raise ValueError(
+                f"files_per_partition must be >= 1, got {files_per_partition}"
+            )
+        if files_per_partition == 1:
+            df = df.repartition(*partition_cols)
+        else:
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(files_per_partition),
+            )
+            df = df.withColumn("__file_no", salt).repartition(
+                *partition_cols, "__file_no"
+            ).drop("__file_no")
+    writer = df.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.partitionBy(*partition_cols).parquet(path)

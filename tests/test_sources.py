@@ -69,6 +69,62 @@ def test_write_partitioned_and_partition_pruning(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_write_partitioned_file_count_control(spark):
+    """files_per_partition bounds the small-files explosion; combined
+    with max_records_per_file a skewed hive partition still splits."""
+
+    def parquet_files(root, part):
+        d = os.path.join(root, f"leadtime_hour={part}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    df = (
+        spark.range(1000)
+        .repartition(16)  # many upstream tasks touching every partition
+        .select(
+            F.col("id"),
+            (F.col("id") % 4).alias("leadtime_hour"),
+            (F.col("id") * 2.0).alias("value"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="dps_sink_files_")
+    try:
+        # naive write: each of 16 tasks writes each of 4 partitions
+        write_partitioned(df, f"{tmp}/naive", ["leadtime_hour"])
+        assert len(parquet_files(f"{tmp}/naive", 0)) > 1
+
+        write_partitioned(
+            df, f"{tmp}/one", ["leadtime_hour"], files_per_partition=1
+        )
+        for p in range(4):
+            assert len(parquet_files(f"{tmp}/one", p)) == 1
+        assert spark.read.parquet(f"{tmp}/one").count() == 1000
+
+        write_partitioned(
+            df, f"{tmp}/two", ["leadtime_hour"], files_per_partition=2
+        )
+        for p in range(4):
+            assert 1 <= len(parquet_files(f"{tmp}/two", p)) <= 2
+        assert spark.read.parquet(f"{tmp}/two").count() == 1000
+
+        # skew escape hatch: a 250-row partition capped at 100 rows/file
+        write_partitioned(
+            df,
+            f"{tmp}/capped",
+            ["leadtime_hour"],
+            files_per_partition=1,
+            max_records_per_file=100,
+        )
+        assert len(parquet_files(f"{tmp}/capped", 0)) == 3  # ceil(250/100)
+        assert spark.read.parquet(f"{tmp}/capped").count() == 1000
+
+        with pytest.raises(ValueError, match="files_per_partition"):
+            write_partitioned(
+                df, f"{tmp}/bad", ["leadtime_hour"], files_per_partition=0
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_codec_readers_gated(spark):
     """Unsupported format profiles raise with an actionable message
     instead of crashing mid-parse."""
