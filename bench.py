@@ -74,13 +74,23 @@ def main() -> None:
         except Exception:
             pass
 
+    errors: dict[str, str] = {}
+
     def run_pass() -> dict[str, float]:
         out: dict[str, float] = {}
         for name in HEADLINE:
-            df = registry[name](spark, sf_dir)
-            start = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            out[name] = round(time.perf_counter() - start, 3)
+            if name in errors:
+                continue
+            # One broken query must not cost the whole artifact: record
+            # the failure and keep timing the rest (the correctness
+            # sweep is the gate that actually fails the query).
+            try:
+                df = registry[name](spark, sf_dir)
+                start = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                out[name] = round(time.perf_counter() - start, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         return out
 
     # JMH-style steady state: one untimed warmup pass over the headline
@@ -109,28 +119,31 @@ def main() -> None:
             pass
 
     cold = run_pass()
-    spark.catalog.clearCache()
-    _jvm_gc()
-    t1 = run_pass()
-    spark.catalog.clearCache()
-    _jvm_gc()
-    t2 = run_pass()
-    timings = {k: min(t1[k], t2[k]) for k in t1}
+    # Per-query min over the timed passes absorbs GC pauses and
+    # external box-load spikes hitting one pass; 3 passes (default)
+    # keeps a single loaded minute from inflating the artifact.
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    passes: list[dict[str, float]] = []
+    for _ in range(n_passes):
+        spark.catalog.clearCache()
+        _jvm_gc()
+        passes.append(run_pass())
+    ok = [k for k in HEADLINE if k not in errors]
+    timings = {k: min(p[k] for p in passes) for k in ok if all(k in p for p in passes)}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cold_value": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cold_value": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 
