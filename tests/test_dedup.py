@@ -118,27 +118,37 @@ def test_full_dedup_pipeline_end_to_end(spark):
     assert survivors == [0, 2]  # 1 and 3 collapse into cluster 0
 
 
-def test_fast_and_portable_pair_sets_agree(spark):
-    """The fast (OPH/xxhash64) and portable (md5) minhash pipelines must
-    discover the SAME pair set on the driver corpus — the invariant the
-    minhash_near_dup_pairs oracle rests on (its SQL derives the pair
-    set via the portable arithmetic)."""
-    from data_pipelines_spark.operators.dedup import minhash_near_duplicates
+def test_fast_and_portable_verified_pair_sets_agree(spark):
+    """The invariant the minhash_near_dup_pairs oracle rests on: after
+    exact verification AT the decision threshold, the fast
+    (OPH/xxhash64) and portable (md5) pipelines emit the IDENTICAL
+    pair set. The raw candidate sets may legitimately differ at larger
+    corpus sizes (each sketch produces its own borderline
+    overestimates on unrelated docs — observed at sf0.1), which is
+    exactly why the entry thresholds on the exact value."""
+    from data_pipelines_spark.operators.dedup import (
+        minhash_near_duplicates,
+        verify_pairs_exact,
+    )
     from data_pipelines_spark.sources.tables import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    fast = {
-        (r.doc_a, r.doc_b)
-        for r in minhash_near_duplicates(docs, jaccard_threshold=0.5).collect()
-    }
-    portable = {
-        (r.doc_a, r.doc_b)
-        for r in minhash_near_duplicates(
-            docs, jaccard_threshold=0.5, portable=True
-        ).collect()
-    }
-    assert fast == portable
-    assert fast  # non-empty: the corpus plants near-duplicates
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf_dir, "documents")
+        verified = []
+        for portable in (False, True):
+            cand = minhash_near_duplicates(
+                docs, jaccard_threshold=0.5, portable=portable
+            )
+            verified.append(
+                {
+                    (r.doc_a, r.doc_b, r.exact_jaccard)
+                    for r in verify_pairs_exact(
+                        docs, cand, broadcast_pairs=True, min_jaccard=0.5
+                    ).collect()
+                }
+            )
+        assert verified[0] == verified[1], sf_dir
+        assert verified[0]  # non-empty: the corpus plants near-duplicates
 
 
 def test_verify_pairs_exact_values(spark):
@@ -153,6 +163,8 @@ def test_verify_pairs_exact_values(spark):
            for r in verify_pairs_exact(docs, pairs).collect()}
     assert out[(1, 2)] == 1.0   # identical texts
     assert out[(1, 3)] == 0.0   # disjoint shingles
+    kept = verify_pairs_exact(docs, pairs, min_jaccard=0.5).collect()
+    assert [(r.doc_a, r.doc_b) for r in kept] == [(1, 2)]
 
 
 def test_oph_requires_power_of_two_hashes(spark):

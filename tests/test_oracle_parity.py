@@ -24,6 +24,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_T2_DIR", "/root/testdata/sf0.01")
 _QUERIES = entry_mod.queries()
 _ORACLES = entry_mod.oracle_sql()
 
+# These oracles restate a trained model (the deterministic k-means fit
+# of embeddings@sf0.01) as SQL literals — the pin the driver's sf0.01
+# refit reproduces bit-for-bit (suite/llmdata.py). At any other SF the
+# live refit is a DIFFERENT (equally valid) model, so value parity is
+# defined only at the driver's correctness SF. Every other entry is
+# SF-agnostic and must pass at all SFs (verified at sf0.1).
+_MODEL_PINNED_AT_SF001 = {"embedding_ivf_topk", "semantic_dedup"}
+
 
 def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
@@ -54,6 +62,10 @@ def _canon(rows, colnames):
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_query_matches_oracle(spark, name):
+    if name in _MODEL_PINNED_AT_SF001 and not SF_DIR.rstrip("/").endswith(
+        "sf0.01"
+    ):
+        pytest.skip("oracle pins the sf0.01-trained k-means model")
     sdf = _QUERIES[name](spark, SF_DIR)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
