@@ -269,7 +269,8 @@ _CURATION_SQL = rf"""
     SELECT d.doc_id, d.source, d.keep_sample, d.matched_ngrams,
            CAST(cl.n_lines AS BIGINT) AS n_lines,
            CAST(cl.n_lines - len(cl.kept) AS BIGINT) AS n_boiler_lines,
-           md5(array_to_string(cl.kept, chr(10))) AS clean_text_md5,
+           md5(coalesce(array_to_string(cl.kept, chr(10)), ''))
+               AS clean_text_md5,
            COALESCE(l.n_tokens, 0) AS n_tokens,
            l.lm_logprob10,
            p.seq_id, p.seq_off, p.seq_spans
