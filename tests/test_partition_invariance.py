@@ -1,0 +1,51 @@
+"""Partitioning-invariance audit: the entries whose plans involve
+two-phase ranking, windowing, sampling, packing, sketching, or salting
+must produce bit-identical (oracle-matching) results under a pathological
+shuffle-partition count. A leak of `spark_partition_id`-style state into
+results would pass the default-config parity run and fail here.
+
+Uses a sibling SparkSession (`newSession()` — own SQLConf, shared
+context) pinned to 7 shuffle partitions; `session.tune()` only replaces
+the stock 200, so the override survives into the queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.test_oracle_parity import SF_DIR, _ORACLES, _QUERIES, _canon, _duck
+
+# Entries where partitioning could plausibly leak: global/two-phase
+# ranks, per-group windows, seeded sampling + shuffling + packing,
+# LSH/sketch pipelines, connected components, distinct-sketch aggs.
+_SENSITIVE = [
+    "vocabulary_stats",
+    "corpus_split_shuffle",
+    "corpus_doc_curation",
+    "ranking_windows_suite",
+    "argmax_per_group",
+    "dedup_clusters",
+    "minhash_near_dup_pairs",
+    "global_agg_distinct",
+    "event_window_frames",
+]
+
+
+@pytest.fixture(scope="module")
+def spark7(spark):
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "7")
+    return s
+
+
+@pytest.mark.parametrize("name", _SENSITIVE)
+def test_oracle_parity_under_7_shuffle_partitions(spark7, name):
+    sdf = _QUERIES[name](spark7, SF_DIR)
+    assert spark7.conf.get("spark.sql.shuffle.partitions") == "7"
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF_DIR)
+    res = con.execute(_ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert len(spark_rows) == len(duck_rows), name
+    assert _canon(spark_rows, sdf.columns) == _canon(duck_rows, duck_cols), name
