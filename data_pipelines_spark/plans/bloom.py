@@ -49,7 +49,11 @@ def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
         raise ValueError(f"fpp must be in (0, 1), got {fpp}")
     m = math.ceil(-expected_items * math.log(fpp) / (math.log(2) ** 2))
     m = ((m + 63) // 64) * 64
-    k = max(1, round(m / expected_items * math.log(2)))
+    # Cap k: for degenerate tiny builds the word-rounding inflates m,
+    # and the "optimal" m/n·ln2 would demand dozens of probe hashes for
+    # no real fpp gain (16 hashes already drive fpp below any target
+    # this sizing produces).
+    k = min(16, max(1, round(m / expected_items * math.log(2))))
     return m, k
 
 

@@ -30,6 +30,8 @@ EMPTY_OK = [
     "events_windowed_agg",
     "events_resample_fill",
     "events_session_windows",
+    "event_window_frames",   # interval-join fusion: empty both sides
+    "corpus_doc_curation",   # bloom prefilter over an empty benchmark
     "exact_dedup_docs",
     "minhash_near_dup_pairs",
     "dedup_clusters",
