@@ -15,6 +15,8 @@ All three are shuffle-minimal by construction:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -369,6 +371,54 @@ def unigram_logprob(
         F.round(
             F.sum("__lp").cast("double") / F.count(F.lit(1)), decimals
         ).alias("lm_logprob10"),
+    )
+
+
+def filter_by_group_quantile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    q: float = 0.1,
+    keep: str = "above",
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` is at-or-above (``keep='above'``)
+    or at-or-below (``'below'``) their group's q-quantile — the
+    "drop the worst decile per source" curation filter applied after
+    LM/quality scoring (compose with :func:`unigram_logprob` or
+    `functions.text` quality signals).
+
+    Scale shape: one aggregate pass computes the per-group cutoff
+    (``approx_percentile`` by default — the same sketch-vs-exact
+    contract as A1's ``exact_quantiles``; ``exact=True`` opts into the
+    exact percentile, whose buffer holds each group's values), then the
+    cutoff table (|groups| rows) joins back — AQE broadcasts it when
+    dimension-sized. With no ``group_cols`` the single global cutoff
+    row is cross-joined broadcast. NULL values never pass (SQL
+    comparison semantics), matching "unscored rows are dropped".
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"unknown keep: {keep}")
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    cutoff = (
+        F.expr(f"percentile({value_col}, {q!r})")
+        if exact
+        else F.expr(f"approx_percentile({value_col}, {q!r}, {accuracy})")
+    ).alias("__cutoff")
+    cond = (
+        F.col(value_col) >= F.col("__cutoff")
+        if keep == "above"
+        else F.col(value_col) <= F.col("__cutoff")
+    )
+    if group_cols:
+        cutoffs = df.groupBy(*group_cols).agg(cutoff)
+        return df.join(cutoffs, list(group_cols)).where(cond).drop("__cutoff")
+    return (
+        df.crossJoin(F.broadcast(df.agg(cutoff)))
+        .where(cond)
+        .drop("__cutoff")
     )
 
 

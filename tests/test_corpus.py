@@ -111,6 +111,52 @@ def test_contamination_bloom_prefilter_equals_exact(spark):
         contamination_check(corpus, bench, prefilter="nope")
 
 
+def test_filter_by_group_quantile(spark):
+    """Per-group decile filter vs DuckDB's quantile_cont ground truth
+    (exact mode); approx mode must agree on this small input; NULL
+    scores never pass."""
+    import duckdb
+
+    from data_pipelines_spark.operators.corpus import filter_by_group_quantile
+
+    rows = [(i, "a" if i < 40 else "b", float(i % 20) if i % 7 else None)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, source VARCHAR, score DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        r[0] for r in con.execute("""
+        SELECT doc_id FROM t
+        WHERE score >= (SELECT quantile_cont(score, 0.25)
+                        FROM t t2 WHERE t2.source = t.source)
+        """).fetchall()
+    )
+    for exact in (True, False):
+        got = sorted(
+            r.doc_id
+            for r in filter_by_group_quantile(
+                df, "score", ["source"], q=0.25, keep="above", exact=exact
+            ).collect()
+        )
+        assert got == want, f"exact={exact}"
+    # global (no groups) + keep='below'
+    lo = filter_by_group_quantile(df, "score", q=0.5, keep="below", exact=True)
+    want_lo = sorted(
+        r[0] for r in con.execute(
+            "SELECT doc_id FROM t WHERE score <= "
+            "(SELECT quantile_cont(score, 0.5) FROM t)"
+        ).fetchall()
+    )
+    assert sorted(r.doc_id for r in lo.collect()) == want_lo
+    # NULL scores are always dropped
+    assert not [r for r in lo.collect() if r.score is None]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        filter_by_group_quantile(df, "score", keep="sideways")
+
+
 def test_pii_counts_and_redaction(spark):
     df = spark.createDataFrame(
         [(1, "mail me at jo.doe+x@site.org or call 555-123-4567 today")],
