@@ -7,8 +7,9 @@ dimension joins, hash-coin filters, banded LSH, two-phase running
 sums), just exercised small:
 
     ingest JSONL  →  URL blocklist + per-domain cap  →  Gopher quality
-    gate  →  exact dedup  →  MinHash near-dup dedup  →  benchmark
-    decontamination  →  stratified mixing  →  unigram-LM scoring  →
+    gate  →  exact dedup  →  MinHash near-dup dedup (exact-verified)  →
+    benchmark decontamination (Bloom-prefiltered)  →  stratified mixing
+    →  unigram-LM scoring  →  per-source quantile quality floor  →
     sequence packing  →  curated JSONL + packing manifest
 
     python examples/corpus_pipeline.py
@@ -32,7 +33,8 @@ from data_pipelines_spark.functions.web import (
     filter_blocked_domains,
 )
 from data_pipelines_spark.operators.corpus import (
-    decontaminate,
+    contamination_check,
+    filter_by_group_quantile,
     pack_sequences,
     stratified_sample,
     unigram_logprob,
@@ -74,7 +76,11 @@ def curate(
                      "doc_id", "left_anti")
 
     # 5. Decontamination: no benchmark 8-gram may survive into training.
-    docs = decontaminate(docs, benchmark, ngram_n=8)
+    #    Bloom mode is the shape for benchmark suites too large to
+    #    broadcast exactly; results are identical to the exact join.
+    flagged = contamination_check(docs, benchmark, ngram_n=8,
+                                  prefilter="bloom", bench_ngrams=1_000)
+    docs = docs.join(flagged, "doc_id", "left_anti")
 
     # 6. Data mixing: deterministic per-source rates.
     docs = stratified_sample(docs, {"books": 1.0, "crawl": 0.5},
@@ -86,7 +92,12 @@ def curate(
         "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0))
     )
 
-    # 8. Pack the survivors into fixed-length training sequences.
+    # 8. Per-source quality floor: drop each source's worst-scoring
+    #    decile (approx-percentile cutoff, groups-sized join back).
+    docs = filter_by_group_quantile(docs, "lm_logprob10", ["source"],
+                                    q=0.1, keep="above")
+
+    # 9. Pack the survivors into fixed-length training sequences.
     packed = pack_sequences(docs, seq_len)
     return packed, pairs
 
