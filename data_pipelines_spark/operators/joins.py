@@ -167,6 +167,8 @@ def interval_join(
             f"ambiguous output columns {sorted(overlap)}: rename one side "
             "(key_cols are exempt — they are coalesced by the equi join)"
         )
+    if "__bin" in points.columns or "__bin" in intervals.columns:
+        raise ValueError("'__bin' is reserved by interval_join; rename it")
 
     w = F.lit(int(bin_width)).cast("long")
     lo = F.floor(_to_number(intervals, start_col) / w).cast("long")

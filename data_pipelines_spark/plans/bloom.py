@@ -185,6 +185,11 @@ def bloom_filter_join(
     """
     if how not in ("left_semi", "left_anti"):
         raise ValueError(f"unknown how: {how}")
+    reserved = {"__bf_key", "__bf_might"} & set(probe.columns)
+    if reserved:
+        raise ValueError(
+            f"{sorted(reserved)} are reserved by bloom_filter_join; rename"
+        )
     build_col = build_col or probe_col
     keys = build.select(F.col(build_col).alias("__bf_key")).where(
         F.col("__bf_key").isNotNull()
