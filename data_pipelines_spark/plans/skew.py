@@ -1,4 +1,4 @@
-"""Skew-safe aggregation: two-stage salted groupBy.
+"""Skew-safe shuffles: salted groupBy, hot/cold split join, diagnostics.
 
 AQE's skew handling covers joins; a groupBy over a heavily skewed key
 still funnels each hot key through one reducer. The classic fix is
@@ -75,6 +75,105 @@ def salted_agg(
             for name, (col, fn) in aggs.items()
         ]
     )
+
+
+def skew_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    hot_keys: list | None = None,
+    min_count: int = 100_000,
+    top_k: int = 64,
+) -> DataFrame:
+    """Equi-join ``fact ⨝ dim`` with the heavy-hitter keys taken out of
+    the shuffle: hot-key fact rows join a broadcast of the dim rows for
+    those keys (no movement of the hot rows at all), everything else
+    joins normally, and the two branches union.
+
+    When to reach for this instead of AQE's skew-join: AQE splits an
+    oversized sort-merge partition by REPLICATING the matching partition
+    of the other side — it still shuffles every hot row and needs the
+    join to be a shuffle join in the first place. When the dim subset
+    for the hot keys is tiny (the common shape: one celebrity user, one
+    dominant grid cell, one boilerplate source), broadcasting exactly
+    that subset removes the hot keys from the shuffle entirely; the
+    remaining cold shuffle is even by construction. Neither branch
+    filters the other's matches because the key space is partitioned
+    exactly between them.
+
+    ``hot_keys``: explicit list of key values (tuples for composite
+    keys) — the deterministic, plan-only path. If None, a driver-side
+    count job finds keys with ``count >= min_count`` (capped at
+    ``top_k``); that list is collected ONCE and pinned into both
+    branch predicates, so task retries replay identical routing (the
+    retry-determinism bar :func:`salted_agg` is held to).
+
+    ``how``: inner | left | left_semi | left_anti. Left-join fact rows
+    with a NULL key are routed to the cold branch (NULL never equals a
+    hot key, and equi-join semantics give them no match either way).
+
+    Scale shape: one aggregate-sized count job (skipped when
+    ``hot_keys`` is given), then fact is read once with two
+    complementary predicates — Catalyst merges them into one scan per
+    branch; shuffle volume is |cold fact| + |cold dim|; broadcast is
+    |hot dim| (bounded by top_k keys x their dim multiplicity — size
+    it like any broadcast: this operator assumes dim is thin per key).
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(f"unknown how: {how}")
+    if not keys:
+        raise ValueError("keys must be non-empty")
+
+    if hot_keys is None:
+        hot_rows = (
+            fact.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .where(F.col("__cnt") >= min_count)
+            .orderBy(F.desc("__cnt"), *keys)
+            .limit(top_k)
+            .collect()
+        )
+        hot_keys = [tuple(r[k] for k in keys) for r in hot_rows]
+    else:
+        hot_keys = [
+            k if isinstance(k, tuple) else (k,) for k in hot_keys
+        ]
+    if not hot_keys:
+        return fact.join(dim, keys, how)
+
+    def hot_pred(df: DataFrame) -> Column:
+        if len(keys) == 1:
+            raw = F.col(keys[0]).isin([k[0] for k in hot_keys])
+        else:
+            # Literal structs must mirror the frame's field names AND
+            # types exactly (IN refuses struct<int> vs struct<bigint>),
+            # and each side of the join may type its keys differently —
+            # so the literals are cast per-frame.
+            raw = F.struct(*[F.col(k) for k in keys]).isin(
+                [
+                    F.struct(
+                        *[
+                            F.lit(v).cast(df.schema[k].dataType).alias(k)
+                            for k, v in zip(keys, vals)
+                        ]
+                    )
+                    for vals in hot_keys
+                ]
+            )
+        # NULL keys make the predicate NULL; coalesce so the branch
+        # filters are complementary (a NULL-key row goes cold exactly
+        # once, never dropped by both).
+        return F.coalesce(raw, F.lit(False))
+
+    fact_hot = fact.where(hot_pred(fact))
+    fact_cold = fact.where(~hot_pred(fact))
+    dim_hot = dim.where(hot_pred(dim))
+    dim_cold = dim.where(~hot_pred(dim))
+
+    hot = fact_hot.join(F.broadcast(dim_hot), keys, how)
+    cold = fact_cold.join(dim_cold, keys, how)
+    return hot.unionByName(cold)
 
 
 def diagnose_skew(

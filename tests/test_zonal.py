@@ -165,3 +165,97 @@ def test_salted_agg_salt_is_retry_deterministic(spark):
     # salt_on narrows the hash to a named stable column
     narrow = salted_agg(df, ["k"], aggs, salt_on=["rid"])
     assert sorted((r["k"], r["s"], r["c"]) for r in narrow.collect()) == out
+
+
+def _skew_fixture(spark):
+    from pyspark.sql import functions as F
+
+    fact = spark.range(5_000).select(
+        F.when(F.col("id") % 5 < 4, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("u"), (F.col("id") % 11).cast("string")))
+        .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    # one row with a NULL key (never matches; must survive left joins)
+    fact = fact.unionByName(
+        spark.createDataFrame([(None, -1.0)], "k string, v double")
+    )
+    dim = spark.createDataFrame(
+        [("HOT", "celebrity")] + [(f"u{i}", f"d{i}") for i in range(11)]
+        + [("unmatched", "x")],
+        "k string, attr string",
+    )
+    return fact, dim
+
+
+def test_skew_split_join_matches_plain_join(spark):
+    from data_pipelines_spark.plans.skew import skew_split_join
+
+    fact, dim = _skew_fixture(spark)
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        from collections import Counter
+
+        plain = Counter(map(tuple, fact.join(dim, ["k"], how).collect()))
+        split = skew_split_join(
+            fact, dim, ["k"], how=how, min_count=1_000, top_k=4
+        )
+        assert Counter(map(tuple, split.collect())) == plain, how
+        # explicit hot list skips the count job, same answer
+        pinned = skew_split_join(fact, dim, ["k"], how=how, hot_keys=["HOT"])
+        assert Counter(map(tuple, pinned.collect())) == plain, how
+
+
+def test_skew_split_join_hot_branch_broadcasts(spark):
+    from data_pipelines_spark.plans.skew import skew_split_join
+
+    fact, dim = _skew_fixture(spark)
+    plan = (
+        skew_split_join(fact, dim, ["k"], hot_keys=["HOT"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # no positional (retry-unstable) sources anywhere in the routing
+    assert "monotonically_increasing_id" not in plan
+    assert "SPARK_PARTITION_ID" not in plan.upper()
+
+
+def test_skew_split_join_no_hot_keys_degenerates_to_plain(spark):
+    from data_pipelines_spark.plans.skew import skew_split_join
+
+    fact, dim = _skew_fixture(spark)
+    from collections import Counter
+
+    out = skew_split_join(fact, dim, ["k"], min_count=10**9)
+    assert Counter(map(tuple, out.collect())) == Counter(
+        map(tuple, fact.join(dim, ["k"], "inner").collect())
+    )
+    # degenerates to a single join (the fixture's own unionByName is
+    # still in the plan, so count joins rather than grepping Union)
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]  # AQE echoes the pre-adaptive plan too
+    )
+    import re as _re
+
+    assert len(_re.findall(r"(?:SortMerge|BroadcastHash|ShuffledHash)Join", plan)) == 1
+
+
+def test_skew_split_join_composite_keys(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.plans.skew import skew_split_join
+
+    fact = spark.range(2_000).select(
+        (F.col("id") % 3).alias("a"),
+        F.when(F.col("id") % 4 < 3, F.lit("x")).otherwise(F.lit("y")).alias("b"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [(i, c, f"{i}{c}") for i in range(3) for c in ("x", "y", "z")],
+        "a long, b string, attr string",
+    )
+    plain = sorted(map(tuple, fact.join(dim, ["a", "b"], "inner").collect()))
+    auto = skew_split_join(fact, dim, ["a", "b"], min_count=300, top_k=8)
+    assert sorted(map(tuple, auto.collect())) == plain
+    pinned = skew_split_join(fact, dim, ["a", "b"], hot_keys=[(0, "x"), (1, "x")])
+    assert sorted(map(tuple, pinned.collect())) == plain
