@@ -271,6 +271,100 @@ def minhash_near_duplicates(
     return est
 
 
+def incremental_near_duplicates(
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup detection of a NEW batch against an already-ingested
+    corpus, without re-hashing the corpus: the production ingest shape,
+    where the corpus is 100 TB of history and the batch is one day.
+
+    ``corpus_signatures`` is the stored (id, minhash) table written by
+    a previous :func:`minhash_signatures` run with the SAME
+    ``num_hashes``/``shingle_k`` (signatures are only comparable within
+    one hash family — keep the parameters with the store). Returns
+    ``(pairs, new_signatures)``:
+
+    - ``pairs`` — (doc_a, doc_b, est_jaccard) where doc_a is always
+      from the new batch and doc_b is either a corpus doc or a later
+      new doc (new-new pairs ordered doc_a < doc_b, so the batch is
+      also deduped against itself); signature-estimated Jaccard >=
+      ``jaccard_threshold``, LSH-bucketed so only candidates compare.
+    - ``new_signatures`` — the batch's (id, minhash) rows; append the
+      surviving docs' rows to the store to ingest the batch.
+
+    Corpus docs never pair with each other here (their mutual dups were
+    handled at their own ingest), which is what makes the join
+    incremental: only buckets CONTAINING A NEW DOC produce work, so
+    cost scales with |batch| x bucket occupancy, not |corpus|. At
+    scale, write the corpus bucket table bucketed by (band, band_hash)
+    (``DataFrameWriter.bucketBy``) and this join co-locates without
+    reshuffling the corpus side; ids must be globally unique across
+    corpus and batches (the store's contract).
+    """
+    sigs_new = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_k
+    ).persist()
+    buckets_new = minhash_band_buckets(sigs_new, num_hashes, num_bands, id_col)
+    buckets_corpus = minhash_band_buckets(
+        corpus_signatures, num_hashes, num_bands, id_col
+    )
+
+    left = buckets_new.select(
+        "band", "band_hash", F.col(id_col).alias("doc_a")
+    )
+    # Right side: the corpus plus the new batch itself (so the batch
+    # self-dedups); tag provenance to order pairs correctly.
+    right = buckets_corpus.select(
+        "band", "band_hash", F.col(id_col).alias("doc_b"), F.lit(False).alias("__new")
+    ).unionByName(
+        buckets_new.select(
+            "band", "band_hash", F.col(id_col).alias("doc_b"), F.lit(True).alias("__new")
+        )
+    )
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .where(
+            # new-new pairs once (a < b); new-corpus pairs regardless of
+            # id order (corpus ids may be smaller or larger).
+            F.when(F.col("__new"), F.col("doc_a") < F.col("doc_b")).otherwise(
+                F.col("doc_a") != F.col("doc_b")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    all_sigs = sigs_new.unionByName(
+        corpus_signatures.select(id_col, "minhash")
+    )
+    sa = sigs_new.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a"))
+    sb = all_sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b"))
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).cast("double")
+            / F.size("sig_a"),
+        )
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+    return pairs, sigs_new
+
+
 def verify_pairs_exact(
     docs: DataFrame,
     pairs: DataFrame,

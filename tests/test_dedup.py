@@ -175,3 +175,50 @@ def test_oph_requires_power_of_two_hashes(spark):
     docs = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
     with _pytest.raises(ValueError, match="power of two"):
         minhash_signatures(docs, num_hashes=48)
+
+
+def test_incremental_near_duplicates_matches_full_run(spark):
+    """Incremental batch-vs-store detection must find exactly the
+    full-corpus pairs that touch the new batch (same est values), and
+    never emit corpus-corpus pairs."""
+    from data_pipelines_spark.operators.dedup import incremental_near_duplicates
+
+    corpus = spark.createDataFrame(
+        [(0, BASE), (1, FAR), (2, BASE + " extra trailing words here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        # 10: near-dup of corpus 0; 11/12: near-dups of each other;
+        # 13: unique
+        [(10, NEAR), (11, FAR), (12, FAR.replace("large", "huge")),
+         (13, "entirely novel text with no relatives in any corpus at all")],
+        "doc_id long, text string",
+    )
+    store = minhash_signatures(corpus)
+    pairs, new_sigs = incremental_near_duplicates(
+        batch, store, jaccard_threshold=0.5
+    )
+    got = {
+        frozenset((r["doc_a"], r["doc_b"])): r["est_jaccard"]
+        for r in pairs.collect()
+    }
+
+    full = minhash_near_duplicates(
+        corpus.unionByName(batch), jaccard_threshold=0.5
+    )
+    new_ids = {10, 11, 12, 13}
+    want = {
+        frozenset((r["doc_a"], r["doc_b"])): r["est_jaccard"]
+        for r in full.collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    assert got == want
+    assert want, "fixture must plant at least one cross and one intra pair"
+    assert any(p & {0, 1, 2} for p in got), "cross batch-corpus pair expected"
+    assert frozenset((11, 12)) in got, "intra-batch pair expected"
+    # doc_a is always from the batch
+    assert all(r["doc_a"] in new_ids for r in pairs.collect())
+    # returned signatures are the batch's signatures
+    sig_rows = {r["doc_id"]: r["minhash"] for r in new_sigs.collect()}
+    direct = {r["doc_id"]: r["minhash"] for r in minhash_signatures(batch).collect()}
+    assert sig_rows == direct
