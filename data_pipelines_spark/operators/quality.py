@@ -88,7 +88,15 @@ def check_rows(df: DataFrame, rules: Sequence[tuple[str, Column]]) -> DataFrame:
 
 
 def check_unique(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
-    """One row: number of key values owned by more than one row."""
+    """One row: number of key values owned by more than one row.
+
+    NULL semantics: GROUP BY groups NULL keys together, so two rows
+    with a NULL key count as duplicates — the dbt `unique`-test
+    reading, which treats the column as an identifier that must be
+    both present and distinct. ANSI UNIQUE constraints instead exempt
+    NULL keys; under that contract, pair this with a `not_null` rule
+    (as the quality_report suite entry does) or pre-filter NULLs.
+    """
     keys = list(key_cols)
     dupes = (
         df.groupBy(*keys)

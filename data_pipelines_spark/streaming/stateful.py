@@ -48,11 +48,10 @@ def _sessionize(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
     else:
         session_cnt, last_ts = 0, None
 
-    for pdf in pdf_iter:
-        for ts in sorted(pdf["ts_sec"]):
-            if last_ts is None or ts - last_ts > _GAP_SEC:
-                session_cnt += 1
-            last_ts = ts
+    for ts in _sorted_ts(pdf_iter):
+        if last_ts is None or ts - last_ts > _GAP_SEC:
+            session_cnt += 1
+        last_ts = ts
 
     state.update((session_cnt, last_ts))
     yield pd.DataFrame(
@@ -62,6 +61,21 @@ def _sessionize(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
             "last_ts": [last_ts],
         }
     )
+
+
+def _sorted_ts(pdf_iter: Iterator[pd.DataFrame]) -> list[float]:
+    """All of the group's timestamps for this micro-batch, sorted
+    GLOBALLY. The iterator chunks the group at the Arrow batch size
+    with no cross-chunk ordering guarantee, so sorting per-chunk would
+    run the gap detector over out-of-order data whenever a key's batch
+    spans multiple chunks; the buffer is bounded by the key's rows in
+    ONE micro-batch (the same working set pandas grouping holds
+    anyway)."""
+    all_ts: list[float] = []
+    for pdf in pdf_iter:
+        all_ts.extend(pdf["ts_sec"].tolist())
+    all_ts.sort()
+    return all_ts
 
 
 def _sessionize_expiring(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
@@ -86,11 +100,10 @@ def _sessionize_expiring(key, pdf_iter: Iterator[pd.DataFrame], state: GroupStat
     else:
         session_cnt, last_ts = 0, None
 
-    for pdf in pdf_iter:
-        for ts in sorted(pdf["ts_sec"]):
-            if last_ts is None or ts - last_ts > _GAP_SEC:
-                session_cnt += 1
-            last_ts = ts
+    for ts in _sorted_ts(pdf_iter):
+        if last_ts is None or ts - last_ts > _GAP_SEC:
+            session_cnt += 1
+        last_ts = ts
 
     state.update((session_cnt, last_ts))
     # Expire once the watermark passes the session gap after the last

@@ -492,3 +492,56 @@ def test_enrich_stream_broadcast_size_guard(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_sessionizer_sorts_across_arrow_chunks(spark):
+    """A key whose micro-batch spans multiple Arrow chunks must still
+    see its timestamps in global order: with maxRecordsPerBatch=2 and
+    the file written in DESCENDING ts order, a per-chunk sort would
+    undercount sessions (later chunks carry only older timestamps, so
+    no gap ever fires); the global sort counts them all."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from data_pipelines_spark.streaming.stateful import sessionize_stream
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    t = base
+    for session in range(5):           # 5 sessions x 2 events, 45-min gaps
+        for _ in range(2):
+            rows.append((len(rows), t, 1))
+            t += dt.timedelta(minutes=5)
+        t += dt.timedelta(minutes=45)
+    rows.reverse()                     # descending ts in the file
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    tmp = tempfile.mkdtemp(prefix="dps_state_chunks_")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+        ev.coalesce(1).write.parquet(f"{tmp}/in/a")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/in/*")
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName("sess_chunks")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: r["session_cnt"]
+            for r in spark.sql(
+                "SELECT user_id, max(session_cnt) AS session_cnt "
+                "FROM sess_chunks GROUP BY user_id"
+            ).collect()
+        }
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert got == {1: 5}
