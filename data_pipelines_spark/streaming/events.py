@@ -67,17 +67,38 @@ def deduplicate_stream(
     keys: list[str],
     ts_col: str = "ts",
     watermark: str = "1 hour",
+    exact: bool = False,
 ) -> DataFrame:
-    """Exactly-once streaming deduplication on business keys.
+    """Streaming deduplication on business keys with BOUNDED state —
+    the streaming tier of the dedup stack (exact-id dedup for replayed
+    /duplicated events; content dedup runs in batch). On a batch frame
+    this is plain dropDuplicates.
 
-    `dropDuplicates` over a watermarked stream keeps key state only for
-    the watermark horizon — the streaming tier of the dedup stack
-    (exact-id dedup for replayed/duplicated events; content dedup runs
-    in batch). On a batch frame this is plain dropDuplicates."""
+    State bounding is subtler than it looks: plain ``dropDuplicates``
+    evicts a key's state at the watermark ONLY when the event-time
+    column is part of the dedup keys — on business keys alone the
+    watermark is ignored and state grows forever (the documented Spark
+    behavior, and an OOM at 100 TB event volume). So for streams this
+    uses ``dropDuplicatesWithinWatermark``: duplicates arriving within
+    the watermark delay of the first sighting are dropped, and the
+    key's state is freed once the watermark passes it — a replay
+    arriving LATER than the delay re-emits, which is the honest
+    bounded-state contract (size ``watermark`` to the replay horizon:
+    e.g. a Kafka source can re-deliver at most its retention window).
+    ``exact=True`` opts into all-time exactness via unbounded state
+    (plain ``dropDuplicates``) — small keyspaces only. When ``ts_col``
+    is already among ``keys``, plain ``dropDuplicates`` is used: state
+    is watermark-evicted in that shape, and within-watermark semantics
+    would be wrong for keys that legitimately repeat at different
+    event times.
+    """
     df = events
-    if df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
-    return df.dropDuplicates(keys)
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    df = df.withWatermark(ts_col, watermark)
+    if exact or ts_col in keys:
+        return df.dropDuplicates(keys)
+    return df.dropDuplicatesWithinWatermark(keys)
 
 
 def join_streams(

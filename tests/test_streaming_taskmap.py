@@ -545,3 +545,56 @@ def test_stateful_sessionizer_sorts_across_arrow_chunks(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
     assert got == {1: 5}
+
+
+def test_streaming_dedup_state_is_watermark_bounded(spark):
+    """The streaming plan must use dropDuplicatesWithinWatermark (state
+    evicted at the horizon) when deduping on business keys — plain
+    dropDuplicates ignores the watermark for non-event-time keys and
+    grows state forever. A replay AFTER the watermark horizon re-emits:
+    that is the bounded-state contract, asserted end-to-end."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from data_pipelines_spark.streaming.events import (
+        deduplicate_stream,
+        stream_events_from_dir,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, value double"
+    tmp = tempfile.mkdtemp(prefix="dps_dedup_wm_")
+    try:
+        spark.createDataFrame(
+            [(1, base, 1.0)], schema
+        ).coalesce(1).write.parquet(f"{tmp}/in/a")
+        stream = stream_events_from_dir(
+            spark, f"{tmp}/in/*",
+            spark.createDataFrame([], schema).schema, max_files_per_trigger=1,
+        )
+        dedup = deduplicate_stream(stream, ["event_id"], watermark="10 minutes")
+        q = (
+            dedup.writeStream.format("memory").queryName("dedup_wm")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        # advance the watermark far past id 1's state, then replay id 1
+        spark.createDataFrame(
+            [(2, base + dt.timedelta(hours=2), 2.0)], schema
+        ).coalesce(1).write.parquet(f"{tmp}/in/b")
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(1, base + dt.timedelta(hours=2, minutes=1), 1.0)], schema
+        ).coalesce(1).write.parquet(f"{tmp}/in/c")
+        q.processAllAvailable()
+        got = sorted(
+            r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_wm").collect()
+        )
+        q.stop()
+        # id 1 emitted twice: its dedup state was freed at the horizon
+        assert got == [1, 1, 2]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
