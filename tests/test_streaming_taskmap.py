@@ -598,3 +598,77 @@ def test_streaming_dedup_state_is_watermark_bounded(spark):
         assert got == [1, 1, 2]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_near_dup_dedup_sink(spark):
+    """Two micro-batches through the signature-store dedup sink: a doc
+    near-duplicating batch-1 content is dropped in batch 2 (cross-batch
+    store match), an intra-batch near-dup keeps only the lower id, and
+    the store ends with exactly the survivors' signatures."""
+    import shutil
+    import tempfile
+
+    from data_pipelines_spark.operators.dedup import minhash_signatures
+    from data_pipelines_spark.streaming.dedup import stream_near_dup_dedup_sink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the rain taps on the glass"
+    )
+    far = (
+        "completely different content about distributed query engines "
+        "and columnar shuffle services running on large compute clusters"
+    )
+    novel = (
+        "a third unrelated passage describing alpine meadows, glacial "
+        "streams and the slow migration of shepherds between valleys"
+    )
+    schema = "doc_id long, text string"
+    b1 = [(1, base), (2, far)]
+    b2 = [
+        (10, base.replace("taps", "drums")),   # near-dup of stored 1 → drop
+        (11, novel),                            # unique → keep
+        (12, novel.replace("slow", "long")),    # near-dup of 11 (intra) → drop
+    ]
+
+    tmp = tempfile.mkdtemp(prefix="dps_stream_neardup_")
+    try:
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{tmp}/in/a")
+        stream = (
+            spark.readStream.schema(spark.createDataFrame([], schema).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        writer = stream_near_dup_dedup_sink(
+            stream,
+            f"{tmp}/out",
+            f"{tmp}/store",
+            jaccard_threshold=0.5,
+            checkpoint=f"{tmp}/ckpt",
+            available_now=False,
+        )
+        q = writer.start()
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{tmp}/in/b")
+        q.processAllAvailable()
+        q.stop()
+
+        kept = sorted(
+            r["doc_id"] for r in spark.read.parquet(f"{tmp}/out").collect()
+        )
+        assert kept == [1, 2, 11]
+        store = {
+            r["doc_id"]: r["minhash"]
+            for r in spark.read.parquet(f"{tmp}/store").collect()
+        }
+        assert sorted(store) == [1, 2, 11]
+        # store holds the real signatures (spot-check one)
+        direct = {
+            r["doc_id"]: r["minhash"]
+            for r in minhash_signatures(
+                spark.createDataFrame(b1, schema)
+            ).collect()
+        }
+        assert store[1] == direct[1]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
