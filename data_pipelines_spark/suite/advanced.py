@@ -92,7 +92,10 @@ def subquery_pivot_suite(spark, sf_dir):
     - ``corr_min``: TPC-H Q2-shaped correlated min subquery,
       decorrelated by Catalyst into an aggregate + join.
     - ``idle``: left-anti join (customers that never ordered — the
-      complement of the reference's semi-filter J4).
+      complement of the reference's semi-filter J4), routed through
+      ``plans.skew.skew_split_join`` with pinned hot keys so the
+      hot/cold split join is oracle-checked here (its output equals
+      the plain anti join for any hot list — unit-proven).
     """
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
@@ -158,8 +161,22 @@ def subquery_pivot_suite(spark, sf_dir):
         """
     ).select("q", "k1", "k2", null_l.alias("cnt"), F.col("val").cast("double").alias("val"))
 
+    # The anti join runs through skew_split_join with a pinned hot-key
+    # list so the hot/cold split machinery (broadcast anti on the hot
+    # branch, shuffle anti on the cold, union) is hash-checked against
+    # the plain NOT EXISTS oracle every driver sweep — the result is
+    # provably identical to the plain anti join for ANY hot list
+    # (unit-tested property), so the pinned keys only pick the plan.
+    from data_pipelines_spark.plans.skew import skew_split_join
+
     idle = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        skew_split_join(
+            cust,
+            orders.select(F.col("o_custkey").alias("c_custkey")),
+            ["c_custkey"],
+            how="left_anti",
+            hot_keys=[1, 2, 3],
+        )
         .select(
             F.lit("idle").alias("q"),
             F.col("c_custkey").cast("string").alias("k1"),
