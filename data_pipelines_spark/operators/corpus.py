@@ -396,7 +396,10 @@ def filter_by_group_quantile(
     cutoff table (|groups| rows) joins back — AQE broadcasts it when
     dimension-sized. With no ``group_cols`` the single global cutoff
     row is cross-joined broadcast. NULL values never pass (SQL
-    comparison semantics), matching "unscored rows are dropped".
+    comparison semantics), matching "unscored rows are dropped"; a
+    NULL GROUP is a real stratum (GROUP BY semantics) — its rows are
+    filtered against their own cutoff via a null-safe join-back, not
+    silently dropped.
     """
     if keep not in ("above", "below"):
         raise ValueError(f"unknown keep: {keep}")
@@ -413,8 +416,25 @@ def filter_by_group_quantile(
         else F.col(value_col) <= F.col("__cutoff")
     )
     if group_cols:
+        # Null-safe join-back: GROUP BY forms a group for NULL keys, so
+        # the cutoff table has a row for it — but a plain equi join
+        # would never match it and every NULL-group row would silently
+        # vanish instead of being filtered against its own group's
+        # cutoff.
         cutoffs = df.groupBy(*group_cols).agg(cutoff)
-        return df.join(cutoffs, list(group_cols)).where(cond).drop("__cutoff")
+        alias_map = {g: f"__g_{i}" for i, g in enumerate(group_cols)}
+        cut = cutoffs.select(
+            *[F.col(g).alias(a) for g, a in alias_map.items()], "__cutoff"
+        )
+        on = None
+        for g, a in alias_map.items():
+            c = F.col(g).eqNullSafe(F.col(a))
+            on = c if on is None else (on & c)
+        return (
+            df.join(cut, on)
+            .where(cond)
+            .drop("__cutoff", *alias_map.values())
+        )
     return (
         df.crossJoin(F.broadcast(df.agg(cutoff)))
         .where(cond)

@@ -37,6 +37,25 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hash_type(dt: T.DataType) -> T.DataType | None:
+    """Canonical type whose xxhash64 is value-stable within the family.
+
+    ``xxhash64`` hashes the PHYSICAL representation, so INT 5 and
+    BIGINT 5 produce different hashes — a silent all-false-negative
+    filter if the two sides of a join type their key differently (the
+    plain join would just coerce). Integral types canonicalize to
+    long and float to double (value-preserving widenings); other
+    families must match exactly."""
+    if isinstance(
+        dt, T.ByteType | T.ShortType | T.IntegerType | T.LongType
+    ):
+        return T.LongType()
+    if isinstance(dt, T.FloatType | T.DoubleType):
+        return T.DoubleType()
+    return None
 
 
 def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -185,32 +204,64 @@ def bloom_filter_join(
     """
     if how not in ("left_semi", "left_anti"):
         raise ValueError(f"unknown how: {how}")
-    reserved = {"__bf_key", "__bf_might"} & set(probe.columns)
+    reserved = {"__bf_key", "__bf_might", "__bf_probe"} & set(probe.columns)
     if reserved:
         raise ValueError(
             f"{sorted(reserved)} are reserved by bloom_filter_join; rename"
         )
     build_col = build_col or probe_col
-    keys = build.select(F.col(build_col).alias("__bf_key")).where(
+
+    # xxhash64 is type-sensitive: INT 5 and BIGINT 5 hash differently,
+    # and a sketch built on one and probed with the other reports every
+    # key as a definite miss — silently WRONG results where the plain
+    # join would simply coerce. Mismatched key types hash through a
+    # value-preserving canonical widening (integral→long, float→double)
+    # on BOTH sides; family-crossing mismatches fail loudly.
+    p_dt = probe.schema[probe_col].dataType
+    b_dt = build.schema[build_col].dataType
+    canon = None
+    if p_dt != b_dt:
+        pc, bc = _hash_type(p_dt), _hash_type(b_dt)
+        if pc is None or pc != bc:
+            raise ValueError(
+                f"bloom_filter_join key types differ ({p_dt.simpleString()} "
+                f"vs {b_dt.simpleString()}) and are not both integral or "
+                "both floating-point; cast one side explicitly"
+            )
+        canon = pc
+
+    bkey = F.col(build_col).cast(canon) if canon else F.col(build_col)
+    keys = build.select(bkey.alias("__bf_key")).where(
         F.col("__bf_key").isNotNull()
     )
     n = expected_items if expected_items is not None else keys.count()
     num_bits, num_hashes = bloom_params(n, fpp)
     words = bloom_build(keys, "__bf_key", num_bits, num_hashes, seed)
+    if canon:
+        probe_hash_col = "__bf_probe"
+        probe_in = probe.withColumn(
+            probe_hash_col, F.col(probe_col).cast(canon)
+        )
+    else:
+        probe_hash_col = probe_col
+        probe_in = probe
     probed = with_bloom_contains(
-        probe, probe_col, words, num_bits, num_hashes, seed, "__bf_might"
+        probe_in, probe_hash_col, words, num_bits, num_hashes, seed, "__bf_might"
     )
+    # The exact join compares the ORIGINAL probe values (Spark coerces
+    # the comparison the same way the canonical cast does).
     cond = F.col(probe_col) == F.col("__bf_key")
+    drop_cols = ["__bf_might"] + (["__bf_probe"] if canon else [])
     if how == "left_semi":
         return (
             probed.where(F.col("__bf_might"))
-            .drop("__bf_might")
+            .drop(*drop_cols)
             .join(keys, cond, "left_semi")
         )
-    definite = probed.where(~F.col("__bf_might")).drop("__bf_might")
+    definite = probed.where(~F.col("__bf_might")).drop(*drop_cols)
     survivors = (
         probed.where(F.col("__bf_might"))
-        .drop("__bf_might")
+        .drop(*drop_cols)
         .join(keys, cond, "left_anti")
     )
     return definite.unionByName(survivors)

@@ -110,3 +110,36 @@ def test_bloom_probe_plan_shape(spark):
     # the single-row cross join is the only acceptable nested loop:
     # its build side is the 1-row packed sketch, never the probe table
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_join_coerces_mismatched_numeric_key_types(spark):
+    """xxhash64 is type-sensitive (INT 5 != BIGINT 5), so mismatched
+    key types must hash through a canonical widening — before this the
+    sketch reported every probe a definite miss and the semi join
+    silently returned nothing."""
+    from data_pipelines_spark.plans.bloom import bloom_filter_join
+
+    probe = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    build = spark.createDataFrame([(1,), (3,)], "k long")
+    semi = sorted(r["k"] for r in bloom_filter_join(probe, build, "k").collect())
+    anti = sorted(
+        r["k"] for r in bloom_filter_join(probe, build, "k", how="left_anti").collect()
+    )
+    assert semi == [1, 3] and anti == [2]
+    # float widens to double the same way
+    pf = spark.createDataFrame([(1.5,), (2.5,)], "k float")
+    bd = spark.createDataFrame([(1.5,)], "k double")
+    assert [r["k"] for r in bloom_filter_join(pf, bd, "k").collect()] == [1.5]
+    # output schema keeps the probe's own type
+    assert dict(bloom_filter_join(probe, build, "k").dtypes)["k"] == "int"
+
+
+def test_bloom_join_rejects_family_crossing_key_types(spark):
+    import pytest
+
+    from data_pipelines_spark.plans.bloom import bloom_filter_join
+
+    probe = spark.createDataFrame([(1,)], "k int")
+    build = spark.createDataFrame([("1",)], "k string")
+    with pytest.raises(ValueError, match="key types differ"):
+        bloom_filter_join(probe, build, "k")

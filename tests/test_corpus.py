@@ -652,3 +652,24 @@ def test_temperature_upsample_copies_and_determinism(spark):
     n_big = sum(1 for r in rows if r["source"] == "big")
     n_small = sum(1 for r in rows if r["source"] == "small")
     assert n_big < 80 and n_small > 20
+
+
+def test_group_quantile_filter_keeps_null_group(spark):
+    """A NULL group is a real stratum: its rows must be filtered
+    against their own cutoff (null-safe join-back), not silently
+    dropped by a plain equi join."""
+    from data_pipelines_spark.operators.corpus import filter_by_group_quantile
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), (None, 5.0), (None, 6.0)],
+        "g string, v double",
+    )
+    out = {
+        (r["g"], r["v"])
+        for r in filter_by_group_quantile(
+            df, "v", ["g"], q=0.5, keep="above", exact=True
+        ).collect()
+    }
+    assert (None, 6.0) in out          # above its group's 5.5 cutoff
+    assert (None, 5.0) not in out
+    assert {p for p in out if p[0] == "a"} == {("a", 2.0), ("a", 3.0)}
