@@ -102,7 +102,14 @@ def _to_number(df: DataFrame, col: str) -> Column:
     predicate itself compares the ORIGINAL values, so the cast's
     precision only has to be good enough to land each value in the
     right bin (epoch seconds for timestamps: exact; a value at x.9 s
-    and a bound at x.1 s share bin floor(x/w) regardless)."""
+    and a bound at x.1 s share bin floor(x/w) regardless).
+
+    Dates and timestamps map into the SAME domain (epoch seconds) so a
+    timestamp point can bin against date-typed interval bounds — in
+    day units a date-side bin would sit ~86400x away from the point's
+    second-unit bin and every true pair would silently miss its
+    rendezvous (the exact predicate itself coerces date↔timestamp
+    fine; only the binning needs the shared unit)."""
     dt = df.schema[col].dataType
     if isinstance(dt, T.TimestampType | T.TimestampNTZType):
         # Integer epoch seconds. The cast truncates toward zero (not
@@ -110,8 +117,18 @@ def _to_number(df: DataFrame, col: str) -> Column:
         # s <= p <= e ordered in the image, which is all binning needs.
         return F.col(col).cast("long")
     if isinstance(dt, T.DateType):
-        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("long")
+        return (
+            F.datediff(F.col(col), F.lit("1970-01-01")).cast("long")
+            * F.lit(86400).cast("long")
+        )
     return F.col(col)
+
+
+def _bin_domain(df: DataFrame, col: str) -> str:
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.TimestampType | T.TimestampNTZType | T.DateType):
+        return "temporal"
+    return "numeric"
 
 
 def interval_join(
@@ -135,6 +152,12 @@ def interval_join(
     windows use. ``how`` is ``inner`` | ``left`` | ``left_semi``
     (semi returns point rows that fall in at least one interval,
     deduplicated by the join itself).
+
+    ``bin_width`` is in the column domain's units: SECONDS for any
+    temporal columns (dates bin as midnight epoch seconds, so
+    timestamp points join date-bounded intervals correctly), plain
+    value units for numeric columns; mixing temporal and numeric
+    domains raises (their bins could never align).
 
     Plan shape: points get one bin key ``floor(p / bin_width)``;
     intervals explode to one row per covered bin (``sequence`` over
@@ -169,6 +192,17 @@ def interval_join(
         )
     if "__bin" in points.columns or "__bin" in intervals.columns:
         raise ValueError("'__bin' is reserved by interval_join; rename it")
+    domains = {
+        _bin_domain(points, point_col),
+        _bin_domain(intervals, start_col),
+        _bin_domain(intervals, end_col),
+    }
+    if len(domains) > 1:
+        raise ValueError(
+            "interval_join point and bound columns mix temporal and "
+            "numeric types; cast them to one domain (bins would never "
+            "align across domains)"
+        )
 
     w = F.lit(int(bin_width)).cast("long")
     lo = F.floor(_to_number(intervals, start_col) / w).cast("long")

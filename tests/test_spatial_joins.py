@@ -388,3 +388,36 @@ def test_interval_join_rejects_ambiguous_columns(spark):
     ivs = spark.createDataFrame([(1, 0, 10)], "pid long, s long, e long")
     with _pytest.raises(ValueError, match="ambiguous"):
         interval_join(pts, ivs, "x", "s", "e", 10)
+
+
+def test_interval_join_date_bounds_with_timestamp_points(spark):
+    """Dates and timestamps share the epoch-second bin domain: a
+    timestamp point must meet its date-bounded interval (in day units
+    the date-side bins would sit ~86400x away and every true pair
+    silently missed); temporal x numeric mixes raise instead."""
+    import datetime as dt
+
+    import pytest
+
+    from data_pipelines_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5, 12, 0)), (2, dt.datetime(2024, 2, 1, 0, 0))],
+        "pid long, t timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(100, dt.date(2024, 1, 1), dt.date(2024, 1, 10))],
+        "iid long, s date, e date",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, "t", "s", "e", bin_width=86400).collect()
+    )
+    assert got == [(1, 100)]
+    # all-date inputs bin in seconds too (bin_width=86400 = one day)
+    dpts = spark.createDataFrame([(1, dt.date(2024, 1, 5))], "pid long, t date")
+    assert interval_join(dpts, ivs, "t", "s", "e", bin_width=86400).count() == 1
+    # temporal x numeric mix is a loud error
+    npts = spark.createDataFrame([(1, 5.0)], "pid long, t double")
+    with pytest.raises(ValueError, match="mix temporal and numeric"):
+        interval_join(npts, ivs, "t", "s", "e", bin_width=86400)
