@@ -69,6 +69,12 @@ def grouped_running_sum(
     from a partition-count-sized summary that is broadcast back.
     Output equals the naive window's for any total order.
     """
+    # Output type = whatever SUM(value) naturally produces (long for
+    # integral inputs, double for double, decimal for decimal) — a
+    # hardcoded long cast would silently truncate fractional running
+    # sums. Schema-only probe, no job.
+    sum_type = df.select(F.sum(value).alias("__t")).schema["__t"].dataType
+    zero = F.lit(0).cast(sum_type)
     parts = df.repartitionByRange(*[F.col(g) for g in group], *order).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -77,7 +83,7 @@ def grouped_running_sum(
         "__lsum",
         F.coalesce(
             F.sum(value).over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0).cast("long"),
+            zero,
         ),
     )
     offsets = (
@@ -91,14 +97,16 @@ def grouped_running_sum(
                     .orderBy("__pid")
                     .rowsBetween(Window.unboundedPreceding, -1)
                 ),
-                F.lit(0).cast("long"),
+                zero,
             ),
         )
         .drop("__n")
     )
     return (
         local.join(F.broadcast(offsets), ["__pid", *group])
-        .withColumn(alias, (F.col("__lsum") + F.col("__offset")).cast("long"))
+        .withColumn(
+            alias, (F.col("__lsum") + F.col("__offset")).cast(sum_type)
+        )
         .drop("__pid", "__lsum", "__offset")
     )
 

@@ -673,3 +673,29 @@ def test_group_quantile_filter_keeps_null_group(spark):
     assert (None, 6.0) in out          # above its group's 5.5 cutoff
     assert (None, 5.0) not in out
     assert {p for p in out if p[0] == "a"} == {("a", 2.0), ("a", 3.0)}
+
+
+def test_grouped_running_sum_preserves_double_type(spark):
+    """Fractional running sums must come back as doubles — the old
+    hardcoded long cast truncated them."""
+    from pyspark.sql import Window
+
+    from data_pipelines_spark.plans.windows import grouped_running_sum
+
+    rows = [(i, f"s{i % 2}", (i % 7) + 0.5) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double").repartition(5)
+    out = grouped_running_sum(df, ["grp"], [F.col("id").asc()], "v", alias="cum")
+    assert dict(out.dtypes)["cum"] == "double"
+    got = {r["id"]: r["cum"] for r in out.collect()}
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn(
+            "cum", F.coalesce(F.sum("v").over(w), F.lit(0.0))
+        ).collect()
+    }
+    assert got == want
