@@ -40,7 +40,17 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either vector has zero norm.
+
+    A zero vector (a deleted or padded embedding — routine in a real
+    corpus) has no direction: under ANSI mode the bare division would
+    abort the WHOLE query with DIVIDE_BY_ZERO, and with ANSI off it
+    yields NaN, which Spark's ordering ranks ABOVE every real score —
+    a zero vector would win every top-k. NULL does the right thing in
+    both consumers: descending sorts place NULLs last, and
+    ``cosine >= t`` thresholds reject them."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
 
 
 def cosine_scores(

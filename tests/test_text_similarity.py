@@ -322,3 +322,25 @@ def test_kmeans_fit_reads_source_once_and_unpersists(spark):
     # the fit's own cache is released (compare against the pre-existing
     # count: earlier suite queries hold session-scoped caches by design)
     assert cached_count() <= before_cached
+
+
+def test_cosine_zero_norm_vector_is_null_not_crash(spark):
+    """A zero-norm embedding (deleted/padded row) must score NULL —
+    under ANSI the bare division aborts the whole query, and with ANSI
+    off the NaN would rank ABOVE every real match in a descending
+    top-k."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.operators.similarity import brute_force_topk, cosine
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([([1.0, 0.0],)], "qvec array<double>")
+    top = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(emb, q, k=2).collect()]
+    assert [t[0] for t in top] == [1, 3]       # zero vector never wins
+    scored = emb.select(
+        "vec_id", cosine(F.col("embedding"), F.lit([0.0, 0.0]).cast("array<double>")).alias("c")
+    )
+    assert all(r["c"] is None for r in scored.collect())
