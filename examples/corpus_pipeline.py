@@ -153,6 +153,38 @@ def main() -> None:
         print(f"curated {n} docs into ~{(n_seq or 0) + 1} sequences per stream; "
               f"near-dup pairs dropped: {pairs.count()}")
         curated.orderBy("source", "doc_id").show(8)
+
+        # --- Day 2: incremental ingest. The curated corpus's MinHash
+        # signatures persist as the dedup store; a new batch is checked
+        # against ALL prior history without re-hashing it (join work
+        # scales with the batch, not the corpus), then its surviving
+        # signatures append to the store. streaming/dedup.py wraps this
+        # same loop as a foreachBatch sink for a continuous feed.
+        from data_pipelines_spark.operators.dedup import (
+            incremental_near_duplicates,
+            minhash_signatures,
+        )
+
+        store = os.path.join(d, "sig_store")
+        minhash_signatures(curated, shingle_k=3).write.parquet(store)
+        batch = spark.createDataFrame(
+            [
+                (1000, rows[0]["text"].replace("that", "this"), "crawl"),
+                (1001, "genuinely novel day-two content about glaciers "
+                       "and meadows and shepherds", "crawl"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        inc_pairs, new_sigs = incremental_near_duplicates(
+            batch, spark.read.parquet(store), shingle_k=3,
+            jaccard_threshold=0.6,
+        )
+        dupes = inc_pairs.select(F.col("doc_a").alias("doc_id")).distinct()
+        fresh = batch.join(dupes, "doc_id", "left_anti")
+        new_sigs.join(fresh, "doc_id", "left_semi").write.mode("append").parquet(store)
+        print(f"day-2 batch: {batch.count()} docs, "
+              f"{dupes.count()} near-dup of stored history, "
+              f"{fresh.count()} ingested")
     spark.stop()
 
 
