@@ -48,9 +48,18 @@ def cosine(a: Column, b: Column) -> Column:
     yields NaN, which Spark's ordering ranks ABOVE every real score —
     a zero vector would win every top-k. NULL does the right thing in
     both consumers: descending sorts place NULLs last, and
-    ``cosine >= t`` thresholds reject them."""
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom != 0.0, dot(a, b) / denom)
+    ``cosine >= t`` thresholds reject them.
+
+    The denominator is let-bound so the two norm aggregations run once
+    per row, not once per reference (cosine sits inside higher-order
+    lambdas where Catalyst's subexpression elimination does not
+    reach)."""
+    from data_pipelines_spark.functions.text import let
+
+    return let(
+        l2_norm(a) * l2_norm(b),
+        lambda denom: F.when(denom != 0.0, dot(a, b) / denom),
+    )
 
 
 def cosine_scores(
