@@ -99,6 +99,13 @@ def upsert_partitioned(
             f"unsupported format '{format}' (supported: parquet, delta)"
         )
     if not dataset_exists(spark, path):
+        # Bootstrapping a PARTITIONED dataset from an empty batch would
+        # write a directory with no parquet footers (zero partition
+        # dirs), which every later read rejects with
+        # UNABLE_TO_INFER_SCHEMA — leave the dataset nonexistent
+        # instead and let the first non-empty batch bootstrap it.
+        if parts and updates.isEmpty():
+            return
         writer = updates.write.mode("overwrite")
         if parts:
             writer = writer.partitionBy(*parts)

@@ -301,9 +301,16 @@ def upsert_readback(spark, sf_dir):
 
     d = tempfile.mkdtemp(prefix="dps_upsert_oracle_")
     path = os.path.join(d, "tbl")
+    schema = "k long, bucket long, status string, price double, ver long"
     try:
         upsert_partitioned(spark, base, path, ["k"], ["bucket"], version_col="ver")
         upsert_partitioned(spark, upd, path, ["k"], ["bucket"], version_col="ver")
+        from data_pipelines_spark.sources.materialize import dataset_exists
+
+        if not dataset_exists(spark, path):
+            # zero-row source tables: empty bootstraps are no-ops by
+            # contract, so the dataset was never created
+            return spark.createDataFrame([], schema=schema)
         readback = spark.read.parquet(path).select(
             F.col("k").cast("long").alias("k"),
             F.col("bucket").cast("long").alias("bucket"),
@@ -314,6 +321,4 @@ def upsert_readback(spark, sf_dir):
         rows = readback.collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, schema="k long, bucket long, status string, price double, ver long"
-    )
+    return spark.createDataFrame(rows, schema=schema)

@@ -39,7 +39,29 @@ EMPTY_OK = [
     "text_stats",
     "q1_pricing_summary",
     "rollup_region_nation",
+    "subquery_pivot_suite",   # skew-split anti join: empty hot count job
+    "quality_report",
+    "upsert_readback",
 ]
+
+
+def test_incremental_near_duplicates_empty_sides(spark):
+    """Both degenerate shapes: an empty batch against a real store, and
+    a real batch against an empty store."""
+    from data_pipelines_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some reasonably long text for shingling here")],
+        "doc_id long, text string",
+    )
+    store = minhash_signatures(docs)
+    p1, s1 = incremental_near_duplicates(docs.limit(0), store)
+    assert p1.count() == 0 and s1.count() == 0
+    p2, s2 = incremental_near_duplicates(docs, store.limit(0))
+    assert p2.count() == 0 and s2.count() == 1
 
 
 @pytest.fixture(scope="module")

@@ -28,6 +28,9 @@ _SENSITIVE = [
     "minhash_near_dup_pairs",
     "global_agg_distinct",
     "event_window_frames",
+    # hot/cold split join (idle branch): union of a broadcast and a
+    # shuffle anti join must not depend on partition counts
+    "subquery_pivot_suite",
 ]
 
 
