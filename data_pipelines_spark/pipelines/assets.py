@@ -130,7 +130,14 @@ class AssetGraph:
             asset = self._assets[name]
             path = os.path.join(root_dir, name)
             if asset.fn is None:  # source asset: verify it exists, don't write
-                if not os.path.exists(path):
+                # Hadoop-FS probe, not os.path: root_dir may be an
+                # object-store URI (same contract as
+                # sources.materialize.dataset_exists).
+                from data_pipelines_spark.sources.materialize import (
+                    dataset_exists,
+                )
+
+                if not dataset_exists(spark, path):
                     raise FileNotFoundError(
                         f"source asset {name} not materialized at {path}"
                     )
