@@ -44,6 +44,13 @@ def asof_join(
 
     Right rows must be unique per (key, ts) — pre-aggregate otherwise
     (nondeterministic ties are the caller's bug, not silently resolved).
+
+    NULL timestamps match nothing (merge-asof semantics): NULL-ts right
+    rows are dropped — under the windows below, NULLS FIRST ordering
+    would otherwise leak such a row's value to every left row EARLIER
+    than any real right row — and a NULL-ts left row comes back with
+    NULL value columns (both orderings place it before every right
+    row).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
@@ -53,7 +60,8 @@ def asof_join(
     for v in value_cols:
         l_tagged = l_tagged.withColumn(v, F.lit(None).cast(right.schema[v].dataType))
     r_tagged = (
-        right.select(
+        right.where(F.col(right_ts).isNotNull())
+        .select(
             *key_cols, F.col(right_ts).alias("__ts"), *value_cols
         ).withColumn("__is_left", F.lit(0))
     )
@@ -83,9 +91,12 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
+        # desc_nulls_first so a NULL-ts LEFT row precedes every right
+        # row (sees nothing → NULL), mirroring asc's nulls-first in the
+        # backward direction.
         w = (
             Window.partitionBy(*key_cols)
-            .orderBy(F.desc("__ts"), F.asc("__is_left"))
+            .orderBy(F.desc_nulls_first("__ts"), F.asc("__is_left"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 

@@ -421,3 +421,33 @@ def test_interval_join_date_bounds_with_timestamp_points(spark):
     npts = spark.createDataFrame([(1, 5.0)], "pid long, t double")
     with pytest.raises(ValueError, match="mix temporal and numeric"):
         interval_join(npts, ivs, "t", "s", "e", bin_width=86400)
+
+
+def test_asof_join_null_timestamps_match_nothing(spark):
+    """merge-asof semantics: a NULL-ts right row must not leak its
+    value to left rows earlier than any real right row (NULLS FIRST
+    ordering put it before everything), and NULL-ts left rows get NULL
+    values in BOTH directions."""
+    import datetime as dt
+
+    from data_pipelines_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, dt.datetime(2024, 1, 1), 7.0)],
+        "k long, rts timestamp, v double",
+    )
+    early = spark.createDataFrame([(1, dt.datetime(2023, 1, 1))], "k long, ts timestamp")
+    late = spark.createDataFrame([(1, dt.datetime(2024, 6, 1))], "k long, ts timestamp")
+    null_left = spark.createDataFrame([(1, None)], "k long, ts timestamp")
+
+    bw = lambda l: asof_join(l, right, ["k"], "ts", "rts", ["v"]).collect()
+    fw = lambda l: asof_join(
+        l, right, ["k"], "ts", "rts", ["v"], direction="forward"
+    ).collect()
+
+    assert bw(early)[0]["v"] is None      # nothing at-or-before → NULL
+    assert bw(late)[0]["v"] == 7.0
+    assert fw(early)[0]["v"] == 7.0       # earliest at-or-after
+    assert fw(late)[0]["v"] is None
+    assert bw(null_left)[0]["v"] is None
+    assert fw(null_left)[0]["v"] is None
