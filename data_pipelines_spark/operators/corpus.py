@@ -27,14 +27,22 @@ def vocabulary_stats(
     docs: DataFrame,
     text_col: str = "text",
     top_k: int | None = None,
+    with_idf: bool = False,
 ) -> DataFrame:
-    """Corpus token-frequency table: (token, token_cnt, doc_cnt, rank).
+    """Corpus token-frequency table: (token, token_cnt, doc_cnt[, idf],
+    rank).
 
     Explode → groupBy(token) with map-side partial aggregation; rank by
     descending frequency with a deterministic tie-break. ``top_k``
     bounds the output via TakeOrdered (no global sort materialization).
     The Zipf head this produces drives tokenizer-vocabulary and
     stopword decisions in a corpus pipeline.
+
+    ``with_idf=True`` appends the BM25 inverse document frequency
+    ``round(ln((N − doc_cnt + 0.5)/(doc_cnt + 0.5) + 1), 6)`` (the
+    Robertson/Lucene form used by :func:`operators.ranking.bm25_scores`;
+    N = document count, a single-row broadcast — constant-sized at any
+    corpus scale; rounded so external engines reproduce it exactly).
     """
     toks = docs.select(
         F.col("doc_id"),
@@ -44,6 +52,20 @@ def vocabulary_stats(
         F.count(F.lit(1)).alias("token_cnt"),
         F.countDistinct("doc_id").alias("doc_cnt"),
     )
+    if with_idf:
+        n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+        dc = F.col("doc_cnt").cast("double")
+        counts = counts.crossJoin(F.broadcast(n_docs)).select(
+            "token",
+            "token_cnt",
+            "doc_cnt",
+            F.round(
+                F.log(
+                    (F.col("__n").cast("double") - dc + 0.5) / (dc + 0.5) + 1.0
+                ),
+                6,
+            ).alias("idf"),
+        )
     order = [F.desc("token_cnt"), F.asc("token")]
     if top_k is not None:
         # TakeOrdered head, then rank only the top_k rows — the single-

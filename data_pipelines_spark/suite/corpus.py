@@ -37,24 +37,28 @@ _TOKS = (
                count(*) AS token_cnt,
                count(DISTINCT doc_id) AS doc_cnt
         FROM toks GROUP BY token
-    )
+    ),
+    n_docs AS (SELECT count(*) AS n FROM documents)
     SELECT token, token_cnt, doc_cnt,
+           round(ln((CAST(n AS DOUBLE) - CAST(doc_cnt AS DOUBLE) + 0.5)
+                    / (CAST(doc_cnt AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
            CAST(row_number() OVER (ORDER BY token_cnt DESC, token)
                 AS BIGINT) AS rank
-    FROM counts
+    FROM counts, n_docs
     ORDER BY token_cnt DESC, token
     LIMIT 100
     """,
 )
 def vocabulary_stats_query(spark, sf_dir):
     """Zipf head of the corpus vocabulary: top-100 tokens by frequency
-    with document counts and a deterministic rank (ties broken by
-    token). TakeOrdered head + bounded-head rank — no corpus-wide
-    single-partition window (the unbounded path uses the two-phase
-    `plans.windows.global_rank`)."""
+    with document counts, BM25 inverse document frequency (the idf the
+    `operators.ranking` scorers consume; N is a single-row broadcast),
+    and a deterministic rank (ties broken by token). TakeOrdered head +
+    bounded-head rank — no corpus-wide single-partition window (the
+    unbounded path uses the two-phase `plans.windows.global_rank`)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return vocabulary_stats(docs, top_k=100)
+    return vocabulary_stats(docs, top_k=100, with_idf=True)
 
 
 def _md5_frac_sql(id_expr: str, salt: str) -> str:

@@ -56,11 +56,100 @@ def exact_dedup_docs(spark, sf_dir):
 
 _BPE_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
 
+# Span-level exact-substring dedup + fixed-query BM25, fused into the
+# text_stats entry (doc grain preserved; registry stays at 50).
+_SPAN_N = 8
+_BM25_TERMS = ("customer", "vector", "spark", "the")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
 
-@register(
-    "text_stats",
-    rf"""
-    SELECT doc_id,
+
+def _text_stats_sql() -> str:
+    """Oracle: narrow per-doc stats + duplicated-span profile (positioned
+    8-grams → corpus-duplicated grams → merged maximal spans) + Okapi
+    BM25 against the pinned query, mirroring the operators' rounded-ln
+    determinism contract expression for expression."""
+    n = _SPAN_N
+    toks_lower = (
+        "CASE WHEN length(trim(text)) = 0 THEN [] "
+        "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+    )
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = "\n                 + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN round("
+        f"round(ln((CAST(n_corpus AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0), 6)"
+        f" * (CAST(tf_{i} AS DOUBLE) * ({_BM25_K1} + 1.0)"
+        f" / (CAST(tf_{i} AS DOUBLE) + {_BM25_K1} * ({1.0 - _BM25_B}"
+        f" + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl))), 6) ELSE 0.0 END"
+        for i in range(len(_BM25_TERMS))
+    )
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, text, {toks_lower} AS toks FROM documents
+    ),
+    pos_grams AS (
+        SELECT doc_id, u.i AS pos, u.gram AS gram
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - {n} + 2),
+                          i -> struct_pack(i := i, gram := {gram}))) AS u
+            FROM base WHERE len(toks) >= {n}
+        )
+    ),
+    dupg AS (
+        SELECT gram FROM pos_grams GROUP BY gram HAVING count(*) >= 2
+    ),
+    marked AS (
+        SELECT p.doc_id, p.pos FROM pos_grams p JOIN dupg d USING (gram)
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= {n} THEN 0 ELSE 1 END AS new_span
+        FROM marked
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM flagged
+    ),
+    span_aggs AS (
+        SELECT doc_id, span_id, count(*) AS g,
+               max(pos) - min(pos) + {n} AS covered
+        FROM islands GROUP BY doc_id, span_id
+    ),
+    dup_per_doc AS (
+        SELECT doc_id, sum(g) AS n_dup_grams, count(*) AS n_dup_spans,
+               sum(covered) AS dup_tokens
+        FROM span_aggs GROUP BY doc_id
+    ),
+    tf AS (
+        SELECT doc_id, len(toks) AS dl,
+               {tf_cols}
+        FROM base
+    ),
+    stats AS (
+        SELECT count(*) AS n_corpus, sum(dl) AS sum_dl, {df_cols} FROM tf
+    ),
+    bm25 AS (
+        SELECT doc_id,
+               round(CASE WHEN dl > 0 THEN
+                   {contribs}
+               ELSE 0.0 END, 6) AS bm25_score
+        FROM tf, (SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_corpus AS DOUBLE)
+                         AS avgdl FROM stats)
+    )
+    SELECT d.doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_calc,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -69,21 +158,49 @@ _BPE_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
                 AS BIGINT) AS n_punct,
            CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
-               AS n_bpe_tokens
-    FROM documents
-    """,
-)
+               AS n_bpe_tokens,
+           CAST(COALESCE(dp.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(dp.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(dp.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(CAST(COALESCE(dp.dup_tokens, 0) AS DOUBLE)
+                 / greatest(CAST(len(d.toks) AS DOUBLE), 1.0), 6)
+               AS dup_token_frac,
+           b.bm25_score
+    FROM base d
+    LEFT JOIN dup_per_doc dp ON d.doc_id = dp.doc_id
+    JOIN bm25 b ON d.doc_id = b.doc_id
+    """
+
+
+@register("text_stats", _text_stats_sql())
 def text_stats(spark, sf_dir):
     """Per-document text statistics: char/byte length, whitespace token
     count, punctuation count, and BPE-style pre-tokenization count
     (letter runs, short digit runs, individual symbols — the GPT-2-style
     splitter shape restricted to a regex dialect identical in Java and
     RE2) — all native expressions. Absorbs the former bpe_token_counts
-    query (registry trimmed so the driver sweep covers every entry)."""
+    query, and (round 5) fuses two corpus-level signal families at the
+    same doc grain so the driver hash-checks them every sweep:
+
+    - ``n_dup_grams`` / ``n_dup_spans`` / ``dup_tokens`` /
+      ``dup_token_frac`` — span-level exact-substring duplication
+      (`operators.dedup.duplicate_span_stats`, the Lee et al. 2022
+      shape): positions whose 8-gram occurs >= 2 times corpus-wide,
+      merged into maximal spans (gap <= n), and the token coverage of
+      those spans. Gram-string groupBy here for oracle portability;
+      ``hash_grams=True`` is the shuffle-shrinking scale mode
+      (equivalence unit-tested).
+    - ``bm25_score`` — Okapi BM25 (`operators.ranking.bm25_scores`)
+      against a pinned 4-term query; corpus stats (N, avgdl, df) are a
+      single-row broadcast, idf rounded to 6 before the multiply so the
+      oracle reproduces the score bit-for-bit."""
+    from data_pipelines_spark.operators.dedup import duplicate_span_stats
+    from data_pipelines_spark.operators.ranking import bm25_scores
+
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    base = docs.select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars_calc"),
         byte_length(t).alias("n_bytes"),
@@ -93,6 +210,11 @@ def text_stats(spark, sf_dir):
             F.regexp_extract_all(t, F.lit(_BPE_PATTERN), F.lit(0))
         ).cast("long").alias("n_bpe_tokens"),
     )
+    spans = duplicate_span_stats(docs, n=_SPAN_N)
+    bm25 = bm25_scores(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B).select(
+        "doc_id", "bm25_score"
+    )
+    return base.join(spans, "doc_id").join(bm25, "doc_id")
 
 
 def _doc_profile_sql() -> str:

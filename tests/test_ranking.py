@@ -1,0 +1,225 @@
+"""Unit tests for the relevance-scoring tier (operators/ranking.py) and
+the span-level exact-substring dedup (operators/dedup.py::
+duplicate_span_stats) — both verified against independent pure-Python
+re-implementations of the documented formulas.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.operators.dedup import duplicate_span_stats
+from data_pipelines_spark.operators.ranking import bm25_scores, tf_idf
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log"),
+    (2, "a vector is a thing the cat likes"),
+    (3, ""),
+    (4, "cat cat cat cat"),
+    (5, None),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_bm25(texts, terms, k1=1.2, b=0.75):
+    """Independent reference: same formula, same rounding contract."""
+    toks = {i: (t or "").lower().split() for i, t in texts}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, v in toks.items():
+        score = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            idf6 = round(math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0), 6)
+            sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(v) / avgdl))
+            score += round(idf6 * sat, 6)
+        out[i] = round(score, 6) if len(v) else 0.0
+    return out
+
+
+class TestBM25:
+    def test_matches_reference(self, spark):
+        got = {
+            r["doc_id"]: r["bm25_score"]
+            for r in bm25_scores(_docs_df(spark), ["the", "cat", "vector"]).collect()
+        }
+        want = _py_bm25([(i, t) for i, t in DOCS], ["the", "cat", "vector"])
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=2e-6), k
+
+    def test_empty_and_null_docs_score_zero(self, spark):
+        got = {
+            r["doc_id"]: r["bm25_score"]
+            for r in bm25_scores(_docs_df(spark), ["cat"]).collect()
+        }
+        assert got[3] == 0.0
+        assert got[5] == 0.0
+
+    def test_absent_term_contributes_nothing(self, spark):
+        base = {
+            r["doc_id"]: r["bm25_score"]
+            for r in bm25_scores(_docs_df(spark), ["cat"]).collect()
+        }
+        extended = {
+            r["doc_id"]: r["bm25_score"]
+            for r in bm25_scores(_docs_df(spark), ["cat", "zzzznope"]).collect()
+        }
+        assert base == extended
+
+    def test_term_saturation_monotone(self, spark):
+        # doc 4 repeats 'cat' 4x: higher score than single-occurrence
+        # docs, but far less than 4x (saturation).
+        got = {
+            r["doc_id"]: r["bm25_score"]
+            for r in bm25_scores(_docs_df(spark), ["cat"]).collect()
+        }
+        assert got[4] > got[0] > 0
+        assert got[4] < 4 * got[0]
+
+    def test_rejects_bad_queries(self, spark):
+        with pytest.raises(ValueError):
+            bm25_scores(_docs_df(spark), [])
+        with pytest.raises(ValueError):
+            bm25_scores(_docs_df(spark), ["a", "a"])
+
+
+class TestTfIdf:
+    def test_matches_reference(self, spark):
+        rows = tf_idf(_docs_df(spark)).collect()
+        toks = {i: (t or "").lower().split() for i, t in DOCS}
+        n = len(DOCS)
+        for r in rows:
+            v = toks[r["doc_id"]]
+            tf = v.count(r["token"])
+            df = sum(1 for w in toks.values() if r["token"] in w)
+            assert r["tf"] == tf
+            assert r["df"] == df
+            idf6 = round(math.log((n + 1) / (df + 1)) + 1, 6)
+            assert r["tfidf"] == pytest.approx(
+                round(tf / len(v) * idf6, 6), abs=2e-6
+            )
+
+    def test_empty_docs_emit_no_rows(self, spark):
+        ids = {r["doc_id"] for r in tf_idf(_docs_df(spark)).collect()}
+        assert 3 not in ids and 5 not in ids
+
+    def test_min_df_drops_rare_tokens_after_df(self, spark):
+        rows = tf_idf(_docs_df(spark), min_df=2).collect()
+        assert rows, "common tokens must survive"
+        assert all(r["df"] >= 2 for r in rows)
+        # df semantics unchanged: 'the' appears in 3 docs regardless
+        the = [r for r in rows if r["token"] == "the"]
+        assert the and all(r["df"] == 3 for r in the)
+
+
+def _py_dup_spans(texts, n, min_count=2):
+    """Independent reference for duplicate_span_stats."""
+    toks = {i: (t or "").lower().split() for i, t in texts}
+    grams = {}  # gram -> count over all positions
+    pos = {}  # doc -> [positions of its grams]
+    gram_at = {}
+    for i, v in toks.items():
+        gram_at[i] = [
+            " ".join(v[p : p + n]) for p in range(len(v) - n + 1)
+        ]
+        for g in gram_at[i]:
+            grams[g] = grams.get(g, 0) + 1
+    out = {}
+    for i, v in toks.items():
+        dup_pos = [p for p, g in enumerate(gram_at[i]) if grams[g] >= min_count]
+        spans = []
+        for p in dup_pos:
+            if spans and p - spans[-1][1] <= n:
+                spans[-1] = (spans[-1][0], p, spans[-1][2] + 1)
+            else:
+                spans.append((p, p, 1))
+        covered = sum(e - s + n for s, e, _ in spans)
+        out[i] = (
+            len(dup_pos),
+            len(spans),
+            covered,
+            round(covered / max(len(v), 1), 6),
+        )
+    return out
+
+
+SPAN_DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta"),
+    (1, "x alpha beta gamma delta epsilon zeta eta y"),  # shares a 7-run
+    (2, "p q r s t u v w"),
+    (3, "rep rep rep rep rep rep"),  # within-doc repetition
+    (4, "short"),
+    (5, ""),
+    (6, None),
+]
+
+
+class TestDuplicateSpans:
+    def test_matches_reference(self, spark):
+        df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_dup_grams"],
+                r["n_dup_spans"],
+                r["dup_tokens"],
+                r["dup_token_frac"],
+            )
+            for r in duplicate_span_stats(df, n=3).collect()
+        }
+        want = _py_dup_spans(SPAN_DOCS, 3)
+        assert got == {
+            k: (a, b, c, pytest.approx(d, abs=1e-9)) for k, (a, b, c, d) in want.items()
+        }
+
+    def test_every_doc_gets_a_row(self, spark):
+        df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+        out = duplicate_span_stats(df, n=3).collect()
+        assert {r["doc_id"] for r in out} == {i for i, _ in SPAN_DOCS}
+        by_id = {r["doc_id"]: r for r in out}
+        for short_id in (4, 5, 6):
+            r = by_id[short_id]
+            assert (r["n_dup_grams"], r["n_dup_spans"], r["dup_tokens"]) == (0, 0, 0)
+            assert r["dup_token_frac"] == 0.0
+
+    def test_overlapping_spans_merge(self, spark):
+        # 'a b c' and 'c a b' both repeat; their positions in doc 0
+        # overlap within the n-window, so they form ONE span.
+        docs = [
+            (0, "a b c a b c z z z"),
+            (1, "a b c q q q c a b"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+            for r in duplicate_span_stats(df, n=3).collect()
+        }
+        want = _py_dup_spans(docs, 3)
+        assert got == {k: (b, c) for k, (_, b, c, _) in want.items()}
+
+    def test_hash_grams_equivalent(self, spark):
+        df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+        a = sorted(map(tuple, duplicate_span_stats(df, n=3).collect()))
+        b = sorted(
+            map(tuple, duplicate_span_stats(df, n=3, hash_grams=True).collect())
+        )
+        assert a == b
+
+    def test_no_duplicates_all_zero(self, spark):
+        df = spark.createDataFrame(
+            [(0, "one two three four"), (1, "five six seven eight")],
+            "doc_id long, text string",
+        )
+        out = duplicate_span_stats(df, n=2).collect()
+        assert all(r["n_dup_grams"] == 0 for r in out)
