@@ -313,3 +313,152 @@ def stream_upsert_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer
+
+
+def _norm_uri(u: str) -> str:
+    """Scheme-insensitive path key: 'file:/a/b', 'file:///a/b' and
+    '/a/b' all normalize to 'a/b' — lets driver-side Hadoop listings
+    join against executor-side ``input_file_name()`` URIs."""
+    import re
+
+    return re.sub(r"^[A-Za-z0-9]+:/+", "", u).lstrip("/")
+
+
+def list_data_files(spark: SparkSession, path: str) -> dict[str, list[tuple[str, int]]]:
+    """Recursive data-file listing grouped by containing directory
+    (normalized URI → [(file_path, bytes)]); hidden/metadata files
+    (``_SUCCESS``, ``.crc``, …) are excluded. Driver-side metadata walk
+    through the Hadoop FS API — one RPC stream, no Spark job."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: dict[str, list[tuple[str, int]]] = {}
+    if not fs.exists(jpath):
+        return out
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        if p.getName().startswith(("_", ".")):
+            continue
+        parent = _norm_uri(p.getParent().toString())
+        out.setdefault(parent, []).append((p.toString(), int(st.getLen())))
+    return out
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str] = (),
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction: rewrite directories whose file count
+    exceeds what ``target_bytes``-sized files need, leaving the data
+    byte-for-byte equivalent and every healthy partition's files
+    untouched (the OPTIMIZE/rewrite_data_files maintenance job of the
+    table formats, for plain parquet).
+
+    Why it exists at 100 TB: incremental MERGE (:func:`upsert_
+    partitioned`) and streaming sinks accrete a file per batch per
+    partition; thousands of tiny files turn every later scan into a
+    metadata storm and defeat row-group pruning. A periodic compaction
+    pass bounds file counts without rewriting the whole dataset — only
+    directories currently fragmented (file_count > ceil(bytes/target)
+    and >= ``min_files``) are read and rewritten.
+
+    Plan shape: ONE job reads all affected directories (partition
+    columns recovered via ``basePath``); each row's output file is
+    ``pmod(xxhash64(data columns), goal_files)`` — content-derived, so
+    task retries re-salt identically (the determinism bar
+    ``plans.skew.salted_agg`` set) — joined per-directory from a
+    broadcast goal table keyed on the normalized ``input_file_name()``
+    directory; a single repartition on (dir, file_no) then writes with
+    dynamic partition overwrite. The affected set is localCheckpoint-ed
+    first (same caveat as upsert: read-rewrite of the same path is not
+    transactional on raw parquet; bounded by the fragmented partitions'
+    bytes, which the compaction cadence controls).
+
+    Returns a report dict: ``dirs_compacted``, ``files_before``,
+    ``files_after``, ``bytes_compacted`` (affected dirs only).
+    """
+    parts = list(partition_cols)
+    by_dir = list_data_files(spark, path)
+    if not by_dir:
+        return {
+            "dirs_compacted": 0,
+            "files_before": 0,
+            "files_after": 0,
+            "bytes_compacted": 0,
+        }
+
+    affected: dict[str, tuple[list[tuple[str, int]], int]] = {}
+    for d, files in by_dir.items():
+        total = sum(sz for _, sz in files)
+        goal = max(1, -(-total // target_bytes))  # ceil
+        if len(files) > goal and len(files) >= min_files:
+            affected[d] = (files, goal)
+    if not affected:
+        return {
+            "dirs_compacted": 0,
+            "files_before": 0,
+            "files_after": 0,
+            "bytes_compacted": 0,
+        }
+
+    files_before = sum(len(f) for f, _ in affected.values())
+    bytes_total = sum(sz for f, _ in affected.values() for _, sz in f)
+    total_goal = sum(g for _, g in affected.values())
+
+    if parts:
+        # Read only fragmented partition dirs; basePath recovers the
+        # partition columns from the directory names.
+        dirs = sorted(
+            {fp.rsplit("/", 1)[0] for f, _ in affected.values() for fp, _ in f}
+        )
+        df = spark.read.option("basePath", path).parquet(*dirs)
+    else:
+        df = spark.read.parquet(path)
+
+    goals = spark.createDataFrame(
+        [(d, g) for d, (_, g) in sorted(affected.items())],
+        "`__dir` string, `__goal` long",
+    )
+    dir_key = F.regexp_replace(
+        F.regexp_replace(F.input_file_name(), "/[^/]*$", ""),
+        "^[A-Za-z0-9]+:/+",
+        "",
+    )
+    data_cols = [c for c in df.columns if c not in parts]
+    tagged = df.withColumn("__dir", dir_key).join(F.broadcast(goals), "__dir")
+    salt = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("__goal"))
+        if data_cols
+        else F.lit(0)
+    )
+    merged = (
+        tagged.withColumn("__file", salt)
+        .repartition(total_goal, F.col("__dir"), F.col("__file"))
+        .drop("__dir", "__goal", "__file")
+        .localCheckpoint(eager=True)
+    )
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer = merged.write.mode("overwrite")
+        if parts:
+            writer.partitionBy(*parts).parquet(path)
+        else:
+            writer.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    after = list_data_files(spark, path)
+    files_after = sum(len(after.get(d, ())) for d in affected)
+    return {
+        "dirs_compacted": len(affected),
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_compacted": bytes_total,
+    }

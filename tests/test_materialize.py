@@ -298,3 +298,105 @@ def test_composite_partition_prune_is_exact_tuples(spark, tmppath):
     }
     assert sorted(glob.glob(os.path.join(bystander, "*.parquet"))) == files
     assert [os.path.getmtime(f) for f in files] == mtimes
+
+
+class TestCompaction:
+    """compact_dataset: fragmented dirs rewritten to goal-sized file
+    counts, healthy dirs untouched, data multiset preserved."""
+
+    @staticmethod
+    def _fragmented(spark, path):
+        # day=d1: 8 tiny files; day=d2: 1 file (healthy)
+        from data_pipelines_spark.sources.materialize import upsert_partitioned
+
+        df1 = spark.createDataFrame(
+            [Row(day="d1", k=i, v=f"v{i}") for i in range(64)],
+            "day string, k long, v string",
+        ).repartition(8)
+        df1.write.partitionBy("day").mode("overwrite").parquet(path)
+        upsert_partitioned(
+            spark,
+            spark.createDataFrame(
+                [Row(day="d2", k=100, v="x")], "day string, k long, v string"
+            ),
+            path,
+            ["k"],
+            ["day"],
+        )
+
+    def test_compacts_fragmented_partition_only(self, spark, tmppath):
+        from data_pipelines_spark.sources.materialize import compact_dataset
+
+        self._fragmented(spark, tmppath)
+        before = {
+            (r.day, r.k): r.v for r in spark.read.parquet(tmppath).collect()
+        }
+        d1_before = glob.glob(os.path.join(tmppath, "day=d1", "*.parquet"))
+        assert len(d1_before) == 8
+        d2_files = sorted(glob.glob(os.path.join(tmppath, "day=d2", "*.parquet")))
+        d2_mtimes = [os.path.getmtime(f) for f in d2_files]
+
+        report = compact_dataset(spark, tmppath, ["day"])
+        assert report["dirs_compacted"] == 1
+        assert report["files_before"] == 8
+        assert report["files_after"] == 1
+        d1_after = glob.glob(os.path.join(tmppath, "day=d1", "*.parquet"))
+        assert len(d1_after) == 1
+        # healthy partition byte-identical
+        assert sorted(
+            glob.glob(os.path.join(tmppath, "day=d2", "*.parquet"))
+        ) == d2_files
+        assert [os.path.getmtime(f) for f in d2_files] == d2_mtimes
+        after = {
+            (r.day, r.k): r.v for r in spark.read.parquet(tmppath).collect()
+        }
+        assert after == before
+
+    def test_idempotent_second_run_noop(self, spark, tmppath):
+        from data_pipelines_spark.sources.materialize import compact_dataset
+
+        self._fragmented(spark, tmppath)
+        compact_dataset(spark, tmppath, ["day"])
+        report2 = compact_dataset(spark, tmppath, ["day"])
+        assert report2 == {
+            "dirs_compacted": 0,
+            "files_before": 0,
+            "files_after": 0,
+            "bytes_compacted": 0,
+        }
+
+    def test_unpartitioned_compaction(self, spark, tmppath):
+        from data_pipelines_spark.sources.materialize import compact_dataset
+
+        df = spark.range(1000).repartition(16)
+        df.write.mode("overwrite").parquet(tmppath)
+        assert len(glob.glob(os.path.join(tmppath, "*.parquet"))) == 16
+        report = compact_dataset(spark, tmppath)
+        assert report["dirs_compacted"] == 1
+        assert len(glob.glob(os.path.join(tmppath, "*.parquet"))) == 1
+        assert sorted(
+            r.id for r in spark.read.parquet(tmppath).collect()
+        ) == list(range(1000))
+
+    def test_target_bytes_splits_into_multiple_files(self, spark, tmppath):
+        from data_pipelines_spark.sources.materialize import compact_dataset
+
+        spark.range(2000).repartition(16).write.mode("overwrite").parquet(tmppath)
+        total = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(tmppath, "*.parquet"))
+        )
+        # force goal = 3-ish files
+        target = max(1, total // 3)
+        report = compact_dataset(spark, tmppath, target_bytes=target)
+        n_after = len(glob.glob(os.path.join(tmppath, "*.parquet")))
+        assert 1 < n_after < 16
+        assert report["files_after"] == n_after
+        assert sorted(
+            r.id for r in spark.read.parquet(tmppath).collect()
+        ) == list(range(2000))
+
+    def test_missing_dataset_reports_zero(self, spark, tmppath):
+        from data_pipelines_spark.sources.materialize import compact_dataset
+
+        assert compact_dataset(spark, tmppath)["dirs_compacted"] == 0
