@@ -21,6 +21,15 @@ class ChunkText:
     """Split a document into fixed-size character windows with overlap."""
 
     def eval(self, text: str, size: int = 100, overlap: int = 20):  # noqa: D102
+        if size <= 0 or overlap < 0 or overlap >= size:
+            # Fail loudly: size<=0 degenerates to empty chunks and a
+            # NEGATIVE overlap silently skips (size..size-overlap) chars
+            # between windows — data loss a training pipeline would
+            # never notice.
+            raise ValueError(
+                f"chunk_text requires 0 <= overlap < size, got "
+                f"size={size}, overlap={overlap}"
+            )
         if not text:
             return
         step = max(size - overlap, 1)

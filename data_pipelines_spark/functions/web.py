@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 # scheme://host[:port]/...  -> host (lowercased, port and creds stripped)
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+# bracketed IPv6 authority: scheme://[::1]:8080/ -> ::1
+_HOST6_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?\[([^\]]+)\]"
 
 # Multi-label public suffixes that need three labels for a registered
 # domain (a pragmatic head of the public-suffix list; a real deployment
@@ -26,9 +28,16 @@ _TWO_LABEL_SUFFIXES = (
 
 
 def url_host(url: Column) -> Column:
-    """Hostname of a URL (lowercase; credentials/port/path stripped);
+    """Hostname of a URL (lowercase; credentials/port/path stripped,
+    trailing FQDN dot removed, bracketed IPv6 literals unwrapped);
     null for non-URLs."""
-    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    host6 = F.regexp_extract(url, _HOST6_RE, 1)
+    host = F.lower(
+        F.when(host6 != "", host6).otherwise(F.regexp_extract(url, _HOST_RE, 1))
+    )
+    # "example.com." is the same FQDN as "example.com"; keeping the dot
+    # would map it to the bare TLD in registered_domain.
+    host = F.regexp_replace(host, r"\.$", "")
     return F.when(host != "", host)
 
 

@@ -93,9 +93,12 @@ def _normalize_jsonl(
     if id_field is not None:
         doc_id = F.col(id_field).cast("long")
     else:
+        # Corrupt rows have NULL text/source; hash the raw line instead
+        # so every malformed record keeps a distinct id (a shared
+        # sentinel id would collapse them under any downstream dedup).
         doc_id = F.xxhash64(
             F.coalesce(F.col("source"), F.lit("")),
-            F.coalesce(F.col("text"), F.lit("")),
+            F.coalesce(F.col("text"), F.col("_corrupt"), F.lit("")),
         )
     return df.select(doc_id.alias("doc_id"), "*")
 

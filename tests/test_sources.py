@@ -639,3 +639,20 @@ def test_stream_jsonl_incremental_curation(spark, tmp_path):
                   spark.sql("SELECT url FROM corpus_stream").collect())
     q.stop()
     assert got2 == ["https://a.ex/1", "https://a.ex/2"]
+
+
+def test_jsonl_corrupt_rows_keep_distinct_ids(spark, tmp_path):
+    """Probe regression: every malformed line hashes its raw content
+    into doc_id — a shared sentinel id would collapse distinct corrupt
+    rows under downstream dedup."""
+    from data_pipelines_spark.sources import corpus_io
+
+    src = tmp_path / "c"
+    src.mkdir()
+    (src / "p.jsonl").write_text(
+        '{"text":"ok","source":"s","lang":"en","url":"u"}\n'
+        "{bad one\n{bad two\n"
+    )
+    df = corpus_io.read_jsonl(spark, str(src))
+    assert df.count() == 3
+    assert df.select("doc_id").distinct().count() == 3

@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -344,3 +345,16 @@ def test_cosine_zero_norm_vector_is_null_not_crash(spark):
         "vec_id", cosine(F.col("embedding"), F.lit([0.0, 0.0]).cast("array<double>")).alias("c")
     )
     assert all(r["c"] is None for r in scored.collect())
+
+
+def test_chunk_text_rejects_lossy_parameters(spark):
+    """size<=0 degenerates to empty chunks; negative overlap silently
+    skips characters between windows — both must fail loudly."""
+    from data_pipelines_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    for size, overlap in ((0, 0), (4, -2), (4, 4)):
+        with pytest.raises(Exception, match="overlap"):
+            spark.sql(
+                f"SELECT * FROM chunk_text('abcdefgh', {size}, {overlap})"
+            ).collect()

@@ -92,3 +92,24 @@ def test_domain_count_cap(spark):
     assert 1520 in a                      # unparseable URL kept
     # schema passthrough: cap columns are dropped
     assert out.columns == docs.columns
+
+
+def test_url_host_fqdn_dot_and_ipv6(spark):
+    """Probe regressions: a trailing-dot FQDN is the same host (never
+    the bare TLD), and bracketed IPv6 literals unwrap instead of
+    degenerating to '['."""
+    df = _urls(spark, [
+        "http://example.com./trail",
+        "http://a.b.example.co.uk./x",
+        "http://[2001:db8::1]:8080/p",
+        "ftp://[::1]/x",
+    ]).select(
+        "doc_id",
+        url_host(F.col("url")).alias("host"),
+        registered_domain(F.col("url")).alias("dom"),
+    )
+    got = {r["doc_id"]: (r["host"], r["dom"]) for r in df.collect()}
+    assert got[0] == ("example.com", "example.com")
+    assert got[1] == ("a.b.example.co.uk", "example.co.uk")
+    assert got[2] == ("2001:db8::1", "2001:db8::1")
+    assert got[3] == ("::1", "::1")
