@@ -31,6 +31,9 @@ _SENSITIVE = [
     # hot/cold split join (idle branch): union of a broadcast and a
     # shuffle anti join must not depend on partition counts
     "subquery_pivot_suite",
+    # round-5 fusions: duplicated-span islands (per-doc window over a
+    # gram-shuffled semi join) + BM25 (single-row stats broadcast)
+    "text_stats",
 ]
 
 

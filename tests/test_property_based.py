@@ -165,3 +165,38 @@ def test_skew_split_join_equals_plain_join(spark, frames):
     )
     want = Counter(map(tuple, fact.join(dim, ["k"], how).collect()))
     assert got == want
+
+
+# --- duplicate_span_stats vs brute-force reference ---------------------
+
+# Tiny alphabet + short docs force repeated n-grams and overlapping
+# spans far more often than realistic text would.
+_words = st.sampled_from(["a", "b", "c"])
+_doc = st.lists(_words, min_size=0, max_size=14).map(" ".join)
+
+
+@SET
+@given(
+    st.lists(_doc, min_size=1, max_size=8),
+    st.integers(min_value=2, max_value=4),
+)
+def test_duplicate_span_stats_matches_bruteforce(spark, texts, n):
+    from data_pipelines_spark.operators.dedup import duplicate_span_stats
+    from tests.test_ranking import _py_dup_spans
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_dup_grams"],
+            r["n_dup_spans"],
+            r["dup_tokens"],
+            r["dup_token_frac"],
+        )
+        for r in duplicate_span_stats(df, n=n).collect()
+    }
+    want = _py_dup_spans(rows, n)
+    assert set(got) == set(want)
+    for k, (a, b, c, frac) in want.items():
+        assert got[k][:3] == (a, b, c), (k, texts, n)
+        assert got[k][3] == pytest.approx(frac, abs=1e-9)
