@@ -185,6 +185,17 @@ def main() -> None:
         print(f"day-2 batch: {batch.count()} docs, "
               f"{dupes.count()} near-dup of stored history, "
               f"{fresh.count()} ingested")
+
+        # --- Maintenance: every append accretes files; a periodic
+        # compaction pass rewrites only fragmented directories (healthy
+        # ones keep their files byte-identical), keeping the store's
+        # scan cost flat as days accumulate.
+        from data_pipelines_spark.sources.materialize import compact_dataset
+
+        report = compact_dataset(spark, store, min_files=2)
+        print(f"signature store compacted: {report['files_before']} -> "
+              f"{report['files_after']} files "
+              f"({report['dirs_compacted']} dirs)")
     spark.stop()
 
 
