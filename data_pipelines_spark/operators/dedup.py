@@ -724,3 +724,117 @@ def duplicate_span_stats(
             ).alias("dup_token_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    keep_first: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Cut corpus-duplicated spans out of the documents — the removal
+    step of Lee et al. 2022, at word-n-gram granularity: a position is
+    cut when its n-gram occurs at >= ``min_count`` positions corpus-wide
+    and (with ``keep_first=True``) it is not the gram's canonical first
+    occurrence (global min (doc, pos) — exactly one copy of each
+    duplicated passage survives; ``keep_first=False`` cuts every
+    occurrence). Cut positions merge into maximal spans (gap <= n, as
+    :func:`duplicate_span_stats`) and the tokens they cover are removed.
+
+    Output: one row per doc — (id, clean_text, n_tokens, n_removed
+    _tokens). ``clean_text`` is the surviving tokens rejoined with
+    single spaces (whitespace normalizes, same contract as
+    ``remove_boilerplate_lines``'s line reassembly).
+
+    Plan shape: the gram-duplication aggregate additionally carries
+    ``min(struct(doc, pos))`` — same single shuffle as the stats
+    operator; cut ranges per doc are a doc-sized array joined back, and
+    the removal itself is one row-local higher-order filter over the
+    token array (no UDF).
+    """
+    from pyspark.sql import Window
+
+    from data_pipelines_spark.functions.text import tokens
+    from data_pipelines_spark.operators.corpus import _word_ngrams_from_tokens
+
+    toked = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    key = (
+        F.xxhash64(F.col("gram")) if hash_grams else F.col("gram")
+    ).alias("__k")
+    grams = toked.select(
+        id_col,
+        F.posexplode(_word_ngrams_from_tokens(F.col("__toks"), n)).alias(
+            "pos", "gram"
+        ),
+    ).select(F.col(id_col).alias("__id"), "pos", key)
+
+    dup = (
+        grams.groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__first"),
+        )
+        .where(F.col("__cnt") >= min_count)
+        .select("__k", "__first")
+    )
+    marked = grams.join(dup, "__k")
+    if keep_first:
+        marked = marked.where(
+            ~(
+                (F.col("__id") == F.col("__first.__id"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
+    marked = marked.select(F.col("__id").alias(id_col), "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lag_pos = F.lag("pos").over(w)
+    new_span = F.when(
+        lag_pos.isNull() | (F.col("pos") - lag_pos > n), F.lit(1)
+    ).otherwise(F.lit(0))
+    ranges = (
+        marked.withColumn(
+            "__span",
+            F.sum(new_span).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "__span")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + n - 1).alias("end"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct(F.col("start"), F.col("end"))).alias(
+                "__cuts"
+            )
+        )
+    )
+
+    cuts = F.coalesce(
+        F.col("__cuts"),
+        F.array().cast("array<struct<start:int,end:int>>"),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            cuts, lambda r: (i >= r.getField("start")) & (i <= r.getField("end"))
+        ),
+    )
+    return (
+        toked.join(ranges, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            (F.size("__toks") - F.size(kept)).cast("long").alias(
+                "n_removed_tokens"
+            ),
+        )
+    )

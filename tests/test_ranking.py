@@ -223,3 +223,65 @@ class TestDuplicateSpans:
         )
         out = duplicate_span_stats(df, n=2).collect()
         assert all(r["n_dup_grams"] == 0 for r in out)
+
+
+class TestRemoveDuplicateSpans:
+    def _run(self, spark, docs, **kw):
+        from data_pipelines_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed_tokens"])
+            for r in remove_duplicate_spans(df, **kw).collect()
+        }
+
+    def test_keep_first_keeps_exactly_one_copy(self, spark):
+        shared = "alpha beta gamma delta"
+        docs = [
+            (0, f"{shared} unique zero tail"),
+            (1, f"one head {shared}"),
+            (2, "totally different words here now"),
+        ]
+        got = self._run(spark, docs, n=4)
+        # doc 0 holds the canonical (min doc, pos) occurrence -> intact
+        assert got[0] == (docs[0][1], 7, 0)
+        # doc 1's copy is cut, its own words survive
+        assert got[1] == ("one head", 6, 4)
+        assert got[2] == (docs[2][1], 5, 0)
+
+    def test_keep_first_false_cuts_every_copy(self, spark):
+        shared = "alpha beta gamma delta"
+        docs = [(0, f"{shared} x y z"), (1, f"p q {shared}")]
+        got = self._run(spark, docs, n=4, keep_first=False)
+        assert got[0] == ("x y z", 7, 4)
+        assert got[1] == ("p q", 6, 4)
+
+    def test_within_doc_repetition_keeps_first(self, spark):
+        docs = [(0, "a b c d STOP a b c d")]
+        got = self._run(spark, docs, n=4)
+        assert got[0] == ("a b c d stop", 9, 4)
+
+    def test_no_duplicates_roundtrips(self, spark):
+        docs = [(0, "one two three"), (1, ""), (2, None)]
+        got = self._run(spark, docs, n=2)
+        assert got[0] == ("one two three", 3, 0)
+        assert got[1][0] == "" and got[1][2] == 0
+        assert got[2][0] == ""
+
+    def test_consistent_with_span_stats_when_cutting_all(self, spark):
+        from data_pipelines_spark.operators.dedup import duplicate_span_stats
+
+        docs = [
+            (i, t)
+            for i, t in enumerate(
+                ["u v w x y z u v w x", "m n o p q r m n o p", "u v w x f g h i j k"]
+            )
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        stats = {
+            r["doc_id"]: r["dup_tokens"]
+            for r in duplicate_span_stats(df, n=3).collect()
+        }
+        removed = self._run(spark, docs, n=3, keep_first=False)
+        for i in stats:
+            assert removed[i][2] == stats[i]
