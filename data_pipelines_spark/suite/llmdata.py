@@ -106,7 +106,8 @@ def _text_stats_sql() -> str:
         )
     ),
     dupg AS (
-        SELECT gram FROM pos_grams GROUP BY gram HAVING count(*) >= 2
+        SELECT gram, min(doc_id * 1000000 + pos) AS first_key
+        FROM pos_grams GROUP BY gram HAVING count(*) >= 2
     ),
     marked AS (
         SELECT p.doc_id, p.pos FROM pos_grams p JOIN dupg d USING (gram)
@@ -132,6 +133,40 @@ def _text_stats_sql() -> str:
         SELECT doc_id, sum(g) AS n_dup_grams, count(*) AS n_dup_spans,
                sum(covered) AS dup_tokens
         FROM span_aggs GROUP BY doc_id
+    ),
+    cut_marked AS (
+        SELECT p.doc_id, p.pos
+        FROM pos_grams p JOIN dupg d USING (gram)
+        WHERE p.doc_id * 1000000 + p.pos <> d.first_key
+    ),
+    cut_flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= {n} THEN 0 ELSE 1 END AS new_span
+        FROM cut_marked
+    ),
+    cut_islands AS (
+        SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM cut_flagged
+    ),
+    cut_ranges AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + {n} - 1 AS e
+        FROM cut_islands GROUP BY doc_id, span_id
+    ),
+    cut_lists AS (
+        SELECT doc_id, list(struct_pack(s := s, e := e)) AS cuts
+        FROM cut_ranges GROUP BY doc_id
+    ),
+    cleaned AS (
+        SELECT b.doc_id,
+               list_filter(b.toks,
+                           (t, i) -> len(list_filter(
+                               coalesce(cl.cuts, []),
+                               r -> i >= r.s AND i <= r.e)) = 0) AS kept,
+               len(b.toks) AS n_all
+        FROM base b LEFT JOIN cut_lists cl ON b.doc_id = cl.doc_id
     ),
     tf AS (
         SELECT doc_id, len(toks) AS dl,
@@ -165,10 +200,14 @@ def _text_stats_sql() -> str:
            round(CAST(COALESCE(dp.dup_tokens, 0) AS DOUBLE)
                  / greatest(CAST(len(d.toks) AS DOUBLE), 1.0), 6)
                AS dup_token_frac,
-           b.bm25_score
+           b.bm25_score,
+           md5(coalesce(array_to_string(c.kept, ' '), ''))
+               AS span_clean_md5,
+           CAST(c.n_all - len(c.kept) AS BIGINT) AS n_removed_tokens
     FROM base d
     LEFT JOIN dup_per_doc dp ON d.doc_id = dp.doc_id
     JOIN bm25 b ON d.doc_id = b.doc_id
+    JOIN cleaned c ON d.doc_id = c.doc_id
     """
 
 
@@ -193,8 +232,16 @@ def text_stats(spark, sf_dir):
     - ``bm25_score`` — Okapi BM25 (`operators.ranking.bm25_scores`)
       against a pinned 4-term query; corpus stats (N, avgdl, df) are a
       single-row broadcast, idf rounded to 6 before the multiply so the
-      oracle reproduces the score bit-for-bit."""
-    from data_pipelines_spark.operators.dedup import duplicate_span_stats
+      oracle reproduces the score bit-for-bit.
+    - ``span_clean_md5`` / ``n_removed_tokens`` — the removal step
+      (`operators.dedup.remove_duplicate_spans`, keep-first): exactly
+      one copy of each duplicated passage survives (canonical = global
+      min (doc, pos)); the oracle reproduces the full cut + reassembly
+      and hashes the cleaned text."""
+    from data_pipelines_spark.operators.dedup import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
     from data_pipelines_spark.operators.ranking import bm25_scores
 
     tune(spark)
@@ -214,7 +261,14 @@ def text_stats(spark, sf_dir):
     bm25 = bm25_scores(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B).select(
         "doc_id", "bm25_score"
     )
-    return base.join(spans, "doc_id").join(bm25, "doc_id")
+    removed = remove_duplicate_spans(docs, n=_SPAN_N).select(
+        "doc_id",
+        F.md5(F.encode(F.col("clean_text"), "UTF-8")).alias("span_clean_md5"),
+        "n_removed_tokens",
+    )
+    return (
+        base.join(spans, "doc_id").join(bm25, "doc_id").join(removed, "doc_id")
+    )
 
 
 def _doc_profile_sql() -> str:
