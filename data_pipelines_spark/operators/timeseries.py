@@ -175,6 +175,14 @@ def interpolate_linear(
     engine evaluating the same expression). Non-gap rows pass their
     value through; rows before the first / after the last observation
     stay NULL.
+
+    Duplicate ``order_col`` values: a gap row sharing its position with
+    an observation takes that observation's value (the ``t_next ==
+    t_prev`` guard — without it the lerp divides by zero, which ABORTS
+    the whole query under ANSI mode rather than yielding NULL). The
+    intended grain is still one row per (keys, position) —
+    :func:`resample` output; with several distinct observations at one
+    position the window tie order decides which value carries.
     """
     out = out_col or f"{value_col}_interp"
     v = F.col(value_col)
@@ -194,7 +202,9 @@ def interpolate_linear(
     prev_t = F.last(obs_t, ignorenulls=True).over(w_prev)
     next_v = F.first(v, ignorenulls=True).over(w_next)
     next_t = F.first(obs_t, ignorenulls=True).over(w_next)
-    lerp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    lerp = F.when(next_t == prev_t, prev_v).otherwise(
+        prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    )
     return df.withColumn(
         out,
         F.when(v.isNotNull(), v.cast("double")).otherwise(lerp),

@@ -174,3 +174,49 @@ def test_resample_stream_rejects_dense(spark):
             resample(stream, ["user"], "ts", "value", H, dense=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_interpolate_duplicate_positions_no_ansi_abort(spark):
+    """A gap row sharing its position with an observation must take
+    that observation's value — the unguarded lerp divides by zero
+    there, and ANSI mode aborts the whole query (probed live)."""
+    from data_pipelines_spark.operators.timeseries import interpolate_linear
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, None), ("k", 2, 20.0), ("k", 3, 30.0)],
+        "k string, t long, v double",
+    )
+    rows = interpolate_linear(df, ["k"], "t", "v").orderBy("t", "v").collect()
+    got = [(r["t"], r["v"], r["v_interp"]) for r in rows]
+    # the gap row at t=2 takes the co-located observation's value
+    assert (2, None, 20.0) in got
+    # observations pass through untouched
+    assert (1, 10.0, 10.0) in got and (3, 30.0, 30.0) in got
+
+    # NULL edges unchanged: before-first and after-last stay NULL
+    df2 = spark.createDataFrame(
+        [("k", 1, None), ("k", 2, 5.0), ("k", 3, None)],
+        "k string, t long, v double",
+    )
+    got2 = {
+        r["t"]: r["v_interp"]
+        for r in interpolate_linear(df2, ["k"], "t", "v").collect()
+    }
+    assert got2 == {1: None, 2: 5.0, 3: None}
+
+
+def test_interpolate_obs_null_obs_at_same_position(spark):
+    """The exact abort shape: a NULL row sandwiched between two
+    observations at the SAME position makes t_next == t_prev — the
+    unguarded lerp divides by zero and ANSI kills the query (reproduced
+    on the pre-fix expression). The guard resolves to the preceding
+    observation's value."""
+    from data_pipelines_spark.operators.timeseries import interpolate_linear
+
+    df = spark.createDataFrame(
+        [("k", 2, 5.0), ("k", 2, None), ("k", 2, 7.0)],
+        "k string, t long, v double",
+    ).repartition(1)
+    rows = interpolate_linear(df, ["k"], "t", "v").collect()
+    gap = [r for r in rows if r["v"] is None]
+    assert len(gap) == 1 and gap[0]["v_interp"] in (5.0, 7.0)
