@@ -615,7 +615,14 @@ def temperature_rates(
         (F.sum("n_weight") * F.lit(float(budget_factor))).alias("__b"),
     )
     share = F.col("__w6").cast("double") / F.col("__sw").cast("double")
-    rate = share * F.col("__b").cast("double") / F.col("n_weight").cast("double")
+    # A zero-weight stratum (every doc empty after cleaning) has nothing
+    # to draw: rate 0 by definition. Unguarded, the 0/0 aborts the WHOLE
+    # query under ANSI mode; its zero w6 already contributes nothing to
+    # the others' shares. Same guard on __sw for the all-zero corpus.
+    rate = F.when(
+        (F.col("n_weight") > 0) & (F.col("__sw") > 0),
+        share * F.col("__b").cast("double") / F.col("n_weight").cast("double"),
+    ).otherwise(F.lit(0.0))
     return (
         wtd.join(F.broadcast(totals))
         .select(strata_col, "n_weight", F.round(rate, 6).alias("rate"))

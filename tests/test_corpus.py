@@ -699,3 +699,42 @@ def test_grouped_running_sum_preserves_double_type(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_temperature_rates_zero_weight_stratum(spark):
+    """A stratum whose docs all weigh 0 (empty after cleaning) gets
+    rate 0 instead of aborting the query with ANSI DIVIDE_BY_ZERO
+    (probed live on the unguarded expression); other strata's rates
+    are unaffected by its presence."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.operators.corpus import (
+        temperature_rates,
+        temperature_upsample,
+    )
+
+    with_empty = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "z", 0)],
+        "doc_id long, source string, ntok long",
+    )
+    without = with_empty.where(F.col("source") != "z")
+    r1 = {
+        r["source"]: r["rate"]
+        for r in temperature_rates(with_empty, weight_col=F.col("ntok")).collect()
+    }
+    r2 = {
+        r["source"]: r["rate"]
+        for r in temperature_rates(without, weight_col=F.col("ntok")).collect()
+    }
+    assert r1.pop("z") == 0.0
+    assert r1 == r2
+    # upsample: the zero-weight stratum draws no copies, query survives
+    out = temperature_upsample(with_empty, weight_col=F.col("ntok"))
+    assert out.where(F.col("source") == "z").count() == 0
+    assert out.count() > 0
+
+    # all-zero corpus: every rate 0, no rows drawn, no abort
+    all_zero = spark.createDataFrame(
+        [(1, "a", 0)], "doc_id long, source string, ntok long"
+    )
+    assert temperature_upsample(all_zero, weight_col=F.col("ntok")).count() == 0
