@@ -827,14 +827,15 @@ def remove_duplicate_spans(
             cuts, lambda r: (i >= r.getField("start")) & (i <= r.getField("end"))
         ),
     )
+    zero = F.lit(0).cast("long")
     return (
         toked.join(ranges, id_col, "left")
         .select(
             id_col,
             F.concat_ws(" ", kept).alias("clean_text"),
-            F.size("__toks").cast("long").alias("n_tokens"),
-            (F.size("__toks") - F.size(kept)).cast("long").alias(
-                "n_removed_tokens"
-            ),
+            F.coalesce(F.size("__toks").cast("long"), zero).alias("n_tokens"),
+            F.coalesce(
+                (F.size("__toks") - F.size(kept)).cast("long"), zero
+            ).alias("n_removed_tokens"),
         )
     )

@@ -265,8 +265,8 @@ class TestRemoveDuplicateSpans:
         docs = [(0, "one two three"), (1, ""), (2, None)]
         got = self._run(spark, docs, n=2)
         assert got[0] == ("one two three", 3, 0)
-        assert got[1][0] == "" and got[1][2] == 0
-        assert got[2][0] == ""
+        assert got[1] == ("", 0, 0)
+        assert got[2] == ("", 0, 0)
 
     def test_consistent_with_span_stats_when_cutting_all(self, spark):
         from data_pipelines_spark.operators.dedup import duplicate_span_stats
