@@ -138,3 +138,60 @@ def domain_cap_sample(
     return keyed.where(
         F.col("__dom").isNull() | (coin < F.lit(float(max_frac_per_domain)))
     ).drop("__dom")
+
+
+# Tracking parameters stripped by canonicalize_url — the ubiquitous
+# analytics/click-id keys; extend per deployment.
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "ref", "igshid",
+)
+
+
+def canonicalize_url(url: Column, strip_params: tuple[str, ...] = TRACKING_PARAMS) -> Column:
+    """Canonical URL form for URL-level dedup and grouping:
+
+    - scheme and host lowercased (path case preserved — it is
+      significant), credentials kept out of the key via the host parse;
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+    - fragment removed (never sent to the server);
+    - tracking query parameters (``strip_params``) removed, remaining
+      parameters sorted by name so parameter order doesn't split
+      identical resources;
+    - trailing ``?`` / lone trailing slash on the root path normalized.
+
+    Returns NULL for non-URLs (same contract as :func:`url_host`). All
+    native expressions — regexp + split/filter/sort — so the
+    canonicalization fuses into the scan, the right place for the
+    cheapest-first curation gate.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(url)
+    port = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:(\d+)", 1)
+    keep_port = ~(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    # path = everything from the first '/' after authority, up to ? or #
+    rest = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(rest == "", F.lit("/")).otherwise(rest)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    strip_set = F.array(*[F.lit(s) for s in strip_params])
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.array_contains(strip_set, F.lower(F.split(p, "=").getItem(0))),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.when(
+        host.isNotNull(),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        ),
+    )

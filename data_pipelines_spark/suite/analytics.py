@@ -242,7 +242,9 @@ def rollup_region_nation(spark, sf_dir):
            count(DISTINCT (l_returnflag, l_linestatus)) AS flag_status_cnt,
            TRUE AS supp_hll_ok,
            TRUE AS part_hll_ok,
-           TRUE AS median_sketch_ok
+           TRUE AS median_sketch_ok,
+           TRUE AS hll_rollup_ok,
+           TRUE AS hll_store_ok
     FROM lineitem
     """,
 )
@@ -263,7 +265,22 @@ def global_agg_distinct(spark, sf_dir):
     through the expanded ObjectHashAggregate — measured 3.6s warm at
     sf0.01 and ruinous at scale; split, each plan is a clean two-stage
     aggregate. The exact median (value-buffering percentile) exists
-    only to judge the sketch — production paths use the sketch alone."""
+    only to judge the sketch — production paths use the sketch alone.
+
+    Round-5 additions judge the MERGEABLE sketch store
+    (`operators/sketches.py` — daily HllSketch rows unioned instead of
+    rescanning facts): ``hll_rollup_ok`` asserts that unioning
+    per-returnflag sketches lands within 3% of the exact distinct count
+    (no double counting across overlapping groups — the composability
+    the store exists for; sparse-mode sketches union bit-exactly but a
+    dense-mode union can differ from the direct sketch by a fraction of
+    a percent, so the gate is the error envelope, not estimator
+    identity), and ``hll_store_ok`` the same for the direct sketch."""
+    from data_pipelines_spark.operators.sketches import (
+        distinct_sketch,
+        merge_distinct_counts,
+    )
+
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
 
@@ -289,18 +306,36 @@ def global_agg_distinct(spark, sf_dir):
         ),
         F.median("l_extendedprice").alias("__median_exact"),
     )
-    return dist.crossJoin(sketches).select(
-        "min_price",
-        "max_price",
-        "line_cnt",
-        "supp_cnt",
-        "part_cnt",
-        "flag_status_cnt",
-        within(F.col("__supp_hll"), F.col("supp_cnt")).alias("supp_hll_ok"),
-        within(F.col("__part_hll"), F.col("part_cnt")).alias("part_hll_ok"),
-        within(F.col("__median_sketch"), F.col("__median_exact")).alias(
-            "median_sketch_ok"
-        ),
+    per_flag = distinct_sketch(li, ["l_returnflag"], "l_suppkey")
+    rolled = merge_distinct_counts(per_flag, []).select(
+        F.col("n_distinct_approx").alias("__rolled")
+    )
+    direct = distinct_sketch(li, [], "l_suppkey").select(
+        F.col("n_distinct_approx").alias("__direct")
+    )
+    return (
+        dist.crossJoin(sketches)
+        .crossJoin(F.broadcast(rolled))
+        .crossJoin(F.broadcast(direct))
+        .select(
+            "min_price",
+            "max_price",
+            "line_cnt",
+            "supp_cnt",
+            "part_cnt",
+            "flag_status_cnt",
+            within(F.col("__supp_hll"), F.col("supp_cnt")).alias("supp_hll_ok"),
+            within(F.col("__part_hll"), F.col("part_cnt")).alias("part_hll_ok"),
+            within(F.col("__median_sketch"), F.col("__median_exact")).alias(
+                "median_sketch_ok"
+            ),
+            within(F.col("__rolled"), F.col("supp_cnt"), 0.03).alias(
+                "hll_rollup_ok"
+            ),
+            within(F.col("__direct"), F.col("supp_cnt"), 0.03).alias(
+                "hll_store_ok"
+            ),
+        )
     )
 
 

@@ -113,3 +113,47 @@ def test_url_host_fqdn_dot_and_ipv6(spark):
     assert got[1] == ("a.b.example.co.uk", "example.co.uk")
     assert got[2] == ("2001:db8::1", "2001:db8::1")
     assert got[3] == ("::1", "::1")
+
+
+def test_canonicalize_url(spark):
+    from data_pipelines_spark.functions.web import canonicalize_url
+
+    cases = [
+        # scheme/host case, default port, fragment
+        ("HTTP://Example.COM:80/Path/File?b=2&a=1#frag",
+         "http://example.com/Path/File?a=1&b=2"),
+        # https default port dropped; non-default kept
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        # tracking params stripped, remaining sorted, empty query dropped
+        ("https://a.com/p?utm_source=x&q=1&fbclid=abc",
+         "https://a.com/p?q=1"),
+        ("https://a.com/p?utm_source=x", "https://a.com/p"),
+        # bare authority gets the root path
+        ("https://a.com", "https://a.com/"),
+        # creds never enter the canonical key
+        ("http://user:pw@a.com/x", "http://a.com/x"),
+        # non-URL -> NULL
+        ("not a url", None),
+        (None, None),
+    ]
+    df = _urls(spark, [c[0] for c in cases]).select(
+        "doc_id", canonicalize_url(F.col("url")).alias("c")
+    )
+    got = {r["doc_id"]: r["c"] for r in df.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
+
+
+def test_canonicalize_url_groups_tracking_variants(spark):
+    """The point of the canonical form: the same resource reached via
+    different tracking links collapses to one key."""
+    from data_pipelines_spark.functions.web import canonicalize_url
+
+    variants = [
+        "https://news.site.org/story?id=7&utm_campaign=a",
+        "https://NEWS.site.org/story?id=7",
+        "https://news.site.org:443/story?utm_source=tw&id=7#top",
+    ]
+    df = _urls(spark, variants).select(canonicalize_url(F.col("url")).alias("c"))
+    assert df.distinct().count() == 1
