@@ -440,3 +440,51 @@ def dequantize_int8(
     return quantized.withColumn(vec_col, vec).drop(
         f"{vec_col}_q", f"{vec_col}_scale"
     )
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize an embedding (array → array<double>); NULL for
+    zero-norm vectors (same contract as :func:`cosine` — a descending
+    sort puts them last, thresholds reject them) and NULL inputs."""
+    v = _to_double(vec)
+    n = l2_norm(v)
+    return F.when(n > 0, F.transform(v, lambda x: x / n))
+
+
+def mean_pool(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "vec",
+    out_col: str = "vec",
+    normalize: bool = False,
+) -> DataFrame:
+    """Element-wise mean of the vectors in each group — the chunk→doc
+    pooling step between a chunker (``chunk_text`` + an encoder) and
+    document-level ANN/SemDeDup: (group_cols..., out_col, n_vectors).
+
+    Plan: posexplode to (group, dim_index, component) → ONE
+    map-side-combined average per (group, index) → reassemble the array
+    with ``array_sort(collect_list(struct(index, mean)))`` (each
+    group's list is dim-sized, never corpus-sized). Shuffle volume is
+    rows × dim numeric triples — fine for embedding dims; NULL vectors
+    are excluded from the mean (and groups with only NULLs drop out).
+    ``normalize=True`` L2-normalizes the pooled vector, which makes
+    pooled cosine comparable across groups of different sizes.
+    """
+    exploded = df.where(F.col(vec_col).isNotNull()).select(
+        *group_cols, F.posexplode(_to_double(F.col(vec_col))).alias("__i", "__x")
+    )
+    per_dim = exploded.groupBy(*group_cols, "__i").agg(
+        F.avg("__x").alias("__m"), F.count(F.lit(1)).alias("__n")
+    )
+    pooled = per_dim.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("__i"), F.col("__m")))),
+            lambda s: s.getField("__m"),
+        ).alias("__pooled"),
+        F.max("__n").alias("n_vectors"),
+    )
+    out = (
+        l2_normalize(F.col("__pooled")) if normalize else F.col("__pooled")
+    )
+    return pooled.select(*group_cols, out.alias(out_col), "n_vectors")

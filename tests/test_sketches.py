@@ -97,3 +97,70 @@ def test_sketch_survives_parquet_roundtrip(spark, tmp_path):
         "n_distinct_approx"
     ]
     assert rolled == direct
+
+
+# --- mean_pool / l2_normalize (operators/similarity.py) ----------------
+
+
+def test_mean_pool_matches_numpy(spark):
+    import numpy as np
+
+    from data_pipelines_spark.operators.similarity import mean_pool
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (0, [3.0, 0.0, -1.0]),
+        (0, None),
+        (1, [5.0, 5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, vec array<double>")
+    got = {
+        r["doc_id"]: (r["vec"], r["n_vectors"])
+        for r in mean_pool(df, ["doc_id"], "vec").collect()
+    }
+    want0 = np.mean([rows[0][1], rows[1][1]], axis=0)
+    assert np.allclose(got[0][0], want0) and got[0][1] == 2
+    assert got[1] == ([5.0, 5.0, 5.0], 1)
+
+
+def test_mean_pool_normalized_feeds_topk(spark):
+    import numpy as np
+
+    from data_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        mean_pool,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (doc, rng.randn(8).tolist()) for doc in range(6) for _ in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    pooled = mean_pool(df, ["vec_id"], "vec", normalize=True)
+    norms = [
+        float(np.linalg.norm(r["vec"])) for r in pooled.collect()
+    ]
+    assert all(abs(n - 1.0) < 1e-9 for n in norms)
+    # pooled table slots straight into the ANN baseline
+    q = spark.createDataFrame(
+        [(rng.randn(8).tolist(),)], "qvec array<double>"
+    )
+    top = brute_force_topk(pooled, q, k=3, vec_col="vec")
+    assert top.count() == 3
+
+
+def test_l2_normalize_zero_and_null(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.operators.similarity import l2_normalize
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, None), (2, [3.0, 4.0])],
+        "i long, vec array<double>",
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", l2_normalize(F.col("vec")).alias("n")).collect()
+    }
+    assert got[0] is None and got[1] is None
+    assert got[2] == [0.6, 0.8]
