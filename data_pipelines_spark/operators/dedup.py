@@ -839,3 +839,147 @@ def remove_duplicate_spans(
             ).alias("n_removed_tokens"),
         )
     )
+
+
+def duplicate_span_report(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """:func:`duplicate_span_stats` + keep-first
+    :func:`remove_duplicate_spans` in ONE shared gram pipeline — one
+    explode, one gram aggregate (count + canonical-first together), one
+    probe join; the two doc-window passes (all duplicated positions for
+    the profile, non-canonical ones for the cut) share the shuffled
+    frame (persisted — duplicated-positions-sized, the tiny end of the
+    pipeline).
+
+    When to use which: at fact scale one gram shuffle dominates, so
+    this single-pass form wins; on SMALL inputs the two standalone
+    operators run as concurrent independent DAG branches across the
+    core pool and finish ~25% sooner (measured at sf0.1 — which is why
+    the suite entry composes the standalone pair). Equality with that
+    pair is unit-asserted either way.
+
+    Output: (id, n_dup_grams, n_dup_spans, dup_tokens, dup_token_frac,
+    clean_text, n_tokens, n_removed_tokens) — column-for-column equal
+    to the two standalone operators (unit-asserted).
+    """
+    from pyspark.sql import Window
+
+    from data_pipelines_spark.functions.text import tokens
+    from data_pipelines_spark.operators.corpus import _word_ngrams_from_tokens
+
+    toked = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    key = (
+        F.xxhash64(F.col("gram")) if hash_grams else F.col("gram")
+    ).alias("__k")
+    grams = toked.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_word_ngrams_from_tokens(F.col("__toks"), n)).alias(
+            "pos", "gram"
+        ),
+    ).select("__id", "pos", key)
+
+    dup = (
+        grams.groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__first"),
+        )
+        .where(F.col("__cnt") >= min_count)
+        .select("__k", "__first")
+    )
+    # Both downstream branches (profile spans over ALL duplicated
+    # positions, cut spans over the non-canonical ones) consume this
+    # frame; persisting it runs the gram explode + aggregate + probe
+    # join ONCE instead of once per branch (measured ~25% off the fused
+    # entry). The cache is duplicated-POSITIONS-sized — the tiny end of
+    # the pipeline — and session-scoped like the corpus suite's
+    # persists (bench.py clearCache()s between passes).
+    marked = grams.join(dup, "__k").select(
+        F.col("__id").alias(id_col),
+        "pos",
+        (
+            ~(
+                (F.col("__id") == F.col("__first.__id"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        ).alias("__cut"),
+    ).persist()
+
+    def _spans(frame):
+        w = Window.partitionBy(id_col).orderBy("pos")
+        lag_pos = F.lag("pos").over(w)
+        new_span = F.when(
+            lag_pos.isNull() | (F.col("pos") - lag_pos > n), F.lit(1)
+        ).otherwise(F.lit(0))
+        return (
+            frame.withColumn(
+                "__span",
+                F.sum(new_span).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy(id_col, "__span")
+            .agg(
+                F.count(F.lit(1)).alias("__g"),
+                F.min("pos").alias("__minp"),
+                F.max("pos").alias("__maxp"),
+            )
+        )
+
+    per_doc = _spans(marked.select(id_col, "pos")).groupBy(id_col).agg(
+        F.sum("__g").alias("n_dup_grams"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("__maxp") - F.col("__minp") + n).alias("dup_tokens"),
+    )
+    ranges = (
+        _spans(marked.where(F.col("__cut")).select(id_col, "pos"))
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("__minp").alias("start"),
+                    (F.col("__maxp") + n - 1).alias("end"),
+                )
+            ).alias("__cuts")
+        )
+    )
+
+    cuts = F.coalesce(
+        F.col("__cuts"), F.array().cast("array<struct<start:int,end:int>>")
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            cuts, lambda r: (i >= r.getField("start")) & (i <= r.getField("end"))
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    n_tok = F.coalesce(F.size("__toks").cast("long"), zero)
+    return (
+        toked.join(per_doc, id_col, "left")
+        .join(ranges, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_dup_grams", zero).alias("n_dup_grams"),
+            F.coalesce("n_dup_spans", zero).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", zero).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", zero)
+                / F.greatest(n_tok, F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+            F.concat_ws(" ", kept).alias("clean_text"),
+            n_tok.alias("n_tokens"),
+            F.coalesce(
+                (F.size("__toks") - F.size(kept)).cast("long"), zero
+            ).alias("n_removed_tokens"),
+        )
+    )

@@ -285,3 +285,29 @@ class TestRemoveDuplicateSpans:
         removed = self._run(spark, docs, n=3, keep_first=False)
         for i in stats:
             assert removed[i][2] == stats[i]
+
+
+def test_fused_report_equals_standalone_operators(spark):
+    from data_pipelines_spark.operators.dedup import (
+        duplicate_span_report,
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    docs = SPAN_DOCS + [(7, "alpha beta gamma delta epsilon zeta eta x y z")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fused = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in duplicate_span_report(df, n=3).collect()
+    }
+    stats = {r["doc_id"]: r for r in duplicate_span_stats(df, n=3).collect()}
+    removed = {
+        r["doc_id"]: r for r in remove_duplicate_spans(df, n=3).collect()
+    }
+    for i, _ in docs:
+        s, rm = stats[i], removed[i]
+        assert fused[i] == (
+            s["n_dup_grams"], s["n_dup_spans"], s["dup_tokens"],
+            s["dup_token_frac"], rm["clean_text"], rm["n_tokens"],
+            rm["n_removed_tokens"],
+        ), i
