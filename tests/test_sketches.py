@@ -164,3 +164,21 @@ def test_l2_normalize_zero_and_null(spark):
     }
     assert got[0] is None and got[1] is None
     assert got[2] == [0.6, 0.8]
+
+
+def test_empty_inputs_survive(spark):
+    """Zero-row inputs are routine at scale: sketching, merging, and
+    pooling must run (global sketch of nothing = one row estimating 0;
+    grouped forms = zero rows)."""
+    empty_ev = spark.createDataFrame([], "day long, user_id long")
+    g = distinct_sketch(empty_ev, [], "user_id").collect()
+    assert len(g) == 1 and (g[0]["n_distinct_approx"] or 0) == 0
+    assert distinct_sketch(empty_ev, ["day"], "user_id").count() == 0
+
+    empty_sk = distinct_sketch(empty_ev, ["day"], "user_id")
+    assert merge_distinct_counts(empty_sk, [], "distinct_sketch").count() == 1
+
+    from data_pipelines_spark.operators.similarity import mean_pool
+
+    empty_vecs = spark.createDataFrame([], "doc_id long, vec array<double>")
+    assert mean_pool(empty_vecs, ["doc_id"], "vec").count() == 0
