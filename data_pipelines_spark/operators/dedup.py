@@ -857,12 +857,14 @@ def duplicate_span_report(
     frame (persisted — duplicated-positions-sized, the tiny end of the
     pipeline).
 
-    When to use which: at fact scale one gram shuffle dominates, so
-    this single-pass form wins; on SMALL inputs the two standalone
-    operators run as concurrent independent DAG branches across the
-    core pool and finish ~25% sooner (measured at sf0.1 — which is why
-    the suite entry composes the standalone pair). Equality with that
-    pair is unit-asserted either way.
+    When to use which, measured honestly: on local[32] the standalone
+    pair is FASTER at both 5k and 50k docs (~25-30% — the two
+    pipelines run as concurrent independent DAG branches and the
+    persist barrier here serializes), so the suite entry composes the
+    pair. This fused form halves the gram-shuffle volume, which is the
+    term that matters once the shuffle saturates cluster I/O rather
+    than the core pool — prefer it there, and measure. Equality with
+    the standalone pair is unit-asserted either way.
 
     Output: (id, n_dup_grams, n_dup_spans, dup_tokens, dup_token_frac,
     clean_text, n_tokens, n_removed_tokens) — column-for-column equal

@@ -257,11 +257,12 @@ def text_stats(spark, sf_dir):
             F.regexp_extract_all(t, F.lit(_BPE_PATTERN), F.lit(0))
         ).cast("long").alias("n_bpe_tokens"),
     )
-    # Two independent gram pipelines, deliberately: at this SF they run
-    # as concurrent DAG branches across the core pool and beat the
-    # single-pass `duplicate_span_report` by ~25% (measured both ways);
-    # at fact scale, where one gram shuffle dominates stage overhead,
-    # the fused report (equality unit-asserted) is the right call.
+    # Two independent gram pipelines, deliberately: they run as
+    # concurrent DAG branches across the core pool and beat the
+    # single-pass `duplicate_span_report` by ~25-30% at BOTH 5k and
+    # 50k docs on local[32] (measured; the fused form's halved
+    # gram-shuffle volume only pays once shuffle I/O, not the core
+    # pool, is the bottleneck - equality is unit-asserted either way).
     spans = duplicate_span_stats(docs, n=_SPAN_N)
     bm25 = bm25_scores(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B).select(
         "doc_id", "bm25_score"
