@@ -135,7 +135,10 @@ def zorder_key(
 
     Pure native bit arithmetic (quantize → interleave via
     shiftright/AND/shiftleft/OR), no UDF; monotone per axis at any
-    ``bits``.
+    ``bits``. Out-of-range coordinates clamp to the curve's edge;
+    NULL/NaN coordinates yield a NULL key (unguarded, ``greatest(0,
+    NULL)`` would silently quantize nodata rows to the south-pole
+    corner and group them with real (-90,-180) cells).
     """
     lat = F.col(lat) if isinstance(lat, str) else lat
     lon = F.col(lon) if isinstance(lon, str) else lon
@@ -167,7 +170,10 @@ def zorder_key(
             F.shiftright(y, i).bitwiseAND(F.lit(1).cast("long")), 2 * i + 1
         )
         z = z.bitwiseOR(xbit).bitwiseOR(ybit)
-    return z
+    bad = (
+        lat.isNull() | lon.isNull() | F.isnan(lat) | F.isnan(lon)
+    )
+    return F.when(~bad, z)
 
 
 def spatial_cluster(

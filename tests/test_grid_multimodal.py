@@ -370,3 +370,31 @@ def test_spatial_cluster_shrinks_partition_bboxes(spark):
     # boxes — locality sharpens as files get more numerous/smaller,
     # which is the regime that matters for row-group skipping.)
     assert clustered_area < random_area / 8
+
+
+def test_zorder_key_null_nan_coordinates_yield_null(spark):
+    """Probe regression: NULL/NaN coordinates previously quantized to
+    the south-pole corner (greatest(0, NULL) -> 0) and shared a real
+    cell's key; nodata must map to a NULL key instead."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.functions.grid import zorder_key
+
+    df = spark.createDataFrame(
+        [
+            (0, 45.0, 9.0),
+            (1, float("nan"), 9.0),
+            (2, None, 9.0),
+            (3, 45.0, float("nan")),
+            (4, 45.0, None),
+            (5, -90.0, -180.0),  # real pole corner keeps its key
+        ],
+        "i long, lat double, lon double",
+    )
+    got = {
+        r["i"]: r["z"]
+        for r in df.select("i", zorder_key("lat", "lon").alias("z")).collect()
+    }
+    assert got[0] is not None and got[5] == 0
+    for i in (1, 2, 3, 4):
+        assert got[i] is None, i
