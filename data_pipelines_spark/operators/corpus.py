@@ -666,3 +666,77 @@ def temperature_upsample(
         joined.withColumn("copy_no", F.explode(copies))
         .drop("rate", "n_weight")
     )
+
+
+def sample_exact_k(
+    docs: DataFrame,
+    k: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "exactk",
+    portable: bool = False,
+    margin: int | None = None,
+) -> DataFrame:
+    """Deterministically select EXACTLY min(k, |group|) rows per group
+    (globally when ``group_col`` is None) — fixed-size eval subsets,
+    per-source caps, golden samples. The selection is the k smallest
+    hash coins, so it is stable across runs, engines (``portable``),
+    and repartitionings, and mostly stable under corpus growth (a new
+    row displaces at most one selected row).
+
+    Skew-safe plan (rate-based sampling alone cannot hit an exact k;
+    a per-group ``row_number`` over the raw data would funnel each
+    giant group through one task): per-group counts size a coin cutoff
+    of (k + margin)/n with a Chernoff margin (default ``6*sqrt(k)+10``
+    — under-selection probability ~1e-9), the cutoff pre-filter drops
+    all but ~k rows per group as a NARROW filter, and only survivors
+    (k-sized partitions) pay the exact ranking window. Groups where the
+    margin ever under-selects are detected by a survivor count and
+    re-ranked over their full rows — correctness never depends on the
+    probabilistic bound. Coins are content hashes: retry-deterministic.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    groups = [group_col] if group_col else []
+    gkey = (
+        F.concat_ws("/", F.col(group_col).cast("string"), F.col(id_col).cast("string"))
+        if group_col
+        else F.col(id_col).cast("string")
+    )
+    coined = docs.withColumn("__coin", hash_fraction(gkey, salt, portable))
+    counts = coined.groupBy(*groups).agg(F.count(F.lit(1)).alias("__n"))
+    m = margin if margin is not None else int(6 * (k**0.5) + 10)
+    cut = F.least(
+        F.lit(1.0), F.lit(float(k + m)) / F.col("__n").cast("double")
+    )
+    if group_col:
+        sized = coined.join(counts, group_col)
+    else:
+        sized = coined.crossJoin(F.broadcast(counts))
+    survivors = sized.where(F.col("__coin") <= cut)
+
+    # Deficit repair: a group whose survivor count fell below min(k, n)
+    # (possible only when the Chernoff margin loses its ~1e-9 bet)
+    # re-enters with ALL its rows.
+    deficits = (
+        survivors.groupBy(*groups, "__n")
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .where(F.col("__s") < F.least(F.lit(k).cast("long"), F.col("__n")))
+        .select(*groups)
+    )
+    if group_col:
+        repaired = survivors.join(deficits, group_col, "left_anti").unionByName(
+            sized.join(deficits, group_col, "left_semi")
+        )
+    else:
+        # global: deficits is empty or the whole frame
+        repaired = survivors if deficits.isEmpty() else sized
+
+    w = Window.partitionBy(*groups).orderBy(F.asc("__coin"), F.asc(id_col))
+    return (
+        repaired.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__coin", "__n", "__rk")
+    )

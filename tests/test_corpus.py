@@ -738,3 +738,84 @@ def test_temperature_rates_zero_weight_stratum(spark):
         [(1, "a", 0)], "doc_id long, source string, ntok long"
     )
     assert temperature_upsample(all_zero, weight_col=F.col("ntok")).count() == 0
+
+
+class TestSampleExactK:
+    def _docs(self, spark, per_group=(40, 7, 1)):
+        rows = []
+        i = 0
+        for g, n in enumerate(per_group):
+            for _ in range(n):
+                rows.append((i, f"src{g}"))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_exactly_k_per_group(self, spark):
+        from data_pipelines_spark.operators.corpus import sample_exact_k
+
+        out = sample_exact_k(self._docs(spark), 5, group_col="source")
+        got = {
+            r["source"]: r["count"]
+            for r in out.groupBy("source").count().collect()
+        }
+        # min(k, n) per group: 5 of 40, 5 of 7, 1 of 1
+        assert got == {"src0": 5, "src1": 5, "src2": 1}
+
+    def test_selection_is_k_smallest_coins(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_pipelines_spark.operators.corpus import (
+            hash_fraction,
+            sample_exact_k,
+        )
+
+        docs = self._docs(spark)
+        out = {r["doc_id"] for r in sample_exact_k(docs, 5, group_col="source").collect()}
+        # brute force: rank ALL rows by coin within group
+        coins = docs.withColumn(
+            "c",
+            hash_fraction(
+                F.concat_ws("/", F.col("source"), F.col("doc_id").cast("string")),
+                "exactk",
+            ),
+        ).collect()
+        want = set()
+        by_g = {}
+        for r in coins:
+            by_g.setdefault(r["source"], []).append((r["c"], r["doc_id"]))
+        for g, lst in by_g.items():
+            want |= {i for _, i in sorted(lst)[:5]}
+        assert out == want
+
+    def test_partitioning_invariant(self, spark):
+        from data_pipelines_spark.operators.corpus import sample_exact_k
+
+        docs = self._docs(spark, per_group=(60,))
+        a = {r["doc_id"] for r in sample_exact_k(docs, 10, group_col="source").collect()}
+        b = {
+            r["doc_id"]
+            for r in sample_exact_k(
+                docs.repartition(7), 10, group_col="source"
+            ).collect()
+        }
+        assert a == b and len(a) == 10
+
+    def test_global_mode_and_deficit_repair(self, spark):
+        from data_pipelines_spark.operators.corpus import sample_exact_k
+
+        docs = self._docs(spark, per_group=(50,))
+        g = sample_exact_k(docs, 8)
+        assert g.count() == 8
+        # margin=0 forces the cutoff to k/n exactly; the deficit-repair
+        # branch must still deliver exactly k (the probabilistic
+        # pre-filter alone would often under-select)
+        forced = sample_exact_k(docs, 8, group_col="source", margin=0)
+        assert forced.count() == 8
+
+    def test_rejects_bad_k(self, spark):
+        import pytest as _pytest
+
+        from data_pipelines_spark.operators.corpus import sample_exact_k
+
+        with _pytest.raises(ValueError):
+            sample_exact_k(self._docs(spark), 0)
