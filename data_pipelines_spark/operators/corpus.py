@@ -731,7 +731,10 @@ def sample_exact_k(
             sized.join(deficits, group_col, "left_semi")
         )
     else:
-        # global: deficits is empty or the whole frame
+        # Global mode: the single "group" either met k or it didn't, so
+        # the branch is a boolean — probed EAGERLY here (one
+        # survivor-sized job at plan-build time) rather than threading a
+        # join through the plan for a one-row decision.
         repaired = survivors if deficits.isEmpty() else sized
 
     w = Window.partitionBy(*groups).orderBy(F.asc("__coin"), F.asc(id_col))
