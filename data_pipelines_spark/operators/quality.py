@@ -183,6 +183,10 @@ def profile_numeric(
     ``(column, n, n_null, min, max, mean, stddev, p25, p50, p75)`` —
     the summary a pipeline owner reads before writing quality rules
     (range bounds from observed quartiles, null budgets from n_null).
+    NULLs are excluded from every statistic (all-NULL columns report
+    NULL stats, never an error); NaN values propagate IEEE-style into
+    min/max/mean — profile floats suspected of NaNs with a
+    ``check_rows`` ``isnan`` rule first (probed live).
 
     ALL columns' statistics compute in a single aggregation (one scan,
     map-side partial aggregation). Quartiles default to
