@@ -44,8 +44,11 @@ def url_host(url: Column) -> Column:
 def registered_domain(url: Column) -> Column:
     """eTLD+1 ("example.co.uk" from "a.b.example.co.uk") — the key for
     per-domain caps and blocklists; label-count heuristic over a
-    suffix-list head."""
+    suffix-list head. IP-literal hosts (IPv4 dotted quads, IPv6) have no
+    registrable suffix: the host itself is the key — truncating
+    192.168.0.1 to "0.1" would pool unrelated IPs into one cap bucket."""
     host = url_host(url)
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") | host.contains(":")
     parts = F.split(host, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
@@ -57,7 +60,7 @@ def registered_domain(url: Column) -> Column:
         F.element_at(parts, -1),
     )
     return F.when(host.isNull(), F.lit(None).cast("string")).when(
-        n <= 2, host
+        is_ip | (n <= 2), host
     ).when(is_two_label & (n >= 3), take3).otherwise(last2)
 
 
@@ -167,7 +170,23 @@ def canonicalize_url(url: Column, strip_params: tuple[str, ...] = TRACKING_PARAM
     """
     scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     host = url_host(url)
-    port = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:(\d+)", 1)
+    # An IPv6 authority is bracketed in URL syntax (RFC 3986): re-bracket
+    # the parsed host and take the port from AFTER the closing bracket —
+    # the bare [^/:?#]+ port regex stops at the first ':' inside the
+    # address and would both drop the port (collapsing [::1]:8080 and
+    # [::1]:9090 to one canonical key) and emit an unparseable host.
+    is_v6 = F.regexp_extract(url, _HOST6_RE, 1) != ""
+    host = F.when(is_v6, F.concat(F.lit("["), host, F.lit("]"))).otherwise(host)
+    port = F.when(
+        is_v6,
+        F.regexp_extract(
+            url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?\[[^\]]+\]:(\d+)", 1
+        ),
+    ).otherwise(
+        F.regexp_extract(
+            url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:(\d+)", 1
+        )
+    )
     keep_port = ~(
         (port == "")
         | ((scheme == "http") & (port == "80"))

@@ -157,3 +157,31 @@ def test_canonicalize_url_groups_tracking_variants(spark):
     ]
     df = _urls(spark, variants).select(canonicalize_url(F.col("url")).alias("c"))
     assert df.distinct().count() == 1
+
+
+def test_canonicalize_url_ipv6_port_and_ip_domains(spark):
+    """Probe regressions: (a) a bracketed-IPv6 authority keeps its
+    brackets and its non-default port in the canonical form — before the
+    fix [::1]:8080 and [::1]:9090 collapsed to one dedup key with the
+    port silently dropped; (b) an IP-literal host IS its registered
+    domain — truncating 192.168.0.1 to '0.1' pooled unrelated IPs into
+    one cap/blocklist bucket."""
+    from data_pipelines_spark.functions.web import canonicalize_url
+
+    cases = [
+        ("http://[::1]:8080/x", "http://[::1]:8080/x", "::1"),
+        ("http://[::1]:9090/x", "http://[::1]:9090/x", "::1"),
+        # IPv6 default port drops like any other host's
+        ("https://[2001:db8::1]:443/p", "https://[2001:db8::1]/p", "2001:db8::1"),
+        ("http://[2001:db8::1]:443/p", "http://[2001:db8::1]:443/p", "2001:db8::1"),
+        ("http://192.168.0.1/x", "http://192.168.0.1/x", "192.168.0.1"),
+        ("http://10.0.0.1:8080/x", "http://10.0.0.1:8080/x", "10.0.0.1"),
+    ]
+    df = _urls(spark, [c[0] for c in cases]).select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("c"),
+        registered_domain(F.col("url")).alias("dom"),
+    )
+    got = {r["doc_id"]: (r["c"], r["dom"]) for r in df.collect()}
+    for i, (_, want_c, want_d) in enumerate(cases):
+        assert got[i] == (want_c, want_d), (i, cases[i][0], got[i])
