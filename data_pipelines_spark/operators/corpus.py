@@ -712,7 +712,13 @@ def sample_exact_k(
         F.lit(1.0), F.lit(float(k + m)) / F.col("__n").cast("double")
     )
     if group_col:
-        sized = coined.join(counts, group_col)
+        # Null-safe join-back: GROUP BY forms a NULL group, and a plain
+        # equi join would silently drop its rows from the sample (the
+        # filter_by_group_quantile NULL-group-loss class).
+        cts = counts.withColumnRenamed(group_col, "__g")
+        sized = coined.join(
+            cts, F.col(group_col).eqNullSafe(F.col("__g"))
+        ).drop("__g")
     else:
         sized = coined.crossJoin(F.broadcast(counts))
     survivors = sized.where(F.col("__coin") <= cut)
@@ -727,8 +733,10 @@ def sample_exact_k(
         .select(*groups)
     )
     if group_col:
-        repaired = survivors.join(deficits, group_col, "left_anti").unionByName(
-            sized.join(deficits, group_col, "left_semi")
+        defs = deficits.withColumnRenamed(group_col, "__g")
+        on = F.col(group_col).eqNullSafe(F.col("__g"))
+        repaired = survivors.join(defs, on, "left_anti").unionByName(
+            sized.join(defs, on, "left_semi")
         )
     else:
         # Global mode: the single "group" either met k or it didn't, so

@@ -819,3 +819,24 @@ class TestSampleExactK:
 
         with _pytest.raises(ValueError):
             sample_exact_k(self._docs(spark), 0)
+
+    def test_null_group_forms_its_own_sample(self, spark):
+        """Probe regression: GROUP BY forms a NULL group, but the plain
+        equi join-back dropped its rows — NULL-source docs vanished from
+        the sample instead of being sampled as a group. Null-safe joins
+        now carry the NULL group through the count join AND the
+        deficit-repair semi/anti joins (margin=0 forces that path)."""
+        from collections import Counter
+
+        from data_pipelines_spark.operators.corpus import sample_exact_k
+
+        rows = [(i, "a" if i < 10 else None) for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id long, source string")
+        for kw in ({}, {"margin": 0}):
+            got = Counter(
+                r["source"]
+                for r in sample_exact_k(
+                    docs, 3, group_col="source", **kw
+                ).collect()
+            )
+            assert got == {"a": 3, None: 3}, (kw, got)
