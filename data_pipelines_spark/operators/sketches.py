@@ -70,3 +70,275 @@ def merge_distinct_counts(
     if keep_sketch:
         return out.withColumnRenamed("__merged", sketch_col)
     return out.drop("__merged")
+
+
+def histogram_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Reduce each group to a fixed-bin histogram of ``value_col`` —
+    the mergeable-quantile counterpart of :func:`distinct_sketch`:
+    ``(group_cols..., hist array<bigint>[n_bins], n_below, n_above,
+    n_null, n)``.
+
+    A daily job stores one histogram row per (day, dimension) — a few
+    hundred longs instead of the raw values — and any later window's
+    quantiles/drift come from SUMMING the stored rows
+    (:func:`merge_histogram_sketches`), never rescanning the facts.
+    ``approx_percentile`` cannot do this: its sketch is gone once the
+    estimate is collected. The price is a fixed domain: ``[lo, hi)``
+    split into ``n_bins`` equal bins, chosen once and kept with the
+    store (mismatched binning must never be merged). Out-of-range
+    values are counted (``n_below``/``n_above``) but carry no position
+    beyond the edge — quantiles falling there clamp to lo/hi. NaN
+    values are folded into ``n_null`` (they have no order position).
+
+    One map-side-combined aggregation; every expression is native (the
+    bin counts are ``n_bins`` conditional sums in a single pass), so
+    the scan fuses and nothing is collected. Exact-count semantics:
+    merged histograms are bit-identical to a direct histogram of the
+    union (integer sums — no estimator variance), and quantile error
+    is bounded by one bin width.
+    """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    v = F.col(value_col).cast("double")
+    width = (float(hi) - float(lo)) / n_bins
+    idx = F.floor((v - F.lit(float(lo))) / F.lit(width))
+    in_range = v.isNotNull() & ~F.isnan(v) & (v >= lo) & (v < hi)
+    # values exactly at hi-ulp can floor to n_bins via fp roundoff
+    idx = F.least(idx, F.lit(n_bins - 1))
+    bins = F.array(
+        *[
+            F.coalesce(
+                F.sum(F.when(in_range & (idx == i), F.lit(1)).otherwise(F.lit(0))),
+                F.lit(0),
+            ).cast("long")
+            for i in range(n_bins)
+        ]
+    )
+    return df.groupBy(*group_cols).agg(
+        bins.alias(hist_col),
+        F.coalesce(
+            F.sum(F.when(v.isNotNull() & ~F.isnan(v) & (v < lo), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_below"),
+        F.coalesce(
+            F.sum(F.when(v.isNotNull() & ~F.isnan(v) & (v >= hi), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_above"),
+        F.coalesce(
+            F.sum(F.when(v.isNull() | F.isnan(v), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_null"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def merge_histogram_sketches(
+    sketches: DataFrame,
+    group_cols: Sequence[str],
+    n_bins: int,
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Roll stored histograms up to a coarser grain by element-wise
+    integer sum — exact (no estimator variance): the merged histogram
+    equals a direct histogram of the union, asserted in tests. Inputs
+    must share the store's binning (lo/hi/n_bins). Pass
+    ``group_cols=[]`` for a global roll-up.
+    """
+    summed = F.array(
+        *[
+            F.coalesce(F.sum(F.element_at(F.col(hist_col), i + 1)), F.lit(0))
+            .cast("long")
+            for i in range(n_bins)
+        ]
+    )
+    return sketches.groupBy(*group_cols).agg(
+        summed.alias(hist_col),
+        F.coalesce(F.sum("n_below"), F.lit(0)).cast("long").alias("n_below"),
+        F.coalesce(F.sum("n_above"), F.lit(0)).cast("long").alias("n_above"),
+        F.coalesce(F.sum("n_null"), F.lit(0)).cast("long").alias("n_null"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+    )
+
+
+def histogram_quantiles(
+    sketches: DataFrame,
+    group_cols: Sequence[str],
+    quantiles: Sequence[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Estimate quantiles from stored histograms:
+    ``(group_cols..., q, value)`` — one row per requested quantile.
+
+    Deterministic linear interpolation inside the covering bin
+    (``left_edge + width * remaining/bin_count``); below/above-range
+    mass clamps to lo/hi (it has no position beyond the edge — that is
+    the fixed-domain trade-off, documented on the sketch). Error is
+    bounded by one bin width. Plan shape: posexplode to
+    (group, bin, count) — ``n_bins`` rows per group, never data-sized —
+    cumulative sum over the bin order, then one min_by per (group, q).
+    Groups whose in-range mass is zero return NULL.
+    """
+    for q in quantiles:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile out of [0,1]: {q}")
+    from pyspark.sql import Window
+
+    width = (float(hi) - float(lo)) / n_bins
+    base = sketches.select(
+        *group_cols,
+        F.col("n_below"),
+        (F.col("n_below") + F.aggregate(
+            F.col(hist_col), F.lit(0).cast("long"), lambda a, x: a + x
+        ) + F.col("n_above")).alias("__mass"),
+        F.posexplode(F.col(hist_col)).alias("__bin", "__cnt"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__bin") if group_cols else (
+        Window.orderBy("__bin")
+    )
+    cum = base.withColumn("__cum", F.sum("__cnt").over(w))
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    joined = cum.crossJoin(F.broadcast(qdf)).withColumn(
+        "__target", F.col("q") * F.col("__mass").cast("double")
+    )
+    covering = F.col("__cum") + F.col("n_below") >= F.col("__target")
+    frac = (
+        F.col("__target") - F.col("n_below") - (F.col("__cum") - F.col("__cnt"))
+    ) / F.col("__cnt").cast("double")
+    value = (
+        F.lit(float(lo))
+        + F.lit(width) * (F.col("__bin") + F.greatest(F.lit(0.0), F.least(F.lit(1.0), frac)))
+    )
+    picked = (
+        joined.where(covering & (F.col("__cnt") > 0))
+        .groupBy(*group_cols, "q")
+        .agg(
+            F.min_by(
+                F.round(value, 9), F.struct(F.col("__bin"))
+            ).alias("__v"),
+            F.max("__mass").alias("__mass2"),
+        )
+    )
+    # quantile target beyond the last bin's cumulative in-range mass
+    # (above-range values) clamps to hi; all-mass-out-of-range or empty
+    # groups need the edge cases handled off the base rows:
+    edges = (
+        joined.groupBy(*group_cols, "q")
+        .agg(
+            F.max("__mass").alias("__mass"),
+            F.max(F.col("__cum") + F.col("n_below")).alias("__inmass"),
+            F.max("__target").alias("__t"),
+            F.max("n_below").alias("__nb"),
+        )
+    )
+    return (
+        edges.join(picked, [*group_cols, "q"], "left")
+        .select(
+            *group_cols,
+            "q",
+            F.when(F.col("__mass") == 0, F.lit(None).cast("double"))
+            .when(F.col("__t") <= F.col("__nb"), F.lit(float(lo)))
+            .when(F.col("__t") > F.col("__inmass"), F.lit(float(hi)))
+            .otherwise(F.col("__v"))
+            .alias("value"),
+        )
+    )
+
+
+def histogram_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    group_cols: Sequence[str],
+    n_bins: int,
+    hist_col: str = "hist",
+    epsilon: float = 1e-4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two histogram-sketch tables
+    sharing one binning: ``(group_cols..., psi, n_baseline, n_current)``
+    per group — the drift gate between a dataset snapshot and its
+    predecessor (alert thresholds in the literature: <0.1 stable,
+    0.1-0.25 moderate, >0.25 shifted).
+
+    PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i) over bin shares p (current)
+    and q (baseline), with below/above-range mass as two extra
+    pseudo-bins so out-of-domain drift is visible rather than silent.
+    Empty bins are floored at ``epsilon`` share (standard smoothing —
+    PSI is undefined at zero). Arithmetic is over the two rows' arrays
+    only (never data-sized); the result is rounded to ``round_to``
+    decimals so independent engines reproduce it bit-for-bit (ln ulp
+    differences — same contract as BM25's idf rounding). Groups present
+    on one side only are reported with NULL psi (nothing to compare —
+    appearance/disappearance IS the drift signal; count columns carry
+    it)."""
+    b = merge_histogram_sketches(baseline, group_cols, n_bins, hist_col)
+    c = merge_histogram_sketches(current, group_cols, n_bins, hist_col)
+
+    def shares(df, side):
+        ext = F.concat(
+            F.array(F.col("n_below")), F.col(hist_col), F.array(F.col("n_above"))
+        )
+        tot = (F.col("n") - F.col("n_null")).cast("double")
+        return df.select(
+            *group_cols,
+            F.when(
+                tot > 0,
+                F.transform(
+                    ext,
+                    lambda x: F.greatest(
+                        F.lit(float(epsilon)), x.cast("double") / tot
+                    ),
+                ),
+            ).alias(f"__p_{side}"),
+            (F.col("n") - F.col("n_null")).alias(f"n_{side}"),
+        )
+
+    bs, cs = shares(b, "baseline"), shares(c, "current")
+    if group_cols:
+        nb = bs.withColumnsRenamed({g: f"__gb_{g}" for g in group_cols})
+        nc = cs.withColumnsRenamed({g: f"__gc_{g}" for g in group_cols})
+        cond = None
+        for g in group_cols:
+            eq = F.col(f"__gb_{g}").eqNullSafe(F.col(f"__gc_{g}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = nb.join(nc, cond, "full_outer").select(
+            *[
+                F.coalesce(F.col(f"__gb_{g}"), F.col(f"__gc_{g}")).alias(g)
+                for g in group_cols
+            ],
+            "__p_baseline", "__p_current", "n_baseline", "n_current",
+        )
+    else:
+        joined = bs.crossJoin(cs)
+    psi = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("__p_current"),
+                F.col("__p_baseline"),
+                lambda p, q: (p - q) * F.log(p / q),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        round_to,
+    )
+    return joined.select(
+        *group_cols,
+        F.when(
+            F.col("__p_baseline").isNotNull() & F.col("__p_current").isNotNull(),
+            psi,
+        ).alias("psi"),
+        F.coalesce(F.col("n_baseline"), F.lit(0)).cast("long").alias("n_baseline"),
+        F.coalesce(F.col("n_current"), F.lit(0)).cast("long").alias("n_current"),
+    )

@@ -172,6 +172,60 @@ FROM (
     UNION ALL SELECT 'p50',  CAST(quantile_cont(l_quantity, 0.5)  AS DOUBLE) FROM lineitem
     UNION ALL SELECT 'p75',  CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) FROM lineitem
 ) s
+UNION ALL
+-- histogram-sketch p50: 50 bins over [0.5, 50.5), covering-bin linear
+-- interpolation (the engine's histogram_quantiles arithmetic restated)
+SELECT 'hist:l_quantity:p50',
+       CAST(NULL AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST(NULL AS BOOLEAN),
+       (SELECT round(0.5 + 1.0 * (bin + greatest(0.0, least(1.0,
+                   ((0.5 * mass - (cum - cnt))) / CAST(cnt AS DOUBLE)))), 9)
+        FROM (
+            SELECT bin, cnt,
+                   sum(cnt) OVER (ORDER BY bin) AS cum,
+                   (SELECT count(l_quantity) FROM lineitem) AS mass
+            FROM (
+                SELECT CAST(floor((l_quantity - 0.5) / 1.0) AS BIGINT) AS bin,
+                       count(*) AS cnt
+                FROM lineitem WHERE l_quantity IS NOT NULL
+                GROUP BY 1
+            )
+        )
+        WHERE cum >= 0.5 * mass AND cnt > 0
+        ORDER BY bin LIMIT 1)
+UNION ALL
+-- PSI drift between the two l_orderkey-parity halves over the same
+-- binning, below/above-range mass as pseudo-bins 0 and 51, empty bins
+-- floored at 1e-4, rounded to 6 (the engine's histogram_drift contract)
+SELECT 'drift:l_quantity:psi',
+       CAST(NULL AS BIGINT),
+       CAST((SELECT count(l_quantity) FROM lineitem) AS BIGINT),
+       CAST(NULL AS BOOLEAN),
+       (SELECT round(sum((pc - pb) * ln(pc / pb)), 6)
+        FROM (
+            SELECT greatest(1e-4, CAST(coalesce(b.cnt, 0) AS DOUBLE)
+                                  / (SELECT count(l_quantity) FROM lineitem
+                                     WHERE l_orderkey % 2 = 0)) AS pb,
+                   greatest(1e-4, CAST(coalesce(c.cnt, 0) AS DOUBLE)
+                                  / (SELECT count(l_quantity) FROM lineitem
+                                     WHERE l_orderkey % 2 = 1)) AS pc
+            FROM range(0, 52) t(ebin)
+            LEFT JOIN (
+                SELECT CAST(floor((l_quantity - 0.5) / 1.0) AS BIGINT) + 1 AS ebin,
+                       count(*) AS cnt
+                FROM lineitem
+                WHERE l_orderkey % 2 = 0 AND l_quantity IS NOT NULL
+                GROUP BY 1
+            ) b USING (ebin)
+            LEFT JOIN (
+                SELECT CAST(floor((l_quantity - 0.5) / 1.0) AS BIGINT) + 1 AS ebin,
+                       count(*) AS cnt
+                FROM lineitem
+                WHERE l_orderkey % 2 = 1 AND l_quantity IS NOT NULL
+                GROUP BY 1
+            ) c USING (ebin)
+        ))
 """
 
 
@@ -231,7 +285,44 @@ def quality_report(spark, sf_dir):
         for s in ("n_null", "min", "max", "mean", "p25", "p50", "p75")
     ]
     stats = prof.select(F.explode(F.array(*stat_rows)).alias("s")).select("s.*")
-    return rules.unionByName(stats)
+
+    # Round-5 sketch-store tier, hash-checked on the same report grain:
+    # the mergeable-histogram p50 (covering-bin interpolation) and the
+    # PSI drift between the two l_orderkey-parity halves — both
+    # reproduced in the oracle as plain binning arithmetic.
+    from data_pipelines_spark.operators.sketches import (
+        histogram_drift,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    lo, hi, n_bins = 0.5, 50.5, 50
+    sk_all = histogram_sketch(li, [], "l_quantity", lo, hi, n_bins)
+    hist_row = (
+        histogram_quantiles(sk_all, [], [0.5], lo, hi, n_bins)
+        .crossJoin(F.broadcast(sk_all.select(F.col("n").alias("__tot"))))
+        .select(
+            F.lit("hist:l_quantity:p50").alias("rule"),
+            F.lit(None).cast("long").alias("violations"),
+            F.col("__tot").cast("long").alias("total"),
+            F.lit(None).cast("boolean").alias("passed"),
+            F.col("value").alias("metric"),
+        )
+    )
+    halves = F.col("l_orderkey") % 2
+    drift_row = histogram_drift(
+        histogram_sketch(li.where(halves == 0), [], "l_quantity", lo, hi, n_bins),
+        histogram_sketch(li.where(halves == 1), [], "l_quantity", lo, hi, n_bins),
+        [],
+        n_bins,
+    ).select(
+        F.lit("drift:l_quantity:psi").alias("rule"),
+        F.lit(None).cast("long").alias("violations"),
+        (F.col("n_baseline") + F.col("n_current")).cast("long").alias("total"),
+        F.lit(None).cast("boolean").alias("passed"),
+        F.col("psi").alias("metric"),
+    )
+    return rules.unionByName(stats).unionByName(hist_row).unionByName(drift_row)
 
 
 _UPSERT_SQL = """

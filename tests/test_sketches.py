@@ -182,3 +182,166 @@ def test_empty_inputs_survive(spark):
 
     empty_vecs = spark.createDataFrame([], "doc_id long, vec array<double>")
     assert mean_pool(empty_vecs, ["doc_id"], "vec").count() == 0
+
+
+class TestHistogramSketch:
+    def _values(self, spark, vals, day_of=lambda i: "d1"):
+        return spark.createDataFrame(
+            [(day_of(i), float(v) if v is not None else None)
+             for i, v in enumerate(vals)],
+            "day string, v double",
+        )
+
+    def test_rollup_is_bit_exact_vs_direct(self, spark):
+        """The store's whole point: summing daily histograms equals
+        histogramming the union — exactly (integer counts, no estimator
+        variance), unlike the HLL dense-mode caveat."""
+        from data_pipelines_spark.operators.sketches import (
+            histogram_sketch,
+            merge_histogram_sketches,
+        )
+
+        vals = [i % 37 * 0.5 for i in range(500)] + [-3.0, 99.0, None]
+        df = self._values(spark, vals, day_of=lambda i: f"d{i % 5}")
+        daily = histogram_sketch(df, ["day"], "v", lo=0.0, hi=20.0, n_bins=16)
+        rolled = merge_histogram_sketches(daily, [], n_bins=16).collect()[0]
+        direct = histogram_sketch(df, [], "v", lo=0.0, hi=20.0, n_bins=16).collect()[0]
+        for f in ("hist", "n_below", "n_above", "n_null", "n"):
+            assert rolled[f] == direct[f], f
+
+    def test_quantiles_within_one_bin_width(self, spark):
+        import numpy as np
+
+        from data_pipelines_spark.operators.sketches import (
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        rng = np.random.default_rng(7)
+        vals = rng.normal(50, 12, 2000).clip(0.5, 99.5).tolist()
+        df = self._values(spark, vals)
+        lo, hi, n_bins = 0.0, 100.0, 50
+        sk = histogram_sketch(df, ["day"], "v", lo, hi, n_bins)
+        got = {
+            r["q"]: r["value"]
+            for r in histogram_quantiles(
+                sk, ["day"], [0.1, 0.25, 0.5, 0.75, 0.9], lo, hi, n_bins
+            ).collect()
+        }
+        width = (hi - lo) / n_bins
+        for q, v in got.items():
+            true = float(np.quantile(np.array(vals), q))
+            assert abs(v - true) <= width, (q, v, true)
+
+    def test_quantile_edge_cases(self, spark):
+        from data_pipelines_spark.operators.sketches import (
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        # all mass below lo -> clamp to lo; all above -> hi; empty -> NULL
+        below = self._values(spark, [-5.0, -1.0], day_of=lambda i: "below")
+        above = self._values(spark, [200.0, 300.0], day_of=lambda i: "above")
+        nulls = self._values(spark, [None, None], day_of=lambda i: "nulls")
+        df = below.unionByName(above).unionByName(nulls)
+        sk = histogram_sketch(df, ["day"], "v", 0.0, 10.0, 4)
+        got = {
+            (r["day"], r["q"]): r["value"]
+            for r in histogram_quantiles(sk, ["day"], [0.5], 0.0, 10.0, 4).collect()
+        }
+        assert got[("below", 0.5)] == 0.0
+        assert got[("above", 0.5)] == 10.0
+        assert got[("nulls", 0.5)] is None
+
+    def test_known_uniform_quantiles_exact_interpolation(self, spark):
+        from data_pipelines_spark.operators.sketches import (
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        # 10 values 0..9 in [0,10) with 10 bins: one per bin; the
+        # interpolation is fully determined: q=0.5 -> target 5.0 lands
+        # at bin 4 (cum 5), frac (5-4)/1 -> value 5.0
+        df = self._values(spark, [float(i) for i in range(10)])
+        sk = histogram_sketch(df, [], "v", 0.0, 10.0, 10)
+        got = {
+            r["q"]: r["value"]
+            for r in histogram_quantiles(sk, [], [0.5, 1.0], 0.0, 10.0, 10).collect()
+        }
+        assert got[0.5] == 5.0
+        assert got[1.0] == 10.0
+
+    def test_partitioning_invariance(self, spark):
+        from data_pipelines_spark.operators.sketches import histogram_sketch
+
+        vals = [i % 13 * 1.7 for i in range(300)]
+        df = self._values(spark, vals)
+        a = histogram_sketch(df, [], "v", 0.0, 25.0, 8).collect()[0]
+        b = histogram_sketch(
+            df.repartition(7), [], "v", 0.0, 25.0, 8
+        ).collect()[0]
+        assert a["hist"] == b["hist"] and a["n"] == b["n"]
+
+    def test_rejects_bad_config(self, spark):
+        import pytest as _pytest
+
+        from data_pipelines_spark.operators.sketches import histogram_sketch
+
+        df = self._values(spark, [1.0])
+        with _pytest.raises(ValueError):
+            histogram_sketch(df, [], "v", 0.0, 10.0, 0)
+        with _pytest.raises(ValueError):
+            histogram_sketch(df, [], "v", 10.0, 10.0, 4)
+
+
+class TestHistogramDrift:
+    def _sk(self, spark, vals, group="g1"):
+        from data_pipelines_spark.operators.sketches import histogram_sketch
+
+        df = spark.createDataFrame(
+            [(group, float(v)) for v in vals], "g string, v double"
+        )
+        return histogram_sketch(df, ["g"], "v", 0.0, 10.0, 10)
+
+    def test_identical_distributions_zero_psi(self, spark):
+        from data_pipelines_spark.operators.sketches import histogram_drift
+
+        vals = [i % 10 + 0.5 for i in range(100)]
+        a, b = self._sk(spark, vals), self._sk(spark, vals)
+        row = histogram_drift(a, b, ["g"], n_bins=10).collect()[0]
+        assert row["psi"] == 0.0
+        assert row["n_baseline"] == row["n_current"] == 100
+
+    def test_shift_raises_psi(self, spark):
+        from data_pipelines_spark.operators.sketches import histogram_drift
+
+        base = self._sk(spark, [1.0 + (i % 3) for i in range(100)])
+        small = self._sk(spark, [1.2 + (i % 3) for i in range(100)])
+        big = self._sk(spark, [6.0 + (i % 3) for i in range(100)])
+        psi_small = histogram_drift(base, small, ["g"], 10).collect()[0]["psi"]
+        psi_big = histogram_drift(base, big, ["g"], 10).collect()[0]["psi"]
+        assert psi_big > psi_small >= 0.0
+        assert psi_big > 0.25  # fully disjoint support: "shifted" band
+
+    def test_one_sided_groups_null_psi(self, spark):
+        from data_pipelines_spark.operators.sketches import histogram_drift
+
+        a = self._sk(spark, [1.0, 2.0], group="only_old")
+        b = self._sk(spark, [1.0, 2.0], group="only_new")
+        got = {
+            r["g"]: (r["psi"], r["n_baseline"], r["n_current"])
+            for r in histogram_drift(a, b, ["g"], 10).collect()
+        }
+        assert got["only_old"] == (None, 2, 0)
+        assert got["only_new"] == (None, 0, 2)
+
+    def test_out_of_range_drift_is_visible(self, spark):
+        """Below/above-range mass participates as pseudo-bins: a
+        baseline fully in range vs a current fully above range must
+        register as a large shift, not silently compare empty bins."""
+        from data_pipelines_spark.operators.sketches import histogram_drift
+
+        base = self._sk(spark, [1.0 + (i % 5) for i in range(50)])
+        cur = self._sk(spark, [100.0 + i for i in range(50)])
+        psi = histogram_drift(base, cur, ["g"], 10).collect()[0]["psi"]
+        assert psi > 0.25
