@@ -751,3 +751,87 @@ def sample_exact_k(
         .where(F.col("__rk") <= k)
         .drop("__coin", "__n", "__rk")
     )
+
+
+def sample_token_budget(
+    docs: DataFrame,
+    budget: int | float,
+    weight_col: str = "n_tokens",
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "tokbudget",
+    portable: bool = False,
+    include_overflow: bool = False,
+    flag_col: str | None = None,
+) -> DataFrame:
+    """Deterministically sample documents up to a token budget per
+    group ("take 1B tokens per source") — the budget-constrained member
+    of the sampling family (rate: :func:`stratified_sample`, count:
+    :func:`sample_exact_k`, mixture: :func:`temperature_upsample`).
+
+    Each group's docs are ordered by a content-hash coin (a
+    reproducible uniform shuffle) and the maximal prefix whose total
+    ``weight_col`` fits the budget is kept: by default the prefix total
+    never exceeds ``budget`` (the first doc that would cross is cut);
+    ``include_overflow=True`` keeps that crossing doc instead, so the
+    sample reaches at least ``budget`` whenever the group has that much
+    (overshoot < one document). Because weights are non-negative the
+    kept set IS a coin-order prefix — once a row fails the budget test
+    every later row fails too.
+
+    Scale shape: the prefix test needs an exclusive running sum per
+    group under the coin order — :func:`plans.windows.grouped_running_
+    sum`'s two-phase scheme (range-repartition + local window + offset
+    join), so a handful of giant groups never funnel through
+    one-partition windows. Coins are content hashes (retry- and
+    partitioning-deterministic); ``portable=True`` makes them md5-based
+    so external engines reproduce the exact prefix.
+
+    NULL weights consume nothing (treated as 0) but count as sampled
+    rows; negative weights raise (they would break the prefix
+    invariant). NULL groups sample as their own group.
+
+    ``flag_col``: instead of filtering, return EVERY row with a boolean
+    column naming the budget decision — the audit/report shape (and the
+    driver-oracle hook): downstream can filter, inspect, or join it.
+    """
+    if not (float(budget) >= 0):
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    from data_pipelines_spark.plans.windows import grouped_running_sum
+
+    groups = [group_col] if group_col else []
+    gkey = (
+        F.concat_ws("/", F.col(group_col).cast("string"), F.col(id_col).cast("string"))
+        if group_col
+        else F.col(id_col).cast("string")
+    )
+    w = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+    guarded = F.when(
+        w < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(f"sample_token_budget: negative {weight_col}: "),
+                F.col(weight_col).cast("string"),
+            )
+        ),
+    ).otherwise(w)
+    coined = docs.withColumn("__coin", hash_fraction(gkey, salt, portable)).withColumn(
+        "__w", guarded
+    )
+    summed = grouped_running_sum(
+        coined,
+        groups,
+        [F.asc("__coin"), F.asc(id_col)],
+        "__w",
+        alias="__before",
+    )
+    keep = (
+        (F.col("__before") < F.lit(float(budget)))
+        if include_overflow
+        else (F.col("__before") + F.col("__w") <= F.lit(float(budget)))
+    )
+    if flag_col is not None:
+        return summed.withColumn(flag_col, keep).drop(
+            "__coin", "__w", "__before"
+        )
+    return summed.where(keep).drop("__coin", "__w", "__before")

@@ -102,12 +102,27 @@ def grouped_running_sum(
         )
         .drop("__n")
     )
+    # Null-safe join-back: GROUP BY forms a NULL group and window
+    # partitioning treats NULL as a real key, but a plain equi join
+    # would drop NULL-group rows from the output (the
+    # filter_by_group_quantile NULL-group-loss class).
+    renamed = offsets.select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(g).alias(f"__og{i}") for i, g in enumerate(group)],
+        "__offset",
+    )
+    cond = F.col("__pid") == F.col("__opid")
+    for i, g in enumerate(group):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og{i}"))
     return (
-        local.join(F.broadcast(offsets), ["__pid", *group])
+        local.join(F.broadcast(renamed), cond)
         .withColumn(
             alias, (F.col("__lsum") + F.col("__offset")).cast(sum_type)
         )
-        .drop("__pid", "__lsum", "__offset")
+        .drop(
+            "__pid", "__opid", "__lsum", "__offset",
+            *[f"__og{i}" for i in range(len(group))],
+        )
     )
 
 

@@ -73,6 +73,7 @@ def _md5_frac_sql(id_expr: str, salt: str) -> str:
 
 
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_TOKEN_BUDGET = 800.0  # per-source token budget for the sample flag
 
 _SPLIT_SHUFFLE_SQL = f"""
     WITH hashed AS (
@@ -80,6 +81,7 @@ _SPLIT_SHUFFLE_SQL = f"""
                {_md5_frac_sql("doc_id", "split")} AS f_split,
                {_md5_frac_sql("doc_id", "shuffle")} AS f_shuffle,
                {_md5_frac_sql("doc_id", "upsample")} AS f_up,
+               {_md5_frac_sql("source || '/' || CAST(doc_id AS VARCHAR)", "tokbudget")} AS f_tb,
                len({_TOKS}) AS n_toks
         FROM documents
     ),
@@ -111,10 +113,15 @@ _SPLIT_SHUFFLE_SQL = f"""
                     AS BIGINT) AS shuffle_pos,
                CAST(floor(r.rate) AS BIGINT)
                + CASE WHEN h.f_up < r.rate - floor(r.rate)
-                      THEN 1 ELSE 0 END AS n_repeats
+                      THEN 1 ELSE 0 END AS n_repeats,
+               CAST(coalesce(sum(h.n_toks) OVER (
+                        PARTITION BY h.source ORDER BY h.f_tb, h.doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) AS DOUBLE) + CAST(h.n_toks AS DOUBLE)
+                    <= {_TOKEN_BUDGET} AS in_token_budget
         FROM hashed h JOIN rates r USING (source)
     )
-    SELECT doc_id, source, split, shuffle_pos, n_repeats,
+    SELECT doc_id, source, split, shuffle_pos, n_repeats, in_token_budget,
            unnest(range(1, n_repeats + 1)) AS copy_no
     FROM positioned
 """
@@ -135,10 +142,17 @@ def corpus_split_shuffle(spark, sf_dir):
     construction at any corpus size. The α=0.5 mixture weighs each
     source by its token count (sqrt-flattened, budget-preserving) and
     explodes each doc into its drawn copies — `n_repeats` and `copy_no`
-    are hash-checked per copy, docs drawn zero times drop out."""
+    are hash-checked per copy, docs drawn zero times drop out.
+
+    `in_token_budget` is `operators.corpus.sample_token_budget` in flag
+    mode: the maximal coin-order prefix of each source whose token
+    total fits an 800-token budget (two-phase grouped running sum — no
+    one-partition-per-source window); the oracle replays the prefix cut
+    with the same portable coins."""
     from data_pipelines_spark.functions.text import token_count
     from data_pipelines_spark.operators.corpus import (
         assign_splits,
+        sample_token_budget,
         seeded_shuffle,
         temperature_upsample,
     )
@@ -153,11 +167,20 @@ def corpus_split_shuffle(spark, sf_dir):
     ).persist()
     out = assign_splits(docs, _SPLIT_WEIGHTS, portable=True)
     out = seeded_shuffle(out, portable=True)
+    out = sample_token_budget(
+        out,
+        _TOKEN_BUDGET,
+        weight_col="__ntok",
+        group_col="source",
+        portable=True,
+        flag_col="in_token_budget",
+    )
     up = temperature_upsample(
         out, "source", alpha=0.5, weight_col=F.col("__ntok"), portable=True
     )
     return up.select(
-        "doc_id", "source", "split", "shuffle_pos", "n_repeats", "copy_no"
+        "doc_id", "source", "split", "shuffle_pos", "n_repeats",
+        "in_token_budget", "copy_no"
     )
 
 

@@ -375,6 +375,32 @@ def test_grouped_running_sum_matches_naive_window(spark):
     assert got == want
 
 
+def test_grouped_running_sum_keeps_null_group(spark):
+    """Probe regression: the two-phase offset join-back was a plain
+    equi join on the group key, so NULL-group rows vanished from the
+    output (the filter_by_group_quantile NULL-group-loss class); the
+    naive window they must match treats NULL as a real partition."""
+    from data_pipelines_spark.plans.windows import grouped_running_sum
+
+    rows = [(i, "a" if i < 3 else None, 10) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    got = sorted(
+        [
+            (r["grp"], r["id"], r["cum"])
+            for r in grouped_running_sum(
+                df, ["grp"], [F.col("id").asc()], "v", alias="cum"
+            ).collect()
+        ],
+        key=repr,
+    )
+    want = sorted(
+        [("a", 0, 0), ("a", 1, 10), ("a", 2, 20),
+         (None, 3, 0), (None, 4, 10), (None, 5, 20)],
+        key=repr,
+    )
+    assert got == want
+
+
 def test_pack_sequences_layout(spark):
     from data_pipelines_spark.operators.corpus import pack_sequences
 
@@ -840,3 +866,122 @@ class TestSampleExactK:
                 ).collect()
             )
             assert got == {"a": 3, None: 3}, (kw, got)
+
+
+class TestSampleTokenBudget:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    def _brute(self, rows, budget, grouped, include_overflow, salt="tokbudget"):
+        """Reference: coin-order prefix per group."""
+        import hashlib
+
+        def coin(src, did):
+            key = f"{src}/{did}" if grouped else str(did)
+            h = hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8]
+            return int(h, 16) / float(1 << 32)
+
+        by_g = {}
+        for did, src, w in rows:
+            by_g.setdefault(src if grouped else "_", []).append(
+                (coin(src, did), did, 0.0 if w is None else float(w))
+            )
+        keep = set()
+        for lst in by_g.values():
+            tot = 0.0
+            for _, did, w in sorted(lst):
+                if include_overflow:
+                    if tot < budget:
+                        keep.add(did)
+                    else:
+                        break
+                else:
+                    if tot + w <= budget:
+                        keep.add(did)
+                    else:
+                        break
+                tot += w
+        return keep
+
+    def test_matches_brute_force_prefix(self, spark):
+        from data_pipelines_spark.operators.corpus import sample_token_budget
+
+        rows = [(i, f"s{i % 3}", (i * 7919) % 200 + 1) for i in range(300)]
+        docs = self._docs(spark, rows)
+        for overflow in (False, True):
+            got = {
+                r["doc_id"]
+                for r in sample_token_budget(
+                    docs, 2000, group_col="source",
+                    portable=True, include_overflow=overflow,
+                ).collect()
+            }
+            want = self._brute(rows, 2000, True, overflow)
+            assert got == want, (overflow, got ^ want)
+
+    def test_budget_is_respected(self, spark):
+        from data_pipelines_spark.operators.corpus import sample_token_budget
+
+        rows = [(i, "s", (i * 31) % 500 + 1) for i in range(200)]
+        docs = self._docs(spark, rows)
+        under = sample_token_budget(docs, 5000, group_col="source")
+        tot = under.agg(F.sum("n_tokens")).collect()[0][0]
+        assert tot <= 5000
+        over = sample_token_budget(
+            docs, 5000, group_col="source", include_overflow=True
+        )
+        tot_over = over.agg(F.sum("n_tokens")).collect()[0][0]
+        max_w = max(w for _, _, w in rows)
+        assert 5000 <= tot_over < 5000 + max_w
+
+    def test_partitioning_invariant_and_null_group(self, spark):
+        from data_pipelines_spark.operators.corpus import sample_token_budget
+
+        rows = [(i, None if i % 4 == 0 else f"s{i % 2}", 50) for i in range(120)]
+        docs = self._docs(spark, rows)
+        a = {
+            r["doc_id"]
+            for r in sample_token_budget(docs, 500, group_col="source").collect()
+        }
+        b = {
+            r["doc_id"]
+            for r in sample_token_budget(
+                docs.repartition(7), 500, group_col="source"
+            ).collect()
+        }
+        assert a == b
+        # NULL-source docs form their own budgeted group: 10 docs of 50
+        null_kept = [
+            r for r in sample_token_budget(
+                docs, 500, group_col="source"
+            ).collect() if r["source"] is None
+        ]
+        assert len(null_kept) == 10
+
+    def test_null_weight_consumes_nothing(self, spark):
+        from data_pipelines_spark.operators.corpus import sample_token_budget
+
+        rows = [(1, "s", None), (2, "s", None), (3, "s", 10)]
+        docs = self._docs(spark, rows)
+        # budget 10: NULL-weight docs are free, the 10-token doc fits
+        assert sample_token_budget(docs, 10, group_col="source").count() == 3
+        # all-free group: any budget keeps everything (prefix never cut)
+        free = self._docs(spark, [(1, "s", None), (2, "s", None)])
+        assert sample_token_budget(free, 0, group_col="source").count() == 2
+
+    def test_negative_weight_raises(self, spark):
+        import pytest as _pytest
+
+        from data_pipelines_spark.operators.corpus import sample_token_budget
+
+        docs = self._docs(spark, [(1, "s", -5)])
+        with _pytest.raises(Exception, match="negative"):
+            sample_token_budget(docs, 10, group_col="source").collect()
+
+    def test_global_mode(self, spark):
+        from data_pipelines_spark.operators.corpus import sample_token_budget
+
+        rows = [(i, f"s{i % 3}", 100) for i in range(50)]
+        docs = self._docs(spark, rows)
+        got = sample_token_budget(docs, 1000)
+        assert got.count() == 10  # 10 docs x 100 tokens, group-blind
