@@ -655,8 +655,19 @@ def temperature_upsample(
     frac = F.col("rate") - F.floor(F.col("rate"))
     coin = (hash_fraction(F.col(id_col), salt, portable) < frac).cast("long")
     n_rep = (F.floor(F.col("rate")).cast("long") + coin).alias("n_repeats")
-    joined = docs.join(F.broadcast(rates), strata_col).withColumn(
-        "n_repeats", n_rep
+    # Null-safe join: GROUP BY gives a NULL stratum its own rate row,
+    # but a plain equi join would silently drop every NULL-stratum doc
+    # from the mixture (its weight having been counted in the budget).
+    rate_side = rates.select(
+        F.col(strata_col).alias("__stratum"), "rate"
+    )
+    joined = (
+        docs.join(
+            F.broadcast(rate_side),
+            F.col(strata_col).eqNullSafe(F.col("__stratum")),
+        )
+        .drop("__stratum")
+        .withColumn("n_repeats", n_rep)
     )
     copies = F.when(
         F.col("n_repeats") >= 1,

@@ -985,3 +985,22 @@ class TestSampleTokenBudget:
         docs = self._docs(spark, rows)
         got = sample_token_budget(docs, 1000)
         assert got.count() == 10  # 10 docs x 100 tokens, group-blind
+
+
+def test_temperature_upsample_keeps_null_stratum(spark):
+    """Probe regression: GROUP BY gives a NULL-source stratum its own
+    mixture rate, but the plain equi join to the rate table dropped
+    every NULL-stratum doc from the output — with its token weight
+    still counted in the budget. Null-safe join now."""
+    from data_pipelines_spark.operators.corpus import temperature_upsample
+
+    rows = [(i, "a" if i < 5 else None, 100) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, ntok long")
+    out = temperature_upsample(docs, weight_col=F.col("ntok")).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # equal weights, alpha=0.5, budget 1.0x: both strata rate 1.0 ->
+    # every doc appears exactly once
+    assert by_src.get("a") == {0, 1, 2, 3, 4}
+    assert by_src.get(None) == {5, 6, 7, 8, 9}
