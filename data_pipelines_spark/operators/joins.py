@@ -270,3 +270,144 @@ def interval_join(
         F.col(f"__i.{c}") for c in intervals.columns if c not in key_cols
     ]
     return joined.select(*out_cols)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    bin_width: int,
+    key_cols: Sequence[str] = (),
+    how: str = "inner",
+    closed: str = "both",
+    left_id_col: str | None = None,
+    max_bins_per_interval: int | None = 4096,
+) -> DataFrame:
+    """Join interval rows to interval rows that OVERLAP them (sessions ×
+    outages, forecasts × observation windows) — the range×range sibling
+    of :func:`interval_join`, again without a nested-loop plan.
+
+    ``closed='both'`` treats intervals as closed (touching endpoints
+    overlap: ``ls <= re AND rs <= le``); ``closed='left'`` as half-open
+    ``[s, e)`` (touching does not overlap: ``ls < re AND rs < le`` —
+    the tumbling-window convention). ``bin_width`` follows
+    :func:`interval_join`'s domain rules (seconds for temporal bounds,
+    value units for numeric; mixing domains raises).
+
+    Plan shape: BOTH sides explode to one row per covered bin and meet
+    in a plain equi shuffle join on (bin, *key_cols) with the exact
+    overlap predicate as a post-filter. An overlapping pair shares every
+    bin the overlap spans — the join additionally requires the met bin
+    to be the OVERLAP START's bin (``floor(max(ls, rs) / w)``), which
+    both sides provably cover, so each true pair is emitted EXACTLY
+    once with no distinct pass.
+
+    ``how='inner'`` returns the pairs; ``how='left_semi'`` returns left
+    rows having at least one overlap — implemented as a semi join of
+    the ORIGINAL left frame against the matched ``left_id_col`` values
+    (required for semi; the exploded replicas can't be deduplicated
+    without an identity), preserving the left frame's own multiplicity.
+
+    Invalid intervals (NULL bounds, end < start) match nothing and are
+    dropped from BOTH sides before the explode, per SQL comparison
+    semantics. Runaway intervals trip ``max_bins_per_interval``
+    loudly (on either side) instead of silently exploding the shuffle.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"unknown how: {how}")
+    if closed not in ("both", "left"):
+        raise ValueError(f"unknown closed: {closed}")
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    if how == "left_semi" and left_id_col is None:
+        raise ValueError("left_semi needs left_id_col to identify left rows")
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+    overlap_cols = set(left.columns) & set(right.columns) - set(key_cols)
+    if how == "inner" and overlap_cols:
+        raise ValueError(
+            f"ambiguous output columns {sorted(overlap_cols)}: rename one "
+            "side (key_cols are exempt)"
+        )
+    reserved = {"__bin", "__s"}
+    if reserved & set(left.columns) or reserved & set(right.columns):
+        raise ValueError("'__bin'/'__s' are reserved by interval_overlap_join")
+    domains = {
+        _bin_domain(left, ls), _bin_domain(left, le),
+        _bin_domain(right, rs), _bin_domain(right, re_),
+    }
+    if len(domains) > 1:
+        raise ValueError(
+            "interval_overlap_join bounds mix temporal and numeric types; "
+            "cast them to one domain (bins would never align)"
+        )
+
+    w = F.lit(int(bin_width)).cast("long")
+
+    def exploded(df: DataFrame, s: str, e: str, side: str) -> DataFrame:
+        lo = F.floor(_to_number(df, s) / w).cast("long")
+        hi = F.floor(_to_number(df, e) / w).cast("long")
+        bins = F.sequence(lo, hi)
+        if max_bins_per_interval is not None:
+            bins = F.when(
+                hi - lo < F.lit(int(max_bins_per_interval)), bins
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"interval_overlap_join: {side} interval covers "
+                            f"more than {max_bins_per_interval} bins of "
+                            f"width {bin_width} (start="
+                        ),
+                        F.col(s).cast("string"),
+                        F.lit(", end="),
+                        F.col(e).cast("string"),
+                        F.lit("); widen bin_width or raise the cap"),
+                    )
+                ).cast("array<long>")
+            )
+        return (
+            df.where(
+                F.col(s).isNotNull()
+                & F.col(e).isNotNull()
+                & (F.col(e) >= F.col(s))
+            )
+            .withColumn("__s", _to_number(df, s))
+            .withColumn("__bin", F.explode(bins))
+        )
+
+    l = exploded(left, ls, le, "left").alias("__l")
+    r = exploded(right, rs, re_, "right").alias("__r")
+
+    if closed == "both":
+        pred = (F.col(f"__l.{ls}") <= F.col(f"__r.{re_}")) & (
+            F.col(f"__r.{rs}") <= F.col(f"__l.{le}")
+        )
+    else:
+        pred = (F.col(f"__l.{ls}") < F.col(f"__r.{re_}")) & (
+            F.col(f"__r.{rs}") < F.col(f"__l.{le}")
+        )
+    start_bin = F.floor(
+        F.greatest(F.col("__l.__s"), F.col("__r.__s")) / w
+    ).cast("long")
+    cond = (
+        (F.col("__l.__bin") == F.col("__r.__bin"))
+        & (F.col("__l.__bin") == start_bin)
+        & pred
+    )
+    for k in key_cols:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+
+    pairs = l.join(r, cond, "inner")
+    if how == "left_semi":
+        matched = pairs.select(
+            F.col(f"__l.{left_id_col}").alias("__mid")
+        ).distinct()
+        return left.join(
+            matched, F.col(left_id_col) == F.col("__mid"), "left_semi"
+        )
+    out_cols = [F.col(f"__l.{c}") for c in left.columns] + [
+        F.col(f"__r.{c}") for c in right.columns if c not in key_cols
+    ]
+    return pairs.select(*out_cols)

@@ -225,9 +225,20 @@ def subquery_pivot_suite(spark, sf_dir):
         FROM events e
         JOIN wins w ON e.ts >= w.w_start AND e.ts <= w.w_end
         GROUP BY e.event_id
+    ),
+    overlapped AS (
+        SELECT e.event_id, count(*) AS n_overlap_error_windows
+        FROM events e
+        JOIN wins w
+          ON e.ts - INTERVAL 15 MINUTE <= w.w_end
+         AND w.w_start <= e.ts + INTERVAL 15 MINUTE
+        GROUP BY e.event_id
     )
-    SELECT f.*, COALESCE(c.n_error_windows, 0) AS n_error_windows
-    FROM frames f LEFT JOIN covered c USING (event_id)
+    SELECT f.*, COALESCE(c.n_error_windows, 0) AS n_error_windows,
+           COALESCE(o.n_overlap_error_windows, 0) AS n_overlap_error_windows
+    FROM frames f
+    LEFT JOIN covered c USING (event_id)
+    LEFT JOIN overlapped o USING (event_id)
     """,
 )
 def event_window_frames(spark, sf_dir):
@@ -250,7 +261,13 @@ def event_window_frames(spark, sf_dir):
     event — both join sides are fact-derived and share NO equi key, the
     case Spark would otherwise plan as a nested-loop join. The oracle
     restates it as the naive BETWEEN join; bins of the window width
-    keep interval replication at <= 2 rows each."""
+    keep interval replication at <= 2 rows each.
+
+    ``n_overlap_error_windows`` does the same for the range×range
+    sibling (operators/joins.py:interval_overlap_join): each event's
+    ±15-minute activity window against the error windows, every
+    overlapping pair emitted exactly once via the overlap-start-bin
+    rule; the oracle restates the naive overlap predicate."""
     tune(spark)
     ev = load_events(spark, sf_dir)
     wins = ev.where(F.col("event_type") == "error").select(
@@ -264,6 +281,21 @@ def event_window_frames(spark, sf_dir):
         )
         .groupBy("event_id")
         .agg(F.count(F.lit(1)).alias("n_error_windows"))
+    )
+    from data_pipelines_spark.operators.joins import interval_overlap_join
+
+    activity = ev.select(
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("a_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("a_end"),
+    )
+    overlapped = (
+        interval_overlap_join(
+            activity, wins, ("a_start", "a_end"), ("w_start", "w_end"),
+            bin_width=1800,
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_error_windows"))
     )
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w = order.rowsBetween(-2, Window.currentRow)
@@ -289,9 +321,17 @@ def event_window_frames(spark, sf_dir):
             "range_sum_1h"
         ),
     )
-    return frames.join(covered, "event_id", "left").withColumn(
-        "n_error_windows",
-        F.coalesce(F.col("n_error_windows"), F.lit(0)).cast("long"),
+    return (
+        frames.join(covered, "event_id", "left")
+        .join(overlapped, "event_id", "left")
+        .withColumn(
+            "n_error_windows",
+            F.coalesce(F.col("n_error_windows"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "n_overlap_error_windows",
+            F.coalesce(F.col("n_overlap_error_windows"), F.lit(0)).cast("long"),
+        )
     )
 
 

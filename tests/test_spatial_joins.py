@@ -451,3 +451,176 @@ def test_asof_join_null_timestamps_match_nothing(spark):
     assert fw(late)[0]["v"] is None
     assert bw(null_left)[0]["v"] is None
     assert fw(null_left)[0]["v"] is None
+
+
+class TestIntervalOverlapJoin:
+    def _frames(self, spark, n_left=60, n_right=40, seed=11):
+        import random
+
+        rng = random.Random(seed)
+        lrows = [
+            (i, rng.randrange(0, 500), rng.randrange(0, 60), f"k{i % 2}")
+            for i in range(n_left)
+        ]
+        rrows = [
+            (i, rng.randrange(0, 500), rng.randrange(0, 60), f"k{i % 2}")
+            for i in range(n_right)
+        ]
+        left = spark.createDataFrame(
+            [(i, s, s + d, k) for i, s, d, k in lrows],
+            "lid long, ls long, le long, k string",
+        )
+        right = spark.createDataFrame(
+            [(i, s, s + d, k) for i, s, d, k in rrows],
+            "rid long, rs long, re long, k string",
+        )
+        return left, right
+
+    def _naive(self, left, right, closed, keyed):
+        lrows, rrows = left.collect(), right.collect()
+        out = set()
+        for a in lrows:
+            for b in rrows:
+                if keyed and a["k"] != b["k"]:
+                    continue
+                if closed == "both":
+                    hit = a["ls"] <= b["re"] and b["rs"] <= a["le"]
+                else:
+                    hit = a["ls"] < b["re"] and b["rs"] < a["le"]
+                if hit:
+                    out.add((a["lid"], b["rid"]))
+        return out
+
+    def test_matches_naive_cross_join(self, spark):
+        from data_pipelines_spark.operators.joins import interval_overlap_join
+
+        left, right = self._frames(spark)
+        for width in (7, 32, 100):
+            for closed in ("both", "left"):
+                got = {
+                    (r["lid"], r["rid"])
+                    for r in interval_overlap_join(
+                        left.drop("k"), right.drop("k"),
+                        ("ls", "le"), ("rs", "re"),
+                        bin_width=width, closed=closed,
+                    ).collect()
+                }
+                want = self._naive(left, right, closed, keyed=False)
+                assert got == want, (width, closed, got ^ want)
+
+    def test_exactly_once_per_pair_and_keys(self, spark):
+        from data_pipelines_spark.operators.joins import interval_overlap_join
+
+        left, right = self._frames(spark)
+        rows = interval_overlap_join(
+            left, right.drop("k") if False else right,
+            ("ls", "le"), ("rs", "re"),
+            bin_width=16, key_cols=["k"],
+        ).collect()
+        pairs = [(r["lid"], r["rid"]) for r in rows]
+        assert len(pairs) == len(set(pairs))  # no duplicate emissions
+        assert set(pairs) == self._naive(left, right, "both", keyed=True)
+
+    def test_left_semi_preserves_multiplicity(self, spark):
+        from data_pipelines_spark.operators.joins import interval_overlap_join
+
+        left = spark.createDataFrame(
+            # lid 1 duplicated on purpose; lid 3 overlaps nothing
+            [(1, 0, 10), (1, 0, 10), (2, 5, 9), (3, 100, 110)],
+            "lid long, ls long, le long",
+        )
+        right = spark.createDataFrame(
+            [(7, 8, 20)], "rid long, rs long, re long"
+        )
+        got = sorted(
+            r["lid"]
+            for r in interval_overlap_join(
+                left, right, ("ls", "le"), ("rs", "re"),
+                bin_width=8, how="left_semi", left_id_col="lid",
+            ).collect()
+        )
+        assert got == [1, 1, 2]
+
+    def test_invalid_and_null_intervals_match_nothing(self, spark):
+        from data_pipelines_spark.operators.joins import interval_overlap_join
+
+        left = spark.createDataFrame(
+            [(1, 0, 10), (2, 9, 3), (3, None, 10), (4, 0, None)],
+            "lid long, ls long, le long",
+        )
+        right = spark.createDataFrame(
+            [(7, 5, 6)], "rid long, rs long, re long"
+        )
+        got = [
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right, ("ls", "le"), ("rs", "re"), bin_width=4
+            ).collect()
+        ]
+        assert got == [(1, 7)]
+
+    def test_no_nested_loop_in_plan(self, spark):
+        from data_pipelines_spark.operators.joins import interval_overlap_join
+
+        left, right = self._frames(spark)
+        plan = interval_overlap_join(
+            left.drop("k"), right.drop("k"), ("ls", "le"), ("rs", "re"),
+            bin_width=16,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_temporal_bounds(self, spark):
+        from datetime import datetime
+
+        from data_pipelines_spark.operators.joins import interval_overlap_join
+
+        def ts(h, m=0):
+            return datetime(2024, 3, 1, h, m)
+
+        left = spark.createDataFrame(
+            [(1, ts(1), ts(2)), (2, ts(5), ts(6))],
+            "lid long, ls timestamp, le timestamp",
+        )
+        right = spark.createDataFrame(
+            [(7, ts(1, 30), ts(5)), (8, ts(6), ts(7))],
+            "rid long, rs timestamp, re timestamp",
+        )
+        both = {
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right, ("ls", "le"), ("rs", "re"), bin_width=900
+            ).collect()
+        }
+        # closed: 1∩7 (interior), 2∩7 (touch at 5:00), 2∩8 (touch at 6:00)
+        assert both == {(1, 7), (2, 7), (2, 8)}
+        half = {
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right, ("ls", "le"), ("rs", "re"),
+                bin_width=900, closed="left",
+            ).collect()
+        }
+        assert half == {(1, 7)}
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from data_pipelines_spark.operators.joins import interval_overlap_join
+
+        left, right = self._frames(spark)
+        with _pytest.raises(ValueError, match="left_id_col"):
+            interval_overlap_join(
+                left, right, ("ls", "le"), ("rs", "re"), 8, how="left_semi"
+            )
+        with _pytest.raises(ValueError, match="ambiguous"):
+            interval_overlap_join(
+                left, left, ("ls", "le"), ("ls", "le"), 8
+            )
+        with _pytest.raises(Exception, match="interval_overlap_join"):
+            wide = spark.createDataFrame(
+                [(1, 0, 10_000_000)], "rid long, rs long, re long"
+            )
+            interval_overlap_join(
+                left.drop("k"), wide, ("ls", "le"), ("rs", "re"), 2,
+                max_bins_per_interval=64,
+            ).collect()
