@@ -242,8 +242,20 @@ def histogram_quantiles(
             F.max("n_below").alias("__nb"),
         )
     )
+    # Null-safe join: GROUP BY forms a NULL group whose quantiles must
+    # compute like any other's — a plain equi join would leave them NULL
+    # (the NULL-group-loss class the round-5 probe sweep chased).
+    pk = picked.select(
+        *[F.col(g).alias(f"__pg{i}") for i, g in enumerate(group_cols)],
+        F.col("q").alias("__pq"),
+        "__v",
+        "__mass2",
+    )
+    cond = F.col("q") == F.col("__pq")
+    for i, g in enumerate(group_cols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__pg{i}"))
     return (
-        edges.join(picked, [*group_cols, "q"], "left")
+        edges.join(pk, cond, "left")
         .select(
             *group_cols,
             "q",

@@ -345,3 +345,23 @@ class TestHistogramDrift:
         cur = self._sk(spark, [100.0 + i for i in range(50)])
         psi = histogram_drift(base, cur, ["g"], 10).collect()[0]["psi"]
         assert psi > 0.25
+
+    def test_null_group_quantiles_compute(self, spark):
+        """Probe regression (NULL-group-loss class): GROUP BY forms a
+        NULL group whose quantile must compute like any other's — the
+        plain equi join-back left it NULL."""
+        from data_pipelines_spark.operators.sketches import (
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        rows = [("a" if i < 5 else None, float(i % 10)) for i in range(10)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        sk = histogram_sketch(df, ["g"], "v", 0.0, 10.0, 10)
+        got = {
+            r["g"]: r["value"]
+            for r in histogram_quantiles(
+                sk, ["g"], [0.5], 0.0, 10.0, 10
+            ).collect()
+        }
+        assert got == {"a": 2.5, None: 7.5}
