@@ -1,0 +1,116 @@
+"""Streaming maintenance of the mergeable sketch stores
+(`operators/sketches.py`): each micro-batch reduces to one sketch row
+per (batch, group) and lands in its OWN batch partition of the store.
+
+Delivery semantics, stated honestly: ``foreachBatch`` is at-least-once
+— a batch can replay after a crash. Count-based sketches (histograms)
+are NOT union-idempotent (replayed sums double-count), so the sink
+never read-modify-writes a merged row; instead every batch writes rows
+keyed by its deterministic ``batch_id`` and a replay OVERWRITES exactly
+its own partition (dynamic partition overwrite) — effectively
+exactly-once at rest. Readers merge across batch rows with
+:func:`~data_pipelines_spark.operators.sketches.merge_histogram_
+sketches` / ``merge_distinct_counts``, which is the store's normal
+query path anyway (that is the whole point of a mergeable store).
+
+Scale shape per batch: one map-side-combined aggregation to
+(groups x sketch-size) rows, one partition-dir write. The store grows
+one row per (batch, group); compact with
+:func:`~data_pipelines_spark.sources.materialize.compact_dataset` or
+periodically roll batches up into coarser rows (day → month) with the
+merge functions — merges are exact for histograms and lossless for
+HLL, so roll-ups never change answers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _partitioned_batch_write(batch: DataFrame, path: str, batch_id: int) -> None:
+    spark = batch.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def stream_histogram_sketch_sink(
+    stream_df: DataFrame,
+    store_path: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """foreachBatch sink: reduce each micro-batch to histogram-sketch
+    rows per group and write them under ``batch_id=<n>`` in
+    ``store_path``. Replays overwrite their own partition (idempotent);
+    readers merge across batches. Binning (lo/hi/n_bins) is the store's
+    identity — keep it constant for the store's lifetime.
+
+    Returns the un-started ``DataStreamWriter``.
+    """
+    from data_pipelines_spark.operators.sketches import histogram_sketch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = histogram_sketch(
+            batch_df, list(group_cols), value_col, lo, hi, n_bins
+        )
+        _partitioned_batch_write(sk, store_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_apply).outputMode("append")
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+def stream_distinct_sketch_sink(
+    stream_df: DataFrame,
+    store_path: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    lgk: int = 12,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """foreachBatch sink for the HLL distinct-count store: one HllSketch
+    row per (batch, group) under ``batch_id=<n>``. HLL unions are
+    idempotent in VALUE terms, but the per-batch-partition layout keeps
+    the store replay-clean at rest too (a replayed batch replaces its
+    own rows instead of appending near-duplicates). ``lgk`` is the
+    store's identity — keep it constant.
+
+    Returns the un-started ``DataStreamWriter``.
+    """
+    from data_pipelines_spark.operators.sketches import distinct_sketch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = distinct_sketch(batch_df, list(group_cols), value_col, lgk)
+        _partitioned_batch_write(sk, store_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_apply).outputMode("append")
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

@@ -672,3 +672,107 @@ def test_stream_near_dup_dedup_sink(spark):
         assert store[1] == direct[1]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_histogram_sketch_sink(spark):
+    """Per-batch sketch rows land under batch_id partitions; merging
+    across batches equals a direct histogram of ALL the data, and a
+    replayed batch overwrites its own partition (idempotent at rest)."""
+    import shutil
+    import tempfile
+
+    from data_pipelines_spark.operators.sketches import (
+        histogram_sketch,
+        merge_histogram_sketches,
+    )
+    from data_pipelines_spark.streaming.sketches import (
+        _partitioned_batch_write,
+        stream_histogram_sketch_sink,
+    )
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="dps_sketch_sink_")
+    try:
+        rows = [(f"d{i % 3}", float(i % 50)) for i in range(600)]
+        all_df = spark.createDataFrame(rows, "day string, v double")
+        # two input files -> availableNow processes them (possibly in
+        # one or two batches; either is fine for the merged contract)
+        all_df.where(F.col("v") < 25).write.parquet(f"{tmp}/in/a")
+        all_df.where(F.col("v") >= 25).write.parquet(f"{tmp}/in/b")
+        stream = spark.readStream.schema(all_df.schema).parquet(f"{tmp}/in/*")
+        q = stream_histogram_sketch_sink(
+            stream, f"{tmp}/store", ["day"], "v", 0.0, 50.0, 25,
+            checkpoint=f"{tmp}/ckpt",
+        ).start()
+        q.awaitTermination(120)
+
+        store = spark.read.parquet(f"{tmp}/store")
+        merged = {
+            r["day"]: (r["hist"], r["n"])
+            for r in merge_histogram_sketches(store, ["day"], 25).collect()
+        }
+        direct = {
+            r["day"]: (r["hist"], r["n"])
+            for r in histogram_sketch(all_df, ["day"], "v", 0.0, 50.0, 25).collect()
+        }
+        assert merged == direct
+
+        # replay: rewrite one batch's rows under its own batch_id — the
+        # merged store answer must not change
+        replay_id = store.select("batch_id").distinct().collect()[0][0]
+        n_store = (
+            store.where(F.col("batch_id") == replay_id)
+            .agg(F.sum("n")).collect()[0][0]
+        )
+        # replay the batch with ITS OWN content (availableNow may have
+        # taken both files in one batch or split them)
+        for cand in (
+            all_df.where(F.col("v") < 25),
+            all_df.where(F.col("v") >= 25),
+            all_df,
+        ):
+            sk = histogram_sketch(cand, ["day"], "v", 0.0, 50.0, 25)
+            if sk.agg(F.sum("n")).collect()[0][0] == n_store:
+                break
+        _partitioned_batch_write(sk, f"{tmp}/store", replay_id)
+        merged2 = {
+            r["day"]: (r["hist"], r["n"])
+            for r in merge_histogram_sketches(
+                spark.read.parquet(f"{tmp}/store"), ["day"], 25
+            ).collect()
+        }
+        assert merged2 == direct
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_distinct_sketch_sink(spark):
+    import shutil
+    import tempfile
+
+    from data_pipelines_spark.operators.sketches import merge_distinct_counts
+    from data_pipelines_spark.streaming.sketches import (
+        stream_distinct_sketch_sink,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dps_hll_sink_")
+    try:
+        rows = [(f"d{i % 2}", f"user{i % 97}") for i in range(500)]
+        all_df = spark.createDataFrame(rows, "day string, uid string")
+        all_df.write.parquet(f"{tmp}/in/a")
+        stream = spark.readStream.schema(all_df.schema).parquet(f"{tmp}/in/*")
+        q = stream_distinct_sketch_sink(
+            stream, f"{tmp}/store", ["day"], "uid", checkpoint=f"{tmp}/ckpt"
+        ).start()
+        q.awaitTermination(120)
+        est = {
+            r["day"]: r["n_distinct_approx"]
+            for r in merge_distinct_counts(
+                spark.read.parquet(f"{tmp}/store"), ["day"]
+            ).collect()
+        }
+        assert set(est) == {"d0", "d1"}
+        for v in est.values():
+            assert abs(v - 97) / 97 < 0.05  # both days see all 97 uids
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
