@@ -488,3 +488,107 @@ def mean_pool(
         l2_normalize(F.col("__pooled")) if normalize else F.col("__pooled")
     )
     return pooled.select(*group_cols, out.alias(out_col), "n_vectors")
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    dim: int,
+    left_id_col: str = "vec_id",
+    right_id_col: str = "vec_id",
+    left_vec_col: str = "embedding",
+    right_vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    hamming_probe: int = 0,
+    exclude_same_id: bool = True,
+    score_round: int | None = 6,
+) -> DataFrame:
+    """Approximate k-NN JOIN: for EVERY left vector, its ``k`` highest-
+    cosine right vectors among LSH-bucket candidates —
+    ``(left_id, right_id, cosine, rank)``. The batch-retrieval
+    primitive (:func:`lsh_bucketed_topk` answers one query; this
+    answers all of them in one plan): dedup a batch against a reference
+    corpus, nearest-prototype assignment, retrieval-style labeling.
+
+    Plan shape: both sides take a hyperplane signature (same seeded
+    planes → deterministic), candidates meet in a plain equi shuffle
+    join on the bucket id, cosine is native array arithmetic, and the
+    per-left top-k is a row_number window over bucket-sized candidate
+    sets — never all-pairs. ``hamming_probe=1`` additionally probes
+    every bucket at Hamming distance 1 from the left signature
+    (``num_planes`` extra probes per left row — the standard
+    multi-probe recall lever; each true pair still meets at most once
+    because the right side keeps ONE bucket).
+
+    Honest contract: recall is approximate — a true neighbor in a
+    non-probed bucket is missed; raise ``hamming_probe``, lower
+    ``num_planes``, or use the IVF path for recall/cost trade-offs.
+    Zero-norm/NULL vectors score NULL (:func:`cosine`'s contract) and
+    are excluded from candidates on both sides. Ties order by
+    ``right_id`` for a total order; ``cosine`` is rounded to
+    ``score_round`` for engine-portable output (ranking uses the raw
+    value).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if hamming_probe not in (0, 1):
+        raise ValueError("hamming_probe supports 0 or 1")
+    from pyspark.sql import Window
+
+    planes = random_hyperplanes(dim, num_planes, seed)
+    # Cast to double BEFORE any arithmetic: float×float multiplies
+    # round before the double accumulate and drift a ulp from engines
+    # that cast first (the oracle's ::DOUBLE[] — caught by the parity
+    # gate at a round-to-6 boundary).
+    lvec = _to_double(F.col(left_vec_col))
+    rvec = _to_double(F.col(right_vec_col))
+    lsig = plane_signature(lvec, planes)
+    rsig = plane_signature(rvec, planes)
+
+    if hamming_probe == 1:
+        probes = F.array(
+            lsig, *[lsig.bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
+        )
+        l = left.select(
+            F.col(left_id_col).alias("__lid"),
+            lvec.alias("__lvec"),
+            F.explode(probes).alias("__bucket"),
+        )
+    else:
+        l = left.select(
+            F.col(left_id_col).alias("__lid"),
+            lvec.alias("__lvec"),
+            lsig.alias("__bucket"),
+        )
+    r = right.select(
+        F.col(right_id_col).alias("__rid"),
+        rvec.alias("__rvec"),
+        rsig.alias("__bucket"),
+    )
+    pairs = l.join(r, "__bucket")
+    if exclude_same_id:
+        pairs = pairs.where(F.col("__lid") != F.col("__rid"))
+    score_raw = cosine(F.col("__lvec"), F.col("__rvec"))
+    scored = pairs.withColumn("__score", score_raw).where(
+        F.col("__score").isNotNull()
+    )
+    w = Window.partitionBy("__lid").orderBy(
+        F.desc("__score"), F.asc("__rid")
+    )
+    out_score = (
+        F.round(F.col("__score"), score_round)
+        if score_round is not None
+        else F.col("__score")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__lid").alias(f"left_{left_id_col}"),
+            F.col("__rid").alias(f"right_{right_id_col}"),
+            out_score.alias("cosine"),
+            "rank",
+        )
+    )

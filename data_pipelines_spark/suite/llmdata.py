@@ -535,32 +535,47 @@ _LSH_TOPK_SQL = f"""
                {_planes_sql()} AS bucket
         FROM embeddings
     ),
-    q AS (SELECT v AS qvec, bucket FROM b WHERE vec_id = 0),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 5),
+    c AS (SELECT vec_id AS rid, v AS rv, bucket FROM b WHERE vec_id >= 5),
     scored AS (
-        SELECT e.vec_id,
-               list_dot_product(e.v, q.qvec)
-               / (sqrt(list_dot_product(e.v, e.v))
-                  * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine_raw
-        FROM b e JOIN q ON e.bucket = q.bucket
-        WHERE e.vec_id <> 0
+        SELECT q.qid, c.rid,
+               list_dot_product(q.qv, c.rv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.rv, c.rv))) AS cosine_raw
+        FROM q JOIN c USING (bucket)
+    ),
+    ranked AS (
+        SELECT qid, rid, cosine_raw,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine_raw DESC, rid) AS rank
+        FROM scored
     )
-    SELECT vec_id, ROUND(cosine_raw, 6) AS cosine
-    FROM scored ORDER BY cosine_raw DESC, vec_id ASC LIMIT 10
+    SELECT qid AS left_vec_id, rid AS right_vec_id,
+           ROUND(cosine_raw, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
 """
 
 
 @register("embedding_lsh_topk", _LSH_TOPK_SQL)
 def embedding_lsh_topk(spark, sf_dir):
-    """Approximate top-k via random-hyperplane buckets — the 100 TB
-    search path (bucket = partition-prunable key); oracle shares the
-    seeded planes."""
+    """Approximate k-NN JOIN via random-hyperplane buckets — the 100 TB
+    batch-retrieval path (`operators/similarity.py:knn_join`): the
+    first five vectors each retrieve their top-10 among bucket-sharing
+    candidates in ONE plan (bucket equi join + per-query row_number
+    over bucket-sized candidate sets — never all-pairs; the former
+    single-query `lsh_bucketed_topk` grain is the left_vec_id=0 slice).
+    The oracle embeds the SAME seeded planes as SQL list literals, so
+    bucketing, candidate sets, cosines, and ranks reproduce exactly."""
+    from data_pipelines_spark.operators.similarity import knn_join
+
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    query = emb.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qvec")
-    )
-    return lsh_bucketed_topk(
-        emb.where(F.col("vec_id") != 0), query, dim=64, k=10, num_planes=4
+    return knn_join(
+        emb.where(F.col("vec_id") < 5),
+        emb.where(F.col("vec_id") >= 5),
+        k=10,
+        dim=64,
+        num_planes=4,
     )
 
 

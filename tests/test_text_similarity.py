@@ -358,3 +358,120 @@ def test_chunk_text_rejects_lossy_parameters(spark):
             spark.sql(
                 f"SELECT * FROM chunk_text('abcdefgh', {size}, {overlap})"
             ).collect()
+
+
+class TestKnnJoin:
+    def _emb(self, spark, n, dim=16, seed=3, id_offset=0):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(n, dim)).astype(float)
+        rows = [(i + id_offset, [float(x) for x in vecs[i]]) for i in range(n)]
+        return (
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+            vecs,
+        )
+
+    def _numpy_reference(self, lvecs, rvecs, loff, roff, k, num_planes, seed,
+                         probe=0, dim=16):
+        import numpy as np
+
+        from data_pipelines_spark.operators.similarity import (
+            random_hyperplanes,
+        )
+
+        planes = random_hyperplanes(dim, num_planes, seed)
+
+        def sig(v):
+            return sum((1 << i) for i, p in enumerate(planes) if float(v @ p) >= 0)
+
+        rsig = {j + roff: sig(rvecs[j]) for j in range(len(rvecs))}
+        want = {}
+        for i in range(len(lvecs)):
+            s = sig(lvecs[i])
+            buckets = {s} | (
+                {s ^ (1 << b) for b in range(num_planes)} if probe else set()
+            )
+            cands = []
+            for j, rs in rsig.items():
+                if rs in buckets and j != i + loff:
+                    v = rvecs[j - roff]
+                    c = float(lvecs[i] @ v) / (
+                        float(np.linalg.norm(lvecs[i])) * float(np.linalg.norm(v))
+                    )
+                    cands.append((-c, j))
+            cands.sort()
+            want[i + loff] = [j for _, j in cands[:k]]
+        return want
+
+    def test_matches_numpy_reference(self, spark):
+        from data_pipelines_spark.operators.similarity import knn_join
+
+        left, lv = self._emb(spark, 40, seed=3)
+        right, rv = self._emb(spark, 120, seed=4, id_offset=1000)
+        for probe in (0, 1):
+            got = {}
+            out = knn_join(
+                left, right, k=3, dim=16, num_planes=4,
+                hamming_probe=probe,
+            ).collect()
+            for r in sorted(out, key=lambda r: (r["left_vec_id"], r["rank"])):
+                got.setdefault(r["left_vec_id"], []).append(r["right_vec_id"])
+            want = self._numpy_reference(lv, rv, 0, 1000, 3, 4, 42, probe)
+            want = {i: js for i, js in want.items() if js}
+            assert got == want, f"probe={probe}"
+
+    def test_multiprobe_recall_not_lower(self, spark):
+        from data_pipelines_spark.operators.similarity import knn_join
+
+        left, _ = self._emb(spark, 30, seed=5)
+        right, _ = self._emb(spark, 200, seed=6, id_offset=500)
+        base = knn_join(left, right, k=5, dim=16, num_planes=6).count()
+        probed = knn_join(
+            left, right, k=5, dim=16, num_planes=6, hamming_probe=1
+        ).count()
+        assert probed >= base
+
+    def test_self_join_excludes_identity_and_null_vec(self, spark):
+        from data_pipelines_spark.operators.similarity import knn_join
+
+        df, _ = self._emb(spark, 25, seed=7)
+        df = df.unionByName(
+            df.sparkSession.createDataFrame(
+                [(99, None), (98, [0.0] * 16)],
+                "vec_id long, embedding array<double>",
+            )
+        )
+        out = knn_join(df, df, k=4, dim=16, num_planes=3).collect()
+        assert all(r["left_vec_id"] != r["right_vec_id"] for r in out)
+        ids = {r["right_vec_id"] for r in out} | {r["left_vec_id"] for r in out}
+        assert 99 not in ids and 98 not in ids  # NULL + zero-norm dropped
+
+    def test_rank_and_determinism(self, spark):
+        from data_pipelines_spark.operators.similarity import knn_join
+
+        left, _ = self._emb(spark, 20, seed=8)
+        right, _ = self._emb(spark, 80, seed=9, id_offset=100)
+        a = sorted(map(tuple, knn_join(left, right, k=3, dim=16).collect()))
+        b = sorted(
+            map(
+                tuple,
+                knn_join(
+                    left.repartition(7), right.repartition(5), k=3, dim=16
+                ).collect(),
+            )
+        )
+        assert a == b
+        for r in a:
+            assert 1 <= r[3] <= 3
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from data_pipelines_spark.operators.similarity import knn_join
+
+        df, _ = self._emb(spark, 5)
+        with _pytest.raises(ValueError, match="k must"):
+            knn_join(df, df, k=0, dim=16)
+        with _pytest.raises(ValueError, match="hamming"):
+            knn_join(df, df, k=1, dim=16, hamming_probe=2)
