@@ -1,0 +1,77 @@
+"""Physical-plan audit helpers: make "is this the plan I'd want at
+100 TB?" an assertable property instead of a one-off eyeball.
+
+The engine's discipline is that every operator's plan is inspected
+once (`.explain("formatted")`) and its load-bearing properties pinned
+in tests — no nested-loop joins on the fact path, broadcasts where
+dimensions are small, scans that don't multiply, window nodes that
+don't re-evaluate the same running aggregate. These helpers are the
+shared vocabulary for those pins (15 tests hand-rolled plan-string
+greps before this module existed).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "executed") -> str:
+    """The physical plan as text. ``mode``: 'executed' (after AQE
+    preparation — what actually runs) or 'spark' (before)."""
+    qe = df._jdf.queryExecution()
+    if mode == "executed":
+        return qe.executedPlan().toString()
+    if mode == "spark":
+        return qe.sparkPlan().toString()
+    raise ValueError(f"unknown mode: {mode}")
+
+
+def assert_plan(
+    df: DataFrame,
+    forbid: Sequence[str] = (),
+    require: Sequence[str] = (),
+    mode: str = "executed",
+) -> str:
+    """Assert plan-text properties; returns the plan for further
+    checks. ``forbid``/``require`` are plain substrings (e.g.
+    ``forbid=["NestedLoop", "Cartesian"]``,
+    ``require=["BroadcastHashJoin"]``). Raises AssertionError with the
+    offending plan attached — the failure message IS the explain
+    output, so a broken pin is diagnosable from the test log alone.
+    """
+    plan = plan_string(df, mode)
+    for bad in forbid:
+        assert bad not in plan, f"plan contains forbidden '{bad}':\n{plan}"
+    for good in require:
+        assert good in plan, f"plan lacks required '{good}':\n{plan}"
+    return plan
+
+
+def scan_count(df: DataFrame, source: str = "parquet") -> int:
+    """How many file-source scans the plan performs — the D1 persist
+    discipline's measurable: a frame feeding N consumers without a
+    persist re-scans its source N times (Spark does not share
+    unpersisted subplans across join/union branches)."""
+    plan = plan_string(df)
+    return len(re.findall(rf"FileScan {re.escape(source)}", plan))
+
+
+def window_aggregate_counts(df: DataFrame) -> list[int]:
+    """Number of window aggregate expressions evaluated by each Window
+    node, in plan order.
+
+    Catalyst does NOT deduplicate repeated window expressions inside a
+    node: referencing ``last(x).over(w)`` twice inline evaluates the
+    running aggregate twice per row (measured ~25% on the resample
+    headline before interpolate_linear materialized its four window
+    values once). Pin the expected counts so an innocent-looking
+    refactor that re-inlines them fails loudly.
+    """
+    plan = plan_string(df)
+    counts = []
+    for m in re.finditer(r"Window \[(.*?)\](?:, \[|\n)", plan):
+        counts.append(m.group(1).count("windowspecdefinition"))
+    return counts

@@ -220,3 +220,52 @@ def test_interpolate_obs_null_obs_at_same_position(spark):
     rows = interpolate_linear(df, ["k"], "t", "v").collect()
     gap = [r for r in rows if r["v"] is None]
     assert len(gap) == 1 and gap[0]["v_interp"] in (5.0, 7.0)
+
+
+def test_interpolation_window_node_evaluates_four_aggregates(spark):
+    """Plan pin via plans.audit: the interpolation Window node must
+    evaluate exactly 4 running first/last aggregates (prev/next value
+    and position, each once). Re-inlining the window expressions into
+    the guarded lerp would re-evaluate them — 9 per row before the
+    round-5 fix, ~25% on the resample headline."""
+    from data_pipelines_spark.operators.timeseries import (
+        interpolate_linear,
+        resample,
+    )
+    from data_pipelines_spark.plans.audit import window_aggregate_counts
+
+    rows = [(1, i * 60, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "user_id long, epoch long, value double")
+    dense = resample(
+        df.select(
+            "user_id",
+            F.timestamp_seconds(F.col("epoch")).alias("ts"),
+            "value",
+        ),
+        ["user_id"], "ts", "value", 60,
+    )
+    out = interpolate_linear(
+        dense, ["user_id"], "bucket_epoch", "sum_value", "interp_value"
+    )
+    counts = window_aggregate_counts(out)
+    assert max(counts) <= 4, counts
+
+
+def test_plan_audit_helpers(spark):
+    from data_pipelines_spark.plans.audit import (
+        assert_plan,
+        plan_string,
+        scan_count,
+    )
+
+    df = spark.range(10).groupBy((F.col("id") % 2).alias("k")).count()
+    plan = assert_plan(df, forbid=["CartesianProduct"], require=["HashAggregate"])
+    assert "HashAggregate" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="lacks required"):
+        assert_plan(df, require=["SortMergeJoin"])
+    with _pytest.raises(AssertionError, match="forbidden"):
+        assert_plan(df, forbid=["HashAggregate"])
+    assert scan_count(df) == 0  # range source, no file scan
+    assert "HashAggregate" in plan_string(df, mode="spark")
