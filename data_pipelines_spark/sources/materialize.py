@@ -65,7 +65,9 @@ def upsert_partitioned(
     version wins instead — including between an existing row and a
     stale late update, and among duplicate keys within the batch
     (ties break toward the update). Without it, updates win and the
-    batch must be key-unique.
+    batch must be key-unique. NULL keys follow SQL MERGE semantics on
+    both paths: a NULL key never matches, so NULL-key updates always
+    insert and NULL-key existing rows are never replaced.
 
     With ``prune_partitions=True`` (default) only partitions present in
     the update batch are read, merged, and rewritten (dynamic partition
@@ -150,13 +152,25 @@ def upsert_partitioned(
         tagged = existing.withColumn("__src", F.lit(0)).unionByName(
             updates.withColumn("__src", F.lit(1))
         )
+        # SQL MERGE semantics for NULL keys: ON t.k = s.k is never true
+        # for NULLs, so NULL-key rows match nothing — they all survive
+        # (source rows insert, target rows stay). The window below would
+        # instead pool every NULL-key row into ONE partition and keep a
+        # single winner — silently deleting data the anti-join
+        # (unversioned) path preserves. Route them around the merge.
+        has_null_key = reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+        )
+        null_rows = tagged.where(has_null_key).drop("__src")
         w = Window.partitionBy(*keys).orderBy(
             F.desc(version_col), F.desc("__src")
         )
         merged = (
-            tagged.withColumn("__rn", F.row_number().over(w))
+            tagged.where(~has_null_key)
+            .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn", "__src")
+            .unionByName(null_rows)
         )
 
     # Cut lineage from the files about to be overwritten.

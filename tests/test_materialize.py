@@ -400,3 +400,38 @@ class TestCompaction:
         from data_pipelines_spark.sources.materialize import compact_dataset
 
         assert compact_dataset(spark, tmppath)["dirs_compacted"] == 0
+
+
+def test_upsert_null_keys_follow_sql_merge_semantics(spark, tmp_path):
+    """SQL MERGE: a NULL key never matches — NULL-key source rows
+    insert, NULL-key target rows stay. The versioned window previously
+    pooled every NULL-key row into one partition and kept a single
+    winner (silent data loss); the unversioned anti-join path already
+    behaved correctly. Both paths must now agree."""
+    import os
+
+    from data_pipelines_spark.sources.materialize import upsert_partitioned
+
+    schema = "k long, v string, ver long"
+    for version_col in (None, "ver"):
+        path = os.path.join(str(tmp_path), f"tbl_{version_col}")
+        base = spark.createDataFrame(
+            [(1, "a", 1), (None, "n1", 1), (None, "n2", 1)], schema
+        )
+        upsert_partitioned(
+            spark, base, path, ["k"], version_col=version_col
+        )
+        upd = spark.createDataFrame(
+            [(1, "a2", 2), (None, "n3", 2)], schema
+        )
+        upsert_partitioned(
+            spark, upd, path, ["k"], version_col=version_col
+        )
+        got = sorted(
+            [(r["k"], r["v"]) for r in spark.read.parquet(path).collect()],
+            key=repr,
+        )
+        # key 1 updated; all three NULL-key rows present
+        assert got == sorted(
+            [(1, "a2"), (None, "n1"), (None, "n2"), (None, "n3")], key=repr
+        ), (version_col, got)
