@@ -50,7 +50,11 @@ def asof_join(
     would otherwise leak such a row's value to every left row EARLIER
     than any real right row — and a NULL-ts left row comes back with
     NULL value columns (both orderings place it before every right
-    row).
+    row). NULL KEYS match nothing either (SQL equi-join and pandas
+    merge_asof agree): NULL-key right rows are dropped — the window
+    partitioning would otherwise pool them with NULL-key LEFT rows and
+    hand those rows a value no equi join would produce — and a
+    NULL-key left row comes back with NULL value columns.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
@@ -59,8 +63,11 @@ def asof_join(
     l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", marker)
     for v in value_cols:
         l_tagged = l_tagged.withColumn(v, F.lit(None).cast(right.schema[v].dataType))
+    right_ok = F.col(right_ts).isNotNull()
+    for k in key_cols:
+        right_ok = right_ok & F.col(k).isNotNull()
     r_tagged = (
-        right.where(F.col(right_ts).isNotNull())
+        right.where(right_ok)
         .select(
             *key_cols, F.col(right_ts).alias("__ts"), *value_cols
         ).withColumn("__is_left", F.lit(0))

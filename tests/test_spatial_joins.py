@@ -624,3 +624,22 @@ class TestIntervalOverlapJoin:
                 left.drop("k"), wide, ("ls", "le"), ("rs", "re"), 2,
                 max_bins_per_interval=64,
             ).collect()
+
+
+def test_asof_join_null_keys_match_nothing(spark):
+    """Probe regression: window partitioning pooled NULL-key left and
+    right rows into one partition, handing a NULL-key left row a value
+    no equi join (or pandas merge_asof) would produce. NULL-key right
+    rows now drop; NULL-key left rows come back with NULL values."""
+    from data_pipelines_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(None, 10), ("a", 10)], "k string, lts long")
+    right = spark.createDataFrame(
+        [(None, 5, 99.0), ("a", 5, 1.0)], "k string, rts long, val double"
+    )
+    got = sorted(
+        [(r["k"], r["lts"], r["val"]) for r in
+         asof_join(left, right, ["k"], "lts", "rts", ["val"]).collect()],
+        key=repr,
+    )
+    assert got == sorted([(None, 10, None), ("a", 10, 1.0)], key=repr), got
