@@ -237,3 +237,63 @@ def profile_numeric(
         for c in names
     ]
     return row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
+def profile_categorical(
+    df: DataFrame, cols: Sequence[str], top_k: int = 10
+) -> DataFrame:
+    """Categorical profile: the ``top_k`` most frequent values per
+    column with counts, share, and distinct cardinality —
+    ``(column, value, cnt, frac, n_distinct, rank)`` — the summary a
+    pipeline owner reads before writing ``accepted_values`` rules (and
+    the skew report for a prospective partition/shuffle key; frequency
+    share near 1/shuffle-partitions means one reducer carries that
+    value alone — same reading as :func:`plans.skew.diagnose_skew`).
+
+    Values profile as strings; NULL is reported as its own value (its
+    count is usually the first question asked). Plan shape per column:
+    one map-side-combined count aggregation, a TakeOrdered head for the
+    top-k (no global sort), and a 1-row distinct-count broadcast —
+    nothing data-sized crosses to the driver. Columns profile
+    independently (one shuffle each, concurrent under the scheduler);
+    heads are rank-ordered with a deterministic value tie-break.
+    """
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    from pyspark.sql import Window
+
+    outs = []
+    for c in cols:
+        v = F.col(c).cast("string")
+        counts = df.select(v.alias("__v")).groupBy("__v").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        totals = counts.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("__total"),
+            F.count(F.lit(1)).alias("__distinct"),
+        )
+        head = counts.orderBy(
+            F.desc("cnt"), F.asc_nulls_last("__v")
+        ).limit(top_k)
+        w = Window.orderBy(F.desc("cnt"), F.asc_nulls_last("__v"))
+        outs.append(
+            head.crossJoin(F.broadcast(totals)).select(
+                F.lit(c).alias("column"),
+                F.col("__v").alias("value"),
+                F.col("cnt").cast("long").alias("cnt"),
+                F.when(
+                    F.col("__total") > 0,
+                    F.round(
+                        F.col("cnt").cast("double") / F.col("__total"), 6
+                    ),
+                ).alias("frac"),
+                F.col("__distinct").cast("long").alias("n_distinct"),
+                F.row_number().over(w).cast("long").alias("rank"),
+            )
+        )
+    if not outs:
+        raise ValueError("no columns given")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

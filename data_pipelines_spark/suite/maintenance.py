@@ -195,6 +195,20 @@ SELECT 'hist:l_quantity:p50',
         WHERE cum >= 0.5 * mass AND cnt > 0
         ORDER BY bin LIMIT 1)
 UNION ALL
+-- categorical profile: top values of l_returnflag with counts and
+-- rounded share (the engine's profile_categorical restated)
+SELECT 'cat:l_returnflag:' || coalesce(v, '<null>'),
+       CAST(NULL AS BIGINT),
+       CAST(cnt AS BIGINT),
+       CAST(NULL AS BOOLEAN),
+       round(CAST(cnt AS DOUBLE)
+             / (SELECT count(*) FROM lineitem), 6)
+FROM (
+    SELECT l_returnflag AS v, count(*) AS cnt
+    FROM lineitem GROUP BY 1
+    ORDER BY cnt DESC, v ASC LIMIT 3
+)
+UNION ALL
 -- PSI drift between the two l_orderkey-parity halves over the same
 -- binning, below/above-range mass as pseudo-bins 0 and 51, empty bins
 -- floored at 1e-4, rounded to 6 (the engine's histogram_drift contract)
@@ -309,6 +323,18 @@ def quality_report(spark, sf_dir):
             F.col("value").alias("metric"),
         )
     )
+    from data_pipelines_spark.operators.quality import profile_categorical
+
+    cat_rows = profile_categorical(li, ["l_returnflag"], top_k=3).select(
+        F.concat(
+            F.lit("cat:l_returnflag:"), F.coalesce(F.col("value"), F.lit("<null>"))
+        ).alias("rule"),
+        F.lit(None).cast("long").alias("violations"),
+        F.col("cnt").cast("long").alias("total"),
+        F.lit(None).cast("boolean").alias("passed"),
+        F.col("frac").alias("metric"),
+    )
+
     halves = F.col("l_orderkey") % 2
     drift_row = histogram_drift(
         histogram_sketch(li.where(halves == 0), [], "l_quantity", lo, hi, n_bins),
@@ -322,7 +348,12 @@ def quality_report(spark, sf_dir):
         F.lit(None).cast("boolean").alias("passed"),
         F.col("psi").alias("metric"),
     )
-    return rules.unionByName(stats).unionByName(hist_row).unionByName(drift_row)
+    return (
+        rules.unionByName(stats)
+        .unionByName(cat_rows)
+        .unionByName(hist_row)
+        .unionByName(drift_row)
+    )
 
 
 _UPSERT_SQL = """

@@ -142,3 +142,43 @@ def test_profile_numeric_default_is_sketch(spark):
     empty = spark.createDataFrame([], "a double")
     p = profile_numeric(empty, ["a"]).first()
     assert (p.n, p.n_null) == (0, 0)
+
+
+class TestProfileCategorical:
+    def test_top_values_share_and_nulls(self, spark):
+        from data_pipelines_spark.operators.quality import profile_categorical
+
+        rows = [("a",)] * 5 + [("b",)] * 3 + [(None,)] * 2 + [("c",)] * 1
+        df = spark.createDataFrame(rows, "x string")
+        got = {
+            (r["column"], r["value"]): (r["cnt"], r["frac"], r["n_distinct"], r["rank"])
+            for r in profile_categorical(df, ["x"], top_k=3).collect()
+        }
+        assert got[("x", "a")] == (5, 0.454545, 4, 1)
+        assert got[("x", "b")] == (3, 0.272727, 4, 2)
+        assert got[("x", None)] == (2, 0.181818, 4, 3)  # NULL is a value
+        assert ("x", "c") not in got  # cut by top_k
+
+    def test_multi_column_and_casts(self, spark):
+        from data_pipelines_spark.operators.quality import profile_categorical
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "y")], "k long, s string"
+        )
+        out = profile_categorical(df, ["k", "s"], top_k=2).collect()
+        cols = {r["column"] for r in out}
+        assert cols == {"k", "s"}
+        k1 = [r for r in out if r["column"] == "k" and r["value"] == "1"][0]
+        assert k1["cnt"] == 2 and k1["rank"] == 1
+
+    def test_empty_and_guards(self, spark):
+        import pytest as _pytest
+
+        from data_pipelines_spark.operators.quality import profile_categorical
+
+        empty = spark.createDataFrame([], "x string")
+        assert profile_categorical(empty, ["x"]).count() == 0
+        with _pytest.raises(ValueError, match="top_k"):
+            profile_categorical(empty, ["x"], top_k=0)
+        with _pytest.raises(ValueError, match="columns"):
+            profile_categorical(empty, [])
