@@ -10,7 +10,10 @@ sums), just exercised small:
     gate  →  exact dedup  →  MinHash near-dup dedup (exact-verified)  →
     benchmark decontamination (Bloom-prefiltered)  →  stratified mixing
     →  unigram-LM scoring  →  per-source quantile quality floor  →
-    sequence packing  →  curated JSONL + packing manifest
+    per-source token budget  →  sequence packing  →  curated JSONL +
+    packing manifest; then day-2 incremental ingest against the
+    signature store, store compaction, and a PSI drift gate from
+    histogram sketches
 
     python examples/corpus_pipeline.py
 """
@@ -97,7 +100,15 @@ def curate(
     docs = filter_by_group_quantile(docs, "lm_logprob10", ["source"],
                                     q=0.1, keep="above")
 
-    # 9. Pack the survivors into fixed-length training sequences.
+    # 9. Token budget: cap each source's contribution ("take N tokens
+    #    per source") as a deterministic coin-order prefix — the
+    #    budget-constrained mixing knob beside the rate-based one.
+    from data_pipelines_spark.operators.corpus import sample_token_budget
+
+    docs = sample_token_budget(docs, 2_000, group_col="source",
+                               include_overflow=True)
+
+    # 10. Pack the survivors into fixed-length training sequences.
     packed = pack_sequences(docs, seq_len)
     return packed, pairs
 
@@ -142,6 +153,11 @@ def main() -> None:
         blocklist = spark.createDataFrame([("blocked.bad",)], "domain string")
 
         curated, pairs = curate(spark, raw, benchmark, blocklist)
+        # D1 discipline: the curated frame feeds several actions below
+        # (write, counts, the signature store, the drift baseline) —
+        # persist it once instead of re-running the whole curation DAG
+        # per consumer.
+        curated = curated.persist()
         out = os.path.join(d, "curated")
         corpus_io.write_jsonl(
             curated.select("doc_id", "text", "source", "n_tokens",
@@ -186,6 +202,37 @@ def main() -> None:
               f"{dupes.count()} near-dup of stored history, "
               f"{fresh.count()} ingested")
 
+        # --- Monitoring (BEFORE compaction: `fresh`'s lazy lineage
+        # reads the signature store, and compaction rewrites those
+        # files — the read-after-overwrite hazard compact_dataset's
+        # docstring warns about): histogram-sketch the curated
+        # corpus's token
+        # distribution once (a few hundred longs), then gate each new
+        # batch with a PSI drift report against it — no rescan of the
+        # history, ever. streaming/sketches.py maintains the same store
+        # incrementally from a stream.
+        from data_pipelines_spark.operators.sketches import (
+            histogram_drift,
+            histogram_sketch,
+        )
+
+        lo, hi, n_bins = 0.0, 256.0, 32
+        base_sk = histogram_sketch(
+            curated.withColumn("day", F.lit("day1")),
+            ["day"], "n_tokens", lo, hi, n_bins,
+        )
+        batch_sk = histogram_sketch(
+            fresh.withColumn(
+                "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+            ).withColumn("day", F.lit("day2")),
+            ["day"], "n_tokens", lo, hi, n_bins,
+        )
+        psi = histogram_drift(
+            base_sk.drop("day"), batch_sk.drop("day"), [], n_bins
+        ).first()
+        print(f"day-2 token-length drift: PSI={psi['psi']} "
+              f"(baseline n={psi['n_baseline']}, batch n={psi['n_current']};"
+              " <0.1 stable, >0.25 shifted)")
         # --- Maintenance: every append accretes files; a periodic
         # compaction pass rewrites only fragmented directories (healthy
         # ones keep their files byte-identical), keeping the store's
@@ -196,6 +243,7 @@ def main() -> None:
         print(f"signature store compacted: {report['files_before']} -> "
               f"{report['files_after']} files "
               f"({report['dirs_compacted']} dirs)")
+
     spark.stop()
 
 
