@@ -592,3 +592,102 @@ def knn_join(
             "rank",
         )
     )
+
+
+def knn_join_ivf(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    nprobe: int = 2,
+    left_id_col: str = "vec_id",
+    right_id_col: str = "vec_id",
+    left_vec_col: str = "embedding",
+    right_vec_col: str = "embedding",
+    exclude_same_id: bool = True,
+    score_round: int | None = 6,
+) -> DataFrame:
+    """IVF variant of :func:`knn_join`: every left vector retrieves its
+    ``k`` nearest right vectors from its ``nprobe`` nearest inverted
+    lists — recall is tuned by list count instead of hash probes
+    (``nprobe = len(centroids)`` degrades gracefully to exact brute
+    force). Use over :func:`knn_join` when a trained coarse quantizer
+    exists (:func:`kmeans_centroids`) and recall needs to be dialed,
+    not hashed.
+
+    Plan shape: the right side takes ONE cluster id
+    (:func:`ivf_assign`), the left side explodes over its ``nprobe``
+    nearest centroid ids (distances to a centroid-count-sized literal
+    array — model-sized, never data-sized), candidates meet in a plain
+    equi shuffle join on the cluster id, and the per-left top-k is a
+    row_number window over list-sized candidate sets. Each pair meets
+    at most once (the right side holds one list). At scale, write the
+    right table partitioned by ``cluster`` and the join prunes
+    partitions instead of shuffling. Zero-norm/NULL vectors are
+    excluded per :func:`cosine`'s contract.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not (1 <= nprobe <= len(centroids)):
+        raise ValueError(
+            f"nprobe must be in [1, {len(centroids)}], got {nprobe}"
+        )
+    from pyspark.sql import Window
+
+    lvec = _to_double(F.col(left_vec_col))
+    rvec = _to_double(F.col(right_vec_col))
+
+    from data_pipelines_spark.functions.text import let
+
+    def probe_ids(v: Column) -> Column:
+        dists = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(i).alias("cluster"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+        return F.slice(F.array_sort(F.array(*dists)), 1, nprobe)["cluster"]
+
+    l = left.select(
+        F.col(left_id_col).alias("__lid"),
+        lvec.alias("__lvec"),
+        F.explode(let(lvec, probe_ids)).alias("cluster"),
+    )
+    r = ivf_assign(
+        right.select(
+            F.col(right_id_col).alias("__rid"), rvec.alias("__rvec")
+        ),
+        centroids,
+        "__rvec",
+    )
+    pairs = l.join(r, "cluster")
+    if exclude_same_id:
+        pairs = pairs.where(F.col("__lid") != F.col("__rid"))
+    scored = pairs.withColumn(
+        "__score", cosine(F.col("__lvec"), F.col("__rvec"))
+    ).where(F.col("__score").isNotNull())
+    w = Window.partitionBy("__lid").orderBy(F.desc("__score"), F.asc("__rid"))
+    out_score = (
+        F.round(F.col("__score"), score_round)
+        if score_round is not None
+        else F.col("__score")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__lid").alias(f"left_{left_id_col}"),
+            F.col("__rid").alias(f"right_{right_id_col}"),
+            out_score.alias("cosine"),
+            "rank",
+        )
+    )

@@ -475,3 +475,115 @@ class TestKnnJoin:
             knn_join(df, df, k=0, dim=16)
         with _pytest.raises(ValueError, match="hamming"):
             knn_join(df, df, k=1, dim=16, hamming_probe=2)
+
+
+class TestKnnJoinIvf:
+    def _emb(self, spark, n, dim=8, seed=3, id_offset=0):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # clustered data so IVF lists are meaningful
+        centers = rng.normal(size=(4, dim)) * 5
+        vecs = (
+            centers[rng.integers(0, 4, size=n)]
+            + rng.normal(size=(n, dim)) * 0.5
+        ).astype(float)
+        rows = [(i + id_offset, [float(x) for x in vecs[i]]) for i in range(n)]
+        return (
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+            vecs,
+        )
+
+    def _centroids(self, vecs, k=4, seed=0):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # tiny deterministic Lloyd fit
+        c = vecs[rng.choice(len(vecs), k, replace=False)].copy()
+        for _ in range(5):
+            d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for j in range(k):
+                if (a == j).any():
+                    c[j] = vecs[a == j].mean(0)
+        return [list(map(float, row)) for row in c]
+
+    def _numpy_reference(self, lvecs, rvecs, loff, roff, cents, k, nprobe):
+        import numpy as np
+
+        c = np.array(cents)
+
+        def assign(v):
+            return int(((v[None, :] - c) ** 2).sum(-1).argmin())
+
+        def probes(v):
+            d = ((v[None, :] - c) ** 2).sum(-1)
+            order = sorted(range(len(c)), key=lambda i: (d[i], i))
+            return set(order[:nprobe])
+
+        rclu = {j + roff: assign(rvecs[j]) for j in range(len(rvecs))}
+        want = {}
+        for i in range(len(lvecs)):
+            pr = probes(lvecs[i])
+            cands = []
+            for j, cl in rclu.items():
+                if cl in pr and j != i + loff:
+                    v = rvecs[j - roff]
+                    cos = float(lvecs[i] @ v) / (
+                        float(np.linalg.norm(lvecs[i])) * float(np.linalg.norm(v))
+                    )
+                    cands.append((-cos, j))
+            cands.sort()
+            if cands:
+                want[i + loff] = [j for _, j in cands[:k]]
+        return want
+
+    def test_matches_numpy_reference(self, spark):
+        from data_pipelines_spark.operators.similarity import knn_join_ivf
+
+        left, lv = self._emb(spark, 25, seed=3)
+        right, rv = self._emb(spark, 80, seed=4, id_offset=1000)
+        cents = self._centroids(rv)
+        for nprobe in (1, 2, 4):
+            got = {}
+            out = knn_join_ivf(
+                left, right, cents, k=3, nprobe=nprobe
+            ).collect()
+            for r in sorted(out, key=lambda r: (r["left_vec_id"], r["rank"])):
+                got.setdefault(r["left_vec_id"], []).append(r["right_vec_id"])
+            want = self._numpy_reference(lv, rv, 0, 1000, cents, 3, nprobe)
+            assert got == want, f"nprobe={nprobe}"
+
+    def test_full_probe_equals_brute_force(self, spark):
+        """nprobe == n_lists degrades to exact brute-force top-k."""
+        import numpy as np
+
+        from data_pipelines_spark.operators.similarity import knn_join_ivf
+
+        left, lv = self._emb(spark, 10, seed=5)
+        right, rv = self._emb(spark, 50, seed=6, id_offset=100)
+        cents = self._centroids(rv)
+        got = {}
+        for r in knn_join_ivf(left, right, cents, k=2, nprobe=4).collect():
+            got.setdefault(r["left_vec_id"], []).append(
+                (r["rank"], r["right_vec_id"])
+            )
+        for i in range(len(lv)):
+            cos = rv @ lv[i] / (
+                np.linalg.norm(rv, axis=1) * np.linalg.norm(lv[i])
+            )
+            order = sorted(range(len(rv)), key=lambda j: (-cos[j], j + 100))
+            want = [(rk + 1, order[rk] + 100) for rk in range(2)]
+            assert sorted(got[i]) == want, i
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from data_pipelines_spark.operators.similarity import knn_join_ivf
+
+        df, v = self._emb(spark, 5)
+        cents = self._centroids(v)
+        with _pytest.raises(ValueError, match="k must"):
+            knn_join_ivf(df, df, cents, k=0)
+        with _pytest.raises(ValueError, match="nprobe"):
+            knn_join_ivf(df, df, cents, k=1, nprobe=9)
