@@ -80,6 +80,7 @@ def histogram_sketch(
     hi: float,
     n_bins: int = 64,
     hist_col: str = "hist",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Reduce each group to a fixed-bin histogram of ``value_col`` —
     the mergeable-quantile counterpart of :func:`distinct_sketch`:
@@ -104,22 +105,45 @@ def histogram_sketch(
     merged histograms are bit-identical to a direct histogram of the
     union (integer sums — no estimator variance), and quantile error
     is bounded by one bin width.
+
+    ``weight_col``: each row contributes its (non-negative, integral —
+    cast to long) weight instead of 1 to the bins and the below/above/
+    null tallies — the token-weighted length distribution ("p50 doc
+    length by tokens contributed") instead of the doc-weighted one.
+    Quantiles-from-store and drift then read as weighted quantiles/PSI
+    with no change. NULL weights contribute 0; negative weights raise
+    (they would corrupt every downstream cumulative sum). ``n`` stays
+    a plain row count in both modes.
     """
     if n_bins <= 0:
         raise ValueError(f"n_bins must be positive, got {n_bins}")
     if not (hi > lo):
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     v = F.col(value_col).cast("double")
+    if weight_col is None:
+        wt = F.lit(1).cast("long")
+    else:
+        w_raw = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+        wt = F.when(
+            w_raw < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"histogram_sketch: negative {weight_col}: "),
+                    F.col(weight_col).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(w_raw)
     width = (float(hi) - float(lo)) / n_bins
     idx = F.floor((v - F.lit(float(lo))) / F.lit(width))
     in_range = v.isNotNull() & ~F.isnan(v) & (v >= lo) & (v < hi)
     # values exactly at hi-ulp can floor to n_bins via fp roundoff
     idx = F.least(idx, F.lit(n_bins - 1))
+    zero = F.lit(0).cast("long")
     bins = F.array(
         *[
             F.coalesce(
-                F.sum(F.when(in_range & (idx == i), F.lit(1)).otherwise(F.lit(0))),
-                F.lit(0),
+                F.sum(F.when(in_range & (idx == i), wt).otherwise(zero)),
+                zero,
             ).cast("long")
             for i in range(n_bins)
         ]
@@ -127,13 +151,15 @@ def histogram_sketch(
     return df.groupBy(*group_cols).agg(
         bins.alias(hist_col),
         F.coalesce(
-            F.sum(F.when(v.isNotNull() & ~F.isnan(v) & (v < lo), 1).otherwise(0)), F.lit(0)
+            F.sum(F.when(v.isNotNull() & ~F.isnan(v) & (v < lo), wt).otherwise(zero)),
+            zero,
         ).cast("long").alias("n_below"),
         F.coalesce(
-            F.sum(F.when(v.isNotNull() & ~F.isnan(v) & (v >= hi), 1).otherwise(0)), F.lit(0)
+            F.sum(F.when(v.isNotNull() & ~F.isnan(v) & (v >= hi), wt).otherwise(zero)),
+            zero,
         ).cast("long").alias("n_above"),
         F.coalesce(
-            F.sum(F.when(v.isNull() | F.isnan(v), 1).otherwise(0)), F.lit(0)
+            F.sum(F.when(v.isNull() | F.isnan(v), wt).otherwise(zero)), zero
         ).cast("long").alias("n_null"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -301,7 +327,15 @@ def histogram_drift(
         ext = F.concat(
             F.array(F.col("n_below")), F.col(hist_col), F.array(F.col("n_above"))
         )
-        tot = (F.col("n") - F.col("n_null")).cast("double")
+        # Compared mass comes from the arrays themselves (below + bins
+        # + above) rather than n - n_null: identical for count-mode
+        # sketches, and the only correct denominator for weighted
+        # sketches (where n is a row count but the tallies are weight
+        # sums).
+        mass = F.aggregate(
+            ext, F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        tot = mass.cast("double")
         return df.select(
             *group_cols,
             F.when(
@@ -313,7 +347,7 @@ def histogram_drift(
                     ),
                 ),
             ).alias(f"__p_{side}"),
-            (F.col("n") - F.col("n_null")).alias(f"n_{side}"),
+            mass.alias(f"n_{side}"),
         )
 
     bs, cs = shares(b, "baseline"), shares(c, "current")

@@ -365,3 +365,47 @@ class TestHistogramDrift:
             ).collect()
         }
         assert got == {"a": 2.5, None: 7.5}
+
+    def test_weighted_histogram_equals_exploded_rows(self, spark):
+        """A weighted sketch must equal the count sketch of each row
+        repeated weight times (the definition of weighting) — bins,
+        out-of-range tallies, and quantiles-from-store alike; n stays a
+        row count."""
+        from data_pipelines_spark.operators.sketches import (
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        rows = [
+            ("d", 1.0, 3), ("d", 5.0, 1), ("d", 5.0, 0), ("d", -2.0, 2),
+            ("d", 99.0, 4), ("d", None, 2), ("d", 7.0, None),
+        ]
+        df = spark.createDataFrame(rows, "day string, v double, w long")
+        wsk = histogram_sketch(df, ["day"], "v", 0.0, 10.0, 5, weight_col="w")
+        # w > 0: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than
+        # producing an empty array, so zero-weight rows need excluding
+        # before the explode
+        exploded = df.where(F.col("w") > 0).select(
+            "day", "v", F.explode(F.sequence(F.lit(1), F.col("w"))).alias("i")
+        )
+        csk = histogram_sketch(exploded, ["day"], "v", 0.0, 10.0, 5)
+        wr, cr = wsk.collect()[0], csk.collect()[0]
+        for f in ("hist", "n_below", "n_above", "n_null"):
+            assert wr[f] == cr[f], f
+        assert wr["n"] == 7  # row count, not weight sum
+        wq = histogram_quantiles(wsk, ["day"], [0.5], 0.0, 10.0, 5).collect()[0]
+        cq = histogram_quantiles(csk, ["day"], [0.5], 0.0, 10.0, 5).collect()[0]
+        assert wq["value"] == cq["value"]
+
+    def test_weighted_negative_raises(self, spark):
+        import pytest as _pytest
+
+        from data_pipelines_spark.operators.sketches import histogram_sketch
+
+        df = spark.createDataFrame(
+            [("d", 1.0, -3)], "day string, v double, w long"
+        )
+        with _pytest.raises(Exception, match="negative"):
+            histogram_sketch(
+                df, ["day"], "v", 0.0, 10.0, 5, weight_col="w"
+            ).collect()
