@@ -53,14 +53,17 @@ def stream_histogram_sketch_sink(
     lo: float,
     hi: float,
     n_bins: int = 64,
+    weight_col: str | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
 ):
     """foreachBatch sink: reduce each micro-batch to histogram-sketch
     rows per group and write them under ``batch_id=<n>`` in
     ``store_path``. Replays overwrite their own partition (idempotent);
-    readers merge across batches. Binning (lo/hi/n_bins) is the store's
-    identity — keep it constant for the store's lifetime.
+    readers merge across batches. Binning (lo/hi/n_bins) and
+    ``weight_col`` mode are the store's identity — keep them constant
+    for the store's lifetime (count rows and weight rows must never
+    merge).
 
     Returns the un-started ``DataStreamWriter``.
     """
@@ -70,7 +73,8 @@ def stream_histogram_sketch_sink(
         if batch_df.isEmpty():
             return
         sk = histogram_sketch(
-            batch_df, list(group_cols), value_col, lo, hi, n_bins
+            batch_df, list(group_cols), value_col, lo, hi, n_bins,
+            weight_col=weight_col,
         )
         _partitioned_batch_write(sk, store_path, batch_id)
 
