@@ -318,8 +318,10 @@ def histogram_drift(
     decimals so independent engines reproduce it bit-for-bit (ln ulp
     differences — same contract as BM25's idf rounding). Groups present
     on one side only are reported with NULL psi (nothing to compare —
-    appearance/disappearance IS the drift signal; count columns carry
-    it)."""
+    appearance/disappearance IS the drift signal; the mass columns
+    carry it). ``n_baseline``/``n_current`` are each side's compared
+    mass — the array totals (row counts for count sketches, weight
+    sums for weighted ones)."""
     b = merge_histogram_sketches(baseline, group_cols, n_bins, hist_col)
     c = merge_histogram_sketches(current, group_cols, n_bins, hist_col)
 

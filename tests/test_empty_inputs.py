@@ -36,6 +36,8 @@ EMPTY_OK = [
     "minhash_near_dup_pairs",
     "dedup_clusters",
     "embedding_cosine_topk",
+    "embedding_lsh_topk",     # k-NN join: empty both sides
+    "corpus_split_shuffle",   # token-budget flag over an empty corpus
     "text_stats",
     "q1_pricing_summary",
     "rollup_region_nation",
