@@ -57,6 +57,7 @@ def upsert_partitioned(
     version_col: str | None = None,
     prune_partitions: bool = True,
     format: str = "parquet",
+    evolve_schema: bool = False,
 ) -> None:
     """MERGE ``updates`` into the dataset at ``path``.
 
@@ -90,6 +91,19 @@ def upsert_partitioned(
     pointer otherwise — no hard dependency). Transactionality,
     concurrent-writer serialization, and key migration are then the
     format's contract rather than this module's caveats.
+
+    ``evolve_schema=True`` accepts update batches whose column set
+    differs from the stored table (Delta's ``mergeSchema`` shape):
+    columns new in the batch appear on the table (NULL for pre-existing
+    rows), columns the batch omits fill NULL on its rows. Key,
+    partition, and version columns must be present on both sides
+    (checked loudly — silently NULL keys would corrupt the merge). The
+    default remains strict: a mismatched batch fails, which is the
+    right default when the batch producer is not trusted to evolve the
+    contract. Pruned merges still only rewrite the batch's partitions,
+    so after an evolving upsert UNTOUCHED partitions keep their old
+    physical schema — readers go through ``spark.read.parquet`` schema
+    merging, which resolves the union (new columns read as NULL there).
     """
     keys = list(key_cols)
     parts = list(partition_cols)
@@ -114,7 +128,20 @@ def upsert_partitioned(
         writer.parquet(path)
         return
 
-    existing = spark.read.parquet(path)
+    if evolve_schema:
+        required = set(keys) | set(parts) | (
+            {version_col} if version_col else set()
+        )
+        missing = sorted(required - set(updates.columns))
+        if missing:
+            raise ValueError(
+                f"evolve_schema batch lacks key/partition/version "
+                f"columns {missing} — these cannot be NULL-filled"
+            )
+        # mergeSchema unifies partitions written under earlier schemas
+        existing = spark.read.option("mergeSchema", "true").parquet(path)
+    else:
+        existing = spark.read.parquet(path)
     if parts and prune_partitions:
         # Partition-pruned read: the batch's partition-value set is
         # dimension-sized (its date/tile keys) — inline per-column IN
@@ -144,13 +171,14 @@ def upsert_partitioned(
             )
             existing = existing.join(F.broadcast(tuples), list(parts), "left_semi")
 
+    union_kw = {"allowMissingColumns": True} if evolve_schema else {}
     if version_col is None:
         merged = existing.join(
             updates.select(*keys).distinct(), keys, "left_anti"
-        ).unionByName(updates)
+        ).unionByName(updates, **union_kw)
     else:
         tagged = existing.withColumn("__src", F.lit(0)).unionByName(
-            updates.withColumn("__src", F.lit(1))
+            updates.withColumn("__src", F.lit(1)), **union_kw
         )
         # SQL MERGE semantics for NULL keys: ON t.k = s.k is never true
         # for NULLs, so NULL-key rows match nothing — they all survive

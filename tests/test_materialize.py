@@ -435,3 +435,66 @@ def test_upsert_null_keys_follow_sql_merge_semantics(spark, tmp_path):
         assert got == sorted(
             [(1, "a2"), (None, "n1"), (None, "n2"), (None, "n3")], key=repr
         ), (version_col, got)
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """evolve_schema accepts batches whose column set differs: new
+    columns appear (NULL on pre-existing rows), omitted columns fill
+    NULL on the batch's rows; missing key/partition/version columns
+    fail loudly; the strict default still rejects a drifted batch."""
+    import os
+
+    import pytest as _pytest
+
+    from data_pipelines_spark.sources.materialize import upsert_partitioned
+
+    path = os.path.join(str(tmp_path), "tbl")
+    base = spark.createDataFrame(
+        [(1, 0, "a", 1), (2, 0, "b", 1)],
+        "k long, bucket long, v string, ver long",
+    )
+    upsert_partitioned(spark, base, path, ["k"], ["bucket"], version_col="ver")
+
+    # batch adds `extra`, omits `v`
+    batch = spark.createDataFrame(
+        [(2, 0, 2, 9.9), (3, 1, 1, 7.7)],
+        "k long, bucket long, ver long, extra double",
+    )
+    with _pytest.raises(Exception):
+        upsert_partitioned(
+            spark, batch, path, ["k"], ["bucket"], version_col="ver"
+        )
+    upsert_partitioned(
+        spark, batch, path, ["k"], ["bucket"], version_col="ver",
+        evolve_schema=True,
+    )
+    got = {
+        r["k"]: (r["v"], r["extra"], r["ver"])
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got[1] == ("a", None, 1)        # untouched row, new col NULL
+    assert got[2] == (None, 9.9, 2)        # updated: omitted col NULL
+    assert got[3] == (None, 7.7, 1)        # appended with the new col
+
+    # a second evolving upsert must see the unified schema (old
+    # partition files still carry the v-only physical schema)
+    b2 = spark.createDataFrame(
+        [(1, 0, 3, 1.1)], "k long, bucket long, ver long, extra double"
+    )
+    upsert_partitioned(
+        spark, b2, path, ["k"], ["bucket"], version_col="ver",
+        evolve_schema=True,
+    )
+    got2 = {
+        r["k"]: (r["v"], r["extra"])
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got2[1] == (None, 1.1) and got2[2] == (None, 9.9)
+
+    # key/partition columns can never be evolved away
+    bad = spark.createDataFrame([(9, 1)], "k long, ver long")
+    with _pytest.raises(ValueError, match="cannot be NULL-filled"):
+        upsert_partitioned(
+            spark, bad, path, ["k"], ["bucket"], version_col="ver",
+            evolve_schema=True,
+        )
