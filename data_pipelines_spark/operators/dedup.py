@@ -537,6 +537,7 @@ def duplicate_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    on_max_iterations: str = "raise",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → cluster ids.
 
@@ -557,7 +558,23 @@ def duplicate_clusters(
     Lineage is cut every round with localCheckpoint (iterative Spark
     plans otherwise grow exponentially); convergence is detected with a
     1-row aggregate, not a collect of the data.
+
+    ``max_iterations`` bounds the rounds; min-label propagation needs
+    O(component diameter) of them, so a pathological chain cluster
+    longer than the bound would come back SPLIT into several clusters —
+    silently wrong labels. ``on_max_iterations`` controls what happens
+    when the bound is hit with labels still changing: ``"raise"``
+    (default — nonconvergence is an error, the caller picks a bigger
+    bound or pre-splits the graph) or ``"return"`` (return the partial
+    labels; only safe when the caller treats clusters as advisory).
     """
+    if on_max_iterations not in ("raise", "return"):
+        raise ValueError(
+            f"on_max_iterations must be 'raise' or 'return', "
+            f"got {on_max_iterations!r}"
+        )
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -598,6 +615,19 @@ def duplicate_clusters(
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # for/else: only reached when the loop exhausted max_iterations
+        # without the `break` — the final round still changed labels,
+        # so some component's diameter exceeds the bound and its labels
+        # are a SPLIT of the true cluster.
+        if on_max_iterations == "raise":
+            raise RuntimeError(
+                f"duplicate_clusters did not converge in "
+                f"{max_iterations} iterations ({n_changed} labels still "
+                f"changing) — a component's diameter exceeds the bound; "
+                f"raise max_iterations or pass on_max_iterations='return' "
+                f"to accept partial (split) clusters"
+            )
     return labels
 
 

@@ -106,14 +106,16 @@ def histogram_sketch(
     union (integer sums — no estimator variance), and quantile error
     is bounded by one bin width.
 
-    ``weight_col``: each row contributes its (non-negative, integral —
-    cast to long) weight instead of 1 to the bins and the below/above/
-    null tallies — the token-weighted length distribution ("p50 doc
-    length by tokens contributed") instead of the doc-weighted one.
-    Quantiles-from-store and drift then read as weighted quantiles/PSI
-    with no change. NULL weights contribute 0; negative weights raise
-    (they would corrupt every downstream cumulative sum). ``n`` stays
-    a plain row count in both modes.
+    ``weight_col``: each row contributes its (non-negative, integral)
+    weight instead of 1 to the bins and the below/above/null tallies —
+    the token-weighted length distribution ("p50 doc length by tokens
+    contributed") instead of the doc-weighted one. Quantiles-from-store
+    and drift then read as weighted quantiles/PSI with no change. NULL
+    weights contribute 0; everything else invalid raises — negative,
+    fractional, NaN, or non-numeric weights — validated on the RAW
+    column before any cast, so a -0.5 cannot truncate to 0 and slip
+    past the sign check, and a non-numeric string cannot silently
+    become 0. ``n`` stays a plain row count in both modes.
     """
     if n_bins <= 0:
         raise ValueError(f"n_bins must be positive, got {n_bins}")
@@ -123,16 +125,32 @@ def histogram_sketch(
     if weight_col is None:
         wt = F.lit(1).cast("long")
     else:
-        w_raw = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+        # Validate the RAW column, then cast: casting long first would
+        # truncate -0.5 → 0 (evading the sign check), 2.7 → 2 (silent
+        # data change), and non-numerics → NULL → 0. The double view is
+        # lossless for the sign/integrality tests on any numeric input;
+        # NaN needs its own test (NaN != floor(NaN) is NULL in SQL, so
+        # it would slip through the inequality alone).
+        raw = F.col(weight_col)
+        # try_cast, not cast: under ANSI mode a malformed string would
+        # raise CAST_INVALID_INPUT before the guard runs; try_cast maps
+        # it to NULL so the guard's own (diagnosable) error fires.
+        wd = raw.try_cast("double")
+        bad = raw.isNotNull() & (
+            wd.isNull() | F.isnan(wd) | (wd < 0) | (wd != F.floor(wd))
+        )
         wt = F.when(
-            w_raw < 0,
+            bad,
             F.raise_error(
                 F.concat(
-                    F.lit(f"histogram_sketch: negative {weight_col}: "),
-                    F.col(weight_col).cast("string"),
+                    F.lit(
+                        f"histogram_sketch: {weight_col} must be a "
+                        "non-negative integer, got "
+                    ),
+                    raw.cast("string"),
                 )
             ).cast("long"),
-        ).otherwise(w_raw)
+        ).otherwise(F.coalesce(raw.cast("long"), F.lit(0)))
     width = (float(hi) - float(lo)) / n_bins
     idx = F.floor((v - F.lit(float(lo))) / F.lit(width))
     in_range = v.isNotNull() & ~F.isnan(v) & (v >= lo) & (v < hi)

@@ -43,10 +43,17 @@ def assert_plan(
     output, so a broken pin is diagnosable from the test log alone.
     """
     plan = plan_string(df, mode)
+    # Explicit raises, not bare `assert`: these pins also run inside
+    # production plan audits, and `python -O` strips assert statements
+    # — a guard that silently becomes a no-op under -O is not a guard.
     for bad in forbid:
-        assert bad not in plan, f"plan contains forbidden '{bad}':\n{plan}"
+        if bad in plan:
+            raise AssertionError(
+                f"plan contains forbidden '{bad}':\n{plan}"
+            )
     for good in require:
-        assert good in plan, f"plan lacks required '{good}':\n{plan}"
+        if good not in plan:
+            raise AssertionError(f"plan lacks required '{good}':\n{plan}")
     return plan
 
 

@@ -140,6 +140,19 @@ def upsert_partitioned(
             )
         # mergeSchema unifies partitions written under earlier schemas
         existing = spark.read.option("mergeSchema", "true").parquet(path)
+        # The EXISTING store needs the same check: an existing table
+        # missing version_col (or a key/partition column) would be
+        # silently NULL-filled by unionByName(allowMissingColumns) —
+        # NULL versions always lose the desc-sort, so updates would
+        # always win with no error, which is the unversioned semantics
+        # wearing the versioned API. Fail loudly instead.
+        missing_existing = sorted(required - set(existing.columns))
+        if missing_existing:
+            raise ValueError(
+                f"evolve_schema: existing dataset at {path} lacks "
+                f"key/partition/version columns {missing_existing} — "
+                f"these cannot be NULL-filled"
+            )
     else:
         existing = spark.read.parquet(path)
     if parts and prune_partitions:

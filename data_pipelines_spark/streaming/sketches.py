@@ -31,18 +31,18 @@ from pyspark.sql import functions as F
 
 
 def _partitioned_batch_write(batch: DataFrame, path: str, batch_id: int) -> None:
-    spark = batch.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            batch.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Per-write option, NOT a session-conf set/restore: two sink queries
+    # sharing the SparkSession can interleave their foreachBatch calls,
+    # and a global set/finally-restore races (one query's restore can
+    # revert the mode mid-write of the other). The DataFrameWriter
+    # option scopes dynamic overwrite to exactly this write.
+    (
+        batch.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
 
 
 def stream_histogram_sketch_sink(

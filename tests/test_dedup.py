@@ -222,3 +222,39 @@ def test_incremental_near_duplicates_matches_full_run(spark):
     sig_rows = {r["doc_id"]: r["minhash"] for r in new_sigs.collect()}
     direct = {r["doc_id"]: r["minhash"] for r in minhash_signatures(batch).collect()}
     assert sig_rows == direct
+
+
+def test_duplicate_clusters_nonconvergence_guard(spark):
+    """A chain component longer than max_iterations is the silent-split
+    hazard: min-label propagation moves the min one hop per round, so a
+    25-node path needs 24 rounds. With a smaller bound the default must
+    RAISE (labels would be a split of the true cluster);
+    on_max_iterations='return' hands back the partial labels; a
+    sufficient bound converges to one cluster."""
+    import pytest as _pytest
+
+    from data_pipelines_spark.operators.dedup import duplicate_clusters
+
+    n = 25
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(docs, chain, max_iterations=5)
+
+    partial = duplicate_clusters(
+        docs, chain, max_iterations=5, on_max_iterations="return"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in partial.collect()}
+    assert len(set(got.values())) > 1  # demonstrably split — why we raise
+
+    full = duplicate_clusters(docs, chain, max_iterations=n)
+    assert {r["cluster_id"] for r in full.collect()} == {0}
+
+    with _pytest.raises(ValueError, match="on_max_iterations"):
+        duplicate_clusters(docs, chain, on_max_iterations="warn")
+    with _pytest.raises(ValueError, match="max_iterations"):
+        duplicate_clusters(docs, chain, max_iterations=0)

@@ -498,3 +498,31 @@ def test_upsert_schema_evolution(spark, tmp_path):
             spark, bad, path, ["k"], ["bucket"], version_col="ver",
             evolve_schema=True,
         )
+
+
+def test_upsert_evolve_schema_validates_existing_store(spark, tmp_path):
+    """The EXISTING side of an evolving merge must also carry the key/
+    partition/version columns: a store written without `ver` would get
+    NULL-filled by unionByName(allowMissingColumns), NULL versions
+    always lose the desc-sort, and every update would silently win —
+    unversioned semantics wearing the versioned API. Must raise."""
+    import os
+
+    import pytest as _pytest
+
+    from data_pipelines_spark.sources.materialize import upsert_partitioned
+
+    path = os.path.join(str(tmp_path), "tbl")
+    # store bootstrapped WITHOUT the version column
+    spark.createDataFrame(
+        [(1, 0, "a")], "k long, bucket long, v string"
+    ).write.partitionBy("bucket").parquet(path)
+
+    batch = spark.createDataFrame(
+        [(1, 0, "a2", 5)], "k long, bucket long, v string, ver long"
+    )
+    with _pytest.raises(ValueError, match="existing dataset.*cannot be NULL-filled"):
+        upsert_partitioned(
+            spark, batch, path, ["k"], ["bucket"], version_col="ver",
+            evolve_schema=True,
+        )

@@ -409,3 +409,33 @@ class TestHistogramDrift:
             histogram_sketch(
                 df, ["day"], "v", 0.0, 10.0, 5, weight_col="w"
             ).collect()
+
+
+    def test_weight_guard_validates_raw_column(self, spark):
+        """The guard runs on the RAW weight, before any cast: -0.5 must
+        not truncate to 0 and slip the sign check, 2.7 must not
+        silently become 2, a non-numeric string must not become 0, and
+        NaN must not null-compare its way through. Integral doubles and
+        NULLs (contribute 0) stay legal."""
+        import pytest as _pytest
+
+        from data_pipelines_spark.operators.sketches import histogram_sketch
+
+        def run(rows, schema):
+            df = spark.createDataFrame(rows, schema)
+            return histogram_sketch(
+                df, ["day"], "v", 0.0, 10.0, 5, weight_col="w"
+            ).collect()
+
+        for w in (-0.5, 2.7, float("nan")):
+            with _pytest.raises(Exception, match="non-negative integer"):
+                run([("d", 1.0, w)], "day string, v double, w double")
+        with _pytest.raises(Exception, match="non-negative integer"):
+            run([("d", 1.0, "lots")], "day string, v double, w string")
+
+        ok = run(
+            [("d", 1.0, 3.0), ("d", 5.0, None)],
+            "day string, v double, w double",
+        )
+        assert ok[0]["hist"] == [3, 0, 0, 0, 0]  # NULL weight → 0
+        assert ok[0]["n"] == 2

@@ -776,3 +776,39 @@ def test_stream_distinct_sketch_sink(spark):
             assert abs(v - 97) / 97 < 0.05  # both days see all 97 uids
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_partitioned_batch_write_does_not_touch_session_conf(spark):
+    """Regression: the sink's dynamic-overwrite must be a per-write
+    option, not a session-conf set/restore — two sinks sharing the
+    session interleave foreachBatch calls and a global set/finally-
+    restore races. With the session pinned to `static`, the write must
+    still overwrite ONLY its own batch partition and leave the session
+    conf byte-identical."""
+    import shutil
+    import tempfile
+
+    from data_pipelines_spark.streaming.sketches import _partitioned_batch_write
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    tmp = tempfile.mkdtemp(prefix="dps_powmode_")
+    try:
+        spark.conf.set(key, "static")
+        a = spark.createDataFrame([("x", 1)], "g string, n long")
+        b = spark.createDataFrame([("y", 2)], "g string, n long")
+        _partitioned_batch_write(a, f"{tmp}/store", 0)
+        _partitioned_batch_write(b, f"{tmp}/store", 1)
+        assert spark.conf.get(key) == "static"  # untouched mid-sequence
+        # replay of batch 1 must not clobber batch 0 (dynamic overwrite
+        # despite the static session conf)
+        _partitioned_batch_write(b, f"{tmp}/store", 1)
+        got = sorted(
+            (r["batch_id"], r["g"], r["n"])
+            for r in spark.read.parquet(f"{tmp}/store").collect()
+        )
+        assert got == [(0, "x", 1), (1, "y", 2)]
+        assert spark.conf.get(key) == "static"
+    finally:
+        spark.conf.set(key, prev)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -269,3 +269,29 @@ def test_plan_audit_helpers(spark):
         assert_plan(df, forbid=["HashAggregate"])
     assert scan_count(df) == 0  # range source, no file scan
     assert "HashAggregate" in plan_string(df, mode="spark")
+
+
+def test_assert_plan_survives_python_O(spark):
+    """Regression (ADVICE r5 #2): assert_plan's guards must be explicit
+    raises, not `assert` statements — `python -O` strips asserts and
+    the plan pin silently becomes a no-op. Checked two ways: the
+    function body contains no Assert AST nodes, and the raise fires."""
+    import ast
+    import inspect
+    import textwrap
+
+    import pytest as _pytest
+
+    from data_pipelines_spark.plans import audit
+
+    src = textwrap.dedent(inspect.getsource(audit.assert_plan))
+    tree = ast.parse(src)
+    asserts = [n for n in ast.walk(tree) if isinstance(n, ast.Assert)]
+    assert not asserts, "assert_plan must use explicit raises (python -O)"
+
+    df = spark.range(3)
+    with _pytest.raises(AssertionError, match="forbidden"):
+        audit.assert_plan(df, forbid=["Range"])
+    with _pytest.raises(AssertionError, match="required"):
+        audit.assert_plan(df, require=["SortMergeJoin"])
+    audit.assert_plan(df, require=["Range"])  # happy path returns
