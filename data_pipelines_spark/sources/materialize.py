@@ -220,18 +220,15 @@ def upsert_partitioned(
     # Pruned merge: dynamic overwrite rewrites only the affected
     # partitions. Unpruned (migration-safe) merge: static overwrite —
     # the full rewrite also clears partitions the merge emptied.
+    # Per-write option, not a session-conf set/restore (which races
+    # with concurrent writers sharing the session).
     mode = "dynamic" if prune_partitions else "static"
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
-        writer = merged.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
-            writer.parquet(path)
-        else:
-            writer.parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    writer = merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", mode
+    )
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(path)
 
 
 def _upsert_delta(
@@ -465,15 +462,25 @@ def compact_dataset(
     bytes_total = sum(sz for f, _ in affected.values() for _, sz in f)
     total_goal = sum(g for _, g in affected.values())
 
+    # mergeSchema: after an evolving upsert the dataset's dirs carry
+    # heterogeneous physical schemas (untouched partitions lack the
+    # evolved columns). A plain read infers the schema from one footer,
+    # and a rewrite under that schema would silently DROP an evolved
+    # column from every compacted dir. The merged read preserves the
+    # union (missing columns read as NULL — exactly what readers see).
     if parts:
         # Read only fragmented partition dirs; basePath recovers the
         # partition columns from the directory names.
         dirs = sorted(
             {fp.rsplit("/", 1)[0] for f, _ in affected.values() for fp, _ in f}
         )
-        df = spark.read.option("basePath", path).parquet(*dirs)
+        df = (
+            spark.read.option("basePath", path)
+            .option("mergeSchema", "true")
+            .parquet(*dirs)
+        )
     else:
-        df = spark.read.parquet(path)
+        df = spark.read.option("mergeSchema", "true").parquet(path)
 
     goals = spark.createDataFrame(
         [(d, g) for d, (_, g) in sorted(affected.items())],
@@ -498,16 +505,16 @@ def compact_dataset(
         .localCheckpoint(eager=True)
     )
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        writer = merged.write.mode("overwrite")
-        if parts:
-            writer.partitionBy(*parts).parquet(path)
-        else:
-            writer.parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Per-write dynamic-overwrite option (not a session-conf
+    # set/restore, which races with any concurrent writer on the same
+    # session — same fix as streaming/sketches._partitioned_batch_write)
+    writer = merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    )
+    if parts:
+        writer.partitionBy(*parts).parquet(path)
+    else:
+        writer.parquet(path)
 
     after = list_data_files(spark, path)
     files_after = sum(len(after.get(d, ())) for d in affected)

@@ -60,9 +60,14 @@ _MODULES = (
 # runs the round-1-unchecked tier first, then the repaired queries,
 # then the flagships and the rest.
 _PRIORITY = (
-    # tier 0 — new this round (no CORRECTNESS row yet): the quality-
-    # validation and MERGE-upsert tiers, driver-checked for the first
-    # time (slots freed by fusing q4/q12 into tpch_adapted_suite)
+    # tier 0 — newest first (no CORRECTNESS row yet): round 7 rotated
+    # slots to the formerly unit-only tiers — incremental batch-vs-
+    # corpus dedup, and the upsert entry now also exercising
+    # evolve_schema + compact_dataset (slot freed by fusing
+    # ngram_jaccard_same_source + embedding_near_dup_pairs into
+    # near_dup_pair_suite)
+    "incremental_near_dup",
+    "near_dup_pair_suite",
     "quality_report",
     "upsert_readback",
     # tier 0b — round-4 additions
@@ -78,11 +83,9 @@ _PRIORITY = (
     "minhash_near_dup_portable",
     "dedup_clusters",
     "minhash_near_dup_pairs",
-    "embedding_near_dup_pairs",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
     "simhash_portable",
-    "ngram_jaccard_same_source",
     # tier 2 — repaired (round-1 hash mismatch / crash) or newly fused
     "events_session_windows",
     "array_agg_lines",

@@ -519,14 +519,70 @@ _NEAR_DUP_SQL = f"""
 """
 
 
-@register("embedding_near_dup_pairs", _NEAR_DUP_SQL)
-def embedding_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs within LSH hyperplane
-    buckets. The oracle embeds the SAME seeded hyperplanes as SQL list
-    literals, so bucketing, pairing, and cosine all reproduce exactly."""
+_NGRAM_SQL = """
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(length(text) - 2, 1) + 1),
+                   i -> substr(lower(text), i, 3))) AS shingles
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))),
+               6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+"""
+
+
+@register(
+    "near_dup_pair_suite",
+    f"""
+    SELECT 'ngram3' AS method, doc_a AS id_a, doc_b AS id_b,
+           jaccard AS score
+    FROM ({_NGRAM_SQL})
+    UNION ALL
+    SELECT 'cos_lsh', vec_a, vec_b, cosine FROM ({_NEAR_DUP_SQL})
+    """,
+)
+def near_dup_pair_suite(spark, sf_dir):
+    """Two near-duplicate pair tiers fused at the common (method, id_a,
+    id_b, score) grain — fusing frees a driver-sweep slot for the
+    incremental-dedup entry while keeping each tier's own hash check
+    (the method tag keeps their rows distinguishable in the hash):
+
+    - ``ngram3``: exact character-3-gram Jaccard over candidate pairs
+      blocked by `source` — the verification stage of the dedup stack,
+      with the blocking key standing in for LSH buckets.
+    - ``cos_lsh``: embedding-cosine near-duplicate pairs within seeded
+      random-hyperplane LSH buckets; the oracle embeds the SAME planes
+      as SQL list literals, so bucketing, pairing, and cosine all
+      reproduce exactly."""
     tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, dim=64, threshold=0.3, num_planes=4)
+    ngram = ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.5, bucket_col="source"
+    ).select(
+        F.lit("ngram3").alias("method"),
+        F.col("doc_a").cast("long").alias("id_a"),
+        F.col("doc_b").cast("long").alias("id_b"),
+        F.col("jaccard").alias("score"),
+    )
+    cos = embedding_near_duplicates(
+        emb, dim=64, threshold=0.3, num_planes=4
+    ).select(
+        F.lit("cos_lsh").alias("method"),
+        F.col("vec_a").cast("long").alias("id_a"),
+        F.col("vec_b").cast("long").alias("id_b"),
+        F.col("cosine").alias("score"),
+    )
+    return ngram.unionByName(cos)
 
 
 _LSH_TOPK_SQL = f"""
@@ -737,6 +793,51 @@ def minhash_near_dup_pairs(spark, sf_dir):
     return verify_pairs_exact(docs, pairs, broadcast_pairs=True, min_jaccard=0.5)
 
 
+@register(
+    "incremental_near_dup",
+    f"""
+    WITH verified AS ({_minhash_verified_sql()})
+    SELECT CASE WHEN doc_a % 7 = 3 THEN doc_a ELSE doc_b END AS doc_a,
+           CASE WHEN doc_a % 7 = 3 THEN doc_b ELSE doc_a END AS doc_b,
+           exact_jaccard
+    FROM verified
+    WHERE doc_a % 7 = 3 OR doc_b % 7 = 3
+    """,
+)
+def incremental_near_dup(spark, sf_dir):
+    """Batch-vs-corpus incremental dedup (the production ingest shape:
+    the corpus is history whose signatures are already stored; the
+    batch is one day): docs with ``doc_id % 7 == 3`` are the new batch,
+    the rest the stored corpus. The batch's pairs — against the corpus
+    AND against itself, with corpus-corpus pairs excluded by
+    construction — are exact-verified and exact-thresholded at 0.5,
+    which makes the output sketch-independent (same argument as
+    ``minhash_near_dup_pairs``). The oracle replays the restriction
+    declaratively: the FULL verified near-dup pair set filtered to
+    pairs touching a batch doc, reoriented so doc_a is the batch doc
+    (both-batch pairs keep doc_a < doc_b), which is exactly the
+    incremental contract — equality proven against a full run in
+    tests/test_dedup.py."""
+    from data_pipelines_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_signatures,
+        verify_pairs_exact,
+    )
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 7 == 3
+    batch = docs.where(is_batch)
+    corpus_sigs = minhash_signatures(docs.where(~is_batch))
+    pairs, _sigs = incremental_near_duplicates(
+        batch, corpus_sigs, jaccard_threshold=0.5
+    )
+    return verify_pairs_exact(
+        docs, pairs.select("doc_a", "doc_b"),
+        broadcast_pairs=True, min_jaccard=0.5,
+    )
+
+
 def _simhash_oracle_sql(bits: int = 60) -> str:
     """SQL twin of the portable SimHash: md5-derived 60-bit token
     hashes, per-bit +1/-1 sums, sign bits packed into a BIGINT."""
@@ -780,37 +881,9 @@ def simhash_portable(spark, sf_dir):
     return simhash_signatures(docs, portable=True)
 
 
-@register(
-    "ngram_jaccard_same_source",
-    """
-    WITH sh AS (
-        SELECT doc_id, source,
-               list_distinct(list_transform(
-                   range(1, greatest(length(text) - 2, 1) + 1),
-                   i -> substr(lower(text), i, 3))) AS shingles
-        FROM documents
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(
-               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-               / (len(a.shingles) + len(b.shingles)
-                  - len(list_intersect(a.shingles, b.shingles))),
-               6) AS jaccard
-    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) >= 0.5
-    """,
-)
-def ngram_jaccard_same_source(spark, sf_dir):
-    """Exact character-3-gram Jaccard over candidate pairs blocked by
-    `source` — the verification stage of the dedup stack, with the
-    blocking key standing in for LSH buckets."""
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        docs, shingle_k=3, threshold=0.5, bucket_col="source"
-    )
+# `ngram_jaccard_same_source` and `embedding_near_dup_pairs` are now
+# the two tiers of `near_dup_pair_suite` (above) — fused to free a
+# driver-sweep slot for `incremental_near_dup`.
 
 
 # The IVF coarse-quantizer model: kmeans_centroids(embeddings@sf0.01,

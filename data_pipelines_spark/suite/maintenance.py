@@ -17,14 +17,18 @@ judge's correctness gate covers the validation and upsert tiers too.
   to orders is genuinely clean, and the range/accepted rules are
   chosen so both passing and failing rules appear.
 - ``upsert_readback``: runs :func:`upsert_partitioned` end-to-end
-  (bootstrap write → versioned MERGE → read-back) against a temp
-  directory, covering all three MERGE cases — matched-update (newer
-  version wins), stale late update (older version loses), and append.
-  The oracle replays the same merge as SQL over (base ∪ updates) with
-  a versioned top-1 window. The read-back is collected and re-wrapped
-  so the returned frame does not depend on the temp files, which are
-  removed before returning (result is 9 000 rows at sf0.01 —
-  driver-compare-sized by construction, not a scale statement).
+  (bootstrap write → versioned MERGE → EVOLVING merge → compaction →
+  read-back) against a temp directory, covering all three MERGE cases
+  — matched-update (newer version wins), stale late update (older
+  version loses), and append — plus ``evolve_schema=True`` (column
+  added/omitted mid-lifecycle) and :func:`compact_dataset`
+  content-preservation over the resulting heterogeneous partition
+  files. The oracle replays both merge layers as SQL over
+  (base ∪ updates ∪ evolving) with versioned top-1 windows. The
+  read-back is collected and re-wrapped so the returned frame does not
+  depend on the temp files, which are removed before returning
+  (result is ~9 500 rows at sf0.01 — driver-compare-sized by
+  construction, not a scale statement).
 """
 
 from __future__ import annotations
@@ -380,20 +384,52 @@ merged AS (
     SELECT k, bucket, status, price, ver,
            row_number() OVER (PARTITION BY k ORDER BY ver DESC, src DESC) AS rn
     FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+),
+m1 AS (
+    SELECT k, bucket, status, price, ver,
+           CAST(NULL AS VARCHAR) AS note, 0 AS src
+    FROM merged WHERE rn = 1
+),
+-- evolving batch: omits `status` (reads back NULL on its rows), adds
+-- `note` (NULL on every pre-existing row)
+ev AS (
+    SELECT o_orderkey AS k, o_orderkey % 4 AS bucket,
+           CAST(NULL AS VARCHAR) AS status,
+           CAST(o_totalprice * 3 AS DOUBLE) AS price, CAST(3 AS BIGINT) AS ver,
+           'evolved' AS note, 1 AS src
+    FROM orders WHERE o_orderkey % 100 < 10
+    UNION ALL
+    SELECT o_orderkey, o_orderkey % 4, CAST(NULL AS VARCHAR),
+           CAST(o_totalprice AS DOUBLE), CAST(1 AS BIGINT), 'fresh', 1
+    FROM orders WHERE o_orderkey % 100 >= 60 AND o_orderkey % 100 < 65
+),
+merged2 AS (
+    SELECT k, bucket, status, price, ver, note,
+           row_number() OVER (PARTITION BY k ORDER BY ver DESC, src DESC) AS rn
+    FROM (SELECT * FROM m1 UNION ALL SELECT * FROM ev)
 )
 SELECT CAST(k AS BIGINT) AS k, CAST(bucket AS BIGINT) AS bucket, status,
-       price, ver
-FROM merged WHERE rn = 1
+       price, ver, note
+FROM merged2 WHERE rn = 1
 """
 
 
 @register("upsert_readback", _UPSERT_SQL)
 def upsert_readback(spark, sf_dir):
-    """End-to-end versioned MERGE: bootstrap a partitioned dataset from
-    half the orders table, apply an update batch covering matched-newer
-    (wins), stale-late (loses), and brand-new (appends) keys, read the
-    dataset back. Partition column ``bucket = k % 4`` is derived from
-    the key — the immutability contract the pruned merge requires."""
+    """End-to-end MERGE maintenance lifecycle: bootstrap a partitioned
+    dataset from half the orders table, apply a versioned update batch
+    covering matched-newer (wins), stale-late (loses), and brand-new
+    (appends) keys, then an EVOLVING batch (``evolve_schema=True``:
+    adds ``note``, omits ``status`` — new column NULL on pre-existing
+    rows, omitted column NULL on the batch's rows), then run
+    :func:`compact_dataset` over the fragmented partition dirs, and
+    read the dataset back. The final hash-check therefore certifies all
+    three maintenance operators at once: the versioned merge, schema
+    evolution across heterogeneous partition files, and that compaction
+    is content-preserving (including the evolved column, which a
+    non-mergeSchema compaction read would silently drop). Partition
+    column ``bucket = k % 4`` is derived from the key — the
+    immutability contract the pruned merge requires."""
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
     m = F.col("o_orderkey") % 100
@@ -421,24 +457,63 @@ def upsert_readback(spark, sf_dir):
         )
     )
 
+    def evolved(df, note, price, ver):
+        # the evolving batch's shape: no `status`, new `note`
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderkey") % 4).cast("long").alias("bucket"),
+            price.cast("double").alias("price"),
+            F.lit(ver).cast("long").alias("ver"),
+            F.lit(note).alias("note"),
+        )
+
+    ev = evolved(
+        orders.where(m < 10), "evolved", F.col("o_totalprice") * 3, 3
+    ).unionByName(
+        evolved(orders.where((m >= 60) & (m < 65)), "fresh",
+                F.col("o_totalprice"), 1)
+    )
+
     d = tempfile.mkdtemp(prefix="dps_upsert_oracle_")
     path = os.path.join(d, "tbl")
-    schema = "k long, bucket long, status string, price double, ver long"
+    schema = (
+        "k long, bucket long, status string, price double, ver long, "
+        "note string"
+    )
     try:
         upsert_partitioned(spark, base, path, ["k"], ["bucket"], version_col="ver")
         upsert_partitioned(spark, upd, path, ["k"], ["bucket"], version_col="ver")
-        from data_pipelines_spark.sources.materialize import dataset_exists
+        from data_pipelines_spark.sources.materialize import (
+            compact_dataset,
+            dataset_exists,
+        )
 
         if not dataset_exists(spark, path):
             # zero-row source tables: empty bootstraps are no-ops by
             # contract, so the dataset was never created
             return spark.createDataFrame([], schema=schema)
-        readback = spark.read.parquet(path).select(
+        upsert_partitioned(
+            spark, ev, path, ["k"], ["bucket"], version_col="ver",
+            evolve_schema=True,
+        )
+        report = compact_dataset(spark, path, ["bucket"])
+        if report["files_after"] > report["files_before"]:
+            raise RuntimeError(f"compaction grew the dataset: {report}")
+        raw = spark.read.option("mergeSchema", "true").parquet(path)
+        # a degenerate orders slice can make the evolving batch empty —
+        # then no file carries `note` (or even `status`) and the column
+        # reads back as all-NULL by contract
+        opt = {
+            c: (F.col(c) if c in raw.columns else F.lit(None).cast("string"))
+            for c in ("status", "note")
+        }
+        readback = raw.select(
             F.col("k").cast("long").alias("k"),
             F.col("bucket").cast("long").alias("bucket"),
-            F.col("status"),
+            opt["status"].alias("status"),
             F.col("price").cast("double").alias("price"),
             F.col("ver").cast("long").alias("ver"),
+            opt["note"].alias("note"),
         )
         rows = readback.collect()
     finally:

@@ -526,3 +526,48 @@ def test_upsert_evolve_schema_validates_existing_store(spark, tmp_path):
             spark, batch, path, ["k"], ["bucket"], version_col="ver",
             evolve_schema=True,
         )
+
+
+def test_compact_preserves_evolved_column(spark, tmp_path):
+    """Regression: compaction reads the affected dirs with mergeSchema.
+    After an evolving upsert the partition dirs carry heterogeneous
+    physical schemas; a plain multi-dir read can infer a footer schema
+    WITHOUT the evolved column and the rewrite would silently drop it
+    from every compacted dir. Content (including the evolved column)
+    must be byte-identical across compaction."""
+    import os
+
+    from data_pipelines_spark.sources.materialize import (
+        compact_dataset,
+        upsert_partitioned,
+    )
+
+    path = os.path.join(str(tmp_path), "tbl")
+    base = spark.createDataFrame(
+        [(i, i % 2, f"v{i}", 1) for i in range(40)],
+        "k long, bucket long, v string, ver long",
+    ).repartition(8)
+    upsert_partitioned(spark, base, path, ["k"], ["bucket"], version_col="ver")
+    # evolving batch touches ONLY bucket 0 — bucket 1's files keep the
+    # pre-evolution physical schema
+    ev = spark.createDataFrame(
+        [(0, 0, 2, "evolved")], "k long, bucket long, ver long, note string"
+    )
+    upsert_partitioned(
+        spark, ev, path, ["k"], ["bucket"], version_col="ver",
+        evolve_schema=True,
+    )
+    before = {
+        r["k"]: (r["v"], r["ver"], r["note"])
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert before[0] == (None, 2, "evolved") and before[1][2] is None
+
+    report = compact_dataset(spark, path, ["bucket"])
+    assert report["dirs_compacted"] >= 1, report
+    assert report["files_after"] <= report["files_before"], report
+    after = {
+        r["k"]: (r["v"], r["ver"], r["note"])
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert after == before
