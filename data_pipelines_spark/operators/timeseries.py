@@ -51,6 +51,7 @@ def resample(
     interval_sec: int,
     dense: bool = True,
     watermark: str = "2 hours",
+    max_gap_buckets: int | None = 1_000_000,
 ) -> DataFrame:
     """Aggregate an irregular series onto a fixed-interval grid.
 
@@ -70,6 +71,15 @@ def resample(
     state forever. ``window()`` buckets are epoch-aligned exactly like
     the integer arithmetic, so batch and stream emit identical rows on
     bounded input (tested).
+
+    ``max_gap_buckets`` is the runaway-grid guard (same shape as
+    ``interval_join``'s ``max_bins_per_interval``): one key whose
+    neighbouring events sit a pathological span apart — a decade at
+    1-second resolution is ~3e8 gap rows from a SINGLE generate —
+    would funnel that whole explode into one task. Any single gap
+    needing more than this many materialized buckets raises
+    executor-side with the offending bucket in the message; ``None``
+    disables (caller asserts the span/interval ratio is bounded).
     """
     keys = list(key_cols)
     aggs = [
@@ -122,6 +132,28 @@ def resample(
         F.coalesce(F.col("__nxt") - step, F.col("bucket_epoch")),
         step,
     )
+    if max_gap_buckets is not None:
+        gap = F.coalesce(F.col("__nxt") - F.col("bucket_epoch"), F.lit(0))
+        seq = F.when(
+            gap <= F.lit(int(max_gap_buckets)) * step, seq
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "resample: one gap needs more than "
+                        f"{max_gap_buckets} buckets of {interval_sec}s "
+                        "(bucket_epoch="
+                    ),
+                    F.col("bucket_epoch").cast("string"),
+                    F.lit(", next="),
+                    F.col("__nxt").cast("string"),
+                    F.lit(
+                        "); widen interval_sec, split the key, or raise "
+                        "max_gap_buckets"
+                    ),
+                )
+            ).cast("array<long>")
+        )
     own = F.col("__grid") == F.col("bucket_epoch")
     return (
         stepped.withColumn("__grid", F.explode(seq))

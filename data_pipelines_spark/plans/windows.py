@@ -75,8 +75,23 @@ def grouped_running_sum(
     # sums. Schema-only probe, no job.
     sum_type = df.select(F.sum(value).alias("__t")).schema["__t"].dataType
     zero = F.lit(0).cast(sum_type)
-    parts = df.repartitionByRange(*[F.col(g) for g in group], *order).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint: the partition ids MUST come from one single
+    # evaluation of the range exchange. Two consumers read __pid
+    # (`local` and `offsets`); without pinning, each consumer's plan
+    # carries its own exchange whose range boundaries come from a
+    # sample seeded by the physical rdd.id — DIFFERENT per evaluation —
+    # so boundary-adjacent rows land in different partitions in the two
+    # plans and local sums pair with the wrong offsets (observed: ~75%
+    # of rows wrong with spark.sql.exchange.reuse=false; exchange reuse
+    # normally hides this, but correctness must not hang off an
+    # optimizer optimization). The checkpoint materializes the
+    # partitioning once; lineage is cut, so lost blocks fail loudly
+    # instead of recomputing into a different layout. Pinned by
+    # tests/test_window_retry_determinism.py.
+    parts = (
+        df.repartitionByRange(*[F.col(g) for g in group], *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = Window.partitionBy("__pid", *group).orderBy(*order)
     local = parts.withColumn(
@@ -138,8 +153,13 @@ def global_rank(df: DataFrame, order: list[Column], alias: str = "rank") -> Data
     aggregate — the only tiny single-partition step). Ranks are
     identical to the naive window's for any total order, at any width.
     """
-    parts = df.repartitionByRange(*order).withColumn(
-        "__pid", F.spark_partition_id()
+    # Same single-evaluation pin as grouped_running_sum: __pid feeds
+    # two consumers, and un-pinned range exchanges re-sample different
+    # boundaries per evaluation (see the comment there).
+    parts = (
+        df.repartitionByRange(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     local = parts.withColumn(
         "__lrank", F.row_number().over(Window.partitionBy("__pid").orderBy(*order))

@@ -8,6 +8,13 @@ fails when one drifts past the noise envelope.
 Opt-in via SPARK_GRAFT_BENCH_GUARD=1 — the full sf0.1 bench takes
 minutes and local boxes vary, so this is run explicitly before each
 round's final commit (see NOTES), not on every pytest invocation.
+
+Baseline protocol (frozen round 7): bench_baseline.json carries the
+DRIVER's warm per-query numbers from its own BENCH_r{N}.json,
+verbatim — driver-run compared against driver-run. The earlier
+builder-quiet-box-min protocol was retired after round 6 showed a
++21.5% cold swing on byte-identical code (pure box noise), proving
+those minima unreproducible as a comparison floor.
 """
 
 from __future__ import annotations

@@ -227,8 +227,11 @@ def test_vocabulary_stats_unbounded_has_no_global_sort(spark):
     docs = _docs(spark, [(i, "s", f"tok{i % 7} tok{i % 3}") for i in range(50)])
     out = vocabulary_stats(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the distributed range sort is present...
-    assert "rangepartitioning" in plan.lower()
+    # the distributed two-phase scheme is present: since the round-7
+    # determinism fix the range exchange materializes once behind a
+    # localCheckpoint, so the outer plan shows the checkpointed scan
+    # carrying the synthetic partition id rather than the exchange node
+    assert "__pid" in plan and "existingrdd" in plan.lower()
     # ...and no row-level window runs without partition columns (a bare
     # windowspecdefinition(... ORDER) would mean a global sort of the
     # vocabulary; the offsets window partitions nothing but only ever
@@ -520,7 +523,9 @@ def test_pack_sequences_plan_has_no_per_stream_window(spark):
         pack_sequences(docs, 128)
         ._jdf.queryExecution().executedPlan().toString().lower()
     )
-    assert "rangepartitioning" in plan
+    # two-phase scheme present (range exchange pinned behind the
+    # determinism localCheckpoint — see vocabulary_stats pin above)
+    assert "__pid" in plan and "existingrdd" in plan
     # every window partition spec must include the synthetic partition
     # id, i.e. no window partitioned by the stream column alone
     import re

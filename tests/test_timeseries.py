@@ -295,3 +295,28 @@ def test_assert_plan_survives_python_O(spark):
     with _pytest.raises(AssertionError, match="required"):
         audit.assert_plan(df, require=["SortMergeJoin"])
     audit.assert_plan(df, require=["Range"])  # happy path returns
+
+
+def test_resample_runaway_grid_guard(spark):
+    """A single pathological gap (span/interval >> max_gap_buckets)
+    must fail loudly instead of funneling a giant explode into one
+    task; a bounded grid at the same settings still materializes."""
+    import pytest as _pytest
+
+    from data_pipelines_spark.operators.timeseries import resample
+
+    rows = [
+        ("k", "2024-01-01 00:00:00", 1.0),
+        ("k", "2034-01-01 00:00:00", 2.0),  # decade gap
+    ]
+    df = spark.createDataFrame(rows, "key string, ts string, v double").select(
+        "key", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    with _pytest.raises(Exception, match="resample: one gap needs more than"):
+        resample(df, ["key"], "ts", "v", 1, max_gap_buckets=10_000).collect()
+    # same data, guard disabled but interval widened: bounded and fine
+    ok = resample(df, ["key"], "ts", "v", 86400 * 366)
+    assert ok.count() == 11
+    # guard at default settings does not fire on a sane series
+    sane = resample(df.limit(1), ["key"], "ts", "v", 1)
+    assert sane.count() == 1
