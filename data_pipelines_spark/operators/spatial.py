@@ -207,9 +207,30 @@ def point_in_polygon_join(
 
     from data_pipelines_spark.plans.parallelism import spread
 
-    # The exact test is Python-side; spread candidates so a single-file
-    # input doesn't serialize it onto one core.
-    cand = spread(cand)
+    if broadcast:
+        # Broadcast path: candidates keep the points scan's partitioning
+        # (balanced by construction); spread only widens a single-file
+        # input so the Python exact test isn't serialized on one core.
+        cand = spread(cand)
+    else:
+        # Shuffle path: the join leaves candidates hash-partitioned by
+        # (bx, by), and clustered points (a city bucket) or a
+        # continent-sized polygon over them concentrate the Python-side
+        # exact test into few tasks (measured: 100% of candidates in
+        # ONE partition on a clustered fixture). Re-spread by
+        # (zone, content-salt): the salt is derived from the point
+        # coordinates — deterministic under task retry, the
+        # plans/skew.py discipline — so any one zone's candidate set
+        # splits ~salt_w ways while zone locality keeps the per-task
+        # ring-parse cache effective. Explicit numPartitions keeps AQE
+        # from re-coalescing the balance away.
+        sc = points.sparkSession.sparkContext
+        salt_w = max(16, sc.defaultParallelism)
+        cand = cand.repartition(
+            salt_w,
+            F.col("__zone_id"),
+            F.pmod(F.xxhash64(F.col("__px"), F.col("__py")), F.lit(salt_w)),
+        )
 
     # Carry the caller's point-id type through the exact test unchanged
     # (rasterize_zones passes a struct<x,y> content key, not a long).

@@ -254,17 +254,34 @@ def _upsert_delta(
         ) from exc
 
     if version_col is not None:
+        # Within-batch dedup (highest version per key) — but NULL-key
+        # rows route AROUND the window: partitionBy pools every
+        # NULL-key row into one partition and would keep a single
+        # winner, silently deleting inserts the merge's
+        # never-match-NULL semantics preserves (same routing as the
+        # parquet path's merge).
+        has_null_key = reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+        )
+        null_rows = updates.where(has_null_key)
         w = Window.partitionBy(*keys).orderBy(F.desc(version_col))
         updates = (
-            updates.withColumn("__rn", F.row_number().over(w))
+            updates.where(~has_null_key)
+            .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
+            .unionByName(null_rows)
         )
     if not DeltaTable.isDeltaTable(spark, path):
         updates.write.format("delta").save(path)
         return
     target = DeltaTable.forPath(spark, path)
-    cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+    # Plain equality, NOT null-safe <=>: the module contract (and the
+    # parquet path) is SQL MERGE semantics — a NULL key never matches,
+    # so NULL-key updates insert and NULL-key existing rows survive.
+    # <=> would silently make NULL keys match each other, diverging the
+    # two backends on exactly the rows users least expect.
+    cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
     merge = target.alias("t").merge(updates.alias("s"), cond)
     if version_col is not None:
         merge = merge.whenMatchedUpdateAll(

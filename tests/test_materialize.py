@@ -571,3 +571,91 @@ def test_compact_preserves_evolved_column(spark, tmp_path):
         for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
     }
     assert after == before
+
+
+def test_delta_merge_construction_via_stub(spark, tmp_path, monkeypatch):
+    """The Delta engine is absent here, but OUR half of the seam — the
+    within-batch version dedup, NULL-key routing, merge condition, and
+    matched/not-matched wiring — is pure plan construction and must be
+    exercised, not just import-gated. A recording stub stands in for
+    delta.tables.DeltaTable; a live-engine run (the other half) needs a
+    delta-spark environment and stays honestly out of scope."""
+    import sys
+    import types
+
+    from data_pipelines_spark.sources.materialize import upsert_partitioned
+
+    recorded = {}
+
+    class _Merge:
+        def __init__(self, source_df, cond):
+            recorded["source_df"] = source_df
+            recorded["cond"] = cond
+            recorded["steps"] = []
+
+        def whenMatchedUpdateAll(self, condition=None):
+            recorded["steps"].append(("matched_update_all", condition))
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            recorded["steps"].append(("not_matched_insert_all", None))
+            return self
+
+        def execute(self):
+            recorded["steps"].append(("execute", None))
+
+    class _Target:
+        def alias(self, a):
+            recorded["target_alias"] = a
+            return self
+
+        def merge(self, source, cond):
+            # source arrives aliased; unwrap not needed — it's a real DF
+            return _Merge(source, cond)
+
+    class _DeltaTable:
+        @staticmethod
+        def isDeltaTable(spark, path):
+            return True
+
+        @staticmethod
+        def forPath(spark, path):
+            return _Target()
+
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = _DeltaTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+
+    batch = spark.createDataFrame(
+        [
+            (1, "old", 1), (1, "new", 2),      # within-batch dup: ver 2 wins
+            (None, "n1", 5), (None, "n2", 5),  # NULL keys: BOTH must survive
+            (2, "b", 7),
+        ],
+        "k long, v string, ver long",
+    )
+    upsert_partitioned(
+        spark, batch, str(tmp_path / "t"), ["k"], version_col="ver",
+        format="delta",
+    )
+
+    # merge condition: plain equality (NULL keys never match), per-key
+    assert recorded["cond"] == "t.`k` = s.`k`"
+    # versioned wiring: stale updates skipped, ties update, inserts on
+    assert recorded["steps"] == [
+        ("matched_update_all", "s.`ver` >= t.`ver`"),
+        ("not_matched_insert_all", None),
+        ("execute", None),
+    ]
+    # the source frame: deduped per non-NULL key, NULL-key rows intact
+    rows = sorted(
+        ((r["k"], r["v"], r["ver"]) for r in recorded["source_df"].collect()),
+        key=repr,
+    )
+    assert rows == sorted(
+        [(1, "new", 2), (2, "b", 7), (None, "n1", 5), (None, "n2", 5)],
+        key=repr,
+    )

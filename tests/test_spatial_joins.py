@@ -643,3 +643,61 @@ def test_asof_join_null_keys_match_nothing(spark):
         key=repr,
     )
     assert got == sorted([(None, 10, None), ("a", 10, 1.0)], key=repr), got
+
+
+def test_pip_join_shuffle_path_balances_giant_zone_and_hot_bucket(spark):
+    """Polygon-skew hardening: clustered points (one hot bucket) under
+    a continent-sized polygon must NOT funnel the Python exact test
+    into one task on the shuffle path. Before the round-7 salted
+    re-spread, this fixture measured 100% of candidates in a single
+    partition; now the largest partition must hold a bounded share.
+    Results must also be identical between the two join strategies."""
+    import random
+
+    from data_pipelines_spark.operators.spatial import point_in_polygon_join
+
+    random.seed(7)
+    pts = [
+        (
+            i,
+            random.uniform(0, 9.9) if random.random() < 0.8 else random.uniform(0, 100),
+            random.uniform(0, 9.9) if random.random() < 0.8 else random.uniform(0, 100),
+        )
+        for i in range(8000)
+    ]
+    points = spark.createDataFrame(
+        pts, "point_id long, x double, y double"
+    ).repartition(8)
+
+    def box(x0, y0, x1, y1):
+        return (
+            f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+        )
+
+    zones = [(0, box(0, 0, 100, 100))]  # the continent
+    zones += [
+        (i, box((i % 10) * 10, (i // 10) * 10,
+                (i % 10) * 10 + 9.5, (i // 10) * 10 + 9.5))
+        for i in range(1, 51)
+    ]
+    zdf = spark.createDataFrame(zones, "id long, geometry string")
+
+    shuffled = point_in_polygon_join(points, zdf, 10.0, broadcast=False)
+    sizes = sorted(
+        (
+            r["count"]
+            for r in shuffled.withColumn("p", F.spark_partition_id())
+            .groupBy("p").count().collect()
+        ),
+        reverse=True,
+    )
+    total = sum(sizes)
+    assert len(sizes) >= 8, sizes
+    assert sizes[0] <= 0.3 * total, (
+        f"exact-test input skew: top partition {sizes[0]}/{total}: {sizes[:5]}"
+    )
+
+    bcast = point_in_polygon_join(points, zdf, 10.0, broadcast=True)
+    a = sorted((r["point_id"], r["zone_id"]) for r in shuffled.collect())
+    b = sorted((r["point_id"], r["zone_id"]) for r in bcast.collect())
+    assert a == b and len(a) > 8000  # continent matches every point
