@@ -68,6 +68,7 @@ _PRIORITY = (
     # near_dup_pair_suite)
     "incremental_near_dup",
     "near_dup_pair_suite",
+    "stream_sink_readback",
     "quality_report",
     "upsert_readback",
     # tier 0b — round-4 additions
@@ -87,7 +88,7 @@ _PRIORITY = (
     "embedding_ivf_topk",
     "simhash_portable",
     # tier 2 — repaired (round-1 hash mismatch / crash) or newly fused
-    "events_session_windows",
+    "session_windows_suite",
     "array_agg_lines",
     "global_agg_distinct",
     "doc_profile",

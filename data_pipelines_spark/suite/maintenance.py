@@ -519,3 +519,127 @@ def upsert_readback(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, schema=schema)
+
+
+_STREAM_SINK_SQL = """
+WITH lens AS (
+    SELECT source, CAST(length(text) AS DOUBLE) AS len FROM documents
+),
+bins AS (
+    SELECT source, CAST(floor(len / 16.0) AS BIGINT) AS bin, count(*) AS cnt
+    FROM lens GROUP BY 1, 2
+),
+cum AS (
+    SELECT source, bin, cnt,
+           sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+           sum(cnt) OVER (PARTITION BY source) AS mass
+    FROM bins
+),
+p50 AS (
+    SELECT source,
+           round(16.0 * (bin + greatest(0.0, least(1.0,
+               (0.5 * mass - (cum - cnt)) / CAST(cnt AS DOUBLE)))), 9) AS v,
+           row_number() OVER (PARTITION BY source ORDER BY bin) AS rn
+    FROM cum
+    WHERE cum >= 0.5 * mass AND cnt > 0
+)
+SELECT 'hist_p50' AS part, source, v AS metric FROM p50 WHERE rn = 1
+UNION ALL
+SELECT 'hist_n', source, CAST(count(*) AS DOUBLE) FROM documents GROUP BY 2
+UNION ALL
+SELECT 'hll_sources', CAST(NULL AS VARCHAR),
+       CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+"""
+
+
+@register("stream_sink_readback", _STREAM_SINK_SQL)
+def stream_sink_readback(spark, sf_dir):
+    """End-to-end STREAMING sketch-store lifecycle, driver-hash-checked
+    for the first time (the sinks were unit-only through round 6):
+    stream the documents table (file source, availableNow), run BOTH
+    foreachBatch sinks — the per-batch-partitioned histogram store of
+    text lengths by source and the HLL distinct-source store — then
+    read the stores back, merge across batch partitions, and emit
+    (part, source, metric) rows: the per-source p50 from the merged
+    histogram (covering-bin interpolation), the per-source row count,
+    and the HLL distinct-source estimate.
+
+    Deterministic however availableNow splits the input into batches:
+    histogram merges are exact integer sums (merged == direct histogram
+    of the union) and HLL unions are value-idempotent, exact at the
+    20-source cardinality (sparse mode). The oracle replays the
+    binning/interpolation arithmetic and exact distinct in SQL. Bins
+    [0, 1024) x 64 cover every document length in the driver corpora
+    (max observed 577), so no clamped mass. Store files live in a temp
+    dir; the result is collected and re-wrapped before cleanup."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    schema = "part string, source string, metric double"
+    if docs.isEmpty():
+        # empty corpora: the sinks' foreachBatch skips empty batches so
+        # no store dirs exist; the oracle over empty documents is the
+        # lone hll row (count distinct of nothing = 0)
+        return spark.createDataFrame([("hll_sources", None, 0.0)], schema)
+
+    from data_pipelines_spark.operators.sketches import (
+        histogram_quantiles,
+        merge_distinct_counts,
+        merge_histogram_sketches,
+    )
+    from data_pipelines_spark.streaming.sketches import (
+        stream_distinct_sketch_sink,
+        stream_histogram_sketch_sink,
+    )
+
+    lo, hi, n_bins = 0.0, 1024.0, 64
+    d = tempfile.mkdtemp(prefix="dps_stream_sink_")
+    try:
+        # the file-source stream needs a DIRECTORY (basePath); the
+        # table is a single parquet file, so symlink it into one
+        in_dir = os.path.join(d, "in")
+        os.makedirs(in_dir)
+        os.symlink(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(in_dir, "documents.parquet"),
+        )
+        stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+        lens = stream.select(
+            "source", F.length("text").cast("double").alias("len")
+        )
+        q1 = stream_histogram_sketch_sink(
+            lens, f"{d}/hist", ["source"], "len", lo, hi, n_bins,
+            checkpoint=f"{d}/ck1",
+        ).start()
+        q2 = stream_distinct_sketch_sink(
+            stream.select("source"), f"{d}/hll", [], "source",
+            checkpoint=f"{d}/ck2",
+        ).start()
+        q1.awaitTermination(300)
+        q2.awaitTermination(300)
+
+        merged = merge_histogram_sketches(
+            spark.read.parquet(f"{d}/hist"), ["source"], n_bins
+        )
+        p50 = histogram_quantiles(
+            merged, ["source"], [0.5], lo, hi, n_bins
+        ).select(
+            F.lit("hist_p50").alias("part"),
+            F.col("source"),
+            F.col("value").alias("metric"),
+        )
+        n_rows = merged.select(
+            F.lit("hist_n").alias("part"),
+            F.col("source"),
+            F.col("n").cast("double").alias("metric"),
+        )
+        hll = merge_distinct_counts(
+            spark.read.parquet(f"{d}/hll"), []
+        ).select(
+            F.lit("hll_sources").alias("part"),
+            F.lit(None).cast("string").alias("source"),
+            F.col("n_distinct_approx").cast("double").alias("metric"),
+        )
+        rows = p50.unionByName(n_rows).unionByName(hll).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema)

@@ -215,31 +215,10 @@ def events_resample_fill(spark, sf_dir):
     )
 
 
-@register(
-    "sessionized_gaps",
-    """
-    SELECT user_id,
-           count(*) AS session_cnt
-    FROM (
-        SELECT user_id,
-               CASE WHEN prev_ts IS NULL
-                         OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
-                    ELSE 0 END AS is_session_start
-        FROM (
-            SELECT user_id, ts,
-                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-            FROM events
-        )
-    )
-    WHERE is_session_start = 1
-    GROUP BY 1
-    """,
-)
-def sessionized_gaps(spark, sf_dir):
+def _sessionized_gaps_frame(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) via lag() — the
     batch equivalent of a session window, counting sessions per user.
-    Extension beyond reference parity (it has no event streams)."""
-    tune(spark)
+    One of the two tiers of ``session_windows_suite``."""
     from pyspark.sql import Window
 
     ev = load_events(spark, sf_dir)
@@ -293,7 +272,7 @@ def events_props_json(spark, sf_dir):
 
 
 @register(
-    "events_session_windows",
+    "session_windows_suite",
     """
     WITH marked AS (
         SELECT user_id, ts, event_id,
@@ -309,18 +288,44 @@ def events_props_json(spark, sf_dir):
                                    ROWS UNBOUNDED PRECEDING) AS session_no
         FROM marked
     )
-    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+    SELECT 'native' AS method, user_id,
+           CAST(session_no AS BIGINT) AS session_no,
            count(*) AS event_cnt,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
     FROM sessions
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'gaps', user_id, CAST(NULL AS BIGINT), session_cnt,
+           CAST(NULL AS VARCHAR)
+    FROM (
+        SELECT user_id, count(*) AS session_cnt
+        FROM (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER (
+                                 PARTITION BY user_id ORDER BY ts, event_id))
+                                > 1800
+                        THEN 1 ELSE 0 END AS is_session_start
+            FROM events
+        )
+        WHERE is_session_start = 1
+        GROUP BY 1
+    )
     """,
 )
-def events_session_windows(spark, sf_dir):
-    """Native session windows (30-min gap): Spark's session_window
-    groups directly; the oracle reconstructs the same sessions with the
-    classic gaps-and-islands SQL. Session numbering is by start order
-    per user so both sides share keys.
+def session_windows_suite(spark, sf_dir):
+    """Both sessionization tiers fused at a (method, user_id,
+    session_no, event_cnt, session_start) melt — the fusion freed a
+    driver-sweep slot for the streaming-sink readback entry while each
+    tier keeps its own hash check (method tag):
+
+    - ``native``: Spark's session_window (30-min gap) grouped directly;
+      the oracle reconstructs the same sessions with the classic
+      gaps-and-islands SQL. Session numbering is by start order per
+      user so both sides share keys.
+    - ``gaps``: lag()-marker sessionization counting sessions per user
+      (session_no/session_start NULL at this grain).
 
     Boundary semantics: Spark's session extent is CLOSED at the end —
     an event exactly ``gap`` after the last one merges into the SAME
@@ -347,9 +352,18 @@ def events_session_windows(spark, sf_dir):
         )
     )
     w = Window.partitionBy("user_id").orderBy("start_ts")
-    return sw.select(
+    native = sw.select(
+        F.lit("native").alias("method"),
         "user_id",
         F.row_number().over(w).cast("long").alias("session_no"),
         "event_cnt",
         F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
+    gaps = _sessionized_gaps_frame(spark, sf_dir).select(
+        F.lit("gaps").alias("method"),
+        "user_id",
+        F.lit(None).cast("long").alias("session_no"),
+        F.col("session_cnt").alias("event_cnt"),
+        F.lit(None).cast("string").alias("session_start"),
+    )
+    return native.unionByName(gaps)

@@ -29,7 +29,7 @@ EMPTY_OK = [
     "spatial_join_zones",
     "events_windowed_agg",
     "events_resample_fill",
-    "events_session_windows",
+    "session_windows_suite",
     "event_window_frames",   # interval-join fusion: empty both sides
     "corpus_doc_curation",   # bloom prefilter over an empty benchmark
     "exact_dedup_docs",

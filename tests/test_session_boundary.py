@@ -44,7 +44,8 @@ def test_exact_gap_merges_same_session(spark, tmp_path):
 
     out = {
         (r.user_id, r.session_no): r.event_cnt
-        for r in temporal.QUERIES["events_session_windows"](spark, sf_dir).collect()
+        for r in temporal.QUERIES["session_windows_suite"](spark, sf_dir).collect()
+        if r.method == "native"
     }
     assert out == {("u1", 1): 2, ("u1", 2): 1, ("u2", 1): 2}
 
@@ -55,13 +56,13 @@ def test_oracle_agrees_on_boundary(spark, tmp_path):
 
     spark_rows = sorted(
         tuple(r)
-        for r in temporal.QUERIES["events_session_windows"](spark, sf_dir).collect()
+        for r in temporal.QUERIES["session_windows_suite"](spark, sf_dir).collect()
     )
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{os.path.join(sf_dir, 'events.parquet')}/*.parquet'"
     )
     duck_rows = sorted(
-        tuple(r) for r in con.execute(temporal.ORACLES["events_session_windows"]).fetchall()
+        tuple(r) for r in con.execute(temporal.ORACLES["session_windows_suite"]).fetchall()
     )
     assert spark_rows == duck_rows
