@@ -614,8 +614,15 @@ def stream_sink_readback(spark, sf_dir):
             stream.select("source"), f"{d}/hll", [], "source",
             checkpoint=f"{d}/ck2",
         ).start()
-        q1.awaitTermination(300)
-        q2.awaitTermination(300)
+        # awaitTermination returns False on timeout with the query still
+        # running — reading the stores then would race the sink; fail
+        # loudly instead
+        if not q1.awaitTermination(300) or not q2.awaitTermination(300):
+            q1.stop()
+            q2.stop()
+            raise TimeoutError(
+                "stream_sink_readback: sink queries did not drain in 300s"
+            )
 
         merged = merge_histogram_sketches(
             spark.read.parquet(f"{d}/hist"), ["source"], n_bins
