@@ -34,6 +34,14 @@ _SENSITIVE = [
     # round-5 fusions: duplicated-span islands (per-doc window over a
     # gram-shuffled semi join) + BM25 (single-row stats broadcast)
     "text_stats",
+    # round-7 additions: batch-vs-corpus LSH (bucket join + OPH
+    # estimate + exact verify), streamed sketch stores merged across
+    # whatever batch split availableNow picked, and the evolving
+    # MERGE + compaction lifecycle (range of writers under 7 shuffle
+    # partitions)
+    "incremental_near_dup",
+    "stream_sink_readback",
+    "upsert_readback",
 ]
 
 
