@@ -408,3 +408,145 @@ def histogram_drift(
         F.coalesce(F.col("n_baseline"), F.lit(0)).cast("long").alias("n_baseline"),
         F.coalesce(F.col("n_current"), F.lit(0)).cast("long").alias("n_current"),
     )
+
+
+def _cms_bucket(value: Column, row: int, width: int, portable: bool) -> Column:
+    """Counter index of ``value`` in depth-row ``row``: an independent
+    hash per row via a row-distinct salt. Fast path: xxhash64 (JVM,
+    engine-stable). Portable path: first 8 md5 hex chars, reproducible
+    in any engine with md5 (the simhash/minhash portability pattern) —
+    used when the sketch must be replayed by an external oracle."""
+    if portable:
+        h = F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit(f"cms{row}:"), value), "UTF-8")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(value, F.lit(row))
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def frequency_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Count-min frequency sketch as a RELATIONAL store — the third
+    member of the mergeable-store family (HLL = distinct counts,
+    histogram = value distribution, count-min = per-item frequency):
+    one row per (group_cols..., depth_row, bucket) with the summed hit
+    count. A daily job stores depth x width counter rows per dimension
+    — bounded state, independent of the item universe — and any later
+    frequency question ("how often did THIS url/token/id appear last
+    quarter") is answered from the stored rows via
+    :func:`frequency_estimate`, never rescanning the facts.
+
+    Shape: ONE map-side-combined aggregation (each input row
+    contributes ``depth`` (row, bucket) keys via a narrow posexplode);
+    output is at most groups x depth x width rows. Merging to a coarser
+    grain is an integer sum (:func:`merge_frequency_sketches`) —
+    exact, so roll-ups never change estimates computed afterwards.
+
+    Estimates overcount only (classic count-min guarantee: collisions
+    inflate, never deflate — min over ``depth`` independent rows bounds
+    the inflation at ~2n/width with probability 1-2^-depth). NULL
+    values are excluded (they have no identity to count; count NULLs
+    with an ordinary conditional sum). ``width``/``depth``/``portable``
+    are the store's identity — keep them constant for its lifetime.
+    """
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"need positive width/depth, got {width}x{depth}")
+    v = F.col(value_col).cast("string")
+    buckets = F.array(
+        *[_cms_bucket(v, r, width, portable) for r in range(depth)]
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.posexplode(buckets).alias("depth_row", "bucket"))
+        .groupBy(*group_cols, "depth_row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def merge_frequency_sketches(
+    sketches: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Roll stored count-min rows up to a coarser grain by integer sum
+    — exact: the merged sketch is identical to a direct sketch of the
+    union (same hashes ⇒ same buckets; counts add). Inputs must share
+    the store's width/depth/portable identity."""
+    return sketches.groupBy(*group_cols, "depth_row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def frequency_estimate(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    values: Sequence[str],
+    width: int = 1024,
+    depth: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Estimated count of each probe value per group from a stored
+    count-min sketch: (group_cols..., value, est_cnt). ``est_cnt`` is
+    the min over the ``depth`` rows' counters (0 when a counter row is
+    absent — an empty bucket was never written). The probe list is
+    caller-provided and dimension-sized (decontamination probes, a
+    stopword list, suspect hot keys) — it broadcasts; the sketch side
+    is read with one pruned semi-joinable filter on (depth_row,
+    bucket), never rescanned facts. Estimates never undercount; they
+    equal the true count when the value's buckets are collision-free
+    (asserted exactly in tests at test sizes).
+    """
+    if not values:
+        schema_cols = ", ".join(f"`{g}` string" for g in group_cols)
+        empty = f"{schema_cols}, value string, est_cnt long" if group_cols else (
+            "value string, est_cnt long"
+        )
+        return sketch.sparkSession.createDataFrame([], empty)
+    spark = sketch.sparkSession
+    probe = spark.createDataFrame([(v,) for v in values], "value string")
+    probe = probe.select(
+        "value",
+        F.posexplode(
+            F.array(
+                *[
+                    _cms_bucket(F.col("value"), r, width, portable)
+                    for r in range(depth)
+                ]
+            )
+        ).alias("depth_row", "bucket"),
+    )
+    joined = sketch.join(
+        F.broadcast(probe), ["depth_row", "bucket"], "right"
+    ).select(
+        *group_cols, "value", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    # a probe row missing from the sketch for SOME group but present
+    # for others: the right join above only yields NULL groups when the
+    # (depth_row, bucket) hit no group at all. Per-group mins therefore
+    # need the group universe x probe grid; build it from the sketch's
+    # distinct groups so absent counters read 0 for every real group.
+    if group_cols:
+        groups = sketch.select(*group_cols).distinct()
+        grid = groups.crossJoin(
+            F.broadcast(
+                probe.select("value", "depth_row", "bucket").distinct()
+            )
+        )
+        joined = grid.join(
+            sketch, [*group_cols, "depth_row", "bucket"], "left"
+        ).select(
+            *group_cols, "value",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    return joined.groupBy(*group_cols, "value").agg(
+        F.min("cnt").cast("long").alias("est_cnt")
+    )

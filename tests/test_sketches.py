@@ -439,3 +439,134 @@ class TestHistogramDrift:
         )
         assert ok[0]["hist"] == [3, 0, 0, 0, 0]  # NULL weight → 0
         assert ok[0]["n"] == 2
+
+
+class TestFrequencySketch:
+    def test_estimate_exact_when_collision_free(self, spark):
+        """With width >> distinct values, every probe's buckets are
+        collision-free and the count-min estimate equals the true
+        count; absent values estimate 0; NULLs are excluded."""
+        from data_pipelines_spark.operators.sketches import (
+            frequency_estimate,
+            frequency_sketch,
+        )
+
+        rows = (
+            [("d", "a")] * 7 + [("d", "b")] * 3 + [("d", None)] * 2
+            + [("e", "a")] * 2
+        )
+        df = spark.createDataFrame(rows, "day string, v string")
+        sk = frequency_sketch(df, ["day"], "v", width=4096, depth=4)
+        est = {
+            (r["day"], r["value"]): r["est_cnt"]
+            for r in frequency_estimate(
+                sk, ["day"], ["a", "b", "zzz"], width=4096, depth=4
+            ).collect()
+        }
+        assert est == {
+            ("d", "a"): 7, ("d", "b"): 3, ("d", "zzz"): 0,
+            ("e", "a"): 2, ("e", "b"): 0, ("e", "zzz"): 0,
+        }
+
+    def test_never_undercounts_under_collisions(self, spark):
+        """Tiny width forces collisions: estimates must be >= the true
+        count for every present value (count-min overcounts only)."""
+        from data_pipelines_spark.operators.sketches import (
+            frequency_estimate,
+            frequency_sketch,
+        )
+
+        rows = [("d", f"v{i % 50}") for i in range(500)]
+        df = spark.createDataFrame(rows, "day string, v string")
+        sk = frequency_sketch(df, ["day"], "v", width=16, depth=3)
+        vals = [f"v{i}" for i in range(50)]
+        est = {
+            r["value"]: r["est_cnt"]
+            for r in frequency_estimate(
+                sk, ["day"], vals, width=16, depth=3
+            ).collect()
+        }
+        assert all(est[v] >= 10 for v in vals), est
+
+    def test_merge_equals_direct(self, spark):
+        """Summing stored rows across days == a direct sketch of the
+        union (same hashes, integer sums) — the mergeable-store
+        contract, bit-exact."""
+        from data_pipelines_spark.operators.sketches import (
+            frequency_sketch,
+            merge_frequency_sketches,
+        )
+
+        a = spark.createDataFrame(
+            [("m", f"v{i % 9}") for i in range(40)], "g string, v string"
+        )
+        b = spark.createDataFrame(
+            [("m", f"v{i % 13}") for i in range(60)], "g string, v string"
+        )
+        direct = {
+            (r["depth_row"], r["bucket"]): r["cnt"]
+            for r in frequency_sketch(
+                a.unionByName(b), ["g"], "v", width=64, depth=4
+            ).collect()
+        }
+        merged = {
+            (r["depth_row"], r["bucket"]): r["cnt"]
+            for r in merge_frequency_sketches(
+                frequency_sketch(a, ["g"], "v", width=64, depth=4).unionByName(
+                    frequency_sketch(b, ["g"], "v", width=64, depth=4)
+                ),
+                ["g"],
+            ).collect()
+        }
+        assert merged == direct
+
+    def test_portable_and_fast_paths_both_work(self, spark):
+        """The portable (md5) path exists so an external engine can
+        replay bucket assignment; both paths satisfy the exactness
+        contract at collision-free width. Empty probe list returns an
+        empty frame; bad config raises."""
+        import pytest as _pytest
+
+        from data_pipelines_spark.operators.sketches import (
+            frequency_estimate,
+            frequency_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("d", "x")] * 4 + [("d", "y")], "day string, v string"
+        )
+        for portable in (False, True):
+            sk = frequency_sketch(
+                df, ["day"], "v", width=2048, depth=3, portable=portable
+            )
+            est = {
+                r["value"]: r["est_cnt"]
+                for r in frequency_estimate(
+                    sk, ["day"], ["x", "y"], width=2048, depth=3,
+                    portable=portable,
+                ).collect()
+            }
+            assert est == {"x": 4, "y": 1}, portable
+        assert frequency_estimate(
+            frequency_sketch(df, [], "v"), [], []
+        ).count() == 0
+        with _pytest.raises(ValueError, match="width"):
+            frequency_sketch(df, [], "v", width=0)
+
+    def test_global_grain(self, spark):
+        from data_pipelines_spark.operators.sketches import (
+            frequency_estimate,
+            frequency_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("b",)], "v string"
+        )
+        sk = frequency_sketch(df, [], "v", width=1024, depth=4)
+        est = {
+            r["value"]: r["est_cnt"]
+            for r in frequency_estimate(
+                sk, [], ["a", "b", "c"], width=1024, depth=4
+            ).collect()
+        }
+        assert est == {"a": 2, "b": 1, "c": 0}
