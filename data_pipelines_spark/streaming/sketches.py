@@ -118,3 +118,45 @@ def stream_distinct_sketch_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer
+
+
+def stream_frequency_sketch_sink(
+    stream_df: DataFrame,
+    store_path: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    portable: bool = False,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """foreachBatch sink for the count-min frequency store: each
+    micro-batch reduces to its own (group, depth_row, bucket, cnt)
+    counter rows under ``batch_id=<n>``. Count-based like the histogram
+    store, so replays must overwrite rather than re-add — the
+    per-batch-partition layout gives exactly-once at rest. Readers
+    merge with :func:`~data_pipelines_spark.operators.sketches.
+    merge_frequency_sketches` and probe with ``frequency_estimate``.
+    ``width``/``depth``/``portable`` are the store's identity — keep
+    them constant for its lifetime.
+
+    Returns the un-started ``DataStreamWriter``.
+    """
+    from data_pipelines_spark.operators.sketches import frequency_sketch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = frequency_sketch(
+            batch_df, list(group_cols), value_col, width, depth,
+            portable=portable,
+        )
+        _partitioned_batch_write(sk, store_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_apply).outputMode("append")
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

@@ -549,6 +549,30 @@ SELECT 'hist_n', source, CAST(count(*) AS DOUBLE) FROM documents GROUP BY 2
 UNION ALL
 SELECT 'hll_sources', CAST(NULL AS VARCHAR),
        CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+UNION ALL
+-- count-min probe estimates, the portable-md5 bucket replay: counter
+-- value per (row, bucket) = sum of counts of every source colliding
+-- there; estimate = min over the 4 rows (count-min arithmetic, NOT an
+-- exactness assumption — collisions reproduce identically)
+SELECT 'cms:' || p.value, CAST(NULL AS VARCHAR), CAST(min(
+           coalesce(c.cnt, 0)) AS DOUBLE)
+FROM (
+    SELECT value, r,
+           CAST(('0x' || substr(md5('cms' || r || ':' || value), 1, 8))
+                AS BIGINT) % 1024 AS bucket
+    FROM (SELECT unnest(['src0', 'src7', 'cms-absent']) AS value),
+         range(0, 4) t(r)
+) p
+LEFT JOIN (
+    SELECT r, bucket, sum(c) AS cnt
+    FROM (
+        SELECT source, count(*) AS c FROM documents GROUP BY 1
+    ) sc, range(0, 4) t(r),
+    LATERAL (SELECT CAST(('0x' || substr(md5('cms' || r || ':' || source),
+                                         1, 8)) AS BIGINT) % 1024 AS bucket)
+    GROUP BY 1, 2
+) c ON p.r = c.r AND p.bucket = c.bucket
+GROUP BY 1
 """
 
 
@@ -556,13 +580,16 @@ SELECT 'hll_sources', CAST(NULL AS VARCHAR),
 def stream_sink_readback(spark, sf_dir):
     """End-to-end STREAMING sketch-store lifecycle, driver-hash-checked
     for the first time (the sinks were unit-only through round 6):
-    stream the documents table (file source, availableNow), run BOTH
-    foreachBatch sinks — the per-batch-partitioned histogram store of
-    text lengths by source and the HLL distinct-source store — then
+    stream the documents table (file source, availableNow), run all
+    THREE foreachBatch sinks — the per-batch-partitioned histogram
+    store of text lengths by source, the HLL distinct-source store,
+    and the portable count-min frequency store of source hits — then
     read the stores back, merge across batch partitions, and emit
     (part, source, metric) rows: the per-source p50 from the merged
     histogram (covering-bin interpolation), the per-source row count,
-    and the HLL distinct-source estimate.
+    the HLL distinct-source estimate, and count-min probe estimates
+    (the oracle replays the md5 bucket arithmetic including collision
+    mass, not an exactness assumption).
 
     Deterministic however availableNow splits the input into batches:
     histogram merges are exact integer sums (merged == direct histogram
@@ -582,12 +609,15 @@ def stream_sink_readback(spark, sf_dir):
         return spark.createDataFrame([("hll_sources", None, 0.0)], schema)
 
     from data_pipelines_spark.operators.sketches import (
+        frequency_estimate,
         histogram_quantiles,
         merge_distinct_counts,
+        merge_frequency_sketches,
         merge_histogram_sketches,
     )
     from data_pipelines_spark.streaming.sketches import (
         stream_distinct_sketch_sink,
+        stream_frequency_sketch_sink,
         stream_histogram_sketch_sink,
     )
 
@@ -614,12 +644,20 @@ def stream_sink_readback(spark, sf_dir):
             stream.select("source"), f"{d}/hll", [], "source",
             checkpoint=f"{d}/ck2",
         ).start()
+        q3 = stream_frequency_sketch_sink(
+            stream.select("source"), f"{d}/cms", [], "source",
+            width=1024, depth=4, portable=True, checkpoint=f"{d}/ck3",
+        ).start()
         # awaitTermination returns False on timeout with the query still
         # running — reading the stores then would race the sink; fail
         # loudly instead
-        if not q1.awaitTermination(300) or not q2.awaitTermination(300):
-            q1.stop()
-            q2.stop()
+        if (
+            not q1.awaitTermination(300)
+            or not q2.awaitTermination(300)
+            or not q3.awaitTermination(300)
+        ):
+            for q in (q1, q2, q3):
+                q.stop()
             raise TimeoutError(
                 "stream_sink_readback: sink queries did not drain in 300s"
             )
@@ -646,7 +684,21 @@ def stream_sink_readback(spark, sf_dir):
             F.lit(None).cast("string").alias("source"),
             F.col("n_distinct_approx").cast("double").alias("metric"),
         )
-        rows = p50.unionByName(n_rows).unionByName(hll).collect()
+        cms = frequency_estimate(
+            merge_frequency_sketches(spark.read.parquet(f"{d}/cms"), []),
+            [],
+            ["src0", "src7", "cms-absent"],
+            width=1024,
+            depth=4,
+            portable=True,
+        ).select(
+            F.concat(F.lit("cms:"), F.col("value")).alias("part"),
+            F.lit(None).cast("string").alias("source"),
+            F.col("est_cnt").cast("double").alias("metric"),
+        )
+        rows = (
+            p50.unionByName(n_rows).unionByName(hll).unionByName(cms).collect()
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, schema=schema)

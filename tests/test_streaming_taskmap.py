@@ -812,3 +812,54 @@ def test_partitioned_batch_write_does_not_touch_session_conf(spark):
     finally:
         spark.conf.set(key, prev)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_frequency_sketch_sink(spark):
+    """Per-batch count-min counter rows land under batch_id partitions;
+    merging across batches equals a direct sketch of ALL the data, and
+    probe estimates from the merged store are exact at collision-free
+    width."""
+    import shutil
+    import tempfile
+
+    from data_pipelines_spark.operators.sketches import (
+        frequency_estimate,
+        frequency_sketch,
+        merge_frequency_sketches,
+    )
+    from data_pipelines_spark.streaming.sketches import (
+        stream_frequency_sketch_sink,
+    )
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="dps_cms_sink_")
+    try:
+        rows = [(i, f"v{i % 11}") for i in range(440)]
+        full = spark.createDataFrame(rows, "i long, v string")
+        all_df = full.select("v")
+        full.where("i < 200").select("v").write.parquet(f"{tmp}/in/a")
+        full.where("i >= 200").select("v").write.parquet(f"{tmp}/in/b")
+        stream = spark.readStream.schema(all_df.schema).parquet(f"{tmp}/in/*")
+        q = stream_frequency_sketch_sink(
+            stream, f"{tmp}/store", [], "v", width=2048, depth=4,
+            checkpoint=f"{tmp}/ckpt",
+        ).start()
+        assert q.awaitTermination(120)
+
+        merged = merge_frequency_sketches(
+            spark.read.parquet(f"{tmp}/store"), []
+        )
+        direct = frequency_sketch(all_df, [], "v", width=2048, depth=4)
+        m = {(r["depth_row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+        dd = {(r["depth_row"], r["bucket"]): r["cnt"] for r in direct.collect()}
+        assert m == dd
+
+        est = {
+            r["value"]: r["est_cnt"]
+            for r in frequency_estimate(
+                merged, [], ["v0", "v10", "nope"], width=2048, depth=4
+            ).collect()
+        }
+        assert est == {"v0": 40, "v10": 40, "nope": 0}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
