@@ -48,10 +48,7 @@ def _sessionize(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
     else:
         session_cnt, last_ts = 0, None
 
-    for ts in _sorted_ts(pdf_iter):
-        if last_ts is None or ts - last_ts > _GAP_SEC:
-            session_cnt += 1
-        last_ts = ts
+    session_cnt, last_ts = _advance(session_cnt, last_ts, _sorted_ts(pdf_iter))
 
     state.update((session_cnt, last_ts))
     yield pd.DataFrame(
@@ -61,6 +58,30 @@ def _sessionize(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
             "last_ts": [last_ts],
         }
     )
+
+
+def _advance(
+    session_cnt: int, last_ts: float | None, batch_ts: list[float]
+) -> tuple[int, float | None]:
+    """Evolve (session_cnt, last_ts) over one micro-batch's sorted
+    timestamps. ``last_ts`` is MONOTONE: a cross-batch late event (ts <
+    last_ts — applyInPandasWithState does NOT drop late rows, the
+    watermark only drives timeouts) must not drag the frontier
+    backwards, or the next in-order event measures its gap against the
+    late straggler and opens a PHANTOM session (e.g. state last=1000,
+    batch [100, 2000], gap 1800: regressing to 100 makes 2000 look
+    1900 away — one session becomes two). With the monotone frontier a
+    late event simply joins the newest session; it still cannot
+    retroactively MERGE two sessions that were already counted as
+    separate — that would need emitted-count retraction, which the
+    update output mode cannot express. Stated honestly in the module
+    docstring; in-order streams match the batch twin exactly
+    (stream==batch tests)."""
+    for ts in batch_ts:
+        if last_ts is None or ts - last_ts > _GAP_SEC:
+            session_cnt += 1
+        last_ts = ts if last_ts is None else max(last_ts, ts)
+    return session_cnt, last_ts
 
 
 def _sorted_ts(pdf_iter: Iterator[pd.DataFrame]) -> list[float]:
@@ -100,10 +121,7 @@ def _sessionize_expiring(key, pdf_iter: Iterator[pd.DataFrame], state: GroupStat
     else:
         session_cnt, last_ts = 0, None
 
-    for ts in _sorted_ts(pdf_iter):
-        if last_ts is None or ts - last_ts > _GAP_SEC:
-            session_cnt += 1
-        last_ts = ts
+    session_cnt, last_ts = _advance(session_cnt, last_ts, _sorted_ts(pdf_iter))
 
     state.update((session_cnt, last_ts))
     # Expire once the watermark passes the session gap after the last

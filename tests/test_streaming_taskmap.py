@@ -863,3 +863,28 @@ def test_stream_frequency_sketch_sink(spark):
         assert est == {"v0": 40, "v10": 40, "nope": 0}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_sessionize_late_event_no_phantom_session():
+    """Cross-batch late data: applyInPandasWithState does NOT drop late
+    rows, so a late timestamp must not drag the session frontier
+    backwards — before the monotone-frontier fix, state last_ts=1000
+    with batch [100, 2000] (gap 1800) regressed the frontier to 100 and
+    counted 2000 as a NEW session (2000-100 > 1800), where the true
+    order [100, 1000, 2000] has gaps of at most 1000. Pure-function
+    test over the state-evolution kernel."""
+    from data_pipelines_spark.streaming.stateful import _advance
+
+    # in-order baseline: one session
+    cnt, last = _advance(0, None, [100.0, 1000.0, 2000.0])
+    assert (cnt, last) == (1, 2000.0)
+
+    # same events, the 100 arriving late in batch 2: still one session
+    cnt, last = _advance(0, None, [1000.0])
+    cnt, last = _advance(cnt, last, [100.0, 2000.0])
+    assert (cnt, last) == (1, 2000.0)
+
+    # genuinely-gapped events still split regardless of arrival order
+    cnt, last = _advance(0, None, [0.0])
+    cnt, last = _advance(cnt, last, [5000.0])
+    assert cnt == 2
