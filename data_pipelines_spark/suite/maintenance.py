@@ -628,10 +628,16 @@ def stream_sink_readback(spark, sf_dir):
         # table is a single parquet file, so symlink it into one
         in_dir = os.path.join(d, "in")
         os.makedirs(in_dir)
-        os.symlink(
-            os.path.join(sf_dir, "documents.parquet"),
-            os.path.join(in_dir, "documents.parquet"),
-        )
+        try:
+            os.symlink(
+                os.path.join(sf_dir, "documents.parquet"),
+                os.path.join(in_dir, "documents.parquet"),
+            )
+        except OSError:  # FS without symlink support: copy (small table)
+            shutil.copy(
+                os.path.join(sf_dir, "documents.parquet"),
+                os.path.join(in_dir, "documents.parquet"),
+            )
         stream = spark.readStream.schema(docs.schema).parquet(in_dir)
         lens = stream.select(
             "source", F.length("text").cast("double").alias("len")
