@@ -178,6 +178,53 @@ def assign_splits(
     return docs.withColumn("split", split)
 
 
+def assign_splits_leakage_safe(
+    docs: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    portable: bool = False,
+    broadcast_clusters: bool = False,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: the split is hashed from the doc's CLUSTER id (the
+    :func:`~data_pipelines_spark.operators.dedup.duplicate_clusters`
+    keeper label), so every member of a near-dup cluster lands in the
+    SAME split. Per-doc :func:`assign_splits` silently violates this —
+    two ~identical docs hash independently, one into train and one
+    into test, and the eval set measures memorization instead of
+    generalization (the Lee et al. 2022 dedup-before-split argument).
+
+    ``clusters`` is the (id_col, cluster_id) frame from
+    ``duplicate_clusters`` (possibly persisted from a prior dedup run).
+    Docs absent from it — e.g. a clusters frame computed only over
+    pair-implicated docs — fall back to their own id, which IS their
+    cluster label for singletons, so the two sources agree. Expected
+    split proportions hold at the CLUSTER grain; heavily duplicated
+    corpora therefore see doc-grain proportions drift toward the big
+    clusters' splits — inherent to leakage-safety, not a bug (the same
+    trade as grouped cross-validation).
+
+    Shape: one equi join on the doc id (broadcast when the cluster
+    frame is dimension-sized and ``broadcast_clusters=True``, else
+    shuffle — both co-partition on the id), then the same narrow
+    hash-interval map as :func:`assign_splits`.
+    """
+    lab = clusters.select(
+        F.col(id_col), F.col("cluster_id").alias("__cluster")
+    )
+    if broadcast_clusters:
+        lab = F.broadcast(lab)
+    joined = docs.join(lab, id_col, "left").withColumn(
+        "__cluster", F.coalesce(F.col("__cluster"), F.col(id_col))
+    )
+    out = assign_splits(
+        joined, weights, id_col="__cluster", salt=salt, portable=portable
+    )
+    return out.drop("__cluster")
+
+
 def seeded_shuffle(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1009,3 +1009,57 @@ def test_temperature_upsample_keeps_null_stratum(spark):
     # every doc appears exactly once
     assert by_src.get("a") == {0, 1, 2, 3, 4}
     assert by_src.get(None) == {5, 6, 7, 8, 9}
+
+
+def test_leakage_safe_splits_keep_clusters_together(spark):
+    """Near-dup cluster members must share a split; per-doc assignment
+    demonstrably leaks (some cluster straddles train/test on this
+    fixture), which is exactly the failure the operator closes. Docs
+    absent from the clusters frame fall back to their own id —
+    identical to their singleton cluster label."""
+    from data_pipelines_spark.operators.corpus import (
+        assign_splits,
+        assign_splits_leakage_safe,
+    )
+
+    n = 400
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    # 50 clusters of 4 consecutive ids each; rest singletons
+    pairs = [(4 * c, 4 * c + j) for c in range(50) for j in (1, 2, 3)]
+    clusters = spark.createDataFrame(
+        [(b, a) for a, b in pairs] + [(a, a) for a, _ in pairs],
+        "doc_id long, cluster_id long",
+    ).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    naive = assign_splits(docs, weights)
+    safe = assign_splits_leakage_safe(docs, clusters, weights)
+
+    def cluster_split_counts(assigned):
+        labeled = assigned.join(clusters, "doc_id", "left").withColumn(
+            "c", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        )
+        return (
+            labeled.groupBy("c")
+            .agg(F.countDistinct("split").alias("k"))
+            .agg(F.max("k"))
+            .first()[0]
+        )
+
+    assert cluster_split_counts(naive) > 1   # the leak is real here
+    assert cluster_split_counts(safe) == 1   # and closed
+
+    # all docs assigned; proportions sane at the cluster grain
+    got = {r["split"]: r["cnt"] for r in safe.groupBy("split").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sum(got.values()) == n
+    assert got.get("train", 0) > got.get("val", 0)
+    # determinism: same assignment on re-run
+    a = sorted((r["doc_id"], r["split"]) for r in safe.collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in assign_splits_leakage_safe(docs, clusters, weights).collect()
+    )
+    assert a == b
