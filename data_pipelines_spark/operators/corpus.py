@@ -151,6 +151,7 @@ def assign_splits(
     id_col: str = "doc_id",
     salt: str = "split",
     portable: bool = False,
+    out_col: str = "split",
 ) -> DataFrame:
     """Deterministic train/val/test assignment: adds a ``split`` column
     chosen by where the row's :func:`hash_fraction` lands in the
@@ -175,7 +176,7 @@ def assign_splits(
         expr = branch if expr is None else expr.when(frac < F.lit(upper), F.lit(name))
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
-    return docs.withColumn("split", split)
+    return docs.withColumn(out_col, split)
 
 
 def assign_splits_leakage_safe(
@@ -186,6 +187,7 @@ def assign_splits_leakage_safe(
     salt: str = "split",
     portable: bool = False,
     broadcast_clusters: bool = False,
+    out_col: str = "split",
 ) -> DataFrame:
     """Train/val/test assignment that cannot leak near-duplicates
     across splits: the split is hashed from the doc's CLUSTER id (the
@@ -220,7 +222,8 @@ def assign_splits_leakage_safe(
         "__cluster", F.coalesce(F.col("__cluster"), F.col(id_col))
     )
     out = assign_splits(
-        joined, weights, id_col="__cluster", salt=salt, portable=portable
+        joined, weights, id_col="__cluster", salt=salt, portable=portable,
+        out_col=out_col,
     )
     return out.drop("__cluster")
 

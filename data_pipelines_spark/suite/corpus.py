@@ -76,14 +76,20 @@ _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 _TOKEN_BUDGET = 800.0  # per-source token budget for the sample flag
 
 _SPLIT_SHUFFLE_SQL = f"""
-    WITH hashed AS (
+    WITH base AS (
+        SELECT doc_id, source, text,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS cluster
+        FROM documents
+    ),
+    hashed AS (
         SELECT doc_id, source,
                {_md5_frac_sql("doc_id", "split")} AS f_split,
+               {_md5_frac_sql("cluster", "split")} AS f_safe,
                {_md5_frac_sql("doc_id", "shuffle")} AS f_shuffle,
                {_md5_frac_sql("doc_id", "upsample")} AS f_up,
                {_md5_frac_sql("source || '/' || CAST(doc_id AS VARCHAR)", "tokbudget")} AS f_tb,
                len({_TOKS}) AS n_toks
-        FROM documents
+        FROM base
     ),
     counts AS (
         SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_w
@@ -109,6 +115,9 @@ _SPLIT_SHUFFLE_SQL = f"""
                CASE WHEN h.f_split < 0.05 THEN 'test'
                     WHEN h.f_split < 0.95 THEN 'train'
                     ELSE 'val' END AS split,
+               CASE WHEN h.f_safe < 0.05 THEN 'test'
+                    WHEN h.f_safe < 0.95 THEN 'train'
+                    ELSE 'val' END AS split_safe,
                CAST(row_number() OVER (ORDER BY h.f_shuffle, h.doc_id)
                     AS BIGINT) AS shuffle_pos,
                CAST(floor(r.rate) AS BIGINT)
@@ -121,7 +130,8 @@ _SPLIT_SHUFFLE_SQL = f"""
                     <= {_TOKEN_BUDGET} AS in_token_budget
         FROM hashed h JOIN rates r USING (source)
     )
-    SELECT doc_id, source, split, shuffle_pos, n_repeats, in_token_budget,
+    SELECT doc_id, source, split, split_safe, shuffle_pos, n_repeats,
+           in_token_budget,
            unnest(range(1, n_repeats + 1)) AS copy_no
     FROM positioned
 """
@@ -148,24 +158,47 @@ def corpus_split_shuffle(spark, sf_dir):
     mode: the maximal coin-order prefix of each source whose token
     total fits an 800-token budget (two-phase grouped running sum — no
     one-partition-per-source window); the oracle replays the prefix cut
-    with the same portable coins."""
+    with the same portable coins.
+
+    `split_safe` is `operators.corpus.assign_splits_leakage_safe` fed by
+    exact-dup clusters (`operators.dedup.exact_duplicates` keeper joined
+    back on the content hash): byte-identical documents always land in
+    the SAME split, where the per-doc `split` column can put them on
+    both sides of the train/test boundary. The oracle replays the
+    cluster label as `min(doc_id) OVER (PARTITION BY md5(text))`."""
     from data_pipelines_spark.functions.text import token_count
     from data_pipelines_spark.operators.corpus import (
         assign_splits,
+        assign_splits_leakage_safe,
         sample_token_budget,
         seeded_shuffle,
         temperature_upsample,
     )
+    from data_pipelines_spark.operators.dedup import exact_duplicates
 
     tune(spark)
+    raw = load_table(spark, sf_dir, "documents")
     # The token-weighted projection feeds both the mixture-rate
     # aggregation and the per-doc rows (measured: 6 scans unpersisted).
     # Session-scoped cache, same contract as corpus_doc_curation's:
     # repeat-measuring harnesses clearCache() between passes (bench.py).
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = raw.select(
         "doc_id", "source", token_count(F.lower(F.col("text"))).alias("__ntok")
     ).persist()
+    # Exact-dup cluster labels: hash-groupBy keeper + equi join back on
+    # the content hash (map-side combined; never a text-partitioned
+    # window sort). Cluster-grain hashing is what makes `split_safe`
+    # leakage-free.
+    keyed = raw.select(
+        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5")
+    )
+    clusters = keyed.join(
+        exact_duplicates(raw).select("text_md5", "keeper_id"), "text_md5"
+    ).select("doc_id", F.col("keeper_id").alias("cluster_id"))
     out = assign_splits(docs, _SPLIT_WEIGHTS, portable=True)
+    out = assign_splits_leakage_safe(
+        out, clusters, _SPLIT_WEIGHTS, portable=True, out_col="split_safe"
+    )
     out = seeded_shuffle(out, portable=True)
     out = sample_token_budget(
         out,
@@ -179,7 +212,7 @@ def corpus_split_shuffle(spark, sf_dir):
         out, "source", alpha=0.5, weight_col=F.col("__ntok"), portable=True
     )
     return up.select(
-        "doc_id", "source", "split", "shuffle_pos", "n_repeats",
+        "doc_id", "source", "split", "split_safe", "shuffle_pos", "n_repeats",
         "in_token_budget", "copy_no"
     )
 
