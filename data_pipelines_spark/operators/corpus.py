@@ -402,6 +402,78 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chunk_tokens: int = 1,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-preparation step for retrieval indexes and long-document
+    training (each chunk small enough to embed or pack, the overlap
+    preserving sentence context across cuts).
+
+    Output: one row per chunk with ``(id_col, chunk_id, chunk_start,
+    chunk_n_tokens, chunk_text)`` where ``chunk_start`` is the 0-based
+    token offset, windows advance by ``chunk_tokens - overlap_tokens``,
+    and a trailing window shorter than ``min_chunk_tokens`` is dropped
+    unless it is the document's only chunk (so no non-empty document
+    vanishes); blank documents produce no chunks. Chunk text is the
+    whitespace-rejoin of the window's tokens (the engine's token grain
+    is `functions.text.tokens`).
+
+    Spark shape: pure narrow map — tokenize once, build the window
+    start positions with ``sequence``, slice with ``F.slice`` inside
+    the lambda, and ``posexplode``. No shuffle, no UDF; chunk rows
+    inherit the input partitioning, so a 100 TB corpus chunks at scan
+    speed. Deterministic by construction (a pure function of the
+    text), so re-runs and retries produce identical chunk ids.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            "overlap_tokens must be in [0, chunk_tokens); got "
+            f"overlap={overlap_tokens}, chunk={chunk_tokens}"
+        )
+    from data_pipelines_spark.functions.text import let, tokens
+
+    stride = chunk_tokens - overlap_tokens
+
+    def over(toks: Column) -> Column:
+        n = F.size(toks)
+        # Window starts 0, stride, 2*stride, ... up to the last start
+        # that begins before the end of the document.
+        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+        windows = F.transform(
+            starts,
+            lambda s: F.struct(
+                s.alias("start"),
+                F.slice(toks, s + 1, chunk_tokens).alias("toks"),
+            ),
+        )
+        keep = F.filter(
+            windows,
+            lambda w, i: (F.size(w["toks"]) >= min_chunk_tokens) | (i == 0),
+        )
+        # Blank documents produce no chunks (nothing to retrieve/train on).
+        return F.when(n > 0, keep).otherwise(F.slice(keep, 1, 0))
+
+    chunked = docs.select(
+        F.col(id_col),
+        F.posexplode(let(tokens(F.col(text_col)), over)).alias("chunk_id", "__w"),
+    )
+    return chunked.select(
+        id_col,
+        F.col("chunk_id").cast("long"),
+        F.col("__w.start").cast("long").alias("chunk_start"),
+        F.size("__w.toks").cast("long").alias("chunk_n_tokens"),
+        F.array_join("__w.toks", " ").alias("chunk_text"),
+    )
+
+
 def unigram_logprob(
     docs: DataFrame,
     text_col: str = "text",

@@ -1063,3 +1063,60 @@ def test_leakage_safe_splits_keep_clusters_together(spark):
         for r in assign_splits_leakage_safe(docs, clusters, weights).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_overlap_and_offsets(spark):
+    from data_pipelines_spark.operators.corpus import chunk_documents
+
+    docs = _docs(spark, [(1, "a", "t0 t1 t2 t3 t4 t5 t6")])  # 7 tokens
+    out = chunk_documents(docs, chunk_tokens=4, overlap_tokens=2).collect()
+    # stride 2: starts 0,2,4,6 — the 1-token tail at 6 is kept because
+    # min_chunk_tokens defaults to 1.
+    got = {(r.chunk_id, r.chunk_start, r.chunk_n_tokens, r.chunk_text) for r in out}
+    assert got == {
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (1, 2, 4, "t2 t3 t4 t5"),
+        (2, 4, 3, "t4 t5 t6"),
+        (3, 6, 1, "t6"),
+    }
+
+
+def test_chunk_documents_min_tokens_drops_tail_not_only_chunk(spark):
+    from data_pipelines_spark.operators.corpus import chunk_documents
+
+    docs = _docs(spark, [(1, "a", "t0 t1 t2 t3 t4"), (2, "a", "solo")])
+    out = chunk_documents(
+        docs, chunk_tokens=4, overlap_tokens=0, min_chunk_tokens=2
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0 and 4; the 1-token tail at 4 is below min and dropped.
+    assert [(r.chunk_start, r.chunk_text) for r in by_doc[1]] == [(0, "t0 t1 t2 t3")]
+    # doc 2: its only window is below min but survives (first chunk).
+    assert [(r.chunk_start, r.chunk_text) for r in by_doc[2]] == [(0, "solo")]
+
+
+def test_chunk_documents_blank_and_errors(spark):
+    import pytest as _pytest
+
+    from data_pipelines_spark.operators.corpus import chunk_documents
+
+    docs = _docs(spark, [(1, "a", "   "), (2, "a", "")])
+    assert chunk_documents(docs, chunk_tokens=3).count() == 0
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=3, overlap_tokens=3)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """The chunker must stay a narrow map: no Exchange in the plan."""
+    from data_pipelines_spark.operators.corpus import chunk_documents
+
+    docs = _docs(spark, [(1, "a", "x y z")])
+    plan = chunk_documents(docs, chunk_tokens=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
