@@ -691,3 +691,182 @@ def knn_join_ivf(
             "rank",
         )
     )
+
+
+def exact_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id_col: str = "vec_id",
+    right_id_col: str = "vec_id",
+    left_vec_col: str = "embedding",
+    right_vec_col: str = "embedding",
+    exclude_same_id: bool = True,
+    score_round: int | None = 6,
+) -> DataFrame:
+    """EXACT k-NN join: every left vector against EVERY right vector —
+    ``(left_id, right_id, cosine, rank)``, rank 1..k by (cosine desc,
+    right_id asc).
+
+    Contract: the right side must be dimension-sized (a labeled seed
+    set, a prototype table) — it is broadcast and every left row scores
+    all of it, so the candidate volume is |left| x |right|. That is the
+    exact-recall baseline the ANN paths (:func:`knn_join`,
+    :func:`knn_join_ivf`) are measured against; for corpus-x-corpus
+    retrieval use those instead (bucket-pruned candidates). Zero-norm /
+    NULL vectors are excluded on both sides per :func:`cosine`'s
+    contract.
+
+    Plan shape: after the broadcast product, the per-left top-k is a
+    map-side ``collect_list`` + ``array_sort`` + ``slice`` aggregation,
+    NOT a row_number window — every left row's candidates are already
+    colocated (the broadcast adds no movement), so partial aggregation
+    finishes each left key on the map side and the shuffle carries ONE
+    k-sized row per left vector instead of the full |left| x |right|
+    pair stream a window sort would move. At corpus scale that is a
+    |right|-factor reduction in shuffle volume.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    lvec = _to_double(F.col(left_vec_col))
+    rvec = _to_double(F.col(right_vec_col))
+    l = left.select(F.col(left_id_col).alias("__lid"), lvec.alias("__lvec"))
+    r = right.select(F.col(right_id_col).alias("__rid"), rvec.alias("__rvec"))
+    pairs = l.crossJoin(F.broadcast(r))
+    if exclude_same_id:
+        pairs = pairs.where(F.col("__lid") != F.col("__rid"))
+    scored = pairs.select(
+        "__lid",
+        "__rid",
+        cosine(F.col("__lvec"), F.col("__rvec")).alias("__score"),
+    ).where(F.col("__score").isNotNull())
+    # Struct field order gives the sort order: -score asc == score desc,
+    # then right id asc for a total order on ties.
+    cand = F.struct(
+        (-F.col("__score")).alias("neg"),
+        F.col("__rid").alias("rid"),
+        F.col("__score").alias("score"),
+    )
+    topk = scored.groupBy("__lid").agg(
+        F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("__topk")
+    )
+    out_score = (
+        F.round(F.col("__c.score"), score_round)
+        if score_round is not None
+        else F.col("__c.score")
+    )
+    return (
+        topk.select(
+            "__lid", F.posexplode(F.col("__topk")).alias("__pos", "__c")
+        )
+        .select(
+            F.col("__lid").alias(f"left_{left_id_col}"),
+            F.col("__c.rid").alias(f"right_{right_id_col}"),
+            out_score.alias("cosine"),
+            (F.col("__pos") + 1).cast("long").alias("rank"),
+        )
+    )
+
+
+def knn_classify(
+    queries: DataFrame,
+    labeled: DataFrame,
+    k: int,
+    label_col: str = "label",
+    method: str = "exact",
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
+    query_id_col: str = "vec_id",
+    labeled_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    labeled_vec_col: str = "embedding",
+    **ann_kwargs,
+) -> DataFrame:
+    """k-NN label propagation: classify every query vector by majority
+    vote over its ``k`` nearest labeled neighbors — the embedding-space
+    stand-in for a fastText-style quality classifier (label a small
+    curated seed set, let the corpus inherit labels from geometry).
+
+    Output: one row per scorable query —
+    ``(query_id_col, pred_label, n_votes, vote_weight)`` where
+    ``n_votes`` counts the winning label's neighbors and
+    ``vote_weight`` is the sum of their cosines (rounded to 6; the
+    tie-break uses the ROUNDED value so any engine replaying the
+    arithmetic orders identically). Winner = max by
+    (n_votes, vote_weight, label asc) — fully deterministic.
+
+    ``method='exact'`` uses :func:`exact_knn_join` (labeled seed is
+    broadcast — the right shape when the seed is dimension-sized);
+    ``'lsh'`` / ``'ivf'`` swap in the bucket-pruned ANN joins for
+    corpus-scale seeds, same voting semantics over approximate
+    neighbors. Queries whose vectors are NULL/zero-norm (or that miss
+    every probed bucket under ANN) produce no row — surface them with
+    a left anti join when the pipeline needs explicit unknowns.
+    """
+    from pyspark.sql import Window
+
+    if method == "exact":
+        neighbors = exact_knn_join(
+            queries, labeled, k,
+            left_id_col=query_id_col, right_id_col=labeled_id_col,
+            left_vec_col=query_vec_col, right_vec_col=labeled_vec_col,
+            **ann_kwargs,
+        )
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("method='lsh' requires dim")
+        neighbors = knn_join(
+            queries, labeled, k, dim,
+            left_id_col=query_id_col, right_id_col=labeled_id_col,
+            left_vec_col=query_vec_col, right_vec_col=labeled_vec_col,
+            **ann_kwargs,
+        )
+    elif method == "ivf":
+        if centroids is None:
+            raise ValueError("method='ivf' requires centroids")
+        neighbors = knn_join_ivf(
+            queries, labeled, centroids, k,
+            left_id_col=query_id_col, right_id_col=labeled_id_col,
+            left_vec_col=query_vec_col, right_vec_col=labeled_vec_col,
+            **ann_kwargs,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    lid = f"left_{query_id_col}"
+    rid = f"right_{labeled_id_col}"
+    lab = F.broadcast(
+        labeled.select(
+            F.col(labeled_id_col).alias(rid), F.col(label_col).alias("__lab")
+        )
+    ) if method == "exact" else labeled.select(
+        F.col(labeled_id_col).alias(rid), F.col(label_col).alias("__lab")
+    )
+    votes = (
+        neighbors.join(lab, rid)
+        .groupBy(lid, "__lab")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_votes"),
+            # DECIMAL sum of the already-rounded cosines: exact decimal
+            # arithmetic is addition-order-independent, so the weight
+            # (and the tie-break on it) is identical on any engine and
+            # any partitioning — a double sum could drift an ulp across
+            # reduction orders right at a rounding boundary.
+            F.sum(F.col("cosine").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("vote_weight"),
+        )
+    )
+    w = Window.partitionBy(lid).orderBy(
+        F.desc("n_votes"), F.desc("vote_weight"), F.asc("__lab")
+    )
+    return (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            F.col(lid).alias(query_id_col),
+            F.col("__lab").alias("pred_label"),
+            "n_votes",
+            "vote_weight",
+        )
+    )

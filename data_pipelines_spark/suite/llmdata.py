@@ -585,6 +585,9 @@ def near_dup_pair_suite(spark, sf_dir):
     return ngram.unionByName(cos)
 
 
+_KNN_SEED_MIN = 20  # vec_id >= this plays the labeled seed set
+_KNN_K = 5
+
 _LSH_TOPK_SQL = f"""
     WITH b AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -605,33 +608,112 @@ _LSH_TOPK_SQL = f"""
                row_number() OVER (PARTITION BY qid
                                   ORDER BY cosine_raw DESC, rid) AS rank
         FROM scored
+    ),
+    knn AS (
+        SELECT qv.vec_id AS qid, lv.label,
+               list_dot_product(qv.embedding::DOUBLE[], lv.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv.embedding::DOUBLE[], qv.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(lv.embedding::DOUBLE[], lv.embedding::DOUBLE[])))
+                   AS cos_raw,
+               row_number() OVER (
+                   PARTITION BY qv.vec_id
+                   ORDER BY list_dot_product(qv.embedding::DOUBLE[], lv.embedding::DOUBLE[])
+                            / (sqrt(list_dot_product(qv.embedding::DOUBLE[], qv.embedding::DOUBLE[]))
+                               * sqrt(list_dot_product(lv.embedding::DOUBLE[], lv.embedding::DOUBLE[])))
+                            DESC, lv.vec_id ASC
+               ) AS rk
+        FROM embeddings qv JOIN embeddings lv
+          ON qv.vec_id < {_KNN_SEED_MIN} AND lv.vec_id >= {_KNN_SEED_MIN}
+        WHERE list_dot_product(qv.embedding::DOUBLE[], qv.embedding::DOUBLE[]) > 0
+          AND list_dot_product(lv.embedding::DOUBLE[], lv.embedding::DOUBLE[]) > 0
+    ),
+    votes AS (
+        SELECT qid, label,
+               count(*) AS n_votes,
+               sum(CAST(round(cos_raw, 6) AS DECIMAL(18,6))) AS wt
+        FROM knn WHERE rk <= {_KNN_K}
+        GROUP BY qid, label
+    ),
+    pred AS (
+        SELECT qid, label, n_votes, wt,
+               row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY n_votes DESC, wt DESC, label ASC
+               ) AS rk
+        FROM votes
     )
-    SELECT qid AS left_vec_id, rid AS right_vec_id,
-           ROUND(cosine_raw, 6) AS cosine, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 10
+    SELECT 'lsh_topk' AS method, left_vec_id AS qid, right_vec_id AS aux,
+           cosine AS score, rank AS n
+    FROM (
+        SELECT qid AS left_vec_id, rid AS right_vec_id,
+               ROUND(cosine_raw, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 10
+    )
+    UNION ALL
+    SELECT 'knn_pred' AS method, qid, CAST(label AS BIGINT) AS aux,
+           CAST(wt AS DOUBLE) AS score, CAST(n_votes AS BIGINT) AS n
+    FROM pred WHERE rk = 1
 """
 
 
 @register("embedding_lsh_topk", _LSH_TOPK_SQL)
 def embedding_lsh_topk(spark, sf_dir):
-    """Approximate k-NN JOIN via random-hyperplane buckets — the 100 TB
-    batch-retrieval path (`operators/similarity.py:knn_join`): the
-    first five vectors each retrieve their top-10 among bucket-sharing
-    candidates in ONE plan (bucket equi join + per-query row_number
-    over bucket-sized candidate sets — never all-pairs; the former
-    single-query `lsh_bucketed_topk` grain is the left_vec_id=0 slice).
-    The oracle embeds the SAME seeded planes as SQL list literals, so
-    bucketing, candidate sets, cosines, and ranks reproduce exactly."""
-    from data_pipelines_spark.operators.similarity import knn_join
+    """Embedding-retrieval suite, method-tagged at the common
+    (method, qid, aux, score, n) grain:
+
+    - ``lsh_topk`` — approximate k-NN JOIN via random-hyperplane
+      buckets, the 100 TB batch-retrieval path
+      (`operators/similarity.py:knn_join`): the first five vectors each
+      retrieve their top-10 among bucket-sharing candidates in ONE plan
+      (bucket equi join + per-query row_number over bucket-sized
+      candidate sets — never all-pairs; the former single-query
+      `lsh_bucketed_topk` grain is the qid=0 slice). The oracle embeds
+      the SAME seeded planes as SQL list literals, so bucketing,
+      candidate sets, cosines, and ranks reproduce exactly. ``aux`` is
+      the neighbor id, ``n`` the rank.
+    - ``knn_pred`` — k-NN label propagation
+      (`operators.similarity.knn_classify`, method='exact'): every
+      query vector (vec_id < 20) inherits the majority label of its 5
+      nearest labeled seeds (vec_id >= 20) — the embedding-space
+      quality-classifier step (label a curated seed set, the corpus
+      inherits labels from geometry). ``aux`` is the predicted label,
+      ``score`` the winner's DECIMAL-summed cosine weight, ``n`` its
+      vote count; the oracle replays the exact neighbor ranking, the
+      vote, and the (n_votes, weight, label) tie-break. The exact path
+      broadcasts the seed and takes per-query top-k as a map-side
+      collect_list/array_sort aggregation — shuffle volume is one
+      k-sized row per query, never the query x seed pair stream.
+    """
+    from data_pipelines_spark.operators.similarity import knn_classify, knn_join
 
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_join(
+    topk = knn_join(
         emb.where(F.col("vec_id") < 5),
         emb.where(F.col("vec_id") >= 5),
         k=10,
         dim=64,
         num_planes=4,
+    )
+    pred = knn_classify(
+        emb.where(F.col("vec_id") < _KNN_SEED_MIN),
+        emb.where(F.col("vec_id") >= _KNN_SEED_MIN),
+        k=_KNN_K,
+    )
+    return topk.select(
+        F.lit("lsh_topk").alias("method"),
+        F.col("left_vec_id").alias("qid"),
+        F.col("right_vec_id").cast("long").alias("aux"),
+        F.col("cosine").alias("score"),
+        F.col("rank").alias("n"),
+    ).unionByName(
+        pred.select(
+            F.lit("knn_pred").alias("method"),
+            F.col("vec_id").alias("qid"),
+            F.col("pred_label").cast("long").alias("aux"),
+            F.col("vote_weight").alias("score"),
+            F.col("n_votes").alias("n"),
+        )
     )
 
 

@@ -587,3 +587,84 @@ class TestKnnJoinIvf:
             knn_join_ivf(df, df, cents, k=0)
         with _pytest.raises(ValueError, match="nprobe"):
             knn_join_ivf(df, df, cents, k=1, nprobe=9)
+
+
+# ------------------------------------------------------------ knn classify
+
+
+class TestKnnClassify:
+    def _frames(self, spark):
+        # Two tight clusters on orthogonal axes; queries sit near one.
+        labeled = spark.createDataFrame(
+            [
+                (100, [1.0, 0.0, 0.05], 7),
+                (101, [1.0, 0.02, 0.0], 7),
+                (102, [0.98, 0.0, 0.01], 7),
+                (200, [0.0, 1.0, 0.0], 9),
+                (201, [0.02, 0.98, 0.0], 9),
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+        queries = spark.createDataFrame(
+            [(1, [0.9, 0.1, 0.0]), (2, [0.05, 0.95, 0.1])],
+            "vec_id long, embedding array<double>",
+        )
+        return queries, labeled
+
+    def test_majority_vote_exact(self, spark):
+        from data_pipelines_spark.operators.similarity import knn_classify
+
+        queries, labeled = self._frames(spark)
+        out = {r.vec_id: r for r in knn_classify(queries, labeled, k=3).collect()}
+        assert out[1].pred_label == 7 and out[1].n_votes == 3
+        assert out[2].pred_label == 9 and out[2].n_votes == 2
+        # weight is the decimal sum of the winner's rounded cosines
+        assert out[2].vote_weight > 1.8
+
+    def test_tie_break_smaller_label_wins(self, spark):
+        from data_pipelines_spark.operators.similarity import knn_classify
+
+        # Two labels, one neighbor each at IDENTICAL cosine: votes tie,
+        # weights tie, smaller label must win deterministically.
+        labeled = spark.createDataFrame(
+            [(10, [1.0, 0.0], 5), (11, [0.0, 1.0], 3)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        queries = spark.createDataFrame(
+            [(1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+        )
+        out = knn_classify(queries, labeled, k=2).collect()
+        assert len(out) == 1 and out[0].pred_label == 3
+
+    def test_null_and_zero_norm_queries_drop(self, spark):
+        from data_pipelines_spark.operators.similarity import knn_classify
+
+        _, labeled = self._frames(spark)
+        queries = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0]), (2, None), (3, [1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = knn_classify(queries, labeled, k=2).collect()
+        assert {r.vec_id for r in out} == {3}
+
+    def test_lsh_method_agrees_on_separable_clusters(self, spark):
+        from data_pipelines_spark.operators.similarity import knn_classify
+
+        queries, labeled = self._frames(spark)
+        exact = {r.vec_id: r.pred_label
+                 for r in knn_classify(queries, labeled, k=3).collect()}
+        lsh = {r.vec_id: r.pred_label
+               for r in knn_classify(
+                   queries, labeled, k=3, method="lsh", dim=3,
+                   num_planes=2, hamming_probe=1,
+               ).collect()}
+        for qid, lbl in lsh.items():  # ANN may drop, must not mislabel
+            assert exact[qid] == lbl
+
+    def test_exact_join_is_broadcast(self, spark):
+        from data_pipelines_spark.operators.similarity import exact_knn_join
+
+        queries, labeled = self._frames(spark)
+        plan = exact_knn_join(queries, labeled, 2)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
