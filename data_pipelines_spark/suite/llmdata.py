@@ -348,6 +348,18 @@ def _doc_profile_sql() -> str:
                          / len(grams)
                     ELSE 0.0 END AS top_bigram_frac_raw
         FROM rep
+    ),
+    img AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 5 AS BIGINT) AS img_width,
+               CAST(6 + doc_id % 4 AS BIGINT) AS img_height,
+               list_transform(
+                   string_split(
+                       substr(repeat(md5(text), 4), 1,
+                              CAST((8 + doc_id % 5) * (6 + doc_id % 4) AS INT)),
+                       ''),
+                   c -> CAST(ascii(c) AS BIGINT)) AS px
+        FROM documents
     )
     SELECT base.doc_id,
            ROUND((
@@ -402,8 +414,14 @@ def _doc_profile_sql() -> str:
                  THEN CAST(len(list_filter(lines,
                                l -> l LIKE '%...' OR l LIKE '%…'))
                            AS DOUBLE) / len(lines) ELSE 0.0 END) <= 0.3
-            AND hits_en >= 2) AS passes_gopher
-    FROM base JOIN rep2 ON base.doc_id = rep2.doc_id
+            AND hits_en >= 2) AS passes_gopher,
+           img.img_width,
+           img.img_height,
+           ROUND(CAST(list_sum(img.px) AS DOUBLE) / len(img.px), 6) AS img_mean,
+           CAST(list_sum(img.px) AS BIGINT) AS img_px_sum
+    FROM base
+    JOIN rep2 ON base.doc_id = rep2.doc_id
+    JOIN img ON base.doc_id = img.doc_id
     """
 
 
@@ -424,7 +442,19 @@ def doc_profile(spark, sf_dir):
     doc_quality_scores / doc_fingerprints / lang_guess_docs queries so
     the driver sweep covers every registry entry; each column remains
     individually oracle-checked. One narrow projection — every signal
-    is a native expression over the row, no shuffle."""
+    is a native expression over the row, no shuffle.
+
+    The ``img_*`` columns drive the REAL multimodal decode path through
+    the hash gate: each doc is deterministically rendered as a P5 PGM
+    payload (header + md5-hex-derived pixel bytes, doc-dependent
+    dimensions), decoded by `operators.multimodal.image_stats`'s
+    Arrow-batched mapInPandas (header parse + numpy frombuffer — the
+    same kernel the binary-file tier uses), and the decoded dimensions,
+    mean intensity, and exact pixel sum are checked against the oracle
+    computing them straight from the construction. A mis-parse of the
+    header, offset, or buffer shape breaks the hash. The pixel sum is
+    integer-exact; the mean divides an exact integer sum, so both
+    engines see the identical double."""
     from data_pipelines_spark.functions.text import (
         alpha_word_fraction,
         duplicate_line_fraction,
@@ -435,10 +465,44 @@ def doc_profile(spark, sf_dir):
         phone_count,
         top_ngram_fraction,
     )
+    from data_pipelines_spark.operators.multimodal import image_stats
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    w = (F.lit(8) + F.col("doc_id") % 5).cast("int")
+    h = (F.lit(6) + F.col("doc_id") % 4).cast("int")
+    pix = F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")), 4).substr(
+        F.lit(1), w * h
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(
+                F.lit("P5\n"),
+                w.cast("string"),
+                F.lit(" "),
+                h.cast("string"),
+                F.lit("\n255\n"),
+                pix,
+            ),
+            "UTF-8",
+        ).alias("content"),
+    )
+    img = image_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("long").alias("img_width"),
+        F.col("height").cast("long").alias("img_height"),
+        F.round("mean_intensity", 6).alias("img_mean"),
+        F.round(
+            F.col("mean_intensity")
+            * F.col("width")
+            * F.col("height")
+            * F.col("channels")
+        )
+        .cast("long")
+        .alias("img_px_sum"),
+    )
+    profile = docs.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
         rolling_fingerprint(F.col("text")).alias("fingerprint"),
@@ -452,6 +516,7 @@ def doc_profile(spark, sf_dir):
         F.round(alpha_word_fraction(F.col("text")), 6).alias("alpha_word_frac"),
         passes_gopher_rules(F.col("text")).alias("passes_gopher"),
     )
+    return profile.join(img, "doc_id")
 
 
 @register(
