@@ -418,7 +418,14 @@ def _doc_profile_sql() -> str:
            img.img_width,
            img.img_height,
            ROUND(CAST(list_sum(img.px) AS DOUBLE) / len(img.px), 6) AS img_mean,
-           CAST(list_sum(img.px) AS BIGINT) AS img_px_sum
+           CAST(list_sum(img.px) AS BIGINT) AS img_px_sum,
+           CAST(list_sum(flatten(list_transform(range(0, 3), y ->
+               list_transform(range(0, 4), x ->
+                   img.px[CAST(least(y * img.img_height // 3,
+                                     img.img_height - 1) * img.img_width
+                               + least(x * img.img_width // 4,
+                                       img.img_width - 1) + 1 AS INT)]))))
+                AS BIGINT) AS img_resized_sum
     FROM base
     JOIN rep2 ON base.doc_id = rep2.doc_id
     JOIN img ON base.doc_id = img.doc_id
@@ -454,7 +461,11 @@ def doc_profile(spark, sf_dir):
     computing them straight from the construction. A mis-parse of the
     header, offset, or buffer shape breaks the hash. The pixel sum is
     integer-exact; the mean divides an exact integer sum, so both
-    engines see the identical double."""
+    engines see the identical double. ``img_resized_sum`` goes further:
+    decode -> REAL nearest-neighbor resize to 4x3 -> P5 re-encode
+    (`operators.multimodal.resize_images`) -> decode AGAIN -> exact
+    pixel sum, with the oracle replaying the index sampling on the
+    constructed pixels — the full image roundtrip behind one integer."""
     from data_pipelines_spark.functions.text import (
         alpha_word_fraction,
         duplicate_line_fraction,
@@ -465,7 +476,10 @@ def doc_profile(spark, sf_dir):
         phone_count,
         top_ngram_fraction,
     )
-    from data_pipelines_spark.operators.multimodal import image_stats
+    from data_pipelines_spark.operators.multimodal import (
+        image_stats,
+        resize_images,
+    )
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -502,6 +516,12 @@ def doc_profile(spark, sf_dir):
         .cast("long")
         .alias("img_px_sum"),
     )
+    img2 = image_stats(resize_images(media, 4, 3)).select(
+        F.col("media_id").alias("doc_id"),
+        F.round(F.col("mean_intensity") * 12)
+        .cast("long")
+        .alias("img_resized_sum"),
+    )
     profile = docs.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
@@ -516,7 +536,7 @@ def doc_profile(spark, sf_dir):
         F.round(alpha_word_fraction(F.col("text")), 6).alias("alpha_word_frac"),
         passes_gopher_rules(F.col("text")).alias("passes_gopher"),
     )
-    return profile.join(img, "doc_id")
+    return profile.join(img, "doc_id").join(img2, "doc_id")
 
 
 @register(
