@@ -360,6 +360,24 @@ def _doc_profile_sql() -> str:
                        ''),
                    c -> CAST(ascii(c) AS BIGINT)) AS px
         FROM documents
+    ),
+    aud_hex AS (
+        SELECT doc_id, repeat(md5(text), 4) AS hx FROM documents
+    ),
+    aud AS (
+        SELECT doc_id,
+               list_transform(raws,
+                   k -> CASE WHEN k >= 32768 THEN k - 65536 ELSE k END) AS ks
+        FROM (
+            SELECT doc_id,
+                   list_transform(range(0, 32), i ->
+                       ((instr('0123456789abcdef', substr(hx, CAST(4*i+3 AS INT), 1)) - 1) * 16
+                        + instr('0123456789abcdef', substr(hx, CAST(4*i+4 AS INT), 1)) - 1) * 256
+                       + (instr('0123456789abcdef', substr(hx, CAST(4*i+1 AS INT), 1)) - 1) * 16
+                       + instr('0123456789abcdef', substr(hx, CAST(4*i+2 AS INT), 1)) - 1
+                   ) AS raws
+            FROM aud_hex
+        )
     )
     SELECT base.doc_id,
            ROUND((
@@ -425,10 +443,20 @@ def _doc_profile_sql() -> str:
                                      img.img_height - 1) * img.img_width
                                + least(x * img.img_width // 4,
                                        img.img_width - 1) + 1 AS INT)]))))
-                AS BIGINT) AS img_resized_sum
+                AS BIGINT) AS img_resized_sum,
+           CAST(8000 AS BIGINT) AS aud_rate,
+           ROUND(sqrt(list_sum(list_transform(aud.ks,
+                     k -> (k * k) / 1073741824.0)) / 32), 6) AS aud_rms,
+           ROUND(CAST(len(list_filter(range(1, 32), i ->
+                     (CASE WHEN aud.ks[CAST(i AS INT)] > 0 THEN 1
+                           WHEN aud.ks[CAST(i AS INT)] < 0 THEN -1 ELSE 0 END)
+                     <> (CASE WHEN aud.ks[CAST(i+1 AS INT)] > 0 THEN 1
+                              WHEN aud.ks[CAST(i+1 AS INT)] < 0 THEN -1 ELSE 0 END)))
+                 AS DOUBLE) / 31, 6) AS aud_zcr
     FROM base
     JOIN rep2 ON base.doc_id = rep2.doc_id
     JOIN img ON base.doc_id = img.doc_id
+    JOIN aud ON base.doc_id = aud.doc_id
     """
 
 
@@ -465,7 +493,17 @@ def doc_profile(spark, sf_dir):
     decode -> REAL nearest-neighbor resize to 4x3 -> P5 re-encode
     (`operators.multimodal.resize_images`) -> decode AGAIN -> exact
     pixel sum, with the oracle replaying the index sampling on the
-    constructed pixels — the full image roundtrip behind one integer."""
+    constructed pixels — the full image roundtrip behind one integer.
+
+    The ``aud_*`` columns do the same for audio: each doc becomes a
+    PCM16 mono WAV (constant 44-byte header + 32 md5-hex-derived
+    little-endian samples, assembled with to_binary(.., 'hex')),
+    decoded by `operators.multimodal.audio_features`' real stdlib-wave
+    kernel; the sample rate read from the header, the RMS, and the
+    zero-crossing rate are hash-checked against the oracle re-deriving
+    the samples from the hex. Every RMS term is a dyadic rational
+    (k^2 / 2^30) and the sums stay under 2^53, so the doubles are
+    bit-identical across engines — no tolerance needed."""
     from data_pipelines_spark.functions.text import (
         alpha_word_fraction,
         duplicate_line_fraction,
@@ -477,6 +515,7 @@ def doc_profile(spark, sf_dir):
         top_ngram_fraction,
     )
     from data_pipelines_spark.operators.multimodal import (
+        audio_features,
         image_stats,
         resize_images,
     )
@@ -522,6 +561,29 @@ def doc_profile(spark, sf_dir):
         .cast("long")
         .alias("img_resized_sum"),
     )
+    # PCM16 mono 8 kHz WAV, 32 samples: constant header, md5-derived
+    # little-endian sample bytes (128 hex chars = 64 bytes = 32 samples).
+    wav_header = (
+        "52494646" "64000000" "57415645" "666d7420" "10000000"
+        "0100" "0100" "401f0000" "803e0000" "0200" "1000"
+        "64617461" "40000000"
+    )
+    wav_media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.to_binary(
+            F.concat(
+                F.lit(wav_header),
+                F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")), 4),
+            ),
+            F.lit("hex"),
+        ).alias("content"),
+    )
+    aud = audio_features(wav_media).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("sample_rate").cast("long").alias("aud_rate"),
+        F.round("rms", 6).alias("aud_rms"),
+        F.round("zero_crossing_rate", 6).alias("aud_zcr"),
+    )
     profile = docs.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
@@ -536,7 +598,9 @@ def doc_profile(spark, sf_dir):
         F.round(alpha_word_fraction(F.col("text")), 6).alias("alpha_word_frac"),
         passes_gopher_rules(F.col("text")).alias("passes_gopher"),
     )
-    return profile.join(img, "doc_id").join(img2, "doc_id")
+    return (
+        profile.join(img, "doc_id").join(img2, "doc_id").join(aud, "doc_id")
+    )
 
 
 @register(
