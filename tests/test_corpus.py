@@ -1120,3 +1120,22 @@ def test_chunk_documents_no_shuffle(spark):
     docs = _docs(spark, [(1, "a", "x y z")])
     plan = chunk_documents(docs, chunk_tokens=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_partition_property(spark):
+    """With overlap=0 the chunks partition the token stream: rejoining
+    them in chunk order reconstructs the tokenized document, for a
+    variety of lengths around the window boundary."""
+    from data_pipelines_spark.operators.corpus import chunk_documents
+
+    texts = [" ".join(f"w{i}" for i in range(n)) for n in (1, 3, 4, 5, 8, 9, 17)]
+    docs = _docs(spark, [(i, "a", t) for i, t in enumerate(texts)])
+    out = chunk_documents(docs, chunk_tokens=4, overlap_tokens=0).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        rows = by_doc[i]
+        assert " ".join(r.chunk_text for r in rows) == t
+        assert [r.chunk_start for r in rows] == [4 * j for j in range(len(rows))]
+        assert sum(r.chunk_n_tokens for r in rows) == len(t.split())

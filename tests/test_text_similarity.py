@@ -668,3 +668,34 @@ class TestKnnClassify:
         plan = exact_knn_join(queries, labeled, 2)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_knn_classify_partition_invariant(spark):
+    """Same predictions at 1, 3, and 7 input partitions — the
+    collect_list order inside the top-k aggregation must not leak into
+    the result (array_sort totalizes it)."""
+    import numpy as np
+
+    from data_pipelines_spark.operators.similarity import knn_classify
+
+    rng = np.random.default_rng(11)
+    labeled = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.standard_normal(6)], int(i % 3))
+         for i in range(40)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(15)],
+        "vec_id long, embedding array<double>",
+    )
+    ref = None
+    for parts in (1, 3, 7):
+        got = sorted(
+            (r.vec_id, r.pred_label, r.n_votes, r.vote_weight)
+            for r in knn_classify(
+                queries.repartition(parts), labeled.repartition(parts), k=5
+            ).collect()
+        )
+        if ref is None:
+            ref = got
+        assert got == ref, f"partitioning changed predictions at {parts}"
