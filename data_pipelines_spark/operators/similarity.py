@@ -879,3 +879,48 @@ def knn_classify(
             "vote_weight",
         )
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "left_vec_id",
+    neighbor_col: str = "right_vec_id",
+) -> DataFrame:
+    """Per-query recall of an ANN result against the exact baseline —
+    the QA metric that decides whether an LSH/IVF configuration's
+    probe/list settings are good enough to ship. Both inputs are
+    neighbor frames as produced by :func:`knn_join` /
+    :func:`knn_join_ivf` / :func:`exact_knn_join` (same k).
+
+    Output: ``(query_col, n_exact, n_hit, recall)`` — one row per
+    query that appears in the EXACT result (a query the ANN path
+    dropped entirely scores recall 0.0, it does not vanish).
+
+    Shape: two id-projections, one left-semi-style equi join on
+    (query, neighbor), one groupBy — all map-side combinable; at 100 TB
+    both frames are k-sized per query, so the shuffle is k rows per
+    query and recall aggregates without ever touching the vectors.
+    """
+    ex = exact.select(
+        F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+    )
+    ap = approx.select(
+        F.col(query_col).alias("__q"),
+        F.col(neighbor_col).alias("__n"),
+        F.lit(1).alias("__hit"),
+    )
+    joined = ex.join(ap, ["__q", "__n"], "left")
+    return (
+        joined.groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            F.col("__q").alias(query_col),
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )

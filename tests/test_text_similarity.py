@@ -699,3 +699,46 @@ def test_knn_classify_partition_invariant(spark):
         if ref is None:
             ref = got
         assert got == ref, f"partitioning changed predictions at {parts}"
+
+
+def test_recall_at_k_counts_hits_and_dropped_queries(spark):
+    from data_pipelines_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "left_vec_id long, right_vec_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)],  # q3 dropped entirely
+        "left_vec_id long, right_vec_id long",
+    )
+    out = {r.left_vec_id: r for r in recall_at_k(approx, exact).collect()}
+    assert out[1].n_exact == 2 and out[1].n_hit == 1 and out[1].recall == 0.5
+    assert out[2].recall == 1.0
+    assert out[3].n_hit == 0 and out[3].recall == 0.0
+
+
+def test_recall_at_k_lsh_vs_exact_end_to_end(spark):
+    """Raising hamming_probe must not lower measured recall."""
+    import numpy as np
+
+    from data_pipelines_spark.operators.similarity import (
+        exact_knn_join,
+        knn_join,
+        recall_at_k,
+    )
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    qs, ref = emb.where("vec_id < 10"), emb.where("vec_id >= 10")
+    exact = exact_knn_join(qs, ref, 5)
+    means = []
+    for probe in (0, 1):
+        ann = knn_join(qs, ref, 5, dim=8, num_planes=3, hamming_probe=probe)
+        rec = recall_at_k(ann, exact)
+        means.append(rec.agg(F.avg("recall")).collect()[0][0])
+        assert rec.count() == 10
+    assert means[1] >= means[0]
