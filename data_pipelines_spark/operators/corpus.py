@@ -417,9 +417,13 @@ def chunk_documents(
 
     Output: one row per chunk with ``(id_col, chunk_id, chunk_start,
     chunk_n_tokens, chunk_text)`` where ``chunk_start`` is the 0-based
-    token offset, windows advance by ``chunk_tokens - overlap_tokens``,
-    and a trailing window shorter than ``min_chunk_tokens`` is dropped
-    unless it is the document's only chunk (so no non-empty document
+    token offset and windows advance by ``chunk_tokens -
+    overlap_tokens``. Window generation STOPS at the first window that
+    reaches the document's end — with overlap, naive stride-to-the-end
+    generation would emit trailing windows that are strict subsets of
+    the previous chunk (duplicate content in a retrieval index). A
+    trailing window shorter than ``min_chunk_tokens`` is dropped unless
+    it is the document's only chunk (so no non-empty document
     vanishes); blank documents produce no chunks. Chunk text is the
     whitespace-rejoin of the window's tokens (the engine's token grain
     is `functions.text.tokens`).
@@ -444,9 +448,15 @@ def chunk_documents(
 
     def over(toks: Column) -> Column:
         n = F.size(toks)
-        # Window starts 0, stride, 2*stride, ... up to the last start
-        # that begins before the end of the document.
-        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+        # Window starts 0, stride, 2*stride, ... stopping at the FIRST
+        # start whose window reaches the document end: the smallest
+        # multiple of stride >= n - chunk_tokens (ceiling division).
+        # Later starts would be strict subsets of that window.
+        last = F.when(
+            n > chunk_tokens,
+            F.floor((n - chunk_tokens + stride - 1) / stride) * stride,
+        ).otherwise(F.lit(0))
+        starts = F.sequence(F.lit(0).cast("long"), last.cast("long"), F.lit(stride).cast("long"))
         windows = F.transform(
             starts,
             lambda s: F.struct(

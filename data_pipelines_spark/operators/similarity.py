@@ -739,7 +739,10 @@ def exact_knn_join(
 
     lvec = _to_double(F.col(left_vec_col))
     rvec = _to_double(F.col(right_vec_col))
-    l = spread(left).select(F.col(left_id_col).alias("__lid"), lvec.alias("__lvec"))
+    # Project BEFORE spreading: the guard's repartition should move only
+    # (id, vector), not whatever payload columns the caller's frame
+    # carries. The width estimate still resolves the same leaf files.
+    l = spread(left.select(F.col(left_id_col).alias("__lid"), lvec.alias("__lvec")))
     r = right.select(F.col(right_id_col).alias("__rid"), rvec.alias("__rvec"))
     pairs = l.crossJoin(F.broadcast(r))
     if exclude_same_id:
@@ -789,12 +792,21 @@ def knn_classify(
     labeled_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
     labeled_vec_col: str = "embedding",
+    exclude_same_id: bool = False,
     **ann_kwargs,
 ) -> DataFrame:
     """k-NN label propagation: classify every query vector by majority
     vote over its ``k`` nearest labeled neighbors — the embedding-space
     stand-in for a fastText-style quality classifier (label a small
     curated seed set, let the corpus inherit labels from geometry).
+
+    ``exclude_same_id`` defaults to FALSE here (unlike the raw neighbor
+    joins): queries and seeds are normally DISTINCT tables with
+    independent id spaces, where dropping a seed whose id happens to
+    collide with a query's id would silently remove a true neighbor
+    and could flip the vote. Set it True only when the query frame is a
+    subset of the labeled frame (self-labeling sanity checks), where
+    matching ids really do mean "the same row".
 
     Output: one row per scorable query —
     ``(query_id_col, pred_label, n_votes, vote_weight)`` where
@@ -819,6 +831,7 @@ def knn_classify(
             queries, labeled, k,
             left_id_col=query_id_col, right_id_col=labeled_id_col,
             left_vec_col=query_vec_col, right_vec_col=labeled_vec_col,
+            exclude_same_id=exclude_same_id,
             **ann_kwargs,
         )
     elif method == "lsh":
@@ -828,6 +841,7 @@ def knn_classify(
             queries, labeled, k, dim,
             left_id_col=query_id_col, right_id_col=labeled_id_col,
             left_vec_col=query_vec_col, right_vec_col=labeled_vec_col,
+            exclude_same_id=exclude_same_id,
             **ann_kwargs,
         )
     elif method == "ivf":
@@ -837,6 +851,7 @@ def knn_classify(
             queries, labeled, centroids, k,
             left_id_col=query_id_col, right_id_col=labeled_id_col,
             left_vec_col=query_vec_col, right_vec_col=labeled_vec_col,
+            exclude_same_id=exclude_same_id,
             **ann_kwargs,
         )
     else:

@@ -161,11 +161,12 @@ def corpus_split_shuffle(spark, sf_dir):
     with the same portable coins.
 
     `split_safe` is `operators.corpus.assign_splits_leakage_safe` fed by
-    exact-dup clusters (`operators.dedup.exact_duplicates` keeper joined
-    back on the content hash): byte-identical documents always land in
-    the SAME split, where the per-doc `split` column can put them on
-    both sides of the train/test boundary. The oracle replays the
-    cluster label as `min(doc_id) OVER (PARTITION BY md5(text))`."""
+    exact-dup clusters (the `operators.dedup.exact_duplicates` keeper
+    rule — min doc id per content hash — computed over the shared
+    hashed projection): byte-identical documents always land in the
+    SAME split, where the per-doc `split` column can put them on both
+    sides of the train/test boundary. The oracle replays the cluster
+    label as `min(doc_id) OVER (PARTITION BY md5(text))`."""
     from data_pipelines_spark.functions.text import token_count
     from data_pipelines_spark.operators.corpus import (
         assign_splits,
@@ -174,27 +175,29 @@ def corpus_split_shuffle(spark, sf_dir):
         seeded_shuffle,
         temperature_upsample,
     )
-    from data_pipelines_spark.operators.dedup import exact_duplicates
 
     tune(spark)
     raw = load_table(spark, sf_dir, "documents")
-    # The token-weighted projection feeds both the mixture-rate
-    # aggregation and the per-doc rows (measured: 6 scans unpersisted).
-    # Session-scoped cache, same contract as corpus_doc_curation's:
-    # repeat-measuring harnesses clearCache() between passes (bench.py).
+    # The token-weighted projection feeds the mixture-rate aggregation,
+    # the per-doc rows, AND (via __md5) both sides of the cluster
+    # derivation (measured: 6 scans unpersisted before the hash column
+    # even existed). One scan, one md5 evaluation. Session-scoped
+    # cache, same contract as corpus_doc_curation's: repeat-measuring
+    # harnesses clearCache() between passes (bench.py).
     docs = raw.select(
-        "doc_id", "source", token_count(F.lower(F.col("text"))).alias("__ntok")
+        "doc_id",
+        "source",
+        token_count(F.lower(F.col("text"))).alias("__ntok"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("__md5"),
     ).persist()
-    # Exact-dup cluster labels: hash-groupBy keeper + equi join back on
-    # the content hash (map-side combined; never a text-partitioned
-    # window sort). Cluster-grain hashing is what makes `split_safe`
-    # leakage-free.
-    keyed = raw.select(
-        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5")
-    )
-    clusters = keyed.join(
-        exact_duplicates(raw).select("text_md5", "keeper_id"), "text_md5"
-    ).select("doc_id", F.col("keeper_id").alias("cluster_id"))
+    # Exact-dup cluster labels: hash-groupBy keeper (exact_duplicates'
+    # min-id rule) + equi join back on the content hash — map-side
+    # combined, never a text-partitioned window sort. Cluster-grain
+    # hashing is what makes `split_safe` leakage-free.
+    clusters = docs.select("doc_id", "__md5").join(
+        docs.groupBy("__md5").agg(F.min("doc_id").alias("cluster_id")),
+        "__md5",
+    ).select("doc_id", "cluster_id")
     out = assign_splits(docs, _SPLIT_WEIGHTS, portable=True)
     out = assign_splits_leakage_safe(
         out, clusters, _SPLIT_WEIGHTS, portable=True, out_col="split_safe"

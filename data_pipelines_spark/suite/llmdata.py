@@ -476,8 +476,11 @@ def doc_profile(spark, sf_dir):
     bullet / ellipsis / stopword rules. Merges the former
     doc_quality_scores / doc_fingerprints / lang_guess_docs queries so
     the driver sweep covers every registry entry; each column remains
-    individually oracle-checked. One narrow projection — every signal
-    is a native expression over the row, no shuffle.
+    individually oracle-checked. The text-signal tier is one narrow
+    projection (native expressions over the row); the multimodal tier
+    below adds three mapInPandas decode stages joined back on doc_id —
+    deliberately separate pipelines so the decode kernels run exactly
+    as a real media table would drive them.
 
     The ``img_*`` columns drive the REAL multimodal decode path through
     the hash gate: each doc is deterministically rendered as a P5 PGM

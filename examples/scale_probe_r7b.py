@@ -96,9 +96,23 @@ def probe_multimodal(spark, docs):
             "UTF-8",
         ).alias("content"),
     )
+    wav_header = (
+        "52494646" "64000000" "57415645" "666d7420" "10000000"
+        "0100" "0100" "401f0000" "803e0000" "0200" "1000"
+        "64617461" "40000000"
+    )
+    wav = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.to_binary(
+            F.concat(F.lit(wav_header),
+                     F.repeat(F.md5(F.encode(F.col("text"), "UTF-8")), 4)),
+            F.lit("hex"),
+        ).alias("content"),
+    )
 
     def run():
         a = image_stats(resize_images(media, 4, 3)).count()
+        a += audio_features(wav).count()
         return a
 
     return timed(run)

@@ -1073,15 +1073,19 @@ def test_chunk_documents_overlap_and_offsets(spark):
 
     docs = _docs(spark, [(1, "a", "t0 t1 t2 t3 t4 t5 t6")])  # 7 tokens
     out = chunk_documents(docs, chunk_tokens=4, overlap_tokens=2).collect()
-    # stride 2: starts 0,2,4,6 — the 1-token tail at 6 is kept because
-    # min_chunk_tokens defaults to 1.
+    # stride 2: starts 0,2,4 — generation stops at the first window
+    # reaching the end; a start at 6 would be a strict subset of the
+    # window at 4 (duplicate content) and must not be emitted.
     got = {(r.chunk_id, r.chunk_start, r.chunk_n_tokens, r.chunk_text) for r in out}
     assert got == {
         (0, 0, 4, "t0 t1 t2 t3"),
         (1, 2, 4, "t2 t3 t4 t5"),
         (2, 4, 3, "t4 t5 t6"),
-        (3, 6, 1, "t6"),
     }
+    # every token is covered and no chunk is a subset of another
+    texts = [r.chunk_text for r in out]
+    for a in texts:
+        assert not any(a != b and a in b for b in texts)
 
 
 def test_chunk_documents_min_tokens_drops_tail_not_only_chunk(spark):
