@@ -225,6 +225,9 @@ _MIX_DEFAULT = 0.1
 _BENCH_MAX_ID = 20  # docs below this id play the held-out benchmark
 _NGRAM_N = 8
 _SEQ_LEN = 512  # training-sequence length for the packing columns
+_CHUNK_TOKENS = 32  # retrieval chunk window for the chunking columns
+_CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
 
 
 def _grams_sql(n: int) -> str:
@@ -328,6 +331,32 @@ _CURATION_SQL = rf"""
             FROM decided d LEFT JOIN lm l ON d.doc_id = l.doc_id
             WHERE d.keep_sample AND d.matched_ngrams = 0
         )
+    ),
+    chunk_rows AS (
+        SELECT doc_id, s,
+               list_slice(toks, s + 1, s + {_CHUNK_TOKENS}) AS w
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0,
+                       (CASE WHEN len(toks) > {_CHUNK_TOKENS}
+                             THEN ((len(toks) - {_CHUNK_TOKENS}
+                                    + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE})
+                                  * {_CHUNK_STRIDE}
+                             ELSE 0 END) + 1,
+                       {_CHUNK_STRIDE})) AS s
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM corpus)
+            WHERE len(toks) > 0
+        )
+    ),
+    chunked AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(len(w)) AS BIGINT) AS chunk_tokens_total,
+               md5(string_agg(CAST(s AS VARCHAR) || ':'
+                              || array_to_string(w, ' '),
+                              chr(10) ORDER BY s)) AS chunks_md5
+        FROM chunk_rows
+        GROUP BY doc_id
     )
     SELECT d.doc_id, d.source, d.keep_sample, d.matched_ngrams,
            CAST(cl.n_lines AS BIGINT) AS n_lines,
@@ -336,11 +365,13 @@ _CURATION_SQL = rf"""
                AS clean_text_md5,
            COALESCE(l.n_tokens, 0) AS n_tokens,
            l.lm_logprob10,
-           p.seq_id, p.seq_off, p.seq_spans
+           p.seq_id, p.seq_off, p.seq_spans,
+           ck.n_chunks, ck.chunk_tokens_total, ck.chunks_md5
     FROM decided d
     JOIN cleaned cl ON d.doc_id = cl.doc_id
     LEFT JOIN lm l ON d.doc_id = l.doc_id
     LEFT JOIN packed p ON d.doc_id = p.doc_id
+    LEFT JOIN chunked ck ON d.doc_id = ck.doc_id
 """
 
 
@@ -372,8 +403,18 @@ def corpus_doc_curation(spark, sf_dir):
       CURATED subset (keep_sample, uncontaminated) into 512-token
       training sequences per source stream; null for dropped docs.
       Two-phase running sum — no one-partition-per-stream window.
+    - ``n_chunks`` / ``chunk_tokens_total`` / ``chunks_md5`` —
+      retrieval-index chunking (`operators.corpus.chunk_documents`,
+      32-token windows, 8-token overlap): chunk count, total window
+      tokens, and an order-sensitive md5 over every ``start:text``
+      chunk line, so window starts, the end-stopping rule (no
+      subset-of-previous trailing windows), slicing, and reassembly
+      are all hash-checked. Null for blank docs. The operator is a
+      pure narrow map (sequence + slice + posexplode, Exchange-free);
+      only this summary aggregation shuffles, at doc grain.
     """
     from data_pipelines_spark.operators.corpus import (
+        chunk_documents,
         pack_sequences,
         remove_boilerplate_lines,
         unigram_logprob,
@@ -426,10 +467,37 @@ def corpus_doc_curation(spark, sf_dir):
     packed = pack_sequences(curated, _SEQ_LEN).select(
         "doc_id", "seq_id", "seq_off", "seq_spans"
     )
+    # The SQL token grain is lowercased; chunk the same projection.
+    chunks = chunk_documents(
+        corpus.select("doc_id", F.lower(F.col("text")).alias("text")),
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap_tokens=_CHUNK_OVERLAP,
+    )
+    chunk_line = F.struct(
+        F.col("chunk_start"),
+        F.concat_ws(":", F.col("chunk_start"), F.col("chunk_text")).alias("line"),
+    )
+    chunk_summary = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("chunk_n_tokens").cast("long").alias("chunk_tokens_total"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(chunk_line)),
+                        lambda w: w["line"],
+                    ),
+                    "\n",
+                ),
+                "UTF-8",
+            )
+        ).alias("chunks_md5"),
+    )
     return (
         decided.join(cleaned, "doc_id")
         .join(lm, "doc_id", "left")
         .join(packed, "doc_id", "left")
+        .join(chunk_summary, "doc_id", "left")
         .select(
             "doc_id",
             "source",
@@ -443,5 +511,8 @@ def corpus_doc_curation(spark, sf_dir):
             "seq_id",
             "seq_off",
             "seq_spans",
+            "n_chunks",
+            "chunk_tokens_total",
+            "chunks_md5",
         )
     )

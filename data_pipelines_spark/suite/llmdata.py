@@ -793,6 +793,29 @@ _LSH_TOPK_SQL = f"""
                    ORDER BY n_votes DESC, wt DESC, label ASC
                ) AS rk
         FROM votes
+    ),
+    exact_knn AS (
+        SELECT qv.vec_id AS qid, cv.vec_id AS rid,
+               row_number() OVER (
+                   PARTITION BY qv.vec_id
+                   ORDER BY list_dot_product(qv.embedding::DOUBLE[], cv.embedding::DOUBLE[])
+                            / (sqrt(list_dot_product(qv.embedding::DOUBLE[], qv.embedding::DOUBLE[]))
+                               * sqrt(list_dot_product(cv.embedding::DOUBLE[], cv.embedding::DOUBLE[])))
+                            DESC, cv.vec_id ASC
+               ) AS rk
+        FROM embeddings qv JOIN embeddings cv
+          ON qv.vec_id < 5 AND cv.vec_id >= 5
+        WHERE list_dot_product(qv.embedding::DOUBLE[], qv.embedding::DOUBLE[]) > 0
+          AND list_dot_product(cv.embedding::DOUBLE[], cv.embedding::DOUBLE[]) > 0
+    ),
+    recall AS (
+        SELECT e.qid,
+               count(*) AS n_exact,
+               sum(CASE WHEN a.rid IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM (SELECT qid, rid FROM exact_knn WHERE rk <= 10) e
+        LEFT JOIN (SELECT qid, rid FROM ranked WHERE rank <= 10) a
+          ON e.qid = a.qid AND e.rid = a.rid
+        GROUP BY e.qid
     )
     SELECT 'lsh_topk' AS method, left_vec_id AS qid, right_vec_id AS aux,
            cosine AS score, rank AS n
@@ -805,6 +828,11 @@ _LSH_TOPK_SQL = f"""
     SELECT 'knn_pred' AS method, qid, CAST(label AS BIGINT) AS aux,
            CAST(wt AS DOUBLE) AS score, CAST(n_votes AS BIGINT) AS n
     FROM pred WHERE rk = 1
+    UNION ALL
+    SELECT 'recall' AS method, qid, CAST(n_hit AS BIGINT) AS aux,
+           ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) AS score,
+           CAST(n_exact AS BIGINT) AS n
+    FROM recall
 """
 
 
@@ -835,8 +863,21 @@ def embedding_lsh_topk(spark, sf_dir):
       broadcasts the seed and takes per-query top-k as a map-side
       collect_list/array_sort aggregation — shuffle volume is one
       k-sized row per query, never the query x seed pair stream.
+    - ``recall`` — the ANN QA metric (`operators.similarity.
+      recall_at_k`): per-query recall of the ``lsh_topk`` result
+      against the exact top-10 baseline (`exact_knn_join` over the
+      same query/candidate split). ``aux`` is the hit count, ``n`` the
+      exact-neighbor count, ``score`` the recall; the oracle recomputes
+      the exact ranking all-pairs and replays the hit join, so both the
+      diagnostic arithmetic AND the exact-baseline operator are
+      hash-checked.
     """
-    from data_pipelines_spark.operators.similarity import knn_classify, knn_join
+    from data_pipelines_spark.operators.similarity import (
+        exact_knn_join,
+        knn_classify,
+        knn_join,
+        recall_at_k,
+    )
 
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -852,6 +893,18 @@ def embedding_lsh_topk(spark, sf_dir):
         emb.where(F.col("vec_id") >= _KNN_SEED_MIN),
         k=_KNN_K,
     )
+    exact = exact_knn_join(
+        emb.where(F.col("vec_id") < 5),
+        emb.where(F.col("vec_id") >= 5),
+        k=10,
+    )
+    rec = recall_at_k(topk, exact).select(
+        F.lit("recall").alias("method"),
+        F.col("left_vec_id").alias("qid"),
+        F.col("n_hit").alias("aux"),
+        F.col("recall").alias("score"),
+        F.col("n_exact").alias("n"),
+    )
     return topk.select(
         F.lit("lsh_topk").alias("method"),
         F.col("left_vec_id").alias("qid"),
@@ -866,7 +919,7 @@ def embedding_lsh_topk(spark, sf_dir):
             F.col("vote_weight").alias("score"),
             F.col("n_votes").alias("n"),
         )
-    )
+    ).unionByName(rec)
 
 
 def _minhash_oracle_sql(num_hashes: int = 64, num_bands: int = 16, k: int = 5,
