@@ -495,9 +495,34 @@ def grouped_stats_suite(spark, sf_dir):
     return stats.join(skew, "l_returnflag")
 
 
+def _hav_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """SQL text for the F10 haversine in km — the same formula
+    `functions.geo.haversine_km` evaluates, so composed uses (distance,
+    pixel area) hash-match bit-for-bit."""
+    a = (
+        f"(pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))"
+    )
+    return f"2 * 6371.0 * atan2(sqrt({a}), sqrt(1 - {a}))"
+
+
+_CS_LAT1 = "(CAST(c_custkey % 80 AS DOUBLE) - 40)"
+_CS_LON1 = "(CAST((c_custkey * 7) % 340 AS DOUBLE) - 170)"
+_CS_LAT2 = "(CAST(c_nationkey AS DOUBLE) * 3 - 36)"
+_CS_LON2 = "(CAST(c_nationkey AS DOUBLE) * 13 - 156)"
+_PX = 0.25  # pixel size (deg) for the F11 tier
+_TILE_SQL = (
+    "lpad(CAST(c_custkey % 60 AS VARCHAR), 2, '0')"
+    " || (CASE WHEN c_nationkey % 2 = 0 THEN 'N' ELSE 'S' END)"
+    " || '_' || lpad(CAST((c_custkey * 3) % 180 AS VARCHAR), 3, '0')"
+    " || (CASE WHEN c_custkey % 2 = 0 THEN 'E' ELSE 'W' END)"
+)
+
+
 @register(
     "customer_scalar_suite",
-    """
+    f"""
     SELECT c_custkey,
            upper(c_name) AS name_upper,
            lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
@@ -505,36 +530,40 @@ def grouped_stats_suite(spark, sf_dir):
            CAST(levenshtein(c_mktsegment, 'MACHINERY') AS BIGINT) AS seg_lev,
            substr(c_name, 1, 8) AS name_prefix,
            replace(c_name, '#', '-') AS name_dashed,
-           ROUND(
-             2 * 6371.0 * atan2(
-               sqrt(
-                 pow(sin(radians((CAST(c_nationkey AS DOUBLE) * 3 - 36)
-                                 - (CAST(c_custkey % 80 AS DOUBLE) - 40)) / 2), 2)
-                 + cos(radians(CAST(c_custkey % 80 AS DOUBLE) - 40))
-                   * cos(radians(CAST(c_nationkey AS DOUBLE) * 3 - 36))
-                   * pow(sin(radians((CAST(c_nationkey AS DOUBLE) * 13 - 156)
-                                     - (CAST((c_custkey * 7) % 340 AS DOUBLE) - 170)) / 2), 2)
-               ),
-               sqrt(1 - (
-                 pow(sin(radians((CAST(c_nationkey AS DOUBLE) * 3 - 36)
-                                 - (CAST(c_custkey % 80 AS DOUBLE) - 40)) / 2), 2)
-                 + cos(radians(CAST(c_custkey % 80 AS DOUBLE) - 40))
-                   * cos(radians(CAST(c_nationkey AS DOUBLE) * 3 - 36))
-                   * pow(sin(radians((CAST(c_nationkey AS DOUBLE) * 13 - 156)
-                                     - (CAST((c_custkey * 7) % 340 AS DOUBLE) - 170)) / 2), 2)
-               ))
-             ), 3) AS dist_km
-    FROM customer
+           ROUND({_hav_sql(_CS_LAT1, _CS_LON1, _CS_LAT2, _CS_LON2)}, 3)
+               AS dist_km,
+           ROUND(({_hav_sql(f"{_CS_LAT1} - {_PX / 2}", _CS_LON1,
+                            f"{_CS_LAT1} + {_PX / 2}", _CS_LON1)})
+                 * ({_hav_sql(_CS_LAT1, f"{_CS_LON1} - {_PX / 2}",
+                              _CS_LAT1, f"{_CS_LON1} + {_PX / 2}")}), 6)
+               AS px_area_km2,
+           tile,
+           CASE WHEN substr(tile, 3, 1) = 'S'
+                THEN -CAST(substr(tile, 1, 2) AS DOUBLE)
+                ELSE CAST(substr(tile, 1, 2) AS DOUBLE) END AS tile_lat,
+           CASE WHEN substr(tile, 8, 1) = 'W'
+                THEN -CAST(substr(tile, 5, 3) AS DOUBLE)
+                ELSE CAST(substr(tile, 5, 3) AS DOUBLE) END AS tile_lon
+    FROM (SELECT *, {_TILE_SQL} AS tile FROM customer)
     """,
 )
 def customer_scalar_suite(spark, sf_dir):
     """Composite scalar surface per customer: case, padding, reverse,
-    edit distance, substring, replace — plus the F10 haversine distance
-    between two synthesized points, rounded to 1 m precision. All
-    JVM-side native expressions. Merges the former
-    string_function_suite and haversine_distances queries
-    (registry trim)."""
-    from data_pipelines_spark.functions.geo import haversine_km
+    edit distance, substring, replace — plus three geo scalars over
+    synthesized points: the F10 haversine distance (1 m precision),
+    the F11 pixel ground area at a 0.25-degree resolution
+    (`functions.geo.pixel_area_km2` — haversine height x width at the
+    pixel location), and the F12 GFC tile-name round-trip
+    (`functions.geo.parse_tile_name`: a `10N_020W`-style name built
+    from the keys, parsed back to its signed origin — construction AND
+    parse replayed in the oracle). All JVM-side native expressions.
+    Merges the former string_function_suite and haversine_distances
+    queries (registry trim)."""
+    from data_pipelines_spark.functions.geo import (
+        haversine_km,
+        parse_tile_name,
+        pixel_area_km2,
+    )
 
     tune(spark)
     cust = load_table(spark, sf_dir, "customer")
@@ -542,7 +571,15 @@ def customer_scalar_suite(spark, sf_dir):
     lon1 = ((F.col("c_custkey") * 7) % 340).cast("double") - 170
     lat2 = F.col("c_nationkey").cast("double") * 3 - 36
     lon2 = F.col("c_nationkey").cast("double") * 13 - 156
-    return cust.select(
+    tile = F.concat(
+        F.lpad((F.col("c_custkey") % 60).cast("string"), 2, "0"),
+        F.when(F.col("c_nationkey") % 2 == 0, F.lit("N")).otherwise(F.lit("S")),
+        F.lit("_"),
+        F.lpad(((F.col("c_custkey") * 3) % 180).cast("string"), 3, "0"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("E")).otherwise(F.lit("W")),
+    )
+    tile_lat, tile_lon = parse_tile_name(F.col("tile"))
+    return cust.withColumn("tile", tile).select(
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
@@ -551,4 +588,8 @@ def customer_scalar_suite(spark, sf_dir):
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
         F.round(haversine_km(lat1, lon1, lat2, lon2), 3).alias("dist_km"),
+        F.round(pixel_area_km2(lat1, lon1, _PX), 6).alias("px_area_km2"),
+        "tile",
+        tile_lat.alias("tile_lat"),
+        tile_lon.alias("tile_lon"),
     )
