@@ -66,6 +66,7 @@ _PRIORITY = (
     # evolve_schema + compact_dataset (slot freed by fusing
     # ngram_jaccard_same_source + embedding_near_dup_pairs into
     # near_dup_pair_suite)
+    "zonal_treeloss_suite",
     "incremental_near_dup",
     "near_dup_pair_suite",
     "stream_sink_readback",

@@ -263,26 +263,139 @@ def dense_group_count(spark, sf_dir):
     return dense
 
 
-@register(
-    "coarsen_block_sum",
+_ZONED_SQL = """
+        SELECT (l_partkey % 340) - 170 AS x,
+               (l_suppkey % 160) - 80 AS y,
+               CAST(l_linenumber - 1 AS BIGINT) AS lossyear,
+               l_orderkey % 37 AS id,
+               l_quantity
+        FROM lineitem
+"""
+
+
+def _zonal_suite_sql() -> str:
+    from data_pipelines_spark.suite.advanced import _hav_sql
+
+    lat, lon = "CAST(y AS DOUBLE)", "CAST(x AS DOUBLE)"
+    px = (
+        f"({_hav_sql(f'{lat} - 0.125', lon, f'{lat} + 0.125', lon)})"
+        f" * ({_hav_sql(lat, f'{lon} - 0.125', lat, f'{lon} + 0.125')})"
+    )
+    return f"""
+    WITH zoned AS ({_ZONED_SQL}),
+    counts AS (
+        SELECT b.id, yr.year, coalesce(c.cnt, 0) AS loss_incidents
+        FROM (SELECT DISTINCT id FROM zoned) b
+        CROSS JOIN (SELECT unnest(range(1, 23)) AS year) yr
+        LEFT JOIN (SELECT id, lossyear AS year, count(*) AS cnt
+                   FROM zoned WHERE lossyear > 0 GROUP BY 1, 2) c
+          ON b.id = c.id AND yr.year = c.year
+    ),
+    first_cell AS (
+        SELECT id, y, x FROM (
+            SELECT id, y, x,
+                   row_number() OVER (PARTITION BY id ORDER BY y, x) AS rk
+            FROM zoned) WHERE rk = 1
+    ),
+    areas AS (SELECT id, ROUND({px}, 6) AS px FROM first_cell)
+    SELECT 'coarsen' AS method,
+           CAST(FLOOR(x / 10) AS BIGINT) AS k1,
+           CAST(FLOOR(y / 5) AS BIGINT) AS k2,
+           CAST(NULL AS BIGINT) AS k3,
+           CAST(NULL AS BIGINT) AS cnt,
+           CAST(sum(l_quantity) AS DOUBLE) AS val
+    FROM zoned GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'loss_mask',
+           CAST(FLOOR(x / 10) AS BIGINT),
+           CAST(FLOOR(y / 5) AS BIGINT),
+           lossyear,
+           CAST(count(*) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM zoned WHERE lossyear BETWEEN 1 AND 22
+    GROUP BY 1, 2, 3, 4
+    UNION ALL
+    SELECT 'treeloss', c.id, c.year + 2000, CAST(NULL AS BIGINT),
+           CAST(c.loss_incidents AS BIGINT), a.px
+    FROM counts c LEFT JOIN areas a ON c.id = a.id
     """
-    SELECT CAST(FLOOR(l_partkey / 10) AS BIGINT) AS block_x,
-           CAST(FLOOR(l_suppkey / 5)  AS BIGINT) AS block_y,
-           sum(l_quantity) AS l_quantity_sum
-    FROM lineitem
-    GROUP BY 1, 2
-    """,
-)
-def coarsen_block_sum(spark, sf_dir):
-    """A8: spatial block-sum downsample (reference
-    ``coarsen(x=200,y=200).sum()``, `global_forest_watch.py:71`) —
-    groupBy on floor-divided coordinates with map-side partials."""
+
+
+@register("zonal_treeloss_suite", _zonal_suite_sql())
+def zonal_treeloss_suite(spark, sf_dir):
+    """The full GFW zonal chain (reference `global_forest_watch.py`),
+    method-tagged at the common (method, k1, k2, k3, cnt, val) grain
+    over lineitem re-read as long-form pixels (x = lon from partkey,
+    y = lat from suppkey, lossyear 0-6 from linenumber, basin id from
+    orderkey — keeping the coordinates in geographic range so the
+    pixel-area trigonometry is exercised on real latitudes):
+
+    - ``coarsen`` — A8 block-sum downsample (`zonal.coarsen_sum`,
+      floor-divided coordinates, map-side partials); k=(block_x,
+      block_y), val the quantity sum.
+    - ``loss_mask`` — F14/U2 per-year loss masks chained into the
+      coarsen (`zonal.yearly_loss_masks` -> `coarsen_sum` with the
+      year as an extra key): the long layout makes the reference's 22
+      stacked equality masks one groupBy; k3 is the year, cnt the
+      per-block loss-pixel count. Year 0 (no loss) is excluded by the
+      mask, not the data.
+    - ``treeloss`` — the J8 join of the A7/F15 dense per-(basin, year)
+      incident counts (zero rows PRESERVED for all 22 years — most are
+      empty here, so the dense fill is exercised hard) with the A6+F11
+      per-basin representative pixel area (deterministic min-(y, x)
+      first cell, haversine height x width), broadcast on the basin
+      side (`zonal.treeloss_per_basin`); k=(basin, calendar year), cnt
+      the incidents, val the basin pixel area (km^2, 1e-6 rounded).
+
+    Replaces the coarsen-only `coarsen_block_sum` entry: same slot, the
+    whole zonal module now passes the driver hash gate."""
+    from data_pipelines_spark.operators.zonal import (
+        treeloss_per_basin,
+        yearly_loss_masks,
+    )
+
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return coarsen_sum(
-        li, block_x=10, block_y=5, x_col="l_partkey", y_col="l_suppkey",
-        value_col="l_quantity",
+    zoned = li.select(
+        ((F.col("l_partkey") % 340) - 170).cast("long").alias("x"),
+        ((F.col("l_suppkey") % 160) - 80).cast("long").alias("y"),
+        (F.col("l_linenumber") - 1).cast("long").alias("lossyear"),
+        (F.col("l_orderkey") % 37).cast("long").alias("id"),
+        F.col("l_quantity"),
     )
+    nul_l, nul_d = F.lit(None).cast("long"), F.lit(None).cast("double")
+    coarsen = coarsen_sum(
+        zoned, block_x=10, block_y=5, value_col="l_quantity"
+    ).select(
+        F.lit("coarsen").alias("method"),
+        F.col("block_x").cast("long").alias("k1"),
+        F.col("block_y").cast("long").alias("k2"),
+        nul_l.alias("k3"),
+        nul_l.alias("cnt"),
+        F.col("l_quantity_sum").cast("double").alias("val"),
+    )
+    masks = coarsen_sum(
+        yearly_loss_masks(zoned), block_x=10, block_y=5,
+        value_col="mask", extra_keys=("year",),
+    ).select(
+        F.lit("loss_mask").alias("method"),
+        F.col("block_x").cast("long").alias("k1"),
+        F.col("block_y").cast("long").alias("k2"),
+        F.col("year").cast("long").alias("k3"),
+        F.col("mask_sum").cast("long").alias("cnt"),
+        nul_d.alias("val"),
+    )
+    treeloss = treeloss_per_basin(
+        zoned, zoned, pixel_size_deg=0.25, id_col="id"
+    ).select(
+        F.lit("treeloss").alias("method"),
+        F.col("id").cast("long").alias("k1"),
+        F.col("year").cast("long").alias("k2"),
+        nul_l.alias("k3"),
+        F.col("loss_incidents").cast("long").alias("cnt"),
+        F.round(F.col("pixel_area_km2"), 6).alias("val"),
+    )
+    return coarsen.unionByName(masks).unionByName(treeloss)
 
 
 @register(
