@@ -280,6 +280,7 @@ def incremental_near_duplicates(
     num_bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
+    corpus_buckets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup detection of a NEW batch against an already-ingested
     corpus, without re-hashing the corpus: the production ingest shape,
@@ -302,42 +303,57 @@ def incremental_near_duplicates(
     Corpus docs never pair with each other here (their mutual dups were
     handled at their own ingest), which is what makes the join
     incremental: only buckets CONTAINING A NEW DOC produce work, so
-    cost scales with |batch| x bucket occupancy, not |corpus|. At
-    scale, write the corpus bucket table bucketed by (band, band_hash)
-    (``DataFrameWriter.bucketBy``) and this join co-locates without
-    reshuffling the corpus side; ids must be globally unique across
-    corpus and batches (the store's contract).
+    cost scales with |batch| x bucket occupancy, not |corpus|.
+
+    ``corpus_buckets`` is the stored band-bucket table — (band,
+    band_hash, id) rows from a previous :func:`minhash_band_buckets`
+    run with the same parameters. Pass it to skip re-deriving band
+    hashes from the signature store every batch, and write it bucketed
+    by (band, band_hash) (`sources.bucketed.write_bucketed`) so the
+    candidate join reshuffles ONLY the batch side — the corpus side
+    reads its layout (the batch-vs-corpus and batch-vs-batch joins are
+    deliberately separate; a tagged union of the two right sides would
+    discard the store's distribution and reshuffle the 100 TB side
+    every day; Exchange counts pinned in tests/test_bucketed.py). Ids
+    must be globally unique across corpus and batches (the store's
+    contract).
     """
     sigs_new = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_k
     ).persist()
     buckets_new = minhash_band_buckets(sigs_new, num_hashes, num_bands, id_col)
-    buckets_corpus = minhash_band_buckets(
-        corpus_signatures, num_hashes, num_bands, id_col
-    )
+    if corpus_buckets is None:
+        corpus_buckets = minhash_band_buckets(
+            corpus_signatures, num_hashes, num_bands, id_col
+        )
 
     left = buckets_new.select(
         "band", "band_hash", F.col(id_col).alias("doc_a")
     )
-    # Right side: the corpus plus the new batch itself (so the batch
-    # self-dedups); tag provenance to order pairs correctly.
-    right = buckets_corpus.select(
-        "band", "band_hash", F.col(id_col).alias("doc_b"), F.lit(False).alias("__new")
-    ).unionByName(
-        buckets_new.select(
-            "band", "band_hash", F.col(id_col).alias("doc_b"), F.lit(True).alias("__new")
+    # New-corpus pairs regardless of id order (corpus ids may be
+    # smaller or larger than batch ids)...
+    cand_corpus = (
+        left.join(
+            corpus_buckets.select(
+                "band", "band_hash", F.col(id_col).alias("doc_b")
+            ),
+            ["band", "band_hash"],
         )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    # ...new-new pairs once (a < b), so the batch self-dedups.
+    cand_new = (
+        left.join(
+            buckets_new.select(
+                "band", "band_hash", F.col(id_col).alias("doc_b")
+            ),
+            ["band", "band_hash"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
     )
     cand = (
-        left.join(right, ["band", "band_hash"])
-        .where(
-            # new-new pairs once (a < b); new-corpus pairs regardless of
-            # id order (corpus ids may be smaller or larger).
-            F.when(F.col("__new"), F.col("doc_a") < F.col("doc_b")).otherwise(
-                F.col("doc_a") != F.col("doc_b")
-            )
-        )
-        .select("doc_a", "doc_b")
+        cand_corpus.select("doc_a", "doc_b")
+        .unionByName(cand_new.select("doc_a", "doc_b"))
         .distinct()
     )
 

@@ -109,6 +109,70 @@ def test_bucket_spec_and_cobucketed(spark, two_tables, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_plain")
 
 
+def test_bucketed_minhash_store_one_sided_shuffle(spark, tmp_path):
+    """The incremental-dedup store contract end-to-end: a band-bucket
+    table written bucketed by (band, band_hash) must (a) give identical
+    pairs through incremental_near_duplicates, and (b) join against a
+    plain batch side with exactly ONE shuffle — the batch's — where the
+    same data as a plain table costs two."""
+    from data_pipelines_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [(0, base), (1, "totally different content " * 8)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base + " tail"), (11, "novel text nothing shares")],
+        "doc_id long, text string",
+    )
+    store_sigs = minhash_signatures(corpus)
+    store_buckets = minhash_band_buckets(store_sigs)
+    write_bucketed(
+        store_buckets, "bt_bands", str(tmp_path / "bands"),
+        ["band", "band_hash"], N_BUCKETS,
+    )
+    batch_path = str(tmp_path / "batch_buckets")
+    minhash_band_buckets(minhash_signatures(batch)).write.parquet(batch_path)
+    try:
+        base_pairs, _ = incremental_near_duplicates(
+            batch, store_sigs, jaccard_threshold=0.5
+        )
+        buck_pairs, _ = incremental_near_duplicates(
+            batch, store_sigs, jaccard_threshold=0.5,
+            corpus_buckets=spark.table("bt_bands"),
+        )
+        assert sorted(map(tuple, buck_pairs.collect())) == sorted(
+            map(tuple, base_pairs.collect())
+        )
+        assert base_pairs.count() > 0, "fixture must plant a cross pair"
+
+        def shuffles(right):
+            with _forced_smj(spark):
+                j = spark.read.parquet(batch_path).withColumnRenamed(
+                    "doc_id", "doc_a"
+                ).join(
+                    right.withColumnRenamed("doc_id", "doc_b"),
+                    ["band", "band_hash"],
+                )
+                j.collect()
+                # AQE's toString appends the Initial Plan after the
+                # Final Plan; count shuffles in what actually ran.
+                final = plan_string(j).split("== Initial Plan ==")[0]
+                return final.count("Exchange hashpartitioning")
+
+        n_bucketed = shuffles(spark.table("bt_bands"))
+        n_plain = shuffles(spark.read.parquet(str(tmp_path / "bands")))
+        assert n_bucketed == 1, f"bucketed store join shuffled {n_bucketed} sides"
+        assert n_plain == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_bands")
+
+
 def test_write_bucketed_validates_args(spark, tmp_path):
     df = spark.range(3)
     with pytest.raises(ValueError, match="num_buckets"):
