@@ -606,6 +606,7 @@ def knn_join_ivf(
     right_vec_col: str = "embedding",
     exclude_same_id: bool = True,
     score_round: int | None = 6,
+    right_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF variant of :func:`knn_join`: every left vector retrieves its
     ``k`` nearest right vectors from its ``nprobe`` nearest inverted
@@ -621,10 +622,19 @@ def knn_join_ivf(
     array — model-sized, never data-sized), candidates meet in a plain
     equi shuffle join on the cluster id, and the per-left top-k is a
     row_number window over list-sized candidate sets. Each pair meets
-    at most once (the right side holds one list). At scale, write the
-    right table partitioned by ``cluster`` and the join prunes
-    partitions instead of shuffling. Zero-norm/NULL vectors are
-    excluded per :func:`cosine`'s contract.
+    at most once (the right side holds one list). Zero-norm/NULL
+    vectors are excluded per :func:`cosine`'s contract.
+
+    ``right_assigned`` is the stored inverted-list table — the
+    (cluster, id, vector) rows a previous :func:`ivf_assign` run with
+    the SAME centroids produced (assignments are only valid for the
+    quantizer that made them — keep the model with the store). Pass it
+    so a 100 TB corpus is not re-assigned on every query batch, and
+    write it PARTITIONED BY ``cluster``: a selective query batch then
+    prunes whole lists at the scan (statically for a literal cluster
+    filter; via dynamic partition pruning when the probe side is
+    broadcastable), instead of reading the corpus to throw most of it
+    away post-join.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -662,13 +672,20 @@ def knn_join_ivf(
         lvec.alias("__lvec"),
         F.explode(let(lvec, probe_ids)).alias("cluster"),
     )
-    r = ivf_assign(
-        right.select(
-            F.col(right_id_col).alias("__rid"), rvec.alias("__rvec")
-        ),
-        centroids,
-        "__rvec",
-    )
+    if right_assigned is None:
+        r = ivf_assign(
+            right.select(
+                F.col(right_id_col).alias("__rid"), rvec.alias("__rvec")
+            ),
+            centroids,
+            "__rvec",
+        )
+    else:
+        r = right_assigned.select(
+            "cluster",
+            F.col(right_id_col).alias("__rid"),
+            _to_double(F.col(right_vec_col)).alias("__rvec"),
+        )
     pairs = l.join(r, "cluster")
     if exclude_same_id:
         pairs = pairs.where(F.col("__lid") != F.col("__rid"))

@@ -742,3 +742,45 @@ def test_recall_at_k_lsh_vs_exact_end_to_end(spark):
         means.append(rec.agg(F.avg("recall")).collect()[0][0])
         assert rec.count() == 10
     assert means[1] >= means[0]
+
+
+def test_knn_join_ivf_stored_assignments_match_derived(spark, tmp_path):
+    """The stored inverted-list path: knn_join_ivf(right_assigned=...)
+    must return exactly the derived-assignment result, and a store
+    written partitioned by cluster must prune lists at the scan for a
+    static cluster filter."""
+    from data_pipelines_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+        knn_join_ivf,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[8.0] * 4, [-8.0] * 4, [8.0, -8.0, 8.0, -8.0]])
+    vecs = np.concatenate(
+        [c + 0.4 * rng.standard_normal((25, 4)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(75)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(df, k=3, max_iterations=8)
+    queries = df.where(F.col("vec_id") % 7 == 0)
+
+    derived = knn_join_ivf(queries, df, cents, k=4, nprobe=1)
+
+    store = str(tmp_path / "ivf_lists")
+    ivf_assign(df, cents).write.partitionBy("cluster").parquet(store)
+    stored = spark.read.parquet(store)
+    via_store = knn_join_ivf(
+        queries, df, cents, k=4, nprobe=1, right_assigned=stored
+    )
+    assert sorted(map(tuple, via_store.collect())) == sorted(
+        map(tuple, derived.collect())
+    )
+
+    # Partition pruning: a static list filter reads one cluster dir.
+    from data_pipelines_spark.plans.audit import plan_string
+
+    plan = plan_string(stored.where(F.col("cluster") == 1))
+    assert "PartitionFilters: [isnotnull(cluster" in plan, plan
