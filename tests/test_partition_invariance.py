@@ -42,6 +42,12 @@ _SENSITIVE = [
     "incremental_near_dup",
     "stream_sink_readback",
     "upsert_readback",
+    # round-7 session 3: the recall tier's exact top-k is a map-side
+    # collect_list/array_sort aggregation (partial-agg order must not
+    # leak), and the zonal suite's first-cell argmin + dense fill are
+    # min_by/key-universe shapes
+    "embedding_lsh_topk",
+    "zonal_treeloss_suite",
 ]
 
 
