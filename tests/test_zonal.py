@@ -259,3 +259,34 @@ def test_skew_split_join_composite_keys(spark):
     assert sorted(map(tuple, auto.collect())) == plain
     pinned = skew_split_join(fact, dim, ["a", "b"], hot_keys=[(0, "x"), (1, "x")])
     assert sorted(map(tuple, pinned.collect())) == plain
+
+
+def test_treeloss_join_broadcasts_the_area_side(spark):
+    """J8's plan pin: the per-basin area side is one row per basin —
+    it must broadcast, and nothing in the chain may fall back to a
+    nested-loop or Cartesian plan."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.operators.zonal import treeloss_per_basin
+    from data_pipelines_spark.plans.audit import assert_plan
+
+    zoned = spark.range(0, 5000).select(
+        (F.col("id") % 340 - 170).alias("x"),
+        (F.col("id") % 160 - 80).alias("y"),
+        (F.col("id") % 7).alias("lossyear"),
+        (F.col("id") % 11).alias("id"),
+    )
+    out = treeloss_per_basin(zoned, zoned, 0.25, id_col="id")
+    out.collect()
+    # BroadcastNestedLoop is PRESENT by design: the dense (basin x
+    # year) universe is a deliberate bounded cross join (plans/dense) —
+    # |basins| x 22 rows, dimension-sized. What must hold: the area
+    # attach is a broadcast HASH join, and nothing degenerates to a
+    # non-broadcast Cartesian.
+    plan = assert_plan(
+        out,
+        forbid=["CartesianProduct"],
+        require=["BroadcastHashJoin"],
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastNestedLoop") == 1, plan
