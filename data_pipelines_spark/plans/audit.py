@@ -18,15 +18,25 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 
 
-def plan_string(df: DataFrame, mode: str = "executed") -> str:
+def plan_string(df: DataFrame, mode: str = "executed", final_only: bool = False) -> str:
     """The physical plan as text. ``mode``: 'executed' (after AQE
-    preparation — what actually runs) or 'spark' (before)."""
+    preparation — what actually runs) or 'spark' (before).
+
+    ``final_only`` drops the "== Initial Plan ==" section AQE appends
+    after the final plan — REQUIRED for node-COUNT assertions on a
+    materialized adaptive plan (every node appears once per section, so
+    a count against the full string double-counts; substring presence
+    checks are unaffected)."""
     qe = df._jdf.queryExecution()
     if mode == "executed":
-        return qe.executedPlan().toString()
-    if mode == "spark":
-        return qe.sparkPlan().toString()
-    raise ValueError(f"unknown mode: {mode}")
+        plan = qe.executedPlan().toString()
+    elif mode == "spark":
+        plan = qe.sparkPlan().toString()
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    if final_only:
+        plan = plan.split("== Initial Plan ==")[0]
+    return plan
 
 
 def assert_plan(

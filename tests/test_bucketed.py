@@ -160,10 +160,9 @@ def test_bucketed_minhash_store_one_sided_shuffle(spark, tmp_path):
                     ["band", "band_hash"],
                 )
                 j.collect()
-                # AQE's toString appends the Initial Plan after the
-                # Final Plan; count shuffles in what actually ran.
-                final = plan_string(j).split("== Initial Plan ==")[0]
-                return final.count("Exchange hashpartitioning")
+                return plan_string(j, final_only=True).count(
+                    "Exchange hashpartitioning"
+                )
 
         n_bucketed = shuffles(spark.table("bt_bands"))
         n_plain = shuffles(spark.read.parquet(str(tmp_path / "bands")))

@@ -288,5 +288,7 @@ def test_treeloss_join_broadcasts_the_area_side(spark):
         forbid=["CartesianProduct"],
         require=["BroadcastHashJoin"],
     )
-    final = plan.split("== Initial Plan ==")[0]
+    from data_pipelines_spark.plans.audit import plan_string
+
+    final = plan_string(out, final_only=True)
     assert final.count("BroadcastNestedLoop") == 1, plan
