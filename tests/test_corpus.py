@@ -1143,3 +1143,46 @@ def test_chunk_documents_partition_property(spark):
         assert " ".join(r.chunk_text for r in rows) == t
         assert [r.chunk_start for r in rows] == [4 * j for j in range(len(rows))]
         assert sum(r.chunk_n_tokens for r in rows) == len(t.split())
+
+
+def test_chunk_documents_stopping_rule_exhaustive(spark):
+    """Every (chunk, overlap) combo against every doc length 0..40:
+    chunks must cover all tokens, advance by exactly the stride, stop
+    at the first end-reaching window, and never emit a window whose
+    token range is contained in another's."""
+    from data_pipelines_spark.operators.corpus import chunk_documents
+
+    for chunk, overlap in [(4, 0), (4, 2), (5, 3), (8, 7), (3, 1), (1, 0)]:
+        stride = chunk - overlap
+        docs = spark.createDataFrame(
+            [(n, " ".join(f"t{i}" for i in range(n))) for n in range(41)],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(
+            docs, chunk_tokens=chunk, overlap_tokens=overlap
+        ).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert 0 not in by_doc, "blank doc must produce no chunks"
+        for n in range(1, 41):
+            got = sorted(by_doc[n], key=lambda r: r.chunk_id)
+            starts = [r.chunk_start for r in got]
+            # expected stopping rule
+            last = -(-(n - chunk) // stride) * stride if n > chunk else 0
+            assert starts == list(range(0, last + 1, stride)), (chunk, overlap, n)
+            # full coverage, correct lengths, no contained ranges
+            covered = set()
+            ranges = []
+            for r in got:
+                assert r.chunk_n_tokens == min(chunk, n - r.chunk_start)
+                assert r.chunk_text.split(" ") == [
+                    f"t{i}" for i in range(r.chunk_start, r.chunk_start + r.chunk_n_tokens)
+                ]
+                covered.update(range(r.chunk_start, r.chunk_start + r.chunk_n_tokens))
+                ranges.append((r.chunk_start, r.chunk_start + r.chunk_n_tokens))
+            assert covered == set(range(n)), (chunk, overlap, n)
+            for a in ranges:
+                assert not any(
+                    a != b and b[0] <= a[0] and a[1] <= b[1] for b in ranges
+                ), (chunk, overlap, n, a)
