@@ -54,10 +54,16 @@ def batch_infer(
     """
     import pandas as pd
 
+    if not input_cols:
+        raise ValueError("input_cols must be non-empty")
     keep = list(keep_cols) if keep_cols is not None else list(input_cols)
     missing = [c for c in (*input_cols, *keep) if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in frame: {missing}")
+    if output_col in keep:
+        raise ValueError(
+            f"output_col {output_col!r} collides with a kept column"
+        )
     out_schema = ", ".join(
         [f"`{c}` {dt}" for c, dt in df.select(*keep).dtypes]
         + [f"`{output_col}` {output_type}"]

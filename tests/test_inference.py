@@ -96,3 +96,13 @@ def test_chunk_embed_index_composition(spark):
         if cid // 1000 in (1, 2):
             assert near % 1000 == cid % 1000 and near // 1000 in (1, 2)
             assert cos == 1.0
+
+
+def test_batch_infer_guards_collisions_and_empty_inputs(spark):
+    df = spark.range(3).select(F.col("id"), F.lit("t").alias("text"))
+    with pytest.raises(ValueError, match="non-empty"):
+        batch_infer(df, lambda: (lambda p: []), [], "o", "int")
+    with pytest.raises(ValueError, match="collides"):
+        batch_infer(
+            df, lambda: (lambda p: []), ["text"], "id", "int", keep_cols=["id"]
+        )
