@@ -170,6 +170,48 @@ def main() -> None:
               f"near-dup pairs dropped: {pairs.count()}")
         curated.orderBy("source", "doc_id").show(8)
 
+        # --- Retrieval prep: chunk the curated docs into overlapping
+        # token windows (narrow map), embed every chunk (batched
+        # inference — model constructed once per partition; the
+        # encoder here is the deterministic stub, a real model plugs
+        # into the same factory), and QA the ANN configuration with
+        # recall@k against the exact baseline BEFORE shipping the
+        # index — the go/no-go metric for probe settings.
+        from data_pipelines_spark.operators.corpus import chunk_documents
+        from data_pipelines_spark.operators.inference import embed_texts
+        from data_pipelines_spark.operators.similarity import (
+            exact_knn_join,
+            knn_join,
+            recall_at_k,
+        )
+
+        # chunk ids must stay collision-free under ANSI: doc ids here
+        # are full-range hashed longs, so arithmetic composition would
+        # overflow — hash the (doc, chunk) pair instead.
+        chunks = chunk_documents(
+            curated, chunk_tokens=16, overlap_tokens=4
+        ).select(
+            F.xxhash64("doc_id", "chunk_id").alias("cid"),
+            "chunk_text",
+        )
+        emb = embed_texts(
+            chunks, dim=16, text_col="chunk_text", id_col="cid"
+        ).persist()
+        probe = emb.where(F.col("cid") % 5 == 0)
+        approx = knn_join(
+            probe, emb, k=3, dim=16, num_planes=2,
+            left_id_col="cid", right_id_col="cid",
+            left_vec_col="embedding", right_vec_col="embedding",
+        )
+        exact = exact_knn_join(
+            probe, emb, k=3, left_id_col="cid", right_id_col="cid",
+        )
+        rec = recall_at_k(approx, exact, "left_cid", "right_cid")
+        mean_recall = rec.agg(F.avg("recall")).first()[0]
+        print(f"retrieval index: {emb.count()} chunk embeddings; "
+              f"LSH recall@3 over {rec.count()} probe queries: "
+              f"{mean_recall:.3f}")
+
         # --- Day 2: incremental ingest. The curated corpus's MinHash
         # signatures persist as the dedup store; a new batch is checked
         # against ALL prior history without re-hashing it (join work
