@@ -343,7 +343,8 @@ def event_window_frames(spark, sf_dir):
            l_extendedprice, l_quantity,
            CAST(price_rank AS BIGINT) AS price_rank,
            CAST(qty_quartile AS BIGINT) AS qty_quartile,
-           CAST(qty_pct_rank AS DOUBLE) AS qty_pct_rank
+           CAST(qty_pct_rank AS DOUBLE) AS qty_pct_rank,
+           CAST(qty_cume_dist AS DOUBLE) AS qty_cume_dist
     FROM (
         SELECT *,
                row_number() OVER (
@@ -351,7 +352,8 @@ def event_window_frames(spark, sf_dir):
                    ORDER BY l_extendedprice DESC, l_orderkey ASC,
                             l_linenumber ASC) AS price_rank,
                ntile(4) OVER q AS qty_quartile,
-               percent_rank() OVER q AS qty_pct_rank
+               percent_rank() OVER q AS qty_pct_rank,
+               cume_dist() OVER q AS qty_cume_dist
         FROM lineitem
         WINDOW q AS (PARTITION BY l_orderkey
                      ORDER BY l_quantity, l_linenumber, l_partkey, l_suppkey)
@@ -361,9 +363,9 @@ def event_window_frames(spark, sf_dir):
 )
 def ranking_windows_suite(spark, sf_dir):
     """Ranking + distribution windows under total orders: top-k (k>1)
-    per return flag via row_number, plus ntile quartiles and
-    percent_rank per order (the (rank-1)/(n-1) arithmetic is exact in
-    both engines). Windows are computed over the FULL table; the output
+    per return flag via row_number, plus ntile quartiles,
+    percent_rank, and cume_dist per order (the (rank-1)/(n-1) and
+    rows<=current/n arithmetic are exact in both engines). Windows are computed over the FULL table; the output
     filter (top-3 per flag plus a deterministic slice of order keys)
     only bounds the driver's canonicalization cost. Merges the former
     topk_lines_per_flag and rank_distribution_windows queries
@@ -380,6 +382,7 @@ def ranking_windows_suite(spark, sf_dir):
         li.withColumn("price_rank", F.row_number().over(flag_w))
         .withColumn("qty_quartile", F.ntile(4).over(qty_w))
         .withColumn("qty_pct_rank", F.percent_rank().over(qty_w))
+        .withColumn("qty_cume_dist", F.cume_dist().over(qty_w))
         .where((F.col("price_rank") <= 3) | (F.col("l_orderkey") <= 400))
         .select(
             "l_returnflag",
@@ -390,6 +393,7 @@ def ranking_windows_suite(spark, sf_dir):
             F.col("price_rank").cast("long").alias("price_rank"),
             F.col("qty_quartile").cast("long").alias("qty_quartile"),
             F.col("qty_pct_rank").cast("double").alias("qty_pct_rank"),
+            F.col("qty_cume_dist").cast("double").alias("qty_cume_dist"),
         )
     )
 
