@@ -75,15 +75,44 @@ def char_shingles(text: Column, k: int = 5) -> Column:
 
 
 def exact_duplicates(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
 ) -> DataFrame:
     """Exact dedup: group by content hash; keep the smallest id as the
-    canonical representative. Output: (text_md5, keeper_id, dup_cnt)."""
-    hashed = docs.select(
-        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("text_md5"), F.col(id_col)
-    )
-    return hashed.groupBy("text_md5").agg(
-        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dup_cnt")
+    canonical representative. Output: (text_md5, keeper_id, dup_cnt).
+
+    ``quality_col`` switches the keeper policy to highest-quality-wins
+    (a numeric score — keep the best COPY of the content, e.g. the one
+    with richer metadata or from the preferred source, not merely the
+    first crawled). Ties still break to the smallest id, so the choice
+    stays deterministic and partition-invariant. Exact duplicates
+    usually share text but not provenance; which copy survives decides
+    which (source, url, license) row the corpus keeps. Same plan either
+    way: one map-side-combined hash groupBy (min_by partials compose),
+    nothing quality-related shuffles beyond the one aggregate."""
+    cols = [
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("text_md5"),
+        F.col(id_col),
+    ]
+    if quality_col is None:
+        keeper = F.min(id_col)
+    else:
+        # min over (-quality, id): maximize quality, then minimize id.
+        # NULL scores coalesce to +inf so a scored copy always beats an
+        # unscored one (bare NULL sorts FIRST inside struct ordering
+        # and would win every group it appears in).
+        cols.append(
+            F.coalesce(
+                -F.col(quality_col).cast("double"), F.lit(float("inf"))
+            ).alias("__nq")
+        )
+        keeper = F.min_by(
+            F.col(id_col), F.struct(F.col("__nq"), F.col(id_col))
+        )
+    return docs.select(*cols).groupBy("text_md5").agg(
+        keeper.alias("keeper_id"), F.count(F.lit(1)).alias("dup_cnt")
     )
 
 

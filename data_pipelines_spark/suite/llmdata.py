@@ -39,19 +39,45 @@ QUERIES, ORACLES, register = make_registry()
 @register(
     "exact_dedup_docs",
     """
-    SELECT md5(text) AS text_md5,
+    SELECT 'min_id' AS policy,
+           md5(text) AS text_md5,
            min(doc_id) AS keeper_id,
            count(*)    AS dup_cnt
     FROM documents
-    GROUP BY 1
+    GROUP BY 2
+    UNION ALL
+    SELECT 'best_copy', text_md5, doc_id, cnt FROM (
+        SELECT md5(text) AS text_md5, doc_id,
+               count(*) OVER (PARTITION BY md5(text)) AS cnt,
+               row_number() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY -CAST((doc_id * 2654435761) % 1000 AS DOUBLE),
+                            doc_id) AS rk
+        FROM documents
+    ) WHERE rk = 1
     """,
 )
 def exact_dedup_docs(spark, sf_dir):
-    """Exact deduplication via content hash: one row per distinct text
-    with the canonical (minimum) doc id and the duplicate count."""
+    """Exact deduplication via content hash, both keeper policies
+    method-tagged at the (policy, text_md5, keeper_id, dup_cnt) grain:
+    ``min_id`` keeps the canonical minimum doc id; ``best_copy`` keeps
+    the highest-quality copy (`exact_duplicates(quality_col=...)` —
+    identical content, different provenance; the score here is a
+    deterministic per-doc hash standing in for the metadata-richness
+    score, so the oracle replays the argmax and the min-id tie-break
+    exactly)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return exact_duplicates(docs)
+    base = exact_duplicates(docs).select(
+        F.lit("min_id").alias("policy"), "text_md5", "keeper_id", "dup_cnt"
+    )
+    scored = docs.withColumn(
+        "q", F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000)).cast("double")
+    )
+    best = exact_duplicates(scored, quality_col="q").select(
+        F.lit("best_copy").alias("policy"), "text_md5", "keeper_id", "dup_cnt"
+    )
+    return base.unionByName(best)
 
 
 _BPE_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"

@@ -258,3 +258,33 @@ def test_duplicate_clusters_nonconvergence_guard(spark):
         duplicate_clusters(docs, chain, on_max_iterations="warn")
     with _pytest.raises(ValueError, match="max_iterations"):
         duplicate_clusters(docs, chain, max_iterations=0)
+
+
+def test_exact_duplicates_quality_keeper(spark):
+    """quality_col switches keeper policy to best-copy-wins (ties to
+    the smallest id), and stays partition-invariant."""
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", 0.2),
+            (2, "same text", 0.9),   # highest quality -> keeper
+            (3, "same text", 0.9),   # tie loses to smaller id
+            (4, "other", 0.1),
+            (5, None, 0.5),          # NULL quality never beats a real score
+            (6, None, None),
+        ],
+        "doc_id long, text string, q double",
+    )
+    docs = docs.na.fill({"text": ""}).selectExpr(
+        "doc_id", "concat('t', text) AS text", "q"
+    )
+    for parts in (1, 4):
+        out = {
+            r["keeper_id"]: r["dup_cnt"]
+            for r in exact_duplicates(
+                docs.repartition(parts), quality_col="q"
+            ).collect()
+        }
+        assert out == {2: 3, 4: 1, 5: 2}
+    # default policy unchanged: min id
+    out = {r["keeper_id"] for r in exact_duplicates(docs).collect()}
+    assert out == {1, 4, 5}
