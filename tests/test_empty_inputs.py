@@ -85,3 +85,51 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     n = df.count()
     assert n >= 0  # executed without error; empties stay empty,
     # global aggregates may legitimately emit their single NULL/0 row
+
+
+def test_recall_at_k_empty_sides(spark):
+    from data_pipelines_spark.operators.similarity import recall_at_k
+
+    empty = spark.createDataFrame([], "left_vec_id long, right_vec_id long")
+    full = spark.createDataFrame(
+        [(1, 10), (1, 11)], "left_vec_id long, right_vec_id long"
+    )
+    # empty exact baseline -> no queries to score
+    assert recall_at_k(full, empty).count() == 0
+    # empty ANN result -> every query scores 0.0, none vanish
+    rows = recall_at_k(empty, full).collect()
+    assert [(r.left_vec_id, r.n_hit, r.recall) for r in rows] == [(1, 0, 0.0)]
+
+
+def test_batch_infer_and_embed_empty_frame(spark):
+    from data_pipelines_spark.operators.inference import batch_infer, embed_texts
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert embed_texts(empty, dim=8).count() == 0
+    out = batch_infer(
+        empty, lambda: (lambda p: []), ["text"], "o", "int", keep_cols=["doc_id"]
+    )
+    assert out.count() == 0 and out.columns == ["doc_id", "o"]
+
+
+def test_write_bucketed_empty_frame_roundtrip(spark, tmp_path):
+    from data_pipelines_spark.sources.bucketed import bucket_spec, write_bucketed
+
+    empty = spark.createDataFrame([], "k long, v long")
+    write_bucketed(empty, "bt_empty", str(tmp_path / "e"), ["k"], 4)
+    try:
+        assert spark.table("bt_empty").count() == 0
+        assert bucket_spec(spark, "bt_empty")["num_buckets"] == 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_empty")
+
+
+def test_chunk_documents_empty_frame(spark):
+    from data_pipelines_spark.operators.corpus import chunk_documents
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = chunk_documents(empty, chunk_tokens=4, overlap_tokens=1)
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "chunk_id", "chunk_start", "chunk_n_tokens", "chunk_text"
+    ]
