@@ -1,0 +1,194 @@
+"""Write→read round-trips for the raster encoders: every writer in
+`sources/raster_encode.py` must reproduce its array bit-for-bit through
+the matching minimal reader in `sources/raster.py` (the same pairing
+the reference gets from rioxarray/xarray doing both halves,
+`resources/io_managers.py:103-223`)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_pipelines_spark.sources.raster import (
+    read_grib2_minimal,
+    read_netcdf_minimal,
+    read_tiff_minimal,
+    read_zarr_minimal,
+)
+from data_pipelines_spark.sources.raster_encode import (
+    encode_geotiff,
+    encode_grib2,
+    encode_netcdf,
+    write_zarr_store,
+)
+
+
+@pytest.mark.parametrize("dtype", ["u1", "u2", "i2", "i4", "f4", "f8"])
+def test_geotiff_roundtrip_dtypes(tmp_path, dtype):
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 200, size=(5, 7)).astype(dtype)
+    path = str(tmp_path / f"t_{dtype}.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=10.0, origin_y=60.0, pixel_w=0.25, pixel_h=0.5
+            )
+        )
+    got, xs, ys = read_tiff_minimal(path)
+    assert np.array_equal(got, arr.astype("f8"))
+    assert np.array_equal(xs, 10.0 + np.arange(7) * 0.25)
+    assert np.array_equal(ys, 60.0 - np.arange(5) * 0.5)
+
+
+def test_geotiff_rejects_bad_shape():
+    with pytest.raises(ValueError, match="2-D"):
+        encode_geotiff(
+            np.zeros(3), origin_x=0, origin_y=0, pixel_w=1, pixel_h=1
+        )
+
+
+def test_netcdf_roundtrip_with_cf_attrs(tmp_path):
+    lat = np.array([10.0, 10.5, 11.0])
+    lon = np.array([20.0, 20.25, 20.5, 20.75])
+    vals = np.arange(12, dtype="f8").reshape(3, 4)
+    vals[1, 2] = -999.0
+    blob = encode_netcdf(
+        {"lat": 3, "lon": 4},
+        {
+            "lat": (("lat",), lat, {}),
+            "lon": (("lon",), lon, {}),
+            "dis24": (
+                ("lat", "lon"),
+                vals,
+                {"_FillValue": -999.0, "units": "m3 s-1"},
+            ),
+        },
+    )
+    path = str(tmp_path / "g.nc")
+    with open(path, "wb") as f:
+        f.write(blob)
+    dims, variables = read_netcdf_minimal(path)
+    assert dims == {"lat": 3, "lon": 4}
+    dim_names, arr, vatts = variables["dis24"]
+    assert dim_names == ("lat", "lon")
+    assert np.array_equal(arr, vals)
+    assert vatts["_FillValue"] == -999.0
+    assert vatts["units"] == "m3 s-1"
+    assert np.array_equal(variables["lat"][1], lat)
+    assert np.array_equal(variables["lon"][1], lon)
+
+
+def test_netcdf_roundtrip_int_scale_offset(tmp_path):
+    """Packed-integer variable with scale/offset — the CF profile
+    climate archives actually use — survives the reader's unpacking."""
+    from data_pipelines_spark.sources.raster import _apply_cf_attrs
+
+    vals = np.array([[0, 100], [2000, 32767]], dtype="i2")
+    blob = encode_netcdf(
+        {"y": 2, "x": 2},
+        {
+            "t2m": (
+                ("y", "x"),
+                vals,
+                {
+                    "scale_factor": 0.5,
+                    "add_offset": 250.0,
+                    "_FillValue": np.array([32767], dtype="i2"),
+                },
+            )
+        },
+    )
+    path = str(tmp_path / "p.nc")
+    with open(path, "wb") as f:
+        f.write(blob)
+    _dims, variables = read_netcdf_minimal(path)
+    _dn, arr, vatts = variables["t2m"]
+    unpacked = _apply_cf_attrs(arr, vatts)
+    assert unpacked[0, 0] == 250.0
+    assert unpacked[0, 1] == 300.0
+    assert unpacked[1, 0] == 1250.0
+    assert np.isnan(unpacked[1, 1])
+
+
+def test_netcdf_shape_mismatch_raises():
+    with pytest.raises(ValueError, match="does not match dims"):
+        encode_netcdf(
+            {"lat": 3}, {"v": (("lat",), np.zeros(4), {})}
+        )
+
+
+def test_grib2_roundtrip_ensemble_12bit(tmp_path):
+    """Two ensemble members, 12-bit packing (bit fields crossing byte
+    boundaries), D=1 decimal scaling, descending lats."""
+    rng = np.random.default_rng(11)
+    v0 = rng.integers(0, 4000, size=(4, 6)).astype("f8") / 10.0
+    v1 = rng.integers(0, 4000, size=(4, 6)).astype("f8") / 10.0
+    blob = encode_grib2(
+        [(0, v0), (1, v1)],
+        lat0=50.0, lon0=10.0, dlat=0.5, dlon=0.25,
+        nbits=12, d_scale=1,
+    )
+    path = str(tmp_path / "e.grib2")
+    with open(path, "wb") as f:
+        f.write(blob)
+    msgs = read_grib2_minimal(path)
+    assert [m["member"] for m, *_ in msgs] == [0, 1]
+    for (meta, vals, lats, lons), expect in zip(msgs, (v0, v1)):
+        assert meta["pdt"] == 1
+        assert np.array_equal(vals, expect)
+        assert np.array_equal(lats, 50.0 - np.arange(4) * 0.5)
+        assert np.array_equal(lons, 10.0 + np.arange(6) * 0.25)
+
+
+def test_grib2_bitmap_and_negative_lat0(tmp_path):
+    """NaN cells travel through a real section-6 bitmap; southern-
+    hemisphere origin exercises the sign-magnitude lat encoding."""
+    vals = np.array([[1.0, np.nan, 3.0], [np.nan, 5.0, 6.0]])
+    blob = encode_grib2(
+        [(None, vals)], lat0=-12.5, lon0=30.0, dlat=0.5, dlon=0.5,
+        nbits=8, lat_ascending=True,
+    )
+    path = str(tmp_path / "b.grib2")
+    with open(path, "wb") as f:
+        f.write(blob)
+    [(meta, got, lats, lons)] = read_grib2_minimal(path)
+    assert meta["pdt"] == 0
+    assert np.array_equal(np.isnan(got), np.isnan(vals))
+    assert np.array_equal(got[~np.isnan(got)], vals[~np.isnan(vals)])
+    assert np.array_equal(lats, -12.5 + np.arange(2) * 0.5)
+
+
+def test_grib2_rejects_out_of_range():
+    with pytest.raises(ValueError, match="outside 4-bit range"):
+        encode_grib2(
+            [(0, np.array([[0.0, 100.0]]))],
+            lat0=0, lon0=0, dlat=1, dlon=1, nbits=4,
+        )
+
+
+@pytest.mark.parametrize("compressor", [None, "zlib", "gzip"])
+def test_zarr_roundtrip_compressors(tmp_path, compressor):
+    vals = np.arange(12, dtype="<f8").reshape(3, 4) * 1.5
+    store = str(tmp_path / f"s_{compressor}.zarr")
+    write_zarr_store(
+        store, "dis24", vals,
+        {"lat": np.array([1.0, 2.0, 3.0]), "lon": np.arange(4.0)},
+        chunks=(2, 3), compressor=compressor,
+    )
+    arr, attrs = read_zarr_minimal(f"{store}/dis24")
+    assert np.array_equal(arr, vals)
+    assert attrs["_ARRAY_DIMENSIONS"] == ["lat", "lon"]
+
+
+def test_zarr_omitted_chunk_reads_as_fill(tmp_path):
+    vals = np.arange(24, dtype="<f8").reshape(4, 6)
+    store = str(tmp_path / "sparse.zarr")
+    write_zarr_store(
+        store, "v", vals,
+        {"a": np.arange(4.0), "b": np.arange(6.0)},
+        chunks=(2, 2), fill_value=-1.0, omit_chunks={(1, 2)},
+    )
+    arr, _ = read_zarr_minimal(f"{store}/v")
+    expect = vals.copy()
+    expect[2:4, 4:6] = -1.0
+    assert np.array_equal(arr, expect)
