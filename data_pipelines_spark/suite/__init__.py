@@ -61,11 +61,14 @@ _MODULES = (
 # then the flagships and the rest.
 _PRIORITY = (
     # tier 0 — newest first (no CORRECTNESS row yet): round 7 rotated
-    # slots to the formerly unit-only tiers — incremental batch-vs-
-    # corpus dedup, and the upsert entry now also exercising
-    # evolve_schema + compact_dataset (slot freed by fusing
-    # ngram_jaccard_same_source + embedding_near_dup_pairs into
-    # near_dup_pair_suite)
+    # slots to the formerly unit-only tiers — the raster encode→parse
+    # round-trip (slot freed by fusing the two portable-hash entries
+    # into portable_hash_suite), incremental batch-vs-corpus dedup,
+    # and the upsert entry now also exercising evolve_schema +
+    # compact_dataset (slot freed by fusing ngram_jaccard_same_source
+    # + embedding_near_dup_pairs into near_dup_pair_suite)
+    "raster_roundtrip",
+    "portable_hash_suite",
     "zonal_treeloss_suite",
     "incremental_near_dup",
     "near_dup_pair_suite",
@@ -82,12 +85,10 @@ _PRIORITY = (
     "corpus_doc_curation",
     "semantic_dedup",
     # tier 1 — no CORRECTNESS row in round 1 (driver budget ran out)
-    "minhash_near_dup_portable",
     "dedup_clusters",
     "minhash_near_dup_pairs",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
-    "simhash_portable",
     # tier 2 — repaired (round-1 hash mismatch / crash) or newly fused
     "session_windows_suite",
     "array_agg_lines",

@@ -113,3 +113,200 @@ def combined_thresholds(spark, sf_dir):
 # F10 haversine coverage lives in suite/advanced.py
 # (customer_scalar_suite) since the round-2 registry trim; the
 # haversine_km kernel itself is unchanged in functions/geo.py.
+
+
+_RASTER_SQL = """
+    WITH buckets AS (
+        SELECT t.i,
+               CAST(COALESCE(e.s, 0) % 3000 AS BIGINT) AS val,
+               CAST(t.i // 8 AS BIGINT) AS r,
+               CAST(t.i % 8 AS BIGINT) AS c,
+               50.0 - 0.5 * (t.i // 8) AS lat,
+               10.0 + 0.25 * (t.i % 8) AS lon
+        FROM range(0, 48) t(i)
+        LEFT JOIN (
+            SELECT event_id % 48 AS b, SUM(event_id) AS s
+            FROM events GROUP BY 1
+        ) e ON t.i = e.b
+    )
+    SELECT 'tiff' AS fmt, COUNT(*) AS n_cells,
+           CAST(SUM(val) AS BIGINT) AS val_sum,
+           ROUND(SUM(val * lon), 6) AS pos_weighted
+    FROM buckets
+    UNION ALL
+    SELECT 'netcdf', COUNT(*), CAST(SUM(val) AS BIGINT),
+           ROUND(SUM(val * lon), 6)
+    FROM buckets WHERE i <> 13
+    UNION ALL
+    SELECT 'zarr', COUNT(*), CAST(SUM(v) AS BIGINT), ROUND(SUM(v * lon), 6)
+    FROM (
+        SELECT CASE WHEN r >= 4 AND c >= 6 THEN -1 ELSE val END AS v, lon
+        FROM buckets
+    )
+    UNION ALL
+    SELECT 'grib', COUNT(*), CAST(SUM(val + 7 * m) AS BIGINT),
+           ROUND(SUM((val + 7 * m) * lon + m * lat), 6)
+    FROM buckets, range(0, 2) mm(m)
+    WHERE NOT (m = 1 AND i = 42)
+"""
+
+
+@register("raster_roundtrip", _RASTER_SQL)
+def raster_roundtrip(spark, sf_dir):
+    """S4-S7 through the hash gate: one deterministic 6x8 grid, derived
+    from the events table (per-bucket event_id sums mod 3000, densified
+    over all 48 buckets), is encoded as REAL files in all four raster
+    formats (`sources/raster_encode.py`), read back by the REAL
+    dependency-free parsers (`sources/raster.py`), flattened to
+    long form, and aggregated per format — so the DuckDB oracle, which
+    re-derives the grid straight from events, hash-checks the full
+    encode -> parse -> grid_to_long_form path for each format. Each
+    format exercises its own decode hazard:
+
+    - ``tiff``: baseline float32 GeoTIFF, IFD walk + geotransform
+      (origin 10/50, steps 0.25/0.5 — dyadic, so coordinates are
+      bit-exact doubles).
+    - ``netcdf``: classic CDF-1 with a `_FillValue` cell at bucket 13
+      — CF masking must DROP exactly that cell (47 rows).
+    - ``zarr``: v2 zlib chunks (2x2) with the (2,3) chunk omitted —
+      the reader must materialize rows 4-5 x cols 6-7 as fill -1.
+    - ``grib``: two ensemble messages, 12-bit simple packing (bit
+      fields crossing byte boundaries, per-message reference value),
+      member 1 carrying a section-6 BITMAP hole at bucket 42 (95 cells
+      survive) and +7 offset so the members differ.
+
+    ``pos_weighted`` multiplies every value by its coordinate (and
+    member by latitude), so a transposed axis, flipped scan order, or
+    off-by-one cell placement breaks the hash, not just the sum. All
+    terms are dyadic rationals well under 2^53 — bit-identical doubles
+    on both engines, no tolerance.
+
+    The 48-row collect that seeds the grid is bounded by construction
+    (one row per bucket), the same dispensation as the k-centroid
+    collect in `operators/similarity.py`. At 100 TB this shape runs
+    one encode task per tile via `operators/taskmap.py`; here the tile
+    is deliberately small so the oracle can replay it.
+
+    Reference parity: ingestion io_managers
+    (`/root/reference/data_pipelines/resources/io_managers.py:103-223`)
+    and the COG write-back in
+    (`assets/sentinel/preprocessing.py:56-133`), re-expressed as
+    encode/parse kernels plus Spark-side flattening.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from data_pipelines_spark.sources.raster import (
+        read_geotiff,
+        read_grib_ensemble,
+        read_netcdf_grid,
+        read_zarr_grid,
+    )
+    from data_pipelines_spark.sources.raster_encode import (
+        encode_geotiff,
+        encode_grib2,
+        encode_netcdf,
+        write_zarr_store,
+    )
+
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    agg = (
+        events.groupBy((F.col("event_id") % 48).alias("i"))
+        .agg(F.sum("event_id").alias("s"))
+        .collect()  # bounded: at most 48 rows by construction
+    )
+    sums = {int(r["i"]): int(r["s"]) for r in agg}
+    vals = np.array(
+        [sums.get(i, 0) % 3000 for i in range(48)], dtype="f8"
+    ).reshape(6, 8)
+    lats = 50.0 - 0.5 * np.arange(6)
+    lons = 10.0 + 0.25 * np.arange(8)
+
+    tmp = tempfile.mkdtemp(prefix="raster_roundtrip_")
+    try:
+        tif = os.path.join(tmp, "g.tif")
+        with open(tif, "wb") as f:
+            f.write(
+                encode_geotiff(
+                    vals.astype("f4"),
+                    origin_x=10.0, origin_y=50.0, pixel_w=0.25, pixel_h=0.5,
+                )
+            )
+
+        nc_vals = vals.copy()
+        nc_vals[1, 5] = -999.0  # bucket 13 -> _FillValue, dropped on read
+        nc = os.path.join(tmp, "g.nc")
+        with open(nc, "wb") as f:
+            f.write(
+                encode_netcdf(
+                    {"lat": 6, "lon": 8},
+                    {
+                        "lat": (("lat",), lats, {}),
+                        "lon": (("lon",), lons, {}),
+                        "dis24": (("lat", "lon"), nc_vals,
+                                  {"_FillValue": -999.0}),
+                    },
+                )
+            )
+
+        store = os.path.join(tmp, "g.zarr")
+        write_zarr_store(
+            store, "dis24", vals, {"lat": lats, "lon": lons},
+            chunks=(2, 2), compressor="zlib", fill_value=-1.0,
+            omit_chunks={(2, 3)},  # rows 4-5 x cols 6-7 -> fill
+        )
+
+        m1 = vals + 7.0
+        m1[5, 2] = np.nan  # bucket 42 -> section-6 bitmap hole
+        grib = os.path.join(tmp, "g.grib2")
+        with open(grib, "wb") as f:
+            f.write(
+                encode_grib2(
+                    [(0, vals), (1, m1)],
+                    lat0=50.0, lon0=10.0, dlat=0.5, dlon=0.25, nbits=12,
+                )
+            )
+
+        def norm(df, fmt, val_col, lat_col, lon_col, member_col=None):
+            member = (
+                F.col(member_col).cast("double")
+                if member_col
+                else F.lit(0.0)
+            )
+            return df.select(
+                F.lit(fmt).alias("fmt"),
+                F.col(val_col).alias("val"),
+                F.col(lat_col).alias("lat"),
+                F.col(lon_col).alias("lon"),
+                member.alias("member"),
+            )
+
+        long_form = (
+            norm(read_geotiff(spark, tif, value_col="val"),
+                 "tiff", "val", "y", "x")
+            .unionByName(norm(read_netcdf_grid(spark, nc, "dis24"),
+                              "netcdf", "dis24", "lat", "lon"))
+            .unionByName(norm(read_zarr_grid(spark, store, "dis24"),
+                              "zarr", "dis24", "lat", "lon"))
+            .unionByName(norm(read_grib_ensemble(spark, grib,
+                                                 value_var="val"),
+                              "grib", "val", "latitude", "longitude",
+                              member_col="number"))
+        )
+        return long_form.groupBy("fmt").agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("val").cast("long").alias("val_sum"),
+            F.round(
+                F.sum(F.col("val") * F.col("lon")
+                      + F.col("member") * F.col("lat")),
+                6,
+            ).alias("pos_weighted"),
+        )
+    finally:
+        # grid_to_long_form materializes via pandas at construction, so
+        # the files are no longer needed once the plan exists.
+        shutil.rmtree(tmp, ignore_errors=True)

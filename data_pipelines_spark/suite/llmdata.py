@@ -1008,14 +1008,10 @@ def _minhash_oracle_sql(num_hashes: int = 64, num_bands: int = 16, k: int = 5,
     """
 
 
-@register("minhash_near_dup_portable", _minhash_oracle_sql())
-def minhash_near_dup_portable(spark, sf_dir):
-    """The full MinHash+LSH pipeline in portable-hash mode (md5-derived
-    shingle hashes, raw band keys) — EXACTLY reproduced by a DuckDB
-    oracle, including bucket membership and the estimated Jaccard."""
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, jaccard_threshold=0.5, portable=True)
+# The portable-minhash pipeline is the `minhash_est` tier of
+# `portable_hash_suite` (below, after the simhash oracle helper) —
+# fused with the portable simhash to free a driver-sweep slot for
+# `raster_roundtrip`.
 
 
 _CLUSTERS_SQL = f"""
@@ -1185,13 +1181,55 @@ def _simhash_oracle_sql(bits: int = 60) -> str:
     """
 
 
-@register("simhash_portable", _simhash_oracle_sql())
-def simhash_portable(spark, sf_dir):
-    """Portable 60-bit SimHash — md5-derived token hashes reproduced
-    exactly by the DuckDB oracle (per-bit vote sums + sign packing)."""
+@register(
+    "portable_hash_suite",
+    f"""
+    WITH mh AS ({_minhash_oracle_sql()}),
+    sh AS ({_simhash_oracle_sql()})
+    SELECT 'minhash_est' AS method, doc_a AS id_a, doc_b AS id_b,
+           est_jaccard AS score, CAST(NULL AS BIGINT) AS bits
+    FROM mh
+    UNION ALL
+    SELECT 'simhash' AS method, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS DOUBLE) AS score, simhash AS bits
+    FROM sh
+    """,
+)
+def portable_hash_suite(spark, sf_dir):
+    """The two portable-hash sketches, method-tagged into one entry
+    (fused to free a driver-sweep slot; each tier keeps its own exact
+    hash check because the method tag keeps its rows distinct):
+
+    - ``minhash_est``: the full MinHash+LSH pipeline in portable-hash
+      mode (md5-derived shingle hashes, raw band keys) — EXACTLY
+      reproduced by the DuckDB oracle, including bucket membership and
+      the estimated Jaccard (count-of-equal-components / 64, a dyadic
+      rational, so the doubles are bit-identical).
+    - ``simhash``: portable 60-bit SimHash signatures (md5-derived
+      token hashes, per-bit vote sums, sign packing). The packed
+      signature exceeds double precision (2^60 > 2^53) so it rides in
+      its own BIGINT ``bits`` column rather than being cast into the
+      shared double ``score``.
+    """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_signatures(docs, portable=True)
+    mh = minhash_near_duplicates(docs, jaccard_threshold=0.5, portable=True)
+    sh = simhash_signatures(docs, portable=True)
+    return mh.select(
+        F.lit("minhash_est").alias("method"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").cast("long").alias("id_b"),
+        F.col("est_jaccard").alias("score"),
+        F.lit(None).cast("long").alias("bits"),
+    ).unionByName(
+        sh.select(
+            F.lit("simhash").alias("method"),
+            F.col("doc_id").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("score"),
+            F.col("simhash").alias("bits"),
+        )
+    )
 
 
 # `ngram_jaccard_same_source` and `embedding_near_dup_pairs` are now

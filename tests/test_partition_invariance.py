@@ -48,6 +48,10 @@ _SENSITIVE = [
     # min_by/key-universe shapes
     "embedding_lsh_topk",
     "zonal_treeloss_suite",
+    # round-7 session 4: the raster entry seeds its grid from a
+    # partial-agg collect (per-bucket sums) and aggregates dyadic
+    # doubles — both must be layout-independent
+    "raster_roundtrip",
 ]
 
 
