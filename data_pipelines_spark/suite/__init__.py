@@ -68,6 +68,7 @@ _PRIORITY = (
     # compact_dataset (slot freed by fusing ngram_jaccard_same_source
     # + embedding_near_dup_pairs into near_dup_pair_suite)
     "raster_roundtrip",
+    "fetch_task_suite",
     "portable_hash_suite",
     "zonal_treeloss_suite",
     "incremental_near_dup",

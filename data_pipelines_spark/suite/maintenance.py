@@ -708,3 +708,154 @@ def stream_sink_readback(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, schema=schema)
+
+
+_FETCH_TASK_SQL = """
+    WITH f AS (
+        SELECT n_nationkey AS key,
+               CAST(n_regionkey AS BIGINT) AS region,
+               n_nationkey % 3 + 1 AS reps,
+               length(CAST(n_nationkey AS VARCHAR) || ',' || n_name || ','
+                      || CAST(n_regionkey AS VARCHAR)) + 1 AS line_bytes
+        FROM nation
+    )
+    SELECT 'fetch' AS method, region AS k, COUNT(*) AS n,
+           CAST(SUM(reps * line_bytes) AS BIGINT) AS total,
+           CAST(SUM(key * reps) AS BIGINT) AS w
+    FROM f GROUP BY region
+    UNION ALL
+    SELECT 'glob', CAST(-2 AS BIGINT), COUNT(*),
+           CAST(SUM(reps * line_bytes) AS BIGINT), CAST(0 AS BIGINT)
+    FROM f
+    UNION ALL
+    SELECT 'task', CAST(-1 AS BIGINT), COUNT(*),
+           CAST(SUM(reps * line_bytes) AS BIGINT),
+           CAST(SUM(key) AS BIGINT)
+    FROM f
+    UNION ALL
+    SELECT 'copy', CAST(-3 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(reps * line_bytes AS BIGINT), CAST(0 AS BIGINT)
+    FROM f WHERE key = 0
+"""
+
+
+@register("fetch_task_suite", _FETCH_TASK_SQL)
+def fetch_task_suite(spark, sf_dir):
+    """S9 + S12 + D5 through the hash gate: the distributed-ingestion
+    runtime tier, driven end-to-end on REAL kernels and checked against
+    a DuckDB replay of the file-content derivation.
+
+    One file per nation row is materialized (zero-padded names so
+    lexicographic glob order equals key order), content
+    ``"<key>,<name>,<regionkey>\\n"`` repeated ``key % 3 + 1`` times —
+    every downstream quantity is derivable from the nation table, so
+    the oracle never touches the filesystem. Tiers:
+
+    - ``fetch``: `sources.fetch.fetch_binary` fans the ``file://`` URL
+      list across executors (mapInPandas, per-task bounded retry) and
+      the payloads are parsed back RELATIONALLY — line count from the
+      newline census, the key from the first CSV field — so per-region
+      counts, byte totals, and the key*line-count weight hash-check
+      the full fetch -> decode -> parse path (S9).
+    - ``glob``: `sources.fsutils.glob_objects` enumerates the files
+      via the Hadoop FileSystem API; count and FS-reported sizes must
+      match the content arithmetic (S12 list/glob metadata).
+    - ``task``: `operators.taskmap.task_map` runs one byte-counting
+      task per URL (RDD fan-out with retry bookkeeping); per-task
+      string results are cast back and summed, and the task_id*attempts
+      weight pins ids to the sorted manifest and every attempt count
+      to 1 (D5).
+    - ``copy``: `fsutils.copy` duplicates nation 0's object and the
+      copy's FS-reported size round-trips (S12 copy).
+
+    The nation-table collect that seeds the files is 25 rows; the
+    final aggregate is collected (<= 9 rows) before the temp dir is
+    removed, the same eager-materialization pattern as
+    `stream_sink_readback`. At 100 TB the fetch/task manifests are
+    exactly this shape — one row per object, aggregated relationally —
+    with HTTP URLs instead of ``file://`` (hermetic-test policy,
+    reference `resources/io_managers.py:71-91`, `jobs.py:9-11`).
+    """
+    from data_pipelines_spark.operators.taskmap import task_map
+    from data_pipelines_spark.sources.fetch import fetch_binary
+    from data_pipelines_spark.sources.fsutils import copy, glob_objects
+
+    tune(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    rows = nation.select("n_nationkey", "n_name", "n_regionkey").collect()
+
+    d = tempfile.mkdtemp(prefix="fetch_task_suite_")
+    try:
+        for r in rows:
+            line = f"{r['n_nationkey']},{r['n_name']},{r['n_regionkey']}\n"
+            with open(os.path.join(d, f"n_{r['n_nationkey']:02d}.txt"), "w") as f:
+                f.write(line * (r["n_nationkey"] % 3 + 1))
+
+        infos = glob_objects(spark, f"file://{d}/n_*.txt")
+        urls = [i.path for i in infos]
+
+        fetched = fetch_binary(spark, urls, max_retries=1)
+        decoded = fetched.where("ok").select(
+            F.decode("content", "UTF-8").alias("text"),
+            F.col("n_bytes"),
+        )
+        parsed = decoded.select(
+            (F.length("text")
+             - F.length(F.replace(F.col("text"), F.lit("\n"), F.lit(""))))
+            .alias("reps"),
+            F.split(F.col("text"), ",").getItem(0).cast("long").alias("key"),
+            F.element_at(
+                F.split(F.split(F.col("text"), "\n").getItem(0), ","), -1
+            ).cast("long").alias("region"),
+            "n_bytes",
+        )
+        fetch_tier = parsed.groupBy("region").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total"),
+            F.sum(F.col("key") * F.col("reps")).alias("w"),
+        ).select(
+            F.lit("fetch").alias("method"), F.col("region").alias("k"),
+            "n", "total", "w",
+        )
+
+        glob_tier = spark.createDataFrame(
+            [(len(infos), sum(i.size for i in infos))], "n long, total long"
+        ).select(
+            F.lit("glob").alias("method"), F.lit(-2).cast("long").alias("k"),
+            "n", "total", F.lit(0).cast("long").alias("w"),
+        )
+
+        tasks = task_map(
+            spark, urls,
+            lambda u: len(__import__("urllib.request", fromlist=["request"])
+                          .urlopen(u).read()),
+            max_retries=1,
+        )
+        task_tier = tasks.where("ok").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("result").cast("long")).alias("total"),
+            F.sum(F.col("task_id") * F.col("attempts")).alias("w"),
+        ).select(
+            F.lit("task").alias("method"), F.lit(-1).cast("long").alias("k"),
+            "n", "total", "w",
+        )
+
+        copy(spark, urls[0], f"file://{d}/copied.txt")
+        [copied] = glob_objects(spark, f"file://{d}/copied.txt")
+        copy_tier = spark.createDataFrame(
+            [(1, copied.size)], "n long, total long"
+        ).select(
+            F.lit("copy").alias("method"), F.lit(-3).cast("long").alias("k"),
+            "n", "total", F.lit(0).cast("long").alias("w"),
+        )
+
+        out = (
+            fetch_tier.unionByName(glob_tier)
+            .unionByName(task_tier)
+            .unionByName(copy_tier)
+        )
+        schema = out.schema
+        materialized = out.collect()  # bounded: regions + 3 tiers
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(materialized, schema=schema)

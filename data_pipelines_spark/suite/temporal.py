@@ -245,30 +245,9 @@ def _sessionized_gaps_frame(spark, sf_dir):
     )
 
 
-@register(
-    "events_props_json",
-    """
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-           event_type,
-           count(*) AS event_cnt
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def events_props_json(spark, sf_dir):
-    """Semi-structured processing: extract a field from the JSON props
-    column (get_json_object — JVM-side JSON path evaluation) and
-    aggregate on it."""
-    tune(spark)
-    ev = load_events(spark, sf_dir)
-    return (
-        ev.select(
-            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket"),
-            "event_type",
-        )
-        .groupBy("k_bucket", "event_type")
-        .agg(F.count(F.lit(1)).alias("event_cnt"))
-    )
+# The JSON-props aggregation is the `props` tier of
+# `session_windows_suite` (below) — fused to free a driver-sweep slot
+# for `fetch_task_suite`.
 
 
 @register(
@@ -312,6 +291,17 @@ def events_props_json(spark, sf_dir):
         WHERE is_session_start = 1
         GROUP BY 1
     )
+    UNION ALL
+    SELECT 'props' AS method, k_bucket AS user_id,
+           CAST(NULL AS BIGINT) AS session_no, event_cnt,
+           event_type AS session_start
+    FROM (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                   AS k_bucket,
+               event_type, count(*) AS event_cnt
+        FROM events
+        GROUP BY 1, 2
+    )
     """,
 )
 def session_windows_suite(spark, sf_dir):
@@ -326,6 +316,12 @@ def session_windows_suite(spark, sf_dir):
       user so both sides share keys.
     - ``gaps``: lag()-marker sessionization counting sessions per user
       (session_no/session_start NULL at this grain).
+    - ``props``: the formerly standalone JSON-props aggregation
+      (get_json_object — JVM-side JSON path evaluation over the
+      ``props`` column), melted onto the same shape: ``user_id``
+      carries the extracted k-bucket, ``session_start`` the
+      event_type. Fused round 7 to free a slot for
+      ``fetch_task_suite``.
 
     Boundary semantics: Spark's session extent is CLOSED at the end —
     an event exactly ``gap`` after the last one merges into the SAME
@@ -366,4 +362,20 @@ def session_windows_suite(spark, sf_dir):
         F.col("session_cnt").alias("event_cnt"),
         F.lit(None).cast("string").alias("session_start"),
     )
-    return native.unionByName(gaps)
+    props = (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("long") % 10)
+            .alias("user_id"),
+            "event_type",
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+        .select(
+            F.lit("props").alias("method"),
+            "user_id",
+            F.lit(None).cast("long").alias("session_no"),
+            "event_cnt",
+            F.col("event_type").alias("session_start"),
+        )
+    )
+    return native.unionByName(gaps).unionByName(props)
