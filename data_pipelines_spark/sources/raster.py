@@ -505,16 +505,35 @@ def read_geotiff(
     )
 
 
+def _zarr_filter_decode(raw: bytes, cfg: dict) -> bytes:
+    """Invert one numcodecs filter (public codec spec): ``delta``
+    (stored as first value + successive differences in ``astype``,
+    decoded by cumulative sum back to ``dtype``) and ``shuffle``
+    (byte transposition grouping the i-th byte of every element)."""
+    if cfg["id"] == "delta":
+        astype = np.dtype(cfg.get("astype") or cfg["dtype"])
+        enc = np.frombuffer(raw, dtype=astype)
+        return np.cumsum(enc, dtype=np.dtype(cfg["dtype"])).tobytes()
+    if cfg["id"] == "shuffle":
+        es = int(cfg["elementsize"])
+        if es <= 1:
+            return raw
+        arr = np.frombuffer(raw, dtype="u1").reshape(es, -1)
+        return arr.T.tobytes()
+    raise NotImplementedError(cfg["id"])  # pragma: no cover - pre-checked
+
+
 def read_zarr_minimal(path: str):
     """Minimal Zarr v2 array reader — no libraries.
 
     Zarr v2 is a public spec of JSON metadata (``.zarray``) plus flat
-    chunk files, so the common profile needs no library: C-order
-    chunks, raw / zlib / gzip compression (blosc and filters raise
-    with a pointer to the zarr-python path), missing chunks filled
-    with ``fill_value``. Returns (ndarray, attrs) where ``attrs`` is
-    the ``.zattrs`` dict (xarray stores dimension names there under
-    ``_ARRAY_DIMENSIONS``).
+    chunk files, so the common profile needs no library: C- or F-order
+    chunks, raw / zlib / gzip compression, the ``delta`` and
+    ``shuffle`` numcodecs filters (anything else — blosc, other
+    filters — raises with a pointer to the zarr-python path), missing
+    chunks filled with ``fill_value``. Returns (ndarray, attrs) where
+    ``attrs`` is the ``.zattrs`` dict (xarray stores dimension names
+    there under ``_ARRAY_DIMENSIONS``).
 
     Scale shape: this reads ONE array — the per-task kernel. A 100 TB
     store is ingested chunk-parallel (one task per chunk range via
@@ -532,10 +551,15 @@ def read_zarr_minimal(path: str):
         meta = json.load(f)
     if meta.get("zarr_format") != 2:
         raise NotImplementedError("only Zarr v2 stores decode natively")
-    if meta.get("order", "C") != "C":
-        raise NotImplementedError("F-order Zarr: use the zarr library path")
-    if meta.get("filters"):
-        raise NotImplementedError("Zarr filters: use the zarr library path")
+    order = meta.get("order", "C")
+    if order not in ("C", "F"):
+        raise ValueError(f"bad Zarr chunk order {order!r}")
+    filters = meta.get("filters") or []
+    for f_cfg in filters:
+        if f_cfg.get("id") not in ("delta", "shuffle"):
+            raise NotImplementedError(
+                f"Zarr filter {f_cfg.get('id')!r}: use the zarr library path"
+            )
     comp = meta.get("compressor")
     comp_id = comp["id"] if comp else None
     if comp_id not in (None, "zlib", "gzip"):
@@ -559,7 +583,9 @@ def read_zarr_minimal(path: str):
             raw = zlib.decompress(raw)
         elif comp_id == "gzip":
             raw = gzip.decompress(raw)
-        block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+        for f_cfg in reversed(filters):
+            raw = _zarr_filter_decode(raw, f_cfg)
+        block = np.frombuffer(raw, dtype=dtype).reshape(chunks, order=order)
         dest = tuple(
             slice(i * c, min((i + 1) * c, s))
             for i, c, s in zip(idx, chunks, shape)

@@ -314,16 +314,22 @@ def write_zarr_store(
     compressor: str | None = "zlib",
     fill_value: float | None = None,
     omit_chunks: set[tuple[int, ...]] = frozenset(),
+    order: str = "C",
+    filters: list[dict] | None = None,
 ) -> None:
     """Write a Zarr v2 store (value array + xarray-style
     ``_ARRAY_DIMENSIONS`` + one coordinate array per dim) in the
-    profile `read_zarr_grid` parses: C-order chunks, raw / zlib / gzip
-    compression, missing chunks meaning ``fill_value``.
+    profile `read_zarr_grid` parses: C- or F-order chunks, raw / zlib
+    / gzip compression, ``delta`` / ``shuffle`` numcodecs filters,
+    missing chunks meaning ``fill_value``.
 
     ``omit_chunks`` lists chunk indices to leave unwritten — the
     standard Zarr representation of an all-fill region (readers
     materialize it as ``fill_value``), which keeps sparse stores
-    sparse on disk.
+    sparse on disk. ``filters`` is the numcodecs config list applied
+    in order before compression (e.g.
+    ``[{"id": "delta", "dtype": "<i4"}]``); filters apply to the value
+    array only, not the coordinate arrays.
     """
     import itertools
     import math
@@ -336,6 +342,8 @@ def write_zarr_store(
         )
     if compressor not in (None, "zlib", "gzip"):
         raise ValueError(f"unsupported compressor {compressor!r}")
+    if order not in ("C", "F"):
+        raise ValueError(f"bad chunk order {order!r}")
     chunks = tuple(chunks) if chunks else arr.shape
 
     def compress(raw: bytes) -> bytes:
@@ -345,6 +353,27 @@ def write_zarr_store(
             return gzip.compress(raw)
         return raw
 
+    def filter_encode(raw: bytes, cfg: dict) -> bytes:
+        if cfg["id"] == "delta":
+            dt = np.dtype(cfg["dtype"])
+            astype = np.dtype(cfg.get("astype") or cfg["dtype"])
+            vals = np.frombuffer(raw, dtype=dt)
+            enc = np.empty(vals.shape, dtype=astype)
+            if vals.size:
+                enc[0] = vals[0]
+                np.subtract(
+                    vals[1:], vals[:-1], out=enc[1:], casting="unsafe"
+                )
+            return enc.tobytes()
+        if cfg["id"] == "shuffle":
+            es = int(cfg["elementsize"])
+            if es <= 1:
+                return raw
+            return (
+                np.frombuffer(raw, dtype="u1").reshape(-1, es).T.tobytes()
+            )
+        raise ValueError(f"unsupported filter {cfg.get('id')!r}")
+
     def write_array(
         name: str,
         data: np.ndarray,
@@ -352,6 +381,8 @@ def write_zarr_store(
         fill,
         attrs: dict | None,
         omit: set[tuple[int, ...]],
+        ordr: str = "C",
+        filts: list[dict] | None = None,
     ) -> None:
         d = os.path.join(store, name)
         os.makedirs(d, exist_ok=True)
@@ -360,8 +391,8 @@ def write_zarr_store(
             "shape": list(data.shape),
             "chunks": list(chk),
             "dtype": data.dtype.str,
-            "order": "C",
-            "filters": None,
+            "order": ordr,
+            "filters": filts or None,
             "fill_value": fill,
             "compressor": (
                 {"id": compressor, "level": 1} if compressor else None
@@ -384,8 +415,11 @@ def write_zarr_store(
                 )
             ]
             block[tuple(slice(0, n) for n in src.shape)] = src
+            raw = block.tobytes(order=ordr)
+            for cfg in filts or []:
+                raw = filter_encode(raw, cfg)
             with open(os.path.join(d, ".".join(map(str, idx))), "wb") as f:
-                f.write(compress(block.tobytes()))
+                f.write(compress(raw))
 
     dim_names = list(coords)
     write_array(
@@ -395,6 +429,8 @@ def write_zarr_store(
         fill_value,
         {"_ARRAY_DIMENSIONS": dim_names},
         set(omit_chunks),
+        ordr=order,
+        filts=filters,
     )
     for name, coord in coords.items():
         c = np.asarray(coord, dtype="<f8")

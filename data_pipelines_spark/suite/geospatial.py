@@ -168,8 +168,12 @@ def raster_roundtrip(spark, sf_dir):
       bit-exact doubles).
     - ``netcdf``: classic CDF-1 with a `_FillValue` cell at bucket 13
       — CF masking must DROP exactly that cell (47 rows).
-    - ``zarr``: v2 zlib chunks (2x2) with the (2,3) chunk omitted —
-      the reader must materialize rows 4-5 x cols 6-7 as fill -1.
+    - ``zarr``: v2 zlib chunks (2x2) in F-ORDER behind a numcodecs
+      ``delta`` filter (diff stream over the F-order element
+      sequence — exact here because the values are integers in f8),
+      with the (2,3) chunk omitted — the reader must invert the
+      filter, transpose the layout, and materialize rows 4-5 x
+      cols 6-7 as fill -1.
     - ``grib``: two ensemble messages, 12-bit simple packing (bit
       fields crossing byte boundaries, per-message reference value),
       member 1 carrying a section-6 BITMAP hole at bucket 42 (95 cells
@@ -258,6 +262,7 @@ def raster_roundtrip(spark, sf_dir):
             store, "dis24", vals, {"lat": lats, "lon": lons},
             chunks=(2, 2), compressor="zlib", fill_value=-1.0,
             omit_chunks={(2, 3)},  # rows 4-5 x cols 6-7 -> fill
+            order="F", filters=[{"id": "delta", "dtype": "<f8"}],
         )
 
         m1 = vals + 7.0

@@ -192,3 +192,75 @@ def test_zarr_omitted_chunk_reads_as_fill(tmp_path):
     expect = vals.copy()
     expect[2:4, 4:6] = -1.0
     assert np.array_equal(arr, expect)
+
+
+def test_zarr_f_order_roundtrip(tmp_path):
+    vals = np.arange(24, dtype="<f8").reshape(4, 6) * 0.5
+    store = str(tmp_path / "forder.zarr")
+    write_zarr_store(
+        store, "v", vals,
+        {"a": np.arange(4.0), "b": np.arange(6.0)},
+        chunks=(3, 4), order="F",
+    )
+    arr, _ = read_zarr_minimal(f"{store}/v")
+    assert np.array_equal(arr, vals)
+
+
+@pytest.mark.parametrize(
+    "filters",
+    [
+        [{"id": "delta", "dtype": "<i4"}],
+        [{"id": "delta", "dtype": "<i4", "astype": "<i2"}],
+        [{"id": "shuffle", "elementsize": 4}],
+        [{"id": "delta", "dtype": "<i4"}, {"id": "shuffle", "elementsize": 4}],
+    ],
+)
+def test_zarr_filter_roundtrips(tmp_path, filters):
+    """numcodecs delta/shuffle filters, alone and chained, survive the
+    write -> read pipeline bit-exactly (integer dtypes, where the
+    delta transform is exact)."""
+    vals = (np.arange(24, dtype="<i4").reshape(4, 6) * 7) % 100
+    store = str(tmp_path / "filt.zarr")
+    write_zarr_store(
+        store, "v", vals,
+        {"a": np.arange(4.0), "b": np.arange(6.0)},
+        chunks=(2, 3), filters=filters,
+    )
+    arr, _ = read_zarr_minimal(f"{store}/v")
+    assert np.array_equal(arr, vals)
+    assert arr.dtype == np.dtype("<i4")
+
+
+def test_zarr_f_order_delta_combined(tmp_path):
+    """F-order serialization composes with the delta filter: the diff
+    stream runs over the F-order element sequence."""
+    vals = np.arange(30, dtype="<i4").reshape(5, 6)
+    store = str(tmp_path / "fd.zarr")
+    write_zarr_store(
+        store, "v", vals,
+        {"a": np.arange(5.0), "b": np.arange(6.0)},
+        chunks=(2, 2), order="F",
+        filters=[{"id": "delta", "dtype": "<i4"}],
+    )
+    arr, _ = read_zarr_minimal(f"{store}/v")
+    assert np.array_equal(arr, vals)
+
+
+def test_zarr_unknown_filter_still_gated(tmp_path):
+    import json
+    import os
+
+    store = str(tmp_path / "bad.zarr")
+    os.makedirs(f"{store}/v")
+    with open(f"{store}/v/.zarray", "w") as f:
+        json.dump(
+            {
+                "zarr_format": 2, "shape": [2], "chunks": [2],
+                "dtype": "<f8", "order": "C",
+                "filters": [{"id": "fixedscaleoffset"}],
+                "fill_value": 0, "compressor": None,
+            },
+            f,
+        )
+    with pytest.raises(NotImplementedError, match="fixedscaleoffset"):
+        read_zarr_minimal(f"{store}/v")
