@@ -459,6 +459,9 @@ def _doc_profile_sql() -> str:
                                l -> l LIKE '%...' OR l LIKE '%…'))
                            AS DOUBLE) / len(lines) ELSE 0.0 END) <= 0.3
             AND hits_en >= 2) AS passes_gopher,
+           md5(regexp_replace(
+                   regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                   '{PHONE_PATTERN}', '<PHONE>', 'g')) AS redacted_md5,
            img.img_width,
            img.img_height,
            ROUND(CAST(list_sum(img.px) AS DOUBLE) / len(img.px), 6) AS img_mean,
@@ -494,7 +497,10 @@ def doc_profile(spark, sf_dir):
     array), stopword-profile language ID next to the labeled lang
     column (tie-break: most hits wins; equal hits → lexicographically
     larger code, mirrored by the descending CASE chain in the oracle),
-    PII detection counts (email/phone regex, RE2-compatible dialect),
+    PII detection counts (email/phone regex, RE2-compatible dialect)
+    plus the REDACTION output itself (``redacted_md5`` digests the
+    scrubbed text, so sentinel placement — not just match counts — is
+    hash-checked),
     and Gopher-style repetition signals (duplicate-line fraction,
     top-bigram fraction), plus the Gopher rule-based gate (Rae et al.
     2021): mean word length, alphabetic-word fraction, and the fused
@@ -541,6 +547,7 @@ def doc_profile(spark, sf_dir):
         mean_word_length,
         passes_gopher_rules,
         phone_count,
+        redact_pii,
         top_ngram_fraction,
     )
     from data_pipelines_spark.operators.multimodal import (
@@ -626,6 +633,8 @@ def doc_profile(spark, sf_dir):
         F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
         F.round(alpha_word_fraction(F.col("text")), 6).alias("alpha_word_frac"),
         passes_gopher_rules(F.col("text")).alias("passes_gopher"),
+        F.md5(F.encode(redact_pii(F.col("text")), "UTF-8"))
+        .alias("redacted_md5"),
     )
     return (
         profile.join(img, "doc_id").join(img2, "doc_id").join(aud, "doc_id")
