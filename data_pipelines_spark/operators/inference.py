@@ -97,12 +97,14 @@ def _stub_text_embedder(dim: int) -> Callable[[], Callable]:
         def embed(pdf):
             out = []
             for t in pdf.iloc[:, 0]:
-                h = hashlib.md5(str(t).encode("utf-8")).digest()
+                h = hashlib.md5(str(t).encode("utf-8")).hexdigest()
                 vals = []
-                # Expand the 16-byte digest to dim floats by counter mode.
+                # Expand the digest to dim floats by counter mode over
+                # hex strings (VARCHAR-only md5 chaining, so an ANSI-SQL
+                # oracle can replay the draw bit-for-bit).
                 i = 0
                 while len(vals) < dim:
-                    blk = hashlib.md5(h + i.to_bytes(4, "big")).digest()
+                    blk = hashlib.md5(f"{h}-{i}".encode("ascii")).digest()
                     vals.extend(b / 255.0 - 0.5 for b in blk)
                     i += 1
                 vals = vals[:dim]

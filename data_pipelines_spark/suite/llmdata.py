@@ -390,6 +390,34 @@ def _doc_profile_sql() -> str:
     aud_hex AS (
         SELECT doc_id, repeat(md5(text), 4) AS hx FROM documents
     ),
+    emb AS (
+        SELECT doc_id,
+               ROUND(vals[1] / norm, 6) AS emb0,
+               ROUND(list_sum(list_transform(vals, x -> x / norm)), 6)
+                   AS emb_sum
+        FROM (
+            SELECT doc_id, vals,
+                   sqrt(list_sum(list_transform(vals, x -> x * x))) AS norm
+            FROM (
+                SELECT doc_id,
+                       list_transform(
+                           flatten(list_transform(range(0, 4), i ->
+                               list_transform(range(0, 16), j ->
+                                   (instr('0123456789abcdef',
+                                          substr(md5(md5(text) || '-'
+                                                     || CAST(i AS VARCHAR)),
+                                                 CAST(2*j+1 AS INT), 1)) - 1)
+                                   * 16
+                                   + instr('0123456789abcdef',
+                                           substr(md5(md5(text) || '-'
+                                                      || CAST(i AS VARCHAR)),
+                                                  CAST(2*j+2 AS INT), 1)) - 1
+                               ))),
+                           b -> b / 255.0 - 0.5) AS vals
+                FROM documents
+            )
+        )
+    ),
     aud AS (
         SELECT doc_id,
                list_transform(raws,
@@ -473,6 +501,8 @@ def _doc_profile_sql() -> str:
                                + least(x * img.img_width // 4,
                                        img.img_width - 1) + 1 AS INT)]))))
                 AS BIGINT) AS img_resized_sum,
+           emb.emb0,
+           emb.emb_sum,
            CAST(8000 AS BIGINT) AS aud_rate,
            ROUND(sqrt(list_sum(list_transform(aud.ks,
                      k -> (k * k) / 1073741824.0)) / 32), 6) AS aud_rms,
@@ -486,6 +516,7 @@ def _doc_profile_sql() -> str:
     JOIN rep2 ON base.doc_id = rep2.doc_id
     JOIN img ON base.doc_id = img.doc_id
     JOIN aud ON base.doc_id = aud.doc_id
+    JOIN emb ON base.doc_id = emb.doc_id
     """
 
 
@@ -530,6 +561,16 @@ def doc_profile(spark, sf_dir):
     pixel sum, with the oracle replaying the index sampling on the
     constructed pixels — the full image roundtrip behind one integer.
 
+    The ``emb0``/``emb_sum`` columns drive the REAL batched-inference
+    path (`operators.inference.embed_texts` -> `batch_infer`:
+    mapInPandas, model constructed once per partition) through the
+    hash gate: the deterministic stub encoder chains VARCHAR md5
+    draws (hex-digest counter mode), so the oracle replays the whole
+    draw -> l2-normalize pipeline in SQL and the first component and
+    component sum of every document's embedding must match
+    BIT-FOR-BIT (every operation is the same IEEE sequence in both
+    engines; ROUND(.,6) is belt-and-braces, not tolerance).
+
     The ``aud_*`` columns do the same for audio: each doc becomes a
     PCM16 mono WAV (constant 44-byte header + 32 md5-hex-derived
     little-endian samples, assembled with to_binary(.., 'hex')),
@@ -550,6 +591,7 @@ def doc_profile(spark, sf_dir):
         redact_pii,
         top_ngram_fraction,
     )
+    from data_pipelines_spark.operators.inference import embed_texts
     from data_pipelines_spark.operators.multimodal import (
         audio_features,
         image_stats,
@@ -620,6 +662,13 @@ def doc_profile(spark, sf_dir):
         F.round("rms", 6).alias("aud_rms"),
         F.round("zero_crossing_rate", 6).alias("aud_zcr"),
     )
+    emb = embed_texts(docs, dim=64).select(
+        "doc_id",
+        F.round(F.col("embedding").getItem(0), 6).alias("emb0"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("emb_sum"),
+    )
     profile = docs.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
@@ -637,7 +686,10 @@ def doc_profile(spark, sf_dir):
         .alias("redacted_md5"),
     )
     return (
-        profile.join(img, "doc_id").join(img2, "doc_id").join(aud, "doc_id")
+        profile.join(img, "doc_id")
+        .join(img2, "doc_id")
+        .join(aud, "doc_id")
+        .join(emb, "doc_id")
     )
 
 
