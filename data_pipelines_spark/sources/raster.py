@@ -64,6 +64,140 @@ def _sm_int(raw: bytes) -> int:
     return -(v & (sign_bit - 1)) if v & sign_bit else v
 
 
+def _ibm_to_float(raw: bytes) -> float:
+    """IBM System/360 32-bit hex float (GRIB1 reference values):
+    sign(1) | excess-64 base-16 exponent(7) | fraction(24)."""
+    w = int.from_bytes(raw, "big")
+    sign = -1.0 if w >> 31 else 1.0
+    exp = (w >> 24) & 0x7F
+    frac = w & 0xFFFFFF
+    return sign * frac * 16.0 ** (exp - 64) * 2.0 ** -24
+
+
+def _unpack_bits(body: bytes, n_points: int, nbits: int) -> np.ndarray:
+    """MSB-first fixed-width bit fields → int64 array (shared by the
+    GRIB1/GRIB2 simple-packing decoders)."""
+    bits = np.unpackbits(np.frombuffer(body, dtype="u1"))
+    weights = 1 << np.arange(nbits - 1, -1, -1, dtype=np.int64)
+    return bits[: n_points * nbits].reshape(n_points, nbits) @ weights
+
+
+def read_grib1_minimal(path: str):
+    """Minimal GRIB edition 1 (WMO FM 92-VIII) parser — no libraries.
+
+    Covers the profile ECMWF's ERA/ensemble archives disseminate:
+    regular lat/lon grid (data representation type 0), grid-point
+    simple packing (Y·10^D = R + X·2^E with R an IBM 32-bit hex
+    float), optional bitmap section, ECMWF local definition 1
+    perturbation numbers (PDS octet 50) for ensemble members, any
+    number of messages per file. Anything else — spherical harmonics,
+    other grids, second-order packing — raises with a pointer to the
+    cfgrib path.
+
+    Returns the same ``[(meta, values[Nj, Ni], lats, lons), ...]``
+    shape as :func:`read_grib2_minimal` so the ensemble reader treats
+    both editions uniformly.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+
+    out = []
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 4] != b"GRIB":
+            raise ValueError(f"bad GRIB indicator at byte {pos}")
+        edition = data[pos + 7]
+        if edition != 1:
+            raise ValueError(f"GRIB edition {edition}: not a GRIB1 message")
+        total_len = int.from_bytes(data[pos + 4 : pos + 7], "big")
+        sec_pos = pos + 8
+
+        # --- Section 1: PDS -------------------------------------------
+        pds = data[sec_pos : sec_pos + int.from_bytes(
+            data[sec_pos : sec_pos + 3], "big"
+        )]
+        flags = pds[7]
+        has_gds, has_bms = bool(flags & 0x80), bool(flags & 0x40)
+        d_scale = _sm_int(pds[26:28])
+        meta: dict = {"edition": 1, "pdt": None}
+        if len(pds) >= 51 and pds[40] == 1:  # ECMWF local definition 1
+            meta["member"] = pds[49]
+        sec_pos += len(pds)
+
+        if not has_gds:
+            raise NotImplementedError(
+                "GRIB1 without GDS (predefined grids): use the cfgrib path"
+            )
+        # --- Section 2: GDS -------------------------------------------
+        gds = data[sec_pos : sec_pos + int.from_bytes(
+            data[sec_pos : sec_pos + 3], "big"
+        )]
+        if gds[5] != 0:
+            raise NotImplementedError(
+                f"GRIB1 grid type {gds[5]}: use the cfgrib path"
+            )
+        ni = int.from_bytes(gds[6:8], "big")
+        nj = int.from_bytes(gds[8:10], "big")
+        la1 = _sm_int(gds[10:13]) / 1e3
+        lo1 = _sm_int(gds[13:16]) / 1e3
+        di = int.from_bytes(gds[23:25], "big") / 1e3
+        dj = int.from_bytes(gds[25:27], "big") / 1e3
+        scan = gds[27]
+        if scan & 0x80:
+            raise NotImplementedError(
+                "GRIB1 -i scan direction: use the cfgrib path"
+            )
+        lons = lo1 + np.arange(ni) * di
+        jsign = 1.0 if scan & 0x40 else -1.0
+        lats = la1 + jsign * np.arange(nj) * dj
+        sec_pos += len(gds)
+
+        # --- Section 3: BMS (optional) --------------------------------
+        bitmap_bits = None
+        if has_bms:
+            bms = data[sec_pos : sec_pos + int.from_bytes(
+                data[sec_pos : sec_pos + 3], "big"
+            )]
+            if int.from_bytes(bms[4:6], "big") != 0:
+                raise NotImplementedError(
+                    "GRIB1 predefined bitmaps: use the cfgrib path"
+                )
+            bitmap_bits = np.unpackbits(np.frombuffer(bms[6:], dtype="u1"))
+            sec_pos += len(bms)
+
+        # --- Section 4: BDS -------------------------------------------
+        bds = data[sec_pos : sec_pos + int.from_bytes(
+            data[sec_pos : sec_pos + 3], "big"
+        )]
+        bds_flags = bds[3] >> 4
+        if bds_flags & 0b1100:
+            raise NotImplementedError(
+                "GRIB1 spherical-harmonic / complex packing: use the "
+                "cfgrib path"
+            )
+        e_scale = _sm_int(bds[4:6])
+        ref = _ibm_to_float(bds[6:10])
+        nbits = bds[10]
+        n_points = (
+            int(bitmap_bits[: ni * nj].sum())
+            if bitmap_bits is not None
+            else ni * nj
+        )
+        if nbits == 0:
+            unpacked = np.full(n_points, ref)
+        else:
+            x = _unpack_bits(bds[11:], n_points, nbits)
+            unpacked = (ref + x * 2.0 ** e_scale) / 10.0 ** d_scale
+        if bitmap_bits is not None:
+            full = np.full(ni * nj, np.nan)
+            full[bitmap_bits[: ni * nj].astype(bool)] = unpacked
+            unpacked = full
+        out.append((meta, unpacked.reshape(nj, ni), lats, lons))
+
+        pos += total_len
+    return out
+
+
 def read_grib2_minimal(path: str):
     """Minimal GRIB2 (WMO FM 92 edition 2) parser — no libraries.
 
@@ -89,7 +223,10 @@ def read_grib2_minimal(path: str):
             raise ValueError(f"bad GRIB indicator at byte {pos}")
         edition = data[pos + 7]
         if edition != 2:
-            raise NotImplementedError("GRIB edition 1: use the cfgrib path")
+            raise ValueError(
+                f"GRIB edition {edition}: use read_grib1_minimal / "
+                "read_grib_minimal"
+            )
         total_len = int.from_bytes(data[pos + 8 : pos + 16], "big")
         end = pos + total_len
         sec_pos = pos + 16
@@ -173,6 +310,19 @@ def read_grib2_minimal(path: str):
     return out
 
 
+def read_grib_minimal(path: str):
+    """Edition-sniffing GRIB reader: dispatches to the GRIB1 or GRIB2
+    minimal parser based on the indicator section's edition octet
+    (byte 7 of the first message)."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if head[:4] != b"GRIB" or len(head) < 8:
+        raise ValueError(f"not a GRIB file: {path}")
+    if head[7] == 1:
+        return read_grib1_minimal(path)
+    return read_grib2_minimal(path)
+
+
 def read_grib_ensemble(
     spark: SparkSession,
     path: str,
@@ -184,15 +334,15 @@ def read_grib_ensemble(
     datasets and concatenates along the member axis).
 
     Prefers cfgrib/xarray (full GRIB coverage); without them, falls
-    back to :func:`read_grib2_minimal` for simple-packed regular-grid
-    GRIB2 — one message per ensemble member, stacked on the ``number``
-    axis — so S4 ingestion genuinely runs (and is tested end-to-end)
-    in codec-free environments.
+    back to :func:`read_grib_minimal` for simple-packed regular-grid
+    GRIB1/GRIB2 — one message per ensemble member, stacked on the
+    ``number`` axis — so S4 ingestion genuinely runs (and is tested
+    end-to-end) in codec-free environments.
     """
     try:
         import xarray as xr  # noqa: F401
     except ImportError:
-        messages = read_grib2_minimal(path)
+        messages = read_grib_minimal(path)
         if not messages:
             raise ValueError(f"no GRIB messages in {path}")
         members = np.array(

@@ -8,7 +8,9 @@ stores (`resources/io_managers.py:117-223`). This module provides the
 same capability dependency-free for the formats `sources/raster.py`
 parses natively: baseline single-band GeoTIFF, classic CDF-1 NetCDF,
 simple-packed regular-grid GRIB2 (templates 3.0 / 4.0 / 4.1 / 5.0,
-optional bitmap), and Zarr v2 (raw / zlib / gzip chunks).
+optional bitmap), GRIB edition 1 (IBM-float reference values, ECMWF
+local-def-1 ensemble members), and Zarr v2 (raw / zlib / gzip chunks,
+C/F order, delta+shuffle filters).
 
 Scale shape: each encoder produces ONE tile/message/store — the
 per-task kernel. A large export parallelizes per tile via
@@ -301,6 +303,136 @@ def encode_grib2(
             + struct.pack(">Q", 16 + len(payload))
             + payload
         )
+    return out
+
+
+def _ibm_float_bytes(value: float) -> bytes:
+    """Encode an IBM System/360 32-bit hex float (the GRIB1 reference
+    value format). Raises when the value cannot be represented exactly
+    — the encoder's round-trip-exactness contract (integers < 2^24,
+    the values this module emits, always can)."""
+    if value == 0.0:
+        return b"\0\0\0\0"
+    sign = 0x80000000 if value < 0 else 0
+    frac = abs(value) * 2.0 ** 24
+    exp = 64
+    while frac >= 2 ** 24:
+        frac /= 16.0  # exact: power-of-two division
+        exp += 1
+    if exp > 127 or not float(frac).is_integer():
+        raise ValueError(f"{value} is not exactly IBM-float representable")
+    return (sign | (exp << 24) | int(frac)).to_bytes(4, "big")
+
+
+def _milli(value: float, name: str) -> int:
+    scaled = value * 1e3
+    if round(scaled) != scaled:
+        raise ValueError(
+            f"{name}={value} is not representable in GRIB1 millidegrees"
+        )
+    return int(round(scaled))
+
+
+def encode_grib1(
+    messages: list[tuple[int | None, np.ndarray]],
+    *,
+    lat0: float,
+    lon0: float,
+    dlat: float,
+    dlon: float,
+    nbits: int = 16,
+    e_scale: int = 0,
+    d_scale: int = 0,
+    lat_ascending: bool = False,
+) -> bytes:
+    """Encode regular-lat/lon grids as a multi-message GRIB edition 1
+    byte string (data representation type 0, grid-point simple packing
+    with an IBM 32-bit reference value, optional bitmap for NaN cells,
+    ECMWF local definition 1 for ensemble member numbers).
+
+    Same contract as :func:`encode_grib2`; coordinates are stored in
+    millidegrees (the edition-1 precision), so grid parameters must be
+    exact multiples of 0.001 degrees.
+    """
+    out = b""
+    for member, values in messages:
+        arr = np.asarray(values, dtype="f8")
+        if arr.ndim != 2:
+            raise ValueError(f"expected 2-D values, got shape {arr.shape}")
+        nj, ni = arr.shape
+        flat = arr.ravel()
+        present = ~np.isnan(flat)
+        scaled = flat[present] * 10.0 ** d_scale
+        ref = float(scaled.min()) if scaled.size else 0.0
+        x = np.rint((scaled - ref) / 2.0 ** e_scale).astype(np.int64)
+        if x.size and (x.min() < 0 or x.max() >= (1 << nbits)):
+            raise ValueError(
+                f"packed values outside {nbits}-bit range: "
+                f"[{x.min()}, {x.max()}]"
+            )
+
+        has_bms = not present.all()
+        pds = bytearray(28 if member is None else 52)
+        pds[0:3] = len(pds).to_bytes(3, "big")
+        pds[3] = 1                                    # table version
+        pds[4] = 98                                   # centre: ECMWF
+        pds[7] = 0x80 | (0x40 if has_bms else 0)      # GDS present, BMS?
+        pds[8] = 1                                    # parameter
+        pds[12:17] = bytes([1, 1, 1, 0, 0])           # ref date/time
+        pds[24] = 21                                  # century
+        pds[26:28] = _sm_bytes(d_scale, 2)
+        if member is not None:
+            pds[40] = 1                               # ECMWF local def 1
+            pds[49] = int(member)                     # perturbation number
+            pds[50] = max(int(member) + 1, 2)         # members in ensemble
+
+        jsign = 1 if lat_ascending else -1
+        gds = bytearray(32)
+        gds[0:3] = (32).to_bytes(3, "big")
+        gds[4] = 255                                  # PV: none
+        gds[5] = 0                                    # lat/lon grid
+        gds[6:8] = ni.to_bytes(2, "big")
+        gds[8:10] = nj.to_bytes(2, "big")
+        gds[10:13] = _sm_bytes(_milli(lat0, "lat0"), 3)
+        gds[13:16] = _sm_bytes(_milli(lon0, "lon0"), 3)
+        gds[16] = 0x80                                # increments given
+        gds[17:20] = _sm_bytes(
+            _milli(lat0, "lat0") + jsign * (nj - 1) * _milli(dlat, "dlat"), 3
+        )
+        gds[20:23] = _sm_bytes(
+            _milli(lon0, "lon0") + (ni - 1) * _milli(dlon, "dlon"), 3
+        )
+        gds[23:25] = _milli(dlon, "dlon").to_bytes(2, "big")
+        gds[25:27] = _milli(dlat, "dlat").to_bytes(2, "big")
+        gds[27] = 0x40 if lat_ascending else 0
+
+        bms = b""
+        if has_bms:
+            bitmap = np.packbits(present.astype(np.uint8)).tobytes()
+            unused = len(bitmap) * 8 - present.size
+            bms = (
+                (6 + len(bitmap)).to_bytes(3, "big")
+                + bytes([unused])
+                + b"\0\0"
+                + bitmap
+            )
+
+        shifts = np.arange(nbits - 1, -1, -1, dtype=np.int64)
+        bits = ((x[:, None] >> shifts) & 1).astype(np.uint8).ravel()
+        packed = np.packbits(bits).tobytes()
+        unused_bits = len(packed) * 8 - x.size * nbits
+        bds = (
+            (11 + len(packed)).to_bytes(3, "big")
+            + bytes([unused_bits & 0x0F])
+            + _sm_bytes(e_scale, 2)
+            + _ibm_float_bytes(ref)
+            + bytes([nbits])
+            + packed
+        )
+
+        body = bytes(pds) + bytes(gds) + bms + bds + b"7777"
+        total = 8 + len(body)
+        out += b"GRIB" + total.to_bytes(3, "big") + bytes([1]) + body
     return out
 
 

@@ -264,3 +264,85 @@ def test_zarr_unknown_filter_still_gated(tmp_path):
         )
     with pytest.raises(NotImplementedError, match="fixedscaleoffset"):
         read_zarr_minimal(f"{store}/v")
+
+
+def test_grib1_roundtrip_ensemble(tmp_path):
+    """GRIB edition 1: two ECMWF-local-def-1 ensemble members, 10-bit
+    packing, IBM-float reference value, D=0/E=0 integer-exact."""
+    from data_pipelines_spark.sources.raster import (
+        read_grib1_minimal,
+        read_grib_minimal,
+    )
+    from data_pipelines_spark.sources.raster_encode import encode_grib1
+
+    rng = np.random.default_rng(3)
+    v0 = rng.integers(5, 1000, size=(3, 5)).astype("f8")
+    v1 = rng.integers(5, 1000, size=(3, 5)).astype("f8")
+    path = str(tmp_path / "e.grib1")
+    with open(path, "wb") as f:
+        f.write(
+            encode_grib1(
+                [(0, v0), (1, v1)],
+                lat0=50.0, lon0=10.0, dlat=0.5, dlon=0.25, nbits=10,
+            )
+        )
+    msgs = read_grib1_minimal(path)
+    assert [m["member"] for m, *_ in msgs] == [0, 1]
+    for (meta, vals, lats, lons), expect in zip(msgs, (v0, v1)):
+        assert meta["edition"] == 1
+        assert np.array_equal(vals, expect)
+        assert np.array_equal(lats, 50.0 - np.arange(3) * 0.5)
+        assert np.array_equal(lons, 10.0 + np.arange(5) * 0.25)
+    # the edition sniffer dispatches to the same parser
+    assert len(read_grib_minimal(path)) == 2
+
+
+def test_grib1_bitmap_and_scaling(tmp_path):
+    """D=1 decimal scaling + NaN cells through a real GRIB1 bitmap."""
+    from data_pipelines_spark.sources.raster import read_grib1_minimal
+    from data_pipelines_spark.sources.raster_encode import encode_grib1
+
+    vals = np.array([[1.5, np.nan, 3.1], [np.nan, 5.0, 6.9]])
+    path = str(tmp_path / "b.grib1")
+    with open(path, "wb") as f:
+        f.write(
+            encode_grib1(
+                [(None, vals)], lat0=-2.5, lon0=30.0, dlat=0.5, dlon=0.5,
+                nbits=8, d_scale=1, lat_ascending=True,
+            )
+        )
+    [(meta, got, lats, lons)] = read_grib1_minimal(path)
+    assert meta.get("member") is None
+    assert np.array_equal(np.isnan(got), np.isnan(vals))
+    assert np.allclose(got[~np.isnan(got)], vals[~np.isnan(vals)],
+                       rtol=0, atol=1e-12)
+    assert np.array_equal(lats, -2.5 + np.arange(2) * 0.5)
+
+
+def test_grib_ensemble_reads_edition1(spark, tmp_path):
+    """S4 end-to-end on edition 1: the ensemble reader stacks GRIB1
+    members onto the number axis exactly like GRIB2."""
+    from data_pipelines_spark.sources.raster import read_grib_ensemble
+    from data_pipelines_spark.sources.raster_encode import encode_grib1
+
+    v0 = np.arange(6, dtype="f8").reshape(2, 3)
+    path = str(tmp_path / "ens.grib1")
+    with open(path, "wb") as f:
+        f.write(encode_grib1([(0, v0), (1, v0 + 10)],
+                             lat0=10.0, lon0=0.0, dlat=1.0, dlon=1.0))
+    df = read_grib_ensemble(spark, path, value_var="dis24")
+    rows = {(r["number"], r["latitude"], r["longitude"]): r["dis24"]
+            for r in df.collect()}
+    assert len(rows) == 12
+    assert rows[(0.0, 10.0, 0.0)] == 0.0
+    assert rows[(1.0, 9.0, 2.0)] == 15.0
+
+
+def test_ibm_float_roundtrip_values():
+    from data_pipelines_spark.sources.raster import _ibm_to_float
+    from data_pipelines_spark.sources.raster_encode import _ibm_float_bytes
+
+    for v in (0.0, 1.0, -1.0, 123456.0, 2.0**23, -37.5, 0.25):
+        assert _ibm_to_float(_ibm_float_bytes(v)) == v
+    with pytest.raises(ValueError, match="not exactly"):
+        _ibm_float_bytes(0.1)
