@@ -148,6 +148,11 @@ _RASTER_SQL = """
            ROUND(SUM((val + 7 * m) * lon + m * lat), 6)
     FROM buckets, range(0, 2) mm(m)
     WHERE NOT (m = 1 AND i = 42)
+    UNION ALL
+    SELECT 'grib1', COUNT(*), CAST(SUM(val + 1 + 3 * m) AS BIGINT),
+           ROUND(SUM((val + 1 + 3 * m) * lon + m * lat), 6)
+    FROM buckets, range(0, 2) mm(m)
+    WHERE NOT (m = 0 AND i = 7)
 """
 
 
@@ -178,6 +183,10 @@ def raster_roundtrip(spark, sf_dir):
       fields crossing byte boundaries, per-message reference value),
       member 1 carrying a section-6 BITMAP hole at bucket 42 (95 cells
       survive) and +7 offset so the members differ.
+    - ``grib1``: the same grid through GRIB EDITION 1 — IBM-float
+      reference values, millidegree coordinates, ECMWF local-def-1
+      member numbers, and a GRIB1 bitmap hole at bucket 7 in member 0
+      (+1/+4 offsets keep the tiers' sums distinct).
 
     ``pos_weighted`` multiplies every value by its coordinate (and
     member by latitude), so a transposed axis, flipped scan order, or
@@ -211,6 +220,7 @@ def raster_roundtrip(spark, sf_dir):
     )
     from data_pipelines_spark.sources.raster_encode import (
         encode_geotiff,
+        encode_grib1,
         encode_grib2,
         encode_netcdf,
         write_zarr_store,
@@ -276,6 +286,17 @@ def raster_roundtrip(spark, sf_dir):
                 )
             )
 
+        g1m0 = vals + 1.0
+        g1m0[0, 7] = np.nan  # bucket 7 -> GRIB1 bitmap hole in member 0
+        grib1 = os.path.join(tmp, "g.grib1")
+        with open(grib1, "wb") as f:
+            f.write(
+                encode_grib1(
+                    [(0, g1m0), (1, vals + 4.0)],
+                    lat0=50.0, lon0=10.0, dlat=0.5, dlon=0.25, nbits=12,
+                )
+            )
+
         def norm(df, fmt, val_col, lat_col, lon_col, member_col=None):
             member = (
                 F.col(member_col).cast("double")
@@ -300,6 +321,10 @@ def raster_roundtrip(spark, sf_dir):
             .unionByName(norm(read_grib_ensemble(spark, grib,
                                                  value_var="val"),
                               "grib", "val", "latitude", "longitude",
+                              member_col="number"))
+            .unionByName(norm(read_grib_ensemble(spark, grib1,
+                                                 value_var="val"),
+                              "grib1", "val", "latitude", "longitude",
                               member_col="number"))
         )
         return long_form.groupBy("fmt").agg(
