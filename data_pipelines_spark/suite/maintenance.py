@@ -736,6 +736,10 @@ _FETCH_TASK_SQL = """
     SELECT 'copy', CAST(-3 AS BIGINT), CAST(1 AS BIGINT),
            CAST(reps * line_bytes AS BIGINT), CAST(0 AS BIGINT)
     FROM f WHERE key = 0
+    UNION ALL
+    SELECT 'manifest', CAST(-4 AS BIGINT), COUNT(*),
+           CAST(SUM(reps * line_bytes) AS BIGINT), CAST(SUM(key) AS BIGINT)
+    FROM f
 """
 
 
@@ -767,6 +771,11 @@ def fetch_task_suite(spark, sf_dir):
       to 1 (D5).
     - ``copy``: `fsutils.copy` duplicates nation 0's object and the
       copy's FS-reported size round-trips (S12 copy).
+    - ``manifest``: the fetch results are written as a JSON-lines
+      manifest (`df.write.json`) and read back (`spark.read.json`,
+      schema inferred), with byte totals and the nation key parsed
+      from each url — the S8 manifest write/read round-trip under the
+      same hash.
 
     The nation-table collect that seeds the files is 25 rows; the
     final aggregate is collected (<= 9 rows) before the temp dir is
@@ -840,6 +849,21 @@ def fetch_task_suite(spark, sf_dir):
             "n", "total", "w",
         )
 
+        man_dir = os.path.join(d, "manifest")
+        fetched.select("url", "n_bytes").write.mode("overwrite").json(man_dir)
+        manifest_tier = spark.read.json(man_dir).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total"),
+            F.sum(
+                F.regexp_extract(F.col("url"), r"n_(\d+)\.txt$", 1)
+                .cast("long")
+            ).alias("w"),
+        ).select(
+            F.lit("manifest").alias("method"),
+            F.lit(-4).cast("long").alias("k"),
+            "n", "total", "w",
+        )
+
         copy(spark, urls[0], f"file://{d}/copied.txt")
         [copied] = glob_objects(spark, f"file://{d}/copied.txt")
         copy_tier = spark.createDataFrame(
@@ -853,6 +877,7 @@ def fetch_task_suite(spark, sf_dir):
             fetch_tier.unionByName(glob_tier)
             .unionByName(task_tier)
             .unionByName(copy_tier)
+            .unionByName(manifest_tier)
         )
         schema = out.schema
         materialized = out.collect()  # bounded: regions + 3 tiers
