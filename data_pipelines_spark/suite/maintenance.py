@@ -429,7 +429,10 @@ def upsert_readback(spark, sf_dir):
     is content-preserving (including the evolved column, which a
     non-mergeSchema compaction read would silently drop). Partition
     column ``bucket = k % 4`` is derived from the key — the
-    immutability contract the pruned merge requires."""
+    immutability contract the pruned merge requires. A final leg
+    rewrites the result as an 8-bucket BUCKETED external table and
+    reads it back through the catalog, putting the bucketed-layout
+    write/read (`sources/bucketed.py`) under the same hash."""
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
     m = F.col("o_orderkey") % 100
@@ -515,7 +518,25 @@ def upsert_readback(spark, sf_dir):
             F.col("ver").cast("long").alias("ver"),
             opt["note"].alias("note"),
         )
-        rows = readback.collect()
+        # Final leg: the same rows through the BUCKETED-table layout
+        # (S-tier storage feature, sources/bucketed.py) — written as an
+        # 8-bucket external table and read back via the catalog, so a
+        # bucket-layout corruption (wrong hash spec, dropped rows at
+        # the repartition-to-bucket write, schema drift through
+        # saveAsTable) breaks this entry's hash. Plan-shape benefits
+        # (Exchange-free co-bucketed joins) stay pinned in
+        # tests/test_bucketed.py; this certifies content.
+        from data_pipelines_spark.sources.bucketed import write_bucketed
+
+        table = "upsert_readback_bucketed_tmp"
+        try:
+            write_bucketed(
+                readback, table, os.path.join(d, "bucketed"),
+                bucket_cols=("k",), num_buckets=8,
+            )
+            rows = spark.table(table).collect()
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, schema=schema)
