@@ -23,15 +23,19 @@ def _write_events(spark, sf_dir: str) -> None:
         # user u1: second event lands exactly GAP after the first →
         # SAME session (closed boundary); third is GAP+1 after the
         # second → NEW session.
-        ("e1", "u1", t0, "view", 1.0),
-        ("e2", "u1", t0 + dt.timedelta(seconds=GAP), "view", 2.0),
-        ("e3", "u1", t0 + dt.timedelta(seconds=2 * GAP + 1), "view", 3.0),
+        (1, 1, t0, "view", 1.0, '{"k": 1}'),
+        (2, 1, t0 + dt.timedelta(seconds=GAP), "view", 2.0, '{"k": 2}'),
+        (3, 1, t0 + dt.timedelta(seconds=2 * GAP + 1), "view", 3.0,
+         '{"k": 3}'),
         # user u2: one event below the boundary → a single session.
-        ("e4", "u2", t0, "view", 4.0),
-        ("e5", "u2", t0 + dt.timedelta(seconds=GAP - 1), "view", 5.0),
+        (4, 2, t0, "view", 4.0, '{"k": 14}'),
+        (5, 2, t0 + dt.timedelta(seconds=GAP - 1), "view", 5.0,
+         '{"k": 15}'),
     ]
     df = spark.createDataFrame(
-        rows, "event_id string, user_id string, ts timestamp, event_type string, value double"
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
     )
     df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(sf_dir, "events.parquet")
@@ -47,7 +51,7 @@ def test_exact_gap_merges_same_session(spark, tmp_path):
         for r in temporal.QUERIES["session_windows_suite"](spark, sf_dir).collect()
         if r.method == "native"
     }
-    assert out == {("u1", 1): 2, ("u1", 2): 1, ("u2", 1): 2}
+    assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 2}
 
 
 def test_oracle_agrees_on_boundary(spark, tmp_path):
