@@ -244,9 +244,16 @@ def encode_grib2(
         flat = arr.ravel()
         present = ~np.isnan(flat)
         scaled = flat[present] * 10.0 ** d_scale
+        # R must be float32 (that's its wire format). Floor it to the
+        # nearest representable value at or below the minimum so X
+        # stays non-negative; integer-valued scaled data (< 2^24) is
+        # always exact, anything else quantizes to the packing grid —
+        # the loss inherent to GRIB simple packing.
         ref = float(scaled.min()) if scaled.size else 0.0
-        if np.float32(ref) != ref:
-            raise ValueError(f"reference value {ref} is not exact in float32")
+        ref32 = np.float32(ref)
+        if float(ref32) > ref:
+            ref32 = np.nextafter(ref32, np.float32(-np.inf))
+        ref = float(ref32)
         x = np.rint((scaled - ref) / 2.0 ** e_scale).astype(np.int64)
         if x.size and (x.min() < 0 or x.max() >= (1 << nbits)):
             raise ValueError(
@@ -324,6 +331,26 @@ def _ibm_float_bytes(value: float) -> bytes:
     return (sign | (exp << 24) | int(frac)).to_bytes(4, "big")
 
 
+def _ibm_float_floor(value: float) -> float:
+    """Largest IBM-representable value <= ``value`` (used for GRIB1
+    reference values so packed offsets stay non-negative; exact inputs
+    pass through unchanged)."""
+    import math
+
+    if value == 0.0:
+        return 0.0
+    neg = value < 0
+    frac = abs(value) * 2.0 ** 24
+    exp = 64
+    while frac >= 2 ** 24:
+        frac /= 16.0
+        exp += 1
+    frac = math.ceil(frac) if neg else math.floor(frac)
+    if frac >= 2 ** 24:  # magnitude ceil overflowed the mantissa
+        frac, exp = 2 ** 20, exp + 1
+    return (-1.0 if neg else 1.0) * frac * 16.0 ** (exp - 64) * 2.0 ** -24
+
+
 def _milli(value: float, name: str) -> int:
     scaled = value * 1e3
     if round(scaled) != scaled:
@@ -363,7 +390,9 @@ def encode_grib1(
         flat = arr.ravel()
         present = ~np.isnan(flat)
         scaled = flat[present] * 10.0 ** d_scale
-        ref = float(scaled.min()) if scaled.size else 0.0
+        # Floor R to the IBM grid (its wire format) so X stays
+        # non-negative; integer scaled data stays exact.
+        ref = _ibm_float_floor(float(scaled.min())) if scaled.size else 0.0
         x = np.rint((scaled - ref) / 2.0 ** e_scale).astype(np.int64)
         if x.size and (x.min() < 0 or x.max() >= (1 << nbits)):
             raise ValueError(
