@@ -547,16 +547,20 @@ _TIFF_DTYPES = {
 
 
 def read_tiff_minimal(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Baseline single-band uncompressed (Geo)TIFF → (array, xs, ys).
+    """Uncompressed (Geo)TIFF → (array, xs, ys).
 
-    A dependency-free reader for the simplest profile GDAL emits
-    (`gdal_translate -co COMPRESS=NONE`): classic TIFF, one band,
-    strip-organized, Compression=1. Parses the IFD directly with
-    struct/numpy and applies the GeoTIFF ModelPixelScale/ModelTiepoint
-    tags for cell-center coordinates. Anything fancier (tiles,
-    compression, BigTIFF) raises with a pointer to the rasterio path —
-    this is the smoke-proof that S6 ingestion runs end-to-end, not a
-    GDAL replacement.
+    A dependency-free reader for the uncompressed profiles GDAL emits
+    (`gdal_translate -co COMPRESS=NONE`, optionally `-co TILED=YES`):
+    classic TIFF, strip- OR tile-organized (tiles are the layout that
+    makes a COG cloud-optimized), single- or multi-band
+    (PlanarConfiguration=1, pixel-interleaved — the satellite-imagery
+    shape). Parses the IFD directly with struct/numpy and applies the
+    GeoTIFF ModelPixelScale/ModelTiepoint tags for cell-center
+    coordinates. Anything fancier (compression, planar bands, BigTIFF)
+    raises with a pointer to the rasterio path.
+
+    Returns a 2-D ``(h, w)`` array for one band, 3-D ``(h, w, s)``
+    for multi-band.
     """
     import struct
 
@@ -610,15 +614,41 @@ def read_tiff_minimal(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             "COMPRESS=NONE"
         )
     samples = ints(277, [1])[0]
-    if samples != 1:
-        raise NotImplementedError("multi-band TIFF: use the rasterio path")
+    if samples != 1 and ints(284, [1])[0] != 1:
+        raise NotImplementedError(
+            "planar-configuration multi-band TIFF: use the rasterio path"
+        )
     sample_format = ints(339, [1])[0]
     dt = np.dtype(e + _TIFF_DTYPES[(sample_format, bits)])
-    offsets = ints(273)
-    counts = ints(279)
-    raster = np.frombuffer(
-        b"".join(data[o : o + c] for o, c in zip(offsets, counts)), dtype=dt
-    ).reshape(height, width)
+
+    if 322 in tags:  # tile-organized (the COG interior layout)
+        tw, tl = ints(322)[0], ints(323)[0]
+        offsets, counts = ints(324), ints(325)
+        across = -(-width // tw)
+        down = -(-height // tl)
+        raster = np.zeros((height, width, samples), dtype=dt)
+        for idx, (o, c) in enumerate(zip(offsets, counts)):
+            tile = np.frombuffer(data[o : o + c], dtype=dt).reshape(
+                tl, tw, samples
+            )
+            ty, tx = divmod(idx, across)
+            y0, x0 = ty * tl, tx * tw
+            ph = min(tl, height - y0)
+            pw = min(tw, width - x0)
+            raster[y0 : y0 + ph, x0 : x0 + pw] = tile[:ph, :pw]
+        if down * across != len(offsets):
+            raise ValueError(
+                f"tile count {len(offsets)} does not cover "
+                f"{down}x{across} grid"
+            )
+    else:
+        offsets, counts = ints(273), ints(279)
+        raster = np.frombuffer(
+            b"".join(data[o : o + c] for o, c in zip(offsets, counts)),
+            dtype=dt,
+        ).reshape(height, width, samples)
+    if samples == 1:
+        raster = raster.reshape(height, width)
 
     scale = doubles(33550) or [1.0, 1.0, 0.0]
     tie = doubles(33922) or [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
@@ -643,6 +673,17 @@ def read_geotiff(
         import rasterio
     except ImportError:
         arr, xs, ys = read_tiff_minimal(path)
+        if arr.ndim == 3:  # multi-band: one row per (band, y, x)
+            return grid_to_long_form(
+                spark,
+                np.moveaxis(arr, 2, 0),
+                {
+                    "band": np.arange(1, arr.shape[2] + 1, dtype="float64"),
+                    "y": ys,
+                    "x": xs,
+                },
+                value_col=value_col,
+            )
         return grid_to_long_form(
             spark, arr, {"y": ys, "x": xs}, value_col=value_col
         )

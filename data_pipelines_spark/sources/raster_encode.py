@@ -52,57 +52,111 @@ def encode_geotiff(
     origin_y: float,
     pixel_w: float,
     pixel_h: float,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """Encode a 2-D array as a baseline little-endian single-band
-    uncompressed GeoTIFF — the COMPRESS=NONE profile gdal_translate
-    emits and `read_tiff_minimal` parses.
+    """Encode an array as an uncompressed little-endian GeoTIFF — the
+    COMPRESS=NONE profiles gdal_translate emits and `read_tiff_minimal`
+    parses.
 
-    ``values[0, 0]`` maps to world ``(origin_x, origin_y)``; x grows by
-    ``pixel_w`` per column, y DECREASES by ``pixel_h`` per row
-    (north-up raster convention, matching the reader's geotransform).
+    ``values`` is ``(h, w)`` for one band or ``(h, w, s)`` for a
+    pixel-interleaved multi-band image (PlanarConfiguration=1).
+    ``tile=(tw, tl)`` writes the tile-organized layout (the interior
+    structure of a COG; edge tiles are zero-padded to full size per the
+    TIFF spec) instead of one strip. ``values[0, 0]`` maps to world
+    ``(origin_x, origin_y)``; x grows by ``pixel_w`` per column, y
+    DECREASES by ``pixel_h`` per row (north-up raster convention,
+    matching the reader's geotransform).
     """
     arr = np.asarray(values)
-    if arr.ndim != 2:
-        raise ValueError(f"expected a 2-D array, got shape {arr.shape}")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError(f"expected a 2-D or 3-D array, got shape {arr.shape}")
     key = arr.dtype.str.lstrip("<>=|")
     if key not in _TIFF_FORMATS:
         raise ValueError(f"unsupported TIFF dtype {arr.dtype}")
     sample_format, bits = _TIFF_FORMATS[key]
+    h, w, s = arr.shape
+    arr = arr.astype("<" + key)
 
-    h, w = arr.shape
-    pixels = arr.astype("<" + key).tobytes()
+    # Pixel payload: one chunk per strip/tile, laid out from offset 8.
+    chunks: list[bytes] = []
+    if tile is None:
+        chunks.append(arr.tobytes())
+    else:
+        tw, tl = tile
+        for ty in range(-(-h // tl)):
+            for tx in range(-(-w // tw)):
+                block = np.zeros((tl, tw, s), dtype=arr.dtype)
+                src = arr[ty * tl : ty * tl + tl, tx * tw : tx * tw + tw]
+                block[: src.shape[0], : src.shape[1]] = src
+                chunks.append(block.tobytes())
     data_off = 8
-    ifd_off = data_off + len(pixels)
+    chunk_offs = []
+    off = data_off
+    for c in chunks:
+        chunk_offs.append(off)
+        off += len(c)
+    ifd_off = off
 
-    entries: list[bytes] = []
+    # IFD entries: (tag, type, values) with automatic external storage.
+    def shorts(*vals):
+        return 3, struct.pack(f"<{len(vals)}H", *vals)
 
-    def entry(tag: int, typ: int, cnt: int, value_bytes: bytes) -> None:
-        entries.append(
-            struct.pack("<HHI", tag, typ, cnt) + value_bytes.ljust(4, b"\0")
-        )
+    def longs(*vals):
+        return 4, struct.pack(f"<{len(vals)}I", *vals)
 
-    n = 12
+    def dbls(*vals):
+        return 12, struct.pack(f"<{len(vals)}d", *vals)
+
+    fields: list[tuple[int, int, int, bytes]] = [
+        (256, *shorts(w)), (257, *shorts(h)),
+        (258, *shorts(*([bits] * s))),
+        (259, *shorts(1)), (262, *shorts(1)),
+    ]
+    if tile is None:
+        fields += [
+            (273, *longs(*chunk_offs)),
+            (277, *shorts(s)),
+            (278, *longs(h)),
+            (279, *longs(*[len(c) for c in chunks])),
+        ]
+    else:
+        fields += [
+            (277, *shorts(s)),
+            (322, *shorts(tile[0])), (323, *shorts(tile[1])),
+            (324, *longs(*chunk_offs)),
+            (325, *longs(*[len(c) for c in chunks])),
+        ]
+    if s > 1:
+        fields.append((284, *shorts(1)))  # PlanarConfiguration=chunky
+    fields += [
+        (339, *shorts(*([sample_format] * s))),
+        (33550, *dbls(pixel_w, pixel_h, 0.0)),
+        (33922, *dbls(0.0, 0.0, 0.0, origin_x, origin_y, 0.0)),
+    ]
+    fields.sort(key=lambda f: f[0])
+
+    type_size = {3: 2, 4: 4, 12: 8}
+    n = len(fields)
     ext_off = ifd_off + 2 + n * 12 + 4
-    entry(256, 3, 1, struct.pack("<H", w))             # ImageWidth
-    entry(257, 3, 1, struct.pack("<H", h))             # ImageLength
-    entry(258, 3, 1, struct.pack("<H", bits))          # BitsPerSample
-    entry(259, 3, 1, struct.pack("<H", 1))             # Compression=none
-    entry(262, 3, 1, struct.pack("<H", 1))             # Photometric
-    entry(273, 4, 1, struct.pack("<I", data_off))      # StripOffsets
-    entry(277, 3, 1, struct.pack("<H", 1))             # SamplesPerPixel
-    entry(278, 4, 1, struct.pack("<I", h))             # RowsPerStrip
-    entry(279, 4, 1, struct.pack("<I", len(pixels)))   # StripByteCounts
-    entry(339, 3, 1, struct.pack("<H", sample_format)) # SampleFormat
-    entry(33550, 12, 3, struct.pack("<I", ext_off))    # ModelPixelScale
-    entry(33922, 12, 6, struct.pack("<I", ext_off + 24))  # ModelTiepoint
-
-    scale = struct.pack("<3d", pixel_w, pixel_h, 0.0)
-    tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, origin_x, origin_y, 0.0)
+    entries, ext = [], b""
+    for tag, typ, payload in [(t, ty, p) for t, ty, p in fields]:
+        cnt = len(payload) // type_size[typ]
+        if len(payload) <= 4:
+            entries.append(
+                struct.pack("<HHI", tag, typ, cnt) + payload.ljust(4, b"\0")
+            )
+        else:
+            entries.append(
+                struct.pack("<HHII", tag, typ, cnt, ext_off + len(ext))
+            )
+            ext += payload
     return (
         b"II" + struct.pack("<HI", 42, ifd_off)
-        + pixels
+        + b"".join(chunks)
         + struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
-        + scale + tiepoint
+        + ext
     )
 
 

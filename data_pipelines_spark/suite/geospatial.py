@@ -168,9 +168,10 @@ def raster_roundtrip(spark, sf_dir):
     encode -> parse -> grid_to_long_form path for each format. Each
     format exercises its own decode hazard:
 
-    - ``tiff``: baseline float32 GeoTIFF, IFD walk + geotransform
-      (origin 10/50, steps 0.25/0.5 — dyadic, so coordinates are
-      bit-exact doubles).
+    - ``tiff``: float32 GeoTIFF in the TILE-organized (COG) layout —
+      IFD walk, 3x4 tiles over the 8x6 image with zero-padded edge
+      tiles to crop, geotransform (origin 10/50, steps 0.25/0.5 —
+      dyadic, so coordinates are bit-exact doubles).
     - ``netcdf``: classic CDF-1 with a `_FillValue` cell at bucket 13
       — CF masking must DROP exactly that cell (47 rows).
     - ``zarr``: v2 zlib chunks (2x2) in F-ORDER behind a numcodecs
@@ -248,6 +249,8 @@ def raster_roundtrip(spark, sf_dir):
                 encode_geotiff(
                     vals.astype("f4"),
                     origin_x=10.0, origin_y=50.0, pixel_w=0.25, pixel_h=0.5,
+                    tile=(3, 4),  # tile-organized: the COG layout, with
+                    # zero-padded edge tiles the reader must crop
                 )
             )
 

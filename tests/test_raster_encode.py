@@ -346,3 +346,73 @@ def test_ibm_float_roundtrip_values():
         assert _ibm_to_float(_ibm_float_bytes(v)) == v
     with pytest.raises(ValueError, match="not exactly"):
         _ibm_float_bytes(0.1)
+
+
+def test_tiff_tiled_roundtrip_edge_tiles(tmp_path):
+    """Tile-organized TIFF (the COG interior layout) with edge tiles
+    that need padding: 7x5 image, 4x3 tiles."""
+    arr = np.arange(35, dtype="<f4").reshape(5, 7) * 2.0
+    path = str(tmp_path / "tiled.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=0.0, origin_y=10.0, pixel_w=1.0, pixel_h=1.0,
+                tile=(4, 3),
+            )
+        )
+    got, xs, ys = read_tiff_minimal(path)
+    assert np.array_equal(got, arr.astype("f8"))
+    assert np.array_equal(ys, 10.0 - np.arange(5))
+
+
+def test_tiff_multiband_strip_roundtrip(tmp_path):
+    """Pixel-interleaved 3-band image (the satellite shape) in one
+    strip; the reader returns (h, w, s)."""
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 4000, size=(4, 6, 3)).astype("<u2")
+    path = str(tmp_path / "mb.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=5.0, origin_y=9.0, pixel_w=0.5, pixel_h=0.5
+            )
+        )
+    got, xs, ys = read_tiff_minimal(path)
+    assert got.shape == (4, 6, 3)
+    assert np.array_equal(got, arr.astype("f8"))
+
+
+def test_tiff_multiband_tiled_roundtrip(tmp_path):
+    arr = np.arange(4 * 6 * 2, dtype="<i2").reshape(4, 6, 2)
+    path = str(tmp_path / "mbt.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=0.0, origin_y=0.0, pixel_w=1.0, pixel_h=1.0,
+                tile=(4, 2),
+            )
+        )
+    got, _, _ = read_tiff_minimal(path)
+    assert np.array_equal(got, arr.astype("f8"))
+
+
+def test_geotiff_multiband_long_form(spark, tmp_path):
+    """read_geotiff emits one row per (band, y, x) for multi-band
+    files — bands become a first-class dimension column."""
+    from data_pipelines_spark.sources.raster import read_geotiff
+
+    arr = np.zeros((2, 2, 2), dtype="<f4")
+    arr[:, :, 0] = [[1, 2], [3, 4]]
+    arr[:, :, 1] = [[10, 20], [30, 40]]
+    path = str(tmp_path / "bands.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=0.0, origin_y=1.0, pixel_w=1.0, pixel_h=1.0
+            )
+        )
+    df = read_geotiff(spark, path, value_col="v")
+    rows = {(r["band"], r["y"], r["x"]): r["v"] for r in df.collect()}
+    assert len(rows) == 8
+    assert rows[(1.0, 1.0, 0.0)] == 1.0
+    assert rows[(2.0, 0.0, 1.0)] == 40.0
