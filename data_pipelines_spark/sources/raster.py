@@ -546,18 +546,25 @@ _TIFF_DTYPES = {
 }
 
 
-def read_tiff_minimal(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def read_tiff_minimal(
+    path: str, overview: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Uncompressed (Geo)TIFF → (array, xs, ys).
 
     A dependency-free reader for the uncompressed profiles GDAL emits
-    (`gdal_translate -co COMPRESS=NONE`, optionally `-co TILED=YES`):
-    classic TIFF, strip- OR tile-organized (tiles are the layout that
-    makes a COG cloud-optimized), single- or multi-band
-    (PlanarConfiguration=1, pixel-interleaved — the satellite-imagery
-    shape). Parses the IFD directly with struct/numpy and applies the
-    GeoTIFF ModelPixelScale/ModelTiepoint tags for cell-center
-    coordinates. Anything fancier (compression, planar bands, BigTIFF)
-    raises with a pointer to the rasterio path.
+    (`gdal_translate -co COMPRESS=NONE`, optionally `-co TILED=YES`
+    plus overview levels): classic TIFF, strip- OR tile-organized
+    (tiles are the layout that makes a COG cloud-optimized), single-
+    or multi-band (PlanarConfiguration=1, pixel-interleaved — the
+    satellite-imagery shape), with the IFD chain exposed as overview
+    levels (``overview=0`` is full resolution; ``overview=k`` follows
+    the chain to the k-th reduced image, scaling the geotransform by
+    the decimation factor — read the small level first, touch the big
+    one only where needed: the COG access pattern). Parses the IFD
+    directly with struct/numpy and applies the GeoTIFF
+    ModelPixelScale/ModelTiepoint tags for cell-center coordinates.
+    Anything fancier (compression, planar bands, BigTIFF) raises with
+    a pointer to the rasterio path.
 
     Returns a 2-D ``(h, w)`` array for one band, 3-D ``(h, w, s)``
     for multi-band.
@@ -576,33 +583,53 @@ def read_tiff_minimal(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     if magic != 42:
         raise ValueError("not a classic TIFF (BigTIFF unsupported)")
 
-    (n_entries,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
-    tags: dict[int, tuple[int, int, bytes]] = {}
-    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
-    for i in range(n_entries):
-        off = ifd_off + 2 + i * 12
-        tag, typ, cnt = struct.unpack(e + "HHI", data[off : off + 8])
-        size = type_size.get(typ, 1) * cnt
-        raw = (
-            data[off + 8 : off + 8 + size]
-            if size <= 4
-            else data[
-                struct.unpack(e + "I", data[off + 8 : off + 12])[0] :
-            ][:size]
+    # Walk the IFD chain to the requested overview level. Geo tags
+    # live on the first IFD (GDAL convention), so remember it.
+    first_ifd_off = ifd_off
+    for level in range(overview):
+        (n0,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+        (ifd_off,) = struct.unpack(
+            e + "I", data[ifd_off + 2 + n0 * 12 : ifd_off + 6 + n0 * 12]
         )
-        tags[tag] = (typ, cnt, raw)
+        if ifd_off == 0:
+            raise ValueError(
+                f"overview {overview} not present (chain ends at {level})"
+            )
 
-    def ints(tag: int, default=None):
-        if tag not in tags:
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+
+    def parse_ifd(at: int) -> dict[int, tuple[int, int, bytes]]:
+        (n,) = struct.unpack(e + "H", data[at : at + 2])
+        out: dict[int, tuple[int, int, bytes]] = {}
+        for i in range(n):
+            off = at + 2 + i * 12
+            tag, typ, cnt = struct.unpack(e + "HHI", data[off : off + 8])
+            size = type_size.get(typ, 1) * cnt
+            raw = (
+                data[off + 8 : off + 8 + size]
+                if size <= 4
+                else data[
+                    struct.unpack(e + "I", data[off + 8 : off + 12])[0] :
+                ][:size]
+            )
+            out[tag] = (typ, cnt, raw)
+        return out
+
+    tags = parse_ifd(ifd_off)
+    geo_tags = tags if overview == 0 else parse_ifd(first_ifd_off)
+
+    def ints(tag: int, default=None, src=None):
+        t = src if src is not None else tags
+        if tag not in t:
             return default
-        typ, cnt, raw = tags[tag]
+        typ, cnt, raw = t[tag]
         fmt = {3: "H", 4: "I"}[typ]
         return list(struct.unpack(e + fmt * cnt, raw))
 
     def doubles(tag: int):
-        if tag not in tags:
+        if tag not in geo_tags:
             return None
-        _, cnt, raw = tags[tag]
+        _, cnt, raw = geo_tags[tag]
         return list(struct.unpack(e + "d" * cnt, raw))
 
     width, height = ints(256)[0], ints(257)[0]
@@ -653,26 +680,39 @@ def read_tiff_minimal(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     scale = doubles(33550) or [1.0, 1.0, 0.0]
     tie = doubles(33922) or [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
     # GDAL geotransform from the GeoTIFF tags (north-up): origin at the
-    # tiepoint, y decreasing.
-    xs = tie[3] + np.arange(width) * scale[0]
-    ys = tie[4] - np.arange(height) * scale[1]
+    # tiepoint, y decreasing. Overview levels inherit the first IFD's
+    # geo tags with the pixel size scaled by the decimation factor.
+    fx = fy = 1.0
+    if overview > 0:
+        w0 = ints(256, src=geo_tags)[0]
+        h0 = ints(257, src=geo_tags)[0]
+        fx, fy = w0 / width, h0 / height
+    xs = tie[3] + np.arange(width) * scale[0] * fx
+    ys = tie[4] - np.arange(height) * scale[1] * fy
     return raster.astype("float64"), xs, ys
 
 
 def read_geotiff(
-    spark: SparkSession, path: str, value_col: str = "value"
+    spark: SparkSession, path: str, value_col: str = "value",
+    overview: int = 0,
 ):
     """GeoTIFF/COG → long-form (x, y, value) (reference S6,
-    `io_managers.py:108-110`).
+    `io_managers.py:108-110`). ``overview=k`` reads the k-th reduced
+    level of a COG's IFD chain instead of full resolution.
 
     Prefers rasterio (full GDAL format coverage); without it, falls
-    back to :func:`read_tiff_minimal` for baseline uncompressed
-    single-band files — which keeps this reader genuinely runnable
-    (and tested end-to-end) in codec-free environments."""
+    back to :func:`read_tiff_minimal` for uncompressed strip/tiled
+    single- or multi-band files — which keeps this reader genuinely
+    runnable (and tested end-to-end) in codec-free environments."""
     try:
         import rasterio
+        if overview > 0:  # pragma: no cover - env without codecs
+            raise NotImplementedError(
+                "overview reads via rasterio: use "
+                "rasterio.open(..., OVERVIEW_LEVEL=k-1)"
+            )
     except ImportError:
-        arr, xs, ys = read_tiff_minimal(path)
+        arr, xs, ys = read_tiff_minimal(path, overview=overview)
         if arr.ndim == 3:  # multi-band: one row per (band, y, x)
             return grid_to_long_form(
                 spark,

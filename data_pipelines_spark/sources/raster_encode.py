@@ -34,6 +34,7 @@ import json
 import os
 import struct
 import zlib
+from collections.abc import Sequence
 
 import numpy as np
 
@@ -53,6 +54,7 @@ def encode_geotiff(
     pixel_w: float,
     pixel_h: float,
     tile: tuple[int, int] | None = None,
+    overviews: Sequence[int] = (),
 ) -> bytes:
     """Encode an array as an uncompressed little-endian GeoTIFF — the
     COMPRESS=NONE profiles gdal_translate emits and `read_tiff_minimal`
@@ -62,9 +64,13 @@ def encode_geotiff(
     pixel-interleaved multi-band image (PlanarConfiguration=1).
     ``tile=(tw, tl)`` writes the tile-organized layout (the interior
     structure of a COG; edge tiles are zero-padded to full size per the
-    TIFF spec) instead of one strip. ``values[0, 0]`` maps to world
-    ``(origin_x, origin_y)``; x grows by ``pixel_w`` per column, y
-    DECREASES by ``pixel_h`` per row (north-up raster convention,
+    TIFF spec) instead of one strip. ``overviews=(2, 4, ...)`` appends
+    nearest-neighbor-decimated reduced images as chained IFDs
+    (NewSubfileType=1) — tiling + overviews is what makes a COG
+    cloud-optimized: readers touch the small level first and fetch
+    full-resolution tiles only where needed. ``values[0, 0]`` maps to
+    world ``(origin_x, origin_y)``; x grows by ``pixel_w`` per column,
+    y DECREASES by ``pixel_h`` per row (north-up raster convention,
     matching the reader's geotransform).
     """
     arr = np.asarray(values)
@@ -76,30 +82,40 @@ def encode_geotiff(
     if key not in _TIFF_FORMATS:
         raise ValueError(f"unsupported TIFF dtype {arr.dtype}")
     sample_format, bits = _TIFF_FORMATS[key]
-    h, w, s = arr.shape
     arr = arr.astype("<" + key)
+    s = arr.shape[2]
 
-    # Pixel payload: one chunk per strip/tile, laid out from offset 8.
-    chunks: list[bytes] = []
-    if tile is None:
-        chunks.append(arr.tobytes())
-    else:
+    for k in overviews or ():
+        if int(k) <= 1:
+            raise ValueError(f"overview factor must be > 1, got {k}")
+    levels = [arr] + [arr[:: int(k), :: int(k)] for k in (overviews or ())]
+
+    def level_chunks(lv: np.ndarray) -> list[bytes]:
+        h, w, _ = lv.shape
+        if tile is None:
+            return [lv.tobytes()]
         tw, tl = tile
+        out = []
         for ty in range(-(-h // tl)):
             for tx in range(-(-w // tw)):
-                block = np.zeros((tl, tw, s), dtype=arr.dtype)
-                src = arr[ty * tl : ty * tl + tl, tx * tw : tx * tw + tw]
+                block = np.zeros((tl, tw, s), dtype=lv.dtype)
+                src = lv[ty * tl : ty * tl + tl, tx * tw : tx * tw + tw]
                 block[: src.shape[0], : src.shape[1]] = src
-                chunks.append(block.tobytes())
-    data_off = 8
-    chunk_offs = []
-    off = data_off
-    for c in chunks:
-        chunk_offs.append(off)
-        off += len(c)
-    ifd_off = off
+                out.append(block.tobytes())
+        return out
 
-    # IFD entries: (tag, type, values) with automatic external storage.
+    # Layout: header | all levels' pixel chunks | one IFD block per
+    # level (entries + next-IFD pointer + external values), chained.
+    all_chunks = [level_chunks(lv) for lv in levels]
+    chunk_offs: list[list[int]] = []
+    off = 8
+    for chunks in all_chunks:
+        offs = []
+        for c in chunks:
+            offs.append(off)
+            off += len(c)
+        chunk_offs.append(offs)
+
     def shorts(*vals):
         return 3, struct.pack(f"<{len(vals)}H", *vals)
 
@@ -109,54 +125,78 @@ def encode_geotiff(
     def dbls(*vals):
         return 12, struct.pack(f"<{len(vals)}d", *vals)
 
-    fields: list[tuple[int, int, int, bytes]] = [
-        (256, *shorts(w)), (257, *shorts(h)),
-        (258, *shorts(*([bits] * s))),
-        (259, *shorts(1)), (262, *shorts(1)),
-    ]
-    if tile is None:
-        fields += [
-            (273, *longs(*chunk_offs)),
+    def level_fields(li: int) -> list[tuple[int, int, bytes]]:
+        lv, chunks, offs = levels[li], all_chunks[li], chunk_offs[li]
+        h, w, _ = lv.shape
+        fields: list[tuple[int, int, bytes]] = [
+            (256, *shorts(w)), (257, *shorts(h)),
+            (258, *shorts(*([bits] * s))),
+            (259, *shorts(1)), (262, *shorts(1)),
             (277, *shorts(s)),
-            (278, *longs(h)),
-            (279, *longs(*[len(c) for c in chunks])),
+            (339, *shorts(*([sample_format] * s))),
         ]
-    else:
-        fields += [
-            (277, *shorts(s)),
-            (322, *shorts(tile[0])), (323, *shorts(tile[1])),
-            (324, *longs(*chunk_offs)),
-            (325, *longs(*[len(c) for c in chunks])),
-        ]
-    if s > 1:
-        fields.append((284, *shorts(1)))  # PlanarConfiguration=chunky
-    fields += [
-        (339, *shorts(*([sample_format] * s))),
-        (33550, *dbls(pixel_w, pixel_h, 0.0)),
-        (33922, *dbls(0.0, 0.0, 0.0, origin_x, origin_y, 0.0)),
-    ]
-    fields.sort(key=lambda f: f[0])
+        if li > 0:
+            fields.append((254, *longs(1)))  # NewSubfileType: reduced
+        if tile is None:
+            fields += [
+                (273, *longs(*offs)),
+                (278, *longs(h)),
+                (279, *longs(*[len(c) for c in chunks])),
+            ]
+        else:
+            fields += [
+                (322, *shorts(tile[0])), (323, *shorts(tile[1])),
+                (324, *longs(*offs)),
+                (325, *longs(*[len(c) for c in chunks])),
+            ]
+        if s > 1:
+            fields.append((284, *shorts(1)))  # PlanarConfiguration=chunky
+        if li == 0:  # geo tags live on the first IFD (GDAL convention)
+            fields += [
+                (33550, *dbls(pixel_w, pixel_h, 0.0)),
+                (33922, *dbls(0.0, 0.0, 0.0, origin_x, origin_y, 0.0)),
+            ]
+        return sorted(fields, key=lambda f: f[0])
 
     type_size = {3: 2, 4: 4, 12: 8}
-    n = len(fields)
-    ext_off = ifd_off + 2 + n * 12 + 4
-    entries, ext = [], b""
-    for tag, typ, payload in [(t, ty, p) for t, ty, p in fields]:
-        cnt = len(payload) // type_size[typ]
-        if len(payload) <= 4:
-            entries.append(
-                struct.pack("<HHI", tag, typ, cnt) + payload.ljust(4, b"\0")
-            )
-        else:
-            entries.append(
-                struct.pack("<HHII", tag, typ, cnt, ext_off + len(ext))
-            )
-            ext += payload
+    per_level = [level_fields(i) for i in range(len(levels))]
+    block_sizes = [
+        2 + len(f) * 12 + 4
+        + sum(len(p) for _t, _ty, p in f if len(p) > 4)
+        for f in per_level
+    ]
+    ifd_offs = []
+    for bs in block_sizes:
+        ifd_offs.append(off)
+        off += bs
+
+    blocks = b""
+    for li, fields in enumerate(per_level):
+        n = len(fields)
+        ext_off = ifd_offs[li] + 2 + n * 12 + 4
+        entries, ext = [], b""
+        for tag, typ, payload in fields:
+            cnt = len(payload) // type_size[typ]
+            if len(payload) <= 4:
+                entries.append(
+                    struct.pack("<HHI", tag, typ, cnt)
+                    + payload.ljust(4, b"\0")
+                )
+            else:
+                entries.append(
+                    struct.pack("<HHII", tag, typ, cnt, ext_off + len(ext))
+                )
+                ext += payload
+        next_ifd = ifd_offs[li + 1] if li + 1 < len(levels) else 0
+        blocks += (
+            struct.pack("<H", n) + b"".join(entries)
+            + struct.pack("<I", next_ifd) + ext
+        )
+
     return (
-        b"II" + struct.pack("<HI", 42, ifd_off)
-        + b"".join(chunks)
-        + struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
-        + ext
+        b"II" + struct.pack("<HI", 42, ifd_offs[0])
+        + b"".join(b"".join(c) for c in all_chunks)
+        + blocks
     )
 
 

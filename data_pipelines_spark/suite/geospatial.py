@@ -153,6 +153,10 @@ _RASTER_SQL = """
            ROUND(SUM((val + 1 + 3 * m) * lon + m * lat), 6)
     FROM buckets, range(0, 2) mm(m)
     WHERE NOT (m = 0 AND i = 7)
+    UNION ALL
+    SELECT 'tiff_ov', COUNT(*), CAST(SUM(val) AS BIGINT),
+           ROUND(SUM(val * lon), 6)
+    FROM buckets WHERE r % 2 = 0 AND c % 2 = 0
 """
 
 
@@ -171,7 +175,12 @@ def raster_roundtrip(spark, sf_dir):
     - ``tiff``: float32 GeoTIFF in the TILE-organized (COG) layout —
       IFD walk, 3x4 tiles over the 8x6 image with zero-padded edge
       tiles to crop, geotransform (origin 10/50, steps 0.25/0.5 —
-      dyadic, so coordinates are bit-exact doubles).
+      dyadic, so coordinates are bit-exact doubles) — PLUS a chained
+      2x overview IFD whose decode is its own ``tiff_ov`` tier: the
+      reduced level must contain exactly the even-row/even-column
+      cells with the geotransform scaled by the decimation factor
+      (overview lons land on the same dyadic grid, so the weighted
+      sum is still exact).
     - ``netcdf``: classic CDF-1 with a `_FillValue` cell at bucket 13
       — CF masking must DROP exactly that cell (47 rows).
     - ``zarr``: v2 zlib chunks (2x2) in F-ORDER behind a numcodecs
@@ -251,6 +260,7 @@ def raster_roundtrip(spark, sf_dir):
                     origin_x=10.0, origin_y=50.0, pixel_w=0.25, pixel_h=0.5,
                     tile=(3, 4),  # tile-organized: the COG layout, with
                     # zero-padded edge tiles the reader must crop
+                    overviews=(2,),
                 )
             )
 
@@ -329,6 +339,9 @@ def raster_roundtrip(spark, sf_dir):
                                                  value_var="val"),
                               "grib1", "val", "latitude", "longitude",
                               member_col="number"))
+            .unionByName(norm(read_geotiff(spark, tif, value_col="val",
+                                           overview=1),
+                              "tiff_ov", "val", "y", "x"))
         )
         return long_form.groupBy("fmt").agg(
             F.count(F.lit(1)).alias("n_cells"),

@@ -416,3 +416,48 @@ def test_geotiff_multiband_long_form(spark, tmp_path):
     assert len(rows) == 8
     assert rows[(1.0, 1.0, 0.0)] == 1.0
     assert rows[(2.0, 0.0, 1.0)] == 40.0
+
+
+def test_tiff_overview_chain_roundtrip(tmp_path):
+    """COG overview chain: tiled full-res + 2x and 4x reduced IFDs;
+    each level decodes with the geotransform scaled by its factor."""
+    arr = np.arange(8 * 12, dtype="<f4").reshape(8, 12)
+    path = str(tmp_path / "cog.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=100.0, origin_y=60.0, pixel_w=0.5, pixel_h=0.25,
+                tile=(4, 4), overviews=(2, 4),
+            )
+        )
+    full, xs0, ys0 = read_tiff_minimal(path)
+    assert np.array_equal(full, arr.astype("f8"))
+    assert xs0[1] - xs0[0] == 0.5
+
+    ov1, xs1, ys1 = read_tiff_minimal(path, overview=1)
+    assert np.array_equal(ov1, arr[::2, ::2].astype("f8"))
+    assert xs1[1] - xs1[0] == 1.0          # pixel size x factor
+    assert ys1[0] == 60.0                  # same origin
+
+    ov2, xs2, _ = read_tiff_minimal(path, overview=2)
+    assert np.array_equal(ov2, arr[::4, ::4].astype("f8"))
+    assert xs2[1] - xs2[0] == 2.0
+
+    with pytest.raises(ValueError, match="overview 3 not present"):
+        read_tiff_minimal(path, overview=3)
+
+
+def test_tiff_overview_strip_multiband(tmp_path):
+    arr = np.arange(6 * 8 * 2, dtype="<u2").reshape(6, 8, 2)
+    path = str(tmp_path / "ovmb.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=0.0, origin_y=0.0, pixel_w=1.0, pixel_h=1.0,
+                overviews=(2,),
+            )
+        )
+    full, _, _ = read_tiff_minimal(path)
+    ov, _, _ = read_tiff_minimal(path, overview=1)
+    assert np.array_equal(full, arr.astype("f8"))
+    assert np.array_equal(ov, arr[::2, ::2].astype("f8"))
