@@ -549,11 +549,12 @@ _TIFF_DTYPES = {
 def read_tiff_minimal(
     path: str, overview: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Uncompressed (Geo)TIFF → (array, xs, ys).
+    """(Geo)TIFF → (array, xs, ys) — none or DEFLATE compression.
 
-    A dependency-free reader for the uncompressed profiles GDAL emits
-    (`gdal_translate -co COMPRESS=NONE`, optionally `-co TILED=YES`
-    plus overview levels): classic TIFF, strip- OR tile-organized
+    A dependency-free reader for the profiles GDAL emits with
+    `-co COMPRESS=NONE` or `-co COMPRESS=DEFLATE` (optionally
+    `-co PREDICTOR=2` on integer data and `-co TILED=YES` plus
+    overview levels): classic TIFF, strip- OR tile-organized
     (tiles are the layout that makes a COG cloud-optimized), single-
     or multi-band (PlanarConfiguration=1, pixel-interleaved — the
     satellite-imagery shape), with the IFD chain exposed as overview
@@ -563,13 +564,14 @@ def read_tiff_minimal(
     one only where needed: the COG access pattern). Parses the IFD
     directly with struct/numpy and applies the GeoTIFF
     ModelPixelScale/ModelTiepoint tags for cell-center coordinates.
-    Anything fancier (compression, planar bands, BigTIFF) raises with
-    a pointer to the rasterio path.
+    Anything fancier (LZW/JPEG compression, float predictors, planar
+    bands, BigTIFF) raises with a pointer to the rasterio path.
 
     Returns a 2-D ``(h, w)`` array for one band, 3-D ``(h, w, s)``
     for multi-band.
     """
     import struct
+    import zlib
 
     with open(path, "rb") as f:
         data = f.read()
@@ -635,18 +637,41 @@ def read_tiff_minimal(
     width, height = ints(256)[0], ints(257)[0]
     bits = ints(258, [32])[0]
     compression = ints(259, [1])[0]
-    if compression != 1:
+    if compression not in (1, 8, 32946):  # none / DEFLATE (both codes)
         raise NotImplementedError(
-            "compressed TIFF: use the rasterio path or re-emit with "
-            "COMPRESS=NONE"
+            f"TIFF compression {compression}: use the rasterio path "
+            "(natively supported: none, DEFLATE)"
         )
     samples = ints(277, [1])[0]
     if samples != 1 and ints(284, [1])[0] != 1:
         raise NotImplementedError(
             "planar-configuration multi-band TIFF: use the rasterio path"
         )
+    predictor = ints(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor}: use the rasterio path"
+        )
     sample_format = ints(339, [1])[0]
     dt = np.dtype(e + _TIFF_DTYPES[(sample_format, bits)])
+    if predictor == 2 and sample_format == 3:
+        raise NotImplementedError(
+            "horizontal-differencing predictor on float samples: use "
+            "the rasterio path"
+        )
+
+    def decode_chunk(raw: bytes, rows: int, cols: int) -> np.ndarray:
+        if compression in (8, 32946):
+            raw = zlib.decompress(raw)
+        block = (
+            np.frombuffer(raw, dtype=dt).reshape(rows, cols, samples).copy()
+        )
+        if predictor == 2:
+            # Undo per-row horizontal differencing; modular cumsum in
+            # the storage dtype (integer wraparound is part of the
+            # predictor's definition).
+            np.cumsum(block, axis=1, dtype=block.dtype, out=block)
+        return block
 
     if 322 in tags:  # tile-organized (the COG interior layout)
         tw, tl = ints(322)[0], ints(323)[0]
@@ -655,9 +680,7 @@ def read_tiff_minimal(
         down = -(-height // tl)
         raster = np.zeros((height, width, samples), dtype=dt)
         for idx, (o, c) in enumerate(zip(offsets, counts)):
-            tile = np.frombuffer(data[o : o + c], dtype=dt).reshape(
-                tl, tw, samples
-            )
+            tile = decode_chunk(data[o : o + c], tl, tw)
             ty, tx = divmod(idx, across)
             y0, x0 = ty * tl, tx * tw
             ph = min(tl, height - y0)
@@ -670,10 +693,14 @@ def read_tiff_minimal(
             )
     else:
         offsets, counts = ints(273), ints(279)
-        raster = np.frombuffer(
-            b"".join(data[o : o + c] for o, c in zip(offsets, counts)),
-            dtype=dt,
-        ).reshape(height, width, samples)
+        rows_per_strip = ints(278, [height])[0]
+        parts = []
+        done = 0
+        for o, c in zip(offsets, counts):
+            rows = min(rows_per_strip, height - done)
+            parts.append(decode_chunk(data[o : o + c], rows, width))
+            done += rows
+        raster = np.concatenate(parts, axis=0)
     if samples == 1:
         raster = raster.reshape(height, width)
 

@@ -55,6 +55,8 @@ def encode_geotiff(
     pixel_h: float,
     tile: tuple[int, int] | None = None,
     overviews: Sequence[int] = (),
+    compression: str | None = None,
+    predictor: bool = False,
 ) -> bytes:
     """Encode an array as an uncompressed little-endian GeoTIFF — the
     COMPRESS=NONE profiles gdal_translate emits and `read_tiff_minimal`
@@ -68,9 +70,13 @@ def encode_geotiff(
     nearest-neighbor-decimated reduced images as chained IFDs
     (NewSubfileType=1) — tiling + overviews is what makes a COG
     cloud-optimized: readers touch the small level first and fetch
-    full-resolution tiles only where needed. ``values[0, 0]`` maps to
-    world ``(origin_x, origin_y)``; x grows by ``pixel_w`` per column,
-    y DECREASES by ``pixel_h`` per row (north-up raster convention,
+    full-resolution tiles only where needed. ``compression="deflate"``
+    zlib-compresses each strip/tile (the COMPRESS=DEFLATE profile);
+    ``predictor=True`` applies per-row horizontal differencing before
+    compression (PREDICTOR=2, integer dtypes only — typically halves
+    DEFLATE output on smooth rasters). ``values[0, 0]`` maps to world
+    ``(origin_x, origin_y)``; x grows by ``pixel_w`` per column, y
+    DECREASES by ``pixel_h`` per row (north-up raster convention,
     matching the reader's geotransform).
     """
     arr = np.asarray(values)
@@ -84,16 +90,32 @@ def encode_geotiff(
     sample_format, bits = _TIFF_FORMATS[key]
     arr = arr.astype("<" + key)
     s = arr.shape[2]
+    if compression not in (None, "deflate"):
+        raise ValueError(f"unsupported TIFF compression {compression!r}")
+    if predictor and sample_format == 3:
+        raise ValueError(
+            "PREDICTOR=2 applies to integer dtypes only (float "
+            "predictors are a rasterio-path feature)"
+        )
 
     for k in overviews or ():
         if int(k) <= 1:
             raise ValueError(f"overview factor must be > 1, got {k}")
     levels = [arr] + [arr[:: int(k), :: int(k)] for k in (overviews or ())]
 
+    def chunk_bytes(block: np.ndarray) -> bytes:
+        if predictor:
+            block = block.copy()
+            # Per-row horizontal differencing; integer wraparound is
+            # part of PREDICTOR=2's definition.
+            block[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
+        raw = block.tobytes()
+        return zlib.compress(raw) if compression == "deflate" else raw
+
     def level_chunks(lv: np.ndarray) -> list[bytes]:
         h, w, _ = lv.shape
         if tile is None:
-            return [lv.tobytes()]
+            return [chunk_bytes(lv)]
         tw, tl = tile
         out = []
         for ty in range(-(-h // tl)):
@@ -101,7 +123,7 @@ def encode_geotiff(
                 block = np.zeros((tl, tw, s), dtype=lv.dtype)
                 src = lv[ty * tl : ty * tl + tl, tx * tw : tx * tw + tw]
                 block[: src.shape[0], : src.shape[1]] = src
-                out.append(block.tobytes())
+                out.append(chunk_bytes(block))
         return out
 
     # Layout: header | all levels' pixel chunks | one IFD block per
@@ -131,10 +153,13 @@ def encode_geotiff(
         fields: list[tuple[int, int, bytes]] = [
             (256, *shorts(w)), (257, *shorts(h)),
             (258, *shorts(*([bits] * s))),
-            (259, *shorts(1)), (262, *shorts(1)),
+            (259, *shorts(8 if compression == "deflate" else 1)),
+            (262, *shorts(1)),
             (277, *shorts(s)),
             (339, *shorts(*([sample_format] * s))),
         ]
+        if predictor:
+            fields.append((317, *shorts(2)))
         if li > 0:
             fields.append((254, *longs(1)))  # NewSubfileType: reduced
         if tile is None:

@@ -172,7 +172,9 @@ def raster_roundtrip(spark, sf_dir):
     encode -> parse -> grid_to_long_form path for each format. Each
     format exercises its own decode hazard:
 
-    - ``tiff``: float32 GeoTIFF in the TILE-organized (COG) layout —
+    - ``tiff``: int32 GeoTIFF in the TILE-organized (COG) layout,
+      DEFLATE-compressed behind the horizontal-differencing predictor
+      (modular diff/cumsum must invert exactly) —
       IFD walk, 3x4 tiles over the 8x6 image with zero-padded edge
       tiles to crop, geotransform (origin 10/50, steps 0.25/0.5 —
       dyadic, so coordinates are bit-exact doubles) — PLUS a chained
@@ -256,11 +258,12 @@ def raster_roundtrip(spark, sf_dir):
         with open(tif, "wb") as f:
             f.write(
                 encode_geotiff(
-                    vals.astype("f4"),
+                    vals.astype("<i4"),
                     origin_x=10.0, origin_y=50.0, pixel_w=0.25, pixel_h=0.5,
                     tile=(3, 4),  # tile-organized: the COG layout, with
                     # zero-padded edge tiles the reader must crop
                     overviews=(2,),
+                    compression="deflate", predictor=True,
                 )
             )
 

@@ -461,3 +461,70 @@ def test_tiff_overview_strip_multiband(tmp_path):
     ov, _, _ = read_tiff_minimal(path, overview=1)
     assert np.array_equal(full, arr.astype("f8"))
     assert np.array_equal(ov, arr[::2, ::2].astype("f8"))
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+def test_tiff_deflate_roundtrip(tmp_path, tiled):
+    """COMPRESS=DEFLATE strips/tiles decompress bit-exactly."""
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 255, size=(6, 9)).astype("<u1")
+    path = str(tmp_path / f"defl_{tiled}.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=0.0, origin_y=0.0, pixel_w=1.0, pixel_h=1.0,
+                tile=(4, 4) if tiled else None, compression="deflate",
+            )
+        )
+    got, _, _ = read_tiff_minimal(path)
+    assert np.array_equal(got, arr.astype("f8"))
+
+
+def test_tiff_deflate_predictor_roundtrip_and_shrinks(tmp_path):
+    """PREDICTOR=2 + DEFLATE on a smooth integer gradient: exact
+    round-trip (modular diff/cumsum), and the predictor actually
+    reduces the compressed size — the point of using it."""
+    arr = (np.arange(64, dtype="<u2")[None, :] * 7
+           + np.arange(48, dtype="<u2")[:, None] * 3)
+    p_plain = str(tmp_path / "plain.tif")
+    p_pred = str(tmp_path / "pred.tif")
+    import os
+    for path, pred in ((p_plain, False), (p_pred, True)):
+        with open(path, "wb") as f:
+            f.write(
+                encode_geotiff(
+                    arr.astype("<u2"), origin_x=0.0, origin_y=0.0,
+                    pixel_w=1.0, pixel_h=1.0,
+                    compression="deflate", predictor=pred,
+                )
+            )
+        got, _, _ = read_tiff_minimal(path)
+        assert np.array_equal(got, arr.astype("f8"))
+    assert os.path.getsize(p_pred) < os.path.getsize(p_plain)
+
+
+def test_tiff_deflate_predictor_multiband_wraparound(tmp_path):
+    """Per-sample differencing with values that wrap the uint8 range."""
+    arr = np.array(
+        [[[250, 5], [3, 250], [255, 0]],
+         [[0, 255], [128, 1], [64, 200]]],
+        dtype="<u1",
+    )
+    path = str(tmp_path / "wrap.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=0.0, origin_y=0.0, pixel_w=1.0, pixel_h=1.0,
+                compression="deflate", predictor=True, tile=(2, 2),
+            )
+        )
+    got, _, _ = read_tiff_minimal(path)
+    assert np.array_equal(got, arr.astype("f8"))
+
+
+def test_tiff_float_predictor_rejected():
+    with pytest.raises(ValueError, match="integer dtypes only"):
+        encode_geotiff(
+            np.zeros((2, 2), dtype="<f4"), origin_x=0, origin_y=0,
+            pixel_w=1, pixel_h=1, predictor=True,
+        )
