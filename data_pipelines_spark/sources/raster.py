@@ -394,11 +394,16 @@ def read_netcdf_minimal(path: str):
     (magic ``CDF\\x01``/``\\x02``, big-endian header of dim/attr/var
     lists, then contiguous fixed-size variable data), so fixed-shape
     grids — the raster shape the reference ingests — need none of the
-    HDF5 machinery. Record (unlimited-dimension) variables raise: those
-    need per-record interleaving and belong to the xarray path.
+    HDF5 machinery. Record (UNLIMITED-dimension) variables are
+    supported too: their per-record slabs are interleaved across the
+    record block (one stride per record, the daily-append layout
+    climate archives accumulate), de-interleaved here into plain
+    ``(numrecs, ...)`` arrays; only streaming files with an unknown
+    record count raise.
 
     Returns ``(dims, variables)`` where ``dims`` is an ordered
-    {name: size} and ``variables`` maps name → (dim_names, ndarray,
+    {name: size} (the record dimension reports its materialized
+    ``numrecs``) and ``variables`` maps name → (dim_names, ndarray,
     attrs). Attribute values come back as python scalars/strings/
     ndarrays.
     """
@@ -451,7 +456,7 @@ def read_netcdf_minimal(path: str):
                 out[nm] = vals[0] if n == 1 else vals
         return out
 
-    u4()  # numrecs (or STREAMING) — unused: record vars are rejected below
+    numrecs = u4()
     tag, cnt = u4(), u4()
     dims: list[tuple[str, int]] = []
     if tag == _NC_DIMENSION:
@@ -463,22 +468,33 @@ def read_netcdf_minimal(path: str):
 
     tag, cnt = u4(), u4()
     variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]] = {}
+    record_vars: list[tuple[str, tuple, np.dtype, int, int, dict]] = []
     if tag == _NC_VARIABLE:
         for _ in range(cnt):
             nm = name()
             ndims = u4()
             dimids = [u4() for _ in range(ndims)]
             vatts = attr_list()
-            typ, _vsize = u4(), u4()
+            typ, vsize = u4(), u4()
             begin = u4() if version == 1 else u8()
-            if any(dims[d][1] == 0 for d in dimids):
-                raise NotImplementedError(
-                    "record (unlimited-dimension) variables: use the "
-                    "xarray path"
-                )
-            shape = tuple(dims[d][1] for d in dimids)
             dim_names = tuple(dims[d][0] for d in dimids)
             dt, _ = _NC_TYPES[typ]
+            if dimids and dims[dimids[0]][1] == 0:  # record variable
+                if numrecs == 0xFFFFFFFF:
+                    raise NotImplementedError(
+                        "STREAMING numrecs: use the xarray path"
+                    )
+                if any(dims[d][1] == 0 for d in dimids[1:]):
+                    raise ValueError(
+                        "only the first dimension may be the record dim"
+                    )
+                rec_shape = tuple(dims[d][1] for d in dimids[1:])
+                record_vars.append(
+                    (nm, dim_names, np.dtype(dt), begin, vsize, vatts)
+                )
+                variables[nm] = (dim_names, rec_shape, vatts)  # placeholder
+                continue
+            shape = tuple(dims[d][1] for d in dimids)
             n_elem = int(np.prod(shape, dtype=np.int64)) if shape else 1
             arr = np.frombuffer(
                 data, dtype=dt, count=n_elem, offset=begin
@@ -487,7 +503,30 @@ def read_netcdf_minimal(path: str):
     elif not (tag == 0 and cnt == 0):
         raise ValueError(f"bad variable-list tag 0x{tag:x}")
 
-    return dict(dims), variables
+    if record_vars:
+        # One stride per record covering every record variable's slab;
+        # when there is exactly ONE record variable its slab is not
+        # padded to 4 bytes (the spec's single-variable exception) —
+        # the header's vsize already encodes the right per-record size.
+        recsize = sum(v[4] for v in record_vars)
+        for nm, dim_names, dt, begin, _vsize, vatts in record_vars:
+            rec_shape = variables[nm][1]
+            n_elem = int(np.prod(rec_shape, dtype=np.int64)) if rec_shape else 1
+            slabs = [
+                np.frombuffer(
+                    data, dtype=dt, count=n_elem, offset=begin + r * recsize
+                ).reshape(rec_shape)
+                for r in range(numrecs)
+            ]
+            arr = (
+                np.stack(slabs)
+                if slabs
+                else np.empty((0, *rec_shape), dtype=dt)
+            )
+            variables[nm] = (dim_names, arr, vatts)
+
+    out_dims = {n: (numrecs if sz == 0 else sz) for n, sz in dims}
+    return out_dims, variables
 
 
 def _apply_cf_attrs(arr: np.ndarray, attrs: dict) -> np.ndarray:
@@ -509,11 +548,11 @@ def read_netcdf_grid(
 ):
     """NetCDF grid → long-form (reference S5, `io_managers.py:222-223`).
 
-    Prefers xarray (NetCDF-4/HDF5, record dims, full CF decoding);
-    without it, falls back to :func:`read_netcdf_minimal` for classic-
-    format fixed-shape grids with CF fill/scale/offset unpacking — so
-    S5 ingestion genuinely runs (and is tested end-to-end) in
-    codec-free environments.
+    Prefers xarray (NetCDF-4/HDF5, full CF decoding); without it,
+    falls back to :func:`read_netcdf_minimal` for classic-format grids
+    — fixed-shape AND record (UNLIMITED-dimension) variables — with CF
+    fill/scale/offset unpacking, so S5 ingestion genuinely runs (and
+    is tested end-to-end) in codec-free environments.
     """
     try:
         import xarray as xr

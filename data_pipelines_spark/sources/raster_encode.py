@@ -258,22 +258,52 @@ def encode_netcdf(
     dims: dict[str, int],
     variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]],
 ) -> bytes:
-    """Encode fixed-shape variables as a classic CDF-1 NetCDF byte
-    string — the profile `read_netcdf_minimal` parses.
+    """Encode variables as a classic CDF-1 NetCDF byte string — the
+    profile `read_netcdf_minimal` parses.
 
     ``variables`` maps name -> (dim_names, array, attrs); arrays must
-    match the declared dimension sizes. Attrs become typed NetCDF
+    match the declared dimension sizes. A dimension declared with size
+    0 is the record (UNLIMITED) dimension: variables whose FIRST dim
+    is the record dim are laid out interleaved per record (the
+    append-friendly climate-archive layout, including the spec's
+    single-record-variable no-padding exception), and the record count
+    is taken from their first axis. Attrs become typed NetCDF
     attributes (str -> NC_CHAR, int -> NC_INT, float -> NC_DOUBLE, or
     the dtype of an ndarray) — `_FillValue` / `scale_factor` /
     `add_offset` round-trip through the reader's CF unpacking.
     """
     dim_names = list(dims)
-    for vname, (vdims, arr, _attrs) in variables.items():
-        shape = tuple(dims[d] for d in vdims)
-        if tuple(np.asarray(arr).shape) != shape:
+    rec_dims = [d for d, sz in dims.items() if sz == 0]
+    if len(rec_dims) > 1:
+        raise ValueError("at most one record (size-0) dimension is allowed")
+    rec_dim = rec_dims[0] if rec_dims else None
+
+    fixed_names = [
+        v for v, (vd, _a, _at) in variables.items()
+        if not (vd and vd[0] == rec_dim)
+    ]
+    rec_names = [v for v in variables if v not in fixed_names]
+    numrecs = 0
+    for vname in rec_names:
+        vd, arr, _ = variables[vname]
+        if rec_dim in vd[1:]:
             raise ValueError(
-                f"variable {vname!r} shape {np.asarray(arr).shape} does not "
-                f"match dims {vdims} = {shape}"
+                f"{vname!r}: the record dim may only be the first dim"
+            )
+        numrecs = max(numrecs, np.asarray(arr).shape[0])
+    for vname, (vdims, arr, _attrs) in variables.items():
+        a = np.asarray(arr)
+        expect = tuple(
+            (numrecs if d == rec_dim else dims[d]) for d in vdims
+        )
+        if vname in fixed_names and rec_dim in vdims:
+            raise ValueError(
+                f"{vname!r}: fixed variables cannot use the record dim"
+            )
+        if a.shape != expect:
+            raise ValueError(
+                f"variable {vname!r} shape {a.shape} does not "
+                f"match dims {vdims} = {expect}"
             )
 
     def attr_block(attrs: dict) -> bytes:
@@ -285,41 +315,81 @@ def encode_netcdf(
             out += _nc_name(aname) + struct.pack(">II", typ, cnt) + payload
         return out
 
-    payloads: dict[str, bytes] = {}
-    for vname, (_vdims, arr, _attrs) in variables.items():
+    def nc_key(arr) -> str:
         key = np.asarray(arr).dtype.str.lstrip("<>=|")
         if key not in _NC_IDS:
-            raise ValueError(f"unsupported NetCDF dtype for {vname!r}: {key}")
-        raw = np.asarray(arr).astype(">" + key).tobytes()
+            raise ValueError(f"unsupported NetCDF dtype: {key}")
+        return key
+
+    # Fixed variables: one contiguous padded payload each.
+    payloads: dict[str, bytes] = {}
+    for vname in fixed_names:
+        _vd, arr, _at = variables[vname]
+        raw = np.asarray(arr).astype(">" + nc_key(arr)).tobytes()
         payloads[vname] = raw + b"\0" * ((4 - len(raw) % 4) % 4)
 
+    # Record variables: per-record slab size, padded to 4 bytes unless
+    # there is exactly one record variable (the spec's exception).
+    slab_bytes: dict[str, bytes] = {}
+    vsizes: dict[str, int] = {}
+    for vname in rec_names:
+        _vd, arr, _at = variables[vname]
+        a = np.asarray(arr).astype(">" + nc_key(arr))
+        one = a[0:1].nbytes if numrecs else a.nbytes
+        pad = 0 if len(rec_names) == 1 else (4 - one % 4) % 4
+        vsizes[vname] = one + pad
+        slab_bytes[vname] = b"".join(
+            # slice (not scalar-index): a[r] on a 1-D array yields a
+            # numpy scalar that silently drops the big-endian dtype
+            a[r : r + 1].tobytes() + b"\0" * pad
+            for r in range(numrecs)
+        )
+
     def build(begins: dict[str, int]) -> bytes:
-        h = b"CDF\x01" + struct.pack(">I", 0)                # magic + numrecs
+        h = b"CDF\x01" + struct.pack(">I", numrecs)
         h += struct.pack(">II", 0x0A, len(dims))
         for d in dim_names:
             h += _nc_name(d) + struct.pack(">I", dims[d])
         h += struct.pack(">II", 0, 0)                        # global attrs
         h += struct.pack(">II", 0x0B, len(variables))
         for vname, (vdims, arr, attrs) in variables.items():
-            key = np.asarray(arr).dtype.str.lstrip("<>=|")
             h += _nc_name(vname) + struct.pack(">I", len(vdims))
             for d in vdims:
                 h += struct.pack(">I", dim_names.index(d))
             h += attr_block(attrs)
+            vsize = (
+                vsizes[vname]
+                if vname in vsizes
+                else len(payloads[vname])
+            )
             h += struct.pack(
-                ">III",
-                _NC_IDS[key],
-                len(payloads[vname]),
-                begins.get(vname, 0),
+                ">III", _NC_IDS[nc_key(arr)], vsize, begins.get(vname, 0)
             )
         return h
 
     hdr_len = len(build({}))
     begins, off = {}, hdr_len
-    for vname in variables:
+    for vname in fixed_names:
         begins[vname] = off
         off += len(payloads[vname])
-    return build(begins) + b"".join(payloads[v] for v in variables)
+    rec_start = off
+    rec_off = 0
+    for vname in rec_names:
+        begins[vname] = rec_start + rec_off
+        rec_off += vsizes[vname]
+
+    # Interleave the record block: stride r = every record var's r-th
+    # slab in declaration order.
+    record_block = b""
+    for r in range(numrecs):
+        for vname in rec_names:
+            vs = vsizes[vname]
+            record_block += slab_bytes[vname][r * vs : (r + 1) * vs]
+    return (
+        build(begins)
+        + b"".join(payloads[v] for v in fixed_names)
+        + record_block
+    )
 
 
 def _sm_bytes(value: int, width: int) -> bytes:

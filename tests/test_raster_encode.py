@@ -528,3 +528,77 @@ def test_tiff_float_predictor_rejected():
             np.zeros((2, 2), dtype="<f4"), origin_x=0, origin_y=0,
             pixel_w=1, pixel_h=1, predictor=True,
         )
+
+
+def test_netcdf_record_variables_roundtrip(tmp_path):
+    """UNLIMITED-dimension variables: two record vars interleaved per
+    record (time coord + a time x lat x lon grid) next to fixed coord
+    vars — the append-friendly climate-archive layout."""
+    from data_pipelines_spark.sources.raster import read_netcdf_minimal
+
+    lat = np.array([10.0, 10.5, 11.0])
+    lon = np.array([20.0, 20.25])
+    times = np.array([0.0, 24.0, 48.0, 72.0])
+    vals = np.arange(4 * 3 * 2, dtype="f8").reshape(4, 3, 2) * 1.5
+    blob = encode_netcdf(
+        {"time": 0, "lat": 3, "lon": 2},
+        {
+            "lat": (("lat",), lat, {}),
+            "lon": (("lon",), lon, {}),
+            "time": (("time",), times, {"units": "hours"}),
+            "dis24": (("time", "lat", "lon"), vals, {}),
+        },
+    )
+    path = str(tmp_path / "rec.nc")
+    with open(path, "wb") as f:
+        f.write(blob)
+    dims, variables = read_netcdf_minimal(path)
+    assert dims == {"time": 4, "lat": 3, "lon": 2}
+    assert np.array_equal(variables["time"][1], times)
+    assert variables["time"][2]["units"] == "hours"
+    assert np.array_equal(variables["dis24"][1], vals)
+    assert np.array_equal(variables["lat"][1], lat)
+
+
+def test_netcdf_single_record_var_no_padding(tmp_path):
+    """The spec's exception: with exactly one record variable the
+    per-record slab is NOT padded to 4 bytes — an i2 slab of 3
+    elements (6 bytes) must stride at 6, not 8."""
+    from data_pipelines_spark.sources.raster import read_netcdf_minimal
+
+    vals = np.arange(5 * 3, dtype="i2").reshape(5, 3)
+    blob = encode_netcdf(
+        {"t": 0, "x": 3},
+        {"v": (("t", "x"), vals, {})},
+    )
+    path = str(tmp_path / "single.nc")
+    with open(path, "wb") as f:
+        f.write(blob)
+    dims, variables = read_netcdf_minimal(path)
+    assert dims == {"t": 5, "x": 3}
+    assert np.array_equal(variables["v"][1], vals)
+
+
+def test_netcdf_record_grid_long_form(spark, tmp_path):
+    """read_netcdf_grid flattens a record variable with the time
+    coordinate as a first-class dimension column."""
+    from data_pipelines_spark.sources.raster import read_netcdf_grid
+
+    times = np.array([1.0, 2.0])
+    vals = np.array([[[1.0, 2.0]], [[3.0, 4.0]]])  # (t=2, y=1, x=2)
+    blob = encode_netcdf(
+        {"time": 0, "y": 1, "x": 2},
+        {
+            "time": (("time",), times, {}),
+            "x": (("x",), np.array([5.0, 6.0]), {}),
+            "v": (("time", "y", "x"), vals, {}),
+        },
+    )
+    path = str(tmp_path / "grid.nc")
+    with open(path, "wb") as f:
+        f.write(blob)
+    df = read_netcdf_grid(spark, path, "v")
+    rows = {(r["time"], r["y"], r["x"]): r["v"] for r in df.collect()}
+    assert len(rows) == 4
+    assert rows[(1.0, 0.0, 5.0)] == 1.0
+    assert rows[(2.0, 0.0, 6.0)] == 4.0
