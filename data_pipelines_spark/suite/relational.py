@@ -298,6 +298,25 @@ def _zonal_suite_sql() -> str:
             FROM zoned) WHERE rk = 1
     ),
     areas AS (SELECT id, ROUND({px}, 6) AS px FROM first_cell)
+    SELECT 'retile' AS method,
+           tile_x AS k1, tile_y AS k2, CAST(NULL AS BIGINT) AS k3,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(l_quantity) AS DOUBLE) AS val
+    FROM (
+        SELECT unnest(range(CAST(FLOOR((y - 8) / 64.0) AS BIGINT),
+                            CAST(FLOOR((y + 8) / 64.0) AS BIGINT) + 1))
+                   AS tile_y,
+               tile_x, l_quantity
+        FROM (
+            SELECT unnest(range(CAST(FLOOR((x - 8) / 64.0) AS BIGINT),
+                                CAST(FLOOR((x + 8) / 64.0) AS BIGINT) + 1))
+                       AS tile_x,
+                   y, l_quantity
+            FROM zoned
+        )
+    )
+    GROUP BY 1, 2, 3
+    UNION ALL
     SELECT 'coarsen' AS method,
            CAST(FLOOR(x / 10) AS BIGINT) AS k1,
            CAST(FLOOR(y / 5) AS BIGINT) AS k2,
@@ -347,8 +366,17 @@ def zonal_treeloss_suite(spark, sf_dir):
       side (`zonal.treeloss_per_basin`); k=(basin, calendar year), cnt
       the incidents, val the basin pixel area (km^2, 1e-6 rounded).
 
+    - ``retile`` — the sentinel mosaic retile-with-overlap
+      (`operators/tiles.py`, reference `gdal_retile.py -overlap`
+      semantics): every pixel exploded to each covering
+      64px-tile-with-8px-halo; k=(tile_x, tile_y), cnt the covered
+      pixel count (halo pixels counted in BOTH neighbors), val the
+      quantity sum — the oracle replays the interval arithmetic with
+      nested unnested ranges.
+
     Replaces the coarsen-only `coarsen_block_sum` entry: same slot, the
     whole zonal module now passes the driver hash gate."""
+    from data_pipelines_spark.operators.tiles import retile_with_overlap
     from data_pipelines_spark.operators.zonal import (
         treeloss_per_basin,
         yearly_loss_masks,
@@ -395,7 +423,26 @@ def zonal_treeloss_suite(spark, sf_dir):
         F.col("loss_incidents").cast("long").alias("cnt"),
         F.round(F.col("pixel_area_km2"), 6).alias("val"),
     )
-    return coarsen.unionByName(masks).unionByName(treeloss)
+    retile = (
+        retile_with_overlap(zoned, tile_size=64, overlap=8)
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_quantity").cast("double").alias("val"),
+        )
+        .select(
+            F.lit("retile").alias("method"),
+            F.col("tile_x").alias("k1"),
+            F.col("tile_y").alias("k2"),
+            nul_l.alias("k3"),
+            "cnt",
+            "val",
+        )
+    )
+    return (
+        coarsen.unionByName(masks).unionByName(treeloss)
+        .unionByName(retile)
+    )
 
 
 @register(
