@@ -171,3 +171,58 @@ def export_tiles_cog(
         "tile_x long, tile_y long, path string, n_px long, "
         "n_valid long, n_bytes long, content_md5 string",
     )
+
+
+def build_pyramid(
+    df: DataFrame,
+    levels: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str = "value",
+) -> DataFrame:
+    """Reduced-resolution pyramid (the reference's
+    `gdal_retile.py -levels 11` serving pyramid,
+    `assets/sentinel/postprocessing.py:56-71`): level ``l`` buckets
+    pixels at ``floor(coord / 2^l)`` with the value SUM and pixel
+    COUNT per bucket (mean = val_sum / px_cnt downstream — kept as
+    two exact columns so levels merge associatively).
+
+    Built ITERATIVELY — each level aggregates the PREVIOUS level, not
+    the base — so the work is a log-depth chain of 4x-shrinking
+    groupBys instead of ``levels`` full scans of the base table: at
+    100 TB the base is touched once, and every later level runs on a
+    quarter of the previous one. Output: (level, x, y, val_sum,
+    px_cnt); level 0 is the input aggregated to one row per pixel
+    coordinate (overlapping source rows merge there, like a mosaic
+    VRT resolves duplicate coverage).
+    """
+    if levels < 0:
+        raise ValueError(f"levels must be >= 0, got {levels}")
+    cur = (
+        df.groupBy(
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .agg(
+            F.sum(value_col).alias("val_sum"),
+            F.count(F.lit(1)).alias("px_cnt"),
+        )
+        .select(F.lit(0).alias("level"), "x", "y", "val_sum", "px_cnt")
+    )
+    out = cur
+    for level in range(1, levels + 1):
+        cur = (
+            cur.groupBy(
+                F.floor(F.col("x") / 2).cast("long").alias("x"),
+                F.floor(F.col("y") / 2).cast("long").alias("y"),
+            )
+            .agg(
+                F.sum("val_sum").alias("val_sum"),
+                F.sum("px_cnt").alias("px_cnt"),
+            )
+            .select(
+                F.lit(level).alias("level"), "x", "y", "val_sum", "px_cnt"
+            )
+        )
+        out = out.unionByName(cur)
+    return out

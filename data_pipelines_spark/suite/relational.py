@@ -317,6 +317,15 @@ def _zonal_suite_sql() -> str:
     )
     GROUP BY 1, 2, 3
     UNION ALL
+    SELECT 'pyramid' AS method,
+           CAST(FLOOR(x / POW(2, lv)) AS BIGINT) AS k1,
+           CAST(FLOOR(y / POW(2, lv)) AS BIGINT) AS k2,
+           lv AS k3,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(l_quantity) AS DOUBLE) AS val
+    FROM zoned, (SELECT unnest([1, 2, 3]) AS lv) levels
+    GROUP BY 1, 2, 3, 4
+    UNION ALL
     SELECT 'coarsen' AS method,
            CAST(FLOOR(x / 10) AS BIGINT) AS k1,
            CAST(FLOOR(y / 5) AS BIGINT) AS k2,
@@ -373,10 +382,18 @@ def zonal_treeloss_suite(spark, sf_dir):
       pixel count (halo pixels counted in BOTH neighbors), val the
       quantity sum — the oracle replays the interval arithmetic with
       nested unnested ranges.
+    - ``pyramid`` — the serving-pyramid levels (reference
+      `gdal_retile.py -levels`, postprocessing): iterative log-depth
+      halving (each level aggregates the previous), hash-checked
+      against the oracle grouping the BASE at floor(c/2^level) —
+      associativity made visible; k3 is the level.
 
     Replaces the coarsen-only `coarsen_block_sum` entry: same slot, the
     whole zonal module now passes the driver hash gate."""
-    from data_pipelines_spark.operators.tiles import retile_with_overlap
+    from data_pipelines_spark.operators.tiles import (
+        build_pyramid,
+        retile_with_overlap,
+    )
     from data_pipelines_spark.operators.zonal import (
         treeloss_per_basin,
         yearly_loss_masks,
@@ -439,9 +456,21 @@ def zonal_treeloss_suite(spark, sf_dir):
             "val",
         )
     )
+    pyramid = (
+        build_pyramid(zoned, levels=3, value_col="l_quantity")
+        .where(F.col("level") >= 1)
+        .select(
+            F.lit("pyramid").alias("method"),
+            F.col("x").alias("k1"),
+            F.col("y").alias("k2"),
+            F.col("level").cast("long").alias("k3"),
+            F.col("px_cnt").alias("cnt"),
+            F.col("val_sum").cast("double").alias("val"),
+        )
+    )
     return (
         coarsen.unionByName(masks).unionByName(treeloss)
-        .unionByName(retile)
+        .unionByName(retile).unionByName(pyramid)
     )
 
 

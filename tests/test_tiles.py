@@ -138,3 +138,38 @@ def test_retile_plan_is_narrow(spark):
     tiled = retile_with_overlap(df, 16, 2)
     plan = plan_string(tiled)
     assert "Exchange" not in plan
+
+
+def test_pyramid_levels_match_direct_grouping(spark):
+    """Iterative halving must equal grouping the BASE at floor(c/2^l)
+    for every level (associativity of sum), negatives included."""
+    rng = np.random.default_rng(21)
+    rows = [(int(x), int(y), float(v)) for x, y, v in
+            zip(rng.integers(-20, 20, 60), rng.integers(-20, 20, 60),
+                rng.integers(1, 100, 60))]
+    from data_pipelines_spark.operators.tiles import build_pyramid
+
+    df = _pixels(spark, rows)
+    pyr = {(r.level, r.x, r.y): (r.val_sum, r.px_cnt)
+           for r in build_pyramid(df, 3, value_col="v").collect()}
+    import collections
+    for level in range(4):
+        direct = collections.defaultdict(lambda: [0.0, 0])
+        for x, y, v in rows:
+            k = (x >> level, y >> level)  # floor division by 2^level
+            direct[k][0] += v
+            direct[k][1] += 1
+        for (x, y), (s, c) in direct.items():
+            assert pyr[(level, x, y)] == (s, c), (level, x, y)
+    # no stray keys
+    assert len(pyr) == sum(
+        1 for level in range(4) for _ in
+        {(x >> level, y >> level) for x, y, _ in rows}
+    )
+
+
+def test_pyramid_validates(spark):
+    from data_pipelines_spark.operators.tiles import build_pyramid
+
+    with pytest.raises(ValueError, match="levels"):
+        build_pyramid(_pixels(spark, [(0, 0, 1.0)]), -1, value_col="v")
