@@ -1,0 +1,112 @@
+"""Shapefile (.shp/.dbf) round-trips and the basin-zones ingestion
+shape: write → read → WKT → point-in-polygon join (the reference's
+hydrobasins path, `assets/basin/hydrobasins.py:23-35`, minus
+geopandas)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipelines_spark.sources.shapefile import (
+    read_dbf_minimal,
+    read_shapefile,
+    read_shp_minimal,
+    rings_to_wkt,
+    write_dbf,
+    write_shp,
+)
+
+# Outer rings CLOCKWISE (negative signed area with y-up), holes CCW —
+# the shapefile winding convention.
+SQUARE_CW = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)]
+HOLE_CCW = [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]
+FAR_CW = [(10.0, 0.0), (10.0, 2.0), (12.0, 2.0), (12.0, 0.0), (10.0, 0.0)]
+
+
+def test_shp_roundtrip_multiring(tmp_path):
+    path = str(tmp_path / "zones.shp")
+    records = [[SQUARE_CW, HOLE_CCW], [FAR_CW]]
+    write_shp(path, records)
+    got = read_shp_minimal(path)
+    assert got == records
+
+
+def test_dbf_roundtrip_types(tmp_path):
+    path = str(tmp_path / "zones.dbf")
+    fields = [("HYBAS_ID", "N", 10, 0), ("NAME", "C", 8, 0),
+              ("AREA", "N", 12, 3), ("COASTAL", "L", 1, 0)]
+    rows = [[7001, "congo", 1234.5, True], [7002, "nile", 99.25, False]]
+    write_dbf(path, fields, rows)
+    names_types, got = read_dbf_minimal(path)
+    assert names_types == [("HYBAS_ID", "N"), ("NAME", "C"),
+                          ("AREA", "N"), ("COASTAL", "L")]
+    assert got == [[7001.0, "congo", 1234.5, True],
+                   [7002.0, "nile", 99.25, False]]
+
+
+def test_rings_to_wkt_grouping():
+    wkt = rings_to_wkt([SQUARE_CW, HOLE_CCW])
+    assert wkt.startswith("POLYGON ((0.000000 0.000000")
+    assert wkt.count("(") == 3  # body + outer + hole
+    multi = rings_to_wkt([SQUARE_CW, HOLE_CCW, FAR_CW])
+    assert multi.startswith("MULTIPOLYGON (")
+    assert rings_to_wkt([]) is None
+
+
+def test_read_shapefile_to_zones_and_join(spark, tmp_path):
+    """End-to-end basin shape: shapefile pair on disk → zones frame →
+    point-in-polygon join; the hole is genuinely excluded."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.operators.spatial import point_in_polygon_join
+
+    base = str(tmp_path / "basins")
+    write_shp(base + ".shp", [[SQUARE_CW, HOLE_CCW], [FAR_CW]])
+    write_dbf(
+        base + ".dbf",
+        [("HYBAS_ID", "N", 10, 0), ("NAME", "C", 8, 0)],
+        [[7001, "congo"], [7002, "nile"]],
+    )
+    zones = read_shapefile(spark, base)
+    assert zones.columns == ["HYBAS_ID", "NAME", "geometry"]
+    z = {r.NAME: r.geometry for r in zones.collect()}
+    assert z["congo"].startswith("POLYGON")
+
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5),   # inside congo's outer ring
+         (2, 2.0, 2.0),   # inside the HOLE -> no match
+         (3, 11.0, 1.0),  # inside nile
+         (4, 7.0, 7.0)],  # nowhere
+        "point_id long, x double, y double",
+    )
+    joined = point_in_polygon_join(
+        pts,
+        zones.select(
+            F.col("HYBAS_ID").cast("long").alias("id"), "geometry"
+        ),
+        bucket_size=5.0,
+        broadcast=True,
+    )
+    got = {(r.point_id, r.zone_id) for r in joined.collect()}
+    assert got == {(1, 7001), (3, 7002)}
+
+
+def test_shp_rejects_non_polygon(tmp_path):
+    import struct
+
+    path = str(tmp_path / "pts.shp")
+    header = struct.pack(">i", 9994) + b"\0" * 20 + struct.pack(">i", 50)
+    header += struct.pack("<ii", 1000, 1)  # shape type 1 = point
+    header += struct.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(header)
+    with pytest.raises(NotImplementedError, match="shape type 1"):
+        read_shp_minimal(path)
+
+
+def test_record_count_mismatch_raises(spark, tmp_path):
+    base = str(tmp_path / "bad")
+    write_shp(base + ".shp", [[SQUARE_CW]])
+    write_dbf(base + ".dbf", [("A", "N", 4, 0)], [[1], [2]])
+    with pytest.raises(ValueError, match="records"):
+        read_shapefile(spark, base)
