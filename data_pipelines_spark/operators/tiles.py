@@ -226,3 +226,86 @@ def build_pyramid(
         )
         out = out.unionByName(cur)
     return out
+
+
+def upscale_tiles(
+    manifest: DataFrame,
+    out_dir: str,
+    make_model=None,
+    factor: int = 2,
+    path_col: str = "path",
+) -> DataFrame:
+    """Upscale every tile in a COG manifest, one task per tile — the
+    reference's GPU super-resolution asset
+    (`assets/sentinel/upscaling.py:16-62`: list tiles → submit one
+    Dask task per tile → model → write back → return paths),
+    re-expressed over `operators/inference.batch_infer` so the model
+    loads ONCE per partition and amortizes across that partition's
+    tiles.
+
+    ``make_model()`` must return ``model(arr: np.ndarray) ->
+    np.ndarray`` mapping an (h, w) tile to (h*factor, w*factor). The
+    default is a deterministic nearest-neighbor stub (the real
+    sentinel2sr weights are a GPU package; the Spark-side plumbing —
+    per-partition amortization, file IO on executors, manifest
+    bookkeeping — is real and tested). Output: (tile_x, tile_y,
+    upscaled_path); each upscaled tile is written as a COG with the
+    pixel size divided by ``factor`` so world extents are preserved.
+    """
+    from data_pipelines_spark.operators.inference import batch_infer
+
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def default_factory():
+        import numpy as np
+
+        def model(arr):
+            return np.repeat(np.repeat(arr, factor, 0), factor, 1)
+
+        return model
+
+    inner_factory = make_model or default_factory
+
+    def io_factory():
+        import os
+
+        from data_pipelines_spark.sources.raster import read_tiff_minimal
+        from data_pipelines_spark.sources.raster_encode import encode_geotiff
+
+        model = inner_factory()  # once per PARTITION
+
+        def run(pdf):
+            out = []
+            for path in pdf.iloc[:, 0]:
+                arr, xs, ys = read_tiff_minimal(path)
+                up = model(arr)
+                px_w = float(xs[1] - xs[0]) if len(xs) > 1 else 1.0
+                px_h = float(ys[0] - ys[1]) if len(ys) > 1 else 1.0
+                blob = encode_geotiff(
+                    up.astype("<i4"),
+                    origin_x=float(xs[0]),
+                    origin_y=float(ys[0]),
+                    pixel_w=px_w / factor,
+                    pixel_h=px_h / factor,
+                    tile=(256, 256) if up.shape[0] >= 256 else None,
+                    overviews=(2,),
+                    compression="deflate",
+                    predictor=True,
+                )
+                dst = os.path.join(out_dir, os.path.basename(path))
+                with open(dst, "wb") as f:
+                    f.write(blob)
+                out.append(dst)
+            return out
+
+        return run
+
+    return batch_infer(
+        manifest,
+        io_factory,
+        input_cols=[path_col],
+        output_col="upscaled_path",
+        output_type="string",
+        keep_cols=["tile_x", "tile_y"],
+    )

@@ -173,3 +173,31 @@ def test_pyramid_validates(spark):
 
     with pytest.raises(ValueError, match="levels"):
         build_pyramid(_pixels(spark, [(0, 0, 1.0)]), -1, value_col="v")
+
+
+def test_upscale_tiles_roundtrip(spark, tmp_path):
+    """Manifest -> one upscale task per tile: the 2x nearest-neighbor
+    stub doubles the array through real COG decode/encode, halving the
+    pixel size so world extents are preserved."""
+    import os
+
+    from data_pipelines_spark.operators.tiles import upscale_tiles
+    from data_pipelines_spark.sources.raster import read_tiff_minimal
+
+    rows = [(x, y, float((x + 2 * y) % 50))
+            for x in range(8) for y in range(8)]
+    tiled = retile_with_overlap(_pixels(spark, rows), 8, 0)
+    man = export_tiles_cog(
+        tiled, str(tmp_path), tile_size=8, overlap=0,
+        value_col="v", nodata=-1.0, overviews=(2,), cog_tile=(4, 4),
+    )
+    out_dir = str(tmp_path / "up")
+    os.makedirs(out_dir)
+    up = upscale_tiles(man, out_dir).collect()
+    assert len(up) == 1
+    src_arr, sxs, _ = read_tiff_minimal(man.first().path)
+    arr, xs, ys = read_tiff_minimal(up[0].upscaled_path)
+    assert arr.shape == (16, 16)
+    assert np.array_equal(arr, np.repeat(np.repeat(src_arr, 2, 0), 2, 1))
+    assert xs[1] - xs[0] == (sxs[1] - sxs[0]) / 2  # halved pixel size
+    assert xs[0] == sxs[0]                         # same origin
