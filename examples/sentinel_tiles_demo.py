@@ -75,6 +75,20 @@ def main() -> None:
             - manifest.count()
         )
         print(f"dropped {n_dropped} all-nodata tiles")
+
+        # Upscale stage (reference upscaling.py): one model task per
+        # tile; the stub doubles resolution, a real SR model plugs in
+        # via the same factory contract.
+        from data_pipelines_spark.operators.tiles import upscale_tiles
+
+        up_dir = os.path.join(out, "upscaled")
+        os.makedirs(up_dir, exist_ok=True)
+        up = upscale_tiles(manifest, up_dir).first()
+        up_arr, _, _ = read_tiff_minimal(up.upscaled_path)
+        print(
+            f"upscaled tile ({up.tile_x},{up.tile_y}): "
+            f"{arr.shape} -> {up_arr.shape}"
+        )
     spark.stop()
 
 
