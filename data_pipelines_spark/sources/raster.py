@@ -291,9 +291,7 @@ def read_grib2_minimal(path: str):
                 if nbits == 0:
                     unpacked = np.full(n_points, ref)
                 else:
-                    bits = np.unpackbits(np.frombuffer(body[5:], dtype="u1"))
-                    weights = 1 << np.arange(nbits - 1, -1, -1, dtype=np.int64)
-                    x = bits[: n_points * nbits].reshape(n_points, nbits) @ weights
+                    x = _unpack_bits(body[5:], n_points, nbits)
                     unpacked = (ref + x * 2.0**e_scale) / 10.0**d_scale
                 ni, nj, lats, lons = grid
                 if bitmap_bits is not None:
