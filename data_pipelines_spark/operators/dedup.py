@@ -116,6 +116,39 @@ def exact_duplicates(
     )
 
 
+def exact_duplicates_policies(
+    docs: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Both keeper policies from ONE grouped pass: (text_md5, dup_cnt,
+    keeper_min_id, keeper_best_id).
+
+    Production dedup reviews usually want both answers — the canonical
+    minimum id AND the highest-quality copy — to diff the policies
+    before committing to one. Computing them per group in a single
+    map-side-combined aggregate costs one scan and one shuffle instead
+    of two of each (``min`` and ``min_by`` partials both compose), and
+    the keeper semantics are bitwise identical to the corresponding
+    :func:`exact_duplicates` calls (asserted in tests/test_dedup.py).
+    """
+    nq = F.coalesce(
+        -F.col(quality_col).cast("double"), F.lit(float("inf"))
+    ).alias("__nq")
+    hashed = docs.select(
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("text_md5"),
+        F.col(id_col),
+        nq,
+    )
+    return hashed.groupBy("text_md5").agg(
+        F.count(F.lit(1)).alias("dup_cnt"),
+        F.min(id_col).alias("keeper_min_id"),
+        F.min_by(F.col(id_col), F.struct(F.col("__nq"), F.col(id_col)))
+        .alias("keeper_best_id"),
+    )
+
+
 def _shingle_hash32(s):
     """Portable 32-bit shingle hash: first 8 hex chars of md5 —
     reproducible in any engine (the DuckDB oracle recomputes it). The

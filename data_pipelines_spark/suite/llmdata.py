@@ -66,18 +66,39 @@ def exact_dedup_docs(spark, sf_dir):
     deterministic per-doc hash standing in for the metadata-richness
     score, so the oracle replays the argmax and the min-id tie-break
     exactly)."""
+    from data_pipelines_spark.operators.dedup import exact_duplicates_policies
+
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    base = exact_duplicates(docs).select(
-        F.lit("min_id").alias("policy"), "text_md5", "keeper_id", "dup_cnt"
-    )
     scored = docs.withColumn(
         "q", F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000)).cast("double")
     )
-    best = exact_duplicates(scored, quality_col="q").select(
-        F.lit("best_copy").alias("policy"), "text_md5", "keeper_id", "dup_cnt"
+    # ONE grouped pass computes both keepers (min + min_by partials
+    # compose map-side), then melts to the method-tagged grain — the
+    # earlier two-exact_duplicates-calls shape scanned and shuffled
+    # the corpus twice for the same answer.
+    both = exact_duplicates_policies(scored, quality_col="q")
+    return both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("min_id").alias("policy"),
+                    F.col("keeper_min_id").alias("keeper_id"),
+                ),
+                F.struct(
+                    F.lit("best_copy").alias("policy"),
+                    F.col("keeper_best_id").alias("keeper_id"),
+                ),
+            )
+        ).alias("p"),
+        "text_md5",
+        "dup_cnt",
+    ).select(
+        F.col("p.policy").alias("policy"),
+        "text_md5",
+        F.col("p.keeper_id").alias("keeper_id"),
+        "dup_cnt",
     )
-    return base.unionByName(best)
 
 
 _BPE_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"

@@ -288,3 +288,40 @@ def test_exact_duplicates_quality_keeper(spark):
     # default policy unchanged: min id
     out = {r["keeper_id"] for r in exact_duplicates(docs).collect()}
     assert out == {1, 4, 5}
+
+
+def test_exact_duplicates_policies_single_pass_matches_two_calls(spark):
+    """The fused one-pass form must agree bitwise with the two
+    separate exact_duplicates calls, and its plan must contain exactly
+    ONE shuffle (vs two scans + two shuffles for the pair)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.operators.dedup import (
+        exact_duplicates,
+        exact_duplicates_policies,
+    )
+    from data_pipelines_spark.plans.audit import plan_string
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa", 5.0), (2, "aaa", 9.0), (3, "aaa", None),
+            (4, "bbb", 1.0), (5, "ccc", None), (6, "ccc", None),
+        ],
+        "doc_id long, text string, q double",
+    )
+    fused = {
+        r.text_md5: (r.dup_cnt, r.keeper_min_id, r.keeper_best_id)
+        for r in exact_duplicates_policies(docs, quality_col="q").collect()
+    }
+    mins = {r.text_md5: r.keeper_id for r in exact_duplicates(docs).collect()}
+    bests = {
+        r.text_md5: r.keeper_id
+        for r in exact_duplicates(docs, quality_col="q").collect()
+    }
+    assert set(fused) == set(mins) == set(bests)
+    for h, (_cnt, kmin, kbest) in fused.items():
+        assert kmin == mins[h]
+        assert kbest == bests[h]
+
+    plan = plan_string(exact_duplicates_policies(docs, quality_col="q"))
+    assert plan.count("Exchange") == 1
