@@ -51,3 +51,26 @@ def parse_tile_name(tile: Column | str) -> tuple[Column, Column]:
     lat = F.when(lat_hem == "S", -lat_num).otherwise(lat_num)
     lon = F.when(lon_hem == "W", -lon_num).otherwise(lon_num)
     return lat, lon
+
+
+def tiles_bbox(tiles: list[str]) -> tuple[float, float, float, float]:
+    """Union bounding box (lon_min, lat_min, lon_max, lat_max) of a
+    GFC tile-name list — the reference's `parse_coordinates`
+    (`assets/basin/hydrobasins.py:37-69`), reproduced faithfully
+    INCLUDING its hemisphere-mirrored extents (a western tile's
+    "max" longitude is origin - 10, a southern tile's "min" latitude
+    origin + 10; the running min/max absorbs the inversion). Plain
+    driver-side partition bookkeeping, like the reference's."""
+    lon_min = lat_min = float("inf")
+    lon_max = lat_max = float("-inf")
+    for tile in tiles:
+        lat_str, lon_str = tile.split("_")
+        lon_num, lon_dir = int(lon_str[:-1]), lon_str[-1]
+        lat_num, lat_dir = int(lat_str[:-1]), lat_str[-1]
+        lon = lon_num if lon_dir == "E" else -lon_num
+        lat = lat_num if lat_dir == "N" else -lat_num
+        lon_min = min(lon_min, lon)
+        lon_max = max(lon_max, lon + 10 if lon_dir == "E" else lon - 10)
+        lat_min = min(lat_min, lat - 10 if lat_dir == "N" else lat + 10)
+        lat_max = max(lat_max, lat)
+    return lon_min, lat_min, lon_max, lat_max

