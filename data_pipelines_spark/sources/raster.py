@@ -583,13 +583,60 @@ _TIFF_DTYPES = {
 }
 
 
+def _lzw_decode(raw: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, codes
+    256=Clear / 257=EOI, 9→12-bit widths with the spec's EARLY-CHANGE
+    quirk (the width bumps one code before the table actually fills —
+    at table sizes 510/1022/2046)."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    for byte in raw:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            out += entry
+            prev = entry
+            if len(table) in (510, 1022, 2046):  # early change
+                width += 1
+    return bytes(out)
+
+
 def read_tiff_minimal(
     path: str, overview: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(Geo)TIFF → (array, xs, ys) — none or DEFLATE compression.
 
     A dependency-free reader for the profiles GDAL emits with
-    `-co COMPRESS=NONE` or `-co COMPRESS=DEFLATE` (optionally
+    `-co COMPRESS=NONE`, `-co COMPRESS=LZW`, or `-co COMPRESS=DEFLATE`
+    (optionally
     `-co PREDICTOR=2` on integer data and `-co TILED=YES` plus
     overview levels): classic TIFF, strip- OR tile-organized
     (tiles are the layout that makes a COG cloud-optimized), single-
@@ -601,7 +648,7 @@ def read_tiff_minimal(
     one only where needed: the COG access pattern). Parses the IFD
     directly with struct/numpy and applies the GeoTIFF
     ModelPixelScale/ModelTiepoint tags for cell-center coordinates.
-    Anything fancier (LZW/JPEG compression, float predictors, planar
+    Anything fancier (JPEG compression, float predictors, planar
     bands, BigTIFF) raises with a pointer to the rasterio path.
 
     Returns a 2-D ``(h, w)`` array for one band, 3-D ``(h, w, s)``
@@ -674,10 +721,10 @@ def read_tiff_minimal(
     width, height = ints(256)[0], ints(257)[0]
     bits = ints(258, [32])[0]
     compression = ints(259, [1])[0]
-    if compression not in (1, 8, 32946):  # none / DEFLATE (both codes)
+    if compression not in (1, 5, 8, 32946):  # none / LZW / DEFLATE
         raise NotImplementedError(
             f"TIFF compression {compression}: use the rasterio path "
-            "(natively supported: none, DEFLATE)"
+            "(natively supported: none, LZW, DEFLATE)"
         )
     samples = ints(277, [1])[0]
     if samples != 1 and ints(284, [1])[0] != 1:
@@ -700,6 +747,8 @@ def read_tiff_minimal(
     def decode_chunk(raw: bytes, rows: int, cols: int) -> np.ndarray:
         if compression in (8, 32946):
             raw = zlib.decompress(raw)
+        elif compression == 5:
+            raw = _lzw_decode(raw)[: rows * cols * samples * dt.itemsize]
         block = (
             np.frombuffer(raw, dtype=dt).reshape(rows, cols, samples).copy()
         )

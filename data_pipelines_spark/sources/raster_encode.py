@@ -46,6 +46,54 @@ _TIFF_FORMATS = {
 }
 
 
+def _lzw_encode(raw: bytes) -> bytes:
+    """TIFF-variant LZW encoder (TIFF 6.0 §13): MSB-first bit packing,
+    Clear=256 / EOI=257, 9→12-bit widths with the early-change quirk,
+    Clear emitted when the table reaches the 12-bit ceiling."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {}
+    next_code = width = 0
+
+    def reset() -> None:
+        nonlocal table, next_code, width
+        table = {bytes([i]): i for i in range(256)}
+        next_code, width = 258, 9
+
+    reset()
+    emit(256, width)
+    w = b""
+    for i in range(len(raw)):
+        c = w + raw[i : i + 1]
+        if c in table:
+            w = c
+            continue
+        emit(table[w], width)
+        table[c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # early change: one code before the table fills
+        elif next_code == 4094:
+            emit(256, width)
+            reset()
+        w = raw[i : i + 1]
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def encode_geotiff(
     values: np.ndarray,
     *,
@@ -71,7 +119,9 @@ def encode_geotiff(
     (NewSubfileType=1) — tiling + overviews is what makes a COG
     cloud-optimized: readers touch the small level first and fetch
     full-resolution tiles only where needed. ``compression="deflate"``
-    zlib-compresses each strip/tile (the COMPRESS=DEFLATE profile);
+    zlib-compresses each strip/tile (the COMPRESS=DEFLATE profile) and
+    ``compression="lzw"`` uses TIFF-variant LZW (the COMPRESS=LZW
+    default of many products);
     ``predictor=True`` applies per-row horizontal differencing before
     compression (PREDICTOR=2, integer dtypes only — typically halves
     DEFLATE output on smooth rasters). ``values[0, 0]`` maps to world
@@ -90,7 +140,7 @@ def encode_geotiff(
     sample_format, bits = _TIFF_FORMATS[key]
     arr = arr.astype("<" + key)
     s = arr.shape[2]
-    if compression not in (None, "deflate"):
+    if compression not in (None, "deflate", "lzw"):
         raise ValueError(f"unsupported TIFF compression {compression!r}")
     if predictor and sample_format == 3:
         raise ValueError(
@@ -110,7 +160,11 @@ def encode_geotiff(
             # part of PREDICTOR=2's definition.
             block[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
         raw = block.tobytes()
-        return zlib.compress(raw) if compression == "deflate" else raw
+        if compression == "deflate":
+            return zlib.compress(raw)
+        if compression == "lzw":
+            return _lzw_encode(raw)
+        return raw
 
     def level_chunks(lv: np.ndarray) -> list[bytes]:
         h, w, _ = lv.shape
@@ -153,7 +207,7 @@ def encode_geotiff(
         fields: list[tuple[int, int, bytes]] = [
             (256, *shorts(w)), (257, *shorts(h)),
             (258, *shorts(*([bits] * s))),
-            (259, *shorts(8 if compression == "deflate" else 1)),
+            (259, *shorts({None: 1, "deflate": 8, "lzw": 5}[compression])),
             (262, *shorts(1)),
             (277, *shorts(s)),
             (339, *shorts(*([sample_format] * s))),

@@ -602,3 +602,37 @@ def test_netcdf_record_grid_long_form(spark, tmp_path):
     assert len(rows) == 4
     assert rows[(1.0, 0.0, 5.0)] == 1.0
     assert rows[(2.0, 0.0, 6.0)] == 4.0
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("pred", [False, True])
+def test_tiff_lzw_roundtrip(tmp_path, tiled, pred):
+    """COMPRESS=LZW strips/tiles (with and without PREDICTOR=2)
+    decompress bit-exactly through the TIFF-variant codec."""
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 1 << 14, size=(9, 13)).astype("<u2")
+    path = str(tmp_path / f"lzw_{tiled}_{pred}.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=0.0, origin_y=0.0, pixel_w=1.0, pixel_h=1.0,
+                tile=(4, 4) if tiled else None,
+                compression="lzw", predictor=pred,
+            )
+        )
+    got, _, _ = read_tiff_minimal(path)
+    assert np.array_equal(got, arr.astype("f8"))
+
+
+def test_lzw_codec_width_boundaries_and_clear():
+    """Direct codec fuzz across the 9->10->11->12-bit width boundaries
+    and a table-full Clear reset."""
+    from data_pipelines_spark.sources.raster import _lzw_decode
+    from data_pipelines_spark.sources.raster_encode import _lzw_encode
+
+    rng = np.random.default_rng(2)
+    for n in (0, 1, 300, 5_000, 400_000):
+        payload = bytes(bytearray(rng.integers(0, 256, n, dtype=np.uint8)))
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+    rep = b"xyz" * 300_000  # low-entropy: dense table growth + Clears
+    assert _lzw_decode(_lzw_encode(rep)) == rep

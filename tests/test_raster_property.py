@@ -32,19 +32,19 @@ DIMS = st.tuples(st.integers(1, 9), st.integers(1, 9))
     dims=DIMS,
     dtype=st.sampled_from(["u1", "u2", "i2", "i4", "f4", "f8"]),
     tiled=st.booleans(),
-    deflate=st.booleans(),
+    compression=st.sampled_from([None, "deflate", "lzw"]),
     seed=st.integers(0, 2**31 - 1),
 )
 def test_tiff_roundtrip_property(tmp_path_factory, dims, dtype, tiled,
-                                 deflate, seed):
+                                 compression, seed):
     h, w = dims
     rng = np.random.default_rng(seed)
     arr = rng.integers(0, 200, size=(h, w)).astype(dtype)
-    predictor = deflate and dtype[0] != "f"
+    predictor = compression is not None and dtype[0] != "f"
     blob = encode_geotiff(
         arr, origin_x=1.0, origin_y=2.0, pixel_w=0.5, pixel_h=0.25,
         tile=(3, 2) if tiled else None,
-        compression="deflate" if deflate else None,
+        compression=compression,
         predictor=predictor,
     )
     path = tmp_path_factory.mktemp("tiff") / "t.tif"
