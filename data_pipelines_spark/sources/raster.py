@@ -8,10 +8,15 @@ boundary explicit: ingestion happens OUTSIDE the relational core, here,
 producing long-form DataFrames; the engine contract starts at parquet
 (SURVEY.md §7.4).
 
-The codec libraries (cfgrib/h5netcdf/rasterio) are not available in
-this environment, so the file readers are import-gated; the array →
-long-form conversion itself (`grid_to_long_form`) is pure
-numpy/Arrow and fully tested. At scale, ingestion parallelizes per
+Every format has a dependency-free built-in parser for the profile
+the reference actually moves (GRIB editions 1+2 simple packing,
+classic NetCDF incl. record dims, TIFF/COG incl. tiles, overviews,
+LZW/DEFLATE, Zarr v2 incl. F-order and delta/shuffle filters), with
+the codec libraries (cfgrib/xarray/rasterio) preferred automatically
+when installed for the exotic remainder. The matching writers live in
+`sources/raster_encode.py`; round-trips are byte-exact and the
+`raster_roundtrip` registry entry hash-checks encode → parse →
+flatten against a DuckDB replay. At scale, ingestion parallelizes per
 *file* (one task per GRIB/tile via `operators/taskmap.py`), each task
 writing one partition of the long-form parquet dataset — Spark then
 reads the directory as one table with partition pruning.
