@@ -641,9 +641,9 @@ def read_tiff_minimal(
 
     A dependency-free reader for the profiles GDAL emits with
     `-co COMPRESS=NONE`, `-co COMPRESS=LZW`, or `-co COMPRESS=DEFLATE`
-    (optionally
-    `-co PREDICTOR=2` on integer data and `-co TILED=YES` plus
-    overview levels): classic TIFF, strip- OR tile-organized
+    (optionally `-co PREDICTOR=2` on integer data, `-co TILED=YES`
+    plus overview levels, and `-co BIGTIFF=YES`): classic TIFF OR
+    BigTIFF (version 43, 8-byte offsets), strip- OR tile-organized
     (tiles are the layout that makes a COG cloud-optimized), single-
     or multi-band (PlanarConfiguration=1, pixel-interleaved — the
     satellite-imagery shape), with the IFD chain exposed as overview
@@ -654,7 +654,7 @@ def read_tiff_minimal(
     directly with struct/numpy and applies the GeoTIFF
     ModelPixelScale/ModelTiepoint tags for cell-center coordinates.
     Anything fancier (JPEG compression, float predictors, planar
-    bands, BigTIFF) raises with a pointer to the rasterio path.
+    bands) raises with a pointer to the rasterio path.
 
     Returns a 2-D ``(h, w)`` array for one band, 3-D ``(h, w, s)``
     for multi-band.
@@ -670,37 +670,65 @@ def read_tiff_minimal(
         e = ">"
     else:
         raise ValueError("not a TIFF file")
-    magic, ifd_off = struct.unpack(e + "HI", data[2:8])
-    if magic != 42:
-        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
+    (magic,) = struct.unpack(e + "H", data[2:4])
+    if magic == 42:  # classic TIFF
+        big = False
+        (ifd_off,) = struct.unpack(e + "I", data[4:8])
+        entry_sz, count_sz, inline = 12, 2, 4
+    elif magic == 43:  # BigTIFF: 8-byte offsets throughout
+        big = True
+        off_sz, zero = struct.unpack(e + "HH", data[4:8])
+        if off_sz != 8 or zero != 0:
+            raise ValueError(f"bad BigTIFF header ({off_sz}, {zero})")
+        (ifd_off,) = struct.unpack(e + "Q", data[8:16])
+        entry_sz, count_sz, inline = 20, 8, 8
+    else:
+        raise ValueError(f"not a TIFF file (version {magic})")
+    count_fmt = "Q" if big else "H"
+    off_fmt = "Q" if big else "I"
+
+    def ifd_meta(at: int) -> tuple[int, int]:
+        """(entry count, next-IFD offset) of the IFD block at ``at``."""
+        (n,) = struct.unpack(
+            e + count_fmt, data[at : at + count_sz]
+        )
+        tail = at + count_sz + n * entry_sz
+        (nxt,) = struct.unpack(
+            e + off_fmt, data[tail : tail + (8 if big else 4)]
+        )
+        return n, nxt
 
     # Walk the IFD chain to the requested overview level. Geo tags
     # live on the first IFD (GDAL convention), so remember it.
     first_ifd_off = ifd_off
     for level in range(overview):
-        (n0,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
-        (ifd_off,) = struct.unpack(
-            e + "I", data[ifd_off + 2 + n0 * 12 : ifd_off + 6 + n0 * 12]
-        )
+        _n, ifd_off = ifd_meta(ifd_off)
         if ifd_off == 0:
             raise ValueError(
                 f"overview {overview} not present (chain ends at {level})"
             )
 
-    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
 
     def parse_ifd(at: int) -> dict[int, tuple[int, int, bytes]]:
-        (n,) = struct.unpack(e + "H", data[at : at + 2])
+        n, _nxt = ifd_meta(at)
         out: dict[int, tuple[int, int, bytes]] = {}
         for i in range(n):
-            off = at + 2 + i * 12
-            tag, typ, cnt = struct.unpack(e + "HHI", data[off : off + 8])
+            off = at + count_sz + i * entry_sz
+            tag, typ = struct.unpack(e + "HH", data[off : off + 4])
+            (cnt,) = struct.unpack(
+                e + count_fmt if big else e + "I",
+                data[off + 4 : off + 4 + (8 if big else 4)],
+            )
+            val_at = off + entry_sz - inline
             size = type_size.get(typ, 1) * cnt
             raw = (
-                data[off + 8 : off + 8 + size]
-                if size <= 4
+                data[val_at : val_at + size]
+                if size <= inline
                 else data[
-                    struct.unpack(e + "I", data[off + 8 : off + 12])[0] :
+                    struct.unpack(
+                        e + off_fmt, data[val_at : val_at + inline]
+                    )[0] :
                 ][:size]
             )
             out[tag] = (typ, cnt, raw)
@@ -714,7 +742,7 @@ def read_tiff_minimal(
         if tag not in t:
             return default
         typ, cnt, raw = t[tag]
-        fmt = {3: "H", 4: "I"}[typ]
+        fmt = {3: "H", 4: "I", 16: "Q"}[typ]
         return list(struct.unpack(e + fmt * cnt, raw))
 
     def doubles(tag: int):

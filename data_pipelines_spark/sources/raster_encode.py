@@ -105,6 +105,7 @@ def encode_geotiff(
     overviews: Sequence[int] = (),
     compression: str | None = None,
     predictor: bool = False,
+    bigtiff: bool = False,
 ) -> bytes:
     """Encode an array as an uncompressed little-endian GeoTIFF — the
     COMPRESS=NONE profiles gdal_translate emits and `read_tiff_minimal`
@@ -124,7 +125,9 @@ def encode_geotiff(
     default of many products);
     ``predictor=True`` applies per-row horizontal differencing before
     compression (PREDICTOR=2, integer dtypes only — typically halves
-    DEFLATE output on smooth rasters). ``values[0, 0]`` maps to world
+    DEFLATE output on smooth rasters). ``bigtiff=True`` writes the
+    BigTIFF (version 43) layout with 8-byte offsets throughout — the
+    format required past the classic 4 GB ceiling. ``values[0, 0]`` maps to world
     ``(origin_x, origin_y)``; x grows by ``pixel_w`` per column, y
     DECREASES by ``pixel_h`` per row (north-up raster convention,
     matching the reader's geotransform).
@@ -182,9 +185,17 @@ def encode_geotiff(
 
     # Layout: header | all levels' pixel chunks | one IFD block per
     # level (entries + next-IFD pointer + external values), chained.
+    # BigTIFF (version 43) widens the entry count, entry value slot,
+    # and every offset to 8 bytes.
+    hdr_sz = 16 if bigtiff else 8
+    count_sz = 8 if bigtiff else 2
+    entry_sz = 20 if bigtiff else 12
+    next_sz = 8 if bigtiff else 4
+    inline = 8 if bigtiff else 4
+
     all_chunks = [level_chunks(lv) for lv in levels]
     chunk_offs: list[list[int]] = []
-    off = 8
+    off = hdr_sz
     for chunks in all_chunks:
         offs = []
         for c in chunks:
@@ -196,6 +207,8 @@ def encode_geotiff(
         return 3, struct.pack(f"<{len(vals)}H", *vals)
 
     def longs(*vals):
+        if bigtiff:  # offsets are LONG8 in BigTIFF
+            return 16, struct.pack(f"<{len(vals)}Q", *vals)
         return 4, struct.pack(f"<{len(vals)}I", *vals)
 
     def dbls(*vals):
@@ -237,11 +250,12 @@ def encode_geotiff(
             ]
         return sorted(fields, key=lambda f: f[0])
 
-    type_size = {3: 2, 4: 4, 12: 8}
+    type_size = {3: 2, 4: 4, 12: 8, 16: 8}
+    cnt_fmt = "Q" if bigtiff else "I"
     per_level = [level_fields(i) for i in range(len(levels))]
     block_sizes = [
-        2 + len(f) * 12 + 4
-        + sum(len(p) for _t, _ty, p in f if len(p) > 4)
+        count_sz + len(f) * entry_sz + next_sz
+        + sum(len(p) for _t, _ty, p in f if len(p) > inline)
         for f in per_level
     ]
     ifd_offs = []
@@ -252,28 +266,35 @@ def encode_geotiff(
     blocks = b""
     for li, fields in enumerate(per_level):
         n = len(fields)
-        ext_off = ifd_offs[li] + 2 + n * 12 + 4
+        ext_off = ifd_offs[li] + count_sz + n * entry_sz + next_sz
         entries, ext = [], b""
         for tag, typ, payload in fields:
             cnt = len(payload) // type_size[typ]
-            if len(payload) <= 4:
-                entries.append(
-                    struct.pack("<HHI", tag, typ, cnt)
-                    + payload.ljust(4, b"\0")
-                )
+            head = struct.pack("<HH", tag, typ) + struct.pack(
+                "<" + cnt_fmt, cnt
+            )
+            if len(payload) <= inline:
+                entries.append(head + payload.ljust(inline, b"\0"))
             else:
                 entries.append(
-                    struct.pack("<HHII", tag, typ, cnt, ext_off + len(ext))
+                    head
+                    + struct.pack("<" + cnt_fmt, ext_off + len(ext))
                 )
                 ext += payload
         next_ifd = ifd_offs[li + 1] if li + 1 < len(levels) else 0
         blocks += (
-            struct.pack("<H", n) + b"".join(entries)
-            + struct.pack("<I", next_ifd) + ext
+            struct.pack("<" + ("Q" if bigtiff else "H"), n)
+            + b"".join(entries)
+            + struct.pack("<" + cnt_fmt, next_ifd)
+            + ext
         )
 
+    if bigtiff:
+        header = b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_offs[0])
+    else:
+        header = b"II" + struct.pack("<HI", 42, ifd_offs[0])
     return (
-        b"II" + struct.pack("<HI", 42, ifd_offs[0])
+        header
         + b"".join(b"".join(c) for c in all_chunks)
         + blocks
     )

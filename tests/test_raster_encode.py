@@ -636,3 +636,39 @@ def test_lzw_codec_width_boundaries_and_clear():
         assert _lzw_decode(_lzw_encode(payload)) == payload
     rep = b"xyz" * 300_000  # low-entropy: dense table growth + Clears
     assert _lzw_decode(_lzw_encode(rep)) == rep
+
+
+def test_bigtiff_roundtrip_full_profile(tmp_path):
+    """BigTIFF (version 43, 8-byte offsets, LONG8 chunk offsets) with
+    tiles + overview + deflate + predictor + multi-band all at once."""
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 60000, size=(10, 14, 2)).astype("<u2")
+    path = str(tmp_path / "big.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=7.0, origin_y=9.0, pixel_w=0.25, pixel_h=0.5,
+                tile=(8, 4), overviews=(2,),
+                compression="deflate", predictor=True, bigtiff=True,
+            )
+        )
+    got, xs, ys = read_tiff_minimal(path)
+    assert got.shape == (10, 14, 2)
+    assert np.array_equal(got, arr.astype("f8"))
+    assert xs[0] == 7.0 and ys[0] == 9.0
+    ov, _, _ = read_tiff_minimal(path, overview=1)
+    assert np.array_equal(ov, arr[::2, ::2].astype("f8"))
+
+
+def test_bigtiff_strip_plain(tmp_path):
+    arr = np.arange(12, dtype="<f8").reshape(3, 4)
+    path = str(tmp_path / "bigs.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=0.0, origin_y=0.0, pixel_w=1.0, pixel_h=1.0,
+                bigtiff=True,
+            )
+        )
+    got, _, _ = read_tiff_minimal(path)
+    assert np.array_equal(got, arr)

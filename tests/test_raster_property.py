@@ -33,10 +33,11 @@ DIMS = st.tuples(st.integers(1, 9), st.integers(1, 9))
     dtype=st.sampled_from(["u1", "u2", "i2", "i4", "f4", "f8"]),
     tiled=st.booleans(),
     compression=st.sampled_from([None, "deflate", "lzw"]),
+    bigtiff=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
 def test_tiff_roundtrip_property(tmp_path_factory, dims, dtype, tiled,
-                                 compression, seed):
+                                 compression, bigtiff, seed):
     h, w = dims
     rng = np.random.default_rng(seed)
     arr = rng.integers(0, 200, size=(h, w)).astype(dtype)
@@ -46,6 +47,7 @@ def test_tiff_roundtrip_property(tmp_path_factory, dims, dtype, tiled,
         tile=(3, 2) if tiled else None,
         compression=compression,
         predictor=predictor,
+        bigtiff=bigtiff,
     )
     path = tmp_path_factory.mktemp("tiff") / "t.tif"
     path.write_bytes(blob)
