@@ -900,17 +900,105 @@ def _zarr_filter_decode(raw: bytes, cfg: dict) -> bytes:
     raise NotImplementedError(cfg["id"])  # pragma: no cover - pre-checked
 
 
-def read_zarr_minimal(path: str):
-    """Minimal Zarr v2 array reader — no libraries.
+# Zarr v3 data_type names -> numpy dtypes (little-endian via the
+# `bytes` codec's endian configuration).
+_ZARR3_DTYPES = {
+    "bool": "?", "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
+    "uint8": "u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
+    "float32": "f4", "float64": "f8",
+}
 
-    Zarr v2 is a public spec of JSON metadata (``.zarray``) plus flat
-    chunk files, so the common profile needs no library: C- or F-order
-    chunks, raw / zlib / gzip compression, the ``delta`` and
+
+def _read_zarr3_minimal(path: str, meta: dict):
+    """Zarr v3 array reader (`zarr.json` metadata): regular chunk
+    grid, default or v2 chunk-key encoding, ``bytes`` (+ optional
+    ``gzip``) codec chain. Sharding/blosc/zstd/transpose codecs raise
+    with a pointer to the zarr-python path."""
+    import gzip
+    import itertools
+    import json  # noqa: F401  (symmetry with the v2 reader)
+    import math
+    import os
+
+    if meta.get("node_type") != "array":
+        raise ValueError(f"not a Zarr v3 array node: {meta.get('node_type')}")
+    shape = meta["shape"]
+    if meta["chunk_grid"]["name"] != "regular":
+        raise NotImplementedError(
+            f"Zarr v3 chunk grid {meta['chunk_grid']['name']!r}: use the "
+            "zarr library path"
+        )
+    chunks = meta["chunk_grid"]["configuration"]["chunk_shape"]
+    dt_name = meta["data_type"]
+    if dt_name not in _ZARR3_DTYPES:
+        raise NotImplementedError(f"Zarr v3 data_type {dt_name!r}")
+    endian = "<"
+    gzipped = False
+    for codec in meta.get("codecs", [{"name": "bytes"}]):
+        name = codec.get("name")
+        if name == "bytes":
+            cfg = codec.get("configuration") or {}
+            endian = ">" if cfg.get("endian") == "big" else "<"
+        elif name == "gzip":
+            gzipped = True
+        else:
+            raise NotImplementedError(
+                f"Zarr v3 codec {name!r}: use the zarr library path"
+            )
+    dtype = np.dtype(endian + _ZARR3_DTYPES[dt_name])
+
+    key_enc = meta.get("chunk_key_encoding", {"name": "default"})
+    sep = (key_enc.get("configuration") or {}).get("separator") or (
+        "/" if key_enc["name"] == "default" else "."
+    )
+
+    def chunk_key(idx) -> str:
+        parts = map(str, idx)
+        if key_enc["name"] == "default":
+            return sep.join(["c", *parts])
+        if key_enc["name"] == "v2":
+            return sep.join(parts)
+        raise NotImplementedError(
+            f"chunk key encoding {key_enc['name']!r}"
+        )
+
+    fill = meta.get("fill_value")
+    out = np.full(shape, fill if fill is not None else 0, dtype=dtype)
+    grid = [math.ceil(s / c) for s, c in zip(shape, chunks)]
+    for idx in itertools.product(*[range(g) for g in grid]):
+        fp = os.path.join(path, *chunk_key(idx).split("/"))
+        if not os.path.exists(fp):
+            continue  # missing chunk = fill_value
+        with open(fp, "rb") as f:
+            raw = f.read()
+        if gzipped:
+            raw = gzip.decompress(raw)
+        block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+        dest = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, shape)
+        )
+        out[dest] = block[tuple(slice(0, d.stop - d.start) for d in dest)]
+
+    attrs = dict(meta.get("attributes") or {})
+    if "dimension_names" in meta and "_ARRAY_DIMENSIONS" not in attrs:
+        attrs["_ARRAY_DIMENSIONS"] = meta["dimension_names"]
+    return out, attrs
+
+
+def read_zarr_minimal(path: str):
+    """Minimal Zarr array reader — no libraries, v2 AND v3.
+
+    Zarr is a public spec of JSON metadata plus flat chunk files, so
+    the common profiles need no library. v2 (``.zarray``): C- or
+    F-order chunks, raw / zlib / gzip compression, the ``delta`` and
     ``shuffle`` numcodecs filters (anything else — blosc, other
     filters — raises with a pointer to the zarr-python path), missing
-    chunks filled with ``fill_value``. Returns (ndarray, attrs) where
-    ``attrs`` is the ``.zattrs`` dict (xarray stores dimension names
-    there under ``_ARRAY_DIMENSIONS``).
+    chunks filled with ``fill_value``. v3 (``zarr.json``): regular
+    chunk grids, default/v2 chunk-key encodings, ``bytes`` + optional
+    ``gzip`` codecs. Returns (ndarray, attrs); dimension names appear
+    under ``_ARRAY_DIMENSIONS`` either way (xarray's v2 convention, or
+    v3's first-class ``dimension_names``).
 
     Scale shape: this reads ONE array — the per-task kernel. A 100 TB
     store is ingested chunk-parallel (one task per chunk range via
@@ -924,10 +1012,17 @@ def read_zarr_minimal(path: str):
     import os
     import zlib
 
+    v3_meta = os.path.join(path, "zarr.json")
+    if not os.path.exists(os.path.join(path, ".zarray")) and os.path.exists(
+        v3_meta
+    ):
+        with open(v3_meta) as f:
+            return _read_zarr3_minimal(path, json.load(f))
+
     with open(os.path.join(path, ".zarray")) as f:
         meta = json.load(f)
     if meta.get("zarr_format") != 2:
-        raise NotImplementedError("only Zarr v2 stores decode natively")
+        raise NotImplementedError("only Zarr v2/v3 stores decode natively")
     order = meta.get("order", "C")
     if order not in ("C", "F"):
         raise ValueError(f"bad Zarr chunk order {order!r}")

@@ -741,12 +741,19 @@ def write_zarr_store(
     omit_chunks: set[tuple[int, ...]] = frozenset(),
     order: str = "C",
     filters: list[dict] | None = None,
+    zarr_format: int = 2,
 ) -> None:
-    """Write a Zarr v2 store (value array + xarray-style
-    ``_ARRAY_DIMENSIONS`` + one coordinate array per dim) in the
-    profile `read_zarr_grid` parses: C- or F-order chunks, raw / zlib
-    / gzip compression, ``delta`` / ``shuffle`` numcodecs filters,
-    missing chunks meaning ``fill_value``.
+    """Write a Zarr store (value array + dimension names + one
+    coordinate array per dim) in the profiles `read_zarr_grid` parses.
+
+    ``zarr_format=2`` (default): ``.zarray`` metadata, C- or F-order
+    chunks, raw / zlib / gzip compression, ``delta`` / ``shuffle``
+    numcodecs filters, xarray-style ``_ARRAY_DIMENSIONS`` attribute.
+    ``zarr_format=3``: ``zarr.json`` metadata with first-class
+    ``dimension_names``, ``c/i/j`` chunk keys, ``bytes`` + optional
+    ``gzip`` codec chain (order/filters are v2-only knobs there — the
+    v3 equivalents are the transpose/blosc codecs, which stay on the
+    zarr-python path).
 
     ``omit_chunks`` lists chunk indices to leave unwritten — the
     standard Zarr representation of an all-fill region (readers
@@ -765,6 +772,18 @@ def write_zarr_store(
             f"coords {tuple(len(c) for c in coords.values())} do not match "
             f"values shape {arr.shape}"
         )
+    if zarr_format not in (2, 3):
+        raise ValueError(f"unsupported zarr_format {zarr_format}")
+    if zarr_format == 3:
+        if order != "C" or filters:
+            raise ValueError(
+                "order/filters are v2 knobs; v3 uses transpose/codec "
+                "chains (zarr-python path)"
+            )
+        if compressor not in (None, "gzip"):
+            raise ValueError(
+                f"v3 writer supports gzip or raw, got {compressor!r}"
+            )
     if compressor not in (None, "zlib", "gzip"):
         raise ValueError(f"unsupported compressor {compressor!r}")
     if order not in ("C", "F"):
@@ -808,26 +827,59 @@ def write_zarr_store(
         omit: set[tuple[int, ...]],
         ordr: str = "C",
         filts: list[dict] | None = None,
+        dim_names_: list[str] | None = None,
     ) -> None:
         d = os.path.join(store, name)
         os.makedirs(d, exist_ok=True)
-        meta = {
-            "zarr_format": 2,
-            "shape": list(data.shape),
-            "chunks": list(chk),
-            "dtype": data.dtype.str,
-            "order": ordr,
-            "filters": filts or None,
-            "fill_value": fill,
-            "compressor": (
-                {"id": compressor, "level": 1} if compressor else None
-            ),
-        }
-        with open(os.path.join(d, ".zarray"), "w") as f:
-            json.dump(meta, f)
-        if attrs is not None:
-            with open(os.path.join(d, ".zattrs"), "w") as f:
-                json.dump(attrs, f)
+        if zarr_format == 3:
+            from data_pipelines_spark.sources.raster import _ZARR3_DTYPES
+
+            dt_names = {v: k for k, v in _ZARR3_DTYPES.items()}
+            key = data.dtype.str.lstrip("<>=|")
+            codecs = [
+                {"name": "bytes", "configuration": {"endian": "little"}}
+            ]
+            if compressor == "gzip":
+                codecs.append({"name": "gzip", "configuration": {"level": 1}})
+            meta = {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": list(data.shape),
+                "data_type": dt_names[key],
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": list(chk)},
+                },
+                "chunk_key_encoding": {
+                    "name": "default",
+                    "configuration": {"separator": "/"},
+                },
+                "fill_value": fill if fill is not None else 0,
+                "codecs": codecs,
+                "attributes": attrs or {},
+            }
+            if dim_names_:
+                meta["dimension_names"] = dim_names_
+            with open(os.path.join(d, "zarr.json"), "w") as f:
+                json.dump(meta, f)
+        else:
+            meta = {
+                "zarr_format": 2,
+                "shape": list(data.shape),
+                "chunks": list(chk),
+                "dtype": data.dtype.str,
+                "order": ordr,
+                "filters": filts or None,
+                "fill_value": fill,
+                "compressor": (
+                    {"id": compressor, "level": 1} if compressor else None
+                ),
+            }
+            with open(os.path.join(d, ".zarray"), "w") as f:
+                json.dump(meta, f)
+            if attrs is not None:
+                with open(os.path.join(d, ".zattrs"), "w") as f:
+                    json.dump(attrs, f)
         grid = [math.ceil(s / c) for s, c in zip(data.shape, chk)]
         for idx in itertools.product(*[range(g) for g in grid]):
             if idx in omit:
@@ -840,6 +892,13 @@ def write_zarr_store(
                 )
             ]
             block[tuple(slice(0, n) for n in src.shape)] = src
+            if zarr_format == 3:
+                raw = block.astype("<" + block.dtype.str.lstrip("<>=|"))
+                fp = os.path.join(d, "c", *map(str, idx))
+                os.makedirs(os.path.dirname(fp), exist_ok=True)
+                with open(fp, "wb") as f:
+                    f.write(compress(raw.tobytes()))
+                continue
             raw = block.tobytes(order=ordr)
             for cfg in filts or []:
                 raw = filter_encode(raw, cfg)
@@ -852,11 +911,14 @@ def write_zarr_store(
         arr,
         chunks,
         fill_value,
-        {"_ARRAY_DIMENSIONS": dim_names},
+        None if zarr_format == 3 else {"_ARRAY_DIMENSIONS": dim_names},
         set(omit_chunks),
         ordr=order,
         filts=filters,
+        dim_names_=dim_names,
     )
     for name, coord in coords.items():
         c = np.asarray(coord, dtype="<f8")
-        write_array(name, c, (len(c),), None, None, set())
+        write_array(
+            name, c, (len(c),), None, None, set(), dim_names_=[name]
+        )

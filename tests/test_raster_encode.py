@@ -672,3 +672,70 @@ def test_bigtiff_strip_plain(tmp_path):
         )
     got, _, _ = read_tiff_minimal(path)
     assert np.array_equal(got, arr)
+
+
+@pytest.mark.parametrize("compressor", [None, "gzip"])
+def test_zarr_v3_roundtrip(tmp_path, compressor):
+    """Zarr v3: zarr.json metadata, c/i/j chunk keys, bytes(+gzip)
+    codec chain, first-class dimension_names, missing-chunk fill."""
+    vals = np.arange(24, dtype="<i4").reshape(4, 6) * 3
+    store = str(tmp_path / f"v3_{compressor}.zarr")
+    write_zarr_store(
+        store, "dis24", vals,
+        {"lat": np.arange(4.0), "lon": np.arange(6.0)},
+        chunks=(2, 4), compressor=compressor, fill_value=-9,
+        omit_chunks={(1, 1)}, zarr_format=3,
+    )
+    import os
+
+    assert os.path.exists(f"{store}/dis24/zarr.json")
+    assert os.path.exists(f"{store}/dis24/c/0/0")
+    arr, attrs = read_zarr_minimal(f"{store}/dis24")
+    expect = vals.copy()
+    expect[2:4, 4:6] = -9
+    assert np.array_equal(arr, expect)
+    assert attrs["_ARRAY_DIMENSIONS"] == ["lat", "lon"]
+
+
+def test_zarr_v3_grid_long_form(spark, tmp_path):
+    from data_pipelines_spark.sources.raster import read_zarr_grid
+
+    vals = np.arange(6, dtype="<f8").reshape(2, 3)
+    store = str(tmp_path / "v3g.zarr")
+    write_zarr_store(
+        store, "v", vals,
+        {"y": np.array([1.0, 2.0]), "x": np.array([5.0, 6.0, 7.0])},
+        zarr_format=3, compressor="gzip",
+    )
+    df = read_zarr_grid(spark, store, "v")
+    rows = {(r.y, r.x): r.v for r in df.collect()}
+    assert len(rows) == 6
+    assert rows[(2.0, 7.0)] == 5.0
+
+
+def test_zarr_v3_gates(tmp_path):
+    import json
+    import os
+
+    with pytest.raises(ValueError, match="v2 knobs"):
+        write_zarr_store(
+            str(tmp_path / "bad"), "v", np.zeros((2, 2)),
+            {"a": np.arange(2.0), "b": np.arange(2.0)},
+            zarr_format=3, order="F",
+        )
+    store = str(tmp_path / "shard.zarr/v")
+    os.makedirs(store)
+    with open(f"{store}/zarr.json", "w") as f:
+        json.dump(
+            {
+                "zarr_format": 3, "node_type": "array", "shape": [2],
+                "data_type": "int32",
+                "chunk_grid": {"name": "regular",
+                               "configuration": {"chunk_shape": [2]}},
+                "fill_value": 0,
+                "codecs": [{"name": "sharding_indexed"}],
+            },
+            f,
+        )
+    with pytest.raises(NotImplementedError, match="sharding_indexed"):
+        read_zarr_minimal(store)
