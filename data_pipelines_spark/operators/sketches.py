@@ -550,3 +550,99 @@ def frequency_estimate(
     return joined.groupBy(*group_cols, "value").agg(
         F.min("cnt").cast("long").alias("est_cnt")
     )
+
+
+def topk_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    batch_col: str,
+) -> DataFrame:
+    """Mergeable top-k (heavy hitters) summary as relational rows —
+    the fourth member of the store family (HLL = distinct, histogram =
+    distribution, count-min = per-item frequency, this = WHICH items
+    dominate).
+
+    Per batch: exact counts → keep the k most frequent keys
+    (deterministic tie-break on the key) with the (k+1)-th count
+    SUBTRACTED from every kept counter — the Misra-Gries compression,
+    which is what makes summaries mergeable with bounded error
+    (Agarwal et al., "Mergeable Summaries", PODS 2012). Output one row
+    per kept key: (batch, key, counter, decrement); ``counter`` is a
+    LOWER bound on the batch count and ``counter + decrement`` an
+    upper bound.
+
+    Scale shape: the count aggregation is a map-side-combined groupBy;
+    the per-batch rank is a window over each batch's DISTINCT keys
+    (already aggregated — not the row stream). Batches are whatever
+    unit arrives independently (a day, a file, a partition id derived
+    from CONTENT so replays are deterministic); state per batch is k
+    rows forever after.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    counts = df.groupBy(batch_col, key_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(batch_col).orderBy(
+        F.col("cnt").desc(), F.col(key_col)
+    )
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    d_b = ranked.where(F.col("rk") == k + 1).select(
+        F.col(batch_col), F.col("cnt").alias("__d")
+    )
+    return (
+        ranked.where(F.col("rk") <= k)
+        .join(d_b, batch_col, "left")
+        .select(
+            F.col(batch_col).alias("batch"),
+            F.col(key_col).alias("key"),
+            (F.col("cnt") - F.coalesce(F.col("__d"), F.lit(0)))
+            .alias("counter"),
+            F.coalesce(F.col("__d"), F.lit(0)).alias("decrement"),
+        )
+        .where(F.col("counter") > 0)
+    )
+
+
+def merge_topk_sketches(store: DataFrame, k: int) -> DataFrame:
+    """Merge per-batch top-k summaries into one: counters sum by key,
+    then the union is re-compressed to k rows (subtract the (k+1)-th
+    summed counter, drop non-positive). Output: (key, est_min,
+    max_err, rank) — the true total count of every emitted key lies in
+    ``[est_min, est_min + max_err]``, where ``max_err`` accumulates
+    every batch's decrement plus the merge's own.
+
+    The candidate set entering the merge is at most (batches x k) rows
+    — bounded by construction — so the final rank runs on a small
+    frame, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    summed = store.groupBy("key").agg(F.sum("counter").alias("est"))
+    total_d = store.select("batch", "decrement").distinct().agg(
+        F.coalesce(F.sum("decrement"), F.lit(0)).alias("d_batches")
+    )
+    w = Window.orderBy(F.col("est").desc(), F.col("key"))
+    ranked = summed.withColumn("rk", F.row_number().over(w))
+    d2 = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == k + 1, F.col("est"))), F.lit(0)
+        ).alias("__d2")
+    )
+    return (
+        ranked.where(F.col("rk") <= k)
+        .crossJoin(F.broadcast(total_d))
+        .crossJoin(F.broadcast(d2))
+        .select(
+            "key",
+            (F.col("est") - F.col("__d2")).alias("est_min"),
+            (F.col("d_batches") + F.col("__d2")).alias("max_err"),
+            F.col("rk").alias("rank"),
+        )
+        .where(F.col("est_min") > 0)
+    )

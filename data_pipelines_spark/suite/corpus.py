@@ -38,27 +38,104 @@ _TOKS = (
                count(DISTINCT doc_id) AS doc_cnt
         FROM toks GROUP BY token
     ),
-    n_docs AS (SELECT count(*) AS n FROM documents)
-    SELECT token, token_cnt, doc_cnt,
-           round(ln((CAST(n AS DOUBLE) - CAST(doc_cnt AS DOUBLE) + 0.5)
-                    / (CAST(doc_cnt AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
-           CAST(row_number() OVER (ORDER BY token_cnt DESC, token)
-                AS BIGINT) AS rank
-    FROM counts, n_docs
-    ORDER BY token_cnt DESC, token
-    LIMIT 100
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    mg_counts AS (
+        SELECT doc_id % 8 AS batch, token, count(*) AS cnt
+        FROM toks GROUP BY 1, 2
+    ),
+    mg_ranked AS (
+        SELECT batch, token, cnt,
+               row_number() OVER (PARTITION BY batch
+                                  ORDER BY cnt DESC, token) AS rk
+        FROM mg_counts
+    ),
+    mg_d AS (SELECT batch, cnt AS d FROM mg_ranked WHERE rk = 101),
+    mg_store AS (
+        SELECT r.batch, r.token,
+               r.cnt - COALESCE(d.d, 0) AS counter,
+               COALESCE(d.d, 0) AS dec
+        FROM mg_ranked r LEFT JOIN mg_d d ON r.batch = d.batch
+        WHERE r.rk <= 100 AND r.cnt - COALESCE(d.d, 0) > 0
+    ),
+    mg_sum AS (
+        SELECT token, CAST(SUM(counter) AS BIGINT) AS est
+        FROM mg_store GROUP BY 1
+    ),
+    mg_db AS (
+        SELECT CAST(COALESCE(SUM(dec), 0) AS BIGINT) AS d_batches
+        FROM (SELECT DISTINCT batch, dec FROM mg_store)
+    ),
+    mg_rk AS (
+        SELECT token, est,
+               row_number() OVER (ORDER BY est DESC, token) AS rk
+        FROM mg_sum
+    ),
+    mg_d2 AS (
+        SELECT CAST(COALESCE(MAX(CASE WHEN rk = 101 THEN est END), 0)
+                    AS BIGINT) AS d2
+        FROM mg_rk
+    )
+    SELECT * FROM (
+        SELECT 'exact' AS method, token, token_cnt, doc_cnt,
+               round(ln((CAST(n AS DOUBLE) - CAST(doc_cnt AS DOUBLE) + 0.5)
+                        / (CAST(doc_cnt AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
+               CAST(row_number() OVER (ORDER BY token_cnt DESC, token)
+                    AS BIGINT) AS rank
+        FROM counts, n_docs
+        ORDER BY token_cnt DESC, token
+        LIMIT 100
+    )
+    UNION ALL
+    SELECT 'mg', token, est - d2, d_batches + d2,
+           CAST(NULL AS DOUBLE), CAST(rk AS BIGINT)
+    FROM mg_rk, mg_d2, mg_db
+    WHERE rk <= 100 AND est - d2 > 0
     """,
 )
 def vocabulary_stats_query(spark, sf_dir):
-    """Zipf head of the corpus vocabulary: top-100 tokens by frequency
-    with document counts, BM25 inverse document frequency (the idf the
-    `operators.ranking` scorers consume; N is a single-row broadcast),
-    and a deterministic rank (ties broken by token). TakeOrdered head +
-    bounded-head rank — no corpus-wide single-partition window (the
-    unbounded path uses the two-phase `plans.windows.global_rank`)."""
+    """Zipf head of the corpus vocabulary, two method-tagged tiers:
+
+    - ``exact``: top-100 tokens by frequency with document counts,
+      BM25 inverse document frequency (the idf the `operators.ranking`
+      scorers consume; N is a single-row broadcast), and a
+      deterministic rank (ties broken by token). TakeOrdered head +
+      bounded-head rank — no corpus-wide single-partition window.
+    - ``mg``: the same head through the MERGEABLE top-k store
+      (`operators.sketches.topk_sketch` / `merge_topk_sketches` —
+      Misra-Gries compression per content-derived batch
+      ``doc_id % 8``, counters summed and re-compressed on merge).
+      ``token_cnt`` carries the lower-bound estimate, ``doc_cnt`` the
+      accumulated error bound (true count <= est + err, asserted in
+      tests/test_sketches.py); the oracle replays every rank,
+      decrement, and merge step in SQL.
+    """
+    from data_pipelines_spark.functions.text import tokens as _tokens
+    from data_pipelines_spark.operators.sketches import (
+        merge_topk_sketches,
+        topk_sketch,
+    )
+
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return vocabulary_stats(docs, top_k=100, with_idf=True)
+    exact = vocabulary_stats(docs, top_k=100, with_idf=True).select(
+        F.lit("exact").alias("method"),
+        "token", "token_cnt", "doc_cnt", "idf", "rank",
+    )
+    toks = docs.select(
+        (F.col("doc_id") % 8).alias("batch"),
+        F.explode(_tokens(F.col("text"))).alias("token"),
+    )
+    mg = merge_topk_sketches(
+        topk_sketch(toks, "token", k=100, batch_col="batch"), k=100
+    ).select(
+        F.lit("mg").alias("method"),
+        F.col("key").alias("token"),
+        F.col("est_min").alias("token_cnt"),
+        F.col("max_err").alias("doc_cnt"),
+        F.lit(None).cast("double").alias("idf"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return exact.unionByName(mg)
 
 
 def _md5_frac_sql(id_expr: str, salt: str) -> str:

@@ -570,3 +570,76 @@ class TestFrequencySketch:
             ).collect()
         }
         assert est == {"a": 2, "b": 1, "c": 0}
+
+
+class TestTopkStore:
+    def _brute(self, rows):
+        import collections
+
+        c = collections.Counter(k for _b, k in rows)
+        return c
+
+    def test_bounds_hold_and_heavy_hitter_found(self, spark):
+        """Every emitted key's true count lies in [est_min, est_min +
+        max_err], and a key holding > N/(k+1) of the stream is always
+        present (the Misra-Gries guarantee)."""
+        import numpy as np
+
+        from data_pipelines_spark.operators.sketches import (
+            merge_topk_sketches,
+            topk_sketch,
+        )
+
+        rng = np.random.default_rng(31)
+        rows = [(int(b), f"k{int(x)}")
+                for b, x in zip(rng.integers(0, 5, 3000),
+                                rng.integers(0, 60, 3000))]
+        rows += [(b, "HOT") for b in range(5) for _ in range(300)]  # 1500 hits
+        df = spark.createDataFrame(rows, "batch long, key string")
+        store = topk_sketch(df, "key", k=8, batch_col="batch")
+        merged = {r.key: (r.est_min, r.max_err)
+                  for r in merge_topk_sketches(store, 8).collect()}
+        truth = self._brute(rows)
+        assert "HOT" in merged
+        for key, (lo, err) in merged.items():
+            assert lo <= truth[key] <= lo + err, (key, lo, err, truth[key])
+
+    def test_store_state_is_k_rows_per_batch(self, spark):
+        from data_pipelines_spark.operators.sketches import topk_sketch
+
+        rows = [(0, f"k{i % 30}") for i in range(500)] + [
+            (1, f"k{i % 7}") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "batch long, key string")
+        store = topk_sketch(df, "key", k=5, batch_col="batch")
+        per_batch = {r.batch: r.n for r in
+                     store.groupBy("batch").agg(
+                         __import__("pyspark.sql.functions",
+                                    fromlist=["count"]).count("*").alias("n")
+                     ).collect()}
+        assert all(n <= 5 for n in per_batch.values())
+
+    def test_exact_when_under_k(self, spark):
+        """With fewer distinct keys than k the store is exact: zero
+        decrements, est_min == true count, max_err == 0."""
+        from data_pipelines_spark.operators.sketches import (
+            merge_topk_sketches,
+            topk_sketch,
+        )
+
+        rows = [(b, k) for b in range(3) for k in ("a", "a", "b")]
+        df = spark.createDataFrame(rows, "batch long, key string")
+        merged = {r.key: (r.est_min, r.max_err, r.rank)
+                  for r in merge_topk_sketches(
+                      topk_sketch(df, "key", 10, "batch"), 10
+                  ).collect()}
+        assert merged == {"a": (6, 0, 1), "b": (3, 0, 2)}
+
+    def test_validates_k(self, spark):
+        import pytest as _pytest
+
+        from data_pipelines_spark.operators.sketches import topk_sketch
+
+        df = spark.createDataFrame([(0, "a")], "batch long, key string")
+        with _pytest.raises(ValueError, match="k must be"):
+            topk_sketch(df, "key", 0, "batch")
