@@ -641,8 +641,10 @@ def read_tiff_minimal(
 
     A dependency-free reader for the profiles GDAL emits with
     `-co COMPRESS=NONE`, `-co COMPRESS=LZW`, or `-co COMPRESS=DEFLATE`
-    (optionally `-co PREDICTOR=2` on integer data, `-co TILED=YES`
-    plus overview levels, and `-co BIGTIFF=YES`): classic TIFF OR
+    (optionally `-co PREDICTOR=2` on integer data or `-co PREDICTOR=3`
+    — the TechNote-3 floating-point predictor — on float data,
+    `-co TILED=YES` plus overview levels, and `-co BIGTIFF=YES`):
+    classic TIFF OR
     BigTIFF (version 43, 8-byte offsets), strip- OR tile-organized
     (tiles are the layout that makes a COG cloud-optimized), single-
     or multi-band (PlanarConfiguration=1, pixel-interleaved — the
@@ -653,8 +655,8 @@ def read_tiff_minimal(
     one only where needed: the COG access pattern). Parses the IFD
     directly with struct/numpy and applies the GeoTIFF
     ModelPixelScale/ModelTiepoint tags for cell-center coordinates.
-    Anything fancier (JPEG compression, float predictors, planar
-    bands) raises with a pointer to the rasterio path.
+    Anything fancier (JPEG compression, planar bands) raises with a
+    pointer to the rasterio path.
 
     Returns a 2-D ``(h, w)`` array for one band, 3-D ``(h, w, s)``
     for multi-band.
@@ -765,7 +767,7 @@ def read_tiff_minimal(
             "planar-configuration multi-band TIFF: use the rasterio path"
         )
     predictor = ints(317, [1])[0]
-    if predictor not in (1, 2):
+    if predictor not in (1, 2, 3):
         raise NotImplementedError(
             f"TIFF predictor {predictor}: use the rasterio path"
         )
@@ -776,12 +778,36 @@ def read_tiff_minimal(
             "horizontal-differencing predictor on float samples: use "
             "the rasterio path"
         )
+    if predictor == 3 and sample_format != 3:
+        raise NotImplementedError(
+            "floating-point predictor on non-float samples: use the "
+            "rasterio path"
+        )
 
     def decode_chunk(raw: bytes, rows: int, cols: int) -> np.ndarray:
         if compression in (8, 32946):
             raw = zlib.decompress(raw)
         elif compression == 5:
             raw = _lzw_decode(raw)[: rows * cols * samples * dt.itemsize]
+        if predictor == 3:
+            # TIFF TechNote 3 floating-point predictor (libtiff fpAcc):
+            # per row, byte-wise cumulative sum with stride =
+            # samples-per-pixel undoes the differencing, then the
+            # big-endian byte planes re-interleave into elements.
+            bps = dt.itemsize
+            buf = (
+                np.frombuffer(raw, dtype="u1")
+                .reshape(rows, -1, samples)
+                .copy()
+            )
+            np.cumsum(buf, axis=1, dtype="u1", out=buf)
+            elems = (
+                buf.reshape(rows, bps, cols * samples)
+                .transpose(0, 2, 1)
+                .copy()
+                .view(np.dtype(">" + _TIFF_DTYPES[(sample_format, bits)]))
+            )
+            return elems.reshape(rows, cols, samples).astype(dt)
         block = (
             np.frombuffer(raw, dtype=dt).reshape(rows, cols, samples).copy()
         )

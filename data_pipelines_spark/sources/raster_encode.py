@@ -104,7 +104,7 @@ def encode_geotiff(
     tile: tuple[int, int] | None = None,
     overviews: Sequence[int] = (),
     compression: str | None = None,
-    predictor: bool = False,
+    predictor: bool | int = False,
     bigtiff: bool = False,
 ) -> bytes:
     """Encode an array as an uncompressed little-endian GeoTIFF — the
@@ -123,9 +123,13 @@ def encode_geotiff(
     zlib-compresses each strip/tile (the COMPRESS=DEFLATE profile) and
     ``compression="lzw"`` uses TIFF-variant LZW (the COMPRESS=LZW
     default of many products);
-    ``predictor=True`` applies per-row horizontal differencing before
-    compression (PREDICTOR=2, integer dtypes only — typically halves
-    DEFLATE output on smooth rasters). ``bigtiff=True`` writes the
+    ``predictor=True`` applies per-row differencing before
+    compression — PREDICTOR=2 (horizontal differencing) on integer
+    dtypes, PREDICTOR=3 (the TIFF TechNote 3 floating-point predictor:
+    big-endian byte-plane split then byte-wise differencing) on float
+    dtypes; pass ``predictor=2`` or ``predictor=3`` to pin one
+    explicitly. Typically halves DEFLATE output on smooth rasters.
+    ``bigtiff=True`` writes the
     BigTIFF (version 43) layout with 8-byte offsets throughout — the
     format required past the classic 4 GB ceiling. ``values[0, 0]`` maps to world
     ``(origin_x, origin_y)``; x grows by ``pixel_w`` per column, y
@@ -145,11 +149,18 @@ def encode_geotiff(
     s = arr.shape[2]
     if compression not in (None, "deflate", "lzw"):
         raise ValueError(f"unsupported TIFF compression {compression!r}")
-    if predictor and sample_format == 3:
+    if predictor is True:
+        predictor = 3 if sample_format == 3 else 2
+    predictor = int(predictor) or 1
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if predictor == 2 and sample_format == 3:
         raise ValueError(
-            "PREDICTOR=2 applies to integer dtypes only (float "
-            "predictors are a rasterio-path feature)"
+            "PREDICTOR=2 applies to integer dtypes only (use "
+            "predictor=3 / predictor=True for the float predictor)"
         )
+    if predictor == 3 and sample_format != 3:
+        raise ValueError("PREDICTOR=3 applies to float dtypes only")
 
     for k in overviews or ():
         if int(k) <= 1:
@@ -157,12 +168,33 @@ def encode_geotiff(
     levels = [arr] + [arr[:: int(k), :: int(k)] for k in (overviews or ())]
 
     def chunk_bytes(block: np.ndarray) -> bytes:
-        if predictor:
+        if predictor == 2:
             block = block.copy()
             # Per-row horizontal differencing; integer wraparound is
             # part of PREDICTOR=2's definition.
             block[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
-        raw = block.tobytes()
+            raw = block.tobytes()
+        elif predictor == 3:
+            # TIFF TechNote 3 floating-point predictor: per row, split
+            # elements into big-endian byte planes (all MSBs, then the
+            # next byte, ...), then byte-wise horizontal differencing
+            # with stride = samples-per-pixel — same transform libtiff's
+            # fpDiff applies.
+            rows, cols, _ = block.shape
+            bps = block.dtype.itemsize
+            be = block.astype(block.dtype.newbyteorder(">"))
+            planes = (
+                be.view("u1")
+                .reshape(rows, cols * s, bps)
+                .transpose(0, 2, 1)
+                .reshape(rows, bps * cols * s)
+                .copy()
+            )
+            strided = planes.reshape(rows, -1, s)
+            strided[:, 1:, :] = strided[:, 1:, :] - strided[:, :-1, :]
+            raw = planes.tobytes()
+        else:
+            raw = block.tobytes()
         if compression == "deflate":
             return zlib.compress(raw)
         if compression == "lzw":
@@ -225,8 +257,8 @@ def encode_geotiff(
             (277, *shorts(s)),
             (339, *shorts(*([sample_format] * s))),
         ]
-        if predictor:
-            fields.append((317, *shorts(2)))
+        if predictor != 1:
+            fields.append((317, *shorts(predictor)))
         if li > 0:
             fields.append((254, *longs(1)))  # NewSubfileType: reduced
         if tile is None:

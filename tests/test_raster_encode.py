@@ -522,12 +522,79 @@ def test_tiff_deflate_predictor_multiband_wraparound(tmp_path):
     assert np.array_equal(got, arr.astype("f8"))
 
 
-def test_tiff_float_predictor_rejected():
+def test_tiff_predictor_dtype_gates():
+    """Explicit predictor numbers are validated against the dtype:
+    2 is integer-only, 3 is float-only (the TIFF spec's own rule)."""
     with pytest.raises(ValueError, match="integer dtypes only"):
         encode_geotiff(
             np.zeros((2, 2), dtype="<f4"), origin_x=0, origin_y=0,
-            pixel_w=1, pixel_h=1, predictor=True,
+            pixel_w=1, pixel_h=1, predictor=2,
         )
+    with pytest.raises(ValueError, match="float dtypes only"):
+        encode_geotiff(
+            np.zeros((2, 2), dtype="<u2"), origin_x=0, origin_y=0,
+            pixel_w=1, pixel_h=1, predictor=3,
+        )
+
+
+def test_tiff_float_predictor_known_bytes():
+    """Pin the PREDICTOR=3 wire transform to the libtiff fpDiff
+    definition on a hand-computed case: row [1.0f, 2.0f] → big-endian
+    byte planes 3F 40 | 80 00 | 00 00 | 00 00 → byte-diffed
+    3F 01 40 80 00 00 00 00. Catches any symmetric encode/decode bug
+    the round-trip tests alone would miss."""
+    blob = encode_geotiff(
+        np.array([[1.0, 2.0]], dtype="<f4"), origin_x=0, origin_y=0,
+        pixel_w=1, pixel_h=1, predictor=True,
+    )
+    # Uncompressed single-strip layout: pixel bytes start right after
+    # the 8-byte classic header.
+    assert blob[8:16] == bytes([0x3F, 0x01, 0x40, 0x80, 0, 0, 0, 0])
+
+
+def test_tiff_float_predictor_roundtrip_and_shrinks(tmp_path):
+    """PREDICTOR=3 + DEFLATE on a smooth float gradient: exact
+    round-trip and a real size win, f4 and f8, strip and tile."""
+    import os
+
+    base = (np.arange(64, dtype="f8")[None, :] * 0.37
+            + np.arange(48, dtype="f8")[:, None] * 1.13)
+    for dtype in ("<f4", "<f8"):
+        arr = base.astype(dtype)
+        sizes = {}
+        for name, pred in (("plain", False), ("pred", True)):
+            for tile in (None, (16, 16)):
+                path = str(tmp_path / f"{dtype[1:]}-{name}-{bool(tile)}.tif")
+                with open(path, "wb") as f:
+                    f.write(
+                        encode_geotiff(
+                            arr, origin_x=0.0, origin_y=0.0,
+                            pixel_w=1.0, pixel_h=1.0,
+                            compression="deflate", predictor=pred,
+                            tile=tile,
+                        )
+                    )
+                got, _, _ = read_tiff_minimal(path)
+                assert np.array_equal(got, arr.astype("f8"))
+                sizes[(name, bool(tile))] = os.path.getsize(path)
+        assert sizes[("pred", False)] < sizes[("plain", False)]
+
+
+def test_tiff_float_predictor_multiband(tmp_path):
+    """PREDICTOR=3 with pixel-interleaved samples: the byte-diff
+    stride is samples-per-pixel, so channels difference independently."""
+    rng = np.random.default_rng(7)
+    arr = rng.normal(size=(5, 7, 3)).astype("<f4")
+    path = str(tmp_path / "mb.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=0.0, origin_y=0.0, pixel_w=1.0, pixel_h=1.0,
+                compression="lzw", predictor=True, tile=(4, 2),
+            )
+        )
+    got, _, _ = read_tiff_minimal(path)
+    assert np.array_equal(got, arr.astype("f8"))
 
 
 def test_netcdf_record_variables_roundtrip(tmp_path):

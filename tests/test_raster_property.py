@@ -41,7 +41,8 @@ def test_tiff_roundtrip_property(tmp_path_factory, dims, dtype, tiled,
     h, w = dims
     rng = np.random.default_rng(seed)
     arr = rng.integers(0, 200, size=(h, w)).astype(dtype)
-    predictor = compression is not None and dtype[0] != "f"
+    # True auto-selects PREDICTOR=2 on integers, PREDICTOR=3 on floats.
+    predictor = compression is not None
     blob = encode_geotiff(
         arr, origin_x=1.0, origin_y=2.0, pixel_w=0.5, pixel_h=0.25,
         tile=(3, 2) if tiled else None,
