@@ -87,6 +87,104 @@ def _unpack_bits(body: bytes, n_points: int, nbits: int) -> np.ndarray:
     return bits[: n_points * nbits].reshape(n_points, nbits) @ weights
 
 
+def _unpack_var_bits(
+    bits: np.ndarray, starts: np.ndarray, widths: np.ndarray
+) -> np.ndarray:
+    """Variable-width MSB-first bit fields → int64 array.
+
+    ``bits`` is the unpacked 0/1 stream; value i occupies
+    ``widths[i]`` bits at bit offset ``starts[i]``. Vectorized per
+    distinct width (a GRIB2 complex-packing stream has at most ~32),
+    so decoding stays numpy-side even with millions of groups."""
+    out = np.zeros(len(starts), dtype=np.int64)
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        sel = widths == w
+        idx = starts[sel][:, None] + np.arange(w)
+        weights = 1 << np.arange(w - 1, -1, -1, dtype=np.int64)
+        out[sel] = bits[idx] @ weights
+    return out
+
+
+def _decode_complex_section7(body: bytes, packing: dict) -> np.ndarray:
+    """GRIB2 data templates 7.2/7.3 (complex packing, optionally with
+    spatial differencing) → the per-point integer field X, ready for
+    the common Y = (R + X·2^E)/10^D scaling.
+
+    Layout (WMO FM 92 + NCEP g2lib `comunpack`): optional spatial-
+    differencing descriptors (``order`` initial field values then the
+    overall difference minimum, each ``ba`` octets sign-magnitude),
+    then NG group references (``nbits`` each), NG group widths, NG
+    scaled group lengths — each block padded to a byte boundary — then
+    the data bits, continuous across groups. Value i of group g is
+    ``gref_g + field(width_g bits)``; group width/length are
+    ``width_ref + w`` and ``len_ref + scaled·len_inc`` with the last
+    group's true length carried explicitly in the template."""
+    pos = 5  # section body after length(4) + number(1)
+    order, ba = packing["order"], packing["ba"]
+    initial, gmin = [], 0
+    if order:
+        for _ in range(order):
+            initial.append(_sm_int(body[pos : pos + ba]))
+            pos += ba
+        gmin = _sm_int(body[pos : pos + ba])
+        pos += ba
+
+    ng, nbits = packing["ng"], packing["nbits"]
+    bits = np.unpackbits(np.frombuffer(body[pos:], dtype="u1"))
+
+    def block(n: int, width: int, at: int) -> tuple[np.ndarray, int]:
+        if width == 0:
+            return np.zeros(n, dtype=np.int64), at
+        vals = _unpack_bits(
+            np.packbits(bits[at : at + n * width]).tobytes(), n, width
+        )
+        return vals, at + ((n * width + 7) // 8) * 8  # byte-padded
+
+    at = 0
+    grefs, at = block(ng, nbits, at)
+    widths, at = block(ng, packing["width_bits"], at)
+    widths = widths + packing["width_ref"]
+    scaled, at = block(ng, packing["len_bits"], at)
+    lengths = packing["len_ref"] + scaled * packing["len_inc"]
+    if ng:
+        lengths[-1] = packing["last_len"]
+    n_points = packing["n_points"]
+    if int(lengths.sum()) != n_points:
+        raise ValueError(
+            f"complex-packing group lengths sum to {int(lengths.sum())}, "
+            f"expected {n_points}"
+        )
+
+    # Per-value bit geometry: data bits are continuous across groups.
+    val_widths = np.repeat(widths, lengths)
+    starts = at + np.concatenate(
+        ([0], np.cumsum(val_widths.astype(np.int64))[:-1])
+    )
+    x = _unpack_var_bits(bits, starts, val_widths)
+    x += np.repeat(grefs, lengths)
+
+    if order:
+        # Undo spatial differencing (g2lib comunpack): the first
+        # `order` values are the stored originals; the rest accumulate.
+        x[order:] += gmin
+        if order == 1:
+            x[0] = initial[0]
+            np.cumsum(x, out=x)
+        elif len(x) == 1:
+            x[0] = initial[0]
+        else:
+            # Second order: x[2:] holds second differences; one cumsum
+            # (seeded with f1-f0) recovers first differences, a second
+            # recovers the field — no per-point Python loop.
+            x[1] = initial[1] - initial[0]
+            np.cumsum(x[1:], out=x[1:])
+            x[0] = initial[0]
+            np.cumsum(x, out=x)
+    return x
+
+
 def read_grib1_minimal(path: str):
     """Minimal GRIB edition 1 (WMO FM 92-VIII) parser — no libraries.
 
@@ -206,13 +304,17 @@ def read_grib1_minimal(path: str):
 def read_grib2_minimal(path: str):
     """Minimal GRIB2 (WMO FM 92 edition 2) parser — no libraries.
 
-    Covers the profile ECMWF/NOAA disseminate for regular grids: grid
-    definition template 3.0 (equidistant lat/lon), data representation
-    template 5.0 (grid-point simple packing: Y = (R + X·2^E) / 10^D
-    over an nbits big-endian bit-packed array), optional bitmap, any
-    number of messages per file (ensemble members). Anything else —
-    spectral/jpeg2000/png packing, other grids — raises with a pointer
-    to the cfgrib path.
+    Covers the profiles ECMWF/NOAA disseminate for regular grids: grid
+    definition template 3.0 (equidistant lat/lon); data representation
+    templates 5.0 (grid-point simple packing: Y = (R + X·2^E) / 10^D
+    over an nbits big-endian bit-packed array), 5.2 (complex packing:
+    per-group references + variable-width fields), and 5.3 (complex
+    packing with first/second-order spatial differencing — the
+    encoding operational ECMWF products like GLOFAS discharge actually
+    use); optional bitmap; any number of messages per file (ensemble
+    members). Anything else — spectral/jpeg2000/png packing,
+    missing-value management, other grids — raises with a pointer to
+    the cfgrib path.
 
     Returns a list of (meta, values[Nj, Ni], lats, lons) per message;
     ``meta`` carries the product-definition template number and, for
@@ -272,7 +374,7 @@ def read_grib2_minimal(path: str):
             elif sec_num == 5:
                 n_points = int.from_bytes(body[5:9], "big")
                 template = int.from_bytes(body[9:11], "big")
-                if template != 0:
+                if template not in (0, 2, 3):
                     raise NotImplementedError(
                         f"packing template 5.{template}: use the cfgrib path"
                     )
@@ -280,7 +382,32 @@ def read_grib2_minimal(path: str):
                 e_scale = _sm_int(body[15:17])
                 d_scale = _sm_int(body[17:19])
                 nbits = body[19]
-                packing = (n_points, float(ref), e_scale, d_scale, nbits)
+                packing = {
+                    "template": template, "n_points": n_points,
+                    "ref": float(ref), "e_scale": e_scale,
+                    "d_scale": d_scale, "nbits": nbits,
+                }
+                if template in (2, 3):  # complex packing (+ spatial diff)
+                    if body[22] != 0:
+                        raise NotImplementedError(
+                            "complex packing with missing-value "
+                            "management: use the cfgrib path"
+                        )
+                    packing.update(
+                        ng=int.from_bytes(body[31:35], "big"),
+                        width_ref=body[35], width_bits=body[36],
+                        len_ref=int.from_bytes(body[37:41], "big"),
+                        len_inc=body[41],
+                        last_len=int.from_bytes(body[42:46], "big"),
+                        len_bits=body[46], order=0, ba=0,
+                    )
+                    if template == 3:
+                        order, ba = body[47], body[48]
+                        if order not in (1, 2):
+                            raise NotImplementedError(
+                                f"spatial differencing order {order}"
+                            )
+                        packing.update(order=order, ba=ba)
             elif sec_num == 6:
                 indicator = body[5]
                 if indicator == 0:
@@ -292,8 +419,13 @@ def read_grib2_minimal(path: str):
                         "predefined bitmaps: use the cfgrib path"
                     )
             elif sec_num == 7:
-                n_points, ref, e_scale, d_scale, nbits = packing
-                if nbits == 0:
+                n_points, ref = packing["n_points"], packing["ref"]
+                e_scale, d_scale = packing["e_scale"], packing["d_scale"]
+                nbits = packing["nbits"]
+                if packing["template"] in (2, 3):
+                    x = _decode_complex_section7(body, packing)
+                    unpacked = (ref + x * 2.0**e_scale) / 10.0**d_scale
+                elif nbits == 0:
                     unpacked = np.full(n_points, ref)
                 else:
                     x = _unpack_bits(body[5:], n_points, nbits)

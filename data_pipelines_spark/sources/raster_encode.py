@@ -505,6 +505,134 @@ def _sm_bytes(value: int, width: int) -> bytes:
     return int(sign | -value if value < 0 else value).to_bytes(width, "big")
 
 
+def _bit_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-element bit_length for a non-negative int64 array (exact
+    below 2^53 — GRIB packed fields are far below that)."""
+    return np.where(values > 0, np.frexp(values.astype("f8"))[1], 0)
+
+
+def _fixed_bitblock(values: np.ndarray, width: int) -> bytes:
+    """MSB-first fixed-width fields, zero-padded to a byte boundary —
+    one block of a GRIB2 complex-packing section 7."""
+    if width == 0 or len(values) == 0:
+        return b""
+    shifts = np.arange(width - 1, -1, -1, dtype=np.int64)
+    bits = ((values[:, None] >> shifts) & 1).astype(np.uint8).ravel()
+    return np.packbits(bits).tobytes()
+
+
+def _var_bitblock(values: np.ndarray, widths: np.ndarray) -> bytes:
+    """MSB-first variable-width fields, continuous across values,
+    zero-padded to a byte boundary (the complex-packing data block).
+    Vectorized per distinct width."""
+    total = int(widths.sum())
+    if total == 0:
+        return b""
+    bits = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(widths.astype(np.int64))[:-1]))
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        sel = widths == w
+        idx = starts[sel][:, None] + np.arange(w)
+        shifts = np.arange(w - 1, -1, -1, dtype=np.int64)
+        bits[idx] = ((values[sel][:, None] >> shifts) & 1).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+def _complex_pack(
+    x: np.ndarray, spatial_diff_order: int, group_len: int
+) -> tuple[int, bytes, bytes]:
+    """Build GRIB2 sections 5+7 tails for data templates 5.2/5.3 from
+    the non-negative integer field ``x``.
+
+    Returns ``(sec5_tail, sec7_body_after_header)`` where the tail
+    starts at octet 21 (field type). Group splitting is uniform
+    ``group_len`` runs (splitting method 1 permits any grouping);
+    per-group references and widths adapt, which is where complex
+    packing's size win over simple packing comes from. Spatial
+    differencing (template 5.3) stores the first ``order`` original
+    values and the overall difference minimum in ``ba`` octets
+    (sign-magnitude), then packs the re-biased differences — the
+    transform NCEP g2lib's `compack` applies."""
+    n = len(x)
+    descriptors = b""
+    order = spatial_diff_order
+    ba = 0
+    if order:
+        if n <= order:
+            raise ValueError(
+                f"spatial differencing of order {order} needs more than "
+                f"{order} packed points, got {n}"
+            )
+        initial = [int(v) for v in x[:order]]
+        d = np.zeros_like(x)
+        if order == 1:
+            d[1:] = np.diff(x)
+        else:
+            d[2:] = x[2:] - 2 * x[1:-1] + x[:-2]
+        gmin = int(d[order:].min()) if n > order else 0
+        f = d
+        f[order:] -= gmin
+        f[:order] = 0
+        ba = max(
+            (abs(v).bit_length() + 8) // 8 for v in (*initial, gmin)
+        )
+        descriptors = (
+            b"".join(_sm_bytes(v, ba) for v in initial)
+            + _sm_bytes(gmin, ba)
+        )
+    else:
+        f = x
+
+    ng = max(1, -(-n // group_len))
+    group_starts = np.arange(0, n, group_len) if n else np.array([0])
+    lengths = np.full(ng, group_len, dtype=np.int64)
+    if n:
+        lengths[-1] = n - (ng - 1) * group_len
+    else:
+        lengths[:] = 0
+    grefs = (
+        np.minimum.reduceat(f, group_starts) if n
+        else np.zeros(ng, dtype=np.int64)
+    )
+    rel = f - np.repeat(grefs, lengths)
+    widths = (
+        _bit_lengths(np.maximum.reduceat(rel, group_starts)) if n
+        else np.zeros(ng, dtype=np.int64)
+    )
+
+    gref_bits = int(_bit_lengths(grefs).max()) if ng else 0
+    width_ref = int(widths.min()) if ng else 0
+    width_bits = int(_bit_lengths(widths - width_ref).max()) if ng else 0
+    len_ref = int(lengths.min()) if ng else 0
+    scaled = lengths - len_ref
+    len_bits = int(_bit_lengths(scaled).max()) if ng else 0
+    last_len = int(lengths[-1]) if ng else 0
+
+    sec5_tail = (
+        bytes([0, 1, 0])  # field type, splitting method 1, no MVM
+        + b"\0" * 8       # primary/secondary missing values (unused)
+        + ng.to_bytes(4, "big")
+        + bytes([width_ref, width_bits])
+        + len_ref.to_bytes(4, "big")
+        + bytes([1])      # length increment
+        + last_len.to_bytes(4, "big")
+        + bytes([len_bits])
+    )
+    if order:
+        sec5_tail += bytes([order, ba])
+
+    sec7 = (
+        descriptors
+        + _fixed_bitblock(grefs, gref_bits)
+        + _fixed_bitblock(widths - width_ref, width_bits)
+        + _fixed_bitblock(scaled, len_bits)
+        + _var_bitblock(rel, np.repeat(widths, lengths))
+    )
+    return gref_bits, sec5_tail, sec7
+
+
 def encode_grib2(
     messages: list[tuple[int | None, np.ndarray]],
     *,
@@ -516,10 +644,20 @@ def encode_grib2(
     e_scale: int = 0,
     d_scale: int = 0,
     lat_ascending: bool = False,
+    packing: str = "simple",
+    group_len: int = 20,
+    sd_order: int = 2,
 ) -> bytes:
     """Encode regular-lat/lon grids as a multi-message GRIB2 byte
     string (grid template 3.0, product template 4.1 for ensemble
-    members / 4.0 otherwise, data template 5.0 simple packing).
+    members / 4.0 otherwise).
+
+    ``packing`` selects the data representation: ``"simple"`` (template
+    5.0, fixed ``nbits`` fields), ``"complex"`` (template 5.2,
+    ``group_len``-run group splitting with per-group references and
+    widths), or ``"complex_sd"`` (template 5.3, complex packing over
+    ``sd_order``-order spatial differences — the encoding operational
+    ECMWF products use; typically the smallest on smooth fields).
 
     Each message is ``(member, values[nj, ni])``; ``member=None`` emits
     a non-ensemble product. NaN cells are encoded through a real
@@ -551,7 +689,9 @@ def encode_grib2(
             ref32 = np.nextafter(ref32, np.float32(-np.inf))
         ref = float(ref32)
         x = np.rint((scaled - ref) / 2.0 ** e_scale).astype(np.int64)
-        if x.size and (x.min() < 0 or x.max() >= (1 << nbits)):
+        if x.size and x.min() < 0:
+            raise ValueError(f"negative packed value {x.min()}")
+        if packing == "simple" and x.size and x.max() >= (1 << nbits):
             raise ValueError(
                 f"packed values outside {nbits}-bit range: "
                 f"[{x.min()}, {x.max()}]"
@@ -581,13 +721,37 @@ def encode_grib2(
                 + bytes([0, int(member), max(int(member) + 1, 2)])
             )
 
-        sec5 = (
-            struct.pack(">IBIH", 21, 5, n_packed, 0)
-            + struct.pack(">f", ref)
-            + _sm_bytes(e_scale, 2)
-            + _sm_bytes(d_scale, 2)
-            + bytes([nbits, 0])
-        )
+        if packing == "simple":
+            sec5 = (
+                struct.pack(">IBIH", 21, 5, n_packed, 0)
+                + struct.pack(">f", ref)
+                + _sm_bytes(e_scale, 2)
+                + _sm_bytes(d_scale, 2)
+                + bytes([nbits, 0])
+            )
+            shifts = np.arange(nbits - 1, -1, -1, dtype=np.int64)
+            bits = ((x[:, None] >> shifts) & 1).astype(np.uint8).ravel()
+            packed = np.packbits(bits).tobytes()
+        elif packing in ("complex", "complex_sd"):
+            if packing == "complex_sd" and sd_order not in (1, 2):
+                raise ValueError(f"sd_order must be 1 or 2, got {sd_order}")
+            order = sd_order if packing == "complex_sd" else 0
+            gref_bits, sec5_tail, packed = _complex_pack(
+                x, order, group_len
+            )
+            template = 3 if order else 2
+            sec5 = (
+                struct.pack(
+                    ">IBIH", 20 + len(sec5_tail), 5, n_packed, template
+                )
+                + struct.pack(">f", ref)
+                + _sm_bytes(e_scale, 2)
+                + _sm_bytes(d_scale, 2)
+                + bytes([gref_bits])
+                + sec5_tail
+            )
+        else:
+            raise ValueError(f"unsupported GRIB2 packing {packing!r}")
 
         if present.all():
             sec6 = struct.pack(">IBB", 6, 6, 255)
@@ -595,9 +759,6 @@ def encode_grib2(
             bitmap = np.packbits(present.astype(np.uint8))
             sec6 = struct.pack(">IBB", 6 + len(bitmap), 6, 0) + bitmap.tobytes()
 
-        shifts = np.arange(nbits - 1, -1, -1, dtype=np.int64)
-        bits = ((x[:, None] >> shifts) & 1).astype(np.uint8).ravel()
-        packed = np.packbits(bits).tobytes()
         sec7 = struct.pack(">IB", 5 + len(packed), 7) + packed
 
         payload = sec1 + bytes(body3) + sec4 + sec5 + sec6 + sec7 + b"7777"

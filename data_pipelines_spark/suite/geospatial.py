@@ -154,6 +154,15 @@ _RASTER_SQL = """
     FROM buckets, range(0, 2) mm(m)
     WHERE NOT (m = 0 AND i = 7)
     UNION ALL
+    SELECT 'grib_cx', COUNT(*), CAST(SUM(val + 2 + 5 * m) AS BIGINT),
+           ROUND(SUM((val + 2 + 5 * m) * lon + m * lat), 6)
+    FROM buckets, range(0, 2) mm(m)
+    WHERE NOT (m = 1 AND i = 21)
+    UNION ALL
+    SELECT 'tiff_f', COUNT(*), CAST(SUM(val + 0.25) AS BIGINT),
+           ROUND(SUM((val + 0.25) * lon), 6)
+    FROM buckets
+    UNION ALL
     SELECT 'tiff_ov', COUNT(*), CAST(SUM(val) AS BIGINT),
            ROUND(SUM(val * lon), 6)
     FROM buckets WHERE r % 2 = 0 AND c % 2 = 0
@@ -199,6 +208,15 @@ def raster_roundtrip(spark, sf_dir):
       reference values, millidegree coordinates, ECMWF local-def-1
       member numbers, and a GRIB1 bitmap hole at bucket 7 in member 0
       (+1/+4 offsets keep the tiers' sums distinct).
+    - ``grib_cx``: the same two-member grid through data template 5.3
+      (COMPLEX packing with second-order spatial differencing — the
+      encoding operational ECMWF products use): per-group references,
+      variable-width fields, ragged 7-run groups, sign-magnitude
+      descriptors, and a bitmap hole at bucket 21 in member 1 (+2/+7
+      offsets).
+    - ``tiff_f``: the +0.25-shifted grid as float32 behind
+      PREDICTOR=3 (the TechNote-3 floating-point predictor:
+      byte-plane split + byte differencing) over DEFLATE tiles.
 
     ``pos_weighted`` multiplies every value by its coordinate (and
     member by latitude), so a transposed axis, flipped scan order, or
@@ -302,6 +320,29 @@ def raster_roundtrip(spark, sf_dir):
                 )
             )
 
+        cx1 = vals + 7.0
+        cx1[2, 5] = np.nan  # bucket 21 -> bitmap hole in member 1
+        grib_cx = os.path.join(tmp, "g_cx.grib2")
+        with open(grib_cx, "wb") as f:
+            f.write(
+                encode_grib2(
+                    [(0, vals + 2.0), (1, cx1)],
+                    lat0=50.0, lon0=10.0, dlat=0.5, dlon=0.25,
+                    packing="complex_sd", group_len=7,
+                )
+            )
+
+        tif_f = os.path.join(tmp, "g_f.tif")
+        with open(tif_f, "wb") as f:
+            f.write(
+                encode_geotiff(
+                    (vals + 0.25).astype("<f4"),
+                    origin_x=10.0, origin_y=50.0, pixel_w=0.25, pixel_h=0.5,
+                    tile=(3, 4),
+                    compression="deflate", predictor=3,
+                )
+            )
+
         g1m0 = vals + 1.0
         g1m0[0, 7] = np.nan  # bucket 7 -> GRIB1 bitmap hole in member 0
         grib1 = os.path.join(tmp, "g.grib1")
@@ -342,6 +383,12 @@ def raster_roundtrip(spark, sf_dir):
                                                  value_var="val"),
                               "grib1", "val", "latitude", "longitude",
                               member_col="number"))
+            .unionByName(norm(read_grib_ensemble(spark, grib_cx,
+                                                 value_var="val"),
+                              "grib_cx", "val", "latitude", "longitude",
+                              member_col="number"))
+            .unionByName(norm(read_geotiff(spark, tif_f, value_col="val"),
+                              "tiff_f", "val", "y", "x"))
             .unionByName(norm(read_geotiff(spark, tif, value_col="val",
                                            overview=1),
                               "tiff_ov", "val", "y", "x"))

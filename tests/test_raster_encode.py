@@ -166,6 +166,106 @@ def test_grib2_rejects_out_of_range():
         )
 
 
+@pytest.mark.parametrize("packing,sd_order", [
+    ("complex", 2), ("complex_sd", 1), ("complex_sd", 2),
+])
+def test_grib2_complex_packing_roundtrip(tmp_path, packing, sd_order):
+    """Data templates 5.2/5.3 (complex packing, spatial differencing
+    orders 1 and 2): exact round-trip with a bitmap, an ensemble pair,
+    decimal scaling, and a group length that leaves a ragged last
+    group."""
+    rng = np.random.default_rng(5)
+    base = np.round(
+        np.cumsum(rng.normal(0, 0.02, size=(9, 13)), axis=1) + 2.0, 3
+    )
+    withnan = base.copy()
+    withnan[2:4, 5:9] = np.nan
+    blob = encode_grib2(
+        [(0, base), (1, withnan)],
+        lat0=48.0, lon0=5.0, dlat=0.05, dlon=0.05,
+        d_scale=3, packing=packing, group_len=7, sd_order=sd_order,
+    )
+    path = str(tmp_path / "cx.grib2")
+    with open(path, "wb") as f:
+        f.write(blob)
+    msgs = read_grib2_minimal(path)
+    assert [m["member"] for m, *_ in msgs] == [0, 1]
+    for (_meta, got, _lats, _lons), expect in zip(msgs, (base, withnan)):
+        assert np.array_equal(np.isnan(got), np.isnan(expect))
+        assert np.allclose(
+            got[~np.isnan(got)], expect[~np.isnan(expect)], atol=1e-9
+        )
+
+
+def test_grib2_complex_packing_known_bytes():
+    """Pin the template-5.2 wire layout on a hand-computed case so a
+    symmetric encode/decode bug can't hide behind round-trips:
+    x=[5,7,6,9], groups of 2 → refs [5,6] (3 bits: 101 110 → 0xB8),
+    uniform widths/lengths collapse their blocks to zero bits, data
+    rel=[0,2,0,3] at 2 bits → 00 10 00 11 → 0x23."""
+    from data_pipelines_spark.sources.raster_encode import _complex_pack
+
+    gref_bits, sec5_tail, sec7 = _complex_pack(
+        np.array([5, 7, 6, 9], dtype=np.int64), 0, 2
+    )
+    assert gref_bits == 3
+    assert sec7 == bytes([0xB8, 0x23])
+    assert sec5_tail == (
+        bytes([0, 1, 0]) + b"\0" * 8
+        + (2).to_bytes(4, "big")            # NG
+        + bytes([2, 0])                     # width ref / width bits
+        + (2).to_bytes(4, "big") + bytes([1])  # length ref / increment
+        + (2).to_bytes(4, "big") + bytes([0])  # last length / len bits
+    )
+
+
+def test_grib2_complex_sd_shrinks_smooth_fields(tmp_path):
+    """On a smooth field, template 5.3 should beat both 5.2 and 5.0 —
+    the reason operational centers use it."""
+    x = np.linspace(0, 40, 120)
+    vals = np.round(
+        10.0 + 5.0 * np.sin(x)[None, :] + 0.01 * x[None, :] ** 2, 2
+    ).repeat(40, axis=0)
+    sizes = {}
+    for packing in ("simple", "complex", "complex_sd"):
+        blob = encode_grib2(
+            [(None, vals)], lat0=0.0, lon0=0.0, dlat=0.1, dlon=0.1,
+            d_scale=2, packing=packing,
+        )
+        sizes[packing] = len(blob)
+        path = str(tmp_path / f"{packing}.grib2")
+        with open(path, "wb") as f:
+            f.write(blob)
+        [(_m, got, _la, _lo)] = read_grib2_minimal(path)
+        assert np.allclose(got, vals, atol=1e-9)
+    assert sizes["complex_sd"] < sizes["complex"] < sizes["simple"]
+
+
+def test_grib2_complex_constant_and_tiny_fields(tmp_path):
+    """Degenerate shapes: a constant field (every group width 0), a
+    single-point grid, and group_len larger than the field."""
+    for packing, vals in [
+        ("complex", np.full((3, 4), 7.0)),
+        ("complex", np.array([[5.0]])),
+        ("complex_sd", np.full((3, 4), 7.0)),
+        ("complex", np.arange(6.0).reshape(2, 3)),
+    ]:
+        blob = encode_grib2(
+            [(None, vals)], lat0=0.0, lon0=0.0, dlat=1.0, dlon=1.0,
+            packing=packing, group_len=100,
+        )
+        path = str(tmp_path / "t.grib2")
+        with open(path, "wb") as f:
+            f.write(blob)
+        [(_m, got, _la, _lo)] = read_grib2_minimal(path)
+        assert np.array_equal(got, vals)
+    with pytest.raises(ValueError, match="needs more than"):
+        encode_grib2(
+            [(None, np.array([[1.0, 2.0]]))],
+            lat0=0, lon0=0, dlat=1, dlon=1, packing="complex_sd",
+        )
+
+
 @pytest.mark.parametrize("compressor", [None, "zlib", "gzip"])
 def test_zarr_roundtrip_compressors(tmp_path, compressor):
     vals = np.arange(12, dtype="<f8").reshape(3, 4) * 1.5

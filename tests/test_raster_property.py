@@ -65,13 +65,18 @@ def test_tiff_roundtrip_property(tmp_path_factory, dims, dtype, tiled,
     nbits=st.sampled_from([4, 8, 11, 12, 16, 24]),
     members=st.integers(1, 3),
     nan_frac=st.floats(0.0, 0.5),
+    packing=st.sampled_from(["simple", "complex", "complex_sd"]),
+    group_len=st.integers(1, 30),
+    sd_order=st.integers(1, 2),
     seed=st.integers(0, 2**31 - 1),
 )
 def test_grib_roundtrip_property(tmp_path_factory, dims, edition, nbits,
-                                 members, nan_frac, seed):
+                                 members, nan_frac, packing, group_len,
+                                 sd_order, seed):
     nj, ni = dims
     rng = np.random.default_rng(seed)
     msgs = []
+    min_present = nj * ni
     for m in range(members):
         vals = rng.integers(
             0, (1 << nbits) - 1, size=(nj, ni)
@@ -80,10 +85,17 @@ def test_grib_roundtrip_property(tmp_path_factory, dims, edition, nbits,
         if mask.all():
             mask[0, 0] = False  # keep one present value
         vals[mask] = np.nan
+        min_present = min(min_present, int((~mask).sum()))
         msgs.append((m, vals))
-    enc = encode_grib1 if edition == 1 else encode_grib2
-    blob = enc(msgs, lat0=50.0, lon0=10.0, dlat=0.5, dlon=0.25,
-               nbits=nbits)
+    if edition == 1:
+        blob = encode_grib1(msgs, lat0=50.0, lon0=10.0, dlat=0.5,
+                            dlon=0.25, nbits=nbits)
+    else:
+        if packing == "complex_sd" and min_present <= sd_order:
+            packing = "complex"  # differencing needs > order points
+        blob = encode_grib2(msgs, lat0=50.0, lon0=10.0, dlat=0.5,
+                            dlon=0.25, nbits=nbits, packing=packing,
+                            group_len=group_len, sd_order=sd_order)
     path = tmp_path_factory.mktemp("grib") / f"g.grib{edition}"
     path.write_bytes(blob)
     out = read_grib_minimal(str(path))
