@@ -1058,6 +1058,28 @@ def _zarr_filter_decode(raw: bytes, cfg: dict) -> bytes:
     raise NotImplementedError(cfg["id"])  # pragma: no cover - pre-checked
 
 
+_CRC32C_TABLE: np.ndarray | None = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli) — the checksum Zarr v3's ``crc32c`` index
+    codec appends. Table-driven, vectorized over numpy; stdlib
+    ``zlib.crc32`` uses the other polynomial so can't be reused."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        poly = np.uint32(0x82F63B78)  # reflected Castagnoli
+        table = np.arange(256, dtype=np.uint32)
+        for _ in range(8):
+            table = np.where(
+                table & 1, (table >> 1) ^ poly, table >> 1
+            ).astype(np.uint32)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in np.frombuffer(data, dtype="u1"):
+        crc = (crc >> 8) ^ int(_CRC32C_TABLE[(crc ^ int(b)) & 0xFF])
+    return crc ^ 0xFFFFFFFF
+
+
 # Zarr v3 data_type names -> numpy dtypes (little-endian via the
 # `bytes` codec's endian configuration).
 _ZARR3_DTYPES = {
@@ -1067,11 +1089,34 @@ _ZARR3_DTYPES = {
 }
 
 
+def _parse_v3_codecs(codecs) -> tuple[str, bool]:
+    """A Zarr v3 array→bytes codec chain → (endianness, gzipped).
+    Anything beyond ``bytes`` + optional ``gzip`` raises with a
+    pointer to the zarr-python path."""
+    endian = "<"
+    gzipped = False
+    for codec in codecs or [{"name": "bytes"}]:
+        name = codec.get("name")
+        if name == "bytes":
+            cfg = codec.get("configuration") or {}
+            endian = ">" if cfg.get("endian") == "big" else "<"
+        elif name == "gzip":
+            gzipped = True
+        else:
+            raise NotImplementedError(
+                f"Zarr v3 codec {name!r}: use the zarr library path"
+            )
+    return endian, gzipped
+
+
 def _read_zarr3_minimal(path: str, meta: dict):
     """Zarr v3 array reader (`zarr.json` metadata): regular chunk
     grid, default or v2 chunk-key encoding, ``bytes`` (+ optional
-    ``gzip``) codec chain. Sharding/blosc/zstd/transpose codecs raise
-    with a pointer to the zarr-python path."""
+    ``gzip``) codec chains, and the ``sharding_indexed`` storage
+    transformer (shard files holding many inner chunks with a
+    crc32c-checked binary index — the layout that keeps object-store
+    key counts sane at scale). Blosc/zstd/transpose codecs raise with
+    a pointer to the zarr-python path."""
     import gzip
     import itertools
     import json  # noqa: F401  (symmetry with the v2 reader)
@@ -1090,19 +1135,37 @@ def _read_zarr3_minimal(path: str, meta: dict):
     dt_name = meta["data_type"]
     if dt_name not in _ZARR3_DTYPES:
         raise NotImplementedError(f"Zarr v3 data_type {dt_name!r}")
-    endian = "<"
-    gzipped = False
-    for codec in meta.get("codecs", [{"name": "bytes"}]):
-        name = codec.get("name")
-        if name == "bytes":
-            cfg = codec.get("configuration") or {}
-            endian = ">" if cfg.get("endian") == "big" else "<"
-        elif name == "gzip":
-            gzipped = True
-        else:
+    codecs = meta.get("codecs", [{"name": "bytes"}])
+    shard = None
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        if len(codecs) > 1:
             raise NotImplementedError(
-                f"Zarr v3 codec {name!r}: use the zarr library path"
+                "codecs after sharding_indexed: use the zarr library path"
             )
+        cfg = codecs[0].get("configuration") or {}
+        inner = cfg["chunk_shape"]
+        if any(c % i for c, i in zip(chunks, inner)):
+            raise ValueError(
+                f"inner chunk shape {inner} does not divide shard "
+                f"shape {chunks}"
+            )
+        index_names = [
+            c.get("name") for c in cfg.get("index_codecs")
+            or [{"name": "bytes"}, {"name": "crc32c"}]
+        ]
+        if index_names not in (["bytes"], ["bytes", "crc32c"]):
+            raise NotImplementedError(
+                f"shard index codecs {index_names}: use the zarr "
+                "library path"
+            )
+        shard = {
+            "inner": inner,
+            "checksum": index_names[-1] == "crc32c",
+            "location": cfg.get("index_location", "end"),
+        }
+        endian, gzipped = _parse_v3_codecs(cfg.get("codecs"))
+    else:
+        endian, gzipped = _parse_v3_codecs(codecs)
     dtype = np.dtype(endian + _ZARR3_DTYPES[dt_name])
 
     key_enc = meta.get("chunk_key_encoding", {"name": "default"})
@@ -1122,21 +1185,64 @@ def _read_zarr3_minimal(path: str, meta: dict):
 
     fill = meta.get("fill_value")
     out = np.full(shape, fill if fill is not None else 0, dtype=dtype)
+
+    def decode_block(raw: bytes, chunk_shape, origin) -> None:
+        if gzipped:
+            raw = gzip.decompress(raw)
+        block = np.frombuffer(raw, dtype=dtype).reshape(chunk_shape)
+        dest = tuple(
+            slice(o, min(o + c, s))
+            for o, c, s in zip(origin, chunk_shape, shape)
+        )
+        out[dest] = block[tuple(slice(0, d.stop - d.start) for d in dest)]
+
     grid = [math.ceil(s / c) for s, c in zip(shape, chunks)]
     for idx in itertools.product(*[range(g) for g in grid]):
         fp = os.path.join(path, *chunk_key(idx).split("/"))
         if not os.path.exists(fp):
-            continue  # missing chunk = fill_value
+            continue  # missing chunk/shard = fill_value
         with open(fp, "rb") as f:
             raw = f.read()
-        if gzipped:
-            raw = gzip.decompress(raw)
-        block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
-        dest = tuple(
-            slice(i * c, min((i + 1) * c, s))
-            for i, c, s in zip(idx, chunks, shape)
+        if shard is None:
+            decode_block(raw, chunks, [i * c for i, c in zip(idx, chunks)])
+            continue
+        # sharding_indexed: the file is many inner chunks plus a
+        # binary index of (offset, nbytes) uint64 pairs in row-major
+        # inner-coordinate order, crc32c-checksummed, at the end (or
+        # start) of the shard.
+        inner = shard["inner"]
+        counts = [c // i for c, i in zip(chunks, inner)]
+        n_inner = math.prod(counts)
+        idx_len = n_inner * 16 + (4 if shard["checksum"] else 0)
+        if len(raw) < idx_len:
+            raise ValueError(
+                f"shard {fp} shorter ({len(raw)}) than its index "
+                f"({idx_len})"
+            )
+        index = (
+            raw[-idx_len:] if shard["location"] == "end"
+            else raw[:idx_len]
         )
-        out[dest] = block[tuple(slice(0, d.stop - d.start) for d in dest)]
+        if shard["checksum"]:
+            stored = int.from_bytes(index[-4:], "little")
+            if _crc32c(index[:-4]) != stored:
+                raise ValueError(f"shard index crc32c mismatch in {fp}")
+            index = index[:-4]
+        table = np.frombuffer(index, dtype="<u8").reshape(n_inner, 2)
+        missing = np.uint64(0xFFFFFFFFFFFFFFFF)
+        for pos, inner_idx in enumerate(
+            itertools.product(*[range(g) for g in counts])
+        ):
+            off, nbytes = table[pos]
+            if off == missing and nbytes == missing:
+                continue  # missing inner chunk = fill_value
+            origin = [
+                i * c + j * ic
+                for i, c, j, ic in zip(idx, chunks, inner_idx, inner)
+            ]
+            decode_block(
+                raw[int(off) : int(off) + int(nbytes)], inner, origin
+            )
 
     attrs = dict(meta.get("attributes") or {})
     if "dimension_names" in meta and "_ARRAY_DIMENSIONS" not in attrs:

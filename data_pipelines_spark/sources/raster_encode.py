@@ -935,6 +935,7 @@ def write_zarr_store(
     order: str = "C",
     filters: list[dict] | None = None,
     zarr_format: int = 2,
+    shards: tuple[int, ...] | None = None,
 ) -> None:
     """Write a Zarr store (value array + dimension names + one
     coordinate array per dim) in the profiles `read_zarr_grid` parses.
@@ -946,7 +947,14 @@ def write_zarr_store(
     ``dimension_names``, ``c/i/j`` chunk keys, ``bytes`` + optional
     ``gzip`` codec chain (order/filters are v2-only knobs there — the
     v3 equivalents are the transpose/blosc codecs, which stay on the
-    zarr-python path).
+    zarr-python path). ``shards`` (v3 only) wraps the chain in the
+    ``sharding_indexed`` codec: ``shards`` becomes the outer chunk —
+    one OBJECT per shard — and ``chunks`` the inner chunk addressable
+    within it through a crc32c-checked binary index at the shard's
+    end. That separation is the v3 scale feature: a 100 TB store keeps
+    sub-chunk random reads without a hundred-million-key object
+    listing. ``omit_chunks`` then addresses INNER chunk indices;
+    all-omitted shards are not written at all.
 
     ``omit_chunks`` lists chunk indices to leave unwritten — the
     standard Zarr representation of an all-fill region (readers
@@ -982,6 +990,16 @@ def write_zarr_store(
     if order not in ("C", "F"):
         raise ValueError(f"bad chunk order {order!r}")
     chunks = tuple(chunks) if chunks else arr.shape
+    if shards is not None:
+        if zarr_format != 3:
+            raise ValueError("shards is a Zarr v3 feature")
+        shards = tuple(shards)
+        if len(shards) != len(chunks) or any(
+            s % c for s, c in zip(shards, chunks)
+        ):
+            raise ValueError(
+                f"inner chunks {chunks} must divide shard shape {shards}"
+            )
 
     def compress(raw: bytes) -> bytes:
         if compressor == "zlib":
@@ -1021,6 +1039,7 @@ def write_zarr_store(
         ordr: str = "C",
         filts: list[dict] | None = None,
         dim_names_: list[str] | None = None,
+        shard_shape: tuple[int, ...] | None = None,
     ) -> None:
         d = os.path.join(store, name)
         os.makedirs(d, exist_ok=True)
@@ -1034,6 +1053,20 @@ def write_zarr_store(
             ]
             if compressor == "gzip":
                 codecs.append({"name": "gzip", "configuration": {"level": 1}})
+            if shard_shape:
+                codecs = [{
+                    "name": "sharding_indexed",
+                    "configuration": {
+                        "chunk_shape": list(chk),
+                        "codecs": codecs,
+                        "index_codecs": [
+                            {"name": "bytes",
+                             "configuration": {"endian": "little"}},
+                            {"name": "crc32c"},
+                        ],
+                        "index_location": "end",
+                    },
+                }]
             meta = {
                 "zarr_format": 3,
                 "node_type": "array",
@@ -1041,7 +1074,9 @@ def write_zarr_store(
                 "data_type": dt_names[key],
                 "chunk_grid": {
                     "name": "regular",
-                    "configuration": {"chunk_shape": list(chk)},
+                    "configuration": {
+                        "chunk_shape": list(shard_shape or chk)
+                    },
                 },
                 "chunk_key_encoding": {
                     "name": "default",
@@ -1073,10 +1108,7 @@ def write_zarr_store(
             if attrs is not None:
                 with open(os.path.join(d, ".zattrs"), "w") as f:
                     json.dump(attrs, f)
-        grid = [math.ceil(s / c) for s, c in zip(data.shape, chk)]
-        for idx in itertools.product(*[range(g) for g in grid]):
-            if idx in omit:
-                continue
+        def chunk_block(idx: tuple[int, ...]) -> np.ndarray:
             block = np.full(chk, fill if fill is not None else 0, data.dtype)
             src = data[
                 tuple(
@@ -1085,6 +1117,54 @@ def write_zarr_store(
                 )
             ]
             block[tuple(slice(0, n) for n in src.shape)] = src
+            return block
+
+        if shard_shape:
+            from data_pipelines_spark.sources.raster import _crc32c
+
+            counts = [s // c for s, c in zip(shard_shape, chk)]
+            n_inner = math.prod(counts)
+            sgrid = [
+                math.ceil(sz / s) for sz, s in zip(data.shape, shard_shape)
+            ]
+            missing = 0xFFFFFFFFFFFFFFFF
+            for sidx in itertools.product(*[range(g) for g in sgrid]):
+                table = np.full((n_inner, 2), missing, dtype="<u8")
+                parts: list[bytes] = []
+                off = 0
+                for pos, iidx in enumerate(
+                    itertools.product(*[range(c) for c in counts])
+                ):
+                    gidx = tuple(
+                        si * cn + ii for si, cn, ii in zip(sidx, counts, iidx)
+                    )
+                    if gidx in omit or any(
+                        g * c >= sz for g, c, sz in zip(gidx, chk, data.shape)
+                    ):
+                        continue  # omitted or wholly past the array edge
+                    raw = compress(
+                        chunk_block(gidx)
+                        .astype("<" + data.dtype.str.lstrip("<>=|"))
+                        .tobytes()
+                    )
+                    table[pos] = (off, len(raw))
+                    parts.append(raw)
+                    off += len(raw)
+                if not parts:
+                    continue  # an all-missing shard is not written
+                index = table.tobytes()
+                index += _crc32c(index).to_bytes(4, "little")
+                fp = os.path.join(d, "c", *map(str, sidx))
+                os.makedirs(os.path.dirname(fp), exist_ok=True)
+                with open(fp, "wb") as f:
+                    f.write(b"".join(parts) + index)
+            return
+
+        grid = [math.ceil(s / c) for s, c in zip(data.shape, chk)]
+        for idx in itertools.product(*[range(g) for g in grid]):
+            if idx in omit:
+                continue
+            block = chunk_block(idx)
             if zarr_format == 3:
                 raw = block.astype("<" + block.dtype.str.lstrip("<>=|"))
                 fp = os.path.join(d, "c", *map(str, idx))
@@ -1109,6 +1189,7 @@ def write_zarr_store(
         ordr=order,
         filts=filters,
         dim_names_=dim_names,
+        shard_shape=shards,
     )
     for name, coord in coords.items():
         c = np.asarray(coord, dtype="<f8")

@@ -154,6 +154,14 @@ _RASTER_SQL = """
     FROM buckets, range(0, 2) mm(m)
     WHERE NOT (m = 0 AND i = 7)
     UNION ALL
+    SELECT 'zarr3', COUNT(*), CAST(SUM(v) AS BIGINT),
+           ROUND(SUM(v * lon), 6)
+    FROM (
+        SELECT CASE WHEN r BETWEEN 2 AND 3 AND c BETWEEN 4 AND 5
+                    THEN -2 ELSE val END AS v, lon
+        FROM buckets
+    )
+    UNION ALL
     SELECT 'grib_cx', COUNT(*), CAST(SUM(val + 2 + 5 * m) AS BIGINT),
            ROUND(SUM((val + 2 + 5 * m) * lon + m * lat), 6)
     FROM buckets, range(0, 2) mm(m)
@@ -208,6 +216,10 @@ def raster_roundtrip(spark, sf_dir):
       reference values, millidegree coordinates, ECMWF local-def-1
       member numbers, and a GRIB1 bitmap hole at bucket 7 in member 0
       (+1/+4 offsets keep the tiers' sums distinct).
+    - ``zarr3``: the grid as a SHARDED Zarr v3 store (zarr.json,
+      ``sharding_indexed``: 4x4 shards holding 2x2 gzip inner chunks
+      behind a crc32c-checked binary index; inner chunk (1,2) omitted
+      → rows 2-3 x cols 4-5 read as fill -2).
     - ``grib_cx``: the same two-member grid through data template 5.3
       (COMPLEX packing with second-order spatial differencing — the
       encoding operational ECMWF products use): per-group references,
@@ -320,6 +332,14 @@ def raster_roundtrip(spark, sf_dir):
                 )
             )
 
+        store3 = os.path.join(tmp, "g3.zarr")
+        write_zarr_store(
+            store3, "dis24", vals, {"lat": lats, "lon": lons},
+            chunks=(2, 2), shards=(4, 4), compressor="gzip",
+            fill_value=-2.0, omit_chunks={(1, 2)},  # rows 2-3 x cols 4-5
+            zarr_format=3,
+        )
+
         cx1 = vals + 7.0
         cx1[2, 5] = np.nan  # bucket 21 -> bitmap hole in member 1
         grib_cx = os.path.join(tmp, "g_cx.grib2")
@@ -383,6 +403,8 @@ def raster_roundtrip(spark, sf_dir):
                                                  value_var="val"),
                               "grib1", "val", "latitude", "longitude",
                               member_col="number"))
+            .unionByName(norm(read_zarr_grid(spark, store3, "dis24"),
+                              "zarr3", "dis24", "lat", "lon"))
             .unionByName(norm(read_grib_ensemble(spark, grib_cx,
                                                  value_var="val"),
                               "grib_cx", "val", "latitude", "longitude",

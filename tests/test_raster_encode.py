@@ -890,7 +890,7 @@ def test_zarr_v3_gates(tmp_path):
             {"a": np.arange(2.0), "b": np.arange(2.0)},
             zarr_format=3, order="F",
         )
-    store = str(tmp_path / "shard.zarr/v")
+    store = str(tmp_path / "blosc.zarr/v")
     os.makedirs(store)
     with open(f"{store}/zarr.json", "w") as f:
         json.dump(
@@ -900,9 +900,81 @@ def test_zarr_v3_gates(tmp_path):
                 "chunk_grid": {"name": "regular",
                                "configuration": {"chunk_shape": [2]}},
                 "fill_value": 0,
-                "codecs": [{"name": "sharding_indexed"}],
+                "codecs": [{"name": "blosc"}],
             },
             f,
         )
-    with pytest.raises(NotImplementedError, match="sharding_indexed"):
+    with pytest.raises(NotImplementedError, match="blosc"):
         read_zarr_minimal(store)
+
+
+def test_crc32c_known_vectors():
+    """Pin the CRC-32C implementation to the published check values
+    (RFC 3720 appendix / the standard 'check' input), independent of
+    our own writer."""
+    from data_pipelines_spark.sources.raster import _crc32c
+
+    assert _crc32c(b"123456789") == 0xE3069283
+    assert _crc32c(b"") == 0
+    assert _crc32c(bytes(32)) == 0x8A9136AA
+
+
+@pytest.mark.parametrize("compressor", [None, "gzip"])
+def test_zarr_v3_sharded_roundtrip(tmp_path, compressor):
+    """sharding_indexed: shards (outer chunks) hold 2x2 grids of inner
+    chunks behind a crc32c-checked end index; omitted inner chunks
+    read as fill, and an all-omitted shard produces no object at all."""
+    import os
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1000, size=(11, 14)).astype("<f8")
+    store = str(tmp_path / "sh.zarr")
+    omit = {(0, 0), (2, 3), (4, 0), (4, 1), (5, 0), (5, 1)}
+    write_zarr_store(
+        store, "v", vals,
+        {"lat": np.arange(11.0), "lon": np.arange(14.0)},
+        chunks=(2, 3), shards=(4, 6), compressor=compressor,
+        fill_value=-5.0, omit_chunks=omit, zarr_format=3,
+    )
+    # inner chunks (4,0),(4,1),(5,0),(5,1) cover shard (2,0) entirely
+    assert not os.path.exists(f"{store}/v/c/2/0")
+    assert os.path.exists(f"{store}/v/c/0/0")
+    got, attrs = read_zarr_minimal(f"{store}/v")
+    expect = vals.copy()
+    for ci, cj in omit:
+        expect[ci * 2 : (ci + 1) * 2, cj * 3 : (cj + 1) * 3] = -5.0
+    assert np.array_equal(got, expect)
+    assert attrs["_ARRAY_DIMENSIONS"] == ["lat", "lon"]
+
+
+def test_zarr_v3_shard_index_corruption_detected(tmp_path):
+    """A flipped byte in the shard index fails the crc32c check loudly
+    instead of mis-addressing inner chunks."""
+    store = str(tmp_path / "c.zarr")
+    write_zarr_store(
+        store, "v", np.arange(16.0).reshape(4, 4),
+        {"a": np.arange(4.0), "b": np.arange(4.0)},
+        chunks=(2, 2), shards=(4, 4), zarr_format=3, compressor=None,
+    )
+    fp = f"{store}/v/c/0/0"
+    blob = bytearray(open(fp, "rb").read())
+    blob[-6] ^= 0xFF  # inside the index, outside the stored CRC
+    with open(fp, "wb") as f:
+        f.write(bytes(blob))
+    with pytest.raises(ValueError, match="crc32c mismatch"):
+        read_zarr_minimal(f"{store}/v")
+
+
+def test_zarr_v3_shard_validation():
+    with pytest.raises(ValueError, match="v3 feature"):
+        write_zarr_store(
+            "/tmp/nope", "v", np.zeros((4, 4)),
+            {"a": np.arange(4.0), "b": np.arange(4.0)},
+            chunks=(2, 2), shards=(4, 4), zarr_format=2,
+        )
+    with pytest.raises(ValueError, match="divide shard shape"):
+        write_zarr_store(
+            "/tmp/nope", "v", np.zeros((4, 4)),
+            {"a": np.arange(4.0), "b": np.arange(4.0)},
+            chunks=(3, 2), shards=(4, 4), zarr_format=3, compressor=None,
+        )

@@ -113,19 +113,36 @@ def test_grib_roundtrip_property(tmp_path_factory, dims, edition, nbits,
     order=st.sampled_from(["C", "F"]),
     compressor=st.sampled_from([None, "zlib", "gzip"]),
     use_delta=st.booleans(),
+    zarr_format=st.sampled_from([2, 3]),
+    shard_mult=st.tuples(st.integers(1, 3), st.integers(1, 3)),
+    use_shards=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
 def test_zarr_roundtrip_property(tmp_path_factory, dims, chunks, order,
-                                 compressor, use_delta, seed):
+                                 compressor, use_delta, zarr_format,
+                                 shard_mult, use_shards, seed):
     h, w = dims
     rng = np.random.default_rng(seed)
     vals = rng.integers(-1000, 1000, size=(h, w)).astype("<i4")
     store = str(tmp_path_factory.mktemp("zarr") / "s.zarr")
+    if zarr_format == 3:
+        # v3 path: C-order, no filters, gzip-or-raw, optional shards
+        # (outer chunk = inner chunk × sampled multiplier per axis).
+        order, use_delta = "C", False
+        if compressor == "zlib":
+            compressor = "gzip"
+        shards = (
+            tuple(c * m for c, m in zip(chunks, shard_mult))
+            if use_shards else None
+        )
+    else:
+        shards = None
     write_zarr_store(
         store, "v", vals,
         {"a": np.arange(h, dtype="f8"), "b": np.arange(w, dtype="f8")},
         chunks=chunks, order=order, compressor=compressor,
         filters=[{"id": "delta", "dtype": "<i4"}] if use_delta else None,
+        zarr_format=zarr_format, shards=shards,
     )
     arr, _ = read_zarr_minimal(f"{store}/v")
     assert np.array_equal(arr, vals)
