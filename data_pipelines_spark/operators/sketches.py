@@ -72,6 +72,39 @@ def merge_distinct_counts(
     return out.drop("__merged")
 
 
+def _validated_weight(weight_col: str | None, fn_name: str):
+    """Per-row weight expression with a loud guard, or a literal 1.
+
+    Validates the RAW column, then casts: casting long first would
+    truncate -0.5 → 0 (evading the sign check), 2.7 → 2 (silent data
+    change), and non-numerics → NULL → 0. The double view is lossless
+    for the sign/integrality tests on any numeric input; NaN needs its
+    own test (NaN != floor(NaN) is NULL in SQL, so it would slip
+    through the inequality alone). try_cast, not cast: under ANSI mode
+    a malformed string would raise CAST_INVALID_INPUT before the guard
+    runs; try_cast maps it to NULL so the guard's own (diagnosable)
+    error fires. NULL weights contribute 0."""
+    if weight_col is None:
+        return F.lit(1).cast("long")
+    raw = F.col(weight_col)
+    wd = raw.try_cast("double")
+    bad = raw.isNotNull() & (
+        wd.isNull() | F.isnan(wd) | (wd < 0) | (wd != F.floor(wd))
+    )
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{fn_name}: {weight_col} must be a "
+                    "non-negative integer, got "
+                ),
+                raw.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.coalesce(raw.cast("long"), F.lit(0)))
+
+
 def histogram_sketch(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -122,35 +155,7 @@ def histogram_sketch(
     if not (hi > lo):
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     v = F.col(value_col).cast("double")
-    if weight_col is None:
-        wt = F.lit(1).cast("long")
-    else:
-        # Validate the RAW column, then cast: casting long first would
-        # truncate -0.5 → 0 (evading the sign check), 2.7 → 2 (silent
-        # data change), and non-numerics → NULL → 0. The double view is
-        # lossless for the sign/integrality tests on any numeric input;
-        # NaN needs its own test (NaN != floor(NaN) is NULL in SQL, so
-        # it would slip through the inequality alone).
-        raw = F.col(weight_col)
-        # try_cast, not cast: under ANSI mode a malformed string would
-        # raise CAST_INVALID_INPUT before the guard runs; try_cast maps
-        # it to NULL so the guard's own (diagnosable) error fires.
-        wd = raw.try_cast("double")
-        bad = raw.isNotNull() & (
-            wd.isNull() | F.isnan(wd) | (wd < 0) | (wd != F.floor(wd))
-        )
-        wt = F.when(
-            bad,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"histogram_sketch: {weight_col} must be a "
-                        "non-negative integer, got "
-                    ),
-                    raw.cast("string"),
-                )
-            ).cast("long"),
-        ).otherwise(F.coalesce(raw.cast("long"), F.lit(0)))
+    wt = _validated_weight(weight_col, "histogram_sketch")
     width = (float(hi) - float(lo)) / n_bins
     idx = F.floor((v - F.lit(float(lo))) / F.lit(width))
     in_range = v.isNotNull() & ~F.isnan(v) & (v >= lo) & (v < hi)
@@ -645,4 +650,151 @@ def merge_topk_sketches(store: DataFrame, k: int) -> DataFrame:
             F.col("rk").alias("rank"),
         )
         .where(F.col("est_min") > 0)
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.01,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Reduce each group to a DDSketch — the mergeable RELATIVE-error
+    quantile store (Masson, Rim & Lee, "DDSketch: a fast and fully-
+    mergeable quantile sketch with relative-error guarantees",
+    VLDB 2019) — as long-form rows ``(group_cols..., side, bucket,
+    cnt)``.
+
+    Where :func:`histogram_sketch` needs a fixed ``[lo, hi)`` domain
+    chosen up front (quantile error = one absolute bin width), DDSketch
+    buckets on a LOG grid: value x > 0 lands in bucket
+    ``ceil(log_γ(x))`` with ``γ = (1+α)/(1−α)``, so any quantile read
+    back from the store is within relative error ``α`` of the true
+    value at any magnitude — the right contract for long-tailed
+    positives (latencies, token counts, prices). ``side`` is the sign
+    (+1/-1 mirrored log buckets, 0 for exact zeros); NULL/NaN rows are
+    dropped (they have no order position). The bucket count is bounded
+    by the DATA RANGE, not the data size: log_γ(max/min) ≈ 1000 rows
+    per side at α=1% across nine decades — no collapse step needed at
+    any realistic span, which keeps the store exactly mergeable.
+
+    Merging (:func:`merge_quantile_sketches`) is a key-wise integer
+    sum — merged stores are BIT-IDENTICAL to the store of the union
+    (no estimator variance), so daily rows roll up to any window
+    without rescanning facts, the same contract as every other store
+    in this module. One map-side-combined groupBy; all expressions
+    native.
+
+    Cross-engine note: the bucket index rounds the log ratio to 12
+    decimals before ``ceil`` so both Spark (java.lang.Math.log) and a
+    replaying SQL engine (libm log) — each correctly rounded to ≤1 ulp
+    but not bit-identical — agree on every bucket unless a value sits
+    within ~1e-12 of a bucket edge (the same float-stability
+    convention as ``histogram_quantiles``'s round-to-9).
+
+    ``weight_col``: non-negative integral row weights, validated on
+    the raw column (shared guard with :func:`histogram_sketch`).
+    """
+    import math
+
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    v = F.col(value_col).cast("double")
+    wt = _validated_weight(weight_col, "quantile_sketch")
+    side = (
+        F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    )
+    bucket = F.when(v == 0, F.lit(0)).otherwise(
+        F.ceil(F.round(F.log(F.abs(v)) / F.lit(math.log(gamma)), 12))
+    )
+    return (
+        df.where(v.isNotNull() & ~F.isnan(v))
+        .groupBy(
+            *group_cols,
+            side.cast("int").alias("side"),
+            bucket.cast("int").alias("bucket"),
+        )
+        .agg(F.sum(wt).cast("long").alias("cnt"))
+        .where(F.col("cnt") > 0)
+    )
+
+
+def merge_quantile_sketches(
+    store: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Roll stored DDSketch rows up to a coarser grain by key-wise
+    integer sum — exact: the merged store equals the store of the
+    union bit for bit (asserted in tests). Inputs must share ``alpha``
+    (the log base IS the bucket grid — keep it with the store; rows
+    bucketed at different α must never be merged). Pass
+    ``group_cols=[]`` for a global roll-up."""
+    return (
+        store.groupBy(*group_cols, "side", "bucket")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("cnt"))
+        .where(F.col("cnt") > 0)
+    )
+
+
+def quantile_sketch_values(
+    store: DataFrame,
+    group_cols: Sequence[str],
+    quantiles: Sequence[float],
+    alpha: float,
+) -> DataFrame:
+    """Read quantiles back from a DDSketch store:
+    ``(group_cols..., q, value)`` — each within relative error ``α``
+    of the true quantile of the sketched data (the DDSketch
+    guarantee; asserted against exact quantiles in tests).
+
+    Bucket i on side s estimates its members as ``s·2γ^i/(γ+1)`` (the
+    log-bucket midpoint in relative terms); ordering is ``(side,
+    side·bucket)`` ascending — most-negative first, zeros, then
+    positives. Plan shape: a per-group running sum over the store rows
+    (store size is range-bounded, never data-sized), one broadcast of
+    the requested quantiles, one min_by per (group, q). Empty groups
+    return no rows; ``q`` outside the mass (can't happen for q in
+    [0,1] with cnt ≥ 1) is clamped by the covering-bucket rule.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    for q in quantiles:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile out of [0,1]: {q}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    order = F.col("side").cast("long") * F.col("bucket").cast("long")
+    w = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    ).orderBy("side", order.alias("__ord"))
+    wall = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = store.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__mass", F.sum("cnt").over(wall)
+    )
+    qdf = store.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    joined = cum.crossJoin(F.broadcast(qdf)).withColumn(
+        "__target",
+        F.greatest(F.lit(1.0), F.col("q") * F.col("__mass").cast("double")),
+    )
+    est = (
+        F.col("side").cast("double")
+        * F.lit(2.0)
+        * F.pow(F.lit(gamma), F.col("bucket").cast("double"))
+        / F.lit(gamma + 1.0)
+    )
+    value = F.when(F.col("side") == 0, F.lit(0.0)).otherwise(est)
+    return (
+        joined.where(F.col("__cum") >= F.col("__target"))
+        .groupBy(*group_cols, "q")
+        .agg(
+            F.min_by(
+                value, F.struct(F.col("side"), order.alias("__o"))
+            ).alias("value")
+        )
     )

@@ -33,11 +33,20 @@ judge's correctness gate covers the validation and upsert tiers too.
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import functions as F
+
+# DDSketch tier constants: alpha is the relative-error target; the
+# log-base constant is computed ONCE here and embedded verbatim in both
+# the Spark plan and the oracle SQL, so the only cross-engine float in
+# the bucket rule is LN(value) itself (absorbed by the round-to-12
+# convention documented on quantile_sketch).
+_DDS_ALPHA = 0.02
+_DDS_LN_GAMMA = math.log((1 + _DDS_ALPHA) / (1 - _DDS_ALPHA))
 
 from data_pipelines_spark.operators.quality import (
     accepted_values,
@@ -244,6 +253,47 @@ SELECT 'drift:l_quantity:psi',
                 GROUP BY 1
             ) c USING (ebin)
         ))
+""" + f"""
+UNION ALL
+-- DDSketch store rows: log-bucket rule replayed verbatim (the ln-gamma
+-- constant is the Python-computed literal shared with the Spark plan)
+SELECT 'dds:l_extendedprice:' || side || '/' || bucket,
+       CAST(NULL AS BIGINT), CAST(cnt AS BIGINT),
+       CAST(NULL AS BOOLEAN), CAST(NULL AS DOUBLE)
+FROM (
+    SELECT CASE WHEN p > 0 THEN 1 WHEN p < 0 THEN -1 ELSE 0 END AS side,
+           CASE WHEN p = 0 THEN 0
+                ELSE CAST(CEIL(ROUND(LN(ABS(p)) / {_DDS_LN_GAMMA!r}, 12))
+                          AS INT) END AS bucket,
+           count(*) AS cnt
+    FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice))
+    GROUP BY 1, 2
+)
+UNION ALL
+-- merge exactness and the relative-error guarantee: the Spark side
+-- computes the real booleans; the oracle asserts them (the hll_ok
+-- pattern) — a drifting sketch flips the value hash
+SELECT 'dds:merge_ok', CAST(0 AS BIGINT),
+       (SELECT count(*) FROM (
+           SELECT 1
+           FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem
+                 WHERE l_extendedprice IS NOT NULL
+                   AND NOT isnan(l_extendedprice))
+           GROUP BY CASE WHEN p > 0 THEN 1 WHEN p < 0 THEN -1 ELSE 0 END,
+                    CASE WHEN p = 0 THEN 0
+                         ELSE CAST(CEIL(ROUND(LN(ABS(p))
+                                              / {_DDS_LN_GAMMA!r}, 12))
+                                   AS INT) END)),
+       TRUE, CAST(NULL AS DOUBLE)
+UNION ALL
+SELECT 'dds:l_extendedprice:p50_ok', CAST(NULL AS BIGINT),
+       CAST((SELECT count(l_extendedprice) FROM lineitem) AS BIGINT),
+       TRUE, CAST(NULL AS DOUBLE)
+UNION ALL
+SELECT 'dds:l_extendedprice:p99_ok', CAST(NULL AS BIGINT),
+       CAST((SELECT count(l_extendedprice) FROM lineitem) AS BIGINT),
+       TRUE, CAST(NULL AS DOUBLE)
 """
 
 
@@ -352,11 +402,101 @@ def quality_report(spark, sf_dir):
         F.lit(None).cast("boolean").alias("passed"),
         F.col("psi").alias("metric"),
     )
+    # DDSketch tier (relative-error mergeable quantile store,
+    # operators/sketches.py quantile_sketch): the l_extendedprice store
+    # rows hash-check against the oracle's replay of the log-bucket
+    # rule; merge_ok asserts halves-merged == direct BIT FOR BIT (the
+    # store's whole point); p50_ok/p99_ok assert the DDSketch
+    # guarantee — the estimate brackets the ceil-rank order statistic
+    # within relative alpha — via two conditional counts, no sort.
+    from data_pipelines_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch,
+        quantile_sketch_values,
+    )
+
+    alpha = _DDS_ALPHA
+    dds = quantile_sketch(li, [], "l_extendedprice", alpha=alpha)
+    dds_rows = dds.select(
+        F.concat(
+            F.lit("dds:l_extendedprice:"),
+            F.col("side").cast("string"),
+            F.lit("/"),
+            F.col("bucket").cast("string"),
+        ).alias("rule"),
+        F.lit(None).cast("long").alias("violations"),
+        F.col("cnt").cast("long").alias("total"),
+        F.lit(None).cast("boolean").alias("passed"),
+        F.lit(None).cast("double").alias("metric"),
+    )
+
+    dds_h0 = quantile_sketch(
+        li.where(halves == 0), [], "l_extendedprice", alpha=alpha
+    )
+    dds_h1 = quantile_sketch(
+        li.where(halves == 1), [], "l_extendedprice", alpha=alpha
+    )
+    merged = merge_quantile_sketches(dds_h0.unionByName(dds_h1), [])
+    sym_diff = merged.exceptAll(dds).unionByName(dds.exceptAll(merged))
+    merge_row = (
+        sym_diff.agg(F.count(F.lit(1)).alias("__d"))
+        .crossJoin(F.broadcast(dds.agg(F.count(F.lit(1)).alias("__rows"))))
+        .select(
+            F.lit("dds:merge_ok").alias("rule"),
+            F.col("__d").cast("long").alias("violations"),
+            F.col("__rows").cast("long").alias("total"),
+            (F.col("__d") == 0).alias("passed"),
+            F.lit(None).cast("double").alias("metric"),
+        )
+    )
+
+    est = quantile_sketch_values(dds, [], [0.5, 0.99], alpha)
+    v = F.col("l_extendedprice").cast("double")
+    # Guarantee check as rank arithmetic: est within [x_k(1-a),
+    # x_k(1+a)] iff count(v <= est/(1-a)) >= k and
+    # count(v < est/(1+a)) <= k-1, k = ceil(q*n). The 1e-9 slack
+    # absorbs the boundary case where a value sits exactly on a log
+    # bucket edge (there the estimate equals x_k(1+a) exactly).
+    guard_rows = (
+        li.crossJoin(F.broadcast(est))
+        .groupBy("q", "value")
+        .agg(
+            F.sum(
+                F.when(
+                    v <= F.col("value") / (1 - alpha) * (1 + 1e-9), 1
+                ).otherwise(0)
+            ).alias("__le_hi"),
+            F.sum(
+                F.when(
+                    v < F.col("value") / (1 + alpha) * (1 - 1e-9), 1
+                ).otherwise(0)
+            ).alias("__lt_lo"),
+            F.count(v).alias("__n"),
+        )
+        .select(
+            F.concat(
+                F.lit("dds:l_extendedprice:p"),
+                F.round(F.col("q") * 100).cast("int").cast("string"),
+                F.lit("_ok"),
+            ).alias("rule"),
+            F.lit(None).cast("long").alias("violations"),
+            F.col("__n").cast("long").alias("total"),
+            (
+                (F.col("__le_hi") >= F.ceil(F.col("q") * F.col("__n")))
+                & (F.col("__lt_lo") <= F.ceil(F.col("q") * F.col("__n")) - 1)
+            ).alias("passed"),
+            F.lit(None).cast("double").alias("metric"),
+        )
+    )
+
     return (
         rules.unionByName(stats)
         .unionByName(cat_rows)
         .unionByName(hist_row)
         .unionByName(drift_row)
+        .unionByName(dds_rows)
+        .unionByName(merge_row)
+        .unionByName(guard_rows)
     )
 
 

@@ -643,3 +643,160 @@ class TestTopkStore:
         df = spark.createDataFrame([(0, "a")], "batch long, key string")
         with _pytest.raises(ValueError, match="k must be"):
             topk_sketch(df, "key", 0, "batch")
+
+
+class TestQuantileSketch:
+    """DDSketch long-form store (quantile_sketch /
+    merge_quantile_sketches / quantile_sketch_values): the relative-
+    error guarantee, bitwise merge exactness, sign handling, weights,
+    and partition invariance."""
+
+    def _df(self, spark, n=4000, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        vals = np.concatenate([
+            np.exp(rng.normal(3, 2, n)),        # long-tailed positives
+            -np.exp(rng.normal(1, 1, n // 4)),  # negatives
+            np.zeros(50),
+        ])
+        rows = [(int(i % 3), float(v)) for i, v in enumerate(vals)]
+        return (
+            spark.createDataFrame(rows, "g int, v double"),
+            vals,
+        )
+
+    def test_relative_error_guarantee(self, spark):
+        """Every read-back quantile lands within relative alpha of the
+        ceil-rank order statistic — the DDSketch paper's contract —
+        across groups, both signs, and five quantile levels."""
+        import numpy as np
+
+        from data_pipelines_spark.operators.sketches import (
+            quantile_sketch,
+            quantile_sketch_values,
+        )
+
+        df, vals = self._df(spark)
+        alpha = 0.01
+        store = quantile_sketch(df, ["g"], "v", alpha=alpha)
+        qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+        est = {
+            (r["g"], r["q"]): r["value"]
+            for r in quantile_sketch_values(store, ["g"], qs, alpha).collect()
+        }
+        for g in range(3):
+            gv = np.sort(vals[np.arange(len(vals)) % 3 == g])
+            for q in qs:
+                k = max(1, int(np.ceil(q * len(gv))))
+                true = gv[k - 1]
+                e = est[(g, q)]
+                tol = alpha * 1.001  # boundary-bucket slack
+                if true == 0:
+                    assert e == 0.0
+                else:
+                    assert abs(e - true) / abs(true) <= tol, (g, q, true, e)
+
+    def test_merge_bitwise_exact(self, spark):
+        """merge(store(A), store(B)) == store(A ∪ B) as exact row sets
+        — the property that lets daily rows roll up losslessly."""
+        from data_pipelines_spark.operators.sketches import (
+            merge_quantile_sketches,
+            quantile_sketch,
+        )
+
+        df, _ = self._df(spark)
+        direct = quantile_sketch(df, [], "v", alpha=0.02)
+        h0 = quantile_sketch(
+            df.where(F.pmod(F.hash("v"), 2) == 0), [], "v", alpha=0.02
+        )
+        h1 = quantile_sketch(
+            df.where(F.pmod(F.hash("v"), 2) != 0), [], "v", alpha=0.02
+        )
+        merged = merge_quantile_sketches(h0.unionByName(h1), [])
+        assert merged.exceptAll(direct).count() == 0
+        assert direct.exceptAll(merged).count() == 0
+
+    def test_signs_zeros_and_fixed_quantiles(self, spark):
+        """Known tiny input: [-100, -1, 0, 0, 1, 100]. The median
+        (rank 3 of 6) is an exact zero → estimate exactly 0.0; the
+        extremes respect sign and relative error."""
+        from data_pipelines_spark.operators.sketches import (
+            quantile_sketch,
+            quantile_sketch_values,
+        )
+
+        df = spark.createDataFrame(
+            [(v,) for v in [-100.0, -1.0, 0.0, 0.0, 1.0, 100.0]], "v double"
+        )
+        alpha = 0.01
+        store = quantile_sketch(df, [], "v", alpha=alpha)
+        got = {
+            r["q"]: r["value"]
+            for r in quantile_sketch_values(
+                store, [], [1 / 6, 0.5, 1.0], alpha
+            ).collect()
+        }
+        assert got[0.5] == 0.0
+        assert abs(got[1 / 6] + 100.0) <= 100.0 * alpha * 1.001
+        assert abs(got[1.0] - 100.0) <= 100.0 * alpha * 1.001
+
+    def test_nan_null_dropped_store_grain(self, spark):
+        from data_pipelines_spark.operators.sketches import quantile_sketch
+
+        df = spark.createDataFrame(
+            [(1.0,), (float("nan"),), (None,), (1.0,)], "v double"
+        )
+        rows = quantile_sketch(df, [], "v", alpha=0.01).collect()
+        assert len(rows) == 1
+        assert rows[0]["cnt"] == 2 and rows[0]["side"] == 1
+
+    def test_weighted_equals_repeated_rows(self, spark):
+        """Weight k must equal the row repeated k times, bitwise on
+        the store rows (the weighting definition, same contract as the
+        histogram store)."""
+        from data_pipelines_spark.operators.sketches import quantile_sketch
+
+        df = spark.createDataFrame(
+            [(2.5, 3), (7.0, 0), (2.5, 1), (0.0, 2)], "v double, w int"
+        )
+        exploded = df.selectExpr("explode(array_repeat(v, w)) AS v")
+        ws = quantile_sketch(df, [], "v", alpha=0.01, weight_col="w")
+        es = quantile_sketch(exploded, [], "v", alpha=0.01)
+        assert ws.exceptAll(es).count() == 0
+        assert es.exceptAll(ws).count() == 0
+
+    def test_weight_guard_raises_on_fractional(self, spark):
+        import pytest
+
+        from data_pipelines_spark.operators.sketches import quantile_sketch
+
+        df = spark.createDataFrame([(1.0, -0.5)], "v double, w double")
+        with pytest.raises(Exception, match="non-negative integer"):
+            quantile_sketch(df, [], "v", weight_col="w").collect()
+
+    def test_param_validation(self, spark):
+        import pytest
+
+        from data_pipelines_spark.operators.sketches import (
+            quantile_sketch,
+            quantile_sketch_values,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError, match="alpha"):
+            quantile_sketch(df, [], "v", alpha=1.5)
+        store = quantile_sketch(df, [], "v")
+        with pytest.raises(ValueError, match="quantile out"):
+            quantile_sketch_values(store, [], [1.5], 0.01)
+
+    def test_partition_invariance_and_empty(self, spark):
+        from data_pipelines_spark.operators.sketches import quantile_sketch
+
+        df, _ = self._df(spark, n=500)
+        a = quantile_sketch(df.repartition(1), ["g"], "v", alpha=0.05)
+        b = quantile_sketch(df.repartition(13, "v"), ["g"], "v", alpha=0.05)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        empty = quantile_sketch(df.where("v > 1e18"), ["g"], "v")
+        assert empty.count() == 0
