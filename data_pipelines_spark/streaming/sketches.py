@@ -160,3 +160,45 @@ def stream_frequency_sketch_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer
+
+
+def stream_quantile_sketch_sink(
+    stream_df: DataFrame,
+    store_path: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.01,
+    weight_col: str | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """foreachBatch sink for the DDSketch relative-error quantile
+    store: each micro-batch reduces to its long-form
+    ``(group..., side, bucket, cnt)`` rows under ``batch_id=<n>``.
+    Same replay contract as the other stores (a replayed batch
+    overwrites exactly its own partition); readers roll batches up
+    with :func:`~data_pipelines_spark.operators.sketches.
+    merge_quantile_sketches` — exact integer sums, so any roll-up
+    grain gives the same quantiles. ``alpha`` (the log-bucket grid)
+    and ``weight_col`` mode are the store's identity — keep them
+    constant for its lifetime.
+
+    Returns the un-started ``DataStreamWriter``.
+    """
+    from data_pipelines_spark.operators.sketches import quantile_sketch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = quantile_sketch(
+            batch_df, list(group_cols), value_col, alpha=alpha,
+            weight_col=weight_col,
+        )
+        _partitioned_batch_write(sk, store_path, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_apply).outputMode("append")
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

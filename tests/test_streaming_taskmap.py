@@ -888,3 +888,62 @@ def test_stateful_sessionize_late_event_no_phantom_session():
     cnt, last = _advance(0, None, [0.0])
     cnt, last = _advance(cnt, last, [5000.0])
     assert cnt == 2
+
+
+def test_stream_quantile_sketch_sink(spark):
+    """DDSketch streaming sink: per-batch store rows land under
+    batch_id partitions; rolling all batches up equals a direct sketch
+    of ALL the data bit for bit, and the merged quantiles respect the
+    relative-error bound."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from data_pipelines_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch,
+        quantile_sketch_values,
+    )
+    from data_pipelines_spark.streaming.sketches import (
+        stream_quantile_sketch_sink,
+    )
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="dps_dds_sink_")
+    try:
+        rng = np.random.default_rng(11)
+        vals = np.exp(rng.normal(2, 1.5, 800))
+        rows = [(f"d{i % 2}", float(v)) for i, v in enumerate(vals)]
+        all_df = spark.createDataFrame(rows, "day string, v double")
+        all_df.where(F.col("v") < 5).write.parquet(f"{tmp}/in/a")
+        all_df.where(F.col("v") >= 5).write.parquet(f"{tmp}/in/b")
+        stream = spark.readStream.schema(all_df.schema).parquet(f"{tmp}/in/*")
+        q = stream_quantile_sketch_sink(
+            stream, f"{tmp}/store", ["day"], "v", alpha=0.02,
+            checkpoint=f"{tmp}/ckpt",
+        ).start()
+        q.awaitTermination(120)
+
+        store = spark.read.parquet(f"{tmp}/store")
+        merged = merge_quantile_sketches(store, ["day"])
+        direct = quantile_sketch(all_df, ["day"], "v", alpha=0.02)
+        assert merged.exceptAll(direct).count() == 0
+        assert direct.exceptAll(merged).count() == 0
+
+        est = {
+            (r["day"], r["q"]): r["value"]
+            for r in quantile_sketch_values(
+                merged, ["day"], [0.5, 0.95], 0.02
+            ).collect()
+        }
+        for day in ("d0", "d1"):
+            gv = np.sort(
+                np.array([v for d, v in rows if d == day])
+            )
+            for qq in (0.5, 0.95):
+                k = max(1, int(np.ceil(qq * len(gv))))
+                true = gv[k - 1]
+                assert abs(est[(day, qq)] - true) / true <= 0.02 * 1.001
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
