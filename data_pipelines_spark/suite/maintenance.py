@@ -734,6 +734,21 @@ LEFT JOIN (
     GROUP BY 1, 2
 ) c ON p.r = c.r AND p.bucket = c.bucket
 GROUP BY 1
+""" + f"""
+UNION ALL
+-- DDSketch store rows from the streaming sink, merged across batch
+-- partitions: the log-bucket rule replayed per source over the same
+-- lens CTE (empty docs land in the side-0 zero bucket)
+SELECT 'dds:' || side || '/' || bucket, source, CAST(cnt AS DOUBLE)
+FROM (
+    SELECT source,
+           CASE WHEN len > 0 THEN 1 WHEN len < 0 THEN -1 ELSE 0 END AS side,
+           CASE WHEN len = 0 THEN 0
+                ELSE CAST(CEIL(ROUND(LN(ABS(len)) / {_DDS_LN_GAMMA!r}, 12))
+                          AS INT) END AS bucket,
+           count(*) AS cnt
+    FROM lens GROUP BY 1, 2, 3
+)
 """
 
 
@@ -742,15 +757,17 @@ def stream_sink_readback(spark, sf_dir):
     """End-to-end STREAMING sketch-store lifecycle, driver-hash-checked
     for the first time (the sinks were unit-only through round 6):
     stream the documents table (file source, availableNow), run all
-    THREE foreachBatch sinks — the per-batch-partitioned histogram
+    FOUR foreachBatch sinks — the per-batch-partitioned histogram
     store of text lengths by source, the HLL distinct-source store,
-    and the portable count-min frequency store of source hits — then
-    read the stores back, merge across batch partitions, and emit
+    the portable count-min frequency store of source hits, and the
+    DDSketch quantile store of lengths by source — then read the
+    stores back, merge across batch partitions, and emit
     (part, source, metric) rows: the per-source p50 from the merged
     histogram (covering-bin interpolation), the per-source row count,
-    the HLL distinct-source estimate, and count-min probe estimates
+    the HLL distinct-source estimate, count-min probe estimates
     (the oracle replays the md5 bucket arithmetic including collision
-    mass, not an exactness assumption).
+    mass, not an exactness assumption), and the merged DDSketch store
+    rows (the oracle replays the log-bucket rule).
 
     Deterministic however availableNow splits the input into batches:
     histogram merges are exact integer sums (merged == direct histogram
@@ -775,11 +792,13 @@ def stream_sink_readback(spark, sf_dir):
         merge_distinct_counts,
         merge_frequency_sketches,
         merge_histogram_sketches,
+        merge_quantile_sketches,
     )
     from data_pipelines_spark.streaming.sketches import (
         stream_distinct_sketch_sink,
         stream_frequency_sketch_sink,
         stream_histogram_sketch_sink,
+        stream_quantile_sketch_sink,
     )
 
     lo, hi, n_bins = 0.0, 1024.0, 64
@@ -815,6 +834,10 @@ def stream_sink_readback(spark, sf_dir):
             stream.select("source"), f"{d}/cms", [], "source",
             width=1024, depth=4, portable=True, checkpoint=f"{d}/ck3",
         ).start()
+        q4 = stream_quantile_sketch_sink(
+            lens, f"{d}/dds", ["source"], "len", alpha=_DDS_ALPHA,
+            checkpoint=f"{d}/ck4",
+        ).start()
         # awaitTermination returns False on timeout with the query still
         # running — reading the stores then would race the sink; fail
         # loudly instead
@@ -822,8 +845,9 @@ def stream_sink_readback(spark, sf_dir):
             not q1.awaitTermination(300)
             or not q2.awaitTermination(300)
             or not q3.awaitTermination(300)
+            or not q4.awaitTermination(300)
         ):
-            for q in (q1, q2, q3):
+            for q in (q1, q2, q3, q4):
                 q.stop()
             raise TimeoutError(
                 "stream_sink_readback: sink queries did not drain in 300s"
@@ -863,8 +887,24 @@ def stream_sink_readback(spark, sf_dir):
             F.lit(None).cast("string").alias("source"),
             F.col("est_cnt").cast("double").alias("metric"),
         )
+        dds = merge_quantile_sketches(
+            spark.read.parquet(f"{d}/dds"), ["source"]
+        ).select(
+            F.concat(
+                F.lit("dds:"),
+                F.col("side").cast("string"),
+                F.lit("/"),
+                F.col("bucket").cast("string"),
+            ).alias("part"),
+            F.col("source"),
+            F.col("cnt").cast("double").alias("metric"),
+        )
         rows = (
-            p50.unionByName(n_rows).unionByName(hll).unionByName(cms).collect()
+            p50.unionByName(n_rows)
+            .unionByName(hll)
+            .unionByName(cms)
+            .unionByName(dds)
+            .collect()
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
