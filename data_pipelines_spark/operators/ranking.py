@@ -157,3 +157,75 @@ def tf_idf(
             ).alias("tfidf"),
         )
     )
+
+
+def reciprocal_rank_fusion(
+    results: Sequence[DataFrame],
+    query_cols: Sequence[str],
+    id_cols: Sequence[str],
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Fuse N ranked result lists per query by Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher, SIGIR 2009):
+    ``score(d) = Σ_lists 1/(k + rank_list(d))``, an item absent from a
+    list contributing 0 — the standard hybrid-retrieval combiner
+    (lexical BM25 ⊕ vector k-NN) that needs no score calibration
+    because it only consumes RANKS. Returns ``(query_cols...,
+    id_cols..., rrf_score double, n_lists, rank)`` with ``rank`` the
+    fused per-query position.
+
+    Determinism contract (the module's usual): each contribution is
+    the IEEE-double ``1/(k+rank)`` cast to DECIMAL(38,18) before
+    summing, so the cross-partition sum is associative and an external
+    engine replays it bit-for-bit; fused ties break by ``id_cols``
+    ascending.
+
+    Plan shape: union of the (already k-bounded) result lists →
+    map-side-combined groupBy on (query, id) → per-query window over
+    at most N·k candidate rows. Nothing here is data-sized: the inputs
+    are top-k lists by construction, so the fusion costs the same at
+    any corpus scale — the expensive part is producing the input
+    rankings (`bm25_scores`, `similarity.knn_join`), which have their
+    own 100 TB plans.
+    """
+    if not results:
+        raise ValueError("reciprocal_rank_fusion needs at least one list")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    contribs = [
+        df.select(
+            *query_cols,
+            *id_cols,
+            (
+                F.lit(1.0).cast("double")
+                / (F.lit(int(k)) + F.col(rank_col).cast("double"))
+            )
+            .cast("decimal(38,18)")
+            .alias("__c"),
+        )
+        for df in results
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), contribs)
+    fused = unioned.groupBy(*query_cols, *id_cols).agg(
+        F.sum("__c").alias("__s"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy(*query_cols).orderBy(
+        F.col("__s").desc(), *[F.col(c).asc() for c in id_cols]
+    )
+    out = fused.withColumn("rank", F.row_number().over(w)).select(
+        *query_cols,
+        *id_cols,
+        F.col("__s").cast("double").alias("rrf_score"),
+        "n_lists",
+        "rank",
+    )
+    if top_n is not None:
+        out = out.where(F.col("rank") <= int(top_n))
+    return out

@@ -941,6 +941,31 @@ _LSH_TOPK_SQL = f"""
            ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) AS score,
            CAST(n_exact AS BIGINT) AS n
     FROM recall
+    UNION ALL
+    -- reciprocal rank fusion of the LSH and exact top-10 lists:
+    -- score = sum over lists of 1/(60+rank), contributions summed as
+    -- DECIMAL(38,18) of the IEEE division (associative, engine-exact),
+    -- fused top-5 per query, ties by neighbor id
+    SELECT 'rrf' AS method, qid, CAST(rid AS BIGINT) AS aux,
+           ROUND(CAST(s AS DOUBLE), 9) AS score, CAST(frk AS BIGINT) AS n
+    FROM (
+        SELECT qid, rid, s,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY s DESC, rid ASC
+               ) AS frk
+        FROM (
+            SELECT qid, rid,
+                   SUM(CAST(CAST(1.0 AS DOUBLE) / (60 + r)
+                            AS DECIMAL(38,18))) AS s
+            FROM (
+                SELECT qid, rid, rank AS r FROM ranked WHERE rank <= 10
+                UNION ALL
+                SELECT qid, rid, rk FROM exact_knn WHERE rk <= 10
+            )
+            GROUP BY 1, 2
+        )
+    )
+    WHERE frk <= 5
 """
 
 
@@ -979,6 +1004,13 @@ def embedding_lsh_topk(spark, sf_dir):
       the exact ranking all-pairs and replays the hit join, so both the
       diagnostic arithmetic AND the exact-baseline operator are
       hash-checked.
+    - ``rrf`` — hybrid-retrieval fusion (`operators.ranking.
+      reciprocal_rank_fusion`, Cormack/Clarke/Buettcher SIGIR 2009):
+      the LSH and exact top-10 lists fused per query by
+      Σ 1/(60+rank), contributions DECIMAL-summed for engine-exact
+      associativity, fused top-5 kept. ``aux`` is the neighbor id,
+      ``score`` the rounded RRF score, ``n`` the fused rank; the
+      oracle replays the union, the decimal sum, and the tie-break.
     """
     from data_pipelines_spark.operators.similarity import (
         exact_knn_join,
@@ -1013,6 +1045,22 @@ def embedding_lsh_topk(spark, sf_dir):
         F.col("recall").alias("score"),
         F.col("n_exact").alias("n"),
     )
+    from data_pipelines_spark.operators.ranking import reciprocal_rank_fusion
+
+    rrf = reciprocal_rank_fusion(
+        [topk, exact],
+        query_cols=["left_vec_id"],
+        id_cols=["right_vec_id"],
+        rank_col="rank",
+        k=60,
+        top_n=5,
+    ).select(
+        F.lit("rrf").alias("method"),
+        F.col("left_vec_id").alias("qid"),
+        F.col("right_vec_id").cast("long").alias("aux"),
+        F.round(F.col("rrf_score"), 9).alias("score"),
+        F.col("rank").cast("long").alias("n"),
+    )
     return topk.select(
         F.lit("lsh_topk").alias("method"),
         F.col("left_vec_id").alias("qid"),
@@ -1027,7 +1075,7 @@ def embedding_lsh_topk(spark, sf_dir):
             F.col("vote_weight").alias("score"),
             F.col("n_votes").alias("n"),
         )
-    ).unionByName(rec)
+    ).unionByName(rec).unionByName(rrf)
 
 
 def _minhash_oracle_sql(num_hashes: int = 64, num_bands: int = 16, k: int = 5,

@@ -311,3 +311,88 @@ def test_fused_report_equals_standalone_operators(spark):
             s["dup_token_frac"], rm["clean_text"], rm["n_tokens"],
             rm["n_removed_tokens"],
         ), i
+
+
+class TestReciprocalRankFusion:
+    """RRF hybrid fusion (operators/ranking.py): the textbook formula
+    on a hand-computed case, consensus dominance, top_n, and
+    partition-invariant determinism."""
+
+    def _lists(self, spark):
+        # query q: list A ranks [d1, d2, d3]; list B ranks [d2, d4]
+        a = spark.createDataFrame(
+            [("q", "d1", 1), ("q", "d2", 2), ("q", "d3", 3)],
+            "qid string, doc string, rank int",
+        )
+        b = spark.createDataFrame(
+            [("q", "d2", 1), ("q", "d4", 2)],
+            "qid string, doc string, rank int",
+        )
+        return a, b
+
+    def test_hand_computed_scores(self, spark):
+        from data_pipelines_spark.operators.ranking import (
+            reciprocal_rank_fusion,
+        )
+
+        a, b = self._lists(spark)
+        rows = {
+            r["doc"]: r
+            for r in reciprocal_rank_fusion(
+                [a, b], ["qid"], ["doc"], k=60
+            ).collect()
+        }
+        # d2 appears in both lists: 1/62 + 1/61 — the consensus winner
+        # over d1's single 1/61.
+        assert rows["d2"]["rank"] == 1 and rows["d2"]["n_lists"] == 2
+        assert rows["d1"]["rank"] == 2
+        assert rows["d4"]["rank"] == 3  # 1/62 beats d3's 1/63
+        assert rows["d3"]["rank"] == 4
+        assert abs(rows["d2"]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-12
+        assert abs(rows["d1"]["rrf_score"] - 1 / 61) < 1e-12
+
+    def test_top_n_and_tie_break(self, spark):
+        from data_pipelines_spark.operators.ranking import (
+            reciprocal_rank_fusion,
+        )
+
+        # two docs with identical single-list rank → tie broken by id
+        a = spark.createDataFrame(
+            [("q", "z", 1)], "qid string, doc string, rank int"
+        )
+        b = spark.createDataFrame(
+            [("q", "a", 1)], "qid string, doc string, rank int"
+        )
+        rows = reciprocal_rank_fusion(
+            [a, b], ["qid"], ["doc"], top_n=1
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["doc"] == "a"  # equal score, id ascending
+
+    def test_partition_invariance(self, spark):
+        from data_pipelines_spark.operators.ranking import (
+            reciprocal_rank_fusion,
+        )
+
+        a, b = self._lists(spark)
+        one = reciprocal_rank_fusion(
+            [a.repartition(1), b.repartition(1)], ["qid"], ["doc"]
+        )
+        many = reciprocal_rank_fusion(
+            [a.repartition(7), b.repartition(5)], ["qid"], ["doc"]
+        )
+        assert one.exceptAll(many).count() == 0
+        assert many.exceptAll(one).count() == 0
+
+    def test_validation(self, spark):
+        import pytest
+
+        from data_pipelines_spark.operators.ranking import (
+            reciprocal_rank_fusion,
+        )
+
+        with pytest.raises(ValueError, match="at least one"):
+            reciprocal_rank_fusion([], ["q"], ["d"])
+        a, _ = self._lists(spark)
+        with pytest.raises(ValueError, match="k must be positive"):
+            reciprocal_rank_fusion([a], ["qid"], ["doc"], k=0)
