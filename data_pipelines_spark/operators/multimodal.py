@@ -7,15 +7,16 @@ metadata struct; decode / feature-extraction steps are Arrow-batched
 Decode coverage is tiered by what the environment can honestly do:
 
 - **Real, dependency-free**: PNM images (PGM/PPM — numpy header+buffer
-  parse, real nearest-neighbor resize), 8-bit PNG (stdlib zlib inflate
-  + all five scanline filters, gray/RGB/palette/alpha), baseline JPEG
-  (`operators/jpeg.py` — full Huffman/DCT decode + encoder, 4:4:4 and
-  4:2:0), and WAV audio (stdlib `wave` — real sample decode, RMS /
-  zero-crossing features). These run end-to-end in tests against
-  byte-assembled files.
-- **Library-gated**: progressive/12-bit JPEG, MP4, 16-bit PNG and
-  friends need PIL/opencv/pyav; `decode_image` raises a clearly marked
-  NotImplementedError for them.
+  parse, real nearest-neighbor resize), 8- and 16-bit PNG (stdlib zlib
+  inflate + all five scanline filters, gray/RGB/palette/alpha; encoder
+  too — also the kernel behind GRIB2 PNG packing in
+  `sources/raster.py`), baseline JPEG (`operators/jpeg.py` — full
+  Huffman/DCT decode + encoder, 4:4:4 and 4:2:0), and WAV audio
+  (stdlib `wave` — real sample decode, RMS / zero-crossing features).
+  These run end-to-end in tests against byte-assembled files.
+- **Library-gated**: progressive/12-bit JPEG, MP4, Adam7-interlaced
+  PNG and friends need PIL/opencv/pyav; `decode_image` raises a
+  clearly marked NotImplementedError for them.
 
 Reference analogue: the sentinel imagery pipeline (SURVEY.md §3.3) is
 exactly this shape — opaque blobs moved through per-file task maps with
@@ -122,11 +123,15 @@ def decode_png(content: bytes) -> "object":
     """Real PNG decode — zlib (stdlib) inflate + scanline defiltering,
     no codec library.
 
-    Covers the common profile: 8-bit depth, non-interlaced, color types
-    gray / RGB / palette / gray+alpha / RGBA, all five scanline filters
-    (None/Sub/Up/Average/Paeth). 16-bit and Adam7 interlacing raise
-    with a pointer to the PIL path. Returns (H, W) for grayscale, else
-    (H, W, channels) uint8.
+    Covers the common profile: 8- AND 16-bit depth, non-interlaced,
+    color types gray / RGB / palette / gray+alpha / RGBA, all five
+    scanline filters (None/Sub/Up/Average/Paeth — filters operate on
+    BYTES with the left neighbor one pixel-byte-width back, per the
+    spec, so both depths share one defilter path; None/Sub/Up are
+    vectorized, Average/Paeth scan the row). Adam7 interlacing and
+    sub-byte depths raise with a pointer to the PIL path. Returns
+    (H, W) for grayscale, else (H, W, channels); uint8 at depth 8,
+    uint16 at depth 16.
     """
     import struct
     import zlib
@@ -151,13 +156,16 @@ def decode_png(content: bytes) -> "object":
     if ihdr is None:
         raise ValueError("PNG without IHDR")
     width, height, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0:
+    if depth not in (8, 16) or interlace != 0:
         raise NotImplementedError(
-            "only 8-bit non-interlaced PNG decodes natively; use PIL for "
-            "16-bit or Adam7 payloads"
+            "only 8/16-bit non-interlaced PNG decodes natively; use PIL "
+            "for sub-byte or Adam7 payloads"
         )
+    if depth == 16 and color == 3:
+        raise ValueError("palette PNG cannot be 16-bit")
     channels = _PNG_CHANNELS[color]
-    stride = width * channels
+    bpp = channels * (depth // 8)  # filter distance, in bytes
+    stride = width * bpp
     raw = zlib.decompress(b"".join(idat))
 
     out = np.empty((height, stride), dtype=np.uint8)
@@ -169,17 +177,19 @@ def decode_png(content: bytes) -> "object":
         rp += 1 + stride
         if ftype == 0:
             cur = line.copy()
-        elif ftype == 2:  # Up — fully vectorized (uint8 wraps = mod 256)
+        elif ftype == 1:  # Sub: per-lane cumsum (uint8 wraps = mod 256)
+            cur = line.copy().reshape(-1, bpp)
+            np.cumsum(cur, axis=0, dtype=np.uint8, out=cur)
+            cur = cur.reshape(stride)
+        elif ftype == 2:  # Up — fully vectorized
             cur = line + prev
-        else:  # Sub/Average/Paeth depend on the left neighbor: scan the row
+        else:  # Average/Paeth depend on the left neighbor: scan the row
             cur = np.empty(stride, dtype=np.uint8)
             for i in range(stride):
-                a = int(cur[i - channels]) if i >= channels else 0
+                a = int(cur[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
-                if ftype == 1:
-                    v = line[i] + a
-                elif ftype == 3:
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if ftype == 3:
                     v = line[i] + ((a + b) >> 1)
                 elif ftype == 4:
                     p = a + b - c
@@ -192,12 +202,70 @@ def decode_png(content: bytes) -> "object":
         out[y] = cur
         prev = cur
 
-    img = out.reshape(height, width, channels)
+    if depth == 16:
+        img = (
+            out.reshape(height, width, channels, 2)
+            .view(">u2")[..., 0]
+            .astype("u2")
+        )
+    else:
+        img = out.reshape(height, width, channels)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
         return plte[img[..., 0]]
     return img.reshape(height, width) if channels == 1 else img
+
+
+def encode_png(arr: "object") -> bytes:
+    """Real PNG encode — zlib (stdlib) deflate, CRC-checked chunks.
+
+    ``arr`` is uint8 or uint16, shape (H, W) grayscale or
+    (H, W, {2,3,4}) gray+alpha/RGB/RGBA; 16-bit samples are stored
+    big-endian per the spec. Scanlines use the Up filter (vectorized
+    on both ends and usually close to libpng's adaptive pick on smooth
+    data). The inverse of :func:`decode_png` bit for bit.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"unsupported PNG array shape {np.asarray(arr).shape}")
+    if a.dtype == np.uint8:
+        depth = 8
+    elif a.dtype == np.uint16:
+        depth = 16
+    else:
+        raise ValueError(f"PNG samples must be uint8/uint16, got {a.dtype}")
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[a.shape[2]]
+    h, w, ch = a.shape
+
+    rows = a.astype(">u2" if depth == 16 else "u1").view("u1").reshape(h, -1)
+    filtered = np.empty((h, 1 + rows.shape[1]), dtype=np.uint8)
+    filtered[:, 0] = 2  # Up filter
+    filtered[0, 1:] = rows[0]
+    filtered[1:, 1:] = rows[1:] - rows[:-1]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    return (
+        _PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(filtered.tobytes()))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_image(content: bytes) -> "object":

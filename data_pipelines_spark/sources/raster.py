@@ -308,11 +308,13 @@ def read_grib2_minimal(path: str):
     definition template 3.0 (equidistant lat/lon); data representation
     templates 5.0 (grid-point simple packing: Y = (R + X·2^E) / 10^D
     over an nbits big-endian bit-packed array), 5.2 (complex packing:
-    per-group references + variable-width fields), and 5.3 (complex
+    per-group references + variable-width fields), 5.3 (complex
     packing with first/second-order spatial differencing — the
     encoding operational ECMWF products like GLOFAS discharge actually
-    use); optional bitmap; any number of messages per file (ensemble
-    members). Anything else — spectral/jpeg2000/png packing,
+    use), and 5.41 (PNG packing — NOAA MRMS-style; section 7 is a PNG
+    stream decoded by the engine's own stdlib-zlib PNG kernel);
+    optional bitmap; any number of messages per file (ensemble
+    members). Anything else — spectral/jpeg2000 packing,
     missing-value management, other grids — raises with a pointer to
     the cfgrib path.
 
@@ -374,7 +376,7 @@ def read_grib2_minimal(path: str):
             elif sec_num == 5:
                 n_points = int.from_bytes(body[5:9], "big")
                 template = int.from_bytes(body[9:11], "big")
-                if template not in (0, 2, 3):
+                if template not in (0, 2, 3, 41):
                     raise NotImplementedError(
                         f"packing template 5.{template}: use the cfgrib path"
                     )
@@ -424,6 +426,24 @@ def read_grib2_minimal(path: str):
                 nbits = packing["nbits"]
                 if packing["template"] in (2, 3):
                     x = _decode_complex_section7(body, packing)
+                    unpacked = (ref + x * 2.0**e_scale) / 10.0**d_scale
+                elif packing["template"] == 41:
+                    # PNG packing: section 7 is a complete PNG stream;
+                    # gray 8/16 carry X directly, RGB/RGBA carry its
+                    # big-endian 24/32-bit bytes as channels.
+                    from data_pipelines_spark.operators.multimodal import (
+                        decode_png,
+                    )
+
+                    img = np.asarray(decode_png(bytes(body[5:])))
+                    if img.ndim == 3:
+                        shifts = np.arange(
+                            img.shape[2] - 1, -1, -1, dtype=np.int64
+                        ) * 8
+                        x = (img.astype(np.int64) << shifts).sum(axis=2)
+                    else:
+                        x = img.astype(np.int64)
+                    x = x.ravel()[:n_points]
                     unpacked = (ref + x * 2.0**e_scale) / 10.0**d_scale
                 elif nbits == 0:
                     unpacked = np.full(n_points, ref)

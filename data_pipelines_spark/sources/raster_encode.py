@@ -655,9 +655,13 @@ def encode_grib2(
     ``packing`` selects the data representation: ``"simple"`` (template
     5.0, fixed ``nbits`` fields), ``"complex"`` (template 5.2,
     ``group_len``-run group splitting with per-group references and
-    widths), or ``"complex_sd"`` (template 5.3, complex packing over
+    widths), ``"complex_sd"`` (template 5.3, complex packing over
     ``sd_order``-order spatial differences — the encoding operational
-    ECMWF products use; typically the smallest on smooth fields).
+    ECMWF products use; typically the smallest on smooth fields), or
+    ``"png"`` (template 5.41, NOAA MRMS-style: the integer field as a
+    PNG image — gray 8/16-bit or RGB/RGBA carrying 24/32-bit values,
+    depth picked from ``nbits``; bitmapped messages pack the present
+    points as an Nx1 image, the g2lib convention).
 
     Each message is ``(member, values[nj, ni])``; ``member=None`` emits
     a non-ensemble product. NaN cells are encoded through a real
@@ -691,7 +695,7 @@ def encode_grib2(
         x = np.rint((scaled - ref) / 2.0 ** e_scale).astype(np.int64)
         if x.size and x.min() < 0:
             raise ValueError(f"negative packed value {x.min()}")
-        if packing == "simple" and x.size and x.max() >= (1 << nbits):
+        if packing in ("simple", "png") and x.size and x.max() >= (1 << nbits):
             raise ValueError(
                 f"packed values outside {nbits}-bit range: "
                 f"[{x.min()}, {x.max()}]"
@@ -732,6 +736,36 @@ def encode_grib2(
             shifts = np.arange(nbits - 1, -1, -1, dtype=np.int64)
             bits = ((x[:, None] >> shifts) & 1).astype(np.uint8).ravel()
             packed = np.packbits(bits).tobytes()
+        elif packing == "png":
+            from data_pipelines_spark.operators.multimodal import encode_png
+
+            if nbits > 32:
+                raise ValueError(f"PNG packing caps at 32 bits, got {nbits}")
+            shape = (nj, ni) if present.all() else (max(n_packed, 1), 1)
+            xv = x if x.size else np.zeros(1, dtype=np.int64)
+            if nbits <= 8:
+                img = xv.astype("u1").reshape(shape)
+            elif nbits <= 16:
+                img = xv.astype("u2").reshape(shape)
+            else:
+                ch = 3 if nbits <= 24 else 4
+                shifts = np.arange(ch - 1, -1, -1, dtype=np.int64) * 8
+                img = (
+                    ((xv[:, None] >> shifts) & 0xFF)
+                    .astype("u1")
+                    .reshape(*shape, ch)
+                )
+            packed = encode_png(img)
+            depth_bits = 8 if nbits <= 8 else (
+                16 if nbits <= 16 else (24 if nbits <= 24 else 32)
+            )
+            sec5 = (
+                struct.pack(">IBIH", 21, 5, n_packed, 41)
+                + struct.pack(">f", ref)
+                + _sm_bytes(e_scale, 2)
+                + _sm_bytes(d_scale, 2)
+                + bytes([depth_bits, 0])
+            )
         elif packing in ("complex", "complex_sd"):
             if packing == "complex_sd" and sd_order not in (1, 2):
                 raise ValueError(f"sd_order must be 1 or 2, got {sd_order}")

@@ -167,6 +167,11 @@ _RASTER_SQL = """
     FROM buckets, range(0, 2) mm(m)
     WHERE NOT (m = 1 AND i = 21)
     UNION ALL
+    SELECT 'grib_png', COUNT(*), CAST(SUM(val + 3 + 9 * m) AS BIGINT),
+           ROUND(SUM((val + 3 + 9 * m) * lon + m * lat), 6)
+    FROM buckets, range(0, 2) mm(m)
+    WHERE NOT (m = 0 AND i = 33)
+    UNION ALL
     SELECT 'tiff_f', COUNT(*), CAST(SUM(val + 0.25) AS BIGINT),
            ROUND(SUM((val + 0.25) * lon), 6)
     FROM buckets
@@ -226,6 +231,11 @@ def raster_roundtrip(spark, sf_dir):
       variable-width fields, ragged 7-run groups, sign-magnitude
       descriptors, and a bitmap hole at bucket 21 in member 1 (+2/+7
       offsets).
+    - ``grib_png``: the same two-member grid through data template
+      5.41 (PNG packing — the field as a 16-bit grayscale PNG via the
+      engine's own stdlib-zlib PNG kernel; bitmapped member packs
+      present points as an Nx1 image, hole at bucket 33 in member 0,
+      +3/+12 offsets).
     - ``tiff_f``: the +0.25-shifted grid as float32 behind
       PREDICTOR=3 (the TechNote-3 floating-point predictor:
       byte-plane split + byte differencing) over DEFLATE tiles.
@@ -352,6 +362,18 @@ def raster_roundtrip(spark, sf_dir):
                 )
             )
 
+        pm0 = vals + 3.0
+        pm0[4, 1] = np.nan  # bucket 33 -> bitmap hole in member 0
+        grib_png = os.path.join(tmp, "g_png.grib2")
+        with open(grib_png, "wb") as f:
+            f.write(
+                encode_grib2(
+                    [(0, pm0), (1, vals + 12.0)],
+                    lat0=50.0, lon0=10.0, dlat=0.5, dlon=0.25,
+                    nbits=12, packing="png",
+                )
+            )
+
         tif_f = os.path.join(tmp, "g_f.tif")
         with open(tif_f, "wb") as f:
             f.write(
@@ -408,6 +430,10 @@ def raster_roundtrip(spark, sf_dir):
             .unionByName(norm(read_grib_ensemble(spark, grib_cx,
                                                  value_var="val"),
                               "grib_cx", "val", "latitude", "longitude",
+                              member_col="number"))
+            .unionByName(norm(read_grib_ensemble(spark, grib_png,
+                                                 value_var="val"),
+                              "grib_png", "val", "latitude", "longitude",
                               member_col="number"))
             .unionByName(norm(read_geotiff(spark, tif_f, value_col="val"),
                               "tiff_f", "val", "y", "x"))

@@ -185,8 +185,11 @@ def test_wav_decode_and_audio_features(spark):
 
 
 def _encode_png(arr: "np.ndarray", color: int, plte: bytes | None = None) -> bytes:
-    """Test-side PNG encoder: cycles through all five scanline filters
-    so the decoder's Sub/Up/Average/Paeth paths all get exercised."""
+    """Test-side PNG encoder, independent of the engine's: cycles
+    through all five scanline filters so the decoder's
+    Sub/Up/Average/Paeth paths all get exercised. Filters operate on
+    the raw byte stream with the left neighbor one pixel-byte-width
+    back (the spec's rule), so 8- and 16-bit samples share the path."""
     import struct
     import zlib
 
@@ -203,26 +206,31 @@ def _encode_png(arr: "np.ndarray", color: int, plte: bytes | None = None) -> byt
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    depth = arr.dtype.itemsize * 8
+    bpp = c * arr.dtype.itemsize
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    byte_rows = (
+        arr.astype(">u2" if depth == 16 else "u1").view("u1").reshape(h, -1)
+    )
     raw = bytearray()
-    prev = np.zeros(w * c, dtype=np.int32)
+    prev = np.zeros(w * bpp, dtype=np.int32)
     for y in range(h):
-        line = arr[y].reshape(-1).astype(np.int32)
+        line = byte_rows[y].astype(np.int32)
         f = y % 5
         if f == 0:
             filt = line
         elif f == 1:  # Sub
-            a = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            a = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
             filt = line - a
         elif f == 2:  # Up
             filt = line - prev
         elif f == 3:  # Average
-            a = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            a = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
             filt = line - ((a + prev) >> 1)
         else:  # Paeth
-            a = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            a = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
             b = prev
-            cc = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+            cc = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
             p = a + b - cc
             pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
             pred = np.where(
@@ -283,13 +291,13 @@ def test_png_unsupported_profiles_raise(spark):
 
     from data_pipelines_spark.operators.multimodal import decode_png
 
-    # 16-bit IHDR
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # sub-byte depth IHDR (16-bit is now native; 4-bit is not)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     body = (
         struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with _pytest.raises(NotImplementedError, match="16-bit"):
+    with _pytest.raises(NotImplementedError, match="8/16-bit"):
         decode_png(b"\x89PNG\r\n\x1a\n" + body)
     with _pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"JFIF....")
@@ -398,3 +406,53 @@ def test_zorder_key_null_nan_coordinates_yield_null(spark):
     assert got[0] is not None and got[5] == 0
     for i in (1, 2, 3, 4):
         assert got[i] is None, i
+
+
+def test_png_decode_16bit_all_filters(spark):
+    """16-bit gray and RGBA through the INDEPENDENT test-side filterer
+    (all five filters, byte-granularity left neighbor): the decoder
+    must reconstruct the uint16 samples exactly."""
+    import numpy as np
+
+    from data_pipelines_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(23)
+    gray = rng.integers(0, 65536, (11, 7)).astype("u2")
+    assert np.array_equal(decode_png(_encode_png(gray, color=0)), gray)
+    rgba = rng.integers(0, 65536, (9, 5, 4)).astype("u2")
+    assert np.array_equal(decode_png(_encode_png(rgba, color=6)), rgba)
+
+
+def test_png_encode_decode_roundtrip(spark):
+    """The engine's own encoder (Up filter, CRC-checked chunks) against
+    its decoder, every shape/depth combination."""
+    import numpy as np
+
+    from data_pipelines_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    for arr in [
+        rng.integers(0, 256, (7, 9)).astype("u1"),
+        rng.integers(0, 65536, (5, 4)).astype("u2"),
+        rng.integers(0, 256, (6, 3, 3)).astype("u1"),
+        rng.integers(0, 65536, (4, 5, 3)).astype("u2"),
+        rng.integers(0, 256, (3, 2, 4)).astype("u1"),
+        rng.integers(0, 256, (3, 2, 2)).astype("u1"),
+    ]:
+        got = decode_png(encode_png(arr))
+        assert np.array_equal(got, arr), (arr.shape, arr.dtype)
+
+
+def test_png_encode_validation(spark):
+    import numpy as np
+    import pytest
+
+    from data_pipelines_spark.operators.multimodal import encode_png
+
+    with pytest.raises(ValueError, match="uint8/uint16"):
+        encode_png(np.zeros((2, 2), dtype="f4"))
+    with pytest.raises(ValueError, match="shape"):
+        encode_png(np.zeros((2, 2, 5), dtype="u1"))

@@ -978,3 +978,41 @@ def test_zarr_v3_shard_validation():
             {"a": np.arange(4.0), "b": np.arange(4.0)},
             chunks=(3, 2), shards=(4, 4), zarr_format=3, compressor=None,
         )
+
+
+@pytest.mark.parametrize("nbits", [8, 12, 16, 24, 30])
+def test_grib2_png_packing_roundtrip(tmp_path, nbits):
+    """Data template 5.41 (PNG packing, the NOAA MRMS-style encoding):
+    exact round-trip across every PNG depth tier the template maps to
+    (gray 8/16, RGB 24, RGBA 32), with an ensemble pair, decimal
+    scaling, and a bitmap (present points packed as an Nx1 image)."""
+    rng = np.random.default_rng(9)
+    cap = ((1 << nbits) - 1) / 1000.0
+    vals = np.round(
+        rng.uniform(0, cap * 0.9, size=(8, 11)), 3
+    )
+    withnan = vals.copy()
+    withnan[1:3, 4:7] = np.nan
+    blob = encode_grib2(
+        [(0, vals), (1, withnan)],
+        lat0=35.0, lon0=355.0, dlat=0.1, dlon=0.1,
+        d_scale=3, nbits=nbits, packing="png",
+    )
+    path = str(tmp_path / "p.grib2")
+    with open(path, "wb") as f:
+        f.write(blob)
+    msgs = read_grib2_minimal(path)
+    assert [m["member"] for m, *_ in msgs] == [0, 1]
+    for (_m, got, _la, _lo), expect in zip(msgs, (vals, withnan)):
+        assert np.array_equal(np.isnan(got), np.isnan(expect))
+        assert np.allclose(
+            got[~np.isnan(got)], expect[~np.isnan(expect)], atol=1e-9
+        )
+
+
+def test_grib2_png_packing_rejects_wide_values():
+    with pytest.raises(ValueError, match="caps at 32"):
+        encode_grib2(
+            [(None, np.array([[1.0]]))],
+            lat0=0, lon0=0, dlat=1, dlon=1, nbits=33, packing="png",
+        )

@@ -65,7 +65,7 @@ def test_tiff_roundtrip_property(tmp_path_factory, dims, dtype, tiled,
     nbits=st.sampled_from([4, 8, 11, 12, 16, 24]),
     members=st.integers(1, 3),
     nan_frac=st.floats(0.0, 0.5),
-    packing=st.sampled_from(["simple", "complex", "complex_sd"]),
+    packing=st.sampled_from(["simple", "complex", "complex_sd", "png"]),
     group_len=st.integers(1, 30),
     sd_order=st.integers(1, 2),
     seed=st.integers(0, 2**31 - 1),
