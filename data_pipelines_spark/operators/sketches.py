@@ -798,3 +798,114 @@ def quantile_sketch_values(
             ).alias("value")
         )
     )
+
+
+def quantile_sketch_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1e-4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two DDSketch stores sharing
+    one ``alpha``: ``(group_cols..., psi, n_baseline, n_current)`` —
+    :func:`histogram_drift`'s contract on the RELATIVE-error store
+    (log buckets adapt to the data, so long-tailed positives drift-
+    check without choosing a domain up front; a mass shift into
+    never-before-seen magnitudes shows up as new buckets rather than
+    clamped edge mass).
+
+    The support is the UNION of the two sides' (side, bucket) keys per
+    group; a bucket absent on one side takes the ``epsilon`` share
+    floor (standard PSI smoothing). Per-group terms are summed over a
+    SORTED in-row array — bucket counts are range-bounded, never
+    data-sized — so the float sum has one fixed order and independent
+    engines (and re-runs under different partitionings) reproduce the
+    rounded result exactly. Groups present on one side only report
+    NULL psi (appearance IS the signal; the mass columns carry it).
+    """
+    b = merge_quantile_sketches(baseline, group_cols)
+    c = merge_quantile_sketches(current, group_cols)
+
+    def prepped(df, side_name):
+        tot = (
+            df.groupBy(*group_cols)
+            .agg(F.sum("cnt").cast("long").alias(f"n_{side_name}"))
+        )
+        return df, tot
+
+    b, bt = prepped(b, "baseline")
+    c, ct = prepped(c, "current")
+
+    bkeyed = b.select(
+        *[F.col(g).alias(f"__gb_{g}") for g in group_cols],
+        F.col("side").alias("__sb"),
+        F.col("bucket").alias("__bb"),
+        F.col("cnt").alias("__cb"),
+    )
+    ckeyed = c.select(
+        *[F.col(g).alias(f"__gc_{g}") for g in group_cols],
+        F.col("side").alias("__sc"),
+        F.col("bucket").alias("__bc"),
+        F.col("cnt").alias("__cc"),
+    )
+    cond = (F.col("__sb") == F.col("__sc")) & (F.col("__bb") == F.col("__bc"))
+    for g in group_cols:
+        cond = cond & F.col(f"__gb_{g}").eqNullSafe(F.col(f"__gc_{g}"))
+    joined = bkeyed.join(ckeyed, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__gb_{g}"), F.col(f"__gc_{g}")).alias(g)
+            for g in group_cols
+        ],
+        F.coalesce(F.col("__sb"), F.col("__sc")).alias("__side"),
+        F.coalesce(F.col("__bb"), F.col("__bc")).alias("__bucket"),
+        F.coalesce(F.col("__cb"), F.lit(0)).cast("long").alias("__cb2"),
+        F.coalesce(F.col("__cc"), F.lit(0)).cast("long").alias("__cc2"),
+    )
+
+    def attach(df, tot, names):
+        t = tot.select(
+            *[F.col(g).alias(f"__tg_{g}") for g in group_cols],
+            *names,
+        )
+        jc = F.lit(True)
+        for g in group_cols:
+            jc = jc & F.col(g).eqNullSafe(F.col(f"__tg_{g}"))
+        return df.join(F.broadcast(t), jc, "left").drop(
+            *[f"__tg_{g}" for g in group_cols]
+        )
+
+    joined = attach(joined, bt, ["n_baseline"])
+    joined = attach(joined, ct, ["n_current"])
+
+    q = F.greatest(
+        F.lit(float(epsilon)),
+        F.col("__cb2").cast("double") / F.col("n_baseline").cast("double"),
+    )
+    p = F.greatest(
+        F.lit(float(epsilon)),
+        F.col("__cc2").cast("double") / F.col("n_current").cast("double"),
+    )
+    term = F.struct(
+        F.col("__side"), F.col("__bucket"), ((p - q) * F.log(p / q)).alias("t")
+    )
+    agg = joined.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(term)).alias("__terms"),
+        F.max("n_baseline").alias("n_baseline"),
+        F.max("n_current").alias("n_current"),
+    )
+    psi = F.round(
+        F.aggregate(
+            F.col("__terms"), F.lit(0.0), lambda a, x: a + x["t"]
+        ),
+        round_to,
+    )
+    return agg.select(
+        *group_cols,
+        F.when(
+            F.col("n_baseline").isNotNull() & F.col("n_current").isNotNull(),
+            psi,
+        ).alias("psi"),
+        F.coalesce(F.col("n_baseline"), F.lit(0)).cast("long").alias("n_baseline"),
+        F.coalesce(F.col("n_current"), F.lit(0)).cast("long").alias("n_current"),
+    )

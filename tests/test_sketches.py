@@ -800,3 +800,68 @@ class TestQuantileSketch:
         assert b.exceptAll(a).count() == 0
         empty = quantile_sketch(df.where("v > 1e18"), ["g"], "v")
         assert empty.count() == 0
+
+
+class TestQuantileSketchDrift:
+    """PSI over DDSketch stores: zero on identical data, monotone with
+    shift, one-sided groups NULL, partition-invariant sums."""
+
+    def _store(self, spark, mean, n=2000, seed=3, g="a"):
+        import numpy as np
+
+        from data_pipelines_spark.operators.sketches import quantile_sketch
+
+        rng = np.random.default_rng(seed)
+        vals = np.exp(rng.normal(mean, 0.8, n))
+        df = spark.createDataFrame(
+            [(g, float(v)) for v in vals], "g string, v double"
+        )
+        return quantile_sketch(df, ["g"], "v", alpha=0.05)
+
+    def test_zero_on_identical_and_monotone_with_shift(self, spark):
+        from data_pipelines_spark.operators.sketches import (
+            quantile_sketch_drift,
+        )
+
+        base = self._store(spark, 2.0)
+        same = quantile_sketch_drift(base, base, ["g"]).collect()[0]
+        assert same["psi"] == 0.0
+        assert same["n_baseline"] == same["n_current"] == 2000
+        small = quantile_sketch_drift(
+            base, self._store(spark, 2.2, seed=4), ["g"]
+        ).collect()[0]["psi"]
+        big = quantile_sketch_drift(
+            base, self._store(spark, 4.0, seed=4), ["g"]
+        ).collect()[0]["psi"]
+        assert 0.0 < small < big
+        assert big > 0.25  # "shifted" by the standard thresholds
+
+    def test_one_sided_group_null(self, spark):
+        from data_pipelines_spark.operators.sketches import (
+            quantile_sketch_drift,
+        )
+
+        base = self._store(spark, 2.0, g="only_base")
+        cur = self._store(spark, 2.0, g="only_cur")
+        rows = {
+            r["g"]: r for r in quantile_sketch_drift(base, cur, ["g"]).collect()
+        }
+        assert rows["only_base"]["psi"] is None
+        assert rows["only_base"]["n_current"] == 0
+        assert rows["only_cur"]["psi"] is None
+        assert rows["only_cur"]["n_baseline"] == 0
+
+    def test_partition_invariance(self, spark):
+        from data_pipelines_spark.operators.sketches import (
+            quantile_sketch_drift,
+        )
+
+        base = self._store(spark, 2.0)
+        cur = self._store(spark, 2.5, seed=9)
+        a = quantile_sketch_drift(
+            base.repartition(1), cur.repartition(1), ["g"]
+        ).collect()[0]["psi"]
+        bb = quantile_sketch_drift(
+            base.repartition(11), cur.repartition(7), ["g"]
+        ).collect()[0]["psi"]
+        assert a == bb
