@@ -287,6 +287,70 @@ SELECT 'dds:merge_ok', CAST(0 AS BIGINT),
                                    AS INT) END)),
        TRUE, CAST(NULL AS DOUBLE)
 UNION ALL
+-- PSI drift between the orderkey-parity halves over the DDSketch log
+-- buckets (quantile_sketch_drift's arithmetic restated: support =
+-- union of both halves' buckets = the full store's buckets,
+-- epsilon-floored shares, rounded to 6)
+SELECT 'dds:drift_psi', CAST(NULL AS BIGINT),
+       CAST((SELECT count(l_extendedprice) FROM lineitem) AS BIGINT),
+       CAST(NULL AS BOOLEAN),
+       (SELECT round(sum((p - q) * ln(p / q)), 6)
+        FROM (
+            SELECT greatest(1e-4, CAST(coalesce(b.cnt, 0) AS DOUBLE)
+                       / (SELECT count(*) FROM lineitem
+                          WHERE l_orderkey % 2 = 0
+                            AND l_extendedprice IS NOT NULL
+                            AND NOT isnan(l_extendedprice))) AS q,
+                   greatest(1e-4, CAST(coalesce(c.cnt, 0) AS DOUBLE)
+                       / (SELECT count(*) FROM lineitem
+                          WHERE l_orderkey % 2 = 1
+                            AND l_extendedprice IS NOT NULL
+                            AND NOT isnan(l_extendedprice))) AS p
+            FROM (
+                SELECT DISTINCT
+                       CASE WHEN p2 > 0 THEN 1 WHEN p2 < 0 THEN -1
+                            ELSE 0 END AS side,
+                       CASE WHEN p2 = 0 THEN 0
+                            ELSE CAST(CEIL(ROUND(LN(ABS(p2))
+                                                 / {_DDS_LN_GAMMA!r}, 12))
+                                      AS INT) END AS bucket
+                FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS p2
+                      FROM lineitem
+                      WHERE l_extendedprice IS NOT NULL
+                        AND NOT isnan(l_extendedprice))
+            ) k
+            LEFT JOIN (
+                SELECT CASE WHEN p2 > 0 THEN 1 WHEN p2 < 0 THEN -1
+                            ELSE 0 END AS side,
+                       CASE WHEN p2 = 0 THEN 0
+                            ELSE CAST(CEIL(ROUND(LN(ABS(p2))
+                                                 / {_DDS_LN_GAMMA!r}, 12))
+                                      AS INT) END AS bucket,
+                       count(*) AS cnt
+                FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS p2
+                      FROM lineitem
+                      WHERE l_orderkey % 2 = 0
+                        AND l_extendedprice IS NOT NULL
+                        AND NOT isnan(l_extendedprice))
+                GROUP BY 1, 2
+            ) b USING (side, bucket)
+            LEFT JOIN (
+                SELECT CASE WHEN p2 > 0 THEN 1 WHEN p2 < 0 THEN -1
+                            ELSE 0 END AS side,
+                       CASE WHEN p2 = 0 THEN 0
+                            ELSE CAST(CEIL(ROUND(LN(ABS(p2))
+                                                 / {_DDS_LN_GAMMA!r}, 12))
+                                      AS INT) END AS bucket,
+                       count(*) AS cnt
+                FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS p2
+                      FROM lineitem
+                      WHERE l_orderkey % 2 = 1
+                        AND l_extendedprice IS NOT NULL
+                        AND NOT isnan(l_extendedprice))
+                GROUP BY 1, 2
+            ) c USING (side, bucket)
+        ))
+UNION ALL
 SELECT 'dds:l_extendedprice:p50_ok', CAST(NULL AS BIGINT),
        CAST((SELECT count(l_extendedprice) FROM lineitem) AS BIGINT),
        TRUE, CAST(NULL AS DOUBLE)
@@ -450,6 +514,16 @@ def quality_report(spark, sf_dir):
         )
     )
 
+    from data_pipelines_spark.operators.sketches import quantile_sketch_drift
+
+    drift_dds = quantile_sketch_drift(dds_h0, dds_h1, []).select(
+        F.lit("dds:drift_psi").alias("rule"),
+        F.lit(None).cast("long").alias("violations"),
+        (F.col("n_baseline") + F.col("n_current")).cast("long").alias("total"),
+        F.lit(None).cast("boolean").alias("passed"),
+        F.col("psi").alias("metric"),
+    )
+
     est = quantile_sketch_values(dds, [], [0.5, 0.99], alpha)
     v = F.col("l_extendedprice").cast("double")
     # Guarantee check as rank arithmetic: est within [x_k(1-a),
@@ -496,6 +570,7 @@ def quality_report(spark, sf_dir):
         .unionByName(drift_row)
         .unionByName(dds_rows)
         .unionByName(merge_row)
+        .unionByName(drift_dds)
         .unionByName(guard_rows)
     )
 
