@@ -978,3 +978,180 @@ def sample_token_budget(
             "__coin", "__w", "__before"
         )
     return summed.where(keep).drop("__coin", "__w", "__before")
+
+
+def _dsir_bucket(gram: Column, num_buckets: int, portable: bool) -> Column:
+    """Hashed-feature bucket of an n-gram string (the DSIR feature
+    space). Portable path = first 8 md5 hex chars, the engine's usual
+    SQL-replayable convention (`sketches._cms_bucket`)."""
+    if portable:
+        h = F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit("dsir:"), gram), "UTF-8")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(gram, F.lit(7))
+    return F.pmod(h, F.lit(int(num_buckets))).cast("int")
+
+
+def _dsir_grams(
+    df: DataFrame, text_col: str, max_ngram: int
+) -> Column:
+    """All 1..max_ngram word grams of ``text_col`` as one array —
+    unigrams + bigrams is the DSIR paper's feature set."""
+    toks = tokens(F.lower(F.col(text_col)))
+    parts = [_word_ngrams_from_tokens(F.col("__toks"), k)
+             for k in range(1, max_ngram + 1)]
+    return toks, (parts[0] if len(parts) == 1 else F.concat(*parts))
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ngram: int = 2,
+    num_buckets: int = 10_000,
+    smoothing: float = 1.0,
+    decimals: int = 6,
+    portable: bool = True,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every ``raw`` document by how much more likely its hashed-n-gram
+    features are under the ``target`` domain than under the raw pool —
+    ``(id_col, n_features, dsir_logweight)``, higher = more
+    target-like. Select with :func:`importance_resample` (the paper's
+    Gumbel resampling step) or a plain weight-ordered head.
+
+    Model (the paper's): features are word 1..``max_ngram``-grams
+    hashed into ``num_buckets`` buckets; each corpus fits a bag-of-
+    buckets multinomial with add-``smoothing`` regularization;
+    ``dsir_logweight = Σ_grams ln(p_target(b)/p_raw(b))``.
+
+    Plan shape at 100 TB: two map-side-combined bucket wordcounts (the
+    feature distributions are ≤ ``num_buckets`` rows each — broadcast
+    size by construction, no driver collect), one broadcast join of
+    the raw gram stream against the ratio table, one groupBy(doc).
+    Engine-portability: per-bucket log ratios round to ``decimals``
+    and per-doc sums run in DECIMAL (`unigram_logprob`'s contract), so
+    an external engine replays weights bit-for-bit. Documents with
+    zero tokens get no row (no features = no evidence).
+    """
+    if max_ngram < 1:
+        raise ValueError(f"max_ngram must be >= 1, got {max_ngram}")
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    if smoothing <= 0:
+        raise ValueError(
+            f"smoothing must be positive (the model is undefined on "
+            f"unseen buckets otherwise), got {smoothing}"
+        )
+
+    def bucket_stream(df: DataFrame, cols: list) -> DataFrame:
+        toks, grams = _dsir_grams(df, text_col, max_ngram)
+        return (
+            df.withColumn("__toks", toks)
+            .select(*cols, F.explode(grams).alias("__g"))
+            .select(
+                *cols, _dsir_bucket(F.col("__g"), num_buckets, portable)
+                .alias("bucket"),
+            )
+        )
+
+    def dist(df: DataFrame, cnt_name: str, tot_name: str):
+        counts = bucket_stream(df, []).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(cnt_name)
+        )
+        total = counts.agg(
+            F.coalesce(F.sum(cnt_name), F.lit(0)).alias(tot_name)
+        )
+        return counts, total
+
+    tc, tt = dist(target, "__ct", "__tt")
+    rc, rt = dist(raw, "__cr", "__tr")
+    lam = float(smoothing)
+    b = float(num_buckets)
+    ratio = (
+        rc.join(tc, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(lam))
+                        / (F.col("__tt") + F.lit(lam * b))
+                    )
+                    / (
+                        (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(lam))
+                        / (F.col("__tr") + F.lit(lam * b))
+                    )
+                ),
+                decimals,
+            ).cast("decimal(28,8)").alias("__lr"),
+        )
+    )
+    return (
+        bucket_stream(raw, [id_col])
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.round(F.sum("__lr").cast("double"), decimals).alias(
+                "dsir_logweight"
+            ),
+        )
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "dsir",
+) -> DataFrame:
+    """Deterministic Gumbel top-k: sample ``k`` rows WITHOUT
+    replacement with probability proportional to ``exp(weight_col)`` —
+    the DSIR paper's importance-resampling step, made replayable: the
+    Gumbel noise comes from a content-derived md5 uniform (same
+    coin-order convention as `hash_fraction`/`sample_exact_k`), so the
+    selection is a pure function of (data, seed), identical on any
+    partitioning and replayable by an external engine. Returns the
+    input rows plus ``gumbel_key``, ordered by it descending.
+
+    Plan shape: one narrow map (the key) + TakeOrdered top-k — no
+    single-partition global sort.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.lit(f"{seed}:"), F.col(id_col).cast("string")
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(2.0 ** 32 + 2.0)
+    key = F.round(
+        F.col(weight_col).cast("double") - F.log(-F.log(u)), 9
+    )
+    return (
+        df.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.col(id_col))
+        .limit(int(k))
+    )

@@ -434,6 +434,58 @@ _CURATION_SQL = rf"""
                               chr(10) ORDER BY s)) AS chunks_md5
         FROM chunk_rows
         GROUP BY doc_id
+    ),
+    dsir_target_g AS (
+        SELECT unnest(list_concat(toks, {_grams_sql(2)})) AS g
+        FROM (SELECT {_TOKS} AS toks FROM documents
+              WHERE doc_id < {_BENCH_MAX_ID})
+    ),
+    dsir_raw_g AS (
+        SELECT doc_id,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       string_split(substr(md5('dsir:' || g), 1, 8), ''),
+                       ch -> CAST(instr('0123456789abcdef', ch) - 1
+                                  AS BIGINT))),
+                   (a, x) -> a * 16 + x) % 10000 AS INT) AS bucket
+        FROM (
+            SELECT doc_id, unnest(list_concat(toks, {_grams_sql(2)})) AS g
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM corpus)
+        )
+    ),
+    dsir_target_b AS (
+        SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       string_split(substr(md5('dsir:' || g), 1, 8), ''),
+                       ch -> CAST(instr('0123456789abcdef', ch) - 1
+                                  AS BIGINT))),
+                   (a, x) -> a * 16 + x) % 10000 AS INT) AS bucket,
+               count(*) AS ct
+        FROM dsir_target_g GROUP BY 1
+    ),
+    dsir_raw_b AS (
+        SELECT bucket, count(*) AS cr FROM dsir_raw_g GROUP BY 1
+    ),
+    dsir_tt AS (
+        SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS tt FROM dsir_target_b
+    ),
+    dsir_tr AS (
+        SELECT CAST(coalesce(sum(cr), 0) AS DOUBLE) AS tr FROM dsir_raw_b
+    ),
+    dsir_ratio AS (
+        SELECT bucket,
+               CAST(round(ln(((coalesce(ct, 0) + 1.0) / (tt + 10000.0))
+                             / ((coalesce(cr, 0) + 1.0) / (tr + 10000.0))),
+                          6) AS DECIMAL(28,8)) AS lr
+        FROM dsir_raw_b
+        FULL OUTER JOIN dsir_target_b USING (bucket), dsir_tt, dsir_tr
+    ),
+    dsir AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS dsir_features,
+               round(CAST(sum(lr) AS DOUBLE), 6) AS dsir_logweight
+        FROM dsir_raw_g JOIN dsir_ratio USING (bucket)
+        GROUP BY doc_id
     )
     SELECT d.doc_id, d.source, d.keep_sample, d.matched_ngrams,
            CAST(cl.n_lines AS BIGINT) AS n_lines,
@@ -443,12 +495,14 @@ _CURATION_SQL = rf"""
            COALESCE(l.n_tokens, 0) AS n_tokens,
            l.lm_logprob10,
            p.seq_id, p.seq_off, p.seq_spans,
-           ck.n_chunks, ck.chunk_tokens_total, ck.chunks_md5
+           ck.n_chunks, ck.chunk_tokens_total, ck.chunks_md5,
+           ds.dsir_features, ds.dsir_logweight
     FROM decided d
     JOIN cleaned cl ON d.doc_id = cl.doc_id
     LEFT JOIN lm l ON d.doc_id = l.doc_id
     LEFT JOIN packed p ON d.doc_id = p.doc_id
     LEFT JOIN chunked ck ON d.doc_id = ck.doc_id
+    LEFT JOIN dsir ds ON d.doc_id = ds.doc_id
 """
 
 
@@ -480,6 +534,14 @@ def corpus_doc_curation(spark, sf_dir):
       CURATED subset (keep_sample, uncontaminated) into 512-token
       training sequences per source stream; null for dropped docs.
       Two-phase running sum — no one-partition-per-stream window.
+    - ``dsir_features`` / ``dsir_logweight`` — DSIR importance weights
+      (`operators.corpus.dsir_importance_weights`, Xie et al. NeurIPS
+      2023): every corpus doc scored by how much likelier its hashed
+      1-2-gram features are under the held-out benchmark docs (the
+      target domain) than under the corpus itself — the data-selection
+      score `importance_resample` consumes. Portable md5 buckets,
+      round-6 log ratios, DECIMAL sums: the oracle replays the feature
+      hash, both multinomials, the smoothing, and every per-doc sum.
     - ``n_chunks`` / ``chunk_tokens_total`` / ``chunks_md5`` —
       retrieval-index chunking (`operators.corpus.chunk_documents`,
       32-token windows, 8-token overlap): chunk count, total window
@@ -492,6 +554,7 @@ def corpus_doc_curation(spark, sf_dir):
     """
     from data_pipelines_spark.operators.corpus import (
         chunk_documents,
+        dsir_importance_weights,
         pack_sequences,
         remove_boilerplate_lines,
         unigram_logprob,
@@ -526,6 +589,10 @@ def corpus_doc_curation(spark, sf_dir):
     )
     cleaned = remove_boilerplate_lines(corpus, min_doc_count=2)
     lm = unigram_logprob(corpus)
+    dsir = dsir_importance_weights(
+        corpus, bench, max_ngram=2, num_buckets=10_000,
+        smoothing=1.0, portable=True,
+    )
 
     decided = (
         corpus.join(flagged, "doc_id", "left")
@@ -575,6 +642,15 @@ def corpus_doc_curation(spark, sf_dir):
         .join(lm, "doc_id", "left")
         .join(packed, "doc_id", "left")
         .join(chunk_summary, "doc_id", "left")
+        .join(
+            dsir.select(
+                "doc_id",
+                F.col("n_features").alias("dsir_features"),
+                "dsir_logweight",
+            ),
+            "doc_id",
+            "left",
+        )
         .select(
             "doc_id",
             "source",
@@ -591,5 +667,7 @@ def corpus_doc_curation(spark, sf_dir):
             "n_chunks",
             "chunk_tokens_total",
             "chunks_md5",
+            "dsir_features",
+            "dsir_logweight",
         )
     )

@@ -1186,3 +1186,144 @@ def test_chunk_documents_stopping_rule_exhaustive(spark):
                 assert not any(
                     a != b and b[0] <= a[0] and a[1] <= b[1] for b in ranges
                 ), (chunk, overlap, n, a)
+
+
+class TestDsir:
+    """DSIR importance weights + Gumbel resampling
+    (operators/corpus.py): target-likeness ordering, the exact
+    multinomial arithmetic on a tiny hand-checkable case, empty-doc
+    and partition-invariance contracts, deterministic resampling."""
+
+    def _corpora(self, spark):
+        target = spark.createDataFrame(
+            [(i, "quantum decoherence in superconducting qubits")
+             for i in range(8)],
+            "doc_id long, text string",
+        )
+        raw = spark.createDataFrame(
+            [
+                (1, "decoherence rates in superconducting qubits"),
+                (2, "buy cheap watches free shipping click now"),
+                (3, ""),
+                (4, "quantum decoherence in superconducting qubits"),
+            ],
+            "doc_id long, text string",
+        )
+        return raw, target
+
+    def test_target_like_docs_outscore(self, spark):
+        from data_pipelines_spark.operators.corpus import (
+            dsir_importance_weights,
+        )
+
+        raw, target = self._corpora(spark)
+        rows = {
+            r["doc_id"]: r
+            for r in dsir_importance_weights(raw, target).collect()
+        }
+        assert 3 not in rows  # no tokens, no evidence
+        assert rows[4]["dsir_logweight"] > rows[1]["dsir_logweight"] > 0
+        assert rows[2]["dsir_logweight"] < 0
+        # unigram + bigram feature count: n + (n-1)
+        assert rows[4]["n_features"] == 5 + 4
+
+    def test_matches_python_reference(self, spark):
+        """Exact replay of the model in plain Python: md5 buckets,
+        add-1 smoothed multinomials, round-6 log ratios, summed."""
+        import hashlib
+        import math
+
+        from data_pipelines_spark.operators.corpus import (
+            dsir_importance_weights,
+        )
+
+        raw, target = self._corpora(spark)
+        B, lam = 100, 0.5
+
+        def grams(text):
+            t = text.lower().split()
+            return t + [" ".join(p) for p in zip(t, t[1:])]
+
+        def bucket(g):
+            return int(
+                hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:8], 16
+            ) % B
+
+        t_rows = [r["text"] for r in target.collect()]
+        r_rows = [(r["doc_id"], r["text"]) for r in raw.collect()]
+        ct, cr = {}, {}
+        for txt in t_rows:
+            for g in grams(txt):
+                ct[bucket(g)] = ct.get(bucket(g), 0) + 1
+        for _i, txt in r_rows:
+            for g in grams(txt):
+                cr[bucket(g)] = cr.get(bucket(g), 0) + 1
+        tt, tr = sum(ct.values()), sum(cr.values())
+
+        def lr(b):
+            return round(
+                math.log(
+                    ((ct.get(b, 0) + lam) / (tt + lam * B))
+                    / ((cr.get(b, 0) + lam) / (tr + lam * B))
+                ),
+                6,
+            )
+
+        expect = {
+            i: round(sum(lr(bucket(g)) for g in grams(txt)), 6)
+            for i, txt in r_rows
+            if txt.strip()
+        }
+        got = {
+            r["doc_id"]: r["dsir_logweight"]
+            for r in dsir_importance_weights(
+                raw, target, num_buckets=B, smoothing=lam
+            ).collect()
+        }
+        assert got == expect
+
+    def test_partition_invariance(self, spark):
+        from data_pipelines_spark.operators.corpus import (
+            dsir_importance_weights,
+        )
+
+        raw, target = self._corpora(spark)
+        a = dsir_importance_weights(raw, target)
+        b = dsir_importance_weights(
+            raw.repartition(7), target.repartition(5)
+        )
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_resample_deterministic_and_weight_sensitive(self, spark):
+        from data_pipelines_spark.operators.corpus import importance_resample
+
+        df = spark.createDataFrame(
+            [(1, 50.0), (2, -50.0), (3, 49.0), (4, -49.0)],
+            "doc_id long, w double",
+        )
+        s1 = [r["doc_id"] for r in importance_resample(df, "w", 2).collect()]
+        s2 = [
+            r["doc_id"]
+            for r in importance_resample(df.repartition(3), "w", 2).collect()
+        ]
+        assert s1 == s2
+        # 100-nat gaps dwarf Gumbel noise: the heavy docs always win
+        assert set(s1) == {1, 3}
+        import pytest
+
+        with pytest.raises(ValueError, match="k must be positive"):
+            importance_resample(df, "w", 0)
+
+    def test_validation(self, spark):
+        import pytest
+
+        from data_pipelines_spark.operators.corpus import (
+            dsir_importance_weights,
+        )
+
+        raw, target = self._corpora(spark)
+        with pytest.raises(ValueError, match="max_ngram"):
+            dsir_importance_weights(raw, target, max_ngram=0)
+        with pytest.raises(ValueError, match="smoothing"):
+            dsir_importance_weights(raw, target, smoothing=0.0)
