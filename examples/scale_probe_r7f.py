@@ -157,6 +157,42 @@ def probe_ddsketch() -> None:
     spark.stop()
 
 
+def probe_dsir() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from data_pipelines_spark.operators.corpus import dsir_importance_weights
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    target = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(words + " target domain phrase").alias("text"),
+    )
+    for n in (100_000, 1_000_000):
+        raw = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(words + " "), (F.col("id") % 9973).cast("string"),
+                F.lit(" "), (F.col("id") % 97).cast("string"),
+            ).alias("text"),
+        )
+        t = best_of(
+            lambda raw=raw: dsir_importance_weights(raw, target)
+            .agg(F.sum("dsir_logweight"))
+            .collect(),
+            n=2,
+        )
+        print(f"dsir weights       n={n:>8}  score={t:6.2f}s")
+    spark.stop()
+
+
 if __name__ == "__main__":
     probe_codecs()
     probe_ddsketch()
+    probe_dsir()

@@ -1327,3 +1327,29 @@ class TestDsir:
             dsir_importance_weights(raw, target, max_ngram=0)
         with pytest.raises(ValueError, match="smoothing"):
             dsir_importance_weights(raw, target, smoothing=0.0)
+
+
+def test_dsir_plan_gram_join_broadcasts(spark):
+    """100 TB plan pin: the data-sized gram stream joins the ratio
+    table by BROADCAST (the table is <= num_buckets rows by
+    construction); the only sort-merge join is the FullOuter build of
+    that bounded table. A regression that flips the gram join to SMJ
+    (e.g. losing the broadcast hint) changes both counts."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.operators.corpus import dsir_importance_weights
+    from data_pipelines_spark.plans.audit import plan_string
+
+    raw = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma "), F.col("id").cast("string"))
+        .alias("text"),
+    )
+    target = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.lit("alpha beta target").alias("text")
+    )
+    out = dsir_importance_weights(raw, target, num_buckets=100)
+    out.collect()  # materialize so the AQE-final plan exists
+    plan = plan_string(out, final_only=True)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("SortMergeJoin") <= 1  # only the bounded FullOuter
