@@ -10,11 +10,13 @@ Decode coverage is tiered by what the environment can honestly do:
   parse, real nearest-neighbor resize), 8- and 16-bit PNG (stdlib zlib
   inflate + all five scanline filters, gray/RGB/palette/alpha; encoder
   too — also the kernel behind GRIB2 PNG packing in
-  `sources/raster.py`), baseline JPEG (`operators/jpeg.py` — full
-  Huffman/DCT decode + encoder, 4:4:4 and 4:2:0), and WAV audio
+  `sources/raster.py`), baseline AND progressive JPEG
+  (`operators/jpeg.py` — full Huffman/DCT decode + encoders, 4:4:4
+  and 4:2:0, spectral selection + successive approximation), and WAV
+  audio
   (stdlib `wave` — real sample decode, RMS / zero-crossing features).
   These run end-to-end in tests against byte-assembled files.
-- **Library-gated**: progressive/12-bit JPEG, MP4, Adam7-interlaced
+- **Library-gated**: arithmetic/12-bit JPEG, MP4, Adam7-interlaced
   PNG and friends need PIL/opencv/pyav; `decode_image` raises a
   clearly marked NotImplementedError for them.
 
@@ -270,7 +272,7 @@ def encode_png(arr: "object") -> bytes:
 
 def decode_image(content: bytes) -> "object":
     """Decode an image payload to a numpy array. PNM (P5/P6), PNG
-    (8-bit, via :func:`decode_png`) and baseline JPEG (via
+    (8/16-bit, via :func:`decode_png`) and baseline/progressive JPEG (via
     :func:`~data_pipelines_spark.operators.jpeg.decode_jpeg`) decode
     natively; exotic profiles need a codec library (PIL/opencv) not
     present in this environment."""
@@ -292,7 +294,8 @@ def decode_image(content: bytes) -> "object":
     except ImportError as e:
         raise NotImplementedError(
             "compressed image decode requires a codec library (PIL/opencv); "
-            "PNM, 8-bit PNG and baseline JPEG payloads decode natively"
+            "PNM, 8/16-bit PNG and baseline/progressive JPEG payloads "
+            "decode natively"
         ) from e
 
 

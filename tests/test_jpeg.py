@@ -83,11 +83,88 @@ def test_unsupported_profiles_raise():
     g = np.zeros((8, 8), np.uint8)
     enc = bytearray(encode_jpeg_baseline(g))
     sof = enc.index(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    enc[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG....")
+
+
+def test_progressive_equals_baseline_bitwise():
+    """The headline progressive contract: both encoders quantize to the
+    SAME coefficients, so the progressive stream (DC first/refine, AC
+    first/refine per component, EOB runs, successive approximation)
+    must decode to pixels BIT-IDENTICAL to the baseline stream —
+    across shapes, odd dimensions, subsampling, and quantization."""
+    from data_pipelines_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (rng.integers(0, 256, (16, 24)).astype("u1"), False),
+        (rng.integers(0, 256, (13, 19)).astype("u1"), False),
+        (rng.integers(0, 256, (24, 16, 3)).astype("u1"), False),
+        (rng.integers(0, 256, (21, 18, 3)).astype("u1"), True),
+        ((np.outer(np.arange(32), np.arange(40)) % 256).astype("u1"), False),
+        (np.full((16, 16), 128, "u1"), False),
+        (np.zeros((8, 8), "u1"), False),
+    ]
+    for arr, sub in cases:
+        for qd in (1, 8, 32):
+            b = decode_jpeg(
+                encode_jpeg_baseline(arr, qd, subsample=sub)
+            )
+            p = decode_jpeg(
+                encode_jpeg_progressive(arr, qd, subsample=sub)
+            )
+            assert np.array_equal(b, p), (arr.shape, sub, qd)
+
+
+def test_progressive_eob_runs_and_sparse_blocks():
+    """Sparse content exercises the EOB-run machinery hard: most
+    blocks are all-zero (multi-block EOBRUN in the AC first pass) and
+    the content blocks carry large coefficients whose refinement bits
+    ride the cross-block correction-bit buffer."""
+    from data_pipelines_spark.operators.jpeg import encode_jpeg_progressive
+
+    arr = np.zeros((48, 64), np.uint8)
+    arr[4:12, 8:16] = 255  # one hot block
+    arr[36:44, 48:60] = np.arange(8 * 12).reshape(8, 12) % 256  # another
+    for qd in (1, 8):
+        b = decode_jpeg(encode_jpeg_baseline(arr, qd))
+        p = decode_jpeg(encode_jpeg_progressive(arr, qd))
+        assert np.array_equal(b, p), qd
+    # the progressive stream should also be sane under heavy content
+    dense = (np.indices((40, 40)).sum(0) * 7 % 256).astype("u1")
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_baseline(dense, 4)),
+        decode_jpeg(encode_jpeg_progressive(dense, 4)),
+    )
+
+
+def test_progressive_coefficients_reconstruct_exactly():
+    """Stronger than pixel equality: the decoder's accumulated
+    coefficient store must equal the encoder's quantized coefficients
+    value-for-value (DC successive approximation must be exact for
+    negative DCs too, AC magnitudes exact through first+refine)."""
+    import data_pipelines_spark.operators.jpeg as J
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 256, (19, 27)).astype("u1")
+    _g, _h, _w, _s, _q, zz, _hm, _vm = J._component_zz_blocks(arr, 8, False)
+    blob = J.encode_jpeg_progressive(arr, 8)
+    captured = {}
+    orig = J._finish_progressive
+
+    def capture(frame, coeff, qt):
+        captured["c"] = [c.copy() for c in coeff]
+        return orig(frame, coeff, qt)
+
+    J._finish_progressive = capture
+    try:
+        decode_jpeg(blob)
+    finally:
+        J._finish_progressive = orig
+    assert np.array_equal(captured["c"][0], zz[0])
 
 
 def test_decode_image_dispatch(spark):
