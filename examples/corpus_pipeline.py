@@ -170,6 +170,28 @@ def main() -> None:
               f"near-dup pairs dropped: {pairs.count()}")
         curated.orderBy("source", "doc_id").show(8)
 
+        # --- Targeted data selection (DSIR): score every curated doc
+        # by how target-like its hashed n-gram features are (here the
+        # "target domain" is the docs mentioning the rarest source's
+        # vocabulary), then Gumbel-resample a fixed-size selection
+        # proportional to exp(weight) — deterministic end to end.
+        from data_pipelines_spark.operators.corpus import (
+            dsir_importance_weights,
+            importance_resample,
+        )
+
+        target = curated.orderBy("doc_id").limit(8)
+        weights = dsir_importance_weights(
+            curated, target, num_buckets=1024
+        )
+        picked = importance_resample(weights, "dsir_logweight", k=5)
+        print(
+            "DSIR selection: "
+            f"{picked.count()} of {weights.count()} docs kept "
+            "(top gumbel keys "
+            f"{[round(r['gumbel_key'], 2) for r in picked.collect()][:3]}...)"
+        )
+
         # --- Retrieval prep: chunk the curated docs into overlapping
         # token windows (narrow map), embed every chunk (batched
         # inference — model constructed once per partition; the
