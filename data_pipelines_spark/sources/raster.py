@@ -1109,12 +1109,14 @@ _ZARR3_DTYPES = {
 }
 
 
-def _parse_v3_codecs(codecs) -> tuple[str, bool]:
-    """A Zarr v3 array→bytes codec chain → (endianness, gzipped).
-    Anything beyond ``bytes`` + optional ``gzip`` raises with a
-    pointer to the zarr-python path."""
+def _parse_v3_codecs(codecs) -> tuple[str, bool, list[int] | None]:
+    """A Zarr v3 array→bytes codec chain → (endianness, gzipped,
+    transpose permutation or None). Anything beyond ``transpose`` +
+    ``bytes`` + optional ``gzip`` raises with a pointer to the
+    zarr-python path."""
     endian = "<"
     gzipped = False
+    perm: list[int] | None = None
     for codec in codecs or [{"name": "bytes"}]:
         name = codec.get("name")
         if name == "bytes":
@@ -1122,21 +1124,24 @@ def _parse_v3_codecs(codecs) -> tuple[str, bool]:
             endian = ">" if cfg.get("endian") == "big" else "<"
         elif name == "gzip":
             gzipped = True
+        elif name == "transpose":
+            perm = list((codec.get("configuration") or {})["order"])
         else:
             raise NotImplementedError(
                 f"Zarr v3 codec {name!r}: use the zarr library path"
             )
-    return endian, gzipped
+    return endian, gzipped, perm
 
 
 def _read_zarr3_minimal(path: str, meta: dict):
     """Zarr v3 array reader (`zarr.json` metadata): regular chunk
-    grid, default or v2 chunk-key encoding, ``bytes`` (+ optional
-    ``gzip``) codec chains, and the ``sharding_indexed`` storage
+    grid, default or v2 chunk-key encoding, ``transpose`` + ``bytes``
+    (+ optional ``gzip``) codec chains, and the ``sharding_indexed``
+    storage
     transformer (shard files holding many inner chunks with a
     crc32c-checked binary index — the layout that keeps object-store
-    key counts sane at scale). Blosc/zstd/transpose codecs raise with
-    a pointer to the zarr-python path."""
+    key counts sane at scale). Blosc/zstd codecs raise with a pointer
+    to the zarr-python path."""
     import gzip
     import itertools
     import json  # noqa: F401  (symmetry with the v2 reader)
@@ -1183,9 +1188,9 @@ def _read_zarr3_minimal(path: str, meta: dict):
             "checksum": index_names[-1] == "crc32c",
             "location": cfg.get("index_location", "end"),
         }
-        endian, gzipped = _parse_v3_codecs(cfg.get("codecs"))
+        endian, gzipped, perm = _parse_v3_codecs(cfg.get("codecs"))
     else:
-        endian, gzipped = _parse_v3_codecs(codecs)
+        endian, gzipped, perm = _parse_v3_codecs(codecs)
     dtype = np.dtype(endian + _ZARR3_DTYPES[dt_name])
 
     key_enc = meta.get("chunk_key_encoding", {"name": "default"})
@@ -1209,7 +1214,18 @@ def _read_zarr3_minimal(path: str, meta: dict):
     def decode_block(raw: bytes, chunk_shape, origin) -> None:
         if gzipped:
             raw = gzip.decompress(raw)
-        block = np.frombuffer(raw, dtype=dtype).reshape(chunk_shape)
+        if perm is not None:
+            # transpose codec: the stored bytes are the chunk permuted
+            # by `order` in C layout; invert with argsort(order)
+            stored = [chunk_shape[p] for p in perm]
+            inv = np.argsort(perm)
+            block = (
+                np.frombuffer(raw, dtype=dtype)
+                .reshape(stored)
+                .transpose(inv)
+            )
+        else:
+            block = np.frombuffer(raw, dtype=dtype).reshape(chunk_shape)
         dest = tuple(
             slice(o, min(o + c, s))
             for o, c, s in zip(origin, chunk_shape, shape)

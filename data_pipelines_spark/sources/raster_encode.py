@@ -979,8 +979,9 @@ def write_zarr_store(
     numcodecs filters, xarray-style ``_ARRAY_DIMENSIONS`` attribute.
     ``zarr_format=3``: ``zarr.json`` metadata with first-class
     ``dimension_names``, ``c/i/j`` chunk keys, ``bytes`` + optional
-    ``gzip`` codec chain (order/filters are v2-only knobs there — the
-    v3 equivalents are the transpose/blosc codecs, which stay on the
+    ``gzip`` codec chain; ``order="F"`` becomes the ``transpose``
+    codec (axes reversed — the v3 spelling of v2's F layout). Filters
+    are v2-only knobs (their v3 blosc-style equivalents stay on the
     zarr-python path). ``shards`` (v3 only) wraps the chain in the
     ``sharding_indexed`` codec: ``shards`` becomes the outer chunk —
     one OBJECT per shard — and ``chunks`` the inner chunk addressable
@@ -1010,10 +1011,10 @@ def write_zarr_store(
     if zarr_format not in (2, 3):
         raise ValueError(f"unsupported zarr_format {zarr_format}")
     if zarr_format == 3:
-        if order != "C" or filters:
+        if filters:
             raise ValueError(
-                "order/filters are v2 knobs; v3 uses transpose/codec "
-                "chains (zarr-python path)"
+                "filters are v2 knobs; v3 uses codec chains "
+                "(zarr-python path)"
             )
         if compressor not in (None, "gzip"):
             raise ValueError(
@@ -1087,6 +1088,16 @@ def write_zarr_store(
             ]
             if compressor == "gzip":
                 codecs.append({"name": "gzip", "configuration": {"level": 1}})
+            if ordr == "F":
+                # v2's order="F" expressed the v3 way: the transpose
+                # codec with the axes reversed (F bytes == C bytes of
+                # the reversed-axes transpose)
+                codecs.insert(0, {
+                    "name": "transpose",
+                    "configuration": {
+                        "order": list(range(data.ndim - 1, -1, -1)),
+                    },
+                })
             if shard_shape:
                 codecs = [{
                     "name": "sharding_indexed",
@@ -1179,7 +1190,7 @@ def write_zarr_store(
                     raw = compress(
                         chunk_block(gidx)
                         .astype("<" + data.dtype.str.lstrip("<>=|"))
-                        .tobytes()
+                        .tobytes(order=ordr)
                     )
                     table[pos] = (off, len(raw))
                     parts.append(raw)
@@ -1204,7 +1215,7 @@ def write_zarr_store(
                 fp = os.path.join(d, "c", *map(str, idx))
                 os.makedirs(os.path.dirname(fp), exist_ok=True)
                 with open(fp, "wb") as f:
-                    f.write(compress(raw.tobytes()))
+                    f.write(compress(raw.tobytes(order=ordr)))
                 continue
             raw = block.tobytes(order=ordr)
             for cfg in filts or []:

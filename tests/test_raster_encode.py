@@ -888,7 +888,7 @@ def test_zarr_v3_gates(tmp_path):
         write_zarr_store(
             str(tmp_path / "bad"), "v", np.zeros((2, 2)),
             {"a": np.arange(2.0), "b": np.arange(2.0)},
-            zarr_format=3, order="F",
+            zarr_format=3, filters=[{"id": "delta", "dtype": "<f8"}],
         )
     store = str(tmp_path / "blosc.zarr/v")
     os.makedirs(store)
@@ -1016,3 +1016,36 @@ def test_grib2_png_packing_rejects_wide_values():
             [(None, np.array([[1.0]]))],
             lat0=0, lon0=0, dlat=1, dlon=1, nbits=33, packing="png",
         )
+
+
+def test_zarr_v3_transpose_codec_roundtrip(tmp_path):
+    """order="F" at zarr_format=3 becomes the spec's transpose codec
+    (axes reversed); round-trips through plain, gzip, and sharded
+    layouts, including an omitted inner chunk."""
+    import json
+    import os
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 500, size=(9, 14)).astype("<i4")
+    for comp in (None, "gzip"):
+        for shards in (None, (4, 6)):
+            store = str(tmp_path / f"t_{comp}_{bool(shards)}.zarr")
+            write_zarr_store(
+                store, "v", vals,
+                {"a": np.arange(9.0), "b": np.arange(14.0)},
+                chunks=(2, 3), shards=shards, compressor=comp,
+                order="F", zarr_format=3, fill_value=0,
+                omit_chunks={(1, 1)},
+            )
+            got, _ = read_zarr_minimal(f"{store}/v")
+            expect = vals.copy()
+            expect[2:4, 3:6] = 0
+            assert np.array_equal(got, expect), (comp, shards)
+            meta = json.load(open(os.path.join(store, "v", "zarr.json")))
+            c0 = meta["codecs"][0]
+            chain = (
+                c0["configuration"]["codecs"]
+                if c0["name"] == "sharding_indexed" else meta["codecs"]
+            )
+            assert chain[0]["name"] == "transpose"
+            assert chain[0]["configuration"]["order"] == [1, 0]

@@ -126,9 +126,10 @@ def test_zarr_roundtrip_property(tmp_path_factory, dims, chunks, order,
     vals = rng.integers(-1000, 1000, size=(h, w)).astype("<i4")
     store = str(tmp_path_factory.mktemp("zarr") / "s.zarr")
     if zarr_format == 3:
-        # v3 path: C-order, no filters, gzip-or-raw, optional shards
-        # (outer chunk = inner chunk × sampled multiplier per axis).
-        order, use_delta = "C", False
+        # v3 path: no filters, gzip-or-raw, optional shards (outer
+        # chunk = inner chunk × sampled multiplier per axis); order="F"
+        # becomes the transpose codec.
+        use_delta = False
         if compressor == "zlib":
             compressor = "gzip"
         shards = (
