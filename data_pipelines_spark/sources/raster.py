@@ -807,8 +807,9 @@ def read_tiff_minimal(
     one only where needed: the COG access pattern). Parses the IFD
     directly with struct/numpy and applies the GeoTIFF
     ModelPixelScale/ModelTiepoint tags for cell-center coordinates.
-    Anything fancier (JPEG compression, planar bands) raises with a
-    pointer to the rasterio path.
+    Both planar configurations decode (chunky pixel-interleaved AND
+    PlanarConfiguration=2 band-separate chunks); JPEG-compressed TIFF
+    raises with a pointer to the rasterio path.
 
     Returns a 2-D ``(h, w)`` array for one band, 3-D ``(h, w, s)``
     for multi-band.
@@ -914,10 +915,9 @@ def read_tiff_minimal(
             "(natively supported: none, LZW, DEFLATE)"
         )
     samples = ints(277, [1])[0]
-    if samples != 1 and ints(284, [1])[0] != 1:
-        raise NotImplementedError(
-            "planar-configuration multi-band TIFF: use the rasterio path"
-        )
+    planar = ints(284, [1])[0] if samples != 1 else 1
+    if planar not in (1, 2):
+        raise ValueError(f"bad TIFF PlanarConfiguration {planar}")
     predictor = ints(317, [1])[0]
     if predictor not in (1, 2, 3):
         raise NotImplementedError(
@@ -936,32 +936,33 @@ def read_tiff_minimal(
             "rasterio path"
         )
 
-    def decode_chunk(raw: bytes, rows: int, cols: int) -> np.ndarray:
+    def decode_chunk(raw: bytes, rows: int, cols: int, nsamp: int) -> np.ndarray:
         if compression in (8, 32946):
             raw = zlib.decompress(raw)
         elif compression == 5:
-            raw = _lzw_decode(raw)[: rows * cols * samples * dt.itemsize]
+            raw = _lzw_decode(raw)[: rows * cols * nsamp * dt.itemsize]
         if predictor == 3:
             # TIFF TechNote 3 floating-point predictor (libtiff fpAcc):
-            # per row, byte-wise cumulative sum with stride =
-            # samples-per-pixel undoes the differencing, then the
-            # big-endian byte planes re-interleave into elements.
+            # per row, byte-wise cumulative sum with stride = the
+            # chunk's samples (1 in planar chunks) undoes the
+            # differencing, then the big-endian byte planes
+            # re-interleave into elements.
             bps = dt.itemsize
             buf = (
                 np.frombuffer(raw, dtype="u1")
-                .reshape(rows, -1, samples)
+                .reshape(rows, -1, nsamp)
                 .copy()
             )
             np.cumsum(buf, axis=1, dtype="u1", out=buf)
             elems = (
-                buf.reshape(rows, bps, cols * samples)
+                buf.reshape(rows, bps, cols * nsamp)
                 .transpose(0, 2, 1)
                 .copy()
                 .view(np.dtype(">" + _TIFF_DTYPES[(sample_format, bits)]))
             )
-            return elems.reshape(rows, cols, samples).astype(dt)
+            return elems.reshape(rows, cols, nsamp).astype(dt)
         block = (
-            np.frombuffer(raw, dtype=dt).reshape(rows, cols, samples).copy()
+            np.frombuffer(raw, dtype=dt).reshape(rows, cols, nsamp).copy()
         )
         if predictor == 2:
             # Undo per-row horizontal differencing; modular cumsum in
@@ -970,34 +971,62 @@ def read_tiff_minimal(
             np.cumsum(block, axis=1, dtype=block.dtype, out=block)
         return block
 
-    if 322 in tags:  # tile-organized (the COG interior layout)
+    tiled = 322 in tags  # tile-organized (the COG interior layout)
+    if tiled:
         tw, tl = ints(322)[0], ints(323)[0]
         offsets, counts = ints(324), ints(325)
-        across = -(-width // tw)
-        down = -(-height // tl)
-        raster = np.zeros((height, width, samples), dtype=dt)
-        for idx, (o, c) in enumerate(zip(offsets, counts)):
-            tile = decode_chunk(data[o : o + c], tl, tw)
-            ty, tx = divmod(idx, across)
-            y0, x0 = ty * tl, tx * tw
-            ph = min(tl, height - y0)
-            pw = min(tw, width - x0)
-            raster[y0 : y0 + ph, x0 : x0 + pw] = tile[:ph, :pw]
-        if down * across != len(offsets):
-            raise ValueError(
-                f"tile count {len(offsets)} does not cover "
-                f"{down}x{across} grid"
-            )
     else:
         offsets, counts = ints(273), ints(279)
         rows_per_strip = ints(278, [height])[0]
+
+    def assemble(offs, cnts, nsamp: int) -> np.ndarray:
+        if tiled:
+            across = -(-width // tw)
+            down = -(-height // tl)
+            if down * across != len(offs):
+                raise ValueError(
+                    f"tile count {len(offs)} does not cover "
+                    f"{down}x{across} grid"
+                )
+            r = np.zeros((height, width, nsamp), dtype=dt)
+            for idx, (o, c) in enumerate(zip(offs, cnts)):
+                tile = decode_chunk(data[o : o + c], tl, tw, nsamp)
+                ty, tx = divmod(idx, across)
+                y0, x0 = ty * tl, tx * tw
+                ph = min(tl, height - y0)
+                pw = min(tw, width - x0)
+                r[y0 : y0 + ph, x0 : x0 + pw] = tile[:ph, :pw]
+            return r
         parts = []
         done = 0
-        for o, c in zip(offsets, counts):
+        for o, c in zip(offs, cnts):
             rows = min(rows_per_strip, height - done)
-            parts.append(decode_chunk(data[o : o + c], rows, width))
+            parts.append(decode_chunk(data[o : o + c], rows, width, nsamp))
             done += rows
-        raster = np.concatenate(parts, axis=0)
+        return np.concatenate(parts, axis=0)
+
+    if planar == 2:
+        # PlanarConfiguration=2: chunks grouped band-major (all of
+        # sample 0's strips/tiles, then sample 1's, ...)
+        per_band = len(offsets) // samples
+        if per_band * samples != len(offsets):
+            raise ValueError(
+                f"planar chunk count {len(offsets)} not divisible by "
+                f"{samples} bands"
+            )
+        raster = np.concatenate(
+            [
+                assemble(
+                    offsets[b * per_band : (b + 1) * per_band],
+                    counts[b * per_band : (b + 1) * per_band],
+                    1,
+                )
+                for b in range(samples)
+            ],
+            axis=2,
+        )
+    else:
+        raster = assemble(offsets, counts, samples)
     if samples == 1:
         raster = raster.reshape(height, width)
 

@@ -106,6 +106,7 @@ def encode_geotiff(
     compression: str | None = None,
     predictor: bool | int = False,
     bigtiff: bool = False,
+    planar: bool = False,
 ) -> bytes:
     """Encode an array as an uncompressed little-endian GeoTIFF — the
     COMPRESS=NONE profiles gdal_translate emits and `read_tiff_minimal`
@@ -131,7 +132,10 @@ def encode_geotiff(
     explicitly. Typically halves DEFLATE output on smooth rasters.
     ``bigtiff=True`` writes the
     BigTIFF (version 43) layout with 8-byte offsets throughout — the
-    format required past the classic 4 GB ceiling. ``values[0, 0]`` maps to world
+    format required past the classic 4 GB ceiling. ``planar=True``
+    writes multi-band data as PlanarConfiguration=2 (each band's
+    strips/tiles grouped band-major — the layout per-band readers
+    prefer); predictors then stride within the single band. ``values[0, 0]`` maps to world
     ``(origin_x, origin_y)``; x grows by ``pixel_w`` per column, y
     DECREASES by ``pixel_h`` per row (north-up raster convention,
     matching the reader's geotransform).
@@ -180,17 +184,17 @@ def encode_geotiff(
             # next byte, ...), then byte-wise horizontal differencing
             # with stride = samples-per-pixel — same transform libtiff's
             # fpDiff applies.
-            rows, cols, _ = block.shape
+            rows, cols, ns = block.shape
             bps = block.dtype.itemsize
             be = block.astype(block.dtype.newbyteorder(">"))
             planes = (
                 be.view("u1")
-                .reshape(rows, cols * s, bps)
+                .reshape(rows, cols * ns, bps)
                 .transpose(0, 2, 1)
-                .reshape(rows, bps * cols * s)
+                .reshape(rows, bps * cols * ns)
                 .copy()
             )
-            strided = planes.reshape(rows, -1, s)
+            strided = planes.reshape(rows, -1, ns)
             strided[:, 1:, :] = strided[:, 1:, :] - strided[:, :-1, :]
             raw = planes.tobytes()
         else:
@@ -202,14 +206,20 @@ def encode_geotiff(
         return raw
 
     def level_chunks(lv: np.ndarray) -> list[bytes]:
-        h, w, _ = lv.shape
+        h, w, ns = lv.shape
+        if planar and ns > 1:
+            # PlanarConfiguration=2: each band's chunks, band-major
+            out = []
+            for b in range(ns):
+                out += level_chunks(lv[:, :, b : b + 1])
+            return out
         if tile is None:
             return [chunk_bytes(lv)]
         tw, tl = tile
         out = []
         for ty in range(-(-h // tl)):
             for tx in range(-(-w // tw)):
-                block = np.zeros((tl, tw, s), dtype=lv.dtype)
+                block = np.zeros((tl, tw, ns), dtype=lv.dtype)
                 src = lv[ty * tl : ty * tl + tl, tx * tw : tx * tw + tw]
                 block[: src.shape[0], : src.shape[1]] = src
                 out.append(chunk_bytes(block))
@@ -274,7 +284,7 @@ def encode_geotiff(
                 (325, *longs(*[len(c) for c in chunks])),
             ]
         if s > 1:
-            fields.append((284, *shorts(1)))  # PlanarConfiguration=chunky
+            fields.append((284, *shorts(2 if planar else 1)))
         if li == 0:  # geo tags live on the first IFD (GDAL convention)
             fields += [
                 (33550, *dbls(pixel_w, pixel_h, 0.0)),

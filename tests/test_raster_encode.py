@@ -1049,3 +1049,32 @@ def test_zarr_v3_transpose_codec_roundtrip(tmp_path):
             )
             assert chain[0]["name"] == "transpose"
             assert chain[0]["configuration"]["order"] == [1, 0]
+
+
+def test_tiff_planar_configuration_roundtrip(tmp_path):
+    """PlanarConfiguration=2 (band-separate chunks, band-major order):
+    strip and tile layouts, both predictors, overviews — each band's
+    chunks decode with stride 1 and restack pixel-interleaved."""
+    rng = np.random.default_rng(6)
+    for dtype, comp, pred, tile in [
+        ("<u2", None, False, None),
+        ("<i4", "deflate", True, (3, 4)),
+        ("<f4", "deflate", True, (4, 4)),
+        ("<u1", "lzw", True, None),
+    ]:
+        arr = rng.integers(0, 200, size=(9, 13, 3)).astype(dtype)
+        path = str(tmp_path / f"p_{dtype[1:]}_{comp}.tif")
+        with open(path, "wb") as f:
+            f.write(
+                encode_geotiff(
+                    arr, origin_x=0.0, origin_y=0.0, pixel_w=1.0,
+                    pixel_h=1.0, compression=comp, predictor=pred,
+                    tile=tile, planar=True,
+                    overviews=(2,) if tile else (),
+                )
+            )
+        got, _, _ = read_tiff_minimal(path)
+        assert np.array_equal(got, arr.astype("f8")), (dtype, comp)
+        if tile:
+            ov, _, _ = read_tiff_minimal(path, overview=1)
+            assert np.array_equal(ov, arr[::2, ::2].astype("f8"))

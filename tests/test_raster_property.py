@@ -34,13 +34,17 @@ DIMS = st.tuples(st.integers(1, 9), st.integers(1, 9))
     tiled=st.booleans(),
     compression=st.sampled_from([None, "deflate", "lzw"]),
     bigtiff=st.booleans(),
+    bands=st.sampled_from([1, 3]),
+    planar=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
 def test_tiff_roundtrip_property(tmp_path_factory, dims, dtype, tiled,
-                                 compression, bigtiff, seed):
+                                 compression, bigtiff, bands, planar,
+                                 seed):
     h, w = dims
     rng = np.random.default_rng(seed)
-    arr = rng.integers(0, 200, size=(h, w)).astype(dtype)
+    shape = (h, w) if bands == 1 else (h, w, bands)
+    arr = rng.integers(0, 200, size=shape).astype(dtype)
     # True auto-selects PREDICTOR=2 on integers, PREDICTOR=3 on floats.
     predictor = compression is not None
     blob = encode_geotiff(
@@ -49,6 +53,7 @@ def test_tiff_roundtrip_property(tmp_path_factory, dims, dtype, tiled,
         compression=compression,
         predictor=predictor,
         bigtiff=bigtiff,
+        planar=planar,
     )
     path = tmp_path_factory.mktemp("tiff") / "t.tif"
     path.write_bytes(blob)
