@@ -299,26 +299,85 @@ def decode_image(content: bytes) -> "object":
         ) from e
 
 
-def decode_wav(content: bytes) -> tuple["object", int, int]:
-    """Decode a WAV payload to (samples float64 in [-1, 1] shaped
-    (n, channels), sample_rate, channels) with the stdlib wave module —
-    a real audio decode, no external codec."""
-    import io
-    import wave
+def _pcm_to_float(raw: bytes, width: int) -> "object":
+    """Integer PCM bytes → float64 in [-1, 1), all four PCM widths
+    (24-bit is the odd one: 3-byte little-endian sign-extended)."""
+    import numpy as np
+
+    if width == 1:
+        return (np.frombuffer(raw, dtype="u1").astype("float64") - 128.0) / 128.0
+    if width == 2:
+        return np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+    if width == 3:
+        b = np.frombuffer(raw, dtype="u1").reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v & 0x800000) << 1  # sign-extend bit 23
+        return v.astype("float64") / 8388608.0
+    if width == 4:
+        return np.frombuffer(raw, dtype="<i4").astype("float64") / 2147483648.0
+    raise NotImplementedError(f"{width * 8}-bit PCM WAV unsupported")
+
+
+def _decode_wav_riff(content: bytes) -> tuple["object", int, int]:
+    """Manual RIFF fallback for the formats the stdlib wave module
+    rejects: IEEE-float (format 3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE,
+    resolved through its PCM/float subformat tag)."""
+    import struct
 
     import numpy as np
 
-    with wave.open(io.BytesIO(content), "rb") as w:
-        rate, channels = w.getframerate(), w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
-    if width == 2:
-        samples = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
-    elif width == 1:
-        samples = (np.frombuffer(raw, dtype="u1").astype("float64") - 128.0) / 128.0
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, n = 12, len(content)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid, size = content[pos : pos + 4], struct.unpack(
+            "<I", content[pos + 4 : pos + 8]
+        )[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunks")
+    audio_format, channels, rate, _br, _ba, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format == 0xFFFE:  # extensible: real format in the GUID
+        audio_format = struct.unpack("<H", fmt[24:26])[0]
+    if audio_format == 3:  # IEEE float
+        dt = {32: "<f4", 64: "<f8"}.get(bits)
+        if dt is None:
+            raise NotImplementedError(f"{bits}-bit float WAV unsupported")
+        samples = np.frombuffer(
+            data[: len(data) - len(data) % (bits // 8)], dtype=dt
+        ).astype("float64")
+    elif audio_format == 1:
+        samples = _pcm_to_float(data, bits // 8)
     else:
-        raise NotImplementedError(f"{width * 8}-bit WAV unsupported")
+        raise NotImplementedError(f"WAV format tag {audio_format} unsupported")
     return samples.reshape(-1, channels), rate, channels
+
+
+def decode_wav(content: bytes) -> tuple["object", int, int]:
+    """Decode a WAV payload to (samples float64 in [-1, 1] shaped
+    (n, channels), sample_rate, channels) — a real audio decode, no
+    external codec. PCM at 8/16/24/32 bits via the stdlib wave module;
+    IEEE-float and WAVE_FORMAT_EXTENSIBLE payloads (which the wave
+    module rejects) through the manual RIFF fallback."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            rate, channels = w.getframerate(), w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        return _decode_wav_riff(content)
+    return _pcm_to_float(raw, width).reshape(-1, channels), rate, channels
 
 
 def _fake_feature(content: bytes, dim: int = 8) -> list[float]:

@@ -456,3 +456,63 @@ def test_png_encode_validation(spark):
         encode_png(np.zeros((2, 2), dtype="f4"))
     with pytest.raises(ValueError, match="shape"):
         encode_png(np.zeros((2, 2, 5), dtype="u1"))
+
+
+def test_wav_wide_pcm_and_float_formats(spark):
+    """24/32-bit PCM through the stdlib path and IEEE-float /
+    WAVE_FORMAT_EXTENSIBLE payloads through the manual RIFF fallback —
+    all recover the same sine within each width's quantization."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from data_pipelines_spark.operators.multimodal import decode_wav
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+
+    def pcm_wav(width, data_bytes):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(data_bytes)
+        return buf.getvalue()
+
+    v24 = np.clip((sig * 8388608).astype(np.int64), -8388608, 8388607)
+    b24 = b"".join(int(x & 0xFFFFFF).to_bytes(3, "little") for x in v24)
+    s, r, c = decode_wav(pcm_wav(3, b24))
+    assert (r, c) == (rate, 1)
+    assert np.allclose(s[:, 0], sig, atol=2e-7)
+
+    v32 = (sig * 2147483648).astype("<i4")
+    s, _r, _c = decode_wav(pcm_wav(4, v32.tobytes()))
+    assert np.allclose(s[:, 0], sig, atol=1e-9)
+
+    def riff_wav(arr, fmt_tag, bits, sub=None):
+        data = arr.astype("<f4" if bits == 32 else "<f8").tobytes()
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, 1, rate, rate * bits // 8, bits // 8, bits
+        )
+        if sub is not None:  # extensible: subformat tag at offset 24
+            fmt += struct.pack("<HHI", 22, bits, 0)
+            fmt += struct.pack("<H", sub) + bytes(14)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    s, r, _c = decode_wav(riff_wav(sig, 3, 32))
+    assert r == rate and np.allclose(s[:, 0], sig, atol=1e-7)
+    s, _r, _c = decode_wav(riff_wav(sig, 3, 64))
+    assert np.allclose(s[:, 0], sig)
+    s, _r, _c = decode_wav(riff_wav(sig, 0xFFFE, 32, sub=3))
+    assert np.allclose(s[:, 0], sig, atol=1e-7)
+
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="format tag"):
+        decode_wav(riff_wav(sig, 7, 32))  # mu-law stays gated
