@@ -1320,10 +1320,11 @@ def read_zarr_minimal(path: str):
 
     Zarr is a public spec of JSON metadata plus flat chunk files, so
     the common profiles need no library. v2 (``.zarray``): C- or
-    F-order chunks, raw / zlib / gzip compression, the ``delta`` and
-    ``shuffle`` numcodecs filters (anything else — blosc, other
-    filters — raises with a pointer to the zarr-python path), missing
-    chunks filled with ``fill_value``. v3 (``zarr.json``): regular
+    F-order chunks, raw / zlib / gzip / bz2 / lzma compression (the
+    stdlib-backed numcodecs set; blosc/zstd raise with a pointer to
+    the zarr-python path), the ``delta`` and ``shuffle`` numcodecs
+    filters (other filters raise likewise), missing chunks filled
+    with ``fill_value``. v3 (``zarr.json``): regular
     chunk grids, default/v2 chunk-key encodings, ``bytes`` + optional
     ``gzip`` codecs. Returns (ndarray, attrs); dimension names appear
     under ``_ARRAY_DIMENSIONS`` either way (xarray's v2 convention, or
@@ -1363,7 +1364,7 @@ def read_zarr_minimal(path: str):
             )
     comp = meta.get("compressor")
     comp_id = comp["id"] if comp else None
-    if comp_id not in (None, "zlib", "gzip"):
+    if comp_id not in (None, "zlib", "gzip", "bz2", "lzma"):
         raise NotImplementedError(
             f"Zarr compressor {comp_id!r}: use the zarr library path"
         )
@@ -1384,6 +1385,20 @@ def read_zarr_minimal(path: str):
             raw = zlib.decompress(raw)
         elif comp_id == "gzip":
             raw = gzip.decompress(raw)
+        elif comp_id == "bz2":
+            import bz2
+
+            raw = bz2.decompress(raw)
+        elif comp_id == "lzma":
+            import lzma
+
+            # numcodecs LZMA config: format defaults to FORMAT_XZ (1);
+            # FORMAT_RAW payloads need the filter chain passed through.
+            raw = lzma.decompress(
+                raw,
+                format=comp.get("format") or lzma.FORMAT_XZ,
+                filters=comp.get("filters"),
+            )
         for f_cfg in reversed(filters):
             raw = _zarr_filter_decode(raw, f_cfg)
         block = np.frombuffer(raw, dtype=dtype).reshape(chunks, order=order)

@@ -9,7 +9,7 @@ same capability dependency-free for the formats `sources/raster.py`
 parses natively: baseline single-band GeoTIFF, classic CDF-1 NetCDF,
 simple-packed regular-grid GRIB2 (templates 3.0 / 4.0 / 4.1 / 5.0,
 optional bitmap), GRIB edition 1 (IBM-float reference values, ECMWF
-local-def-1 ensemble members), and Zarr v2 (raw / zlib / gzip chunks,
+local-def-1 ensemble members), and Zarr v2 (raw/zlib/gzip/bz2/lzma chunks,
 C/F order, delta+shuffle filters).
 
 Scale shape: each encoder produces ONE tile/message/store — the
@@ -985,8 +985,9 @@ def write_zarr_store(
     coordinate array per dim) in the profiles `read_zarr_grid` parses.
 
     ``zarr_format=2`` (default): ``.zarray`` metadata, C- or F-order
-    chunks, raw / zlib / gzip compression, ``delta`` / ``shuffle``
-    numcodecs filters, xarray-style ``_ARRAY_DIMENSIONS`` attribute.
+    chunks, raw / zlib / gzip / bz2 / lzma compression (the
+    stdlib-backed numcodecs set), ``delta`` / ``shuffle`` numcodecs
+    filters, xarray-style ``_ARRAY_DIMENSIONS`` attribute.
     ``zarr_format=3``: ``zarr.json`` metadata with first-class
     ``dimension_names``, ``c/i/j`` chunk keys, ``bytes`` + optional
     ``gzip`` codec chain; ``order="F"`` becomes the ``transpose``
@@ -1030,7 +1031,7 @@ def write_zarr_store(
             raise ValueError(
                 f"v3 writer supports gzip or raw, got {compressor!r}"
             )
-    if compressor not in (None, "zlib", "gzip"):
+    if compressor not in (None, "zlib", "gzip", "bz2", "lzma"):
         raise ValueError(f"unsupported compressor {compressor!r}")
     if order not in ("C", "F"):
         raise ValueError(f"bad chunk order {order!r}")
@@ -1051,6 +1052,14 @@ def write_zarr_store(
             return zlib.compress(raw)
         if compressor == "gzip":
             return gzip.compress(raw)
+        if compressor == "bz2":
+            import bz2
+
+            return bz2.compress(raw, 1)
+        if compressor == "lzma":
+            import lzma
+
+            return lzma.compress(raw, preset=1)
         return raw
 
     def filter_encode(raw: bytes, cfg: dict) -> bytes:
@@ -1155,7 +1164,20 @@ def write_zarr_store(
                 "filters": filts or None,
                 "fill_value": fill,
                 "compressor": (
-                    {"id": compressor, "level": 1} if compressor else None
+                    None
+                    if compressor is None
+                    # numcodecs LZMA config keys (format 1 = FORMAT_XZ,
+                    # matching lzma.compress defaults); the others take
+                    # a plain level knob.
+                    else {
+                        "id": "lzma",
+                        "format": 1,
+                        "check": -1,
+                        "preset": 1,
+                        "filters": None,
+                    }
+                    if compressor == "lzma"
+                    else {"id": compressor, "level": 1}
                 ),
             }
             with open(os.path.join(d, ".zarray"), "w") as f:

@@ -266,7 +266,7 @@ def test_grib2_complex_constant_and_tiny_fields(tmp_path):
         )
 
 
-@pytest.mark.parametrize("compressor", [None, "zlib", "gzip"])
+@pytest.mark.parametrize("compressor", [None, "zlib", "gzip", "bz2", "lzma"])
 def test_zarr_roundtrip_compressors(tmp_path, compressor):
     vals = np.arange(12, dtype="<f8").reshape(3, 4) * 1.5
     store = str(tmp_path / f"s_{compressor}.zarr")
@@ -278,6 +278,48 @@ def test_zarr_roundtrip_compressors(tmp_path, compressor):
     arr, attrs = read_zarr_minimal(f"{store}/dis24")
     assert np.array_equal(arr, vals)
     assert attrs["_ARRAY_DIMENSIONS"] == ["lat", "lon"]
+
+
+def test_zarr_foreign_lzma_bz2_chunks_decode(tmp_path):
+    """Chunks written by numcodecs-shaped metadata (not our writer)
+    decode: lzma with the config keys numcodecs emits (format/check/
+    preset/filters, format absent -> FORMAT_XZ default) and bz2 with a
+    different level than the writer's own."""
+    import bz2
+    import json
+    import lzma
+    import os
+
+    vals = np.arange(6, dtype="<i4").reshape(2, 3)
+    for comp_id, blob in [
+        ("lzma", lzma.compress(vals.tobytes(), preset=6)),
+        ("bz2", bz2.compress(vals.tobytes(), 9)),
+    ]:
+        d = str(tmp_path / f"f_{comp_id}.zarr/v")
+        os.makedirs(d)
+        compressor = {"id": comp_id}
+        if comp_id == "lzma":
+            compressor.update({"check": -1, "preset": 6, "filters": None})
+        else:
+            compressor["level"] = 9
+        with open(f"{d}/.zarray", "w") as f:
+            json.dump(
+                {
+                    "zarr_format": 2,
+                    "shape": [2, 3],
+                    "chunks": [2, 3],
+                    "dtype": "<i4",
+                    "order": "C",
+                    "filters": None,
+                    "fill_value": 0,
+                    "compressor": compressor,
+                },
+                f,
+            )
+        with open(f"{d}/0.0", "wb") as f:
+            f.write(blob)
+        arr, _ = read_zarr_minimal(d)
+        assert np.array_equal(arr, vals)
 
 
 def test_zarr_omitted_chunk_reads_as_fill(tmp_path):

@@ -116,7 +116,7 @@ def test_grib_roundtrip_property(tmp_path_factory, dims, edition, nbits,
     dims=DIMS,
     chunks=st.tuples(st.integers(1, 4), st.integers(1, 4)),
     order=st.sampled_from(["C", "F"]),
-    compressor=st.sampled_from([None, "zlib", "gzip"]),
+    compressor=st.sampled_from([None, "zlib", "gzip", "bz2", "lzma"]),
     use_delta=st.booleans(),
     zarr_format=st.sampled_from([2, 3]),
     shard_mult=st.tuples(st.integers(1, 3), st.integers(1, 3)),
@@ -135,7 +135,7 @@ def test_zarr_roundtrip_property(tmp_path_factory, dims, chunks, order,
         # chunk = inner chunk × sampled multiplier per axis); order="F"
         # becomes the transpose codec.
         use_delta = False
-        if compressor == "zlib":
+        if compressor in ("zlib", "bz2", "lzma"):
             compressor = "gzip"
         shards = (
             tuple(c * m for c, m in zip(chunks, shard_mult))
