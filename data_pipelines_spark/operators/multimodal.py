@@ -7,18 +7,18 @@ metadata struct; decode / feature-extraction steps are Arrow-batched
 Decode coverage is tiered by what the environment can honestly do:
 
 - **Real, dependency-free**: PNM images (PGM/PPM — numpy header+buffer
-  parse, real nearest-neighbor resize), 8- and 16-bit PNG (stdlib zlib
-  inflate + all five scanline filters, gray/RGB/palette/alpha; encoder
-  too — also the kernel behind GRIB2 PNG packing in
-  `sources/raster.py`), baseline AND progressive JPEG
+  parse, real nearest-neighbor resize), PNG at every legal depth
+  (1/2/4/8/16-bit, gray/RGB/palette/alpha, all five scanline filters,
+  Adam7 interlacing; encoder too — also the kernel behind GRIB2 PNG
+  packing in `sources/raster.py`), baseline AND progressive JPEG
   (`operators/jpeg.py` — full Huffman/DCT decode + encoders, 4:4:4
   and 4:2:0, spectral selection + successive approximation), and WAV
   audio
   (stdlib `wave` — real sample decode, RMS / zero-crossing features).
   These run end-to-end in tests against byte-assembled files.
-- **Library-gated**: arithmetic/12-bit JPEG, MP4, Adam7-interlaced
-  PNG and friends need PIL/opencv/pyav; `decode_image` raises a
-  clearly marked NotImplementedError for them.
+- **Library-gated**: arithmetic/12-bit JPEG and MP4/video need
+  PIL/opencv/pyav; `decode_image` raises a clearly marked
+  NotImplementedError for them.
 
 Reference analogue: the sentinel imagery pipeline (SURVEY.md §3.3) is
 exactly this shape — opaque blobs moved through per-file task maps with
@@ -119,60 +119,23 @@ def encode_pgm(arr: "object") -> bytes:
 
 _PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass, spec order.
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
-def decode_png(content: bytes) -> "object":
-    """Real PNG decode — zlib (stdlib) inflate + scanline defiltering,
-    no codec library.
-
-    Covers the common profile: 8- AND 16-bit depth, non-interlaced,
-    color types gray / RGB / palette / gray+alpha / RGBA, all five
-    scanline filters (None/Sub/Up/Average/Paeth — filters operate on
-    BYTES with the left neighbor one pixel-byte-width back, per the
-    spec, so both depths share one defilter path; None/Sub/Up are
-    vectorized, Average/Paeth scan the row). Adam7 interlacing and
-    sub-byte depths raise with a pointer to the PIL path. Returns
-    (H, W) for grayscale, else (H, W, channels); uint8 at depth 8,
-    uint16 at depth 16.
-    """
-    import struct
-    import zlib
-
+def _png_defilter(raw: bytes, rp: int, height: int, stride: int, bpp: int):
+    """Defilter ``height`` scanlines of ``stride`` bytes starting at
+    offset ``rp`` (each prefixed by its filter-type byte). The previous
+    row starts at zeros — an Adam7 pass is its own filtering scope, so
+    the interlaced decoder calls this once per pass. Returns
+    ((height, stride) uint8 rows, offset after the last line)."""
     import numpy as np
-
-    if content[:8] != _PNG_SIGNATURE:
-        raise ValueError("not a PNG payload")
-    pos, idat, plte, ihdr = 8, [], None, None
-    while pos + 8 <= len(content):
-        ln, typ = struct.unpack(">I4s", content[pos : pos + 8])
-        body = content[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # length + type + payload + crc (crc not verified)
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif typ == b"PLTE":
-            plte = np.frombuffer(body, "u1").reshape(-1, 3)
-        elif typ == b"IDAT":
-            idat.append(body)
-        elif typ == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG without IHDR")
-    width, height, depth, color, _comp, _filt, interlace = ihdr
-    if depth not in (8, 16) or interlace != 0:
-        raise NotImplementedError(
-            "only 8/16-bit non-interlaced PNG decodes natively; use PIL "
-            "for sub-byte or Adam7 payloads"
-        )
-    if depth == 16 and color == 3:
-        raise ValueError("palette PNG cannot be 16-bit")
-    channels = _PNG_CHANNELS[color]
-    bpp = channels * (depth // 8)  # filter distance, in bytes
-    stride = width * bpp
-    raw = zlib.decompress(b"".join(idat))
 
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    rp = 0
     for y in range(height):
         ftype = raw[rp]
         line = np.frombuffer(raw, "u1", stride, rp + 1)
@@ -203,15 +166,98 @@ def decode_png(content: bytes) -> "object":
                 cur[i] = v & 0xFF
         out[y] = cur
         prev = cur
+    return out, rp
 
+
+def _png_rows_to_samples(rows, width: int, depth: int, channels: int):
+    """Defiltered scanline bytes → (H, width, channels) sample array:
+    uint8 at depths ≤ 8 (sub-byte samples keep their raw 0..2^depth-1
+    values — palette indices / gray levels, not rescaled), uint16 at
+    depth 16 (big-endian on the wire)."""
+    import numpy as np
+
+    height = rows.shape[0]
     if depth == 16:
-        img = (
-            out.reshape(height, width, channels, 2)
+        return (
+            rows.reshape(height, width, channels, 2)
             .view(">u2")[..., 0]
             .astype("u2")
         )
-    else:
-        img = out.reshape(height, width, channels)
+    if depth == 8:
+        return rows.reshape(height, width, channels)
+    # sub-byte: MSB-first packed bits, rows padded to a whole byte
+    bits = np.unpackbits(rows, axis=1)
+    groups = bits[:, : (bits.shape[1] // depth) * depth].reshape(
+        height, -1, depth
+    )
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype("u1")
+    vals = (groups * weights).sum(axis=2).astype("u1")
+    return vals[:, :width, None]
+
+
+def decode_png(content: bytes) -> "object":
+    """Real PNG decode — zlib (stdlib) inflate + scanline defiltering,
+    no codec library.
+
+    Covers the full baseline profile: every legal depth (1/2/4/8/16),
+    color types gray / RGB / palette / gray+alpha / RGBA, all five
+    scanline filters (None/Sub/Up/Average/Paeth — filters operate on
+    BYTES with the left neighbor one pixel-byte-width back, per the
+    spec, so all depths share one defilter path; None/Sub/Up are
+    vectorized, Average/Paeth scan the row), and BOTH interlace modes
+    (Adam7 passes are independent sub-images — own scanline strides,
+    own filtering scope — scattered back on the pass grid). Sub-byte
+    samples keep their raw 0..2^depth-1 values (palette indices /
+    gray levels), not a rescale. Returns (H, W) for grayscale, else
+    (H, W, channels); uint8 at depths ≤ 8, uint16 at depth 16.
+    """
+    import math
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 8 <= len(content):
+        ln, typ = struct.unpack(">I4s", content[pos : pos + 8])
+        body = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + payload + crc (crc not verified)
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, "u1").reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if depth not in (1, 2, 4, 8, 16) or interlace not in (0, 1):
+        raise ValueError(f"bad PNG depth/interlace {depth}/{interlace}")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"depth {depth} is gray/palette-only, got {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("palette PNG cannot be 16-bit")
+    channels = _PNG_CHANNELS[color]
+    bpp = max(1, channels * depth // 8)  # filter distance, in bytes
+    raw = zlib.decompress(b"".join(idat))
+
+    sample_dt = "u2" if depth == 16 else "u1"
+    img = np.zeros((height, width, channels), dtype=sample_dt)
+    passes = _PNG_ADAM7 if interlace else ((0, 0, 1, 1),)
+    rp = 0
+    for x0, y0, dx, dy in passes:
+        pw = max(0, math.ceil((width - x0) / dx))
+        ph = max(0, math.ceil((height - y0) / dy))
+        if pw == 0 or ph == 0:
+            continue  # empty pass contributes no scanlines at all
+        stride = math.ceil(pw * channels * depth / 8)
+        rows, rp = _png_defilter(raw, rp, ph, stride, bpp)
+        img[y0::dy, x0::dx] = _png_rows_to_samples(rows, pw, depth, channels)
+
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -219,15 +265,28 @@ def decode_png(content: bytes) -> "object":
     return img.reshape(height, width) if channels == 1 else img
 
 
-def encode_png(arr: "object") -> bytes:
+def encode_png(
+    arr: "object",
+    *,
+    depth: int | None = None,
+    palette: "object" = None,
+    interlace: bool = False,
+) -> bytes:
     """Real PNG encode — zlib (stdlib) deflate, CRC-checked chunks.
 
     ``arr`` is uint8 or uint16, shape (H, W) grayscale or
     (H, W, {2,3,4}) gray+alpha/RGB/RGBA; 16-bit samples are stored
-    big-endian per the spec. Scanlines use the Up filter (vectorized
-    on both ends and usually close to libpng's adaptive pick on smooth
-    data). The inverse of :func:`decode_png` bit for bit.
+    big-endian per the spec. ``depth`` forces a sub-byte bit depth
+    (1/2/4 — gray or palette only; samples must fit, packed MSB-first,
+    rows zero-padded to a whole byte). ``palette`` (an (N, 3) uint8
+    array) writes color type 3 with ``arr`` as indices.
+    ``interlace=True`` emits Adam7: each pass is filtered as its own
+    sub-image, empty passes contribute no scanlines. Scanlines use the
+    Up filter (vectorized on both ends and usually close to libpng's
+    adaptive pick on smooth data). The inverse of :func:`decode_png`
+    bit for bit (palette decode returns the looked-up RGB).
     """
+    import math
     import struct
     import zlib
 
@@ -238,20 +297,61 @@ def encode_png(arr: "object") -> bytes:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
         raise ValueError(f"unsupported PNG array shape {np.asarray(arr).shape}")
-    if a.dtype == np.uint8:
-        depth = 8
-    elif a.dtype == np.uint16:
-        depth = 16
+    if palette is not None:
+        palette = np.asarray(palette, dtype=np.uint8)
+        if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+            raise ValueError("palette must be (N<=256, 3) uint8")
+        if a.shape[2] != 1 or a.dtype != np.uint8:
+            raise ValueError("palette PNG needs a 2-D uint8 index array")
+        if int(a.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+    if depth is None:
+        if a.dtype == np.uint8:
+            depth = 8
+        elif a.dtype == np.uint16:
+            depth = 16
+        else:
+            raise ValueError(
+                f"PNG samples must be uint8/uint16, got {a.dtype}"
+            )
+    elif depth in (1, 2, 4):
+        if a.shape[2] != 1 or a.dtype != np.uint8:
+            raise ValueError(f"depth {depth} is gray/palette-only")
+        if int(a.max(initial=0)) >> depth:
+            raise ValueError(f"samples exceed {depth}-bit range")
     else:
-        raise ValueError(f"PNG samples must be uint8/uint16, got {a.dtype}")
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[a.shape[2]]
+        raise ValueError(f"explicit depth must be 1/2/4, got {depth}")
+    if palette is not None and depth == 16:
+        raise ValueError("palette PNG cannot be 16-bit")
+    color = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[a.shape[2]]
     h, w, ch = a.shape
 
-    rows = a.astype(">u2" if depth == 16 else "u1").view("u1").reshape(h, -1)
-    filtered = np.empty((h, 1 + rows.shape[1]), dtype=np.uint8)
-    filtered[:, 0] = 2  # Up filter
-    filtered[0, 1:] = rows[0]
-    filtered[1:, 1:] = rows[1:] - rows[:-1]
+    def pass_bytes(sub: "np.ndarray") -> bytes:
+        ph, pw = sub.shape[:2]
+        if depth < 8:
+            bits = (
+                (sub[:, :, 0, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).reshape(ph, -1).astype("u1")
+            rows = np.packbits(bits, axis=1)  # zero-pads the row tail
+        else:
+            rows = (
+                sub.astype(">u2" if depth == 16 else "u1")
+                .view("u1")
+                .reshape(ph, -1)
+            )
+        assert rows.shape[1] == math.ceil(pw * ch * depth / 8)
+        filtered = np.empty((ph, 1 + rows.shape[1]), dtype=np.uint8)
+        filtered[:, 0] = 2  # Up filter (byte-wise — legal at all depths)
+        filtered[0, 1:] = rows[0]
+        filtered[1:, 1:] = rows[1:] - rows[:-1]
+        return filtered.tobytes()
+
+    passes = _PNG_ADAM7 if interlace else ((0, 0, 1, 1),)
+    payload = b"".join(
+        pass_bytes(a[y0::dy, x0::dx])
+        for x0, y0, dx, dy in passes
+        if a[y0::dy, x0::dx].size
+    )
 
     def chunk(typ: bytes, body: bytes) -> bytes:
         return (
@@ -261,18 +361,23 @@ def encode_png(arr: "object") -> bytes:
             + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
+    )
+    plte = chunk(b"PLTE", palette.tobytes()) if palette is not None else b""
     return (
         _PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(filtered.tobytes()))
+        + plte
+        + chunk(b"IDAT", zlib.compress(payload))
         + chunk(b"IEND", b"")
     )
 
 
 def decode_image(content: bytes) -> "object":
     """Decode an image payload to a numpy array. PNM (P5/P6), PNG
-    (8/16-bit, via :func:`decode_png`) and baseline/progressive JPEG (via
+    (all depths + Adam7, via :func:`decode_png`) and
+    baseline/progressive JPEG (via
     :func:`~data_pipelines_spark.operators.jpeg.decode_jpeg`) decode
     natively; exotic profiles need a codec library (PIL/opencv) not
     present in this environment."""
@@ -294,7 +399,7 @@ def decode_image(content: bytes) -> "object":
     except ImportError as e:
         raise NotImplementedError(
             "compressed image decode requires a codec library (PIL/opencv); "
-            "PNM, 8/16-bit PNG and baseline/progressive JPEG payloads "
+            "PNM, PNG and baseline/progressive JPEG payloads "
             "decode natively"
         ) from e
 

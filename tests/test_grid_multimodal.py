@@ -282,25 +282,127 @@ def test_png_decode_palette(spark):
     assert np.array_equal(decode_png(png), palette[idx])
 
 
-def test_png_unsupported_profiles_raise(spark):
+def test_png_invalid_profiles_raise(spark):
     import struct
     import zlib
 
-    import numpy as np
     import pytest as _pytest
 
     from data_pipelines_spark.operators.multimodal import decode_png
 
-    # sub-byte depth IHDR (16-bit is now native; 4-bit is not)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
-    body = (
-        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-    )
-    with _pytest.raises(NotImplementedError, match="8/16-bit"):
-        decode_png(b"\x89PNG\r\n\x1a\n" + body)
+    def header_only(depth, color, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+
+    with _pytest.raises(ValueError, match="depth"):
+        decode_png(header_only(3, 0))  # 3 is not a legal PNG depth
+    with _pytest.raises(ValueError, match="gray/palette-only"):
+        decode_png(header_only(4, 2))  # sub-byte RGB is illegal
     with _pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"JFIF....")
+
+
+def test_png_subbyte_depths(spark):
+    """1/2/4-bit PNGs — hand-pinned packed bytes (independent of the
+    encoder's own bit packing) plus encoder round-trips for gray and
+    palette at every sub-byte depth, odd widths crossing byte
+    boundaries."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_pipelines_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    # hand-built 1-bit gray, 10 px wide: 1010101010 packs (MSB-first,
+    # zero row padding) to AA 80 exactly — pins bit order and padding.
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 10, 1, 1, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\xaa\x80"))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(
+        decode_png(png), np.array([[1, 0, 1, 0, 1, 0, 1, 0, 1, 0]], "u1")
+    )
+
+    rng = np.random.default_rng(31)
+    for depth in (1, 2, 4):
+        gray = rng.integers(0, 1 << depth, (7, 11)).astype("u1")
+        assert np.array_equal(
+            decode_png(encode_png(gray, depth=depth)), gray
+        ), depth
+        palette = rng.integers(0, 256, (1 << depth, 3)).astype("u1")
+        idx = rng.integers(0, 1 << depth, (5, 9)).astype("u1")
+        got = decode_png(encode_png(idx, depth=depth, palette=palette))
+        assert np.array_equal(got, palette[idx]), depth
+
+
+def test_png_adam7_interlace(spark):
+    """Adam7: a hand-built 2x2 file pins the pass order/geometry
+    (passes 1, 6, 7 carry one, one, and two pixels; empty passes emit
+    no bytes), then encoder round-trips cover every pass non-empty
+    (9x10), 16-bit RGB, RGBA, and sub-byte palette interlaced."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_pipelines_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    # scanlines: pass1 [11], pass6 [22], pass7 [33 44] — each with
+    # filter byte 0; decoded image must be [[11, 22], [33, 44]].
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    payload = b"\x00\x0b" + b"\x00\x16" + b"\x00\x21\x2c"
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(payload)) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(
+        decode_png(png), np.array([[11, 22], [33, 44]], "u1")
+    )
+
+    rng = np.random.default_rng(37)
+    cases = [
+        rng.integers(0, 256, (9, 10)).astype("u1"),     # all 7 passes hit
+        rng.integers(0, 256, (1, 1)).astype("u1"),      # only pass 1
+        rng.integers(0, 65536, (6, 7, 3)).astype("u2"),  # 16-bit RGB
+        rng.integers(0, 256, (5, 3, 4)).astype("u1"),   # RGBA
+    ]
+    for arr in cases:
+        blob = encode_png(arr, interlace=True)
+        assert np.array_equal(decode_png(blob), arr), (arr.shape, arr.dtype)
+        # interlace is a transport detail: same pixels as progressive=off
+        assert np.array_equal(
+            decode_png(blob), decode_png(encode_png(arr))
+        )
+    palette = rng.integers(0, 256, (4, 3)).astype("u1")
+    idx = rng.integers(0, 4, (6, 11)).astype("u1")
+    got = decode_png(encode_png(idx, depth=2, palette=palette,
+                                interlace=True))
+    assert np.array_equal(got, palette[idx])
 
 
 def test_image_stats_over_png_payloads(spark):
