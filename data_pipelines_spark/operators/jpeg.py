@@ -554,6 +554,7 @@ def encode_jpeg_baseline(
     quality_divisor: int = 8,
     subsample: bool = False,
     restart_interval: int = 0,
+    fixed_tables: bool = False,
 ) -> bytes:
     """Encode a uint8 (H, W) grayscale or (H, W, 3) RGB array as a
     baseline JPEG. ``quality_divisor`` is the (flat) quantization step:
@@ -561,7 +562,13 @@ def encode_jpeg_baseline(
     ``subsample=True`` writes 4:2:0 chroma (2x2-averaged), exercising
     the decoder's upsampling path. ``restart_interval`` > 0 writes a
     DRI segment and RSTn markers every N MCUs (with DC-predictor
-    resets), exercising the decoder's restart path."""
+    resets), exercising the decoder's restart path. ``fixed_tables``
+    builds the Huffman tables over the FULL legal baseline symbol
+    universe (DC categories 0-11; AC EOB/ZRL plus every run/size
+    pair) instead of the symbols this image emits — slightly longer
+    codes, but the DQT/DHT segments become content-independent, which
+    is what lets a TIFF JPEGTables tag (347) share one table set
+    across every strip/tile."""
     a = np.asarray(arr)
     if a.dtype != np.uint8:
         raise ValueError("encode_jpeg_baseline expects uint8")
@@ -651,13 +658,22 @@ def encode_jpeg_baseline(
     groups = [0] + [1] * (len(planes) - 1)
     dc_tables = {}
     ac_tables = {}
+    if fixed_tables:
+        dc_universe = set(range(12))
+        ac_universe = {0x00, 0xF0} | {
+            (run << 4) | s for run in range(16) for s in range(1, 11)
+        }
     for tid in set(groups):
         members = [i for i, g in enumerate(groups) if g == tid]
         dc_tables[tid] = _flat_canonical_table(
-            set().union(*(sym_dc[i] for i in members))
+            dc_universe
+            if fixed_tables
+            else set().union(*(sym_dc[i] for i in members))
         )
         ac_tables[tid] = _flat_canonical_table(
-            set().union(*(sym_ac[i] for i in members))
+            ac_universe
+            if fixed_tables
+            else set().union(*(sym_ac[i] for i in members))
         )
 
     out = bytearray(b"\xff\xd8")  # SOI

@@ -789,7 +789,7 @@ def _lzw_decode(raw: bytes) -> bytes:
 def read_tiff_minimal(
     path: str, overview: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(Geo)TIFF → (array, xs, ys) — none or DEFLATE compression.
+    """(Geo)TIFF → (array, xs, ys) — none/LZW/DEFLATE/JPEG compression.
 
     A dependency-free reader for the profiles GDAL emits with
     `-co COMPRESS=NONE`, `-co COMPRESS=LZW`, or `-co COMPRESS=DEFLATE`
@@ -808,8 +808,12 @@ def read_tiff_minimal(
     directly with struct/numpy and applies the GeoTIFF
     ModelPixelScale/ModelTiepoint tags for cell-center coordinates.
     Both planar configurations decode (chunky pixel-interleaved AND
-    PlanarConfiguration=2 band-separate chunks); JPEG-compressed TIFF
-    raises with a pointer to the rasterio path.
+    PlanarConfiguration=2 band-separate chunks). New-style JPEG
+    (compression 7) decodes through the engine's own baseline/
+    progressive kernel (`operators/jpeg.py`), merging the shared
+    JPEGTables tag (347) into each abbreviated chunk stream per
+    TechNote 2; only old-style JPEG (compression 6) still gates to
+    rasterio.
 
     Returns a 2-D ``(h, w)`` array for one band, 3-D ``(h, w, s)``
     for multi-band.
@@ -909,11 +913,15 @@ def read_tiff_minimal(
     width, height = ints(256)[0], ints(257)[0]
     bits = ints(258, [32])[0]
     compression = ints(259, [1])[0]
-    if compression not in (1, 5, 8, 32946):  # none / LZW / DEFLATE
+    # none / LZW / new-style JPEG / DEFLATE
+    if compression not in (1, 5, 7, 8, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression}: use the rasterio path "
-            "(natively supported: none, LZW, DEFLATE)"
+            "(natively supported: none, LZW, JPEG, DEFLATE)"
         )
+    # TechNote 2: shared DQT/DHT live in JPEGTables (347) as an
+    # SOI+segments+EOI stream; chunks are then abbreviated streams.
+    jpeg_tables = tags[347][2] if compression == 7 and 347 in tags else None
     samples = ints(277, [1])[0]
     planar = ints(284, [1])[0] if samples != 1 else 1
     if planar not in (1, 2):
@@ -937,6 +945,23 @@ def read_tiff_minimal(
         )
 
     def decode_chunk(raw: bytes, rows: int, cols: int, nsamp: int) -> np.ndarray:
+        if compression == 7:
+            from data_pipelines_spark.operators.jpeg import decode_jpeg
+
+            stream = raw
+            if jpeg_tables is not None:
+                # merge: tables stream minus its EOI + chunk minus SOI.
+                # A chunk that carries its own tables still decodes
+                # right — its segments parse later and take precedence.
+                stream = jpeg_tables[:-2] + raw[2:]
+            img = decode_jpeg(stream)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if img.shape[2] != nsamp:
+                raise ValueError(
+                    f"JPEG chunk has {img.shape[2]} bands, IFD says {nsamp}"
+                )
+            return img[:rows, :cols].astype(dt)
         if compression in (8, 32946):
             raw = zlib.decompress(raw)
         elif compression == 5:

@@ -94,6 +94,27 @@ def _lzw_encode(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a complete JPEG stream into TIFF TechNote-2 halves: the
+    JPEGTables stream (SOI + DQT/DHT segments + EOI, tag 347) and the
+    abbreviated per-chunk stream (everything else). Readers merge them
+    back by injecting the tables after the chunk's SOI."""
+    pos, tables, rest = 2, [], []
+    while pos < len(stream):
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data runs to EOI, keep whole
+            rest.append(stream[pos:])
+            break
+        (ln,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        seg = stream[pos : pos + 2 + ln]
+        (tables if marker in (0xDB, 0xC4) else rest).append(seg)
+        pos += 2 + ln
+    return (
+        b"\xff\xd8" + b"".join(tables) + b"\xff\xd9",
+        b"\xff\xd8" + b"".join(rest),
+    )
+
+
 def encode_geotiff(
     values: np.ndarray,
     *,
@@ -107,6 +128,8 @@ def encode_geotiff(
     predictor: bool | int = False,
     bigtiff: bool = False,
     planar: bool = False,
+    jpeg_quality_divisor: int = 1,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Encode an array as an uncompressed little-endian GeoTIFF — the
     COMPRESS=NONE profiles gdal_translate emits and `read_tiff_minimal`
@@ -123,7 +146,14 @@ def encode_geotiff(
     full-resolution tiles only where needed. ``compression="deflate"``
     zlib-compresses each strip/tile (the COMPRESS=DEFLATE profile) and
     ``compression="lzw"`` uses TIFF-variant LZW (the COMPRESS=LZW
-    default of many products);
+    default of many products); ``compression="jpeg"`` writes
+    new-style JPEG (compression 7, TechNote 2 — uint8 gray or 3-band
+    chunky only, LOSSY: each strip/tile is a complete baseline stream
+    from `operators/jpeg.py`, ``jpeg_quality_divisor`` its flat
+    quantization step, 3-band data as photometric 6 / JFIF YCbCr;
+    ``jpeg_tables=True`` factors the shared DQT/DHT segments into one
+    JPEGTables tag (347) and abbreviates every chunk stream — the
+    layout GDAL emits by default);
     ``predictor=True`` applies per-row differencing before
     compression — PREDICTOR=2 (horizontal differencing) on integer
     dtypes, PREDICTOR=3 (the TIFF TechNote 3 floating-point predictor:
@@ -151,8 +181,18 @@ def encode_geotiff(
     sample_format, bits = _TIFF_FORMATS[key]
     arr = arr.astype("<" + key)
     s = arr.shape[2]
-    if compression not in (None, "deflate", "lzw"):
+    if compression not in (None, "deflate", "lzw", "jpeg"):
         raise ValueError(f"unsupported TIFF compression {compression!r}")
+    if compression == "jpeg":
+        if key != "u1":
+            raise ValueError("JPEG-in-TIFF takes uint8 samples only")
+        if s not in (1, 3):
+            raise ValueError("JPEG-in-TIFF takes 1 or 3 bands, got "
+                             f"{s}")
+        if planar:
+            raise ValueError("JPEG-in-TIFF is chunky-only (planar=False)")
+        if predictor:
+            raise ValueError("predictors do not apply to JPEG chunks")
     if predictor is True:
         predictor = 3 if sample_format == 3 else 2
     predictor = int(predictor) or 1
@@ -172,6 +212,19 @@ def encode_geotiff(
     levels = [arr] + [arr[:: int(k), :: int(k)] for k in (overviews or ())]
 
     def chunk_bytes(block: np.ndarray) -> bytes:
+        if compression == "jpeg":
+            from data_pipelines_spark.operators.jpeg import (
+                encode_jpeg_baseline,
+            )
+
+            img = block[:, :, 0] if block.shape[2] == 1 else block
+            # fixed_tables makes DQT/DHT content-independent — required
+            # for the shared JPEGTables tag to be valid for every chunk
+            return encode_jpeg_baseline(
+                np.ascontiguousarray(img),
+                quality_divisor=jpeg_quality_divisor,
+                fixed_tables=jpeg_tables,
+            )
         if predictor == 2:
             block = block.copy()
             # Per-row horizontal differencing; integer wraparound is
@@ -236,6 +289,18 @@ def encode_geotiff(
     inline = 8 if bigtiff else 4
 
     all_chunks = [level_chunks(lv) for lv in levels]
+    tables_stream = b""
+    if jpeg_tables:
+        if compression != "jpeg":
+            raise ValueError("jpeg_tables requires compression='jpeg'")
+        # Every chunk carries identical DQT/DHT (one encoder, one
+        # quality): factor them out of the first chunk into tag 347
+        # and abbreviate all streams.
+        tables_stream = _split_jpeg_tables(all_chunks[0][0])[0]
+        all_chunks = [
+            [_split_jpeg_tables(c)[1] for c in chunks]
+            for chunks in all_chunks
+        ]
     chunk_offs: list[list[int]] = []
     off = hdr_sz
     for chunks in all_chunks:
@@ -262,13 +327,19 @@ def encode_geotiff(
         fields: list[tuple[int, int, bytes]] = [
             (256, *shorts(w)), (257, *shorts(h)),
             (258, *shorts(*([bits] * s))),
-            (259, *shorts({None: 1, "deflate": 8, "lzw": 5}[compression])),
-            (262, *shorts(1)),
+            (259, *shorts(
+                {None: 1, "deflate": 8, "lzw": 5, "jpeg": 7}[compression]
+            )),
+            # JPEG 3-band content is the JFIF YCbCr transform: tag it 6
+            # per TechNote 2 so external readers convert it back too.
+            (262, *shorts(6 if compression == "jpeg" and s == 3 else 1)),
             (277, *shorts(s)),
             (339, *shorts(*([sample_format] * s))),
         ]
         if predictor != 1:
             fields.append((317, *shorts(predictor)))
+        if jpeg_tables:
+            fields.append((347, 7, tables_stream))
         if li > 0:
             fields.append((254, *longs(1)))  # NewSubfileType: reduced
         if tile is None:
@@ -292,7 +363,7 @@ def encode_geotiff(
             ]
         return sorted(fields, key=lambda f: f[0])
 
-    type_size = {3: 2, 4: 4, 12: 8, 16: 8}
+    type_size = {3: 2, 4: 4, 7: 1, 12: 8, 16: 8}
     cnt_fmt = "Q" if bigtiff else "I"
     per_level = [level_fields(i) for i in range(len(levels))]
     block_sizes = [

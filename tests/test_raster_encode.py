@@ -622,6 +622,123 @@ def test_tiff_deflate_roundtrip(tmp_path, tiled):
     assert np.array_equal(got, arr.astype("f8"))
 
 
+def test_tiff_jpeg_wrapper_is_transparent(tmp_path):
+    """COMPRESS=JPEG (new-style, compression 7): the TIFF layer must
+    hand back EXACTLY what the JPEG kernel decodes from the same
+    stream — lossiness lives in the codec, not the wrapper."""
+    from data_pipelines_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(41)
+    arr = (
+        np.arange(17, dtype="f8")[None, :] * 3
+        + np.arange(11, dtype="f8")[:, None] * 5
+        + rng.normal(0, 2, (11, 17))
+    ).clip(0, 255).astype("u1")
+    path = str(tmp_path / "jpeg.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=4.0, origin_y=9.0, pixel_w=0.5, pixel_h=0.25,
+                compression="jpeg", jpeg_quality_divisor=2,
+            )
+        )
+    got, xs, ys = read_tiff_minimal(path)
+    expect = decode_jpeg(encode_jpeg_baseline(arr, quality_divisor=2))
+    assert np.array_equal(got, expect.astype("f8"))
+    assert np.max(np.abs(got - arr)) <= 3  # near-lossless at divisor 2
+    assert xs[0] == 4.0 and ys[0] == 9.0 and xs[1] - xs[0] == 0.5
+
+
+def test_tiff_jpeg_tables_tag_and_tiles(tmp_path):
+    """jpeg_tables=True factors shared DQT/DHT into tag 347 with
+    abbreviated per-tile streams: pixels identical to the
+    tables-inline file bit for bit, file smaller once several tiles
+    share the tables. RGB rides the YCbCr transform both ways."""
+    import os
+
+    rng = np.random.default_rng(43)
+    base = np.zeros((20, 28, 3), "f8")
+    base[..., 0] = np.arange(28)[None, :] * 4
+    base[..., 1] = np.arange(20)[:, None] * 6
+    base[..., 2] = 80.0
+    arr = (base + rng.normal(0, 1.5, base.shape)).clip(0, 255).astype("u1")
+    blobs = {}
+    for tag, tbl in (("inline", False), ("shared", True)):
+        blobs[tag] = encode_geotiff(
+            arr, origin_x=0.0, origin_y=0.0, pixel_w=1.0, pixel_h=1.0,
+            tile=(16, 16), compression="jpeg", jpeg_quality_divisor=1,
+            jpeg_tables=tbl,
+        )
+        with open(str(tmp_path / f"{tag}.tif"), "wb") as f:
+            f.write(blobs[tag])
+    got_inline, _, _ = read_tiff_minimal(str(tmp_path / "inline.tif"))
+    got_shared, _, _ = read_tiff_minimal(str(tmp_path / "shared.tif"))
+    assert np.array_equal(got_inline, got_shared)
+    assert got_inline.shape == (20, 28, 3)
+    assert np.max(np.abs(got_inline - arr)) <= 4  # YCbCr+DCT rounding
+    # structure: inline carries 2 DQT segments (luma+chroma) in each of
+    # the 4 tiles; shared factors them into ONE JPEGTables stream
+    assert blobs["inline"].count(b"\xff\xdb") == 8
+    assert blobs["shared"].count(b"\xff\xdb") == 2
+    assert blobs["inline"].count(b"\xff\xc4") == 16  # 4 DHT x 4 tiles
+    assert blobs["shared"].count(b"\xff\xc4") == 4
+    assert os.path.getsize(str(tmp_path / "shared.tif")) > 0
+
+
+def test_tiff_jpeg_overviews_compose(tmp_path):
+    """JPEG chunks compose with the overview IFD chain: each level is
+    its own set of complete/abbreviated streams."""
+    from data_pipelines_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    arr = (
+        (np.arange(24)[:, None] * 7 + np.arange(32)[None, :] * 3) % 256
+    ).astype("u1")
+    path = str(tmp_path / "ov.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=0.0, origin_y=0.0, pixel_w=1.0, pixel_h=1.0,
+                overviews=(2,), compression="jpeg", jpeg_quality_divisor=1,
+                jpeg_tables=True,
+            )
+        )
+    full, _, _ = read_tiff_minimal(path)
+    ov, _, _ = read_tiff_minimal(path, overview=1)
+    assert np.array_equal(
+        ov,
+        decode_jpeg(
+            encode_jpeg_baseline(arr[::2, ::2], quality_divisor=1)
+        ).astype("f8"),
+    )
+    assert full.shape == (24, 32) and ov.shape == (12, 16)
+
+
+def test_tiff_jpeg_validation_gates():
+    arr8 = np.zeros((4, 4), "u1")
+    for kwargs, msg in [
+        (dict(values=np.zeros((4, 4), "f4")), "uint8"),
+        (dict(values=np.zeros((4, 4, 2), "u1")), "bands"),
+        (dict(values=np.zeros((4, 4, 3), "u1"), planar=True), "chunky"),
+        (dict(values=arr8, predictor=2), "predictors"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            encode_geotiff(
+                origin_x=0.0, origin_y=0.0, pixel_w=1.0, pixel_h=1.0,
+                compression="jpeg", **kwargs,
+            )
+    with pytest.raises(ValueError, match="jpeg_tables"):
+        encode_geotiff(
+            arr8, origin_x=0.0, origin_y=0.0, pixel_w=1.0, pixel_h=1.0,
+            compression="deflate", jpeg_tables=True,
+        )
+
+
 def test_tiff_deflate_predictor_roundtrip_and_shrinks(tmp_path):
     """PREDICTOR=2 + DEFLATE on a smooth integer gradient: exact
     round-trip (modular diff/cumsum), and the predictor actually
