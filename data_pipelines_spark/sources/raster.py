@@ -120,7 +120,18 @@ def _decode_complex_section7(body: bytes, packing: dict) -> np.ndarray:
     the data bits, continuous across groups. Value i of group g is
     ``gref_g + field(width_g bits)``; group width/length are
     ``width_ref + w`` and ``len_ref + scaled·len_inc`` with the last
-    group's true length carried explicitly in the template."""
+    group's true length carried explicitly in the template.
+
+    Missing-value management (template octet 23 = 1 or 2): in a group
+    of width w > 0 the all-ones pattern 2^w−1 marks a primary-missing
+    point (2^w−2 secondary at MVM 2); a width-0 group whose reference
+    equals the all-ones pattern at the REFERENCE width is missing
+    wholesale. Missing points carry no group reference and are
+    excluded from the spatial-differencing chain, which runs over the
+    compacted present sequence (g2lib `comunpack`). The return is then
+    float64 with NaN at missing points (both classes — the substitute
+    values in octets 24-31 are advisory and not materialized);
+    without MVM the exact int64 field returns as before."""
     pos = 5  # section body after length(4) + number(1)
     order, ba = packing["order"], packing["ba"]
     initial, gmin = [], 0
@@ -163,26 +174,52 @@ def _decode_complex_section7(body: bytes, packing: dict) -> np.ndarray:
         ([0], np.cumsum(val_widths.astype(np.int64))[:-1])
     )
     x = _unpack_var_bits(bits, starts, val_widths)
-    x += np.repeat(grefs, lengths)
 
-    if order:
+    def undiff(seq: np.ndarray) -> np.ndarray:
         # Undo spatial differencing (g2lib comunpack): the first
         # `order` values are the stored originals; the rest accumulate.
-        x[order:] += gmin
+        seq[order:] += gmin
         if order == 1:
-            x[0] = initial[0]
-            np.cumsum(x, out=x)
-        elif len(x) == 1:
-            x[0] = initial[0]
+            seq[0] = initial[0]
+            np.cumsum(seq, out=seq)
+        elif len(seq) == 1:
+            seq[0] = initial[0]
         else:
-            # Second order: x[2:] holds second differences; one cumsum
-            # (seeded with f1-f0) recovers first differences, a second
-            # recovers the field — no per-point Python loop.
-            x[1] = initial[1] - initial[0]
-            np.cumsum(x[1:], out=x[1:])
-            x[0] = initial[0]
-            np.cumsum(x, out=x)
-    return x
+            # Second order: seq[2:] holds second differences; one
+            # cumsum (seeded with f1-f0) recovers first differences, a
+            # second recovers the field — no per-point Python loop.
+            seq[1] = initial[1] - initial[0]
+            np.cumsum(seq[1:], out=seq[1:])
+            seq[0] = initial[0]
+            np.cumsum(seq, out=seq)
+        return seq
+
+    mvm = packing.get("mvm", 0)
+    if not mvm:
+        x += np.repeat(grefs, lengths)
+        return undiff(x) if order else x
+
+    # Missing-value management: detect the reserved patterns BEFORE
+    # any reference addition or differencing.
+    grefs_rep = np.repeat(grefs, lengths)
+    wide = val_widths > 0
+    pat1 = (np.int64(1) << val_widths) - 1  # all-ones per value width
+    miss = wide & (x == pat1)
+    if mvm == 2:
+        miss |= wide & (x == pat1 - 1)
+    if packing["nbits"] > 0:  # width-0 groups: pattern at REFERENCE width
+        ref_pat = (np.int64(1) << packing["nbits"]) - 1
+        miss |= ~wide & (grefs_rep == ref_pat)
+        if mvm == 2:
+            miss |= ~wide & (grefs_rep == ref_pat - 1)
+    x = np.where(miss, 0, x + grefs_rep)
+    if order:
+        present = x[~miss]
+        if len(present):
+            x[~miss] = undiff(present)
+    out = x.astype("f8")
+    out[miss] = np.nan
+    return out
 
 
 def read_grib1_minimal(path: str):
@@ -313,10 +350,12 @@ def read_grib2_minimal(path: str):
     encoding operational ECMWF products like GLOFAS discharge actually
     use), and 5.41 (PNG packing — NOAA MRMS-style; section 7 is a PNG
     stream decoded by the engine's own stdlib-zlib PNG kernel);
-    optional bitmap; any number of messages per file (ensemble
-    members). Anything else — spectral/jpeg2000 packing,
-    missing-value management, other grids — raises with a pointer to
-    the cfgrib path.
+    missing points via an optional bitmap OR complex-packing
+    missing-value management (template octet 23 = 1/2: in-group
+    all-ones patterns, both primary and secondary surfacing as NaN);
+    any number of messages per file (ensemble members). Anything else
+    — spectral/jpeg2000 packing, other grids — raises with a pointer
+    to the cfgrib path.
 
     Returns a list of (meta, values[Nj, Ni], lats, lons) per message;
     ``meta`` carries the product-definition template number and, for
@@ -390,12 +429,13 @@ def read_grib2_minimal(path: str):
                     "d_scale": d_scale, "nbits": nbits,
                 }
                 if template in (2, 3):  # complex packing (+ spatial diff)
-                    if body[22] != 0:
-                        raise NotImplementedError(
-                            "complex packing with missing-value "
-                            "management: use the cfgrib path"
+                    mvm = body[22]
+                    if mvm not in (0, 1, 2):
+                        raise ValueError(
+                            f"bad missing-value management flag {mvm}"
                         )
                     packing.update(
+                        mvm=mvm,
                         ng=int.from_bytes(body[31:35], "big"),
                         width_ref=body[35], width_bits=body[36],
                         len_ref=int.from_bytes(body[37:41], "big"),

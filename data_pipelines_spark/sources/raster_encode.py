@@ -622,7 +622,10 @@ def _var_bitblock(values: np.ndarray, widths: np.ndarray) -> bytes:
 
 
 def _complex_pack(
-    x: np.ndarray, spatial_diff_order: int, group_len: int
+    x: np.ndarray,
+    spatial_diff_order: int,
+    group_len: int,
+    miss: np.ndarray | None = None,
 ) -> tuple[int, bytes, bytes]:
     """Build GRIB2 sections 5+7 tails for data templates 5.2/5.3 from
     the non-negative integer field ``x``.
@@ -635,27 +638,38 @@ def _complex_pack(
     differencing (template 5.3) stores the first ``order`` original
     values and the overall difference minimum in ``ba`` octets
     (sign-magnitude), then packs the re-biased differences — the
-    transform NCEP g2lib's `compack` applies."""
+    transform NCEP g2lib's `compack` applies.
+
+    ``miss`` switches on missing-value management (template octet 23
+    = 1): missing points pack as the all-ones pattern at their
+    group's width (so every group's width leaves that pattern free),
+    all-missing groups pack as width 0 with the all-ones REFERENCE
+    pattern, and the differencing chain runs over the compacted
+    present sequence only. ``x[miss]`` is ignored."""
     n = len(x)
+    mvm = 1 if miss is not None else 0
+    if miss is None:
+        miss = np.zeros(n, dtype=bool)
+    pres = ~miss
     descriptors = b""
     order = spatial_diff_order
     ba = 0
     if order:
-        if n <= order:
+        xp = x[pres]
+        if len(xp) <= order:
             raise ValueError(
                 f"spatial differencing of order {order} needs more than "
-                f"{order} packed points, got {n}"
+                f"{order} packed points, got {len(xp)}"
             )
-        initial = [int(v) for v in x[:order]]
-        d = np.zeros_like(x)
+        initial = [int(v) for v in xp[:order]]
+        d = np.zeros_like(xp)
         if order == 1:
-            d[1:] = np.diff(x)
+            d[1:] = np.diff(xp)
         else:
-            d[2:] = x[2:] - 2 * x[1:-1] + x[:-2]
-        gmin = int(d[order:].min()) if n > order else 0
-        f = d
-        f[order:] -= gmin
-        f[:order] = 0
+            d[2:] = xp[2:] - 2 * xp[1:-1] + xp[:-2]
+        gmin = int(d[order:].min()) if len(xp) > order else 0
+        d[order:] -= gmin
+        d[:order] = 0
         ba = max(
             (abs(v).bit_length() + 8) // 8 for v in (*initial, gmin)
         )
@@ -663,8 +677,10 @@ def _complex_pack(
             b"".join(_sm_bytes(v, ba) for v in initial)
             + _sm_bytes(gmin, ba)
         )
+        f = np.zeros_like(x)
+        f[pres] = d
     else:
-        f = x
+        f = np.where(miss, 0, x)
 
     ng = max(1, -(-n // group_len))
     group_starts = np.arange(0, n, group_len) if n else np.array([0])
@@ -673,17 +689,46 @@ def _complex_pack(
         lengths[-1] = n - (ng - 1) * group_len
     else:
         lengths[:] = 0
+
+    BIG = np.int64(1) << 62
+    fmin = np.where(miss, BIG, f)
     grefs = (
-        np.minimum.reduceat(f, group_starts) if n
+        np.minimum.reduceat(fmin, group_starts) if n
         else np.zeros(ng, dtype=np.int64)
     )
-    rel = f - np.repeat(grefs, lengths)
-    widths = (
-        _bit_lengths(np.maximum.reduceat(rel, group_starts)) if n
+    all_missing = grefs == BIG  # group with no present point
+    grefs = np.where(all_missing, 0, grefs)
+    rel = np.where(miss, 0, f - np.repeat(grefs, lengths))
+    gmax = (
+        np.maximum.reduceat(np.where(miss, -1, rel), group_starts) if n
         else np.zeros(ng, dtype=np.int64)
     )
+    gmax = np.maximum(gmax, 0)
+    if mvm:
+        # every group's width must keep the all-ones pattern free for
+        # the missing marker (the decoder checks it in EVERY group)
+        has_miss = (
+            np.maximum.reduceat(miss.astype(np.int64), group_starts) > 0
+            if n else np.zeros(ng, dtype=bool)
+        )
+        widths = _bit_lengths(gmax + 1)
+        widths[~has_miss & (gmax == 0)] = 0
+        widths[all_missing] = 0
+    else:
+        widths = _bit_lengths(gmax)
 
     gref_bits = int(_bit_lengths(grefs).max()) if ng else 0
+    if mvm:
+        # width-0 present groups must not collide with the all-ones
+        # REFERENCE pattern, and all-missing groups need one to exist
+        width0_present = (widths == 0) & ~all_missing
+        pat = (1 << gref_bits) - 1
+        if (all_missing.any() and gref_bits == 0) or bool(
+            (width0_present & (grefs == pat)).any()
+        ):
+            gref_bits += 1
+        grefs = np.where(all_missing, (1 << gref_bits) - 1, grefs)
+
     width_ref = int(widths.min()) if ng else 0
     width_bits = int(_bit_lengths(widths - width_ref).max()) if ng else 0
     len_ref = int(lengths.min()) if ng else 0
@@ -691,9 +736,12 @@ def _complex_pack(
     len_bits = int(_bit_lengths(scaled).max()) if ng else 0
     last_len = int(lengths[-1]) if ng else 0
 
+    # MVM substitutes (octets 24-31) are advisory: write the ECMWF/NCEP
+    # 9.999e20 convention for the primary, zero for the unused secondary.
+    subs = struct.pack(">f", 9.999e20) + b"\0" * 4 if mvm else b"\0" * 8
     sec5_tail = (
-        bytes([0, 1, 0])  # field type, splitting method 1, no MVM
-        + b"\0" * 8       # primary/secondary missing values (unused)
+        bytes([0, 1, mvm])  # field type, splitting method 1, MVM flag
+        + subs
         + ng.to_bytes(4, "big")
         + bytes([width_ref, width_bits])
         + len_ref.to_bytes(4, "big")
@@ -704,12 +752,14 @@ def _complex_pack(
     if order:
         sec5_tail += bytes([order, ba])
 
+    val_widths = np.repeat(widths, lengths)
+    vals = np.where(miss, (np.int64(1) << val_widths) - 1, rel)
     sec7 = (
         descriptors
         + _fixed_bitblock(grefs, gref_bits)
         + _fixed_bitblock(widths - width_ref, width_bits)
         + _fixed_bitblock(scaled, len_bits)
-        + _var_bitblock(rel, np.repeat(widths, lengths))
+        + _var_bitblock(vals, val_widths)
     )
     return gref_bits, sec5_tail, sec7
 
@@ -728,6 +778,7 @@ def encode_grib2(
     packing: str = "simple",
     group_len: int = 20,
     sd_order: int = 2,
+    missing: str = "bitmap",
 ) -> bytes:
     """Encode regular-lat/lon grids as a multi-message GRIB2 byte
     string (grid template 3.0, product template 4.1 for ensemble
@@ -746,13 +797,25 @@ def encode_grib2(
 
     Each message is ``(member, values[nj, ni])``; ``member=None`` emits
     a non-ensemble product. NaN cells are encoded through a real
-    bitmap (section 6 indicator 0) — the packed payload carries only
-    present cells, exactly the layout `read_grib2_minimal` scatters
-    back. Packing is Y = (R + X * 2^E) / 10^D with R = min over
+    bitmap (section 6 indicator 0) by default — the packed payload
+    carries only present cells, exactly the layout
+    `read_grib2_minimal` scatters back. ``missing="mvm"`` (complex
+    packings only) uses the templates' own missing-value management
+    instead: no bitmap section, all grid points packed, missing ones
+    as the in-group all-ones patterns (primary, octet 23 = 1) — the
+    layout NCEP g2lib's `compack` emits for fields with undefined
+    points. Packing is Y = (R + X * 2^E) / 10^D with R = min over
     present scaled values; the encoder raises if any X falls outside
     ``nbits`` or R is not exactly float32-representable (which would
     silently break round-trip exactness).
     """
+    if missing not in ("bitmap", "mvm"):
+        raise ValueError(f"unsupported missing mode {missing!r}")
+    if missing == "mvm" and packing not in ("complex", "complex_sd"):
+        raise ValueError(
+            "missing-value management is a complex-packing feature "
+            "(templates 5.2/5.3); use the bitmap for other packings"
+        )
     out = b""
     for member, values in messages:
         arr = np.asarray(values, dtype="f8")
@@ -851,13 +914,23 @@ def encode_grib2(
             if packing == "complex_sd" and sd_order not in (1, 2):
                 raise ValueError(f"sd_order must be 1 or 2, got {sd_order}")
             order = sd_order if packing == "complex_sd" else 0
-            gref_bits, sec5_tail, packed = _complex_pack(
-                x, order, group_len
-            )
+            if missing == "mvm":
+                # all grid points pack; NaNs become in-group patterns
+                x_full = np.zeros(n_total, dtype=np.int64)
+                x_full[present] = x
+                gref_bits, sec5_tail, packed = _complex_pack(
+                    x_full, order, group_len, miss=~present
+                )
+                n_sec5 = n_total
+            else:
+                gref_bits, sec5_tail, packed = _complex_pack(
+                    x, order, group_len
+                )
+                n_sec5 = n_packed
             template = 3 if order else 2
             sec5 = (
                 struct.pack(
-                    ">IBIH", 20 + len(sec5_tail), 5, n_packed, template
+                    ">IBIH", 20 + len(sec5_tail), 5, n_sec5, template
                 )
                 + struct.pack(">f", ref)
                 + _sm_bytes(e_scale, 2)
@@ -868,7 +941,7 @@ def encode_grib2(
         else:
             raise ValueError(f"unsupported GRIB2 packing {packing!r}")
 
-        if present.all():
+        if present.all() or missing == "mvm":
             sec6 = struct.pack(">IBB", 6, 6, 255)
         else:
             bitmap = np.packbits(present.astype(np.uint8))

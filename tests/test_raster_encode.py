@@ -266,6 +266,81 @@ def test_grib2_complex_constant_and_tiny_fields(tmp_path):
         )
 
 
+@pytest.mark.parametrize("packing", ["complex", "complex_sd"])
+def test_grib2_missing_value_management_roundtrip(tmp_path, packing):
+    """Templates 5.2/5.3 with octet 23 = 1: NaNs ride as in-group
+    all-ones patterns (no bitmap section), whole-group gaps as the
+    reference-width pattern, and the differencing chain skips missing
+    points — decode must put every NaN back and every present value
+    back exactly."""
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 500, (8, 15)).astype("f8")
+    vals[0, 3] = np.nan            # isolated hole
+    vals[2, :] = np.nan            # a run spanning whole groups
+    vals[5, 5:9] = np.nan
+    vals[7, 14] = np.nan           # last point
+    blob = encode_grib2(
+        [(None, vals)], lat0=0.0, lon0=0.0, dlat=1.0, dlon=1.0,
+        packing=packing, group_len=5, missing="mvm",
+    )
+    path = str(tmp_path / "mvm.grib2")
+    with open(path, "wb") as f:
+        f.write(blob)
+    [(_m, got, _la, _lo)] = read_grib2_minimal(path)
+    assert np.array_equal(np.isnan(got), np.isnan(vals))
+    assert np.array_equal(got[~np.isnan(vals)], vals[~np.isnan(vals)])
+    # parity with the bitmap spelling of the same field
+    blob_bm = encode_grib2(
+        [(None, vals)], lat0=0.0, lon0=0.0, dlat=1.0, dlon=1.0,
+        packing=packing, group_len=5, missing="bitmap",
+    )
+    with open(path, "wb") as f:
+        f.write(blob_bm)
+    [(_m, got_bm, _la, _lo)] = read_grib2_minimal(path)
+    assert np.array_equal(np.isnan(got_bm), np.isnan(got))
+    assert np.array_equal(
+        got_bm[~np.isnan(got)], got[~np.isnan(got)]
+    )
+
+
+def test_grib2_mvm_degenerate_shapes(tmp_path):
+    """MVM corner cases: constant present values inside a group with
+    missing (width forced to 1), width-0 reference colliding with the
+    all-ones pattern (gref_bits must bump), and an all-missing-but-one
+    field."""
+    path = str(tmp_path / "t.grib2")
+    cases = [
+        # constant 3.0 everywhere + holes: grefs 3 == 2^2-1 collision
+        np.where(np.arange(12).reshape(3, 4) % 5 == 0, np.nan, 3.0),
+        np.where(np.arange(12).reshape(3, 4) > 0, np.nan, 9.0),
+        np.full((2, 2), 4.0),  # no missing at all, mvm still legal
+    ]
+    for vals in cases:
+        blob = encode_grib2(
+            [(None, vals)], lat0=0.0, lon0=0.0, dlat=1.0, dlon=1.0,
+            packing="complex", group_len=4, missing="mvm",
+        )
+        with open(path, "wb") as f:
+            f.write(blob)
+        [(_m, got, _la, _lo)] = read_grib2_minimal(path)
+        assert np.array_equal(np.isnan(got), np.isnan(vals))
+        assert np.array_equal(got[~np.isnan(vals)], vals[~np.isnan(vals)])
+
+
+def test_grib2_mvm_validation():
+    with pytest.raises(ValueError, match="complex-packing feature"):
+        encode_grib2(
+            [(None, np.zeros((2, 2)))],
+            lat0=0, lon0=0, dlat=1, dlon=1, packing="simple",
+            missing="mvm",
+        )
+    with pytest.raises(ValueError, match="missing mode"):
+        encode_grib2(
+            [(None, np.zeros((2, 2)))],
+            lat0=0, lon0=0, dlat=1, dlon=1, missing="nope",
+        )
+
+
 @pytest.mark.parametrize("compressor", [None, "zlib", "gzip", "bz2", "lzma"])
 def test_zarr_roundtrip_compressors(tmp_path, compressor):
     vals = np.arange(12, dtype="<f8").reshape(3, 4) * 1.5

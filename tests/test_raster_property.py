@@ -73,11 +73,12 @@ def test_tiff_roundtrip_property(tmp_path_factory, dims, dtype, tiled,
     packing=st.sampled_from(["simple", "complex", "complex_sd", "png"]),
     group_len=st.integers(1, 30),
     sd_order=st.integers(1, 2),
+    use_mvm=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
 def test_grib_roundtrip_property(tmp_path_factory, dims, edition, nbits,
                                  members, nan_frac, packing, group_len,
-                                 sd_order, seed):
+                                 sd_order, use_mvm, seed):
     nj, ni = dims
     rng = np.random.default_rng(seed)
     msgs = []
@@ -98,9 +99,15 @@ def test_grib_roundtrip_property(tmp_path_factory, dims, edition, nbits,
     else:
         if packing == "complex_sd" and min_present <= sd_order:
             packing = "complex"  # differencing needs > order points
+        missing = (
+            "mvm"
+            if use_mvm and packing in ("complex", "complex_sd")
+            else "bitmap"
+        )
         blob = encode_grib2(msgs, lat0=50.0, lon0=10.0, dlat=0.5,
                             dlon=0.25, nbits=nbits, packing=packing,
-                            group_len=group_len, sd_order=sd_order)
+                            group_len=group_len, sd_order=sd_order,
+                            missing=missing)
     path = tmp_path_factory.mktemp("grib") / f"g.grib{edition}"
     path.write_bytes(blob)
     out = read_grib_minimal(str(path))
