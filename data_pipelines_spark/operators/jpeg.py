@@ -8,13 +8,15 @@ common profile, with the exotic profiles still raising an honest
 
 Decoder (:func:`decode_jpeg`) covers the baseline sequential DCT
 profile (ITU T.81) AND the progressive DCT profile: SOF0/1 frames
-(8-bit samples, interleaved scans, restart intervals) and SOF2 frames
+(8- or 12-bit samples — 12-bit returns uint16 with the 2048 level
+shift, the extended-sequential depth medical/satellite products use;
+interleaved scans, restart intervals) and SOF2 frames
 (spectral selection, successive approximation, DC/AC first and
 refinement scans, EOB runs, interleaved DC + single-component AC scan
 geometry), arbitrary Huffman tables read from the stream's DHT
 segments (canonical reconstruction), DQT dequantization, 1- or
 3-component images with sampling factors up to 2 (4:4:4, 4:2:2,
-4:2:0), JFIF YCbCr→RGB conversion. Arithmetic coding, 12-bit and
+4:2:0), JFIF YCbCr→RGB conversion. Arithmetic coding and
 hierarchical profiles raise with a pointer to PIL.
 
 Encoders (:func:`encode_jpeg_baseline`, :func:`encode_jpeg_progressive`)
@@ -134,8 +136,9 @@ def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 def decode_jpeg(content: bytes) -> np.ndarray:
     """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG payload
-    to uint8 (H, W) grayscale or (H, W, 3) RGB. See module docstring
-    for the supported profile."""
+    to (H, W) grayscale or (H, W, 3) RGB — uint8 at 8-bit precision,
+    uint16 at 12-bit. See module docstring for the supported
+    profile."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -184,13 +187,16 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 bp += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG decodes natively")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG: only 8- and 12-bit sample "
+                    "precision decodes natively"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
             if marker == 0xC2:
                 progressive = True
                 hmax = max(c[1] for c in comps)
@@ -215,7 +221,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []  # (comp_idx, dc_table_id, ac_table_id)
-            height, width, comps = frame
+            height, width, comps = frame[:3]
             for i in range(ns):
                 cs, tda = body[1 + 2 * i : 3 + 2 * i]
                 ci = next(k for k, c in enumerate(comps) if c[0] == cs)
@@ -239,7 +245,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
-    height, width, comps = frame
+    height, width, comps = frame[:3]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-width // (8 * hmax))
@@ -271,24 +277,33 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
             mcu_count += 1
 
-    return _planes_to_image(planes, comps, hmax, vmax, height, width)
+    return _planes_to_image(
+        planes, comps, hmax, vmax, height, width, frame[3]
+    )
 
 
-def _planes_to_image(planes, comps, hmax, vmax, height, width) -> np.ndarray:
-    """Level-shifted component planes → uint8 image: upsample to the
-    luma grid, crop the MCU padding, YCbCr→RGB for 3 components."""
+def _planes_to_image(
+    planes, comps, hmax, vmax, height, width, prec=8
+) -> np.ndarray:
+    """Level-shifted component planes → sample image: upsample to the
+    luma grid, crop the MCU padding, YCbCr→RGB for 3 components.
+    uint8 at 8-bit precision, uint16 at 12-bit (level shift 2^(P-1),
+    clamp to 2^P−1 — T.81 A.3.1)."""
+    shift = 1 << (prec - 1)
+    maxv = (1 << prec) - 1
+    dt = np.uint8 if prec == 8 else np.uint16
     out = []
     for p, (_, ch, cv, _) in zip(planes, comps):
         up = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         out.append(up[:height, :width])
     if len(out) == 1:
-        return np.clip(np.round(out[0] + 128), 0, 255).astype(np.uint8)
-    y, cb, cr = (o + 128 for o in out[:3])
-    r = y + 1.402 * (cr - 128)
-    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-    b = y + 1.772 * (cb - 128)
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
-        np.uint8
+        return np.clip(np.round(out[0] + shift), 0, maxv).astype(dt)
+    y, cb, cr = (o + shift for o in out[:3])
+    r = y + 1.402 * (cr - shift)
+    g = y - 0.344136 * (cb - shift) - 0.714136 * (cr - shift)
+    b = y + 1.772 * (cb - shift)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, maxv).astype(
+        dt
     )
 
 
@@ -323,7 +338,7 @@ def _scan_block_order(frame, scan):
     ceil(component sampled dims / 8), which excludes the interleaved
     grid's padding blocks. Yields (comp_idx, by, bx) plus a flag that
     marks restart-unit boundaries."""
-    height, width, comps = frame
+    height, width, comps = frame[:3]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if len(scan) > 1:
@@ -358,7 +373,7 @@ def _decode_progressive_scan(
     first/refine (single component, EOB runs, successive-approximation
     correction bits). Returns the stream position after the entropy
     data."""
-    height, width, comps = frame
+    height, width, comps = frame[:3]
     if ss == 0 and se != 0:
         raise ValueError("progressive DC scan must have Se=0")
     if ss > 0 and len(scan) != 1:
@@ -471,7 +486,7 @@ def _finish_progressive(frame, coeff, qt) -> np.ndarray:
     """Dequantize + de-zigzag + IDCT the accumulated progressive
     coefficients and assemble the image (shared tail with the
     baseline path)."""
-    height, width, comps = frame
+    height, width, comps = frame[:3]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     planes = []
@@ -495,7 +510,9 @@ def _finish_progressive(frame, coeff, qt) -> np.ndarray:
         planes.append(
             spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         )
-    return _planes_to_image(planes, comps, hmax, vmax, height, width)
+    return _planes_to_image(
+        planes, comps, hmax, vmax, height, width, frame[3]
+    )
 
 
 # ---------------------------------------------------------------- encoder
@@ -555,6 +572,7 @@ def encode_jpeg_baseline(
     subsample: bool = False,
     restart_interval: int = 0,
     fixed_tables: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Encode a uint8 (H, W) grayscale or (H, W, 3) RGB array as a
     baseline JPEG. ``quality_divisor`` is the (flat) quantization step:
@@ -568,22 +586,35 @@ def encode_jpeg_baseline(
     pair) instead of the symbols this image emits — slightly longer
     codes, but the DQT/DHT segments become content-independent, which
     is what lets a TIFF JPEGTables tag (347) share one table set
-    across every strip/tile."""
+    across every strip/tile. ``precision=12`` writes the extended
+    sequential profile (SOF1, uint16 samples < 4096, level shift
+    2048) — the depth medical/satellite products use; magnitude
+    categories widen per T.81 (DC to 15, AC to 14) and the inverse is
+    :func:`decode_jpeg`'s 12-bit path."""
     a = np.asarray(arr)
-    if a.dtype != np.uint8:
-        raise ValueError("encode_jpeg_baseline expects uint8")
+    if precision == 8:
+        if a.dtype != np.uint8:
+            raise ValueError("encode_jpeg_baseline expects uint8")
+    elif precision == 12:
+        if a.dtype != np.uint16:
+            raise ValueError("12-bit JPEG takes uint16 samples")
+        if int(a.max(initial=0)) >> 12:
+            raise ValueError("12-bit JPEG samples must be < 4096")
+    else:
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    shift = float(1 << (precision - 1))
     gray = a.ndim == 2
     h, w = a.shape[:2]
     qy, qc = _quant_tables(quality_divisor)
 
     if gray:
-        planes = [a.astype(np.float64) - 128.0]
+        planes = [a.astype(np.float64) - shift]
         samp = [(1, 1)]
         quants = [qy]
     else:
         rgb = a.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        y = 0.299 * r + 0.587 * g + 0.114 * b - shift
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b
         if subsample:
@@ -659,9 +690,13 @@ def encode_jpeg_baseline(
     dc_tables = {}
     ac_tables = {}
     if fixed_tables:
-        dc_universe = set(range(12))
+        # magnitude-category ceilings per T.81 tables F.1/F.2: DC 11,
+        # AC 10 at 8-bit; DC 15, AC 14 at 12-bit
+        max_dc = 12 if precision == 8 else 16
+        max_ac = 10 if precision == 8 else 14
+        dc_universe = set(range(max_dc))
         ac_universe = {0x00, 0xF0} | {
-            (run << 4) | s for run in range(16) for s in range(1, 11)
+            (run << 4) | s for run in range(16) for s in range(1, max_ac + 1)
         }
     for tid in set(groups):
         members = [i for i, g in enumerate(groups) if g == tid]
@@ -682,7 +717,9 @@ def encode_jpeg_baseline(
         zz = bytes(int(q[i, j]) for i, j in _ZIGZAG)
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zz
     nc = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    # 12-bit sample precision is the EXTENDED sequential profile: SOF1
+    sof = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
     for ci in range(nc):
         sh, sv = samp[ci]
         out += bytes([ci + 1, (sh << 4) | sv, min(groups[ci], 1 if gray else 1)])

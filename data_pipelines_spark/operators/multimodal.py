@@ -16,7 +16,7 @@ Decode coverage is tiered by what the environment can honestly do:
   audio
   (stdlib `wave` — real sample decode, RMS / zero-crossing features).
   These run end-to-end in tests against byte-assembled files.
-- **Library-gated**: arithmetic/12-bit JPEG and MP4/video need
+- **Library-gated**: arithmetic/hierarchical JPEG and MP4/video need
   PIL/opencv/pyav; `decode_image` raises a clearly marked
   NotImplementedError for them.
 

@@ -90,6 +90,55 @@ def test_unsupported_profiles_raise():
         decode_jpeg(b"\x89PNG....")
 
 
+def test_12bit_gray_roundtrip_and_wire_shape():
+    """12-bit extended sequential (SOF1): uint16 samples survive the
+    DCT round-trip at divisor 1 within quantization rounding, the
+    stream advertises SOF1 + precision 12, and the decoder hands back
+    uint16."""
+    rng = np.random.default_rng(17)
+    g = (
+        np.arange(24, dtype="f8")[:, None] * 130
+        + np.arange(17, dtype="f8")[None, :] * 7
+        + rng.normal(0, 3, (24, 17))
+    ).clip(0, 4095).astype(np.uint16)
+    enc = encode_jpeg_baseline(g, quality_divisor=1, precision=12)
+    assert b"\xff\xc1" in enc and b"\xff\xc0" not in enc
+    sof = enc.index(b"\xff\xc1")
+    assert enc[sof + 4] == 12  # sample precision byte
+    dec = decode_jpeg(enc)
+    assert dec.dtype == np.uint16
+    assert _maxerr(g, dec) <= 2
+
+
+def test_12bit_rgb_and_fixed_tables():
+    """12-bit RGB rides the same YCbCr transform scaled to the wider
+    range; fixed_tables composes (widened T.81 magnitude-category
+    universes)."""
+    rng = np.random.default_rng(19)
+    c = rng.integers(0, 4096, (9, 11, 3)).astype(np.uint16)
+    for fixed in (False, True):
+        enc = encode_jpeg_baseline(
+            c, quality_divisor=1, precision=12, fixed_tables=fixed
+        )
+        dec = decode_jpeg(enc)
+        assert dec.dtype == np.uint16
+        # YCbCr forward/back rounding scales with the sample range
+        assert _maxerr(c.astype("f8"), dec.astype("f8")) <= 40, fixed
+
+
+def test_12bit_validation():
+    with pytest.raises(ValueError, match="uint16"):
+        encode_jpeg_baseline(np.zeros((4, 4), np.uint8), precision=12)
+    with pytest.raises(ValueError, match="4096"):
+        encode_jpeg_baseline(
+            np.full((4, 4), 5000, np.uint16), precision=12
+        )
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg_baseline(np.zeros((4, 4), np.uint16))
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg_baseline(np.zeros((4, 4), np.uint8), precision=10)
+
+
 def test_progressive_equals_baseline_bitwise():
     """The headline progressive contract: both encoders quantize to the
     SAME coefficients, so the progressive stream (DC first/refine, AC
