@@ -528,6 +528,128 @@ def unigram_logprob(
     )
 
 
+def kneser_ney_bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_docs: DataFrame | None = None,
+    discount: float = 0.75,
+    decimals: int = 6,
+    unk_logprob10: float = -10.0,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language-model score per document
+    — the real shape of the CCNet-style perplexity quality filter
+    (Wenzek et al., LREC 2020 train a 5-gram KenLM; this is the same
+    filter with the model trained IN-ENGINE, relationally):
+
+        P(w2|w1) = (c(w1,w2) − D)/c(w1) + λ(w1)·P_cont(w2)
+        λ(w1)    = D·N1+(w1·)/c(w1)
+        P_cont(w2) = N1+(·w2)/N1+(··)
+
+    (Kneser & Ney 1995; Chen & Goodman 1998 interpolated form, single
+    discount D). Bigrams run over ``<s>`` + the lowercased whitespace
+    tokens, so every token is one prediction event. Trained on
+    ``train_docs`` (default: ``docs`` itself — the self-trained filter,
+    where every scored bigram is in the model); scoring backs off per
+    the model: unseen bigram → λ(w1)·P_cont(w2), unseen context →
+    P_cont(w2), unseen word → ``unk_logprob10``.
+
+    Output: (id_col, n_tokens, kn_logprob10, kn_ppl10) for docs with
+    ≥1 token; ``kn_logprob10`` is the mean log10 event probability and
+    ``kn_ppl10 = 10^(−kn_logprob10)`` the perplexity.
+
+    Scale shape: counts are map-side-combined groupBys at bigram /
+    context / word grain; scoring shuffle-joins the doc bigram stream
+    against the model on its natural keys (the model is corpus-sized —
+    never broadcast, never collected); the type-count total is the
+    only 1-row broadcast. No UDFs.
+
+    Engine-portability: every probability is a fixed-shape arithmetic
+    tree over exact integer counts (IEEE-deterministic), the only libm
+    call (log10) is rounded to ``decimals``, and per-doc sums run in
+    DECIMAL — the same contract as :func:`unigram_logprob`, replayed
+    bit-for-bit by the `corpus_doc_curation` oracle.
+    """
+    D = float(discount)
+    if not 0.0 < D < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {D}")
+
+    def bigram_stream(frame: DataFrame) -> DataFrame:
+        toked = frame.select(
+            F.col(id_col),
+            tokens(F.lower(F.col(text_col))).alias("__toks"),
+        ).where(F.size("__toks") > 0)
+        w1s = F.concat(
+            F.array(F.lit("<s>")),
+            F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+        )
+        return toked.select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(w1s.alias("w1"), F.col("__toks").alias("w2"))
+            ).alias("__bg"),
+        ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+
+    train = bigram_stream(train_docs if train_docs is not None else docs)
+    bi = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    types = bi.agg(F.count(F.lit(1)).alias("n1pp"))
+
+    # linear probabilities so the backoff branches compose by coalesce;
+    # expression shape mirrors the oracle SQL exactly
+    lam = F.lit(D) * F.col("n1f") / F.col("c1")
+    model = (
+        bi.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("c12") - F.lit(D)) / F.col("c1")
+                + lam * (F.col("n1b") / F.col("n1pp"))
+            ).alias("__p12"),
+        )
+    )
+    ctx_tbl = ctx.select("w1", lam.alias("__lam"))
+    cont_tbl = cont.crossJoin(F.broadcast(types)).select(
+        "w2", (F.col("n1b") / F.col("n1pp")).alias("__pcont")
+    )
+
+    scored = (
+        bigram_stream(docs)
+        .join(model, ["w1", "w2"], "left")
+        .join(ctx_tbl, "w1", "left")
+        .join(cont_tbl, "w2", "left")
+        .withColumn(
+            "__lp",
+            F.round(
+                F.log10(
+                    F.coalesce(
+                        F.col("__p12"),
+                        F.col("__lam") * F.col("__pcont"),
+                        F.col("__pcont"),
+                        F.lit(10.0 ** unk_logprob10),
+                    )
+                ),
+                decimals,
+            ).cast("decimal(28,8)"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("__lp").cast("double") / F.count(F.lit(1)), decimals
+        ).alias("kn_logprob10"),
+    )
+    return per_doc.withColumn(
+        "kn_ppl10", F.round(F.pow(F.lit(10.0), -F.col("kn_logprob10")), 4)
+    )
+
+
 def filter_by_group_quantile(
     df: DataFrame,
     value_col: str,

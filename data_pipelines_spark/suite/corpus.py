@@ -486,6 +486,41 @@ _CURATION_SQL = rf"""
                round(CAST(sum(lr) AS DOUBLE), 6) AS dsir_logweight
         FROM dsir_raw_g JOIN dsir_ratio USING (bucket)
         GROUP BY doc_id
+    ),
+    kn_pairs AS (
+        SELECT doc_id,
+               CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS w1,
+               toks[i] AS w2
+        FROM (
+            SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM corpus)
+            WHERE len(toks) > 0
+        )
+    ),
+    kn_bi AS (
+        SELECT w1, w2, count(*) AS c12 FROM kn_pairs GROUP BY 1, 2
+    ),
+    kn_ctx AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f
+        FROM kn_bi GROUP BY 1
+    ),
+    kn_cont AS (
+        SELECT w2, count(*) AS n1b FROM kn_bi GROUP BY 1
+    ),
+    kn_types AS (SELECT count(*) AS n1pp FROM kn_bi),
+    kn_model AS (
+        SELECT w1, w2,
+               (c12 - 0.75) / c1
+               + (0.75 * n1f / c1) * (CAST(n1b AS DOUBLE) / n1pp) AS p12
+        FROM kn_bi JOIN kn_ctx USING (w1) JOIN kn_cont USING (w2), kn_types
+    ),
+    kn AS (
+        SELECT doc_id,
+               round(CAST(sum(CAST(round(log10(p12), 6)
+                                   AS DECIMAL(28,8))) AS DOUBLE)
+                     / count(*), 6) AS kn_logprob10
+        FROM kn_pairs JOIN kn_model USING (w1, w2)
+        GROUP BY doc_id
     )
     SELECT d.doc_id, d.source, d.keep_sample, d.matched_ngrams,
            CAST(cl.n_lines AS BIGINT) AS n_lines,
@@ -496,13 +531,15 @@ _CURATION_SQL = rf"""
            l.lm_logprob10,
            p.seq_id, p.seq_off, p.seq_spans,
            ck.n_chunks, ck.chunk_tokens_total, ck.chunks_md5,
-           ds.dsir_features, ds.dsir_logweight
+           ds.dsir_features, ds.dsir_logweight,
+           kn.kn_logprob10
     FROM decided d
     JOIN cleaned cl ON d.doc_id = cl.doc_id
     LEFT JOIN lm l ON d.doc_id = l.doc_id
     LEFT JOIN packed p ON d.doc_id = p.doc_id
     LEFT JOIN chunked ck ON d.doc_id = ck.doc_id
     LEFT JOIN dsir ds ON d.doc_id = ds.doc_id
+    LEFT JOIN kn ON d.doc_id = kn.doc_id
 """
 
 
@@ -529,6 +566,14 @@ def corpus_doc_curation(spark, sf_dir):
       probability under the corpus's own unigram distribution, the
       KenLM-perplexity-filter stand-in. DECIMAL-summed so the oracle
       reproduces it bit-for-bit.
+    - ``kn_logprob10`` — interpolated Kneser-Ney BIGRAM LM score
+      (`operators.corpus.kneser_ney_bigram_logprob`, the CCNet-style
+      perplexity filter trained in-engine): mean log10 of
+      P(w2|w1) = (c−D)/c1 + λ(w1)·P_cont(w2) over ``<s>``-prefixed
+      bigrams, D = 0.75. The oracle replays the bigram/context/
+      continuation counts and the exact probability arithmetic tree;
+      per-event log10 rounded to 6 and DECIMAL-summed, the module's
+      portability contract.
     - ``seq_id`` / ``seq_off`` / ``seq_spans`` — concat-and-chunk
       sequence packing (`operators.corpus.pack_sequences`) of the
       CURATED subset (keep_sample, uncontaminated) into 512-token
@@ -555,6 +600,7 @@ def corpus_doc_curation(spark, sf_dir):
     from data_pipelines_spark.operators.corpus import (
         chunk_documents,
         dsir_importance_weights,
+        kneser_ney_bigram_logprob,
         pack_sequences,
         remove_boilerplate_lines,
         unigram_logprob,
@@ -589,6 +635,7 @@ def corpus_doc_curation(spark, sf_dir):
     )
     cleaned = remove_boilerplate_lines(corpus, min_doc_count=2)
     lm = unigram_logprob(corpus)
+    kn = kneser_ney_bigram_logprob(corpus)
     dsir = dsir_importance_weights(
         corpus, bench, max_ngram=2, num_buckets=10_000,
         smoothing=1.0, portable=True,
@@ -651,6 +698,7 @@ def corpus_doc_curation(spark, sf_dir):
             "doc_id",
             "left",
         )
+        .join(kn.select("doc_id", "kn_logprob10"), "doc_id", "left")
         .select(
             "doc_id",
             "source",
@@ -669,5 +717,6 @@ def corpus_doc_curation(spark, sf_dir):
             "chunks_md5",
             "dsir_features",
             "dsir_logweight",
+            "kn_logprob10",
         )
     )

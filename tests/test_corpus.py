@@ -1353,3 +1353,166 @@ def test_dsir_plan_gram_join_broadcasts(spark):
     plan = plan_string(out, final_only=True)
     assert plan.count("BroadcastHashJoin") >= 1
     assert plan.count("SortMergeJoin") <= 1  # only the bounded FullOuter
+
+
+class TestKneserNeyBigram:
+    """Interpolated KN bigram LM (CCNet-style perplexity filter)."""
+
+    DOCS = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "a cat and a dog"),
+        (3, "the cat the cat the cat"),
+    ]
+
+    @staticmethod
+    def _python_reference(train_texts, score_pairs, D=0.75):
+        """Plain-Python interpolated KN over <s>-prefixed bigrams,
+        mirroring the documented arithmetic tree exactly — including
+        the portability contract: per-event log10 rounded HALF_UP to
+        6 decimals (Spark/DuckDB `round` semantics, not Python's
+        banker's rounding), exact DECIMAL sum, cast to double before
+        the mean division."""
+        import math
+        from collections import Counter, defaultdict
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r6(x):
+            # engines round the SHORTEST decimal repr of the double
+            # (Spark: BigDecimal.valueOf / Double.toString), not its
+            # exact binary expansion — repr() is Python's equivalent
+            return Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+
+        bi = Counter()
+        for t in train_texts:
+            toks = t.lower().split()
+            for w1, w2 in zip(["<s>"] + toks[:-1], toks):
+                bi[(w1, w2)] += 1
+        c1 = defaultdict(int)
+        n1f = defaultdict(int)
+        n1b = defaultdict(int)
+        for (w1, w2), c in bi.items():
+            c1[w1] += c
+            n1f[w1] += 1
+            n1b[w2] += 1
+        n1pp = len(bi)
+
+        def logp(w1, w2):
+            if (w1, w2) in bi:
+                p = (bi[(w1, w2)] - D) / c1[w1] + (D * n1f[w1] / c1[w1]) * (
+                    n1b[w2] / n1pp
+                )
+            elif w1 in c1 and w2 in n1b:
+                p = (D * n1f[w1] / c1[w1]) * (n1b[w2] / n1pp)
+            elif w2 in n1b:
+                p = n1b[w2] / n1pp
+            else:
+                p = 10.0 ** -10
+            return r6(math.log10(p))
+
+        out = {}
+        for doc_id, text in score_pairs:
+            toks = text.lower().split()
+            if not toks:
+                continue
+            lps = [
+                logp(w1, w2)
+                for w1, w2 in zip(["<s>"] + toks[:-1], toks)
+            ]
+            mean = float(sum(lps)) / len(lps)
+            out[doc_id] = (len(lps), float(r6(mean)))
+        return out
+
+    def test_matches_python_reference_self_trained(self, spark):
+        from data_pipelines_spark.operators.corpus import (
+            kneser_ney_bigram_logprob,
+        )
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["kn_logprob10"])
+            for r in kneser_ney_bigram_logprob(docs).collect()
+        }
+        want = self._python_reference(
+            [t for _, t in self.DOCS], self.DOCS
+        )
+        assert got == want
+
+    def test_backoff_paths_cross_corpus(self, spark):
+        """Train on one corpus, score another exercising every backoff
+        branch: seen bigram, unseen bigram w/ seen context+word, unseen
+        context w/ seen word, unseen word (floor)."""
+        from data_pipelines_spark.operators.corpus import (
+            kneser_ney_bigram_logprob,
+        )
+
+        train = spark.createDataFrame(
+            self.DOCS, "doc_id long, text string"
+        )
+        score = [
+            (10, "the cat sat"),          # all bigrams seen
+            (11, "mat dog"),              # unseen bigram, both words seen
+            (12, "zzz cat"),              # unseen word then unseen context
+        ]
+        docs = spark.createDataFrame(score, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["kn_logprob10"])
+            for r in kneser_ney_bigram_logprob(
+                docs, train_docs=train
+            ).collect()
+        }
+        want = self._python_reference([t for _, t in self.DOCS], score)
+        assert got == want
+
+    def test_distribution_normalizes(self, spark):
+        """Interpolated KN is a proper conditional distribution: for
+        each seen context, sum of observed-bigram probabilities plus
+        lambda * (unobserved continuation mass) == 1."""
+        import math
+        from collections import Counter, defaultdict
+
+        D = 0.75
+        bi = Counter()
+        for _, t in self.DOCS:
+            toks = t.lower().split()
+            for w1, w2 in zip(["<s>"] + toks[:-1], toks):
+                bi[(w1, w2)] += 1
+        c1 = defaultdict(int)
+        n1f = defaultdict(int)
+        n1b = defaultdict(int)
+        for (w1, w2), c in bi.items():
+            c1[w1] += c
+            n1f[w1] += 1
+            n1b[w2] += 1
+        n1pp = len(bi)
+        vocab = set(n1b)
+        for w1 in c1:
+            lam = D * n1f[w1] / c1[w1]
+            total = 0.0
+            for w2 in vocab:
+                if (w1, w2) in bi:
+                    total += (bi[(w1, w2)] - D) / c1[w1] + lam * (
+                        n1b[w2] / n1pp
+                    )
+                else:
+                    total += lam * (n1b[w2] / n1pp)
+            assert math.isclose(total, 1.0, rel_tol=1e-12), w1
+
+    def test_ppl_and_validation(self, spark):
+        import pytest
+
+        from data_pipelines_spark.operators.corpus import (
+            kneser_ney_bigram_logprob,
+        )
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        row = kneser_ney_bigram_logprob(docs).where("doc_id = 3").first()
+        assert row["kn_ppl10"] == round(10.0 ** -row["kn_logprob10"], 4)
+        # repetitive doc 3 should be far more predictable than doc 2
+        rows = {r["doc_id"]: r["kn_logprob10"]
+                for r in kneser_ney_bigram_logprob(docs).collect()}
+        assert rows[3] > rows[2]
+        with pytest.raises(ValueError, match="discount"):
+            kneser_ney_bigram_logprob(docs, discount=1.5)
