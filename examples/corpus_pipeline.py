@@ -95,6 +95,19 @@ def curate(
         "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0))
     )
 
+    # 7b. The CCNet-shaped version of the same filter: interpolated
+    #     Kneser-Ney BIGRAM perplexity, model trained in-engine on the
+    #     surviving corpus. High perplexity = unusual token sequences
+    #     (not just unusual tokens) = gibberish candidate.
+    from data_pipelines_spark.operators.corpus import (
+        kneser_ney_bigram_logprob,
+    )
+
+    kn = kneser_ney_bigram_logprob(docs)
+    docs = docs.join(
+        kn.select("doc_id", "kn_logprob10", "kn_ppl10"), "doc_id", "left"
+    )
+
     # 8. Per-source quality floor: drop each source's worst-scoring
     #    decile (approx-percentile cutoff, groups-sized join back).
     docs = filter_by_group_quantile(docs, "lm_logprob10", ["source"],
