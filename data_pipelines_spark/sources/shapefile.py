@@ -46,6 +46,11 @@ def read_shp_minimal(path: str) -> list[list[list[tuple[float, float]]]]:
     if code != 9994:
         raise ValueError(f"not a shapefile (magic {code})")
     file_len = struct.unpack(">i", data[24:28])[0] * 2
+    if len(data) < file_len:
+        raise ValueError(
+            f".shp truncated: header declares {file_len} bytes, "
+            f"file has {len(data)}"
+        )
     shape_type, = struct.unpack("<i", data[32:36])
     if shape_type not in (0, 5):
         raise NotImplementedError(
@@ -88,6 +93,15 @@ def read_dbf_minimal(path: str) -> tuple[list[tuple[str, str]], list[list]]:
         data = f.read()
     n_records, = struct.unpack("<i", data[4:8])
     header_len, record_len = struct.unpack("<hh", data[8:12])
+    # A short slice below would otherwise yield empty-string "rows" —
+    # silent garbage. A truncated table must fail loudly instead.
+    need = header_len + n_records * record_len
+    if len(data) < need:
+        raise ValueError(
+            f".dbf truncated: header declares {n_records} x "
+            f"{record_len}-byte records ({need} bytes), file has "
+            f"{len(data)}"
+        )
     fields: list[tuple[str, str, int]] = []
     pos = 32
     while data[pos] != 0x0D:

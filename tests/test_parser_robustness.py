@@ -108,6 +108,62 @@ def test_truncated_payload_raises(tmp_path, kind, blob, frac):
         _decode(kind, cut, tmp_path)
 
 
+def test_truncated_shapefile_raises(tmp_path):
+    from data_pipelines_spark.sources.shapefile import (
+        read_dbf_minimal,
+        read_shp_minimal,
+        write_dbf,
+        write_shp,
+    )
+
+    shp = str(tmp_path / "z.shp")
+    dbf = str(tmp_path / "z.dbf")
+    rings = [
+        [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]
+        for _ in range(6)
+    ]
+    write_shp(shp, rings)
+    write_dbf(dbf, [("NAME", "C", 10, 0)], [[f"zone{i}"] for i in range(6)])
+    assert len(read_shp_minimal(shp)) == 6
+    assert len(read_dbf_minimal(dbf)[1]) == 6
+    for path, reader in ((shp, read_shp_minimal), (dbf, read_dbf_minimal)):
+        raw = open(path, "rb").read()
+        with open(path, "wb") as f:
+            f.write(raw[: int(len(raw) * 0.5)])
+        with pytest.raises(Exception):
+            reader(path)
+
+
+def test_truncated_wav_raises():
+    import io
+    import wave
+
+    from data_pipelines_spark.operators.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            (np.sin(np.arange(4000) / 8.0) * 20000).astype("<i2").tobytes()
+        )
+    blob = buf.getvalue()
+    samples, _sr, _ch = decode_wav(blob)
+    assert len(samples) == 4000
+    for frac in (0.3, 0.6):
+        cut = blob[: int(len(blob) * frac)]
+        try:
+            got, _sr, _ch = decode_wav(cut)
+        except Exception:
+            continue  # loud failure: fine
+        # stdlib wave tolerates a short data chunk; the decode must
+        # then be an honest prefix, never padded/garbage samples
+        n = len(got)
+        assert n < 4000
+        assert np.array_equal(got, samples[:n])
+
+
 def test_truncated_zarr_chunk_raises(tmp_path):
     store = str(tmp_path / "z.zarr")
     write_zarr_store(
