@@ -176,20 +176,105 @@ def zorder_key(
     return F.when(~bad, z)
 
 
+def hilbert_key(
+    lat: Column | str,
+    lon: Column | str,
+    bits: int = 16,
+) -> Column:
+    """Hilbert-curve key of the quantized (lat, lon) cell — the
+    space-filling curve with strictly better locality than Z-order:
+    consecutive keys are ALWAYS grid neighbors (Manhattan distance 1,
+    asserted exhaustively in tests), where the Morton curve jumps
+    across quadrant seams. At 100 TB that means range-partitioned
+    files cover tighter bboxes, so bbox predicates skip more row
+    groups on min/max statistics.
+
+    Same quantization/NULL contract as :func:`zorder_key` (clamp to
+    the curve edge, NULL/NaN → NULL key). The classic per-bit
+    rotate-and-reflect recurrence runs inside one ``F.aggregate`` over
+    the bit-plane array with a bounded (x, y, d) struct accumulator —
+    a naive per-bit `when` unrolling would nest the x/y expressions
+    exponentially (each level references the previous twice); the
+    fold keeps the lambda body constant-size and the state three
+    longs. No UDF.
+    """
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    n = 1 << bits
+    scale = n - 1
+    y = F.least(
+        F.lit(scale).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(n)).cast(
+                "long"
+            ),
+        ),
+    )
+    x = F.least(
+        F.lit(scale).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast(
+                "long"
+            ),
+        ),
+    )
+
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def step(acc: Column, s: Column) -> Column:
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, one).otherwise(zero)
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, one).otherwise(zero)
+        # MSB-first: each quadrant index is the next base-4 digit
+        d = acc["d"] * F.lit(4).cast("long") + (
+            (F.lit(3).cast("long") * rx).bitwiseXOR(ry)
+        )
+        flip = (ry == zero) & (rx == one)
+        x1 = F.when(flip, F.lit(n - 1).cast("long") - acc["x"]).otherwise(
+            acc["x"]
+        )
+        y1 = F.when(flip, F.lit(n - 1).cast("long") - acc["y"]).otherwise(
+            acc["y"]
+        )
+        return F.struct(
+            F.when(ry == zero, y1).otherwise(x1).alias("x"),
+            F.when(ry == zero, x1).otherwise(y1).alias("y"),
+            d.alias("d"),
+        )
+
+    planes = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(bits - 1, -1, -1)]
+    )
+    init = F.struct(x.alias("x"), y.alias("y"), zero.alias("d"))
+    key = F.aggregate(planes, init, step)["d"]
+    bad = lat.isNull() | lon.isNull() | F.isnan(lat) | F.isnan(lon)
+    return F.when(~bad, key)
+
+
 def spatial_cluster(
     df,
     lat_col: str = "latitude",
     lon_col: str = "longitude",
     partitions: int | None = None,
     bits: int = 16,
+    curve: str = "zorder",
 ):
-    """Re-arrange a frame along the Z-order curve before writing:
-    range-partition on :func:`zorder_key` then sort within partitions,
+    """Re-arrange a frame along a space-filling curve before writing:
+    range-partition on :func:`zorder_key` (``curve="zorder"``) or
+    :func:`hilbert_key` (``curve="hilbert"`` — tighter per-file
+    bboxes, see there) then sort within partitions,
     so each output file covers a compact spatial neighborhood (tested:
     per-partition bbox area shrinks by orders of magnitude vs the
     arrival order). One range shuffle — the standard cost of a
     clustered write."""
-    key = zorder_key(lat_col, lon_col, bits)
+    if curve == "zorder":
+        key = zorder_key(lat_col, lon_col, bits)
+    elif curve == "hilbert":
+        key = hilbert_key(lat_col, lon_col, bits)
+    else:
+        raise ValueError(f"unknown curve {curve!r} (zorder or hilbert)")
     tagged = df.withColumn("__z", key)
     parted = (
         tagged.repartitionByRange(partitions, "__z")
