@@ -6,8 +6,9 @@ metadata struct; decode / feature-extraction steps are Arrow-batched
 
 Decode coverage is tiered by what the environment can honestly do:
 
-- **Real, dependency-free**: PNM images (PGM/PPM — numpy header+buffer
-  parse, real nearest-neighbor resize), PNG at every legal depth
+- **Real, dependency-free**: PNM images (the full netpbm family
+  P1-P6: binary and ASCII gray/RGB plus both bitmap spellings — numpy
+  header+buffer parse, real nearest-neighbor resize), PNG at every legal depth
   (1/2/4/8/16-bit, gray/RGB/palette/alpha, all five scanline filters,
   Adam7 interlacing; encoder too — also the kernel behind GRIB2 PNG
   packing in `sources/raster.py`), baseline AND progressive JPEG
@@ -72,20 +73,28 @@ def read_binary_dir(spark, path: str, glob: str = "*") -> DataFrame:
 
 
 def decode_pnm(content: bytes) -> "object":
-    """Decode a PNM image (P5 grayscale / P6 RGB, binary) to a numpy
-    array — header parse + frombuffer, no codec library. Returns
-    (H, W) for grayscale or (H, W, 3) for RGB."""
+    """Decode any PNM image — the full netpbm family, no codec
+    library: P5/P6 (binary gray/RGB — header parse + frombuffer),
+    P2/P3 (their ASCII spellings), P1/P4 (ASCII and packed-binary
+    bitmaps; returns the raw 0/1 samples, 1 = black per the PBM
+    convention). Returns (H, W) for single-channel types, (H, W, 3)
+    for RGB."""
     import numpy as np
 
     if not content or content[:1] != b"P":
         raise ValueError("not a PNM payload")
     magic = content[:2]
-    if magic not in (b"P5", b"P6"):
-        raise NotImplementedError(f"PNM type {magic!r} unsupported (P5/P6 only)")
-    # header tokens: magic, width, height, maxval — whitespace/comment
-    # separated; pixel data starts after the single byte following maxval.
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+        raise ValueError(f"unknown PNM type {magic!r}")
+    bitmap = magic in (b"P1", b"P4")
+    ascii_body = magic in (b"P1", b"P2", b"P3")
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    # header tokens: magic, width, height[, maxval] — whitespace /
+    # comment separated; bitmaps carry no maxval. Binary pixel data
+    # starts after the single byte following the last header token.
+    want = 2 if bitmap else 3
     tokens, i, n = [], 2, len(content)
-    while len(tokens) < 3 and i < n:
+    while len(tokens) < want and i < n:
         c = content[i : i + 1]
         if c.isspace():
             i += 1
@@ -98,14 +107,46 @@ def decode_pnm(content: bytes) -> "object":
                 j += 1
             tokens.append(int(content[i:j]))
             i = j
-    i += 1  # the single whitespace byte after maxval
-    width, height, maxval = tokens
-    dt = np.uint8 if maxval < 256 else np.dtype(">u2")
-    channels = 3 if magic == b"P6" else 1
-    arr = np.frombuffer(
-        content, dtype=dt, count=width * height * channels, offset=i
+    i += 1  # the single whitespace byte after the last header token
+    if bitmap:
+        width, height = tokens
+        maxval = 1
+    else:
+        width, height, maxval = tokens
+    count = width * height * channels
+
+    if ascii_body:
+        # comments are legal between samples too
+        body = b"\n".join(
+            ln.split(b"#", 1)[0] for ln in content[i - 1 :].splitlines()
+        )
+        if magic == b"P1":  # digits may run together: "0110"
+            digits = [c - 48 for c in body if c in (48, 49)]
+            vals = np.asarray(digits[:count], dtype=np.uint8)
+        else:
+            vals = np.array(
+                body.split()[:count],
+                dtype=np.uint16 if maxval > 255 else np.uint8,
+            )
+        if vals.size != count:
+            raise ValueError(
+                f"PNM body has {vals.size} samples, expected {count}"
+            )
+        arr = vals
+    elif magic == b"P4":
+        stride = (width + 7) // 8  # rows padded to whole bytes, MSB first
+        raw = np.frombuffer(
+            content, dtype="u1", count=stride * height, offset=i
+        )
+        arr = np.unpackbits(raw.reshape(height, stride), axis=1)[
+            :, :width
+        ].reshape(-1)
+    else:
+        dt = np.uint8 if maxval < 256 else np.dtype(">u2")
+        arr = np.frombuffer(content, dtype=dt, count=count, offset=i)
+    return arr.reshape(
+        (height, width, 3) if channels == 3 else (height, width)
     )
-    return arr.reshape((height, width, 3) if channels == 3 else (height, width))
 
 
 def encode_pgm(arr: "object") -> bytes:

@@ -247,6 +247,41 @@ def _encode_png(arr: "np.ndarray", color: int, plte: bytes | None = None) -> byt
     return out
 
 
+def test_pnm_full_family_decodes(spark):
+    """P1-P4 complete the netpbm family beside the existing P5/P6:
+    ASCII bitmaps with run-together digits and mid-body comments,
+    ASCII gray/RGB (incl. 16-bit maxval), packed binary bitmaps with
+    row padding."""
+    import numpy as np
+
+    from data_pipelines_spark.operators.multimodal import decode_pnm
+
+    p1 = b"P1\n# c\n5 2\n01101 # t\n10#x\n011\n"
+    assert np.array_equal(
+        decode_pnm(p1), np.array([[0, 1, 1, 0, 1], [1, 0, 0, 1, 1]], "u1")
+    )
+    p2 = b"P2\n3 2\n255\n0 128 255\n7 8 9\n"
+    assert np.array_equal(
+        decode_pnm(p2), np.array([[0, 128, 255], [7, 8, 9]], "u1")
+    )
+    p3 = b"P3\n2 1\n65535\n1 2 3 60000 5 6\n"
+    assert np.array_equal(
+        decode_pnm(p3), np.array([[[1, 2, 3], [60000, 5, 6]]], "u2")
+    )
+    rows = np.array(
+        [[1, 0, 1, 0, 1, 0, 1, 0, 1, 0], [0, 1, 0, 1, 0, 1, 0, 1, 0, 1]],
+        dtype="u1",
+    )
+    p4 = b"P4\n10 2\n" + np.packbits(rows, axis=1).tobytes()
+    assert np.array_equal(decode_pnm(p4), rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="samples"):
+        decode_pnm(b"P2\n3 2\n255\n1 2 3\n")  # short ASCII body
+    with _pytest.raises(ValueError, match="unknown PNM"):
+        decode_pnm(b"P7\n...")
+
+
 def test_png_decode_all_filters_rgb(spark):
     import numpy as np
 
