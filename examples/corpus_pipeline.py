@@ -121,6 +121,22 @@ def curate(
     docs = sample_token_budget(docs, 2_000, group_col="source",
                                include_overflow=True)
 
+    # 9b. Train a BPE tokenizer ON the curated corpus (distributed
+    #     word histogram → bounded merge loop) and re-tokenize every
+    #     survivor with it — n_tokens becomes the REAL subword count
+    #     the packer and token budgets should operate on.
+    from data_pipelines_spark.operators.tokenizer import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    merges = train_bpe(docs, num_merges=64)
+    docs = bpe_encode(docs, merges).drop("n_tokens").withColumnRenamed(
+        "bpe_tokens_n", "n_tokens"
+    )
+    print(f"BPE: {len(merges)} merges; first five "
+          f"{[''.join(m) for m in merges[:5]]}")
+
     # 10. Pack the survivors into fixed-length training sequences.
     packed = pack_sequences(docs, seq_len)
     return packed, pairs
