@@ -422,7 +422,7 @@ def decode_image(content: bytes) -> "object":
     :func:`~data_pipelines_spark.operators.jpeg.decode_jpeg`) decode
     natively; exotic profiles need a codec library (PIL/opencv) not
     present in this environment."""
-    if content[:2] in (b"P5", b"P6"):
+    if content[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         return decode_pnm(content)
     if content[:8] == _PNG_SIGNATURE:
         return decode_png(content)
@@ -524,6 +524,77 @@ def decode_wav(content: bytes) -> tuple["object", int, int]:
     except wave.Error:
         return _decode_wav_riff(content)
     return _pcm_to_float(raw, width).reshape(-1, channels), rate, channels
+
+
+def encode_wav(
+    samples: "object",
+    sample_rate: int,
+    width: int = 2,
+    ieee_float: bool = False,
+) -> bytes:
+    """Encode float64 samples in [-1, 1] (shape (n,) mono or
+    (n, channels)) as a WAV payload — the write half of
+    :func:`decode_wav`, same scale conventions, so on-grid samples
+    round-trip bit-exactly. PCM at 8/16/24/32 bits (``width`` in
+    bytes; 8-bit is unsigned-offset, 24-bit packed 3-byte
+    little-endian per the RIFF spec) or IEEE-float (format tag 3,
+    ``width`` 4/8)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype="f8")
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2:
+        raise ValueError(f"samples must be (n,) or (n, ch), got {a.shape}")
+    n, ch = a.shape
+    if ieee_float:
+        if width not in (4, 8):
+            raise ValueError("IEEE-float WAV is 4- or 8-byte")
+        fmt_tag = 3
+        data = a.astype("<f4" if width == 4 else "<f8").tobytes()
+    else:
+        fmt_tag = 1
+        if width == 1:
+            data = (
+                np.clip(np.rint(a * 128.0 + 128.0), 0, 255)
+                .astype("u1")
+                .tobytes()
+            )
+        elif width == 2:
+            data = (
+                np.clip(np.rint(a * 32768.0), -32768, 32767)
+                .astype("<i2")
+                .tobytes()
+            )
+        elif width == 3:
+            v = np.clip(
+                np.rint(a * 8388608.0), -8388608, 8388607
+            ).astype("<i4")
+            data = (
+                np.frombuffer(v.tobytes(), "u1")
+                .reshape(-1, 4)[:, :3]
+                .tobytes()
+            )
+        elif width == 4:
+            data = (
+                np.clip(np.rint(a * 2147483648.0), -2147483648, 2147483647)
+                .astype("<i4")
+                .tobytes()
+            )
+        else:
+            raise ValueError(f"PCM width must be 1/2/3/4 bytes, got {width}")
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, ch, sample_rate, sample_rate * ch * width,
+        ch * width, width * 8,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _fake_feature(content: bytes, dim: int = 8) -> list[float]:

@@ -723,6 +723,43 @@ def test_png_encode_validation(spark):
         encode_png(np.zeros((2, 2, 5), dtype="u1"))
 
 
+def test_wav_encoder_roundtrips_all_widths(spark):
+    """encode_wav is decode_wav's exact inverse for on-grid samples:
+    every PCM width and both IEEE-float widths, mono and stereo."""
+    import numpy as np
+
+    from data_pipelines_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(51)
+    for width, scale in ((1, 128.0), (2, 32768.0), (3, 8388608.0),
+                         (4, 2147483648.0)):
+        for ch in (1, 2):
+            q = rng.integers(
+                -int(scale), int(scale) - 1, size=(200, ch)
+            ).astype("f8")
+            x = (q / scale) if width != 1 else ((q + 0.0) / scale)
+            got, sr, nch = decode_wav(encode_wav(x, 8000, width=width))
+            assert (sr, nch) == (8000, ch)
+            assert np.allclose(got, x, atol=0.5 / scale), (width, ch)
+    # IEEE float: bit-exact, no quantization at all
+    x = rng.normal(0, 0.3, (300, 2)).clip(-1, 1)
+    for width in (4, 8):
+        got, sr, nch = decode_wav(
+            encode_wav(x, 44100, width=width, ieee_float=True)
+        )
+        ref = x.astype("<f4").astype("f8") if width == 4 else x
+        assert np.array_equal(got, ref), width
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="width"):
+        encode_wav(x, 8000, width=5)
+    with _pytest.raises(ValueError, match="IEEE"):
+        encode_wav(x, 8000, width=2, ieee_float=True)
+
+
 def test_wav_wide_pcm_and_float_formats(spark):
     """24/32-bit PCM through the stdlib path and IEEE-float /
     WAVE_FORMAT_EXTENSIBLE payloads through the manual RIFF fallback —
