@@ -142,25 +142,7 @@ def zorder_key(
     """
     lat = F.col(lat) if isinstance(lat, str) else lat
     lon = F.col(lon) if isinstance(lon, str) else lon
-    scale = (1 << bits) - 1
-    y = F.least(
-        F.lit(scale).cast("long"),
-        F.greatest(
-            F.lit(0).cast("long"),
-            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(1 << bits)).cast(
-                "long"
-            ),
-        ),
-    )
-    x = F.least(
-        F.lit(scale).cast("long"),
-        F.greatest(
-            F.lit(0).cast("long"),
-            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(1 << bits)).cast(
-                "long"
-            ),
-        ),
-    )
+    x, y, bad = _quantize_cell(lat, lon, bits)
     z = F.lit(0).cast("long")
     for i in range(bits):
         xbit = F.shiftleft(
@@ -170,10 +152,37 @@ def zorder_key(
             F.shiftright(y, i).bitwiseAND(F.lit(1).cast("long")), 2 * i + 1
         )
         z = z.bitwiseOR(xbit).bitwiseOR(ybit)
-    bad = (
-        lat.isNull() | lon.isNull() | F.isnan(lat) | F.isnan(lon)
-    )
     return F.when(~bad, z)
+
+
+def _quantize_cell(lat: Column, lon: Column, bits: int):
+    """Shared curve-key quantization contract: (x, y) cell indices
+    clamped to the curve edge plus the NULL/NaN predicate (nodata must
+    yield a NULL key, never the south-pole corner). Both
+    :func:`zorder_key` and :func:`hilbert_key` key cells through this
+    one definition."""
+    n = 1 << bits
+    scale = n - 1
+    y = F.least(
+        F.lit(scale).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(n)).cast(
+                "long"
+            ),
+        ),
+    )
+    x = F.least(
+        F.lit(scale).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast(
+                "long"
+            ),
+        ),
+    )
+    bad = lat.isNull() | lon.isNull() | F.isnan(lat) | F.isnan(lon)
+    return x, y, bad
 
 
 def hilbert_key(
@@ -201,25 +210,7 @@ def hilbert_key(
     lat = F.col(lat) if isinstance(lat, str) else lat
     lon = F.col(lon) if isinstance(lon, str) else lon
     n = 1 << bits
-    scale = n - 1
-    y = F.least(
-        F.lit(scale).cast("long"),
-        F.greatest(
-            F.lit(0).cast("long"),
-            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(n)).cast(
-                "long"
-            ),
-        ),
-    )
-    x = F.least(
-        F.lit(scale).cast("long"),
-        F.greatest(
-            F.lit(0).cast("long"),
-            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast(
-                "long"
-            ),
-        ),
-    )
+    x, y, bad = _quantize_cell(lat, lon, bits)
 
     one = F.lit(1).cast("long")
     zero = F.lit(0).cast("long")
@@ -249,7 +240,6 @@ def hilbert_key(
     )
     init = F.struct(x.alias("x"), y.alias("y"), zero.alias("d"))
     key = F.aggregate(planes, init, step)["d"]
-    bad = lat.isNull() | lon.isNull() | F.isnan(lat) | F.isnan(lon)
     return F.when(~bad, key)
 
 

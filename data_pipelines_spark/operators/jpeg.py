@@ -722,7 +722,7 @@ def encode_jpeg_baseline(
     out += sof + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
     for ci in range(nc):
         sh, sv = samp[ci]
-        out += bytes([ci + 1, (sh << 4) | sv, min(groups[ci], 1 if gray else 1)])
+        out += bytes([ci + 1, (sh << 4) | sv, groups[ci]])
     for tc, tables in ((0, dc_tables), (1, ac_tables)):
         for tid, (bits, syms, _) in sorted(tables.items()):
             out += b"\xff\xc4" + struct.pack(">HB", 19 + len(syms), (tc << 4) | tid)

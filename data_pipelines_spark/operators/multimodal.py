@@ -589,10 +589,13 @@ def encode_wav(
         "<HHIIHH", fmt_tag, ch, sample_rate, sample_rate * ch * width,
         ch * width, width * 8,
     )
+    # RIFF word alignment: an odd-sized chunk carries a pad byte that
+    # is NOT counted in its size field
+    pad = b"\0" if len(data) % 2 else b""
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
+        + b"data" + struct.pack("<I", len(data)) + data + pad
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

@@ -25,6 +25,7 @@ exception class.
 
 from __future__ import annotations
 
+import re
 from collections import Counter, defaultdict
 
 from pyspark.sql import DataFrame
@@ -33,6 +34,18 @@ from pyspark.sql import functions as F
 from data_pipelines_spark.functions.text import tokens
 
 END_OF_WORD = "</w>"
+
+# Python mirror of functions.text.tokens (Spark `trim` strips ASCII
+# spaces only; Java \s is the ASCII whitespace class) — training and
+# encoding MUST agree on word boundaries, and Python's default
+# str.split() treats Unicode whitespace (NBSP etc.) as separators
+# where the engine does not.
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _py_tokens(text: str) -> list[str]:
+    t = text.strip(" ")
+    return _WS.split(t) if t else []
 
 
 def _word_histogram(
@@ -186,7 +199,7 @@ def bpe_encode(
             if text is None:
                 return []
             toks: list[str] = []
-            for w in str(text).lower().split():
+            for w in _py_tokens(str(text).lower()):
                 hit = cache.get(w)
                 if hit is None:
                     hit = cache[w] = _encode_word(w, ranks)

@@ -338,6 +338,11 @@ def encode_geotiff(
         ]
         if predictor != 1:
             fields.append((317, *shorts(predictor)))
+        if compression == "jpeg" and s == 3:
+            # our streams are 4:4:4; the TIFF default for YCbCr is
+            # (2,2), so tag 530 must say (1,1) or external readers
+            # mis-pair the tag with the JPEG sampling factors
+            fields.append((530, *shorts(1, 1)))
         if jpeg_tables:
             fields.append((347, 7, tables_stream))
         if li > 0:

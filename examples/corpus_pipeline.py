@@ -113,18 +113,10 @@ def curate(
     docs = filter_by_group_quantile(docs, "lm_logprob10", ["source"],
                                     q=0.1, keep="above")
 
-    # 9. Token budget: cap each source's contribution ("take N tokens
-    #    per source") as a deterministic coin-order prefix — the
-    #    budget-constrained mixing knob beside the rate-based one.
-    from data_pipelines_spark.operators.corpus import sample_token_budget
-
-    docs = sample_token_budget(docs, 2_000, group_col="source",
-                               include_overflow=True)
-
-    # 9b. Train a BPE tokenizer ON the curated corpus (distributed
-    #     word histogram → bounded merge loop) and re-tokenize every
-    #     survivor with it — n_tokens becomes the REAL subword count
-    #     the packer and token budgets should operate on.
+    # 9. Train a BPE tokenizer ON the curated corpus (distributed
+    #    word histogram → bounded merge loop) and re-tokenize every
+    #    survivor with it — n_tokens becomes the REAL subword count,
+    #    BEFORE any token-denominated budgeting consumes it.
     from data_pipelines_spark.operators.tokenizer import (
         bpe_encode,
         train_bpe,
@@ -136,6 +128,15 @@ def curate(
     )
     print(f"BPE: {len(merges)} merges; first five "
           f"{[''.join(m) for m in merges[:5]]}")
+
+    # 9b. Token budget: cap each source's contribution ("take N
+    #     SUBWORD tokens per source") as a deterministic coin-order
+    #     prefix — the budget-constrained mixing knob beside the
+    #     rate-based one, now denominated in the tokenizer's units.
+    from data_pipelines_spark.operators.corpus import sample_token_budget
+
+    docs = sample_token_budget(docs, 2_000, group_col="source",
+                               include_overflow=True)
 
     # 10. Pack the survivors into fixed-length training sequences.
     packed = pack_sequences(docs, seq_len)

@@ -128,6 +128,24 @@ def test_distributed_encode_matches_kernel(spark):
     assert got[3] == ([], 0)
 
 
+def test_train_and_encode_agree_on_word_boundaries(spark):
+    """Regression: training tokenizes with the engine's \\s+ (ASCII)
+    split, so the encoder must NOT use Python's Unicode str.split() —
+    an NBSP-joined word is ONE word to both, and a trained merge
+    inside it applies at encode time."""
+    nb = "lo\u00a0rem"  # NBSP is not whitespace to the engine
+    docs = spark.createDataFrame(
+        [(i, nb) for i in range(4)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, num_merges=3)
+    assert merges, "NBSP word must reach the histogram intact"
+    ranks = {p: i for i, p in enumerate(merges)}
+    [row] = bpe_encode(docs.limit(1), merges).collect()
+    assert row["bpe_tokens"] == _encode_word(nb, ranks)
+    # i.e. one </w>-terminated word, not two
+    assert sum(t.endswith(END_OF_WORD) for t in row["bpe_tokens"]) == 1
+
+
 def test_encode_plan_is_exchange_free(spark):
     """bpe_encode is a pure narrow map — no shuffle may appear."""
     from data_pipelines_spark.plans.audit import plan_string
