@@ -172,6 +172,11 @@ _RASTER_SQL = """
     FROM buckets, range(0, 2) mm(m)
     WHERE NOT (m = 0 AND i = 33)
     UNION ALL
+    SELECT 'grib_mvm', COUNT(*), CAST(SUM(val + 6 + 7 * m) AS BIGINT),
+           ROUND(SUM((val + 6 + 7 * m) * lon + m * lat), 6)
+    FROM buckets, range(0, 2) mm(m)
+    WHERE NOT (m = 0 AND (i = 11 OR i BETWEEN 14 AND 27))
+    UNION ALL
     SELECT 'tiff_f', COUNT(*), CAST(SUM(val + 0.25) AS BIGINT),
            ROUND(SUM((val + 0.25) * lon), 6)
     FROM buckets
@@ -236,6 +241,12 @@ def raster_roundtrip(spark, sf_dir):
       engine's own stdlib-zlib PNG kernel; bitmapped member packs
       present points as an Nx1 image, hole at bucket 33 in member 0,
       +3/+12 offsets).
+    - ``grib_mvm``: template 5.3 again but with MISSING-VALUE
+      MANAGEMENT (octet 23 = 1) instead of a bitmap: member 0 carries
+      an isolated in-group all-ones pattern (bucket 11) AND a 14-cell
+      run spanning two entire 7-groups (reference-width patterns with
+      the gref-bits collision rules) — the differencing chain must
+      skip the holes (+6/+13 offsets).
     - ``tiff_f``: the +0.25-shifted grid as float32 behind
       PREDICTOR=3 (the TechNote-3 floating-point predictor:
       byte-plane split + byte differencing) over DEFLATE tiles.
@@ -362,6 +373,22 @@ def raster_roundtrip(spark, sf_dir):
                 )
             )
 
+        mv0 = vals + 6.0
+        # bucket 11 = isolated in-group missing pattern; 14-27 = a run
+        # covering two ENTIRE 7-groups (reference-width patterns) plus
+        # partial neighbors — the MVM encodings a bitmap never makes
+        mv0.flat[11] = np.nan
+        mv0.flat[14:28] = np.nan
+        grib_mvm = os.path.join(tmp, "g_mvm.grib2")
+        with open(grib_mvm, "wb") as f:
+            f.write(
+                encode_grib2(
+                    [(0, mv0), (1, vals + 13.0)],
+                    lat0=50.0, lon0=10.0, dlat=0.5, dlon=0.25,
+                    packing="complex_sd", group_len=7, missing="mvm",
+                )
+            )
+
         pm0 = vals + 3.0
         pm0[4, 1] = np.nan  # bucket 33 -> bitmap hole in member 0
         grib_png = os.path.join(tmp, "g_png.grib2")
@@ -434,6 +461,10 @@ def raster_roundtrip(spark, sf_dir):
             .unionByName(norm(read_grib_ensemble(spark, grib_png,
                                                  value_var="val"),
                               "grib_png", "val", "latitude", "longitude",
+                              member_col="number"))
+            .unionByName(norm(read_grib_ensemble(spark, grib_mvm,
+                                                 value_var="val"),
+                              "grib_mvm", "val", "latitude", "longitude",
                               member_col="number"))
             .unionByName(norm(read_geotiff(spark, tif_f, value_col="val"),
                               "tiff_f", "val", "y", "x"))
