@@ -155,6 +155,26 @@ def probe_kn_lm() -> None:
             big.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
         )
     run(rep, "sf0.1x5")
+
+    from data_pipelines_spark.operators.tokenizer import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    for label, frame in (("sf0.01", small), ("sf0.1", big), ("sf0.1x5", rep)):
+        t0 = time.perf_counter()
+        merges = train_bpe(frame, num_merges=200)
+        t_train = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        total = (
+            bpe_encode(frame, merges)
+            .groupBy()
+            .sum("bpe_tokens_n")
+            .first()[0]
+        )
+        t_enc = time.perf_counter() - t0
+        print(f"bpe {label:>8}  train {t_train:6.2f}s  encode {t_enc:6.2f}s"
+              f"  ({total} subword tokens)")
     spark.stop()
 
 

@@ -177,3 +177,31 @@ def test_more_merges_compress_more(spark):
 def test_validation(spark):
     with pytest.raises(ValueError, match="num_merges"):
         train_bpe(_docs(spark), num_merges=-1)
+
+
+def test_trainer_property_random_multisets(spark):
+    """Hypothesis-style sweep without the fixture friction: seeded
+    random word multisets (small alphabet → dense pair collisions,
+    the regime where incremental bookkeeping can drift) must match
+    the recount reference exactly, and every encoded training word
+    must reproduce its training segmentation."""
+    import random
+
+    rng = random.Random(97)
+    for trial in range(12):
+        n_words = rng.randint(1, 10)
+        counts = {}
+        for _ in range(n_words):
+            w = "".join(
+                rng.choice("abc") for _ in range(rng.randint(1, 7))
+            )
+            counts[w] = counts.get(w, 0) + rng.randint(1, 8)
+        n = rng.randint(0, 25)
+        got = train_bpe(_docs(spark, counts), num_merges=n)
+        want, final = naive_train(counts, n)
+        assert got == want, (trial, counts, n)
+        ranks = {p: i for i, p in enumerate(got)}
+        for w in counts:
+            assert _encode_word(w, ranks) == final[w + END_OF_WORD], (
+                trial, w,
+            )
