@@ -327,6 +327,39 @@ def test_grib2_mvm_degenerate_shapes(tmp_path):
         assert np.array_equal(got[~np.isnan(vals)], vals[~np.isnan(vals)])
 
 
+def test_grib2_mvm_secondary_pattern_read(tmp_path):
+    """MVM = 2 (read-side only — the writer emits 1): patch octet 23
+    of an MVM-1 message to 2, with data chosen so one in-group value
+    equals the SECONDARY pattern 2^w-2. Under MVM 1 it decodes as a
+    real value; under MVM 2 the same bits must surface as NaN."""
+    vals = np.array([[0.0, 1.0, 2.0, 6.0]])  # rel max 6 -> width 3, m2 = 6
+    blob = bytearray(
+        encode_grib2(
+            [(None, vals)], lat0=0.0, lon0=0.0, dlat=1.0, dlon=1.0,
+            packing="complex", group_len=4, missing="mvm",
+        )
+    )
+    # walk the sections to section 5; its octet 23 is body[22]
+    pos = 16  # after the 16-byte indicator
+    while blob[pos + 4] != 5:
+        pos += int.from_bytes(blob[pos : pos + 4], "big")
+    assert blob[pos + 22] == 1
+    path = str(tmp_path / "m1.grib2")
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+    [(_m, got1, _la, _lo)] = read_grib2_minimal(path)
+    assert np.array_equal(got1, vals)  # 6 is a real value at MVM 1
+
+    blob[pos + 22] = 2
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+    [(_m, got2, _la, _lo)] = read_grib2_minimal(path)
+    expect = vals.copy()
+    expect[0, 3] = np.nan  # same bits, now the secondary pattern
+    assert np.array_equal(np.isnan(got2), np.isnan(expect))
+    assert np.array_equal(got2[:, :3], vals[:, :3])
+
+
 def test_grib2_mvm_validation():
     with pytest.raises(ValueError, match="complex-packing feature"):
         encode_grib2(
