@@ -650,6 +650,79 @@ def kneser_ney_bigram_logprob(
     )
 
 
+def cluster_top_terms(
+    docs: DataFrame,
+    assignments: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    top_n: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Class-based TF-IDF topic terms per document cluster — the
+    BERTopic labeling step (Grootendorst 2022, "BERTopic: Neural topic
+    modeling with a class-based TF-IDF procedure"): treat each cluster
+    as ONE class document and score
+
+        W(t, c) = tf(t, c) · ln(1 + A / f(t))
+
+    with tf(t, c) = term count inside cluster c, f(t) = term count
+    across the corpus, A = mean token count per cluster. The terms
+    that are frequent IN the cluster but not everywhere surface as its
+    label. Composes with any assignment source —
+    `similarity.ivf_assign` / `kmeans_centroids` for embedding-space
+    topics, `dedup.duplicate_clusters` for near-dup family labels.
+
+    Output: (cluster_col, term, ctfidf, rank), rank ≤ ``top_n`` with a
+    deterministic tie-break (rounded score desc, then term asc — the
+    rounding makes the ordering engine-portable before ties resolve
+    lexically).
+
+    Scale shape: one doc→cluster equi join (co-partitioned on the doc
+    id), map-side-combined (cluster, term) and term counts, a 1-row
+    broadcast for A, and a per-cluster window over that cluster's
+    VOCABULARY rows (bounded by distinct terms per cluster, not docs).
+    No UDFs, no collects.
+    """
+    toks = docs.join(
+        assignments.select(id_col, cluster_col), id_col
+    ).select(
+        F.col(cluster_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(cluster_col, "term").agg(
+        F.count(F.lit(1)).alias("c_tc")
+    )
+    ft = tf.groupBy("term").agg(F.sum("c_tc").alias("f_t"))
+    stats = tf.agg(
+        (
+            F.sum("c_tc").cast("double") / F.countDistinct(cluster_col)
+        ).alias("__a")
+    )
+    scored = (
+        tf.join(ft, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            cluster_col,
+            "term",
+            F.round(
+                F.col("c_tc")
+                * F.log(F.lit(1.0) + F.col("__a") / F.col("f_t")),
+                decimals,
+            ).alias("ctfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc("ctfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+    )
+
+
 def filter_by_group_quantile(
     df: DataFrame,
     value_col: str,

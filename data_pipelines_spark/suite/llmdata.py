@@ -1387,15 +1387,22 @@ _IVF_CENTROIDS_SF001: list[list[float]] = [
 ]
 
 
-def _ivf_topk_sql(nprobe: int = 2, k: int = 10) -> str:
-    """DuckDB twin of the IVF search: assign every vector to its
-    nearest pinned centroid (squared-L2 argmin, ties -> lowest cluster
-    id — `list_distance` is the monotone sqrt of Spark's squared fold),
-    probe the query's ``nprobe`` nearest lists, exact cosine within
-    them, top-k."""
+def _ivf_topk_sql(nprobe: int = 2, k: int = 10, top_terms: int = 5) -> str:
+    """DuckDB twin of the IVF search + c-TF-IDF topics: assign every
+    vector to its nearest pinned centroid (squared-L2 argmin, ties ->
+    lowest cluster id — `list_distance` is the monotone sqrt of
+    Spark's squared fold); ``ivf`` tier probes the query's ``nprobe``
+    nearest lists and takes the exact-cosine top-k; ``topic`` tier
+    joins the documents table on the shared id space and replays the
+    BERTopic c-TF-IDF scoring (tf·ln(1 + A/f)) and per-cluster
+    ranking."""
     cent_rows = ",\n        ".join(
         f"({i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[])"
         for i, c in enumerate(_IVF_CENTROIDS_SF001)
+    )
+    toks = (
+        "CASE WHEN length(trim(lower(d.text))) = 0 THEN [] "
+        "ELSE string_split_regex(trim(lower(d.text)), '\\s+') END"
     )
     return f"""
     WITH cents(cid, c) AS (VALUES
@@ -1403,12 +1410,11 @@ def _ivf_topk_sql(nprobe: int = 2, k: int = 10) -> str:
     ),
     emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT v AS qvec FROM emb WHERE vec_id = 0),
-    assigned AS (
+    assigned_all AS (
         SELECT vec_id, v, cid,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY list_distance(v, c), cid) AS rn
         FROM emb, cents
-        WHERE vec_id <> 0
     ),
     probe AS (
         SELECT cid FROM q, cents
@@ -1420,11 +1426,47 @@ def _ivf_topk_sql(nprobe: int = 2, k: int = 10) -> str:
                list_dot_product(a.v, q.qvec)
                / (sqrt(list_dot_product(a.v, a.v))
                   * sqrt(list_dot_product(q.qvec, q.qvec))) AS cosine_raw
-        FROM assigned a JOIN probe p ON a.cid = p.cid, q
-        WHERE a.rn = 1
+        FROM assigned_all a JOIN probe p ON a.cid = p.cid, q
+        WHERE a.rn = 1 AND a.vec_id <> 0
+    ),
+    ivf_hits AS (
+        SELECT vec_id, ROUND(cosine_raw, 6) AS cosine
+        FROM scored ORDER BY cosine_raw DESC, vec_id ASC LIMIT {k}
+    ),
+    topic_toks AS (
+        SELECT a.cid, unnest({toks}) AS term
+        FROM documents d
+        JOIN assigned_all a ON d.doc_id = a.vec_id AND a.rn = 1
+    ),
+    tf AS (
+        SELECT cid, term, count(*) AS c_tc FROM topic_toks GROUP BY 1, 2
+    ),
+    ft AS (
+        SELECT term, CAST(sum(c_tc) AS BIGINT) AS f_t FROM tf GROUP BY 1
+    ),
+    tstats AS (
+        SELECT CAST(sum(c_tc) AS DOUBLE) / count(DISTINCT cid) AS a
+        FROM tf
+    ),
+    tscored AS (
+        SELECT cid, term,
+               round(c_tc * ln(1 + a / f_t), 6) AS score
+        FROM tf JOIN ft USING (term), tstats
+    ),
+    tranked AS (
+        SELECT cid, term, score,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY score DESC, term) AS rk
+        FROM tscored
     )
-    SELECT vec_id, ROUND(cosine_raw, 6) AS cosine
-    FROM scored ORDER BY cosine_raw DESC, vec_id ASC LIMIT {k}
+    SELECT 'ivf' AS method, CAST(vec_id AS BIGINT) AS id,
+           CAST(NULL AS VARCHAR) AS term, cosine AS score,
+           CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                AS BIGINT) AS rank
+    FROM ivf_hits
+    UNION ALL
+    SELECT 'topic', CAST(cid AS BIGINT), term, score, CAST(rk AS BIGINT)
+    FROM tranked WHERE rk <= {top_terms}
     """
 
 
@@ -1483,11 +1525,22 @@ def semantic_dedup_query(spark, sf_dir):
 
 @register("embedding_ivf_topk", _ivf_topk_sql())
 def embedding_ivf_topk(spark, sf_dir):
-    """IVF ANN: deterministic k-means coarse quantizer → probe the
-    query's nearest inverted lists → exact cosine within them. The
-    second approximate-search tier next to hyperplane LSH. The k-means
-    fit runs live (training stays in the graded path); its quantized
-    determinism makes it equal to the pinned oracle model."""
+    """IVF ANN + cluster topic labeling, method-tagged:
+
+    - ``ivf``: deterministic k-means coarse quantizer → probe the
+      query's nearest inverted lists → exact cosine within them. The
+      second approximate-search tier next to hyperplane LSH. The
+      k-means fit runs live (training stays in the graded path); its
+      quantized determinism makes it equal to the pinned oracle model.
+    - ``topic``: the SAME cluster assignment joined to the documents
+      table (shared id space) and labeled with BERTopic c-TF-IDF top
+      terms (`operators.corpus.cluster_top_terms` — tf·ln(1 + A/f),
+      per-cluster rank with rounded-score/term tie-break). The oracle
+      replays assignment, counts, the scoring tree, and the ranking.
+    """
+    from pyspark.sql import Window
+
+    from data_pipelines_spark.operators.corpus import cluster_top_terms
     from data_pipelines_spark.operators.similarity import (
         ivf_assign,
         ivf_topk,
@@ -1496,7 +1549,28 @@ def embedding_ivf_topk(spark, sf_dir):
 
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
     cents = kmeans_centroids(emb, k=8, max_iterations=5)
     indexed = ivf_assign(emb.where(F.col("vec_id") != 0), cents)
     query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    return ivf_topk(indexed, query, cents, k=10, nprobe=2)
+    hits = ivf_topk(indexed, query, cents, k=10, nprobe=2)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ivf_tier = hits.select(
+        F.lit("ivf").alias("method"),
+        F.col("vec_id").cast("long").alias("id"),
+        F.lit(None).cast("string").alias("term"),
+        F.col("cosine").cast("double").alias("score"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    clusters = ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("doc_id"), F.col("cluster")
+    )
+    topics = cluster_top_terms(docs, clusters, top_n=5)
+    topic_tier = topics.select(
+        F.lit("topic").alias("method"),
+        F.col("cluster").cast("long").alias("id"),
+        "term",
+        F.col("ctfidf").cast("double").alias("score"),
+        F.col("rank"),
+    )
+    return ivf_tier.unionByName(topic_tier)

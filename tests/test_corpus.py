@@ -1516,3 +1516,100 @@ class TestKneserNeyBigram:
         assert rows[3] > rows[2]
         with pytest.raises(ValueError, match="discount"):
             kneser_ney_bigram_logprob(docs, discount=1.5)
+
+
+class TestClusterTopTerms:
+    """BERTopic c-TF-IDF labeling (cluster_top_terms)."""
+
+    DOCS = [
+        (0, "flood river flood basin"),
+        (1, "river flood discharge"),
+        (2, "token corpus token dedup"),
+        (3, "corpus dedup token"),
+        (4, "flood corpus"),
+    ]
+    ASSIGN = [(0, 0), (1, 0), (2, 1), (3, 1), (4, 0)]
+
+    @staticmethod
+    def _reference(docs, assign, top_n):
+        import math
+        from collections import Counter, defaultdict
+
+        cluster_of = dict(assign)
+        tf = Counter()
+        for doc_id, text in docs:
+            for t in text.lower().split():
+                tf[(cluster_of[doc_id], t)] += 1
+        ft = Counter()
+        for (c, t), n in tf.items():
+            ft[t] += n
+        a = sum(tf.values()) / len({c for c, _ in tf})
+        scored = defaultdict(list)
+        for (c, t), n in tf.items():
+            scored[c].append((round(n * math.log(1 + a / ft[t]), 6), t))
+        out = []
+        for c, rows in scored.items():
+            rows.sort(key=lambda r: (-r[0], r[1]))
+            for rk, (s, t) in enumerate(rows[:top_n], 1):
+                out.append((c, t, s, rk))
+        return sorted(out)
+
+    def test_matches_python_reference(self, spark):
+        from data_pipelines_spark.operators.corpus import cluster_top_terms
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        assign = spark.createDataFrame(
+            self.ASSIGN, "doc_id long, cluster int"
+        )
+        got = sorted(
+            (r["cluster"], r["term"], r["ctfidf"], r["rank"])
+            for r in cluster_top_terms(docs, assign, top_n=3).collect()
+        )
+        assert got == self._reference(self.DOCS, self.ASSIGN, 3)
+
+    def test_cluster_exclusive_terms_outrank_shared(self, spark):
+        """The c-TF-IDF property: terms concentrated in one cluster
+        outrank corpus-wide terms even at equal in-cluster counts."""
+        from data_pipelines_spark.operators.corpus import cluster_top_terms
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        assign = spark.createDataFrame(
+            self.ASSIGN, "doc_id long, cluster int"
+        )
+        rows = {
+            (r["cluster"], r["term"]): r["ctfidf"]
+            for r in cluster_top_terms(docs, assign, top_n=10).collect()
+        }
+        # cluster 1: 'token' (3x, exclusive) must outscore 'corpus'
+        # (2x in-cluster but also present in cluster 0)
+        assert rows[(1, "token")] > rows[(1, "corpus")]
+
+    def test_composes_with_duplicate_clusters(self, spark):
+        """Label near-dup families: duplicate_clusters output plugs in
+        as the assignment frame directly."""
+        from data_pipelines_spark.operators.corpus import cluster_top_terms
+        from data_pipelines_spark.operators.dedup import (
+            exact_duplicates,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha beta"),
+                (1, "alpha beta"),
+                (2, "gamma delta"),
+            ],
+            "doc_id long, text string",
+        )
+        fam = (
+            docs.select(
+                "doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_md5")
+            )
+            .join(exact_duplicates(docs), "text_md5")
+            .select("doc_id", F.col("keeper_id").alias("cluster"))
+        )
+        out = cluster_top_terms(docs, fam, top_n=2).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster"], set()).add(r["term"])
+        assert by_cluster[0] == {"alpha", "beta"}
+        assert by_cluster[2] == {"gamma", "delta"}
