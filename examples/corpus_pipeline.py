@@ -264,6 +264,35 @@ def main() -> None:
               f"LSH recall@3 over {rec.count()} probe queries: "
               f"{mean_recall:.3f}")
 
+        # Topic-label the embedding space: k-means clusters over the
+        # chunk embeddings, each cluster described by its BERTopic
+        # c-TF-IDF top terms — the human-readable map of what the
+        # index contains.
+        from data_pipelines_spark.operators.corpus import cluster_top_terms
+        from data_pipelines_spark.operators.similarity import (
+            ivf_assign,
+            kmeans_centroids,
+        )
+
+        cents = kmeans_centroids(
+            emb, k=3, max_iterations=4, id_col="cid"
+        )
+        assigned = ivf_assign(emb, cents).select(
+            F.col("cid").alias("doc_id"), "cluster"
+        )
+        topics = cluster_top_terms(
+            chunks.withColumnRenamed("cid", "doc_id"),
+            assigned,
+            text_col="chunk_text",
+            top_n=3,
+        )
+        shown = topics.orderBy("cluster", "rank").collect()
+        by_c = {}
+        for r in shown:
+            by_c.setdefault(r["cluster"], []).append(r["term"])
+        for c, terms in sorted(by_c.items()):
+            print(f"  topic {c}: {' / '.join(terms)}")
+
         # --- Day 2: incremental ingest. The curated corpus's MinHash
         # signatures persist as the dedup store; a new batch is checked
         # against ALL prior history without re-hashing it (join work
