@@ -650,6 +650,61 @@ def kneser_ney_bigram_logprob(
     )
 
 
+def duplicate_aware_weights(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    alpha: float = 1.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, weight
+    every document by its duplicate-family size —
+    ``dup_weight = round(cluster_size^(-alpha), decimals)`` — so a
+    family of n near-identical docs contributes total weight n^(1-α)
+    (α=1: exactly one doc's worth, the "count each idea once" rule;
+    0<α<1: the partial-dedup middle ground studies like D4 [Abbas et
+    al. 2023] explore between keep-all and keep-one).
+
+    ``clusters`` is any (id_col, cluster_col) family frame —
+    `dedup.duplicate_clusters` keeper labels or an exact-dup keeper
+    join. Docs absent from it are singletons (weight 1.0). The output
+    (id_col, cluster_size, dup_weight) feeds
+    :func:`importance_resample` (add the log-weight) or any weighted
+    sampler.
+
+    Shape: one count per family (map-side combined), one join back on
+    the cluster label, one left join to docs — all co-partitioned; no
+    collects.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    lab = clusters.select(id_col, cluster_col)
+    sizes = lab.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    member = lab.join(sizes, cluster_col).select(id_col, "cluster_size")
+    return (
+        docs.select(id_col)
+        .join(member, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_size"), F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+        )
+        .withColumn(
+            "dup_weight",
+            F.round(
+                F.pow(
+                    F.col("cluster_size").cast("double"), F.lit(-float(alpha))
+                ),
+                decimals,
+            ),
+        )
+    )
+
+
 def cluster_top_terms(
     docs: DataFrame,
     assignments: DataFrame,

@@ -224,3 +224,23 @@ def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
     output symbol, in rank order (characters/``</w>`` form the
     implicit base alphabet)."""
     return [a + b for a, b in merges]
+
+
+def merges_to_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """Persistable form of a trained tokenizer: one (rank, left,
+    right) row per merge — write it as parquet next to the corpus it
+    tokenizes so every downstream job encodes with the SAME model."""
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
+def merges_from_df(df: DataFrame) -> list[tuple[str, str]]:
+    """Inverse of :func:`merges_to_df` — rank order restored
+    explicitly (parquet row order is not a contract). The collect is
+    vocabulary-sized by construction (one row per merge)."""
+    return [
+        (r["left"], r["right"])
+        for r in df.select("rank", "left", "right").orderBy("rank").collect()
+    ]

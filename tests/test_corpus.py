@@ -1613,3 +1613,41 @@ class TestClusterTopTerms:
             by_cluster.setdefault(r["cluster"], set()).add(r["term"])
         assert by_cluster[0] == {"alpha", "beta"}
         assert by_cluster[2] == {"gamma", "delta"}
+
+
+def test_duplicate_aware_weights(spark):
+    from data_pipelines_spark.operators.corpus import (
+        duplicate_aware_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id long"
+    )
+    clusters = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 100), (3, 200)],  # 4,5 = singletons
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_size"], r["dup_weight"])
+        for r in duplicate_aware_weights(docs, clusters).collect()
+    }
+    assert got[0] == (3, round(3.0 ** -1, 6))
+    assert got[1] == got[0] and got[2] == got[0]
+    assert got[3] == (1, 1.0)
+    assert got[4] == (1, 1.0) and got[5] == (1, 1.0)
+    # alpha = 0.5: the D4-style partial-dedup middle ground
+    half = {
+        r["doc_id"]: r["dup_weight"]
+        for r in duplicate_aware_weights(
+            docs, clusters, alpha=0.5
+        ).collect()
+    }
+    assert half[0] == round(3.0 ** -0.5, 6)
+    # family total weight: alpha=1 -> 1 doc's worth, alpha=0 -> all 3
+    assert abs(3 * got[0][1] - 1.0) <= 3e-6  # round-6 weights
+    full = duplicate_aware_weights(docs, clusters, alpha=0.0)
+    assert full.agg(F.sum("dup_weight")).first()[0] == 6.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        duplicate_aware_weights(docs, clusters, alpha=-1.0)

@@ -205,3 +205,19 @@ def test_trainer_property_random_multisets(spark):
             assert _encode_word(w, ranks) == final[w + END_OF_WORD], (
                 trial, w,
             )
+
+
+def test_merges_persistence_roundtrip(spark, tmp_path):
+    from data_pipelines_spark.operators.tokenizer import (
+        merges_from_df,
+        merges_to_df,
+    )
+
+    merges = train_bpe(_docs(spark), num_merges=8)
+    path = str(tmp_path / "tok.parquet")
+    merges_to_df(spark, merges).write.parquet(path)
+    # shuffle the stored rows: rank order must be restored explicitly
+    back = merges_from_df(
+        spark.read.parquet(path).orderBy("left").repartition(3)
+    )
+    assert back == merges
