@@ -1110,6 +1110,66 @@ def read_tiff_minimal(
     return raster.astype("float64"), xs, ys
 
 
+def read_tiff_crs(path: str) -> int | None:
+    """Extract the EPSG code from a GeoTIFF's GeoKeyDirectory (tag
+    34735, GeoTIFF 1.1 §7.1): ProjectedCSTypeGeoKey (3072) wins over
+    GeographicTypeGeoKey (2048); None when the file carries no
+    directory or only user-defined (32767) / undefined codes. Classic
+    AND BigTIFF layouts; only the first IFD is consulted (the GDAL
+    convention for geo tags)."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read(8 * 1024 * 1024)  # IFDs sit in the head region
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    (magic,) = struct.unpack(e + "H", data[2:4])
+    if magic == 42:
+        (ifd,) = struct.unpack(e + "I", data[4:8])
+        count_sz, entry_sz, inline, cnt_fmt, off_fmt = 2, 12, 4, "H", "I"
+    elif magic == 43:
+        (ifd,) = struct.unpack(e + "Q", data[8:16])
+        count_sz, entry_sz, inline, cnt_fmt, off_fmt = 8, 20, 8, "Q", "Q"
+    else:
+        raise ValueError(f"not a TIFF file (version {magic})")
+    (n,) = struct.unpack(e + cnt_fmt, data[ifd : ifd + count_sz])
+    for i in range(n):
+        off = ifd + count_sz + i * entry_sz
+        tag, typ = struct.unpack(e + "HH", data[off : off + 4])
+        if tag != 34735:
+            continue
+        (cnt,) = struct.unpack(
+            e + (cnt_fmt if magic == 43 else "I"),
+            data[off + 4 : off + 4 + (8 if magic == 43 else 4)],
+        )
+        size = 2 * cnt
+        val_at = off + entry_sz - inline
+        if size <= inline:
+            raw = data[val_at : val_at + size]
+        else:
+            (ext,) = struct.unpack(
+                e + off_fmt, data[val_at : val_at + inline]
+            )
+            raw = data[ext : ext + size]
+        shorts = struct.unpack(e + "H" * cnt, raw)
+        n_keys = shorts[3]
+        found: dict[int, int] = {}
+        for k in range(n_keys):
+            key_id, loc, _c, val = shorts[4 + 4 * k : 8 + 4 * k]
+            if loc == 0 and key_id in (2048, 3072):
+                found[key_id] = val
+        for key in (3072, 2048):  # projected CS wins
+            code = found.get(key)
+            if code and code != 32767:
+                return int(code)
+        return None
+    return None
+
+
 def read_geotiff(
     spark: SparkSession, path: str, value_col: str = "value",
     overview: int = 0,

@@ -130,6 +130,8 @@ def encode_geotiff(
     planar: bool = False,
     jpeg_quality_divisor: int = 1,
     jpeg_tables: bool = False,
+    epsg: int | None = None,
+    projected: bool = False,
 ) -> bytes:
     """Encode an array as an uncompressed little-endian GeoTIFF — the
     COMPRESS=NONE profiles gdal_translate emits and `read_tiff_minimal`
@@ -366,6 +368,23 @@ def encode_geotiff(
                 (33550, *dbls(pixel_w, pixel_h, 0.0)),
                 (33922, *dbls(0.0, 0.0, 0.0, origin_x, origin_y, 0.0)),
             ]
+            if epsg is not None:
+                # GeoKeyDirectory (GeoTIFF 1.1 §7.1): version header +
+                # (KeyID, TagLocation, Count, Value) rows. Model type 2
+                # = geographic with GeographicTypeGeoKey (2048), model
+                # 1 = projected with ProjectedCSTypeGeoKey (3072);
+                # raster type 1 = PixelIsArea (the GDAL default
+                # matching the tiepoint-at-origin transform above).
+                cs_key = 3072 if projected else 2048
+                keys = [
+                    (1024, 0, 1, 1 if projected else 2),
+                    (1025, 0, 1, 1),
+                    (cs_key, 0, 1, int(epsg)),
+                ]
+                flat = [1, 1, 0, len(keys)]
+                for row in keys:
+                    flat += list(row)
+                fields.append((34735, *shorts(*flat)))
         return sorted(fields, key=lambda f: f[0])
 
     type_size = {3: 2, 4: 4, 7: 1, 12: 8, 16: 8}

@@ -1345,3 +1345,33 @@ def test_tiff_planar_configuration_roundtrip(tmp_path):
         if tile:
             ov, _, _ = read_tiff_minimal(path, overview=1)
             assert np.array_equal(ov, arr[::2, ::2].astype("f8"))
+
+
+def test_geotiff_crs_geokeys_roundtrip(tmp_path):
+    """GeoKeyDirectory (tag 34735): epsg= writes GeographicType (4326)
+    or ProjectedCSType (e.g. 32632) keys; read_tiff_crs recovers the
+    code from classic AND BigTIFF files; files without the tag (and
+    user-defined codes) return None. The pixel payload is untouched."""
+    from data_pipelines_spark.sources.raster import read_tiff_crs
+
+    arr = np.arange(12, dtype="<i2").reshape(3, 4)
+    kw = dict(origin_x=10.0, origin_y=50.0, pixel_w=0.25, pixel_h=0.5)
+    cases = [
+        (dict(epsg=4326), 4326),
+        (dict(epsg=32632, projected=True), 32632),
+        (dict(epsg=4326, bigtiff=True), 4326),
+        (dict(), None),
+    ]
+    for i, (extra, want) in enumerate(cases):
+        path = str(tmp_path / f"c{i}.tif")
+        with open(path, "wb") as f:
+            f.write(encode_geotiff(arr, **kw, **extra))
+        assert read_tiff_crs(path) == want, extra
+        got, xs, _ys = read_tiff_minimal(path)
+        assert np.array_equal(got, arr.astype("f8"))
+        assert xs[0] == 10.0
+    bad = str(tmp_path / "bad.tif")
+    with open(bad, "wb") as f:
+        f.write(b"JUNKFILE")
+    with pytest.raises(ValueError, match="not a TIFF"):
+        read_tiff_crs(bad)
