@@ -102,6 +102,7 @@ def export_tiles_cog(
     pixel_h: float = 1.0,
     overviews: tuple[int, ...] = (2,),
     cog_tile: tuple[int, int] = (256, 256),
+    epsg: int | None = None,
 ) -> DataFrame:
     """Write one COG per tile, in parallel, and return the manifest.
 
@@ -149,6 +150,7 @@ def export_tiles_cog(
             overviews=overviews,
             compression="deflate",
             predictor=True,
+            epsg=epsg,
         )
         name = hashlib.md5(f"tile_{tx}_{ty}".encode()).hexdigest()
         path = os.path.join(out_dir, f"{name}.tif")

@@ -100,6 +100,7 @@ def test_export_tiles_cog_roundtrip(spark, tmp_path):
     man = export_tiles_cog(
         tiled, str(tmp_path), tile_size=ts, overlap=ov,
         value_col="v", nodata=-1.0, overviews=(2,), cog_tile=(4, 4),
+        epsg=4326,
     ).collect()
     by_tile = {(r.tile_x, r.tile_y): r for r in man}
     assert (0, 0) in by_tile and (1, 0) in by_tile
@@ -107,6 +108,9 @@ def test_export_tiles_cog_roundtrip(spark, tmp_path):
     r = by_tile[(0, 0)]
     blob = open(r.path, "rb").read()
     assert hashlib.md5(blob).hexdigest() == r.content_md5
+    from data_pipelines_spark.sources.raster import read_tiff_crs
+
+    assert read_tiff_crs(r.path) == 4326  # GeoKeys survive the export
     arr, xs, ys = read_tiff_minimal(r.path)
     span = ts + 2 * ov
     assert arr.shape == (span, span)
