@@ -24,6 +24,7 @@ they emit the same profile the readers parse.
 
 from __future__ import annotations
 
+import os
 import struct
 
 from pyspark.sql import DataFrame, SparkSession
@@ -278,3 +279,33 @@ def write_dbf(
                 raise ValueError(f"unsupported field type {ftype!r}")
     with open(path, "wb") as f:
         f.write(head + body + b"\x1a")
+
+
+# The ESRI WKT every global hydrography/basins product ships for
+# geographic WGS84 — the CRS this module's consumers assume.
+WGS84_ESRI_WKT = (
+    'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+    'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]'
+)
+
+
+def read_prj(path: str) -> str | None:
+    """The .prj sidecar's CRS WKT (carried verbatim — this engine does
+    no reprojection; consumers assert the CRS they expect). ``path``
+    may be the .shp or the .prj itself; None when no sidecar exists."""
+    if path.lower().endswith(".shp"):
+        path = path[:-4] + ".prj"
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="ascii", errors="replace") as f:
+        return f.read().strip() or None
+
+
+def write_prj(path: str, wkt: str = WGS84_ESRI_WKT) -> None:
+    """Write the .prj sidecar next to a .shp (or at the given .prj
+    path)."""
+    if path.lower().endswith(".shp"):
+        path = path[:-4] + ".prj"
+    with open(path, "w", encoding="ascii") as f:
+        f.write(wkt)

@@ -165,3 +165,19 @@ def test_basins_asset_shape(spark, tmp_path):
     assert rows[0].id == 7001 and rows[0].downstream_id == 7002
     assert rows[0].basin_area == 10.5
     assert rows[0].geometry.startswith("POLYGON")
+
+
+def test_prj_sidecar_roundtrip(tmp_path):
+    from data_pipelines_spark.sources.shapefile import (
+        WGS84_ESRI_WKT,
+        read_prj,
+        write_prj,
+    )
+
+    shp = str(tmp_path / "zones.shp")
+    assert read_prj(shp) is None  # no sidecar yet
+    write_prj(shp)  # default WGS84
+    assert read_prj(shp) == WGS84_ESRI_WKT
+    assert read_prj(str(tmp_path / "zones.prj")) == WGS84_ESRI_WKT
+    write_prj(str(tmp_path / "other.prj"), 'PROJCS["custom"]')
+    assert read_prj(str(tmp_path / "other.prj")) == 'PROJCS["custom"]'
