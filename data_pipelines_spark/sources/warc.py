@@ -1,0 +1,313 @@
+"""WARC (Web ARChive, ISO 28500) source — the Common Crawl container.
+
+The reference ingests curated rasters; a training-data pipeline's text
+front end starts one step earlier, at the crawl archive. WARC is the
+interchange format for that step (Common Crawl ships ~100 TB/month of
+`.warc.gz`), so the engine grows a dependency-free reader/writer pair
+mirroring the raster tier's design (`sources/raster.py`): a minimal
+per-file parser plus a distributed `mapInPandas` fan-out that lands
+records in a relational frame the extraction/curation operators
+(`functions/web.py`, `operators/corpus.py`) consume directly.
+
+Format facts the implementation encodes (WARC/1.1 spec §4; gzip use
+per Annex B / the Common Crawl convention):
+
+- A WARC file is a sequence of records. Each record is a header block
+  (version line ``WARC/1.0`` or ``WARC/1.1``, then ``Name: value``
+  lines, CRLF line ends, blank line terminator), a content block of
+  exactly ``Content-Length`` bytes, then two CRLFs.
+- ``.warc.gz`` compresses EACH RECORD as its own gzip member, so a
+  byte-range fetch of one member decodes one record without touching
+  the rest of the (multi-GB) file. ``gzip.decompress`` transparently
+  concatenates members, which is exactly the whole-file read path.
+- ``response`` records carry a full HTTP/1.1 message (status line +
+  headers + body) as their content block; the payload of interest is
+  the HTTP body, and its charset rides the HTTP ``Content-Type``.
+
+Scale shape: one task per WARC file (gzip members are not splittable
+mid-file without the member index); a 100 TB crawl arrives as ~100k
+files of ~1 GB, which is also the parallelism grain Common Crawl's own
+tooling uses. Truncated or malformed files raise loudly — the taskmap
+retry/manifest tier (`operators/taskmap.py`) is the recovery path, and
+a short read silently yielding fewer documents is the failure mode a
+curation pipeline must never absorb.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CRLF = b"\r\n"
+
+WARC_READ_SCHEMA = (
+    "warc_file string, record_offset int, record_id string, "
+    "record_type string, target_uri string, warc_date string, "
+    "content_type string, http_status int, http_content_type string, "
+    "payload binary, n_bytes long, text string"
+)
+
+
+# ---------------------------------------------------------------------------
+# Record construction (writer half)
+# ---------------------------------------------------------------------------
+
+def encode_warc_record(
+    record_type: str,
+    payload: bytes,
+    *,
+    record_id: str,
+    warc_date: str = "2024-01-01T00:00:00Z",
+    target_uri: str | None = None,
+    content_type: str | None = None,
+    extra_headers: dict[str, str] | None = None,
+) -> bytes:
+    """One WARC/1.0 record as bytes (header block + content + 2 CRLF).
+
+    ``record_id`` is caller-supplied (deterministic ids keep tests and
+    re-runs reproducible; real crawlers use ``urn:uuid:``).
+    """
+    headers = [
+        ("WARC-Type", record_type),
+        ("WARC-Record-ID", f"<{record_id}>"),
+        ("WARC-Date", warc_date),
+    ]
+    if target_uri is not None:
+        headers.append(("WARC-Target-URI", target_uri))
+    if content_type is not None:
+        headers.append(("Content-Type", content_type))
+    for k, v in (extra_headers or {}).items():
+        headers.append((k, v))
+    headers.append(("Content-Length", str(len(payload))))
+
+    head = b"WARC/1.0" + _CRLF
+    head += b"".join(
+        f"{k}: {v}".encode("utf-8") + _CRLF for k, v in headers
+    )
+    return head + _CRLF + payload + _CRLF + _CRLF
+
+
+def encode_http_response(
+    body: bytes,
+    *,
+    status: int = 200,
+    reason: str = "OK",
+    content_type: str = "text/html; charset=utf-8",
+    extra_headers: dict[str, str] | None = None,
+) -> bytes:
+    """An HTTP/1.1 response message (the content block of a WARC
+    ``response`` record)."""
+    lines = [f"HTTP/1.1 {status} {reason}"]
+    lines.append(f"Content-Type: {content_type}")
+    for k, v in (extra_headers or {}).items():
+        lines.append(f"{k}: {v}")
+    lines.append(f"Content-Length: {len(body)}")
+    head = _CRLF.join(s.encode("latin-1") for s in lines)
+    return head + _CRLF + _CRLF + body
+
+
+def write_warc(path: str, records: list[bytes], gzip_members: bool = True) -> None:
+    """Write records to ``path``. With ``gzip_members`` each record is
+    its own gzip member (the Common Crawl `.warc.gz` layout: members
+    are independently decodable so index-driven range reads touch one
+    record); otherwise a plain uncompressed `.warc`."""
+    with open(path, "wb") as f:
+        if gzip_members:
+            for rec in records:
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(rec)
+                f.write(buf.getvalue())
+        else:
+            for rec in records:
+                f.write(rec)
+
+
+# ---------------------------------------------------------------------------
+# Parsing (reader half)
+# ---------------------------------------------------------------------------
+
+def _parse_header_block(block: bytes, what: str) -> dict[str, str]:
+    """Parse ``Name: value`` lines (CRLF or LF line ends; continuation
+    lines folded per RFC 822)."""
+    headers: dict[str, str] = {}
+    last = None
+    for raw in block.split(b"\n"):
+        line = raw.rstrip(b"\r")
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode("utf-8", "replace")
+            continue
+        if b":" not in line:
+            raise ValueError(f"malformed {what} header line: {line[:60]!r}")
+        k, v = line.split(b":", 1)
+        last = k.strip().decode("utf-8", "replace").lower()
+        headers[last] = v.strip().decode("utf-8", "replace")
+    return headers
+
+
+def parse_warc_record(data: bytes, offset: int = 0):
+    """Parse ONE record starting at ``offset`` in an uncompressed WARC
+    stream → (headers dict, content bytes, next_offset). Raises on
+    truncation, a bad version line, or a missing record terminator —
+    the loud-failure contract every parser in the engine shares
+    (`tests/test_parser_robustness.py`)."""
+    end_head = data.find(_CRLF + _CRLF, offset)
+    if end_head < 0:
+        raise ValueError("truncated WARC record: header block has no terminator")
+    head = data[offset:end_head]
+    if not (head.startswith(b"WARC/1.0") or head.startswith(b"WARC/1.1")):
+        raise ValueError(
+            f"not a WARC record at offset {offset}: {head[:20]!r}"
+        )
+    first_eol = head.find(b"\n")
+    headers = _parse_header_block(head[first_eol + 1 :], "WARC")
+    if "content-length" not in headers:
+        raise ValueError("WARC record missing Content-Length")
+    length = int(headers["content-length"])
+    body_start = end_head + 4
+    body_end = body_start + length
+    if body_end + 4 > len(data):
+        raise ValueError(
+            f"truncated WARC record: need {body_end + 4 - len(data)} more bytes"
+        )
+    if data[body_end : body_end + 4] != _CRLF + _CRLF:
+        raise ValueError("WARC record not terminated by CRLF CRLF")
+    return headers, data[body_start:body_end], body_end + 4
+
+
+def parse_http_response(block: bytes):
+    """HTTP message inside a ``response`` record → (status int,
+    headers dict, body bytes)."""
+    end_head = block.find(_CRLF + _CRLF)
+    if end_head < 0:
+        # Some writers use bare LF; tolerate it before giving up.
+        end_head_lf = block.find(b"\n\n")
+        if end_head_lf < 0:
+            raise ValueError("HTTP message has no header terminator")
+        head, body = block[:end_head_lf], block[end_head_lf + 2 :]
+    else:
+        head, body = block[:end_head], block[end_head + 4 :]
+    first_eol = head.find(b"\n")
+    status_line = (head[:first_eol] if first_eol >= 0 else head).rstrip(b"\r")
+    parts = status_line.split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"bad HTTP status line: {status_line[:40]!r}")
+    status = int(parts[1])
+    headers = _parse_header_block(head[first_eol + 1 :] if first_eol >= 0 else b"", "HTTP")
+    return status, headers, body
+
+
+def charset_of(content_type: str | None, default: str = "utf-8") -> str:
+    """Charset parameter of a Content-Type value, else ``default``."""
+    if not content_type:
+        return default
+    for part in content_type.split(";")[1:]:
+        part = part.strip()
+        if part.lower().startswith("charset="):
+            return part.split("=", 1)[1].strip().strip('"').lower() or default
+    return default
+
+
+def decode_payload(payload: bytes, content_type: str | None) -> str:
+    """Bytes → text using the declared charset, with the crawl-world
+    fallback chain (declared → utf-8 → latin-1, never raising: a bad
+    charset label must not kill a 100k-file read; mojibake is scored
+    out later by the quality tier)."""
+    for enc in (charset_of(content_type), "utf-8"):
+        try:
+            return payload.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            continue
+    return payload.decode("latin-1", "replace")
+
+
+def read_warc_minimal(path: str) -> list[dict]:
+    """Parse every record of one ``.warc`` / ``.warc.gz`` file into
+    dicts matching WARC_READ_SCHEMA (minus warc_file). The single-file
+    kernel the distributed reader fans out."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] == b"\x1f\x8b":
+        # Multi-member gzip: decompress() walks all members.
+        data = gzip.decompress(data)
+    out = []
+    offset = 0
+    idx = 0
+    while offset < len(data):
+        headers, content, offset = parse_warc_record(data, offset)
+        rtype = headers.get("warc-type", "")
+        row = {
+            "record_offset": idx,
+            "record_id": headers.get("warc-record-id", "").strip("<>"),
+            "record_type": rtype,
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "http_status": None,
+            "http_content_type": None,
+            "payload": content,
+            "n_bytes": len(content),
+            "text": None,
+        }
+        if rtype == "response" and row["content_type"] and \
+                "application/http" in row["content_type"]:
+            status, http_headers, body = parse_http_response(content)
+            ctype = http_headers.get("content-type")
+            row["http_status"] = status
+            row["http_content_type"] = ctype
+            row["payload"] = body
+            row["n_bytes"] = len(body)
+            row["text"] = decode_payload(body, ctype)
+        out.append(row)
+        idx += 1
+    return out
+
+
+def read_warc(
+    spark: SparkSession,
+    paths: list[str],
+    record_types: tuple[str, ...] = ("response",),
+    num_slots: int | None = None,
+) -> DataFrame:
+    """Distributed WARC read: one task per file (the gzip-member grain)
+    → relational records. ``response`` records arrive with the HTTP
+    envelope parsed off and the body charset-decoded into ``text``,
+    ready for `functions.web.html_to_text`.
+
+    Mirrors `fetch.fetch_binary`'s fan-out: a path list repartitioned
+    across the cluster, a `mapInPandas` kernel per partition. Parse
+    errors RAISE (task → taskmap retry), they never shrink the output.
+    """
+    slots = min(
+        num_slots or max(len(paths), 1),
+        spark.sparkContext.defaultParallelism,
+    )
+    path_df = spark.createDataFrame(
+        [(p,) for p in paths], "warc_file string"
+    ).repartition(max(slots, 1))
+    want = set(record_types)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split()[0] for c in WARC_READ_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path in pdf["warc_file"]:
+                for rec in read_warc_minimal(path):
+                    if want and rec["record_type"] not in want:
+                        continue
+                    rec = dict(rec)
+                    rec["warc_file"] = path
+                    rows.append(rec)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            else:
+                yield pd.DataFrame({c: [] for c in cols})
+
+    return path_df.mapInPandas(run, WARC_READ_SCHEMA)

@@ -1,0 +1,177 @@
+"""WARC source: round-trips, HTTP envelope parsing, charset fallback,
+distributed read, truncation robustness."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from data_pipelines_spark.sources.warc import (
+    charset_of,
+    decode_payload,
+    encode_http_response,
+    encode_warc_record,
+    parse_http_response,
+    parse_warc_record,
+    read_warc,
+    read_warc_minimal,
+    write_warc,
+)
+
+
+def _response_record(i: int, body: bytes, content_type="text/html; charset=utf-8",
+                     status=200) -> bytes:
+    http = encode_http_response(body, status=status, content_type=content_type)
+    return encode_warc_record(
+        "response",
+        http,
+        record_id=f"rec-{i}",
+        target_uri=f"http://example.org/page{i}",
+        content_type="application/http; msgtype=response",
+    )
+
+
+def _sample_records() -> list[bytes]:
+    info = encode_warc_record(
+        "warcinfo",
+        b"software: data-pipelines-spark\r\n",
+        record_id="info-0",
+        content_type="application/warc-fields",
+    )
+    req = encode_warc_record(
+        "request",
+        b"GET /page1 HTTP/1.1\r\nHost: example.org\r\n\r\n",
+        record_id="req-1",
+        target_uri="http://example.org/page1",
+        content_type="application/http; msgtype=request",
+    )
+    resp1 = _response_record(1, "<html><body>hello &amp; welcome</body></html>".encode())
+    resp2 = _response_record(
+        2, "caf\xe9 au lait".encode("latin-1"),
+        content_type="text/html; charset=iso-8859-1",
+    )
+    resp404 = _response_record(3, b"gone", status=404)
+    return [info, req, resp1, resp2, resp404]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_roundtrip_minimal(tmp_path, gz):
+    path = str(tmp_path / ("a.warc.gz" if gz else "a.warc"))
+    write_warc(path, _sample_records(), gzip_members=gz)
+    recs = read_warc_minimal(path)
+    assert [r["record_type"] for r in recs] == [
+        "warcinfo", "request", "response", "response", "response"]
+    assert [r["record_offset"] for r in recs] == [0, 1, 2, 3, 4]
+    r1 = recs[2]
+    assert r1["record_id"] == "rec-1"
+    assert r1["target_uri"] == "http://example.org/page1"
+    assert r1["http_status"] == 200
+    assert r1["http_content_type"] == "text/html; charset=utf-8"
+    assert r1["text"] == "<html><body>hello &amp; welcome</body></html>"
+    assert r1["n_bytes"] == len(r1["payload"]) == len(r1["text"].encode())
+    # latin-1 declared charset decodes the accented byte correctly
+    assert recs[3]["text"] == "caf\xe9 au lait"
+    assert recs[4]["http_status"] == 404
+    # non-response records keep the raw content block, no text
+    assert recs[0]["text"] is None
+    assert recs[1]["payload"].startswith(b"GET /page1")
+
+
+def test_gzip_members_are_independent(tmp_path):
+    """The .warc.gz layout promise: each record is its own gzip member,
+    so one member alone decodes one full record (range-read support)."""
+    path = str(tmp_path / "a.warc.gz")
+    records = _sample_records()
+    write_warc(path, records, gzip_members=True)
+    data = open(path, "rb").read()
+    # Split on gzip magic with our fixed mtime=0 header prefix.
+    magic = b"\x1f\x8b\x08\x00\x00\x00\x00\x00"
+    starts = [i for i in range(len(data)) if data[i:i + 8] == magic]
+    assert len(starts) == len(records)
+    one = gzip.decompress(data[starts[2]:starts[3]])
+    headers, content, nxt = parse_warc_record(one)
+    assert headers["warc-record-id"] == "<rec-1>"
+    assert nxt == len(one)
+
+
+def test_distributed_read(tmp_path, spark):
+    paths = []
+    for f in range(3):
+        p = str(tmp_path / f"part-{f}.warc.gz")
+        write_warc(p, [
+            _response_record(f * 10 + i, f"doc {f}-{i}".encode(),
+                             content_type="text/plain; charset=utf-8")
+            for i in range(4)
+        ])
+        paths.append(p)
+    df = read_warc(spark, paths)
+    rows = df.collect()
+    assert len(rows) == 12
+    assert {r.warc_file for r in rows} == set(paths)
+    by_id = {r.record_id: r for r in rows}
+    assert by_id["rec-12"].text == "doc 1-2"
+    assert by_id["rec-12"].http_status == 200
+    # default filter keeps only responses
+    assert {r.record_type for r in rows} == {"response"}
+
+
+def test_distributed_read_all_types(tmp_path, spark):
+    p = str(tmp_path / "a.warc.gz")
+    write_warc(p, _sample_records())
+    df = read_warc(spark, [p], record_types=())
+    assert df.count() == 5
+
+
+def test_truncation_raises(tmp_path):
+    full = b"".join(_sample_records())
+    for frac in (0.3, 0.6):
+        cut = full[: int(len(full) * frac)]
+        p = str(tmp_path / f"cut{frac}.warc")
+        open(p, "wb").write(cut)
+        with pytest.raises(ValueError):
+            read_warc_minimal(p)
+
+
+def test_bad_version_and_terminator_raise():
+    with pytest.raises(ValueError, match="not a WARC record"):
+        parse_warc_record(b"HTTP/1.1 200 OK\r\n\r\nbody\r\n\r\n")
+    rec = bytearray(_response_record(1, b"x"))
+    rec[-1:] = b"X"  # clobber the record terminator
+    with pytest.raises(ValueError, match="not terminated"):
+        parse_warc_record(bytes(rec))
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_record(b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\n")
+
+
+def test_http_parsing_variants():
+    status, headers, body = parse_http_response(
+        b"HTTP/1.1 301 Moved Permanently\r\nLocation: /new\r\n"
+        b"Content-Type: text/plain\r\n\r\nmoved")
+    assert (status, headers["location"], body) == (301, "/new", b"moved")
+    # bare-LF writer tolerated
+    status, headers, body = parse_http_response(
+        b"HTTP/1.0 200 OK\nContent-Type: a/b\n\nhi")
+    assert (status, body) == (200, b"hi")
+    with pytest.raises(ValueError):
+        parse_http_response(b"not an http message at all")
+
+
+def test_charset_chain():
+    assert charset_of("text/html; charset=ISO-8859-1") == "iso-8859-1"
+    assert charset_of("text/html") == "utf-8"
+    assert charset_of(None) == "utf-8"
+    assert charset_of('text/html; charset="utf-8"') == "utf-8"
+    # declared charset wrong for the bytes -> utf-8 fallback
+    assert decode_payload("héllo".encode(), "text/html; charset=bogus-enc") == "héllo"
+    # neither declared nor utf-8 decodes -> latin-1 never raises
+    assert decode_payload(b"\xff\xfe", "text/html; charset=utf-8") == "\xff\xfe"
+
+
+def test_header_folding_and_lf_lines():
+    rec = (b"WARC/1.1\r\nWARC-Type: metadata\r\n"
+           b"X-Long: first\r\n  folded tail\r\n"
+           b"Content-Length: 2\r\n\r\nok\r\n\r\n")
+    headers, content, _ = parse_warc_record(rec)
+    assert headers["x-long"] == "first folded tail"
+    assert content == b"ok"
