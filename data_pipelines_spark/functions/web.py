@@ -214,3 +214,96 @@ def canonicalize_url(url: Column, strip_params: tuple[str, ...] = TRACKING_PARAM
             F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the WET step)
+# ---------------------------------------------------------------------------
+
+# Decoded in order; &amp; is LAST so double-escaped input ("&amp;lt;")
+# correctly yields the literal entity text ("&lt;"), not "<".
+_NAMED_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+# Elements whose closing tag ends a visual block: their boundary becomes
+# a newline so C4-style line filters (`operators.corpus.c4_line_filter`)
+# see the same line structure a browser renders.
+_BLOCK_CLOSERS = (
+    "p|div|h[1-6]|li|ul|ol|dl|dd|dt|tr|table|blockquote|pre|"
+    "section|article|header|footer|nav|aside|figure|figcaption|"
+    "title|option|form|fieldset|address"
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Visible text of an HTML document — the WARC→WET conversion step,
+    C4/CCNet-style, as ONE native regexp-replace chain (zero UDFs, so a
+    100k-file crawl read fuses extraction into the scan stage).
+
+    Rules (what Common Crawl's WET extractor and the C4 preprocessor
+    encode; reference for the pipeline position only — the reference
+    repo ingests curated rasters and has no HTML stage):
+
+    - ``<script>``/``<style>``/``<noscript>``/``<template>`` blocks and
+      HTML comments vanish WITH their content (code/CSS must never leak
+      into training text);
+    - ``<br>``/``<hr>`` and closing block-level tags become newlines;
+      every other tag (incl. doctype/PIs) becomes a space — inline
+      markup must not glue words together ("a</b>b" is "a b", but
+      "don<b>'t</b>" keeps no space: only the TAG position separates);
+    - the common named/apostrophe entities decode (``&amp;`` last, so
+      double-escaped text stays literal); exotic numeric entities are
+      left as-is for the quality tier to score, decoding them needs a
+      codepoint table no regexp computes;
+    - whitespace canonicalizes: runs of spaces/tabs/CRs collapse to one
+      space, spaces around newlines drop, 3+ newlines collapse to the
+      paragraph separator ``\\n\\n``, ends trimmed.
+
+    NULL html → NULL (a fetch failure stays a failure, it does not
+    become an empty document that passes min-length filters).
+    """
+    t = F.regexp_replace(
+        html,
+        r"(?is)<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>",
+        " ",
+    )
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?i)<(?:br|hr)\s*/?\s*>", "\n")
+    t = F.regexp_replace(t, r"(?is)</(?:" + _BLOCK_CLOSERS + r")\s*>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, repl in _NAMED_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(repl))
+    t = F.regexp_replace(t, r"[ \t\f\r\x0b]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+def extract_title(html: Column) -> Column:
+    """``<title>`` text (entity-decoded, whitespace-collapsed, trimmed);
+    NULL when absent or empty — titles key URL-level dedup families and
+    feed the document metadata columns."""
+    t = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+    for ent, repl in _NAMED_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(repl))
+    t = F.regexp_replace(t, r"\s+", " ")
+    t = F.regexp_replace(t, r"^ | $", "")
+    return F.when(t != "", t)
+
+
+def extract_links(html: Column) -> Column:
+    """``href`` targets of anchor tags, document order (array<string>;
+    empty array when none) — the crawl-frontier edge list. Quoted
+    attribute forms only (unquoted hrefs are vanishingly rare in real
+    crawls and ambiguous to delimit)."""
+    hrefs = F.regexp_extract_all(
+        html, F.lit(r'(?is)<a\b[^>]*\bhref\s*=\s*["\x27]([^"\x27]*)["\x27]'), 1
+    )
+    return F.when(html.isNotNull(), F.coalesce(hrefs, F.array()))

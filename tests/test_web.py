@@ -185,3 +185,72 @@ def test_canonicalize_url_ipv6_port_and_ip_domains(spark):
     got = {r["doc_id"]: (r["c"], r["dom"]) for r in df.collect()}
     for i, (_, want_c, want_d) in enumerate(cases):
         assert got[i] == (want_c, want_d), (i, cases[i][0], got[i])
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction
+# ---------------------------------------------------------------------------
+
+from data_pipelines_spark.functions.web import (  # noqa: E402
+    extract_links,
+    extract_title,
+    html_to_text,
+)
+
+
+def _extract(spark, html):
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(html_to_text(F.col("html")).alias("t")).first()["t"]
+
+
+def test_html_to_text_basic_page(spark):
+    html = (
+        "<!DOCTYPE html><html><head><title>My &amp; Title</title>"
+        "<style>body { color: red }</style>"
+        "<script type='text/javascript'>var x = '<p>not text</p>';</script>"
+        "</head><body>"
+        "<h1>Heading</h1>"
+        "<p>First <b>bold</b> paragraph.</p>"
+        "<!-- a comment <p>hidden</p> -->"
+        "<p>Second&nbsp;para with &lt;tags&gt; &amp; entities.</p>"
+        "</body></html>"
+    )
+    assert _extract(spark, html) == (
+        "My & Title\nHeading\nFirst bold paragraph.\n"
+        "Second para with <tags> & entities."
+    )
+
+
+def test_html_to_text_rules(spark):
+    # inline tags separate words only at the tag position
+    assert _extract(spark, "a</b>b don<b></b>t") == "a b don t"
+    # br/hr become newlines; 3+ blank lines collapse to one paragraph break
+    assert _extract(spark, "a<br>b<br/><br />\n\n<hr>c") == "a\nb\n\nc"
+    # double-escaped entity stays literal text
+    assert _extract(spark, "x &amp;lt; y") == "x &lt; y"
+    # script content with attributes and case variance vanishes
+    assert _extract(spark, "A<SCRIPT src='x'>if (a<b) {}</script>B") == "A B"
+    # exotic numeric entities pass through for the quality tier
+    assert _extract(spark, "a &#8212; b") == "a &#8212; b"
+    # NULL stays NULL (fetch failure is not an empty document)
+    df = spark.createDataFrame([(None,)], "html string")
+    assert df.select(html_to_text(F.col("html")).alias("t")).first()["t"] is None
+
+
+def test_extract_title_and_links(spark):
+    html = (
+        '<html><head><TITLE> A &quot;quoted&quot;\n  title </TITLE></head>'
+        '<body><a href="http://x.org/1">one</a>'
+        "<a class='z' HREF='/rel'>two</a><a name=anchor>no href</a></body>"
+    )
+    df = spark.createDataFrame([(0, html), (1, "<p>no title</p>")],
+                               "i long, html string")
+    out = df.select(
+        "i",
+        extract_title(F.col("html")).alias("title"),
+        extract_links(F.col("html")).alias("links"),
+    ).orderBy("i").collect()
+    assert out[0]["title"] == 'A "quoted" title'
+    assert out[0]["links"] == ["http://x.org/1", "/rel"]
+    assert out[1]["title"] is None
+    assert out[1]["links"] == []
