@@ -1016,6 +1016,16 @@ _FETCH_TASK_SQL = """
     SELECT 'manifest', CAST(-4 AS BIGINT), COUNT(*),
            CAST(SUM(reps * line_bytes) AS BIGINT), CAST(SUM(key) AS BIGINT)
     FROM f
+    UNION ALL
+    SELECT 'warc', CAST(n_regionkey AS BIGINT), COUNT(*),
+           CAST(SUM(length(
+               'N ' || n_name || chr(10)
+               || CAST(n_nationkey AS VARCHAR) || ',' || n_name || ','
+               || CAST(n_regionkey AS VARCHAR) || chr(10)
+               || n_name || ' & caf' || chr(233)
+           )) AS BIGINT) AS total,
+           CAST(SUM(n_nationkey * length('N ' || n_name)) AS BIGINT) AS w
+    FROM nation GROUP BY n_regionkey
 """
 
 
@@ -1047,6 +1057,15 @@ def fetch_task_suite(spark, sf_dir):
       to 1 (D5).
     - ``copy``: `fsutils.copy` duplicates nation 0's object and the
       copy's FS-reported size round-trips (S12 copy).
+    - ``warc``: one ``.warc.gz`` per region (gzip-member layout, the
+      Common Crawl grain) holding warcinfo/request/response records
+      derived from the nation rows; `sources.warc.read_warc` fans the
+      files out, keeps only responses, and
+      `functions.web.html_to_text`/`extract_title` reduce the latin-1
+      HTML to text — per-region counts, extracted-character totals,
+      and the key*title-length weight hash-check WARC framing, the
+      HTTP envelope, the declared-charset decode, and the whole
+      extraction chain against the oracle's direct reconstruction.
     - ``manifest``: the fetch results are written as a JSON-lines
       manifest (`df.write.json`) and read back (`spark.read.json`,
       schema inferred), with byte totals and the nation key parsed
@@ -1140,6 +1159,94 @@ def fetch_task_suite(spark, sf_dir):
             "n", "total", "w",
         )
 
+        # warc tier: one .warc.gz per region (the Common Crawl grain);
+        # each nation row becomes a response record whose HTML derives
+        # from the row, latin-1 encoded with a declared charset, plus
+        # warcinfo/request records the reader's type filter must drop.
+        # read_warc → html_to_text/extract_title → relational parse:
+        # the hash certifies WARC framing, gzip members, the HTTP
+        # envelope, charset decode, and the full extraction chain.
+        from data_pipelines_spark.functions.web import (
+            extract_title,
+            html_to_text,
+        )
+        from data_pipelines_spark.sources.warc import (
+            encode_http_response,
+            encode_warc_record,
+            read_warc,
+            write_warc,
+        )
+
+        by_region: dict[int, list] = {}
+        for r in rows:
+            by_region.setdefault(r["n_regionkey"], []).append(r)
+        warc_paths = []
+        for reg in sorted(by_region):
+            recs = [
+                encode_warc_record(
+                    "warcinfo",
+                    b"software: data-pipelines-spark\r\n",
+                    record_id=f"info-{reg}",
+                    content_type="application/warc-fields",
+                )
+            ]
+            for r in sorted(by_region[reg], key=lambda x: x["n_nationkey"]):
+                key, name = r["n_nationkey"], r["n_name"]
+                html = (
+                    f"<html><head><title>N {name}</title>"
+                    f"<script>var k = {key}; if (k<9) k = 9;</script>"
+                    f"</head><body><p>{key},{name},{reg}</p>"
+                    f"<!-- hidden {key} -->"
+                    f"<p>{name} &amp; caf\xe9</p></body></html>"
+                )
+                recs.append(
+                    encode_warc_record(
+                        "request",
+                        f"GET /n{key} HTTP/1.1\r\n\r\n".encode(),
+                        record_id=f"req-{key}",
+                        target_uri=f"http://example.org/n{key}",
+                        content_type="application/http; msgtype=request",
+                    )
+                )
+                recs.append(
+                    encode_warc_record(
+                        "response",
+                        encode_http_response(
+                            html.encode("latin-1"),
+                            content_type="text/html; charset=iso-8859-1",
+                        ),
+                        record_id=f"resp-{key}",
+                        target_uri=f"http://example.org/n{key}",
+                        content_type="application/http; msgtype=response",
+                    )
+                )
+            path = os.path.join(d, f"r_{reg}.warc.gz")
+            write_warc(path, recs, gzip_members=True)
+            warc_paths.append(path)
+
+        pages = read_warc(spark, warc_paths).where(
+            F.col("http_status") == 200
+        )
+        extracted = pages.select(
+            html_to_text(F.col("text")).alias("txt"),
+            extract_title(F.col("text")).alias("title"),
+        ).select(
+            F.split(F.split("txt", "\n").getItem(1), ",")
+            .getItem(0).cast("long").alias("key"),
+            F.split(F.split("txt", "\n").getItem(1), ",")
+            .getItem(2).cast("long").alias("region"),
+            F.length("txt").alias("chars"),
+            F.length("title").alias("title_len"),
+        )
+        warc_tier = extracted.groupBy("region").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("chars").alias("total"),
+            F.sum(F.col("key") * F.col("title_len")).alias("w"),
+        ).select(
+            F.lit("warc").alias("method"), F.col("region").alias("k"),
+            "n", "total", "w",
+        )
+
         copy(spark, urls[0], f"file://{d}/copied.txt")
         [copied] = glob_objects(spark, f"file://{d}/copied.txt")
         copy_tier = spark.createDataFrame(
@@ -1154,6 +1261,7 @@ def fetch_task_suite(spark, sf_dir):
             .unionByName(task_tier)
             .unionByName(copy_tier)
             .unionByName(manifest_tier)
+            .unionByName(warc_tier)
         )
         schema = out.schema
         materialized = out.collect()  # bounded: regions + 3 tiers
