@@ -111,21 +111,25 @@ def encode_http_response(
     return head + _CRLF + _CRLF + body
 
 
+def assemble_warc(records: list[bytes], gzip_members: bool = True) -> bytes:
+    """Record blobs → one WARC file image. With ``gzip_members`` each
+    record is its own gzip member (the Common Crawl `.warc.gz` layout:
+    members are independently decodable so index-driven range reads
+    touch one record; ``mtime=0`` keeps the bytes deterministic so a
+    task retry reproduces the identical file)."""
+    if not gzip_members:
+        return b"".join(records)
+    out = io.BytesIO()
+    for rec in records:
+        with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+            gz.write(rec)
+    return out.getvalue()
+
+
 def write_warc(path: str, records: list[bytes], gzip_members: bool = True) -> None:
-    """Write records to ``path``. With ``gzip_members`` each record is
-    its own gzip member (the Common Crawl `.warc.gz` layout: members
-    are independently decodable so index-driven range reads touch one
-    record); otherwise a plain uncompressed `.warc`."""
+    """Write records to ``path`` (see :func:`assemble_warc`)."""
     with open(path, "wb") as f:
-        if gzip_members:
-            for rec in records:
-                buf = io.BytesIO()
-                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-                    gz.write(rec)
-                f.write(buf.getvalue())
-        else:
-            for rec in records:
-                f.write(rec)
+        f.write(assemble_warc(records, gzip_members))
 
 
 # ---------------------------------------------------------------------------
@@ -265,6 +269,10 @@ def read_warc_minimal(path: str) -> list[dict]:
             row["payload"] = body
             row["n_bytes"] = len(body)
             row["text"] = decode_payload(body, ctype)
+        elif row["content_type"] and row["content_type"].startswith("text/"):
+            # conversion/resource records with a text payload (WET
+            # files are WARC files of text/plain conversion records)
+            row["text"] = decode_payload(content, row["content_type"])
         out.append(row)
         idx += 1
     return out
@@ -311,3 +319,100 @@ def read_warc(
                 yield pd.DataFrame({c: [] for c in cols})
 
     return path_df.mapInPandas(run, WARC_READ_SCHEMA)
+
+
+def write_warc_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    uri_col: str | None = None,
+    shard_col: str | None = None,
+    record_type: str = "conversion",
+    gzip_members: bool = True,
+    warc_date: str = "2024-01-01T00:00:00Z",
+) -> DataFrame:
+    """Distributed WARC export — the WET half of the crawl boundary
+    (Common Crawl's ``.warc.wet.gz`` files are WARC files of
+    ``conversion`` records holding extracted text).
+
+    One applyInPandas task per shard writes one ``.warc.gz`` to
+    ``out_dir`` and emits a manifest row ``(shard, path, n_records,
+    n_bytes, content_md5)`` — the corpus never funnels through the
+    driver, mirroring `operators.tiles.export_tiles_cog`. Shard
+    assignment is content-derived (``xxhash64(id) mod n_shards``)
+    unless ``shard_col`` names an existing column; records are ordered
+    by ``id_col`` within a shard and gzip members carry ``mtime=0``,
+    so the SAME input produces byte-identical files under task retry
+    or a re-run (content_md5 is a real integrity key, not a lottery).
+
+    NULL text raises (executor-side): a document that reaches export
+    with no text is an upstream bug, and absorbing it would silently
+    shrink the corpus — the loud-failure contract every writer in the
+    engine shares.
+
+    ``out_dir`` must be visible to the executors (shared filesystem or
+    object-store mount), same contract as the COG exporter.
+    """
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    if (n_shards is None) == (shard_col is None):
+        raise ValueError("exactly one of n_shards / shard_col is required")
+    cols = [id_col, text_col] + ([uri_col] if uri_col else [])
+    if shard_col is None:
+        keyed = df.select(*cols).withColumn(
+            "__shard",
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                   F.lit(n_shards)).cast("int"),
+        )
+        shard_col = "__shard"
+    else:
+        keyed = df.select(*cols, F.col(shard_col).cast("int").alias("__shard"))
+        shard_col = "__shard"
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def write_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        recs = []
+        for row in pdf.itertuples(index=False):
+            text = getattr(row, text_col)
+            if text is None or (isinstance(text, float) and text != text):
+                raise ValueError(
+                    f"write_warc_shards: NULL {text_col!r} for "
+                    f"{id_col}={getattr(row, id_col)!r}"
+                )
+            recs.append(
+                encode_warc_record(
+                    record_type,
+                    str(text).encode("utf-8"),
+                    record_id=f"{record_type}-{getattr(row, id_col)}",
+                    warc_date=warc_date,
+                    target_uri=getattr(row, uri_col) if uri_col else None,
+                    content_type="text/plain; charset=utf-8",
+                )
+            )
+        blob = assemble_warc(recs, gzip_members)
+        path = os.path.join(out_dir, f"shard-{shard:05d}{ext}")
+        with open(path, "wb") as f:
+            f.write(blob)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "path": [path],
+                "n_records": [len(recs)],
+                "n_bytes": [len(blob)],
+                "content_md5": [hashlib.md5(blob).hexdigest()],
+            }
+        )
+
+    return keyed.groupBy(shard_col).applyInPandas(
+        write_shard,
+        "shard int, path string, n_records long, n_bytes long, "
+        "content_md5 string",
+    )

@@ -175,3 +175,73 @@ def test_header_folding_and_lf_lines():
     headers, content, _ = parse_warc_record(rec)
     assert headers["x-long"] == "first folded tail"
     assert content == b"ok"
+
+
+# ---------------------------------------------------------------------------
+# Distributed WET-style export
+# ---------------------------------------------------------------------------
+
+def test_write_warc_shards_roundtrip_and_determinism(spark, tmp_path):
+    from data_pipelines_spark.sources.warc import write_warc_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text é", f"http://x.org/{i}") for i in range(20)],
+        "doc_id long, text string, url string",
+    )
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    for d in (d1, d2):
+        (tmp_path / d).mkdir(exist_ok=True)
+    man1 = write_warc_shards(
+        docs, d1, 4, uri_col="url"
+    ).orderBy("shard").collect()
+    man2 = write_warc_shards(
+        docs.repartition(7), d2, 4, uri_col="url"
+    ).orderBy("shard").collect()
+
+    assert sum(r["n_records"] for r in man1) == 20
+    # content-derived sharding + in-shard ordering + mtime=0 gzip:
+    # byte-identical output regardless of input partitioning
+    assert [(r["shard"], r["n_records"], r["content_md5"]) for r in man1] == \
+           [(r["shard"], r["n_records"], r["content_md5"]) for r in man2]
+    import hashlib
+    for r in man1:
+        with open(r["path"], "rb") as f:
+            blob = f.read()
+        assert len(blob) == r["n_bytes"]
+        assert hashlib.md5(blob).hexdigest() == r["content_md5"]
+
+    back = read_warc(spark, [r["path"] for r in man1],
+                     record_types=("conversion",))
+    rows = back.orderBy("target_uri").collect()
+    assert len(rows) == 20
+    got = {(r["target_uri"], r["text"]) for r in rows}
+    want = {(f"http://x.org/{i}", f"doc {i} text é") for i in range(20)}
+    assert got == want
+    assert all(r["http_status"] is None for r in rows)
+
+
+def test_write_warc_shards_null_text_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_pipelines_spark.sources.warc import write_warc_shards
+
+    docs = spark.createDataFrame(
+        [(1, "ok"), (2, None)], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="NULL 'text'"):
+        write_warc_shards(docs, str(tmp_path), 2).collect()
+
+
+def test_write_warc_shards_explicit_shard_col(spark, tmp_path):
+    from data_pipelines_spark.sources.warc import write_warc_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", i % 3) for i in range(9)],
+        "doc_id long, text string, grp int",
+    )
+    man = write_warc_shards(
+        docs, str(tmp_path), shard_col="grp", gzip_members=False
+    ).collect()
+    assert sorted((r["shard"], r["n_records"]) for r in man) == [
+        (0, 3), (1, 3), (2, 3)]
+    assert all(r["path"].endswith(".warc") for r in man)
