@@ -159,23 +159,62 @@ def main() -> None:
         rows = []
         for i in range(40):
             body = " ".join(rng.choice(vocab) for _ in range(40))
+            src_name = "crawl" if i % 2 else "books"
             rows.append({
                 "text": f"the article {i} is about {body} and more of that",
-                "source": "crawl" if i % 2 else "books",
-                "lang": "en",
-                "url": f"https://site{i % 5}.example.com/page/{i}",
+                "source": src_name,
+                "url": f"https://site{i % 5}.example.com/{src_name}/page{i}",
             })
         # a near-duplicate mirror (one word changed) and a blocked domain
         rows.append(rows[0] | {
             "text": rows[0]["text"].replace("more", "extra"),
-            "url": "https://mirror.example.net/copy",
+            "url": "https://mirror.example.net/crawl/copy",
         })
-        rows.append({"text": "spam spam spam", "source": "crawl", "lang": "en",
-                     "url": "https://blocked.bad/x"})
-        with open(os.path.join(src, "part0.jsonl"), "w") as f:
-            f.write("\n".join(json.dumps(r) for r in rows))
+        rows.append({"text": "spam spam spam", "source": "crawl",
+                     "url": "https://blocked.bad/crawl/x"})
 
-        raw = corpus_io.read_jsonl(spark, src).where(F.col("_corrupt").isNull())
+        # --- Stage 0, the crawl boundary: the corpus arrives as WARC
+        # files of HTML responses (the Common Crawl shape), not as
+        # clean JSONL. Everything downstream derives from the archive:
+        # text via the native extraction chain, source from the URL
+        # path, language guessed from the text.
+        from data_pipelines_spark.functions.text import lang_guess
+        from data_pipelines_spark.functions.web import html_to_text
+        from data_pipelines_spark.sources.warc import (
+            encode_http_response,
+            encode_warc_record,
+            read_warc,
+            write_warc,
+        )
+
+        shards = {0: [], 1: []}
+        for i, r in enumerate(rows):
+            html = f"<html><body><p>{r['text']}</p></body></html>"
+            shards[i % 2].append(encode_warc_record(
+                "response",
+                encode_http_response(html.encode()),
+                record_id=f"resp-{i}",
+                target_uri=r["url"],
+                content_type="application/http; msgtype=response",
+            ))
+        warc_paths = []
+        for s, recs in shards.items():
+            p = os.path.join(src, f"crawl-{s:02d}.warc.gz")
+            write_warc(p, recs)
+            warc_paths.append(p)
+
+        pages = read_warc(spark, warc_paths).where(F.col("http_status") == 200)
+        raw = pages.select(
+            F.regexp_extract("record_id", r"(\d+)$", 1).cast("long")
+            .alias("doc_id"),
+            html_to_text(F.col("text")).alias("text"),
+            F.col("target_uri").alias("url"),
+            F.regexp_extract("target_uri", r"://[^/]+/([a-z]+)/", 1)
+            .alias("source"),
+            lang_guess(html_to_text(F.col("text"))).alias("lang"),
+        )
+        print(f"crawl boundary: {len(warc_paths)} WARC files -> "
+              f"{raw.count()} extracted pages")
         benchmark = spark.createDataFrame(
             [(0, "held out eval question that must not leak " * 3)],
             "qid long, text string",
@@ -198,6 +237,22 @@ def main() -> None:
         n_seq = curated.agg(F.max("seq_id")).first()[0]
         print(f"curated {n} docs into ~{(n_seq or 0) + 1} sequences per stream; "
               f"near-dup pairs dropped: {pairs.count()}")
+
+        # WET export: the curated text goes back out in the crawl
+        # interchange format (sharded conversion records, one writer
+        # task per shard, deterministic bytes).
+        from data_pipelines_spark.sources.warc import write_warc_shards
+
+        wet_dir = os.path.join(d, "wet")
+        os.makedirs(wet_dir)
+        wet_man = write_warc_shards(
+            curated.select("doc_id", "text", "url"), wet_dir, 2,
+            uri_col="url",
+        ).collect()
+        print("WET export: " + ", ".join(
+            f"shard {m['shard']}: {m['n_records']} recs "
+            f"{m['n_bytes']}B md5={m['content_md5'][:8]}"
+            for m in sorted(wet_man, key=lambda m: m["shard"])))
         curated.orderBy("source", "doc_id").show(8)
 
         # --- Targeted data selection (DSIR): score every curated doc
