@@ -17,9 +17,14 @@ Decode coverage is tiered by what the environment can honestly do:
   audio
   (stdlib `wave` — real sample decode, RMS / zero-crossing features).
   These run end-to-end in tests against byte-assembled files.
-- **Library-gated**: arithmetic/hierarchical JPEG and MP4/video need
-  PIL/opencv/pyav; `decode_image` raises a clearly marked
-  NotImplementedError for them.
+- **Real, dependency-free (video container)**: ISO-BMFF/MP4 box walk,
+  track metadata, and stsc/stco/stsz sample demux live in
+  `operators/mp4.py` — Motion-JPEG tracks decode end-to-end through
+  `operators/jpeg.py` (`sample_frames_mp4` → `decode_jpeg`).
+- **Library-gated**: arithmetic/hierarchical JPEG and inter-frame
+  video codecs (H.264/265/VP9/AV1) need PIL/opencv/pyav;
+  `decode_image` raises a clearly marked NotImplementedError for
+  them.
 
 Reference analogue: the sentinel imagery pipeline (SURVEY.md §3.3) is
 exactly this shape — opaque blobs moved through per-file task maps with
@@ -655,11 +660,12 @@ def sample_frames(
     """Evenly-spaced frame sampling from video/audio payloads.
 
     One input row fans out to ``num_frames`` rows of (media_id,
-    frame_no, frame_offset, frame). Real deployments put a demuxer
-    (ffmpeg/pyav — not available here) where the byte-window slice is;
-    the fan-out shape, offsets, schema, and Arrow batching are the real
-    plumbing either way. Deterministic: offsets depend only on payload
-    length.
+    frame_no, frame_offset, frame). This is the format-agnostic
+    byte-window variant; for ISO-BMFF payloads
+    `operators.mp4.sample_frames_mp4` demuxes REAL sample byte-ranges
+    via the container's chunk tables instead. The fan-out shape,
+    offsets, schema, and Arrow batching are the real plumbing either
+    way. Deterministic: offsets depend only on payload length.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
