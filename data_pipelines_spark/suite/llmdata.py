@@ -439,6 +439,18 @@ def _doc_profile_sql() -> str:
             )
         )
     ),
+    vid AS (
+        SELECT doc_id,
+               CAST(3 + doc_id % 4 AS BIGINT) AS vid_n_samples,
+               CAST((3 + doc_id % 4) * 40 AS DOUBLE) / 1000 AS vid_duration_s,
+               CAST(1000 AS DOUBLE) / 40 AS vid_fps,
+               CAST(8 + doc_id % 5 AS BIGINT) AS vid_w,
+               md5(list_reduce(
+                   list_transform(range(0, CAST(3 + doc_id % 4 AS INT)),
+                                  k -> md5(text || '-' || CAST(k AS VARCHAR))),
+                   (a, b) -> a || b)) AS vid_frames_md5
+        FROM documents
+    ),
     aud AS (
         SELECT doc_id,
                list_transform(raws,
@@ -532,12 +544,18 @@ def _doc_profile_sql() -> str:
                            WHEN aud.ks[CAST(i AS INT)] < 0 THEN -1 ELSE 0 END)
                      <> (CASE WHEN aud.ks[CAST(i+1 AS INT)] > 0 THEN 1
                               WHEN aud.ks[CAST(i+1 AS INT)] < 0 THEN -1 ELSE 0 END)))
-                 AS DOUBLE) / 31, 6) AS aud_zcr
+                 AS DOUBLE) / 31, 6) AS aud_zcr,
+           vid.vid_n_samples,
+           vid.vid_duration_s,
+           vid.vid_fps,
+           vid.vid_w,
+           vid.vid_frames_md5
     FROM base
     JOIN rep2 ON base.doc_id = rep2.doc_id
     JOIN img ON base.doc_id = img.doc_id
     JOIN aud ON base.doc_id = aud.doc_id
     JOIN emb ON base.doc_id = emb.doc_id
+    JOIN vid ON base.doc_id = vid.doc_id
     """
 
 
@@ -690,6 +708,76 @@ def doc_profile(spark, sf_dir):
             F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("emb_sum"),
     )
+    # vid_* tier: each doc becomes a real single-track MP4 whose
+    # samples are the ASCII md5 hex of (text || '-' || k), chunked 2
+    # per stco entry so the parse genuinely walks the stsc/stco/stsz
+    # mapping. video_metadata drives the container parse; the demuxed
+    # frame payloads are re-concatenated in sample order and digested,
+    # so a wrong offset, size, or ordering breaks the hash. duration
+    # and fps are exact in both engines ((n*40)/1000 and 1000/40.0 are
+    # the same IEEE divisions the oracle performs).
+    import hashlib as _hashlib
+
+    import pandas as _pd
+
+    from data_pipelines_spark.operators.mp4 import (
+        encode_mp4,
+        sample_frames_mp4,
+        video_metadata,
+    )
+
+    def _build_mp4(batches):
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = int(3 + did % 4)
+                samples = [
+                    _hashlib.md5(f"{text}-{k}".encode()).hexdigest().encode()
+                    for k in range(n)
+                ]
+                out["media_id"].append(did)
+                out["content"].append(
+                    encode_mp4(
+                        samples,
+                        width=int(8 + did % 5),
+                        height=6,
+                        samples_per_chunk=2,
+                    )
+                )
+            yield _pd.DataFrame(out)
+
+    mp4_media = docs.select("doc_id", "text").mapInPandas(
+        _build_mp4, "media_id long, content binary"
+    )
+    vmeta = video_metadata(mp4_media).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("n_samples").cast("long").alias("vid_n_samples"),
+        F.col("duration_s").alias("vid_duration_s"),
+        F.col("fps").alias("vid_fps"),
+        F.col("width").cast("long").alias("vid_w"),
+    )
+    vframes = sample_frames_mp4(mp4_media, num_frames=6).select(
+        F.col("media_id").alias("doc_id"),
+        "frame_no",
+        F.decode("frame", "UTF-8").alias("ftxt"),
+    )
+    vdigest = vframes.groupBy("doc_id").agg(
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("frame_no", "ftxt"))
+                        ),
+                        lambda s: s.getField("ftxt"),
+                    ),
+                    "",
+                ),
+                "UTF-8",
+            )
+        ).alias("vid_frames_md5")
+    )
+    vid = vmeta.join(vdigest, "doc_id")
     profile = docs.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
@@ -711,6 +799,7 @@ def doc_profile(spark, sf_dir):
         .join(img2, "doc_id")
         .join(aud, "doc_id")
         .join(emb, "doc_id")
+        .join(vid, "doc_id")
     )
 
 
