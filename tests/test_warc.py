@@ -245,3 +245,134 @@ def test_write_warc_shards_explicit_shard_col(spark, tmp_path):
     assert sorted((r["shard"], r["n_records"]) for r in man) == [
         (0, 3), (1, 3), (2, 3)]
     assert all(r["path"].endswith(".warc") for r in man)
+
+
+def test_streaming_reader_bounded_memory(tmp_path):
+    """Peak Python-heap during iteration must be ~one record, not the
+    file: 400 × 50 KB records = ~20 MB decompressed; the streaming
+    reader's tracemalloc peak stays under 6 MB (whole-file
+    materialization would show ≥ 20 MB for the gz path — decompressed
+    image — and ≥ 40 MB for rows+data)."""
+    import tracemalloc
+
+    from data_pipelines_spark.sources.warc import (
+        encode_warc_record,
+        iter_warc_records,
+        write_warc,
+    )
+
+    body = ("x" * 49_999 + "\n").encode()
+    recs = [
+        encode_warc_record(
+            "resource", body, record_id=f"r-{i}",
+            content_type="text/plain; charset=utf-8",
+        )
+        for i in range(400)
+    ]
+    for gz in (True, False):
+        p = str(tmp_path / f"big{'.gz' if gz else ''}.warc")
+        write_warc(p, recs, gzip_members=gz)
+        tracemalloc.start()
+        n = 0
+        for row in iter_warc_records(p):
+            assert row["n_bytes"] == 50_000
+            n += 1
+        _cur, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert n == 400
+        assert peak < 6 * 1024 * 1024, f"gz={gz}: peak {peak} bytes"
+
+
+def test_streaming_reader_yields_before_truncation(tmp_path):
+    """The generator must deliver complete leading records before it
+    discovers a truncated tail — proof it does not slurp the file."""
+    import pytest as _pytest
+
+    from data_pipelines_spark.sources.warc import (
+        assemble_warc,
+        encode_warc_record,
+        iter_warc_records,
+    )
+
+    recs = [
+        encode_warc_record(
+            "resource", f"payload {i}".encode(), record_id=f"r-{i}",
+            content_type="text/plain",
+        )
+        for i in range(3)
+    ]
+    blob = assemble_warc(recs, gzip_members=True)
+    p = tmp_path / "trunc.warc.gz"
+    p.write_bytes(blob[:-20])  # cut into the LAST member
+    it = iter_warc_records(str(p))
+    assert next(it)["text"] == "payload 0"
+    assert next(it)["text"] == "payload 1"
+    with _pytest.raises(ValueError, match="truncated"):
+        list(it)
+
+
+def test_http_lf_headers_with_crlf_in_body():
+    """LF-delimited header section whose BODY contains CRLFCRLF (e.g. a
+    nested HTTP payload): the split must happen at the FIRST
+    terminator, not prefer CRLFCRLF anywhere in the block."""
+    from data_pipelines_spark.sources.warc import parse_http_response
+
+    nested = b"HTTP/1.1 200 OK\r\nX: y\r\n\r\ninner"
+    block = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\n" + nested
+    status, headers, body = parse_http_response(block)
+    assert status == 200
+    assert headers["content-type"] == "text/plain"
+    assert body == nested
+
+
+def test_cdx_index_and_selective_read(spark, tmp_path):
+    """write_warc_shards(index=True) → CDX sidecar; read_warc_selective
+    range-reads exactly the selected members: same rows as a full read
+    of the selection, Σ member_length ≪ Σ file bytes."""
+    import os
+
+    from data_pipelines_spark.sources.warc import (
+        read_cdx_index,
+        read_warc,
+        read_warc_selective,
+        write_warc_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} " + "pad " * 200, f"http://ex.org/{i}")
+         for i in range(40)],
+        "doc_id long, text string, url string",
+    )
+    d = str(tmp_path / "wet")
+    os.makedirs(d, exist_ok=True)
+    man = write_warc_shards(docs, d, 4, uri_col="url", index=True).collect()
+    assert all(r["index_path"] == r["path"] + ".cdx" for r in man)
+
+    idx = read_cdx_index(spark, [r["index_path"] for r in man])
+    assert idx.count() == 40
+    # select 5 specific documents by uri
+    want_uris = {f"http://ex.org/{i}" for i in (0, 7, 13, 21, 39)}
+    sel = idx.filter(idx.target_uri.isin(list(want_uris)))
+    picked = read_warc_selective(spark, sel).collect()
+    assert {r["target_uri"] for r in picked} == want_uris
+
+    # parity with the full-scan reader on the same uris
+    full = read_warc(
+        spark, [r["path"] for r in man], record_types=("conversion",)
+    ).filter("target_uri in ({})".format(
+        ",".join(f"'{u}'" for u in want_uris))).collect()
+    assert {(r["target_uri"], r["text"]) for r in picked} == \
+           {(r["target_uri"], r["text"]) for r in full}
+
+    # bytes touched: selected member lengths ≪ total file bytes
+    sel_bytes = sum(r["member_length"] for r in sel.collect())
+    all_bytes = sum(r["n_bytes"] for r in man)
+    assert sel_bytes < all_bytes / 4
+
+    # a single member is independently decodable at (offset, length)
+    one = sel.limit(1).collect()[0]
+    import gzip as _gzip
+    with open(one["warc_file"], "rb") as f:
+        f.seek(one["offset"])
+        member = f.read(one["member_length"])
+    assert _gzip.decompress(member).startswith(b"WARC/1.0")
