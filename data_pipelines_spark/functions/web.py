@@ -47,21 +47,23 @@ def registered_domain(url: Column) -> Column:
     suffix-list head. IP-literal hosts (IPv4 dotted quads, IPv6) have no
     registrable suffix: the host itself is the key — truncating
     192.168.0.1 to "0.1" would pool unrelated IPs into one cap bucket."""
+    # Expression-size note: `host` is itself a multi-regexp tree and
+    # every reference below INLINES a copy into the generated code, so
+    # this function deliberately uses substring_index / dot-count forms
+    # (1 host reference each) over split/element_at (which would embed
+    # split(host) five times) — the difference between fitting in a
+    # 64 KB whole-stage-codegen method and falling back to interpreted
+    # eval when fused with a join stage (observed with domain_count_cap).
     host = url_host(url)
     is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") | host.contains(":")
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    # label count - 1 == dot count; avoids materializing split(host)
+    n_dots = F.length(host) - F.length(F.translate(host, ".", ""))
+    last2 = F.substring_index(host, ".", -2)
     is_two_label = last2.isin(*_TWO_LABEL_SUFFIXES)
-    take3 = F.concat_ws(
-        ".",
-        F.element_at(parts, -3),
-        F.element_at(parts, -2),
-        F.element_at(parts, -1),
-    )
+    take3 = F.substring_index(host, ".", -3)
     return F.when(host.isNull(), F.lit(None).cast("string")).when(
-        is_ip | (n <= 2), host
-    ).when(is_two_label & (n >= 3), take3).otherwise(last2)
+        is_ip | (n_dots <= 1), host
+    ).when(is_two_label & (n_dots >= 2), take3).otherwise(last2)
 
 
 def filter_blocked_domains(
@@ -90,6 +92,7 @@ def domain_count_cap(
     url_col: str = "url",
     id_col: str = "doc_id",
     salt: str = "domaincap",
+    portable: bool = False,
 ) -> DataFrame:
     """Absolute per-domain cap: keep ~``max_docs_per_domain`` documents
     from each registered domain, deterministically.
@@ -108,7 +111,9 @@ def domain_count_cap(
         F.count(F.lit(1)).alias("__dom_cnt")
     )
     coin = hash_fraction(
-        F.concat_ws("/", F.col("__dom"), F.col(id_col).cast("string")), salt
+        F.concat_ws("/", F.col("__dom"), F.col(id_col).cast("string")),
+        salt,
+        portable,
     )
     rate = F.least(
         F.lit(1.0), F.lit(float(max_docs_per_domain)) / F.col("__dom_cnt")
@@ -126,6 +131,7 @@ def domain_cap_sample(
     url_col: str = "url",
     id_col: str = "doc_id",
     salt: str = "domaincap",
+    portable: bool = False,
 ) -> DataFrame:
     """Per-domain frequency cap: deterministically keep at most
     ``max_frac_per_domain`` of each registered domain's documents — the
@@ -136,7 +142,9 @@ def domain_cap_sample(
 
     keyed = docs.withColumn("__dom", registered_domain(F.col(url_col)))
     coin = hash_fraction(
-        F.concat_ws("/", F.col("__dom"), F.col(id_col).cast("string")), salt
+        F.concat_ws("/", F.col("__dom"), F.col(id_col).cast("string")),
+        salt,
+        portable,
     )
     return keyed.where(
         F.col("__dom").isNull() | (coin < F.lit(float(max_frac_per_domain)))
@@ -255,9 +263,11 @@ def html_to_text(html: Column) -> Column:
       HTML comments vanish WITH their content (code/CSS must never leak
       into training text);
     - ``<br>``/``<hr>`` and closing block-level tags become newlines;
-      every other tag (incl. doctype/PIs) becomes a space — inline
-      markup must not glue words together ("a</b>b" is "a b", but
-      "don<b>'t</b>" keeps no space: only the TAG position separates);
+      every other tag (incl. doctype/PIs) becomes ONE space (later
+      collapsed) — inline markup must not glue words together, so
+      "a</b>b" is "a b"; the cost is a spurious space where markup
+      splits a word ("don<b>'t</b>" → "don 't"), the trade C4's
+      extractor also makes;
     - the common named/apostrophe entities decode (``&amp;`` last, so
       double-escaped text stays literal); exotic numeric entities are
       left as-is for the quality tier to score, decoding them needs a

@@ -314,7 +314,12 @@ def encode_mp4(
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
     mdat_payload = b"".join(samples)
     mdat = _box(b"mdat", mdat_payload)
-    data_start = len(ftyp) + 8  # absolute offset of first sample
+    # Absolute offset of the first sample = ftyp + the mdat HEADER as
+    # actually encoded: _box switches to a 16-byte largesize header
+    # when the payload exceeds 2^32-9 bytes, and assuming 8 would skew
+    # every stco/co64 entry by 8 in exactly the >4 GiB files co64=True
+    # exists for.
+    data_start = len(ftyp) + (len(mdat) - len(mdat_payload))
 
     # chunk offsets
     chunk_offsets = []

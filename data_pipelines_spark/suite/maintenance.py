@@ -986,8 +986,89 @@ def stream_sink_readback(spark, sf_dir):
     return spark.createDataFrame(rows, schema=schema)
 
 
-_FETCH_TASK_SQL = """
-    WITH f AS (
+# DuckDB restatement of the md5-head fold the url tier uses: first 8
+# md5 hex chars parsed to a BIGINT (same pattern as corpus._md5_frac_sql
+# without the /2^32 normalization).
+def _md5_head_sql(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        f"string_split(substr(md5({expr}), 1, 8), ''), "
+        "ch -> CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT))), "
+        "(a, x) -> a * 16 + x)"
+    )
+
+
+def _url_tier_sql() -> str:
+    """Oracle for the url/urlcap tiers: reconstruct the URL fixtures
+    from nation, STATE the expected canonical/registered/host strings
+    directly (independent derivation, not a regex replay), fold each to
+    its md5 head, and replay the portable cap coin."""
+    canon = _md5_head_sql("canon")
+    rdom = _md5_head_sql("rdom")
+    host = _md5_head_sql("host")
+    coin = _md5_head_sql(
+        "rdom || '/' || CAST(key AS VARCHAR) || ':' || 'domaincap'"
+    )
+    return f"""
+    SELECT 'url' AS method, region AS k, COUNT(*) AS n,
+           CAST(SUM({canon}) AS BIGINT) AS total,
+           CAST(SUM((key + 1) * {rdom} + {host}) AS BIGINT) AS w
+    FROM url_parts GROUP BY region
+    UNION ALL
+    SELECT 'urlcap', CAST(-5 AS BIGINT), COUNT(*),
+           CAST(SUM({canon}) AS BIGINT), CAST(SUM(key) AS BIGINT)
+    FROM (
+        SELECT p.key, p.canon
+        FROM url_parts p
+        JOIN (SELECT rdom, COUNT(*) AS cnt FROM url_parts GROUP BY rdom) c
+          USING (rdom)
+        WHERE {coin} / 4294967296.0 < least(1.0, 2.0 / c.cnt)
+    )
+    """
+
+
+_URL_PARTS_CTE = """
+    url_base AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS key,
+               CAST(n_regionkey AS BIGINT) AS region,
+               regexp_replace(lower(n_name), '[^a-z]', '', 'g') AS cname
+        FROM nation
+    ),
+    url_parts AS (
+        SELECT key, region,
+            CASE CAST(key % 4 AS INTEGER)
+              WHEN 0 THEN 'http://www.' || cname || '.example.com/N/'
+                          || CAST(key AS VARCHAR) || '?A='
+                          || CAST(key AS VARCHAR) || '&b='
+                          || CAST(region AS VARCHAR)
+              WHEN 1 THEN 'https://' || cname || '.co.uk/p/'
+                          || CAST(key AS VARCHAR)
+              WHEN 2 THEN 'http://192.168.' || CAST(region AS VARCHAR)
+                          || '.' || CAST(key AS VARCHAR) || ':8080/ip?y=2&z=1'
+              ELSE 'https://[2001:db8::' || CAST(key AS VARCHAR)
+                   || ']:8443/v6/' || CAST(key AS VARCHAR)
+            END AS canon,
+            CASE CAST(key % 4 AS INTEGER)
+              WHEN 0 THEN 'example.com'
+              WHEN 1 THEN cname || '.co.uk'
+              WHEN 2 THEN '192.168.' || CAST(region AS VARCHAR) || '.'
+                          || CAST(key AS VARCHAR)
+              ELSE '2001:db8::' || CAST(key AS VARCHAR)
+            END AS rdom,
+            CASE CAST(key % 4 AS INTEGER)
+              WHEN 0 THEN 'www.' || cname || '.example.com'
+              WHEN 1 THEN cname || '.co.uk'
+              WHEN 2 THEN '192.168.' || CAST(region AS VARCHAR) || '.'
+                          || CAST(key AS VARCHAR)
+              ELSE '2001:db8::' || CAST(key AS VARCHAR)
+            END AS host
+        FROM url_base
+    )
+"""
+
+_FETCH_TASK_SQL = f"""
+    WITH {_URL_PARTS_CTE.strip()},
+    f AS (
         SELECT n_nationkey AS key,
                CAST(n_regionkey AS BIGINT) AS region,
                n_nationkey % 3 + 1 AS reps,
@@ -1026,6 +1107,8 @@ _FETCH_TASK_SQL = """
            )) AS BIGINT) AS total,
            CAST(SUM(n_nationkey * length('N ' || n_name)) AS BIGINT) AS w
     FROM nation GROUP BY n_regionkey
+    UNION ALL
+    {_url_tier_sql()}
 """
 
 
@@ -1071,6 +1154,18 @@ def fetch_task_suite(spark, sf_dir):
       schema inferred), with byte totals and the nation key parsed
       from each url — the S8 manifest write/read round-trip under the
       same hash.
+    - ``url`` / ``urlcap``: the URL gate (`functions.web`). Four
+      deterministic URL shapes per nation row (messy case + userinfo +
+      default port + tracking params + fragment + trailing FQDN dot;
+      two-label public suffix; IPv4 host with non-default port and
+      unsorted params; bracketed IPv6 authority) go through the real
+      ``url_host`` / ``registered_domain`` / ``canonicalize_url``
+      expressions; every output string is folded to its md5-head long,
+      so the hash certifies each canonical byte. ``urlcap`` runs
+      ``domain_count_cap(max=2, portable=True)`` — binding on the 7
+      rows pooled under one registered domain — and the oracle replays
+      the md5 keep-coin exactly. The oracle STATES the expected
+      canonical forms independently instead of replaying the regexes.
 
     The nation-table collect that seeds the files is 25 rows; the
     final aggregate is collected (<= 9 rows) before the temp dir is
@@ -1256,12 +1351,93 @@ def fetch_task_suite(spark, sf_dir):
             "n", "total", F.lit(0).cast("long").alias("w"),
         )
 
+        # url tier: the crawl pipeline's FIRST gate (filter by URL
+        # before anything touches text). Four deterministic URL shapes
+        # per nation row — messy-case scheme/host + userinfo + default
+        # port + tracking params + fragment + trailing FQDN dot; a
+        # two-label public suffix; an IPv4 host with non-default port
+        # and unsorted params; a bracketed IPv6 authority — run through
+        # the REAL url_host/registered_domain/canonicalize_url
+        # expressions, with each output string folded to a long via its
+        # md5 head so the hash certifies every canonical byte. The
+        # oracle derives the expected canonical forms INDEPENDENTLY
+        # (stated answers, not a replay of the regexes).
+        from data_pipelines_spark.functions.web import (
+            canonicalize_url,
+            domain_count_cap,
+            registered_domain,
+            url_host,
+        )
+
+        def md5head(c):
+            return F.conv(
+                F.substring(F.md5(F.encode(c, "UTF-8")), 1, 8), 16, 10
+            ).cast("long")
+
+        # Fixture URLs are built driver-side from the 25 already-
+        # collected nation rows (a when-chain Column would inline into
+        # every downstream registered_domain/coin tree and push the cap
+        # stage past the 64 KB codegen method limit — observed; the
+        # operators under test then run over a plain `url` column, the
+        # shape they see in production).
+        import re as _re
+
+        def _fixture_url(key: int, reg_: int, name: str) -> str:
+            cn = _re.sub("[^a-z]", "", name.lower())
+            v = key % 4
+            if v == 0:
+                return (f"HTTP://User:Pw@WWW.{cn}.Example.COM.:80/N/{key}"
+                        f"?utm_source=x&b={reg_}&A={key}#frag")
+            if v == 1:
+                return f"https://{cn}.co.uk:443/p/{key}"
+            if v == 2:
+                return f"http://192.168.{reg_}.{key}:8080/ip?z=1&y=2"
+            return f"HTTPS://[2001:DB8::{key}]:8443/v6/{key}#x"
+
+        url_df = spark.createDataFrame(
+            [(r["n_nationkey"], r["n_regionkey"],
+              _fixture_url(r["n_nationkey"], r["n_regionkey"], r["n_name"]))
+             for r in rows],
+            "doc_id long, region long, url string",
+        )
+        url_tier = url_df.select(
+            "doc_id", "region",
+            md5head(canonicalize_url(F.col("url"))).alias("h_canon"),
+            md5head(registered_domain(F.col("url"))).alias("h_rdom"),
+            md5head(url_host(F.col("url"))).alias("h_host"),
+        ).groupBy("region").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("h_canon").alias("total"),
+            F.sum((F.col("doc_id") + 1) * F.col("h_rdom")
+                  + F.col("h_host")).alias("w"),
+        ).select(
+            F.lit("url").alias("method"), F.col("region").alias("k"),
+            "n", "total", "w",
+        )
+
+        # urlcap tier: domain_count_cap(max=2, portable) binds on the
+        # 7 rows pooled under example.com (rate 2/7) and keeps the
+        # singleton domains whole; the md5-coin keep-set is replayed
+        # exactly by the oracle.
+        capped = domain_count_cap(url_df, 2, portable=True)
+        cap_tier = capped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(md5head(canonicalize_url(F.col("url")))).alias("total"),
+            F.sum("doc_id").alias("w"),
+        ).select(
+            F.lit("urlcap").alias("method"),
+            F.lit(-5).cast("long").alias("k"),
+            "n", "total", "w",
+        )
+
         out = (
             fetch_tier.unionByName(glob_tier)
             .unionByName(task_tier)
             .unionByName(copy_tier)
             .unionByName(manifest_tier)
             .unionByName(warc_tier)
+            .unionByName(url_tier)
+            .unionByName(cap_tier)
         )
         schema = out.schema
         materialized = out.collect()  # bounded: regions + 3 tiers
