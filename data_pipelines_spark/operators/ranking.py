@@ -65,6 +65,18 @@ def bm25_scores(
         raise ValueError("query_terms must be non-empty")
     if len(set(terms)) != len(terms):
         raise ValueError("query_terms must be distinct")
+    # The plan generates 2 columns + 1 contribution expression PER TERM
+    # (bounded by the QUERY length, never the vocabulary) — fine for
+    # ad-hoc relevance queries, but a thousand-term "query" would
+    # produce a thousand-column plan whose whole-stage codegen blows
+    # the 64 KB method limit into interpreted fallback. Fail loudly at
+    # the API instead; rank against long queries term-batch-wise.
+    if len(terms) > 64:
+        raise ValueError(
+            f"bm25_scores: {len(terms)} query terms generate a "
+            f"{2 * len(terms)}-column plan; cap is 64 — batch the query "
+            "or use a term-explode formulation for document-length queries"
+        )
 
     per_doc = docs.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
