@@ -1233,6 +1233,62 @@ def _minhash_oracle_sql(num_hashes: int = 64, num_bands: int = 16, k: int = 5,
 # `raster_roundtrip`.
 
 
+def _pagerank_oracle_sql(iterations: int = 2, damping: float = 0.85) -> str:
+    """Unrolled-iteration DuckDB twin of `operators.graph.pagerank`
+    portable mode over the customer→nation link graph: per-edge
+    contributions round(·,12)→DECIMAL(38,12) (order-free integer
+    sums), dangling mass as the same decimal sum cast to DOUBLE (the
+    operator's driver-side `float(...)`), new rank re-rounded to 12 —
+    expression for expression, so every value matches bit-for-bit."""
+    prev = "r0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(f"""
+    c{i} AS (
+        SELECT e.dst AS node,
+               SUM(CAST(round(r.rank / d.out_deg, 12)
+                        AS DECIMAL(38,12))) AS contrib
+        FROM {prev} r
+        JOIN e0 e ON r.node = e.src
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    ),
+    d{i} AS (
+        SELECT CAST(COALESCE(SUM(CAST(round(rank, 12) AS DECIMAL(38,12))),
+                             0) AS DOUBLE) AS mass
+        FROM {prev} WHERE node NOT IN (SELECT src FROM deg)
+    ),
+    r{i} AS (
+        SELECT n.node,
+               round((1.0 - {damping}) / p.n
+                     + {damping} * (COALESCE(CAST(c.contrib AS DOUBLE), 0.0)
+                                    + d{i}.mass / p.n), 12) AS rank
+        FROM nodes n
+        LEFT JOIN c{i} c ON n.node = c.node, params p, d{i}
+    )""")
+        prev = f"r{i}"
+    return f"""
+    e0 AS (
+        SELECT DISTINCT c_custkey AS src,
+               CAST(2000000 + c_nationkey AS BIGINT) AS dst
+        FROM customer
+    ),
+    nodes AS (
+        -- set-op wrapped in a subquery: this rides inside the cluster
+        -- tier's WITH RECURSIVE, where a top-level UNION CTE would get
+        -- recursive anchor/step semantics (observed in DuckDB: 300
+        -- rows instead of 175)
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0
+        )
+    ),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM e0 GROUP BY src),
+    params AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / p.n AS rank FROM nodes, params p),
+    {",".join(iters)}
+    """
+
+
 _CLUSTERS_SQL = f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
     sym AS (
@@ -1244,25 +1300,56 @@ _CLUSTERS_SQL = f"""
         SELECT doc_id, doc_id FROM documents
         UNION
         SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
-    )
-    SELECT a AS doc_id, min(b) AS cluster_id
+    ),
+    {_pagerank_oracle_sql()}
+    SELECT 'cluster' AS method, a AS node, CAST(min(b) AS DOUBLE) AS value
     FROM reach GROUP BY a
+    UNION ALL
+    SELECT 'pagerank' AS method, node, rank AS value FROM r2
 """
 
 
 @register("dedup_clusters", _CLUSTERS_SQL)
 def dedup_clusters(spark, sf_dir):
-    """The full dedup stack end-to-end: portable minhash pairs →
-    connected components (iterative min-label propagation) → cluster
-    assignment per doc. Oracle: the same pairs fed through a recursive
-    CTE computing each node's minimum reachable id — an iterative Spark
-    algorithm exactly checked against recursive SQL."""
+    """The iterative-graph family end-to-end, both algorithms checked
+    against exact SQL:
+
+    - ``cluster`` tier: portable minhash pairs → connected components
+      (min-label propagation, `operators.dedup.duplicate_clusters`) →
+      cluster assignment per doc; oracle = the same pairs through a
+      recursive CTE computing each node's minimum reachable id.
+    - ``pagerank`` tier (r9): `operators.graph.pagerank` portable mode,
+      2 iterations, over the customer→nation link graph (natural hub
+      concentration; nation nodes are dangling, exercising the
+      dangling-mass redistribution every round). Oracle = the
+      iterations unrolled in SQL with the identical round(·,12) /
+      DECIMAL(38,12) arithmetic, so ranks match bit-for-bit.
+
+    Common grain ``(method, node, value)``; cluster ids are exact in
+    DOUBLE (< 2^53)."""
     from data_pipelines_spark.operators.dedup import duplicate_clusters
+    from data_pipelines_spark.operators.graph import pagerank
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5, portable=True)
-    return duplicate_clusters(docs, pairs)
+    clusters = duplicate_clusters(docs, pairs).select(
+        F.lit("cluster").alias("method"),
+        F.col("doc_id").alias("node"),
+        F.col("cluster_id").cast("double").alias("value"),
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("src"),
+        (F.lit(2000000) + F.col("c_nationkey")).cast("long").alias("dst"),
+    )
+    pr = pagerank(edges, iterations=2, portable=True).select(
+        F.lit("pagerank").alias("method"),
+        F.col("node"),
+        F.col("rank").alias("value"),
+    )
+    return clusters.unionByName(pr)
 
 
 def _minhash_verified_sql(shingle_k: int = 5, threshold: float = 0.5) -> str:
