@@ -1487,11 +1487,46 @@ def _simhash_oracle_sql(bits: int = 60) -> str:
     """
 
 
+_PHASH_H60 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    "string_split(substr(md5(CAST(doc_id AS VARCHAR) || ':phash'), 1, 15), ''), "
+    "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))), "
+    "(a, x) -> a * 16 + x)"
+)
+
+_PHASH_MASK = (
+    "((CAST(1 AS BIGINT) << CAST(doc_id * 7 % 60 AS INT))"
+    " | (CAST(1 AS BIGINT) << CAST(doc_id * 13 % 60 AS INT))"
+    " | (CAST(1 AS BIGINT) << CAST(doc_id * 29 % 60 AS INT)))"
+)
+
+_PHASH_ALL_CTE = f"""
+    ph_all AS (
+        SELECT doc_id AS id, {_PHASH_H60} AS h FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS id, xor({_PHASH_H60}, {_PHASH_MASK}) AS h
+        FROM documents WHERE doc_id % 10 = 0
+    )
+"""
+
+# Brute-force popcount over ALL pairs — deliberately independent of the
+# operator's band/bucket machinery, so the oracle certifies exact
+# recall of the LSH path, not a restatement of it.
+_PHASH_PAIRS_SELECT = """
+    SELECT 'phash_pairs' AS method, a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS DOUBLE) AS score,
+           CAST(NULL AS BIGINT) AS bits
+    FROM ph_all a JOIN ph_all b ON a.id < b.id
+    WHERE bit_count(xor(a.h, b.h)) <= 6
+"""
+
+
 @register(
     "portable_hash_suite",
     f"""
     WITH mh AS ({_minhash_oracle_sql()}),
-    sh AS ({_simhash_oracle_sql()})
+    sh AS ({_simhash_oracle_sql()}),
+    {_PHASH_ALL_CTE.strip()}
     SELECT 'minhash_est' AS method, doc_a AS id_a, doc_b AS id_b,
            est_jaccard AS score, CAST(NULL AS BIGINT) AS bits
     FROM mh
@@ -1499,12 +1534,14 @@ def _simhash_oracle_sql(bits: int = 60) -> str:
     SELECT 'simhash' AS method, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
            CAST(NULL AS DOUBLE) AS score, simhash AS bits
     FROM sh
+    UNION ALL
+    {_PHASH_PAIRS_SELECT.strip()}
     """,
 )
 def portable_hash_suite(spark, sf_dir):
-    """The two portable-hash sketches, method-tagged into one entry
-    (fused to free a driver-sweep slot; each tier keeps its own exact
-    hash check because the method tag keeps its rows distinct):
+    """The portable-hash tiers, method-tagged into one entry (fused to
+    free a driver-sweep slot; each tier keeps its own exact hash check
+    because the method tag keeps its rows distinct):
 
     - ``minhash_est``: the full MinHash+LSH pipeline in portable-hash
       mode (md5-derived shingle hashes, raw band keys) — EXACTLY
@@ -1516,11 +1553,55 @@ def portable_hash_suite(spark, sf_dir):
       signature exceeds double precision (2^60 > 2^53) so it rides in
       its own BIGINT ``bits`` column rather than being cast into the
       shared double ``score``.
+    - ``phash_pairs`` (r9): the perceptual-hash near-dup join
+      (`operators.phash.phash_near_duplicates` — banded equi-join +
+      popcount verify, exact recall at bands = max_hamming+1) over
+      synthetic md5-derived 60-bit hashes with planted 1-3 bit flips
+      on every 10th doc. The oracle is a BRUTE-FORCE all-pairs
+      popcount — independent of the banding — so the hash certifies
+      the LSH path finds exactly the pairs exhaustive search finds.
+      (The decode→DCT kernel that produces real pHashes is not SQL;
+      it is golden-pinned in tests/test_phash.py, the BPE precedent.)
     """
+    from data_pipelines_spark.operators.phash import phash_near_duplicates
+
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     mh = minhash_near_duplicates(docs, jaccard_threshold=0.5, portable=True)
     sh = simhash_signatures(docs, portable=True)
+
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.encode(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":phash")),
+                "UTF-8",
+            )),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    flip_mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(doc_id * 7 % 60 AS INT))"
+        " | shiftleft(CAST(1 AS BIGINT), CAST(doc_id * 13 % 60 AS INT))"
+        " | shiftleft(CAST(1 AS BIGINT), CAST(doc_id * 29 % 60 AS INT))"
+    )
+    ph_base = docs.select(
+        F.col("doc_id").alias("media_id"), h60.alias("phash")
+    )
+    ph_planted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("media_id"),
+        h60.bitwiseXOR(flip_mask).alias("phash"),
+    )
+    ph = phash_near_duplicates(
+        ph_base.unionByName(ph_planted), max_hamming=6
+    ).select(
+        F.lit("phash_pairs").alias("method"),
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("hamming").cast("double").alias("score"),
+        F.lit(None).cast("long").alias("bits"),
+    )
+
     return mh.select(
         F.lit("minhash_est").alias("method"),
         F.col("doc_a").alias("id_a"),
@@ -1535,7 +1616,7 @@ def portable_hash_suite(spark, sf_dir):
             F.lit(None).cast("double").alias("score"),
             F.col("simhash").alias("bits"),
         )
-    )
+    ).unionByName(ph)
 
 
 # `ngram_jaccard_same_source` and `embedding_near_dup_pairs` are now
