@@ -254,3 +254,70 @@ def test_extract_title_and_links(spark):
     assert out[0]["links"] == ["http://x.org/1", "/rel"]
     assert out[1]["title"] is None
     assert out[1]["links"] == []
+
+
+def test_registered_domain_psl(spark):
+    from data_pipelines_spark.functions.web import registered_domain_psl
+
+    psl = spark.createDataFrame(
+        [("// comment",), ("",), ("com",), ("ar",), ("com.ar",),
+         ("uk",), ("co.uk",), ("jp",), ("*.ck",), ("!www.ck",)],
+        "rule string",
+    )
+    cases = [
+        (1, "http://a.b.example.com/x", "example.com"),
+        (2, "https://deep.sub.example.com.ar/", "example.com.ar"),  # 3-label suffix
+        (3, "http://example.co.uk", "example.co.uk"),
+        (4, "http://shop.example.jp", "example.jp"),
+        (5, "http://www.xx.ck/", "www.xx.ck"),      # wildcard *.ck
+        (6, "http://xx.ck/", None),                  # host IS a public suffix
+        (7, "http://www.ck/", "www.ck"),             # exception beats wildcard
+        (8, "http://sub.www.ck/", "www.ck"),
+        (9, "http://example.zz/", "example.zz"),     # implicit '*' rule
+        (10, "http://zz/", None),                    # bare unknown TLD
+        (11, "http://192.168.0.1:8080/", "192.168.0.1"),
+        (12, "not a url", None),
+        (13, "http://com.ar/", None),                # exact suffix host
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    out = registered_domain_psl(df, psl, id_col="doc_id")
+    got = {r["doc_id"]: r["registered_domain"] for r in out.collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    # generated-id path keeps row count and drops the helper id
+    out2 = registered_domain_psl(df, psl)
+    assert out2.count() == len(cases)
+    assert set(out2.columns) == {"doc_id", "url", "registered_domain"}
+
+
+def test_registered_domain_psl_matches_heuristic_on_head(spark):
+    """On the heuristic's own suffix head the two implementations must
+    agree — the PSL version is a strict generalization."""
+    from data_pipelines_spark.functions.web import (
+        _TWO_LABEL_SUFFIXES,
+        registered_domain,
+        registered_domain_psl,
+    )
+    from pyspark.sql import functions as F
+
+    tlds = sorted({s.split(".")[-1] for s in _TWO_LABEL_SUFFIXES})
+    psl = spark.createDataFrame(
+        [(s,) for s in _TWO_LABEL_SUFFIXES] + [(t,) for t in tlds]
+        + [("com",), ("org",)],
+        "rule string",
+    )
+    urls = [
+        (1, "http://a.b.example.co.uk/"),
+        (2, "http://example.com.au"),
+        (3, "http://www.example.com/"),
+        (4, "http://example.org"),
+        (5, "http://only.co.jp/"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    both = registered_domain_psl(df, psl, id_col="doc_id").withColumn(
+        "heur", registered_domain(F.col("url"))
+    )
+    for r in both.collect():
+        assert r["registered_domain"] == r["heur"], r
