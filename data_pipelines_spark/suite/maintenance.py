@@ -1109,6 +1109,13 @@ _FETCH_TASK_SQL = f"""
     FROM nation GROUP BY n_regionkey
     UNION ALL
     {_url_tier_sql()}
+    UNION ALL
+    SELECT 'robots', region, COUNT(*),
+           CAST(SUM(CASE WHEN CAST(key % 4 AS INTEGER) IN (1, 3)
+                         THEN key ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN CAST(key % 4 AS INTEGER) IN (0, 2)
+                         THEN key ELSE 0 END) AS BIGINT)
+    FROM url_base GROUP BY region
 """
 
 
@@ -1166,6 +1173,13 @@ def fetch_task_suite(spark, sf_dir):
       rows pooled under one registered domain — and the oracle replays
       the md5 keep-coin exactly. The oracle STATES the expected
       canonical forms independently instead of replaying the regexes.
+    - ``robots`` (r9): the crawl-politeness gate (`operators.robots`).
+      One robots.txt per region exercising group splitting (a
+      specific-agent group our crawler must ignore), the wildcard
+      Allow longest-match override, and the trailing-$ anchor; four
+      URL shapes per nation row run through the REAL
+      parse_robots → filter_by_robots chain, and the oracle states
+      each URL's expected verdict from the construction rule.
 
     The nation-table collect that seeds the files is 25 rows; the
     final aggregate is collected (<= 9 rows) before the temp dir is
@@ -1430,6 +1444,70 @@ def fetch_task_suite(spark, sf_dir):
             "n", "total", "w",
         )
 
+        # robots tier: one robots.txt per region exercising group
+        # splitting (a specific-agent group that must be IGNORED for
+        # our crawler), wildcard Allow longest-match override, and the
+        # trailing-$ anchor; the oracle STATES each URL's expected
+        # verdict from the construction rule (key % 4), independent of
+        # the parser.
+        from data_pipelines_spark.operators.robots import (
+            filter_by_robots,
+            parse_robots,
+        )
+
+        robots_rows = []
+        for reg in sorted(by_region):
+            robots_rows.append((
+                f"r{reg}.example.org",
+                (
+                    "# region robots\n"
+                    f"User-agent: *\n"
+                    f"Disallow: /n{reg}/private/\n"
+                    f"Allow: /n{reg}/private/open*\n"
+                    "Disallow: /*.bin$\n"
+                    "\n"
+                    f"User-agent: crawler-{reg}\n"
+                    "Disallow: /\n"
+                ),
+            ))
+        robots_df = spark.createDataFrame(
+            robots_rows, "host string, content string"
+        )
+        rules = parse_robots(robots_df)
+
+        def _fixture_crawl_url(key: int, reg_: int) -> str:
+            v = key % 4
+            base_u = f"http://r{reg_}.example.org"
+            if v == 0:
+                return f"{base_u}/n{reg_}/private/f{key}.html"  # denied
+            if v == 1:
+                return f"{base_u}/n{reg_}/private/openf{key}"   # Allow wins
+            if v == 2:
+                return f"{base_u}/pub/f{key}.bin"               # $-anchored
+            return f"{base_u}/pub/f{key}.html"                  # allowed
+
+        crawl_urls = spark.createDataFrame(
+            [(r["n_nationkey"], r["n_regionkey"],
+              _fixture_crawl_url(r["n_nationkey"], r["n_regionkey"]))
+             for r in rows],
+            "doc_id long, region long, url string",
+        )
+        verdicts = filter_by_robots(
+            crawl_urls, rules, agent="somebot", keep="all"
+        )
+        robots_tier = verdicts.groupBy("region").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("allowed"), F.col("doc_id")).otherwise(0)
+            ).alias("total"),
+            F.sum(
+                F.when(~F.col("allowed"), F.col("doc_id")).otherwise(0)
+            ).alias("w"),
+        ).select(
+            F.lit("robots").alias("method"), F.col("region").alias("k"),
+            "n", "total", "w",
+        )
+
         out = (
             fetch_tier.unionByName(glob_tier)
             .unionByName(task_tier)
@@ -1438,6 +1516,7 @@ def fetch_task_suite(spark, sf_dir):
             .unionByName(warc_tier)
             .unionByName(url_tier)
             .unionByName(cap_tier)
+            .unionByName(robots_tier)
         )
         schema = out.schema
         materialized = out.collect()  # bounded: regions + 3 tiers
