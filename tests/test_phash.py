@@ -133,3 +133,50 @@ def test_band_count_validation(spark):
         phash_near_duplicates(df, max_hamming=6, bands=4)
     with pytest.raises(ValueError, match="max_hamming"):
         phash_near_duplicates(df, max_hamming=64)
+
+
+def test_incremental_phash_matches_full_run(spark):
+    from data_pipelines_spark.operators.phash import (
+        incremental_phash_near_duplicates,
+        phash_bands,
+        phash_near_duplicates,
+    )
+
+    store_rows = [(i, phash64(_gradient(i))) for i in range(8)]
+    batch_rows = [
+        (100, _flip_bits(store_rows[2][1], [3, 9])),   # near store id 2
+        (101, phash64(_gradient(50))),                 # novel
+        (102, _flip_bits(phash64(_gradient(50)), [7])),  # near 101
+    ]
+    store = spark.createDataFrame(store_rows, "media_id long, phash long")
+    batch = spark.createDataFrame(batch_rows, "media_id long, phash long")
+
+    pairs, new_bands = incremental_phash_near_duplicates(batch, store)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert set(got) == {(100, 2), (101, 102)}, got
+    assert got[(100, 2)] == 2 and got[(101, 102)] == 1
+
+    # equals the batch-touching subset of a full run over store+batch
+    full = phash_near_duplicates(store.unionByName(batch))
+    batch_ids = {100, 101, 102}
+    want = {
+        (b, a) if b in batch_ids else (a, b)
+        for a, b in ((r["id_a"], r["id_b"]) for r in full.collect())
+        if a in batch_ids or b in batch_ids
+    }
+    # full-run orientation: id_a < id_b; incremental: batch id first
+    assert {tuple(sorted(p)) for p in got} == {
+        tuple(sorted(p)) for p in want
+    }
+
+    # stored-bands path gives the same pairs
+    sb = phash_bands(store)
+    pairs2, _ = incremental_phash_near_duplicates(
+        batch, store, store_bands=sb
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs2.collect()} == set(got)
+    # new_bands rows cover every batch id across all 7 bands
+    nb = new_bands.groupBy("id").count().collect()
+    assert {r["id"]: r["count"] for r in nb} == {
+        100: 7, 101: 7, 102: 7,
+    }
