@@ -1344,11 +1344,19 @@ def dedup_clusters(spark, sf_dir):
         F.col("c_custkey").alias("src"),
         (F.lit(2000000) + F.col("c_nationkey")).cast("long").alias("dst"),
     )
-    pr = pagerank(edges, iterations=2, portable=True).select(
-        F.lit("pagerank").alias("method"),
-        F.col("node"),
-        F.col("rank").alias("value"),
-    )
+    if edges.isEmpty():
+        # pagerank() raises loudly on an empty graph (right for real
+        # callers); the suite contract is that empty tables yield empty
+        # tiers — mirror the oracle, which emits zero rows from r2.
+        pr = spark.createDataFrame(
+            [], "method string, node long, value double"
+        )
+    else:
+        pr = pagerank(edges, iterations=2, portable=True).select(
+            F.lit("pagerank").alias("method"),
+            F.col("node"),
+            F.col("rank").alias("value"),
+        )
     return clusters.unionByName(pr)
 
 
