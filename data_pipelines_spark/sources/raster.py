@@ -1489,7 +1489,7 @@ def read_zarr_minimal(path: str):
             )
     comp = meta.get("compressor")
     comp_id = comp["id"] if comp else None
-    if comp_id not in (None, "zlib", "gzip", "bz2", "lzma"):
+    if comp_id not in (None, "zlib", "gzip", "bz2", "lzma", "blosc"):
         raise NotImplementedError(
             f"Zarr compressor {comp_id!r}: use the zarr library path"
         )
@@ -1506,7 +1506,13 @@ def read_zarr_minimal(path: str):
             continue  # missing chunk = fill_value
         with open(fp, "rb") as f:
             raw = f.read()
-        if comp_id == "zlib":
+        if comp_id == "blosc":
+            # self-describing frame (cname/shuffle ride the header);
+            # lz4/zlib cnames decode natively, zstd/blosclz gate inside
+            from data_pipelines_spark.sources.blosc import blosc_decompress
+
+            raw = blosc_decompress(raw)
+        elif comp_id == "zlib":
             raw = zlib.decompress(raw)
         elif comp_id == "gzip":
             raw = gzip.decompress(raw)

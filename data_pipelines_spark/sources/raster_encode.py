@@ -1199,8 +1199,10 @@ def write_zarr_store(
             raise ValueError(
                 f"v3 writer supports gzip or raw, got {compressor!r}"
             )
-    if compressor not in (None, "zlib", "gzip", "bz2", "lzma"):
+    if compressor not in (None, "zlib", "gzip", "bz2", "lzma", "blosc"):
         raise ValueError(f"unsupported compressor {compressor!r}")
+    if compressor == "blosc" and zarr_format != 2:
+        raise ValueError("blosc is a v2 compressor here; v3 uses codec chains")
     if order not in ("C", "F"):
         raise ValueError(f"bad chunk order {order!r}")
     chunks = tuple(chunks) if chunks else arr.shape
@@ -1215,7 +1217,15 @@ def write_zarr_store(
                 f"inner chunks {chunks} must divide shard shape {shards}"
             )
 
-    def compress(raw: bytes) -> bytes:
+    def compress(raw: bytes, typesize: int = 1) -> bytes:
+        if compressor == "blosc":
+            from data_pipelines_spark.sources.blosc import blosc_compress
+
+            # numcodecs' default v2 compressor: LZ4 inside the blosc
+            # frame, byte-shuffle at the array's element size
+            return blosc_compress(
+                raw, typesize=typesize, cname="lz4", shuffle=True
+            )
         if compressor == "zlib":
             return zlib.compress(raw)
         if compressor == "gzip":
@@ -1345,6 +1355,14 @@ def write_zarr_store(
                         "filters": None,
                     }
                     if compressor == "lzma"
+                    else {
+                        "id": "blosc",
+                        "cname": "lz4",
+                        "clevel": 5,
+                        "shuffle": 1,
+                        "blocksize": 0,
+                    }
+                    if compressor == "blosc"
                     else {"id": compressor, "level": 1}
                 ),
             }
@@ -1421,7 +1439,7 @@ def write_zarr_store(
             for cfg in filts or []:
                 raw = filter_encode(raw, cfg)
             with open(os.path.join(d, ".".join(map(str, idx))), "wb") as f:
-                f.write(compress(raw))
+                f.write(compress(raw, data.dtype.itemsize))
 
     dim_names = list(coords)
     write_array(

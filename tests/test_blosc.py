@@ -1,0 +1,144 @@
+"""Blosc + LZ4 (`sources.blosc`): hand-pinned wire vectors from the two
+public specs, encoder validity rules, container round-trips across
+typesize/shuffle/blocking, the c-blosc typesize-split read path, and
+the Zarr v2 integration."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from data_pipelines_spark.sources.blosc import (
+    blosc_compress,
+    blosc_decompress,
+    lz4_compress_block,
+    lz4_decompress_block,
+)
+
+
+def test_lz4_pinned_wire_vectors():
+    # token 0x44: 4 literals 'abcd', match len 8 at offset 4
+    # (overlapping copy — the mechanism RLE rides on)
+    assert lz4_decompress_block(b"\x44abcd\x04\x00", 12) == b"abcdabcdabcd"
+    # literal-length extension: 15 -> +0 byte; 270 -> +255 +0
+    assert lz4_decompress_block(b"\xf0\x00" + b"x" * 15, 15) == b"x" * 15
+    assert (
+        lz4_decompress_block(b"\xf0\xff\x00" + b"y" * 270, 270) == b"y" * 270
+    )
+    # match-length extension: token low nibble 15, ext 2 -> mlen 21
+    got = lz4_decompress_block(b"\x1fa\x01\x00\x02", 22)
+    assert got == b"a" * 22
+    # truncation and bad offsets raise
+    with pytest.raises((ValueError, IndexError)):
+        lz4_decompress_block(b"\x44abcd\x04\x00", 99)
+    with pytest.raises(ValueError):
+        lz4_decompress_block(b"\x40abcd\x00\x00", 8)  # offset 0
+
+
+def test_lz4_round_trip_shapes():
+    rng = np.random.default_rng(3)
+    cases = [
+        b"",
+        b"a",
+        b"abcd" * 1000,                      # pure repetition
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),  # incompressible
+        (b"the quick brown fox " * 64)[:-3],
+        bytes(rng.integers(0, 4, 4096, dtype=np.uint8)),    # low entropy
+    ]
+    for data in cases:
+        comp = lz4_compress_block(data)
+        assert lz4_decompress_block(comp, len(data)) == data
+    # repetitive data genuinely compresses
+    assert len(lz4_compress_block(b"abcd" * 1000)) < 100
+
+
+def test_blosc_header_pinned():
+    frame = blosc_compress(b"abcd" * 100, typesize=4, cname="lz4")
+    version, versionlz, flags, typesize = frame[0], frame[1], frame[2], frame[3]
+    nbytes, blocksize, cbytes = struct.unpack_from("<III", frame, 4)
+    assert (version, typesize) == (2, 4)
+    assert flags & 0x1  # shuffle
+    assert (flags >> 5) & 0x7 == 1  # cname lz4
+    assert nbytes == 400 and cbytes == len(frame)
+    assert blosc_decompress(frame) == b"abcd" * 100
+
+
+def test_blosc_round_trips():
+    rng = np.random.default_rng(7)
+    arrays = [
+        np.arange(1000, dtype="<i4"),
+        rng.standard_normal(513).astype("<f8"),
+        np.zeros(4096, dtype="<i8"),
+        rng.integers(0, 256, 10_001, dtype=np.uint8),
+    ]
+    for a in arrays:
+        data = a.tobytes()
+        for cname in ("lz4", "zlib"):
+            for shuffle in (True, False):
+                frame = blosc_compress(
+                    data, typesize=a.dtype.itemsize,
+                    cname=cname, shuffle=shuffle,
+                )
+                assert blosc_decompress(frame) == data, (cname, shuffle)
+    # multi-block path (blocksize smaller than payload)
+    data = np.arange(10_000, dtype="<i4").tobytes()
+    frame = blosc_compress(data, typesize=4, blocksize=4096)
+    assert blosc_decompress(frame) == data
+
+
+def test_blosc_typesize_split_layout_decodes():
+    """c-blosc 1.x splits shuffled blocks into typesize LZ4 streams;
+    build that layout by hand and check the reader detects it."""
+    from data_pipelines_spark.sources.blosc import _shuffle_bytes
+
+    a = np.arange(256, dtype="<i4")
+    data = a.tobytes()
+    shuffled = _shuffle_bytes(data, 4)
+    neblock = len(shuffled)
+    split = neblock // 4
+    regions = b""
+    for s in range(4):
+        part = shuffled[s * split : (s + 1) * split]
+        comp = lz4_compress_block(part)
+        if len(comp) >= len(part):
+            comp = part
+        regions += struct.pack("<i", len(comp)) + comp
+    header = bytes([1, 1, (1 << 5) | 0x1, 4])
+    frame = (
+        header
+        + struct.pack("<III", len(data), len(data), 16 + 4 + len(regions))
+        + struct.pack("<i", 20)
+        + regions
+    )
+    assert blosc_decompress(frame) == data
+
+
+def test_blosc_memcpy_and_gates():
+    # memcpy frame: flags bit 2, payload is the original bytes
+    data = b"hello world " * 3
+    frame = bytes([1, 1, 0x2, 1]) + struct.pack(
+        "<III", len(data), len(data), 16 + len(data)
+    ) + data
+    assert blosc_decompress(frame) == data
+    # bit-shuffle and zstd stay honest gates
+    bs = bytes([1, 1, 0x4, 1]) + struct.pack("<III", 4, 4, 16 + 4) + b"xxxx"
+    with pytest.raises(NotImplementedError, match="bit-shuffle"):
+        blosc_decompress(bs)
+    with pytest.raises(NotImplementedError, match="cname"):
+        blosc_compress(b"x", cname="zstd")
+
+
+def test_zarr_blosc_round_trip(tmp_path):
+    from data_pipelines_spark.sources.raster import read_zarr_minimal
+    from data_pipelines_spark.sources.raster_encode import write_zarr_store
+
+    a = (np.arange(600, dtype="<f4") / 7.0).reshape(20, 30)
+    store = str(tmp_path / "z")
+    write_zarr_store(
+        store, "v", a,
+        {"y": np.arange(20, dtype="<i4"), "x": np.arange(30, dtype="<i4")},
+        chunks=(8, 16), compressor="blosc",
+    )
+    back, attrs = read_zarr_minimal(f"{store}/v")
+    np.testing.assert_array_equal(back, a)
+    assert attrs.get("_ARRAY_DIMENSIONS") == ["y", "x"]
