@@ -212,7 +212,7 @@ def raster_roundtrip(spark, sf_dir):
       sum is still exact).
     - ``netcdf``: classic CDF-1 with a `_FillValue` cell at bucket 13
       — CF masking must DROP exactly that cell (47 rows).
-    - ``zarr``: v2 zlib chunks (2x2) in F-ORDER behind a numcodecs
+    - ``zarr``: v2 blosc(LZ4+shuffle) chunks (2x2) in F-ORDER behind a numcodecs
       ``delta`` filter (diff stream over the F-order element
       sequence — exact here because the values are integers in f8),
       with the (2,3) chunk omitted — the reader must invert the
@@ -336,8 +336,12 @@ def raster_roundtrip(spark, sf_dir):
 
         store = os.path.join(tmp, "g.zarr")
         write_zarr_store(
+            # blosc (numcodecs' v2 default: LZ4 + byte-shuffle inside
+            # the frame, sources/blosc.py) — the r9 codec rides the
+            # same hash gate as the rest of the tier; zlib/gzip/bz2/
+            # lzma stay unit-covered
             store, "dis24", vals, {"lat": lats, "lon": lons},
-            chunks=(2, 2), compressor="zlib", fill_value=-1.0,
+            chunks=(2, 2), compressor="blosc", fill_value=-1.0,
             omit_chunks={(2, 3)},  # rows 4-5 x cols 6-7 -> fill
             order="F", filters=[{"id": "delta", "dtype": "<f8"}],
         )
