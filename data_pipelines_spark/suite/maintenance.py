@@ -1116,6 +1116,31 @@ _FETCH_TASK_SQL = f"""
            CAST(SUM(CASE WHEN CAST(key % 4 AS INTEGER) IN (0, 2)
                          THEN key ELSE 0 END) AS BIGINT)
     FROM url_base GROUP BY region
+    UNION ALL
+    -- psl: full-PSL eTLD+1 of every fixture host happens to be the
+    -- host itself (v0: the *.example.com wildcard keeps all 4 labels;
+    -- v1: co.uk keeps 3 = the whole host; v2/v3: IP literals) — stated
+    -- from the construction, not replayed through the rule engine
+    SELECT 'psl', region, COUNT(*),
+           CAST(SUM({_md5_head_sql('host')}) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM url_parts GROUP BY region
+    UNION ALL
+    SELECT 'sitemap', region, COUNT(*),
+           CAST(SUM({_md5_head_sql('loc')}) AS BIGINT),
+           CAST(SUM(wv) AS BIGINT)
+    FROM (
+        SELECT region,
+               'http://s.example/p' || CAST(key AS VARCHAR)
+               || '?a=1&b=' || CAST(region AS VARCHAR) AS loc,
+               CAST(key % 10 AS BIGINT) AS wv
+        FROM url_base
+        UNION ALL
+        SELECT DISTINCT region,
+               'http://s.example/cdata' || CAST(region AS VARCHAR),
+               CAST(0 AS BIGINT)
+        FROM url_base
+    ) GROUP BY region
 """
 
 
@@ -1180,6 +1205,13 @@ def fetch_task_suite(spark, sf_dir):
       URL shapes per nation row run through the REAL
       parse_robots → filter_by_robots chain, and the oracle states
       each URL's expected verdict from the construction rule.
+    - ``psl`` (r9): `registered_domain_psl` over the url fixtures with
+      a rule table holding plain, multi-label, wildcard
+      (``*.example.com``) and exception rules — each variant's
+      expected eTLD+1 stated by the oracle from the construction.
+    - ``sitemap`` (r9): one urlset per region (entities, CDATA, a
+      loc-less decoy) through the REAL `parse_sitemap_entries`; locs
+      and priorities restated by the oracle.
 
     The nation-table collect that seeds the files is 25 rows; the
     final aggregate is collected (<= 9 rows) before the temp dir is
@@ -1508,6 +1540,76 @@ def fetch_task_suite(spark, sf_dir):
             "n", "total", "w",
         )
 
+        # psl tier: registered_domain_psl over the SAME url fixtures
+        # with a rule table holding plain, multi-label, wildcard and
+        # exception rules; expected eTLD+1 per variant is stated by the
+        # oracle from the construction (key % 4), folded to md5 heads.
+        from data_pipelines_spark.functions.web import registered_domain_psl
+
+        psl_rules = spark.createDataFrame(
+            [("// head",), ("com",), ("uk",), ("co.uk",),
+             ("*.example.com",), ("!www.example.com",)],
+            "rule string",
+        )
+        psl_out = registered_domain_psl(
+            url_df, psl_rules, id_col="doc_id", out_col="rdom_psl"
+        )
+        psl_tier = psl_out.groupBy("region").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.coalesce(md5head(F.col("rdom_psl")), F.lit(0))
+            ).alias("total"),
+            F.sum(
+                F.when(F.col("rdom_psl").isNull(), F.col("doc_id"))
+                .otherwise(0)
+            ).alias("w"),
+        ).select(
+            F.lit("psl").alias("method"), F.col("region").alias("k"),
+            "n", "total", "w",
+        )
+
+        # sitemap tier: one urlset per region built from the nation
+        # rows (entities + CDATA + a loc-less decoy per region), parsed
+        # by the REAL parse_sitemap_entries; the oracle restates the
+        # expected locs/priorities from the construction.
+        from data_pipelines_spark.sources.sitemap import (
+            parse_sitemap_entries,
+        )
+
+        sm_rows = []
+        for reg in sorted(by_region):
+            body = ["<urlset>"]
+            for r in sorted(by_region[reg], key=lambda x: x["n_nationkey"]):
+                key = r["n_nationkey"]
+                body.append(
+                    f"<url><loc>http://s.example/p{key}?a=1&amp;b={reg}"
+                    f"</loc><priority>0.{key % 10}</priority></url>"
+                )
+            body.append(
+                f"<url><loc><![CDATA[http://s.example/cdata{reg}]]></loc>"
+                "</url>"
+            )
+            body.append("<url><lastmod>2024-01-01</lastmod></url>")  # decoy
+            body.append("</urlset>")
+            sm_rows.append((f"sm-{reg}", "".join(body), reg))
+        sm_df = spark.createDataFrame(
+            sm_rows, "sitemap string, content string, region long"
+        )
+        sm_entries = parse_sitemap_entries(sm_df).join(
+            sm_df.select("sitemap", "region"), "sitemap"
+        )
+        sitemap_tier = sm_entries.groupBy("region").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(md5head(F.col("loc"))).alias("total"),
+            F.sum(
+                (F.coalesce(F.col("priority"), F.lit(0.0)) * 10)
+                .cast("long")
+            ).alias("w"),
+        ).select(
+            F.lit("sitemap").alias("method"), F.col("region").alias("k"),
+            "n", "total", "w",
+        )
+
         out = (
             fetch_tier.unionByName(glob_tier)
             .unionByName(task_tier)
@@ -1517,6 +1619,8 @@ def fetch_task_suite(spark, sf_dir):
             .unionByName(url_tier)
             .unionByName(cap_tier)
             .unionByName(robots_tier)
+            .unionByName(psl_tier)
+            .unionByName(sitemap_tier)
         )
         schema = out.schema
         materialized = out.collect()  # bounded: regions + 3 tiers
