@@ -38,6 +38,102 @@ ROBOTS_RULES_SCHEMA = (
 )
 
 
+def _robots_groups(
+    robots: DataFrame, host_col: str, content_col: str,
+    keys: tuple[str, ...],
+) -> DataFrame:
+    """Shared line → (host, line_no, key, value, grp) parse: posexplode
+    lines, strip comments, keep the requested directives, assign group
+    ids (a group starts at each User-agent line not preceded by one —
+    windows partitioned by HOST, so the partition is one ~100-line
+    file). Two window passes because windows cannot nest: the lag lands
+    first, the running sum reads the materialized flag."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(content_col), r"\r?\n")).alias(
+            "line_no", "raw"
+        ),
+    ).select(
+        "host",
+        "line_no",
+        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+    ).where(F.col("line") != "")
+
+    kv = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1))).alias(
+            "key"
+        ),
+        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("value"),
+    ).where(F.col("key").isin("user-agent", *keys))
+
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_agent = (F.col("key") == "user-agent").cast("int")
+    flagged = kv.select(
+        "host", "line_no", "key", "value",
+        (is_agent
+         * (1 - F.coalesce(F.lag(is_agent).over(w), F.lit(0)))
+         ).alias("__starts"),
+    )
+    return flagged.select(
+        "host", "line_no", "key", "value",
+        F.sum("__starts").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("grp"),
+    )
+
+
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    content_col: str = "content") -> DataFrame:
+    """``Sitemap:`` directives → ``(host, sitemap)`` — host-wide per
+    RFC 9309 §2.2.4 (they live outside any group), so no group logic:
+    the discovery hand-off into `sources.sitemap.read_sitemaps`."""
+    return _robots_groups(
+        robots, host_col, content_col, ("sitemap",)
+    ).where(
+        (F.col("key") == "sitemap") & (F.col("value") != "")
+    ).select("host", F.col("value").alias("sitemap")).distinct()
+
+
+def crawl_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    content_col: str = "content",
+) -> DataFrame:
+    """``Crawl-delay:`` per host for one crawler identity →
+    ``(host, crawl_delay double)``. Group-scoped like Allow/Disallow
+    (the de-facto Bing/Yandex extension): the specific-agent group
+    wins over ``*``; several delays in the winning scope keep the most
+    conservative (max); unparseable values are NULL and drop."""
+    a = agent.lower()
+    marked = _robots_groups(
+        robots, host_col, content_col, ("crawl-delay",)
+    )
+    agents = marked.where(F.col("key") == "user-agent").select(
+        "host", "grp", F.lower(F.col("value")).alias("agent")
+    ).distinct()
+    delays = marked.where(
+        (F.col("key") == "crawl-delay") & (F.col("grp") > 0)
+    ).select(
+        "host", "grp",
+        F.expr("try_cast(value AS DOUBLE)").alias("delay"),
+    ).where(F.col("delay").isNotNull())
+    scoped = agents.join(delays, ["host", "grp"]).where(
+        F.col("agent").isin(a, "*")
+    )
+    specific = scoped.where(F.col("agent") == a).select(
+        "host", F.lit(True).alias("__has_specific")
+    ).distinct()
+    chosen = scoped.join(specific, "host", "left").where(
+        (F.col("agent") == a) | F.col("__has_specific").isNull()
+    )
+    return chosen.groupBy("host").agg(
+        F.max("delay").alias("crawl_delay")
+    )
+
+
 def parse_robots(robots: DataFrame, host_col: str = "host",
                  content_col: str = "content") -> DataFrame:
     """(host, content) robots.txt bodies → one rule row per
@@ -52,45 +148,9 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
     lines; the window never sees more than one file). Agents of a group
     cross-join its rules through an equi-join on (host, group).
     """
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(content_col), r"\r?\n")).alias(
-            "line_no", "raw"
-        ),
-    ).select(
-        "host",
-        "line_no",
-        # strip comments + whitespace
-        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
-    ).where(F.col("line") != "")
-
-    kv = lines.select(
-        "host",
-        "line_no",
-        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1))).alias(
-            "key"
-        ),
-        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("value"),
-    ).where(F.col("key").isin("user-agent", "allow", "disallow"))
-
-    w = Window.partitionBy("host").orderBy("line_no")
-    is_agent = (F.col("key") == "user-agent").cast("int")
-    # two passes: windows cannot nest, so the lag lands first and the
-    # running sum reads the materialized flag
-    flagged = kv.select(
-        "host", "line_no", "key", "value",
-        (is_agent
-         * (1 - F.coalesce(F.lag(is_agent).over(w), F.lit(0)))
-         ).alias("__starts"),
+    marked = _robots_groups(
+        robots, host_col, content_col, ("user-agent", "allow", "disallow")
     )
-    # a group starts at each agent line NOT preceded by an agent line
-    marked = flagged.select(
-        "host", "line_no", "key", "value",
-        F.sum("__starts").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("grp"),
-    )
-
     agents = marked.where(F.col("key") == "user-agent").select(
         "host", "grp", F.lower(F.col("value")).alias("agent")
     ).distinct()

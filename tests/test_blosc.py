@@ -142,3 +142,28 @@ def test_zarr_blosc_round_trip(tmp_path):
     back, attrs = read_zarr_minimal(f"{store}/v")
     np.testing.assert_array_equal(back, a)
     assert attrs.get("_ARRAY_DIMENSIONS") == ["y", "x"]
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=5000))
+def test_lz4_round_trip_property(data):
+    assert lz4_decompress_block(lz4_compress_block(data), len(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.binary(max_size=4000),
+    st.sampled_from([1, 2, 4, 8]),
+    st.booleans(),
+    st.sampled_from(["lz4", "zlib"]),
+    st.sampled_from([256, 1024, 1 << 20]),
+)
+def test_blosc_round_trip_property(data, typesize, shuffle, cname, blocksize):
+    frame = blosc_compress(
+        data, typesize=typesize, cname=cname,
+        shuffle=shuffle, blocksize=blocksize,
+    )
+    assert blosc_decompress(frame) == data

@@ -117,3 +117,38 @@ def test_partition_invariance(spark, rules):
     )
     assert a == b
     assert a == sorted(i for i, _ in urls if i >= 100)
+
+
+def test_sitemap_directive_and_crawl_delay(spark):
+    from data_pipelines_spark.operators.robots import (
+        crawl_delays,
+        robots_sitemaps,
+    )
+
+    content = """
+Sitemap: http://a.com/sitemap.xml
+User-agent: *
+Crawl-delay: 2
+Disallow: /x/
+
+User-agent: fastbot
+Crawl-delay: 0.5
+Crawl-delay: 1.5
+Sitemap: http://a.com/other.xml  # host-wide even inside a group
+"""
+    df = spark.createDataFrame(
+        [("a.com", content), ("b.com", "User-agent: *\nDisallow:\n")],
+        "host string, content string",
+    )
+    sm = {(r["host"], r["sitemap"]) for r in robots_sitemaps(df).collect()}
+    assert sm == {
+        ("a.com", "http://a.com/sitemap.xml"),
+        ("a.com", "http://a.com/other.xml"),
+    }
+
+    star = {r["host"]: r["crawl_delay"]
+            for r in crawl_delays(df, agent="somebot").collect()}
+    assert star == {"a.com": 2.0}  # b.com has no delay -> absent
+    fast = {r["host"]: r["crawl_delay"]
+            for r in crawl_delays(df, agent="FastBot").collect()}
+    assert fast == {"a.com": 1.5}  # specific group, max of its delays

@@ -376,3 +376,49 @@ def test_cdx_index_and_selective_read(spark, tmp_path):
         f.seek(one["offset"])
         member = f.read(one["member_length"])
     assert _gzip.decompress(member).startswith(b"WARC/1.0")
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.binary(max_size=300),  # arbitrary payloads incl. CRLFs/gzip magic
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),
+)
+def test_warc_round_trip_property(payloads, gz):
+    """Streaming reader inverts the writer for ARBITRARY payload bytes
+    (CRLF-laden, gzip-magic-prefixed, empty) in both layouts."""
+    import io as _io
+    import tempfile as _tf
+
+    from data_pipelines_spark.sources.warc import (
+        assemble_warc,
+        encode_warc_record,
+        iter_warc_records,
+    )
+
+    recs = [
+        encode_warc_record(
+            "resource", p, record_id=f"r-{i}",
+            content_type="application/octet-stream",
+        )
+        for i, p in enumerate(payloads)
+    ]
+    with _tf.NamedTemporaryFile(suffix=".warc", delete=False) as f:
+        f.write(assemble_warc(recs, gzip_members=gz))
+        path = f.name
+    try:
+        rows = list(iter_warc_records(path))
+    finally:
+        import os as _os
+
+        _os.unlink(path)
+    assert [bytes(r["payload"]) for r in rows] == payloads
+    assert [r["record_id"] for r in rows] == [
+        f"r-{i}" for i in range(len(payloads))
+    ]
