@@ -313,3 +313,45 @@ def rolling_fingerprint(text: Column, modulus: int = 2_147_483_647) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: F.pmod(acc * 31 + F.coalesce(F.ascii(ch), F.lit(0)), F.lit(modulus)),
     )
+
+
+# Latin accent fold for the CCNet normalization: 1:1 mappings ride one
+# translate() (cheapest possible — a char-table lookup in codegen);
+# the few 1:2 ligatures follow as replaces. Covers Latin-1 Supplement +
+# the common Latin Extended-A letters; anything outside passes through
+# (normalization is a dedup KEY transform, not a display transform —
+# unmapped scripts simply keep their identity).
+_ACCENT_SRC = (
+    "àáâãäåāăąçćčĉċďđèéêëēĕėęěĝğġģĥìíîïĩīĭįıĵķĺļľŀłñńņňòóôõöøōŏő"
+    "ŕŗřśŝşšţťŧùúûüũūŭůűųŵýÿŷźżžðþ"
+)
+_ACCENT_DST = (
+    "aaaaaaaaacccccddeeeeeeeeegggghiiiiiiiiijklllllnnnnoooooooooo"
+    "rrrsssstttuuuuuuuuuuwyyyzzzdp"
+)
+_LIGATURES = (("æ", "ae"), ("œ", "oe"), ("ß", "ss"))
+
+
+def ccnet_normalize(
+    text: Column,
+    strip_punct: bool = False,
+) -> Column:
+    """CCNet-style normalization — the key transform applied BEFORE
+    hashing for paragraph/document dedup (Wenzek et al. 2020 §4.1:
+    lowercase, strip accents, map every digit to 0, collapse
+    whitespace), so trivially-different copies ("Version 2", "version
+    3", "Vérsion 2") collapse to one dedup key. Compose with the dedup
+    operators: ``exact_duplicates(docs.withColumn("text",
+    ccnet_normalize(F.col("text"))))`` — the operators themselves stay
+    byte-faithful by default. One native expression chain (translate +
+    replace + regexp), zero UDFs. ``strip_punct=True`` additionally
+    removes ASCII punctuation (the more aggressive CCNet variant)."""
+    t = F.lower(text)
+    t = F.translate(t, _ACCENT_SRC, _ACCENT_DST)
+    for src, dst in _LIGATURES:
+        t = F.replace(t, F.lit(src), F.lit(dst))
+    t = F.translate(t, "123456789", "000000000")
+    if strip_punct:
+        t = F.regexp_replace(t, r"[!-/:-@\[-`{-~]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

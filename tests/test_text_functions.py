@@ -1,0 +1,63 @@
+
+
+def test_ccnet_normalize(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.functions.text import ccnet_normalize
+
+    rows = [
+        (1, "Vérsion 27 — of the  Document"),
+        (2, "version 03 — of the document"),
+        (3, "Æther ŒUVRE straße ĐØ"),
+        (4, "  Ça  coûte   5€ !  "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r["i"]: r["n"] for r in df.select(
+        "i", ccnet_normalize(F.col("text")).alias("n")
+    ).collect()}
+    # trivially-different copies collapse to ONE key
+    assert out[1] == out[2] == "version 00 — of the document"
+    assert out[3] == "aether oeuvre strasse do"
+    assert out[4] == "ca coute 0€ !"
+    assert out[5] is None
+
+    stripped = df.select(
+        "i", ccnet_normalize(F.col("text"), strip_punct=True).alias("n")
+    ).collect()
+    got4 = {r["i"]: r["n"] for r in stripped}[4]
+    assert got4 == "ca coute 0€"  # ASCII punct dropped, € kept
+
+
+def test_ccnet_normalize_differential_vs_duckdb(spark):
+    """The accent fold must agree with DuckDB replaying the SAME
+    translate table — the oracle-replayability contract, checked
+    differentially over the real documents table."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.functions.text import (
+        _ACCENT_DST,
+        _ACCENT_SRC,
+        ccnet_normalize,
+    )
+    from data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", ccnet_normalize(F.col("text")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    src = _ACCENT_SRC.replace("'", "''")
+    ora = con.execute(
+        "SELECT doc_id, trim(regexp_replace(translate(replace(replace("
+        "replace(translate(lower(text), ?, ?), 'æ', 'ae'), 'œ', 'oe'),"
+        " 'ß', 'ss'), '123456789', '000000000'), '\\s+', ' ', 'g')) AS n "
+        "FROM read_parquet('/root/testdata/sf0.001/documents.parquet')",
+        [src, _ACCENT_DST],
+    ).df()
+    want = dict(zip(ora["doc_id"], ora["n"]))
+    assert got == want
