@@ -56,7 +56,10 @@ def build_site(root: str) -> str:
                 f"<body><p>Body of page {i} &amp; more</p></body></html>"
             )
     with open(f"{root}/robots.txt", "w") as f:
-        f.write("User-agent: *\nDisallow: /private/\n")
+        f.write(
+            "User-agent: *\nDisallow: /private/\nCrawl-delay: 1\n"
+            f"Sitemap: file://{root}/index.xml\n"
+        )
     # sitemap index → two shards; private pages are listed (the gate,
     # not the sitemap, is what must keep them out)
     half = N_PAGES // 2
@@ -86,26 +89,39 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     site = tempfile.mkdtemp(prefix="crawl_site_")
     out_dir = tempfile.mkdtemp(prefix="crawl_wet_")
-    index_url = build_site(site)
+    build_site(site)
+
+    # 0. robots.txt is read FIRST: it carries both the permission rules
+    # and the sitemap pointer (+ the politeness budget)
+    from data_pipelines_spark.operators.robots import (
+        crawl_delays,
+        robots_sitemaps,
+    )
+
+    host = "demo.example"
+    with open(f"{site}/robots.txt") as f:
+        robots = spark.createDataFrame(
+            [(host, f.read())], "host string, content string"
+        )
+    sitemap_urls = [r["sitemap"] for r in robots_sitemaps(robots).collect()]
+    delays = {r["host"]: r["crawl_delay"]
+              for r in crawl_delays(robots, agent="examplebot").collect()}
+    print(f"robots: {len(sitemap_urls)} sitemap(s), "
+          f"crawl-delay={delays.get(host)}s")
 
     # 1. discovery: sitemap index recursion → URL frontier
-    frontier = read_sitemaps(spark, [index_url])
+    frontier = read_sitemaps(spark, sitemap_urls)
     print(f"discovered: {frontier.count()} urls")
 
-    # 2. politeness: robots rules gate the frontier BEFORE any fetch.
-    # The local files stand in for a host — the frontier's public face
-    # is http://demo.example/<path>, mapped back to file:// only at
-    # fetch time (exactly a crawler's url-vs-storage split).
-    host = "demo.example"
+    # 2. politeness: the same robots rules gate the frontier BEFORE any
+    # fetch. The local files stand in for a host — the frontier's
+    # public face is http://demo.example/<path>, mapped back to file://
+    # only at fetch time (exactly a crawler's url-vs-storage split).
     public = frontier.select(
         F.regexp_replace(
             "loc", f"^file://{site}", f"http://{host}"
         ).alias("url")
     )
-    with open(f"{site}/robots.txt") as f:
-        robots = spark.createDataFrame(
-            [(host, f.read())], "host string, content string"
-        )
     allowed = filter_by_robots(
         public, parse_robots(robots), agent="examplebot"
     )
