@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from data_pipelines_spark.functions.text import (
     byte_length,
+    ccnet_normalize,
     punct_count,
     quality_score,
     rolling_fingerprint,
@@ -329,6 +330,8 @@ def _doc_profile_sql() -> str:
     rolling-hash fingerprint, stopword-profile language guess, PII
     counts, and repetition signals."""
     from data_pipelines_spark.functions.text import (
+        _ACCENT_DST,
+        _ACCENT_SRC,
         EMAIL_PATTERN,
         LANG_STOPWORDS,
         PHONE_PATTERN,
@@ -523,6 +526,11 @@ def _doc_profile_sql() -> str:
            md5(regexp_replace(
                    regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
                    '{PHONE_PATTERN}', '<PHONE>', 'g')) AS redacted_md5,
+           md5(trim(regexp_replace(translate(replace(replace(replace(
+                   translate(lower(text), '{_ACCENT_SRC}', '{_ACCENT_DST}'),
+                   'æ', 'ae'), 'œ', 'oe'), 'ß', 'ss'),
+                   '123456789', '000000000'), '\\s+', ' ', 'g')))
+               AS ccnet_md5,
            img.img_width,
            img.img_height,
            ROUND(CAST(list_sum(img.px) AS DOUBLE) / len(img.px), 6) AS img_mean,
@@ -568,7 +576,10 @@ def doc_profile(spark, sf_dir):
     column (tie-break: most hits wins; equal hits → lexicographically
     larger code, mirrored by the descending CASE chain in the oracle),
     PII detection counts (email/phone regex, RE2-compatible dialect)
-    plus the REDACTION output itself (``redacted_md5`` digests the
+    plus the normalization key (``ccnet_md5`` digests the
+    `functions.text.ccnet_normalize` output — the CCNet dedup-key
+    transform, accent fold replayed via the same translate table in
+    SQL) and the REDACTION output itself (``redacted_md5`` digests the
     scrubbed text, so sentinel placement — not just match counts — is
     hash-checked),
     and Gopher-style repetition signals (duplicate-line fraction,
@@ -793,6 +804,8 @@ def doc_profile(spark, sf_dir):
         passes_gopher_rules(F.col("text")).alias("passes_gopher"),
         F.md5(F.encode(redact_pii(F.col("text")), "UTF-8"))
         .alias("redacted_md5"),
+        F.md5(F.encode(ccnet_normalize(F.col("text")), "UTF-8"))
+        .alias("ccnet_md5"),
     )
     return (
         profile.join(img, "doc_id")
