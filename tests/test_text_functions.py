@@ -61,3 +61,26 @@ def test_ccnet_normalize_differential_vs_duckdb(spark):
     ).df()
     want = dict(zip(ora["doc_id"], ora["n"]))
     assert got == want
+
+
+def test_ccnet_normalize_composes_with_exact_dedup(spark):
+    """The documented composition: normalize as the dedup KEY transform
+    collapses trivially-different copies that byte-exact dedup keeps."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.functions.text import ccnet_normalize
+    from data_pipelines_spark.operators.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "Vérsion 27 — of the  Document"),
+         (2, "version 03 — of the document"),
+         (3, "something else entirely")],
+        "doc_id long, text string",
+    )
+    raw = exact_duplicates(docs)
+    assert raw.count() == 3  # byte-exact keeps all three
+    norm = exact_duplicates(
+        docs.withColumn("text", ccnet_normalize(F.col("text")))
+    )
+    rows = {r["keeper_id"]: r["dup_cnt"] for r in norm.collect()}
+    assert rows == {1: 2, 3: 1}  # 1 and 2 collapsed, min id kept
