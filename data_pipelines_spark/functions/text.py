@@ -326,8 +326,13 @@ _ACCENT_SRC = (
     "ŕŗřśŝşšţťŧùúûüũūŭůűųŵýÿŷźżžðþ"
 )
 _ACCENT_DST = (
-    "aaaaaaaaacccccddeeeeeeeeegggghiiiiiiiiijklllllnnnnoooooooooo"
+    "aaaaaaaaacccccddeeeeeeeeegggghiiiiiiiiijklllllnnnnooooooooo"
     "rrrsssstttuuuuuuuuuuwyyyzzzdp"
+)
+# translate() pairs positionally — a single length drift shifts every
+# later mapping (the r9 bug: one extra 'o' sent ù→t, ý→w, þ off the end)
+assert len(_ACCENT_SRC) == len(_ACCENT_DST), (
+    len(_ACCENT_SRC), len(_ACCENT_DST),
 )
 _LIGATURES = (("æ", "ae"), ("œ", "oe"), ("ß", "ss"))
 

@@ -22,11 +22,18 @@ formats are small public specs —
   (1 = LZ4/LZ4HC — the decode side is identical; 4 = internal zlib).
 
 The writer always emits nsplits=1 LZ4 frames (valid for any c-blosc
-reader); the reader also accepts the byte-shuffle typesize-split
-layout c-blosc 1.x produces (nsplits = typesize), detected by stream-
-consumption consistency. Bit-shuffle and the other cnames (blosclz,
+reader); the reader also accepts the shuffled typesize-split layout
+c-blosc 1.x produces (nsplits = typesize), detected by stream-
+consumption consistency (sound because the LZ4 decoder raises on
+truncated literal runs — a wrong probe cannot "succeed" silently).
+Both shuffles are implemented: byte-shuffle (flags bit 1) is the
+(n, typesize) byte transpose; bit-shuffle (flags bit 2) is the
+(nelem, typesize*8) bit-matrix transpose, MSB-first within bytes,
+applied to the largest multiple-of-8 element count with trailing
+bytes copied verbatim — the bitshuffle library's documented reference
+semantics, as wrapped by c-blosc. The remaining cnames (blosclz,
 snappy, zstd) raise with the library pointer — same honest-gate
-contract as every parser here. Wire vectors hand-pinned from the two
+contract as every parser here. Wire vectors hand-pinned from the
 specs in tests/test_blosc.py.
 """
 
@@ -63,6 +70,11 @@ def lz4_decompress_block(src: bytes, dest_size: int) -> bytes:
                 lit += b
                 if b != 255:
                     break
+        if i + lit > n:
+            # A lenient short slice here can land exactly on dest_size and
+            # make a WRONG nsplits probe in _decode_region look successful
+            # (the r9 Hypothesis counterexample) — truncation must be loud.
+            raise ValueError("LZ4: truncated literal run")
         out += src[i : i + lit]
         i += lit
         if i >= n:
@@ -168,6 +180,38 @@ def _unshuffle_bytes(data: bytes, typesize: int) -> bytes:
     return a.reshape(typesize, -1).T.tobytes()
 
 
+def _bitshuffle_bytes(data: bytes, typesize: int) -> bytes:
+    """c-blosc bit-shuffle of one block: transpose the (nelem,
+    typesize*8) bit matrix (MSB-first within each byte — the bitshuffle
+    library's reference convention) so bit-plane j of every element is
+    contiguous. Per c-blosc's wrapper, only the largest multiple-of-8
+    element count is shuffled; trailing bytes are copied verbatim."""
+    import numpy as np
+
+    nelem = (len(data) // typesize) & ~7
+    cut = nelem * typesize
+    if cut == 0:
+        return data
+    bits = np.unpackbits(
+        np.frombuffer(data[:cut], dtype="u1").reshape(nelem, typesize),
+        axis=1,
+    )
+    return np.packbits(bits.T).tobytes() + data[cut:]
+
+
+def _bit_unshuffle_bytes(data: bytes, typesize: int) -> bytes:
+    import numpy as np
+
+    nelem = (len(data) // typesize) & ~7
+    cut = nelem * typesize
+    if cut == 0:
+        return data
+    planes = np.unpackbits(
+        np.frombuffer(data[:cut], dtype="u1")
+    ).reshape(typesize * 8, nelem)
+    return np.packbits(planes.T).tobytes() + data[cut:]
+
+
 def _decode_region(
     region: bytes, neblock: int, nsplits: int, cname: int
 ) -> bytes:
@@ -213,10 +257,8 @@ def blosc_decompress(src: bytes) -> bytes:
     nbytes, blocksize, cbytes = struct.unpack_from("<III", src, 4)
     if version < 1 or version > 2:
         raise NotImplementedError(f"blosc header version {version}")
-    if flags & _BITSHUFFLE:
-        raise NotImplementedError(
-            "blosc bit-shuffle: use the blosc/numcodecs library path"
-        )
+    if (flags & _SHUFFLE) and (flags & _BITSHUFFLE):
+        raise ValueError("blosc: both shuffle flags set")
     if cbytes != len(src):
         raise ValueError(f"blosc: cbytes {cbytes} != frame size {len(src)}")
     if flags & _MEMCPY:
@@ -227,12 +269,13 @@ def blosc_decompress(src: bytes) -> bytes:
     bstarts = list(struct.unpack_from(f"<{nblocks}i", src, 16))
     ends = bstarts[1:] + [len(src)]
     shuffled = bool(flags & _SHUFFLE) and typesize > 1
+    bitshuffled = bool(flags & _BITSHUFFLE) and typesize >= 1
     out = bytearray()
     for bi, (start, end) in enumerate(zip(bstarts, ends)):
         neblock = min(blocksize, nbytes - bi * blocksize)
         region = src[start:end]
         candidates = [1]
-        if shuffled and typesize <= 16 and neblock % typesize == 0:
+        if (shuffled or bitshuffled) and typesize <= 16 and neblock % typesize == 0:
             # c-blosc 1.x splits shuffled blocks by typesize
             candidates = [typesize, 1]
         last_err: Exception | None = None
@@ -241,12 +284,16 @@ def blosc_decompress(src: bytes) -> bytes:
             try:
                 block = _decode_region(region, neblock, nsplits, cname)
                 break
-            except (ValueError, IndexError, zlib.error) as e:
+            except (ValueError, IndexError, struct.error, zlib.error) as e:
+                # struct.error: a wrong typesize-split probe can run its
+                # csize unpack past the region end — fall back to nsplits=1
                 last_err = e
         if block is None:
             raise ValueError(f"blosc: block {bi} undecodable: {last_err}")
         if shuffled:
             block = _unshuffle_bytes(block, typesize)
+        elif bitshuffled:
+            block = _bit_unshuffle_bytes(block, typesize)
         out += block
     if len(out) != nbytes:
         raise ValueError(f"blosc: decoded {len(out)} != nbytes {nbytes}")
@@ -257,28 +304,46 @@ def blosc_compress(
     data: bytes,
     typesize: int = 1,
     cname: str = "lz4",
-    shuffle: bool = True,
+    shuffle: bool | int = True,
     blocksize: int = 1 << 20,
 ) -> bytes:
     """bytes → Blosc v1 frame (nsplits=1 per block — valid for any
-    c-blosc reader; stored-split fallback when LZ4 does not help)."""
+    c-blosc reader; stored-split fallback when LZ4 does not help).
+
+    ``shuffle``: False/0 none, True/1 byte-shuffle, 2 bit-shuffle
+    (numcodecs' NOSHUFFLE/SHUFFLE/BITSHUFFLE codes)."""
     if cname not in ("lz4", "zlib"):
         raise NotImplementedError(
             f"blosc_compress cname {cname!r}: lz4/zlib only"
         )
     code = _CNAME_LZ4 if cname == "lz4" else _CNAME_ZLIB
     nbytes = len(data)
-    shuffle = shuffle and typesize > 1 and nbytes % typesize == 0
+    if typesize > 255:
+        # c-blosc caps the 1-byte header field at BLOSC_MAX_TYPESIZE and
+        # treats larger typesizes as 1 — shuffling at the full typesize
+        # while recording a truncated one would be silently undecodable.
+        typesize, shuffle = 1, False
+    bitshuffle = shuffle == 2
+    byteshuffle = (
+        not bitshuffle and bool(shuffle)
+        and typesize > 1 and nbytes % typesize == 0
+    )
     blocksize = min(blocksize, max(nbytes, 1))
-    if shuffle and blocksize % typesize:
+    if (byteshuffle or bitshuffle) and blocksize % typesize and blocksize > typesize:
+        # keep element boundaries block-aligned (round-trip is symmetric
+        # either way; this matches the blocks real c-blosc emits)
         blocksize -= blocksize % typesize
     nblocks = -(-nbytes // blocksize) if nbytes else 0
-    flags = (code << 5) | (_SHUFFLE if shuffle else 0)
+    flags = (code << 5) | (
+        _BITSHUFFLE if bitshuffle else (_SHUFFLE if byteshuffle else 0)
+    )
     regions: list[bytes] = []
     for bi in range(nblocks):
         raw = data[bi * blocksize : (bi + 1) * blocksize]
-        if shuffle:
+        if byteshuffle:
             raw = _shuffle_bytes(raw, typesize)
+        elif bitshuffle:
+            raw = _bitshuffle_bytes(raw, typesize)
         comp = (
             lz4_compress_block(raw)
             if code == _CNAME_LZ4
@@ -294,7 +359,7 @@ def blosc_compress(
         bstarts.append(pos)
         pos += len(r)
     frame = bytearray()
-    frame += bytes([2, 1, flags, min(typesize, 255)])
+    frame += bytes([2, 1, flags, typesize])
     frame += struct.pack("<III", nbytes, blocksize, pos)
     frame += struct.pack(f"<{nblocks}i", *bstarts)
     for r in regions:

@@ -146,7 +146,15 @@ def read_sitemaps(
         try:
             idx = fetched.where(is_sitemap_index(F.col("content")))
             urlsets = fetched.where(~is_sitemap_index(F.col("content")))
-            levels.append(parse_sitemap_entries(urlsets))
+            # materialize the parsed entries WHILE the bodies are still
+            # persisted (ADVICE r9: a lazy entries frame re-executes the
+            # fetch after unpersist — every sitemap hit the network twice,
+            # and a body change between fetches could flip the
+            # urlset/index classification); localCheckpoint also cuts the
+            # lineage so the final union never reaches back to the fetch
+            levels.append(
+                parse_sitemap_entries(urlsets).localCheckpoint(eager=True)
+            )
             children = [
                 r["child"]
                 for r in parse_sitemap_index(idx).select("child")

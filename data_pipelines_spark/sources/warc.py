@@ -49,7 +49,7 @@ _CRLF = b"\r\n"
 _CHUNK = 1 << 20  # 1 MiB raw-read granule for the streaming decoders
 
 WARC_READ_SCHEMA = (
-    "warc_file string, record_offset int, record_id string, "
+    "warc_file string, record_offset long, record_id string, "
     "record_type string, target_uri string, warc_date string, "
     "content_type string, http_status int, http_content_type string, "
     "payload binary, n_bytes long, text string"

@@ -120,12 +120,114 @@ def test_blosc_memcpy_and_gates():
         "<III", len(data), len(data), 16 + len(data)
     ) + data
     assert blosc_decompress(frame) == data
-    # bit-shuffle and zstd stay honest gates
-    bs = bytes([1, 1, 0x4, 1]) + struct.pack("<III", 4, 4, 16 + 4) + b"xxxx"
-    with pytest.raises(NotImplementedError, match="bit-shuffle"):
-        blosc_decompress(bs)
+    # zstd stays an honest gate; both-shuffle-flags frames are invalid
     with pytest.raises(NotImplementedError, match="cname"):
         blosc_compress(b"x", cname="zstd")
+    both = bytes([1, 1, 0x5, 1]) + struct.pack("<III", 4, 4, 16 + 4) + b"xxxx"
+    with pytest.raises(ValueError, match="both shuffle"):
+        blosc_decompress(both)
+
+
+def test_bitshuffle_pinned_wire_vectors():
+    """Hand-computed from the bitshuffle reference semantics: transpose
+    the (nelem, typesize*8) bit matrix, MSB-first within each byte;
+    only the largest multiple-of-8 element count shuffles, trailing
+    bytes copy verbatim (c-blosc's wrapper behavior)."""
+    from data_pipelines_spark.sources.blosc import (
+        _bit_unshuffle_bytes,
+        _bitshuffle_bytes,
+    )
+
+    # typesize=1: eight 0x01 bytes -> planes 0-6 empty, plane 7 (LSB) full
+    assert _bitshuffle_bytes(b"\x01" * 8, 1) == b"\x00" * 7 + b"\xff"
+    # typesize=2: eight <u2 values of 1 (bytes 01 00) -> 16 planes,
+    # only plane 7 (LSB of byte 0) is set
+    assert (
+        _bitshuffle_bytes(b"\x01\x00" * 8, 2)
+        == b"\x00" * 7 + b"\xff" + b"\x00" * 8
+    )
+    # trailing non-multiple-of-8 elements are copied verbatim
+    data = b"\x01" * 8 + b"\xab\xcd\xef\x99"
+    got = _bitshuffle_bytes(data, 1)
+    assert got[8:] == b"\xab\xcd\xef\x99"
+    assert _bit_unshuffle_bytes(got, 1) == data
+    # fewer than 8 elements: identity
+    assert _bitshuffle_bytes(b"\x12\x34", 1) == b"\x12\x34"
+
+
+def test_bitshuffle_round_trips():
+    from data_pipelines_spark.sources.blosc import (
+        _bit_unshuffle_bytes,
+        _bitshuffle_bytes,
+    )
+
+    rng = np.random.default_rng(11)
+    for typesize in (1, 2, 4, 8):
+        for nbytes in (0, 3, typesize * 8, typesize * 8 + 5, 4096, 5001):
+            data = bytes(rng.integers(0, 256, nbytes, dtype=np.uint8))
+            assert (
+                _bit_unshuffle_bytes(_bitshuffle_bytes(data, typesize), typesize)
+                == data
+            )
+    # container-level: shuffle=2 flag round-trips, incl. multi-block
+    a = (np.arange(10_000, dtype="<f4") / 3.0).tobytes()
+    for blocksize in (4096, 1 << 20):
+        frame = blosc_compress(a, typesize=4, shuffle=2, blocksize=blocksize)
+        assert frame[2] & 0x4  # BITSHUFFLE flag
+        assert blosc_decompress(frame) == a
+    # bit-shuffle is meaningful (and supported) at typesize=1
+    data = bytes(rng.integers(0, 2, 4096, dtype=np.uint8))
+    frame = blosc_compress(data, typesize=1, shuffle=2)
+    assert blosc_decompress(frame) == data
+    # low-entropy LSB-heavy data genuinely compresses better bit-shuffled
+    assert len(frame) < len(blosc_compress(data, typesize=1, shuffle=False))
+
+
+def test_blosc_typesize_over_255_disables_shuffle():
+    """ADVICE r9: typesize > 255 cannot be recorded in the 1-byte header
+    field; shuffling at the full typesize would be silently undecodable.
+    Match c-blosc: drop to typesize=1, no shuffle."""
+    data = bytes(range(256)) * 4  # 1024 bytes, "typesize" 512
+    frame = blosc_compress(data, typesize=512, shuffle=True)
+    assert frame[3] == 1 and not (frame[2] & 0x5)
+    assert blosc_decompress(frame) == data
+
+
+def test_zarr_blosc_bitshuffle_store_reads(tmp_path):
+    """A v2 store whose chunks a c-blosc writer bit-shuffled (numcodecs
+    Blosc(shuffle=2)) decodes natively — the frame header carries the
+    shuffle mode, so the reader needs no .zarray hint."""
+    import json
+    import os
+
+    from data_pipelines_spark.sources.raster import read_zarr_minimal
+
+    a = (np.arange(96, dtype="<u2") % 7).reshape(8, 12)
+    d = str(tmp_path / "z" / "v")
+    os.makedirs(d)
+    meta = {
+        "zarr_format": 2,
+        "shape": [8, 12],
+        "chunks": [4, 12],
+        "dtype": "<u2",
+        "order": "C",
+        "fill_value": 0,
+        "filters": None,
+        "compressor": {
+            "id": "blosc", "cname": "lz4", "clevel": 5,
+            "shuffle": 2, "blocksize": 0,
+        },
+    }
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(d, ".zattrs"), "w") as f:
+        json.dump({"_ARRAY_DIMENSIONS": ["y", "x"]}, f)
+    for ci in range(2):
+        chunk = a[ci * 4 : (ci + 1) * 4, :].tobytes()
+        with open(os.path.join(d, f"{ci}.0"), "wb") as f:
+            f.write(blosc_compress(chunk, typesize=2, shuffle=2))
+    back, attrs = read_zarr_minimal(d)
+    np.testing.assert_array_equal(back, a)
 
 
 def test_zarr_blosc_round_trip(tmp_path):
@@ -144,7 +246,7 @@ def test_zarr_blosc_round_trip(tmp_path):
     assert attrs.get("_ARRAY_DIMENSIONS") == ["y", "x"]
 
 
-from hypothesis import given, settings, strategies as st  # noqa: E402
+from hypothesis import example, given, settings, strategies as st  # noqa: E402
 
 
 @settings(max_examples=150, deadline=None)
@@ -153,13 +255,38 @@ def test_lz4_round_trip_property(data):
     assert lz4_decompress_block(lz4_compress_block(data), len(data)) == data
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=90, deadline=None)
 @given(
     st.binary(max_size=4000),
     st.sampled_from([1, 2, 4, 8]),
-    st.booleans(),
+    st.sampled_from([False, True, 2]),
     st.sampled_from(["lz4", "zlib"]),
     st.sampled_from([256, 1024, 1 << 20]),
+)
+@example(
+    # r9 falsifying example: a 4-byte shuffled frame whose stored 1-split
+    # region spuriously "decoded" under the typesize-split probe because
+    # the LZ4 decoder sliced a truncated literal run leniently, then the
+    # second split's csize unpack escaped as struct.error.
+    data=b"\xf0\x00\x00\x00",
+    typesize=2,
+    shuffle=True,
+    cname="lz4",
+    blocksize=256,
+)
+@example(  # tiny shuffled block, zlib side of the same probe path
+    data=b"\xf0\x00\x00\x00",
+    typesize=2,
+    shuffle=True,
+    cname="zlib",
+    blocksize=256,
+)
+@example(  # bit-shuffle with a trailing partial element
+    data=b"\x01" * 37,
+    typesize=4,
+    shuffle=2,
+    cname="lz4",
+    blocksize=256,
 )
 def test_blosc_round_trip_property(data, typesize, shuffle, cname, blocksize):
     frame = blosc_compress(

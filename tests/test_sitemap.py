@@ -101,6 +101,50 @@ def test_read_sitemaps_recurses_index(spark):
     ])
 
 
+def test_read_sitemaps_fetches_each_url_exactly_once(spark):
+    """ADVICE r9 regression: the bodies were unpersisted before the
+    lazily-built entry frames materialized, so consuming the result
+    re-ran the fetch — every sitemap hit the network twice. The eager
+    stub above can't see that (it fetches at call time), so this stub
+    fetches INSIDE a distributed op and counts executions with an
+    accumulator; re-execution would double the count."""
+    bodies = {
+        "http://ex.org/idx.xml": INDEX,
+        "http://ex.org/s1.xml": URLSET,
+        "http://ex.org/s2.xml": (
+            "<urlset><url><loc>http://ex.org/only</loc></url></urlset>"
+        ),
+    }
+    fetch_count = spark.sparkContext.accumulator(0)
+
+    def lazy_fetch(spark_, urls):
+        def run(batches):
+            for pdf in batches:
+                for u in pdf["url"]:
+                    fetch_count.add(1)
+                yield __import__("pandas").DataFrame(
+                    {
+                        "url": pdf["url"],
+                        "ok": [u in bodies for u in pdf["url"]],
+                        "content": [
+                            bodies.get(u, "").encode() for u in pdf["url"]
+                        ],
+                    }
+                )
+        return (
+            spark_.createDataFrame([(u,) for u in urls], "url string")
+            .repartition(2)
+            .mapInPandas(run, "url string, ok boolean, content binary")
+        )
+
+    out = read_sitemaps(
+        spark, ["http://ex.org/idx.xml"], fetch=lazy_fetch
+    )
+    assert out.count() == 4
+    out.collect()  # consume a second time — still no refetch
+    assert fetch_count.value == 3  # idx + s1 + s2, each exactly once
+
+
 def test_read_sitemaps_cycle_is_safe_and_depth_bounds(spark):
     cyc = {
         "http://ex.org/a.xml": (

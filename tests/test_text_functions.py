@@ -29,6 +29,42 @@ def test_ccnet_normalize(spark):
     assert got4 == "ca coute 0€"  # ASCII punct dropped, € kept
 
 
+def test_accent_table_alignment():
+    """ADVICE r9: translate() pairs positionally, so the fold table must
+    be length-aligned AND each src char must map to its base letter —
+    verified against Unicode NFKD (with the handful of letters that have
+    no decomposition pinned explicitly)."""
+    import unicodedata
+
+    from data_pipelines_spark.functions.text import _ACCENT_DST, _ACCENT_SRC
+
+    assert len(_ACCENT_SRC) == len(_ACCENT_DST) == 88
+    no_decomp = {
+        "đ": "d", "ı": "i", "ø": "o", "ŧ": "t",
+        "ð": "d", "þ": "p", "ł": "l",
+    }
+    for s, d in zip(_ACCENT_SRC, _ACCENT_DST):
+        if s in no_decomp:
+            assert d == no_decomp[s], (s, d)
+        else:
+            base = unicodedata.normalize("NFKD", s)[0]
+            assert d == base, (s, d, base)
+
+
+def test_ccnet_normalize_post_shift_chars(spark):
+    """Regression for the r9 one-char table drift: characters AFTER the
+    o-run (where the shift began) must fold to their own base letters."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.functions.text import ccnet_normalize
+
+    df = spark.createDataFrame(
+        [(1, "ùúû ýÿ śš ţť ŵ źž ð þ ŕř")], "i long, text string"
+    )
+    got = df.select(ccnet_normalize(F.col("text")).alias("n")).first()["n"]
+    assert got == "uuu yy ss tt w zz d p rr"
+
+
 def test_ccnet_normalize_differential_vs_duckdb(spark):
     """The accent fold must agree with DuckDB replaying the SAME
     translate table — the oracle-replayability contract, checked
