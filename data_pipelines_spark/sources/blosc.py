@@ -31,10 +31,13 @@ Both shuffles are implemented: byte-shuffle (flags bit 1) is the
 (nelem, typesize*8) bit-matrix transpose, MSB-first within bytes,
 applied to the largest multiple-of-8 element count with trailing
 bytes copied verbatim — the bitshuffle library's documented reference
-semantics, as wrapped by c-blosc. The remaining cnames (blosclz,
-snappy, zstd) raise with the library pointer — same honest-gate
-contract as every parser here. Wire vectors hand-pinned from the
-specs in tests/test_blosc.py.
+semantics, as wrapped by c-blosc. zstd and snappy cnames ride
+pyarrow's bundled C codecs (a baked-in dependency — real libzstd/
+libsnappy frames, not re-implementations); only blosclz still raises
+with the library pointer — same honest-gate contract as every parser
+here. Wire vectors hand-pinned from the specs in tests/test_blosc.py,
+plus an external differential: pyarrow's ``lz4_raw`` (libLZ4) must
+decode our blocks and vice versa.
 """
 
 from __future__ import annotations
@@ -46,8 +49,23 @@ _SHUFFLE = 0x1
 _MEMCPY = 0x2
 _BITSHUFFLE = 0x4
 _CNAME_LZ4 = 1
+_CNAME_SNAPPY = 2
 _CNAME_ZLIB = 4
+_CNAME_ZSTD = 5
 _CNAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib?", 4: "zlib", 5: "zstd"}
+
+
+def _arrow_codec(name: str):
+    """pyarrow's bundled C codecs (zstd, snappy) — a baked-in library,
+    not a stdlib re-implementation; None when this build lacks one."""
+    try:
+        import pyarrow as pa
+
+        if pa.Codec.is_available(name):
+            return pa.Codec(name)
+    except Exception:
+        return None
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -238,6 +256,17 @@ def _decode_region(
             if len(raw) != want:
                 raise ValueError("blosc: zlib split size mismatch")
             out += raw
+        elif cname in (_CNAME_ZSTD, _CNAME_SNAPPY):
+            codec = _arrow_codec("zstd" if cname == _CNAME_ZSTD else "snappy")
+            if codec is None:
+                raise NotImplementedError(
+                    f"blosc cname {_CNAMES[cname]!r}: pyarrow build "
+                    "without it — use the blosc/numcodecs library path"
+                )
+            raw = bytes(codec.decompress(payload, want))
+            if len(raw) != want:
+                raise ValueError(f"blosc: {_CNAMES[cname]} split size mismatch")
+            out += raw
         else:
             raise NotImplementedError(
                 f"blosc cname {_CNAMES.get(cname, cname)!r}: use the "
@@ -284,9 +313,14 @@ def blosc_decompress(src: bytes) -> bytes:
             try:
                 block = _decode_region(region, neblock, nsplits, cname)
                 break
-            except (ValueError, IndexError, struct.error, zlib.error) as e:
+            except (
+                ValueError, IndexError, struct.error, zlib.error, OSError,
+            ) as e:
                 # struct.error: a wrong typesize-split probe can run its
-                # csize unpack past the region end — fall back to nsplits=1
+                # csize unpack past the region end; OSError: pyarrow's
+                # zstd/snappy raise ArrowIOError (an OSError) when a
+                # probe's split frame doesn't fit `want` — fall back to
+                # nsplits=1 (no file IO happens inside _decode_region)
                 last_err = e
         if block is None:
             raise ValueError(f"blosc: block {bi} undecodable: {last_err}")
@@ -312,11 +346,24 @@ def blosc_compress(
 
     ``shuffle``: False/0 none, True/1 byte-shuffle, 2 bit-shuffle
     (numcodecs' NOSHUFFLE/SHUFFLE/BITSHUFFLE codes)."""
-    if cname not in ("lz4", "zlib"):
+    codes = {
+        "lz4": _CNAME_LZ4,
+        "zlib": _CNAME_ZLIB,
+        "zstd": _CNAME_ZSTD,
+        "snappy": _CNAME_SNAPPY,
+    }
+    if cname not in codes:
         raise NotImplementedError(
-            f"blosc_compress cname {cname!r}: lz4/zlib only"
+            f"blosc_compress cname {cname!r}: lz4/zlib/zstd/snappy only"
         )
-    code = _CNAME_LZ4 if cname == "lz4" else _CNAME_ZLIB
+    arrow = None
+    if cname in ("zstd", "snappy"):
+        arrow = _arrow_codec(cname)
+        if arrow is None:
+            raise NotImplementedError(
+                f"blosc_compress cname {cname!r}: pyarrow build without it"
+            )
+    code = codes[cname]
     nbytes = len(data)
     if typesize > 255:
         # c-blosc caps the 1-byte header field at BLOSC_MAX_TYPESIZE and
@@ -344,11 +391,12 @@ def blosc_compress(
             raw = _shuffle_bytes(raw, typesize)
         elif bitshuffle:
             raw = _bitshuffle_bytes(raw, typesize)
-        comp = (
-            lz4_compress_block(raw)
-            if code == _CNAME_LZ4
-            else zlib.compress(raw, 9)
-        )
+        if code == _CNAME_LZ4:
+            comp = lz4_compress_block(raw)
+        elif code == _CNAME_ZLIB:
+            comp = zlib.compress(raw, 9)
+        else:
+            comp = bytes(arrow.compress(raw))
         if len(comp) >= len(raw):
             comp = raw  # stored split (csize == neblock)
         regions.append(struct.pack("<i", len(comp)) + comp)

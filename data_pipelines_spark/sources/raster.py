@@ -953,12 +953,21 @@ def read_tiff_minimal(
     width, height = ints(256)[0], ints(257)[0]
     bits = ints(258, [32])[0]
     compression = ints(259, [1])[0]
-    # none / LZW / new-style JPEG / DEFLATE
-    if compression not in (1, 5, 7, 8, 32946):
+    # none / LZW / new-style JPEG / DEFLATE / ZSTD (GDAL tag 50000)
+    if compression not in (1, 5, 7, 8, 32946, 50000):
         raise NotImplementedError(
             f"TIFF compression {compression}: use the rasterio path "
-            "(natively supported: none, LZW, JPEG, DEFLATE)"
+            "(natively supported: none, LZW, JPEG, DEFLATE, ZSTD)"
         )
+    if compression == 50000:
+        from data_pipelines_spark.sources.blosc import _arrow_codec
+
+        zstd_codec = _arrow_codec("zstd")
+        if zstd_codec is None:
+            raise NotImplementedError(
+                "TIFF ZSTD: pyarrow build without zstd — use the "
+                "rasterio path"
+            )
     # TechNote 2: shared DQT/DHT live in JPEGTables (347) as an
     # SOI+segments+EOI stream; chunks are then abbreviated streams.
     jpeg_tables = tags[347][2] if compression == 7 and 347 in tags else None
@@ -1006,6 +1015,14 @@ def read_tiff_minimal(
             raw = zlib.decompress(raw)
         elif compression == 5:
             raw = _lzw_decode(raw)[: rows * cols * nsamp * dt.itemsize]
+        elif compression == 50000:
+            # one zstd frame per strip/tile; chunk byte count is exact
+            # (tiles are spec-padded, final strips row-clipped upstream)
+            raw = bytes(
+                zstd_codec.decompress(
+                    raw, rows * cols * nsamp * dt.itemsize
+                )
+            )
         if predictor == 3:
             # TIFF TechNote 3 floating-point predictor (libtiff fpAcc):
             # per row, byte-wise cumulative sum with stride = the
@@ -1263,28 +1280,28 @@ _ZARR3_DTYPES = {
 }
 
 
-def _parse_v3_codecs(codecs) -> tuple[str, bool, list[int] | None]:
-    """A Zarr v3 array→bytes codec chain → (endianness, gzipped,
-    transpose permutation or None). Anything beyond ``transpose`` +
-    ``bytes`` + optional ``gzip`` raises with a pointer to the
-    zarr-python path."""
+def _parse_v3_codecs(codecs) -> tuple[str, str | None, list[int] | None]:
+    """A Zarr v3 array→bytes codec chain → (endianness, compression
+    name or None, transpose permutation or None). Anything beyond
+    ``transpose`` + ``bytes`` + optional ``gzip``/``zstd`` raises with
+    a pointer to the zarr-python path."""
     endian = "<"
-    gzipped = False
+    comp: str | None = None
     perm: list[int] | None = None
     for codec in codecs or [{"name": "bytes"}]:
         name = codec.get("name")
         if name == "bytes":
             cfg = codec.get("configuration") or {}
             endian = ">" if cfg.get("endian") == "big" else "<"
-        elif name == "gzip":
-            gzipped = True
+        elif name in ("gzip", "zstd"):
+            comp = name
         elif name == "transpose":
             perm = list((codec.get("configuration") or {})["order"])
         else:
             raise NotImplementedError(
                 f"Zarr v3 codec {name!r}: use the zarr library path"
             )
-    return endian, gzipped, perm
+    return endian, comp, perm
 
 
 def _read_zarr3_minimal(path: str, meta: dict):
@@ -1294,8 +1311,9 @@ def _read_zarr3_minimal(path: str, meta: dict):
     storage
     transformer (shard files holding many inner chunks with a
     crc32c-checked binary index — the layout that keeps object-store
-    key counts sane at scale). Blosc/zstd codecs raise with a pointer
-    to the zarr-python path."""
+    key counts sane at scale). ``zstd`` decodes via pyarrow's bundled
+    C codec; other codecs raise with a pointer to the zarr-python
+    path."""
     import gzip
     import itertools
     import json  # noqa: F401  (symmetry with the v2 reader)
@@ -1342,9 +1360,9 @@ def _read_zarr3_minimal(path: str, meta: dict):
             "checksum": index_names[-1] == "crc32c",
             "location": cfg.get("index_location", "end"),
         }
-        endian, gzipped, perm = _parse_v3_codecs(cfg.get("codecs"))
+        endian, v3_comp, perm = _parse_v3_codecs(cfg.get("codecs"))
     else:
-        endian, gzipped, perm = _parse_v3_codecs(codecs)
+        endian, v3_comp, perm = _parse_v3_codecs(codecs)
     dtype = np.dtype(endian + _ZARR3_DTYPES[dt_name])
 
     key_enc = meta.get("chunk_key_encoding", {"name": "default"})
@@ -1366,8 +1384,22 @@ def _read_zarr3_minimal(path: str, meta: dict):
     out = np.full(shape, fill if fill is not None else 0, dtype=dtype)
 
     def decode_block(raw: bytes, chunk_shape, origin) -> None:
-        if gzipped:
+        if v3_comp == "gzip":
             raw = gzip.decompress(raw)
+        elif v3_comp == "zstd":
+            from data_pipelines_spark.sources.blosc import _arrow_codec
+
+            codec = _arrow_codec("zstd")
+            if codec is None:
+                raise NotImplementedError(
+                    "Zarr v3 zstd: pyarrow build without zstd — use "
+                    "the zarr library path"
+                )
+            raw = bytes(
+                codec.decompress(
+                    raw, int(np.prod(chunk_shape)) * dtype.itemsize
+                )
+            )
         if perm is not None:
             # transpose codec: the stored bytes are the chunk permuted
             # by `order` in C layout; invert with argsort(order)
@@ -1445,13 +1477,13 @@ def read_zarr_minimal(path: str):
 
     Zarr is a public spec of JSON metadata plus flat chunk files, so
     the common profiles need no library. v2 (``.zarray``): C- or
-    F-order chunks, raw / zlib / gzip / bz2 / lzma compression (the
-    stdlib-backed numcodecs set; blosc/zstd raise with a pointer to
-    the zarr-python path), the ``delta`` and ``shuffle`` numcodecs
-    filters (other filters raise likewise), missing chunks filled
-    with ``fill_value``. v3 (``zarr.json``): regular
-    chunk grids, default/v2 chunk-key encodings, ``bytes`` + optional
-    ``gzip`` codecs. Returns (ndarray, attrs); dimension names appear
+    F-order chunks, raw / zlib / gzip / bz2 / lzma / blosc / zstd
+    compression (stdlib + `sources.blosc` + pyarrow's bundled zstd;
+    blosclz raises with a pointer to the zarr-python path), the
+    ``delta`` and ``shuffle`` numcodecs filters (other filters raise
+    likewise), missing chunks filled with ``fill_value``. v3
+    (``zarr.json``): regular chunk grids, default/v2 chunk-key
+    encodings, ``bytes`` + optional ``gzip``/``zstd`` codecs. Returns (ndarray, attrs); dimension names appear
     under ``_ARRAY_DIMENSIONS`` either way (xarray's v2 convention, or
     v3's first-class ``dimension_names``).
 
@@ -1489,7 +1521,7 @@ def read_zarr_minimal(path: str):
             )
     comp = meta.get("compressor")
     comp_id = comp["id"] if comp else None
-    if comp_id not in (None, "zlib", "gzip", "bz2", "lzma", "blosc"):
+    if comp_id not in (None, "zlib", "gzip", "bz2", "lzma", "blosc", "zstd"):
         raise NotImplementedError(
             f"Zarr compressor {comp_id!r}: use the zarr library path"
         )
@@ -1508,10 +1540,27 @@ def read_zarr_minimal(path: str):
             raw = f.read()
         if comp_id == "blosc":
             # self-describing frame (cname/shuffle ride the header);
-            # lz4/zlib cnames decode natively, zstd/blosclz gate inside
+            # lz4/zlib decode natively, zstd/snappy via pyarrow's
+            # bundled C codecs, blosclz gates inside
             from data_pipelines_spark.sources.blosc import blosc_decompress
 
             raw = blosc_decompress(raw)
+        elif comp_id == "zstd":
+            # numcodecs Zstd: one standard zstd frame per chunk; v2
+            # chunks are always full-size so the length is known
+            from data_pipelines_spark.sources.blosc import _arrow_codec
+
+            codec = _arrow_codec("zstd")
+            if codec is None:
+                raise NotImplementedError(
+                    "Zarr zstd: pyarrow build without zstd — use the "
+                    "zarr library path"
+                )
+            raw = bytes(
+                codec.decompress(
+                    raw, int(np.prod(chunks)) * dtype.itemsize
+                )
+            )
         elif comp_id == "zlib":
             raw = zlib.decompress(raw)
         elif comp_id == "gzip":

@@ -155,7 +155,9 @@ def encode_geotiff(
     quantization step, 3-band data as photometric 6 / JFIF YCbCr;
     ``jpeg_tables=True`` factors the shared DQT/DHT segments into one
     JPEGTables tag (347) and abbreviates every chunk stream — the
-    layout GDAL emits by default);
+    layout GDAL emits by default); ``compression="zstd"`` writes the
+    GDAL COMPRESS=ZSTD profile (tag 50000, one zstd frame per
+    strip/tile via pyarrow's bundled libzstd — predictors compose);
     ``predictor=True`` applies per-row differencing before
     compression — PREDICTOR=2 (horizontal differencing) on integer
     dtypes, PREDICTOR=3 (the TIFF TechNote 3 floating-point predictor:
@@ -183,8 +185,17 @@ def encode_geotiff(
     sample_format, bits = _TIFF_FORMATS[key]
     arr = arr.astype("<" + key)
     s = arr.shape[2]
-    if compression not in (None, "deflate", "lzw", "jpeg"):
+    if compression not in (None, "deflate", "lzw", "jpeg", "zstd"):
         raise ValueError(f"unsupported TIFF compression {compression!r}")
+    if compression == "zstd":
+        from data_pipelines_spark.sources.blosc import _arrow_codec
+
+        zstd_codec = _arrow_codec("zstd")
+        if zstd_codec is None:
+            raise NotImplementedError(
+                "TIFF ZSTD: pyarrow build without zstd — use the "
+                "rasterio path"
+            )
     if compression == "jpeg":
         if key != "u1":
             raise ValueError("JPEG-in-TIFF takes uint8 samples only")
@@ -258,6 +269,8 @@ def encode_geotiff(
             return zlib.compress(raw)
         if compression == "lzw":
             return _lzw_encode(raw)
+        if compression == "zstd":
+            return bytes(zstd_codec.compress(raw))
         return raw
 
     def level_chunks(lv: np.ndarray) -> list[bytes]:
@@ -330,7 +343,8 @@ def encode_geotiff(
             (256, *shorts(w)), (257, *shorts(h)),
             (258, *shorts(*([bits] * s))),
             (259, *shorts(
-                {None: 1, "deflate": 8, "lzw": 5, "jpeg": 7}[compression]
+                {None: 1, "deflate": 8, "lzw": 5, "jpeg": 7,
+                 "zstd": 50000}[compression]
             )),
             # JPEG 3-band content is the JFIF YCbCr transform: tag it 6
             # per TechNote 2 so external readers convert it back too.
@@ -1153,12 +1167,13 @@ def write_zarr_store(
     coordinate array per dim) in the profiles `read_zarr_grid` parses.
 
     ``zarr_format=2`` (default): ``.zarray`` metadata, C- or F-order
-    chunks, raw / zlib / gzip / bz2 / lzma compression (the
-    stdlib-backed numcodecs set), ``delta`` / ``shuffle`` numcodecs
-    filters, xarray-style ``_ARRAY_DIMENSIONS`` attribute.
-    ``zarr_format=3``: ``zarr.json`` metadata with first-class
-    ``dimension_names``, ``c/i/j`` chunk keys, ``bytes`` + optional
-    ``gzip`` codec chain; ``order="F"`` becomes the ``transpose``
+    chunks, raw / zlib / gzip / bz2 / lzma / blosc / zstd compression
+    (stdlib + `sources.blosc` + pyarrow's bundled zstd), ``delta`` /
+    ``shuffle`` numcodecs filters, xarray-style ``_ARRAY_DIMENSIONS``
+    attribute. ``zarr_format=3``: ``zarr.json`` metadata with
+    first-class ``dimension_names``, ``c/i/j`` chunk keys, ``bytes``
+    + optional ``gzip``/``zstd`` codec chain; ``order="F"`` becomes
+    the ``transpose``
     codec (axes reversed — the v3 spelling of v2's F layout). Filters
     are v2-only knobs (their v3 blosc-style equivalents stay on the
     zarr-python path). ``shards`` (v3 only) wraps the chain in the
@@ -1195,11 +1210,11 @@ def write_zarr_store(
                 "filters are v2 knobs; v3 uses codec chains "
                 "(zarr-python path)"
             )
-        if compressor not in (None, "gzip"):
+        if compressor not in (None, "gzip", "zstd"):
             raise ValueError(
-                f"v3 writer supports gzip or raw, got {compressor!r}"
+                f"v3 writer supports gzip/zstd or raw, got {compressor!r}"
             )
-    if compressor not in (None, "zlib", "gzip", "bz2", "lzma", "blosc"):
+    if compressor not in (None, "zlib", "gzip", "bz2", "lzma", "blosc", "zstd"):
         raise ValueError(f"unsupported compressor {compressor!r}")
     if compressor == "blosc" and zarr_format != 2:
         raise ValueError("blosc is a v2 compressor here; v3 uses codec chains")
@@ -1238,6 +1253,16 @@ def write_zarr_store(
             import lzma
 
             return lzma.compress(raw, preset=1)
+        if compressor == "zstd":
+            from data_pipelines_spark.sources.blosc import _arrow_codec
+
+            codec = _arrow_codec("zstd")
+            if codec is None:
+                raise NotImplementedError(
+                    "zstd: pyarrow build without it — use the zarr "
+                    "library path"
+                )
+            return bytes(codec.compress(raw))
         return raw
 
     def filter_encode(raw: bytes, cfg: dict) -> bytes:
@@ -1285,6 +1310,11 @@ def write_zarr_store(
             ]
             if compressor == "gzip":
                 codecs.append({"name": "gzip", "configuration": {"level": 1}})
+            elif compressor == "zstd":
+                codecs.append({
+                    "name": "zstd",
+                    "configuration": {"level": 1, "checksum": False},
+                })
             if ordr == "F":
                 # v2's order="F" expressed the v3 way: the transpose
                 # codec with the axes reversed (F bytes == C bytes of

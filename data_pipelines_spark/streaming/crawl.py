@@ -65,6 +65,11 @@ def stream_warc_ingest(
       overwritten on the retry.
 
     Returns the un-started ``DataStreamWriter``.
+
+    Hash-checked end-to-end by the ``stream_warc`` tier of
+    `suite.maintenance.fetch_task_suite`: an availableNow manifest
+    stream over the suite's WARC fixtures must land byte-identical
+    extraction aggregates to the batch `read_warc` of the same files.
     """
     from data_pipelines_spark.functions.web import extract_title, html_to_text
     from data_pipelines_spark.sources.warc import read_warc

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from data_pipelines_spark.functions.text import _ACCENT_DST, _ACCENT_SRC
 from data_pipelines_spark.operators.corpus import (
     contamination_check,
     hash_fraction,
@@ -521,6 +522,25 @@ _CURATION_SQL = rf"""
                      / count(*), 6) AS kn_logprob10
         FROM kn_pairs JOIN kn_model USING (w1, w2)
         GROUP BY doc_id
+    ),
+    dupw AS (
+        -- soft-dedup families: exact-dup clusters over the CCNet
+        -- normalization key (the same translate/replace/regexp chain
+        -- functions.text.ccnet_normalize compiles; null text stays a
+        -- singleton because Spark's equi-join drops null keys)
+        SELECT doc_id,
+               CAST(count(*) OVER (PARTITION BY ck) AS BIGINT)
+                   AS cluster_size
+        FROM (
+            SELECT doc_id,
+                   COALESCE(substr(trim(regexp_replace(translate(replace(
+                       replace(replace(translate(lower(text),
+                       '{_ACCENT_SRC}', '{_ACCENT_DST}'),
+                       'æ', 'ae'), 'œ', 'oe'), 'ß', 'ss'),
+                       '123456789', '000000000'), '\s+', ' ', 'g')), 1, 40),
+                       'null:' || CAST(doc_id AS VARCHAR)) AS ck
+            FROM corpus
+        )
     )
     SELECT d.doc_id, d.source, d.keep_sample, d.matched_ngrams,
            CAST(cl.n_lines AS BIGINT) AS n_lines,
@@ -532,7 +552,9 @@ _CURATION_SQL = rf"""
            p.seq_id, p.seq_off, p.seq_spans,
            ck.n_chunks, ck.chunk_tokens_total, ck.chunks_md5,
            ds.dsir_features, ds.dsir_logweight,
-           kn.kn_logprob10
+           kn.kn_logprob10,
+           dw.cluster_size,
+           round(pow(dw.cluster_size, -0.5), 6) AS dup_weight
     FROM decided d
     JOIN cleaned cl ON d.doc_id = cl.doc_id
     LEFT JOIN lm l ON d.doc_id = l.doc_id
@@ -540,6 +562,7 @@ _CURATION_SQL = rf"""
     LEFT JOIN chunked ck ON d.doc_id = ck.doc_id
     LEFT JOIN dsir ds ON d.doc_id = ds.doc_id
     LEFT JOIN kn ON d.doc_id = kn.doc_id
+    JOIN dupw dw ON d.doc_id = dw.doc_id
 """
 
 
@@ -596,10 +619,22 @@ def corpus_doc_curation(spark, sf_dir):
       are all hash-checked. Null for blank docs. The operator is a
       pure narrow map (sequence + slice + posexplode, Exchange-free);
       only this summary aggregation shuffles, at doc grain.
+    - ``cluster_size`` / ``dup_weight`` — soft deduplication
+      (`operators.corpus.duplicate_aware_weights`, α = 0.5): duplicate
+      families are exact-dup clusters over a 40-char blocking prefix of
+      the CCNet normalization key (`functions.text.ccnet_normalize` —
+      prefix rather than full text so the driver corpora form real
+      multi-doc families), and every doc is weighted
+      ``cluster_size^-0.5`` instead of dropped — the keep-all-but-
+      downweight middle ground. The oracle replays the normalize chain,
+      the family count, and the pow; null-text docs are singletons by
+      a per-doc sentinel key on both sides.
     """
+    from data_pipelines_spark.functions.text import ccnet_normalize
     from data_pipelines_spark.operators.corpus import (
         chunk_documents,
         dsir_importance_weights,
+        duplicate_aware_weights,
         kneser_ney_bigram_logprob,
         pack_sequences,
         remove_boilerplate_lines,
@@ -640,6 +675,24 @@ def corpus_doc_curation(spark, sf_dir):
         corpus, bench, max_ngram=2, num_buckets=10_000,
         smoothing=1.0, portable=True,
     )
+
+    # soft dedup (r10): duplicate-family sizes over the ccnet-normalized
+    # exact-dup key, then n^(-alpha) weights — the keep-everything-but-
+    # downweight alternative to dropping near-dups. Null-text docs get a
+    # per-doc sentinel key so both engines treat them as singletons.
+    # family key = the first 40 chars of the normalization (a blocking-
+    # prefix fingerprint) rather than the full text: the driver corpora
+    # have no byte-exact dups even post-normalization, and a key that
+    # only ever yields singletons would leave the count+pow arithmetic
+    # untested (prefix-40 forms 19-22 multi-doc families at sf<=0.01)
+    clusters = corpus.select(
+        "doc_id",
+        F.coalesce(
+            F.substring(ccnet_normalize(F.col("text")), 1, 40),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        ).alias("cluster_id"),
+    )
+    dupw = duplicate_aware_weights(corpus, clusters, alpha=0.5)
 
     decided = (
         corpus.join(flagged, "doc_id", "left")
@@ -699,6 +752,7 @@ def corpus_doc_curation(spark, sf_dir):
             "left",
         )
         .join(kn.select("doc_id", "kn_logprob10"), "doc_id", "left")
+        .join(dupw.select("doc_id", "cluster_size", "dup_weight"), "doc_id")
         .select(
             "doc_id",
             "source",
@@ -718,5 +772,7 @@ def corpus_doc_curation(spark, sf_dir):
             "dsir_features",
             "dsir_logweight",
             "kn_logprob10",
+            "cluster_size",
+            "dup_weight",
         )
     )

@@ -1541,13 +1541,129 @@ _PHASH_PAIRS_SELECT = """
     WHERE bit_count(xor(a.h, b.h)) <= 6
 """
 
+# afp (r10): synthetic per-frame 16-bit Haitsma-Kalker sub-fingerprints
+# (md5-derived), 4-6 frames per clip; every 10th doc gets a 1-bit-noisy
+# copy (must pair: BER = 1/(16n) <= 0.15) and every 20th a 4-bits-per-
+# frame degraded copy (must NOT pair: BER = 4(n-1)/(16n) > 0.15 at
+# n >= 4, though frame 1 still matches exactly so it FORMS a candidate
+# and must die at verify). The oracle is brute-force over all aligned
+# same-length pairs, replaying the operator's contract (>= 1 exact
+# frame, round-6 BER <= 0.15) — so the hash certifies the exact-frame
+# candidate join + zip_with popcount verify end-to-end.
+_AFP_H16 = (
+    "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    "string_split(substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST(pos AS VARCHAR) || ':afp'), 1, 4), ''), "
+    "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))), "
+    "(a, x) -> a * 16 + x) AS INT)"
+)
+
+_AFP_CTES = f"""
+    afp_h AS (
+        SELECT doc_id, n, pos, {_AFP_H16} AS h
+        FROM (
+            SELECT doc_id, n, unnest(range(1, n + 1)) AS pos
+            FROM (SELECT doc_id, CAST(4 + doc_id % 3 AS INT) AS n
+                  FROM documents)
+        )
+    ),
+    afp_frames AS (
+        SELECT doc_id AS id, n, pos, h FROM afp_h
+        UNION ALL
+        SELECT doc_id + 1000000, n, pos,
+               CASE WHEN pos = 1 THEN CAST(xor(h,
+                   CAST(1 AS BIGINT) << CAST(doc_id % 16 AS INT)) AS INT)
+                    ELSE h END
+        FROM afp_h WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, n, pos,
+               CASE WHEN pos = 1 THEN h
+                    ELSE CAST(xor(h,
+                        CAST(15 AS BIGINT) << CAST(doc_id % 12 AS INT))
+                        AS INT) END
+        FROM afp_h WHERE doc_id % 20 = 0
+    ),
+    afp_agg AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(CAST(sum(bit_count(xor(a.h, b.h))) AS DOUBLE)
+                     / (CAST(a.n AS DOUBLE) * 16.0), 6) AS ber,
+               sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS hits
+        FROM afp_frames a JOIN afp_frames b
+          ON a.pos = b.pos AND a.n = b.n AND a.id < b.id
+        GROUP BY a.id, b.id, a.n
+    )
+"""
+
+_AFP_SELECT = """
+    SELECT 'afp_pairs' AS method, id_a, id_b, ber AS score,
+           CAST(NULL AS BIGINT) AS bits
+    FROM afp_agg WHERE hits >= 1 AND ber <= 0.15
+"""
+
+# vsig (r10): synthetic 60-bit per-frame video signatures, 4 frames per
+# clip; every 10th doc gets a <=3-bits-per-frame transcode copy (must
+# pair: every aligned frame within 6) and every 20th a copy with one
+# 8-bit-damaged frame (must NOT pair: the ALL-frames rule fails even
+# though the other 3 frames band-match and form a candidate). The
+# oracle is brute-force over all aligned pairs with max/mean hamming —
+# independent of the (pos, band)-keyed join.
+_VSIG_H60 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    "string_split(substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST(pos AS VARCHAR) || ':vsig'), 1, 15), ''), "
+    "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))), "
+    "(a, x) -> a * 16 + x)"
+)
+
+_VSIG_MASK3 = (
+    "((CAST(1 AS BIGINT) << CAST((doc_id * 7 + pos) % 60 AS INT))"
+    " | (CAST(1 AS BIGINT) << CAST((doc_id * 13 + pos) % 60 AS INT))"
+    " | (CAST(1 AS BIGINT) << CAST((doc_id * 29 + pos) % 60 AS INT)))"
+)
+
+_VSIG_CTES = f"""
+    vsig_h AS (
+        SELECT doc_id, pos, {_VSIG_H60} AS h
+        FROM (SELECT doc_id, unnest(range(1, 5)) AS pos FROM documents)
+    ),
+    vsig_frames AS (
+        SELECT doc_id AS id, pos, h FROM vsig_h
+        UNION ALL
+        SELECT doc_id + 1000000, pos, xor(h, {_VSIG_MASK3})
+        FROM vsig_h WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, pos,
+               CASE WHEN pos = 1 THEN xor(h,
+                   CAST(255 AS BIGINT) << CAST(doc_id % 52 AS INT))
+                    ELSE h END
+        FROM vsig_h WHERE doc_id % 20 = 0
+    ),
+    vsig_agg AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               max(bit_count(xor(a.h, b.h))) AS maxd,
+               round(CAST(sum(bit_count(xor(a.h, b.h))) AS DOUBLE)
+                     / 4.0, 4) AS meand
+        FROM vsig_frames a JOIN vsig_frames b
+          ON a.pos = b.pos AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+"""
+
+_VSIG_SELECT = """
+    SELECT 'vsig_pairs' AS method, id_a, id_b, meand AS score,
+           CAST(maxd AS BIGINT) AS bits
+    FROM vsig_agg WHERE maxd <= 6
+"""
+
 
 @register(
     "portable_hash_suite",
     f"""
     WITH mh AS ({_minhash_oracle_sql()}),
     sh AS ({_simhash_oracle_sql()}),
-    {_PHASH_ALL_CTE.strip()}
+    {_PHASH_ALL_CTE.strip()},
+    {_AFP_CTES.strip()},
+    {_VSIG_CTES.strip()}
     SELECT 'minhash_est' AS method, doc_a AS id_a, doc_b AS id_b,
            est_jaccard AS score, CAST(NULL AS BIGINT) AS bits
     FROM mh
@@ -1557,6 +1673,10 @@ _PHASH_PAIRS_SELECT = """
     FROM sh
     UNION ALL
     {_PHASH_PAIRS_SELECT.strip()}
+    UNION ALL
+    {_AFP_SELECT.strip()}
+    UNION ALL
+    {_VSIG_SELECT.strip()}
     """,
 )
 def portable_hash_suite(spark, sf_dir):
@@ -1583,8 +1703,28 @@ def portable_hash_suite(spark, sf_dir):
       the LSH path finds exactly the pairs exhaustive search finds.
       (The decode→DCT kernel that produces real pHashes is not SQL;
       it is golden-pinned in tests/test_phash.py, the BPE precedent.)
+    - ``afp_pairs`` (r10): the acoustic-fingerprint near-dup join
+      (`operators.afingerprint.audio_near_duplicates` — exact-frame
+      candidate equi-join + zip_with popcount BER verify) over
+      synthetic md5-derived 16-bit sub-fingerprints, 4-6 frames per
+      clip, with a planted 1-bit-noisy copy (must pair) and a planted
+      4-bits-per-frame degraded copy (forms a candidate, must die at
+      the 0.15 BER verify) per tenth/twentieth doc. Brute-force
+      oracle. (The FFT filterbank that produces real fingerprints is
+      numpy, golden-pinned in tests/test_afingerprint.py.)
+    - ``vsig_pairs`` (r10): the video near-dup join
+      (`operators.vdedup.video_near_duplicates` — (pos, band)-keyed
+      candidates, EVERY-frame-within-6 verify) over synthetic 60-bit
+      frame signatures with a <=3-bit-per-frame transcode copy (must
+      pair) and a one-frame-8-bit-damaged copy (candidate that must
+      fail the all-frames rule). Brute-force oracle with max/mean
+      hamming.
     """
+    from data_pipelines_spark.operators.afingerprint import (
+        audio_near_duplicates,
+    )
     from data_pipelines_spark.operators.phash import phash_near_duplicates
+    from data_pipelines_spark.operators.vdedup import video_near_duplicates
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -1623,21 +1763,151 @@ def portable_hash_suite(spark, sf_dir):
         F.lit(None).cast("long").alias("bits"),
     )
 
-    return mh.select(
-        F.lit("minhash_est").alias("method"),
-        F.col("doc_a").alias("id_a"),
-        F.col("doc_b").cast("long").alias("id_b"),
-        F.col("est_jaccard").alias("score"),
-        F.lit(None).cast("long").alias("bits"),
-    ).unionByName(
-        sh.select(
-            F.lit("simhash").alias("method"),
-            F.col("doc_id").alias("id_a"),
-            F.lit(None).cast("long").alias("id_b"),
-            F.lit(None).cast("double").alias("score"),
-            F.col("simhash").alias("bits"),
+    # afp_pairs: synthetic 16-bit sub-fingerprints, 4-6 frames/clip
+    def _md5head(expr, nhex):
+        return F.conv(
+            F.substring(F.md5(F.encode(expr, "UTF-8")), 1, nhex), 16, 10
         )
-    ).unionByName(ph)
+
+    doc_id = F.col("doc_id")
+
+    def _afp_h(pos):
+        return _md5head(
+            F.concat(
+                doc_id.cast("string"), F.lit(":"),
+                pos.cast("string"), F.lit(":afp"),
+            ),
+            4,
+        ).cast("int")
+
+    afp_seq = F.sequence(F.lit(1), (F.lit(4) + doc_id % 3).cast("int"))
+    flip1 = F.call_function(
+        "shiftleft", F.lit(1), (doc_id % 16).cast("int")
+    ).cast("int")
+    flip4 = F.call_function(
+        "shiftleft", F.lit(15), (doc_id % 12).cast("int")
+    ).cast("int")
+    afp = (
+        docs.select(
+            doc_id.alias("media_id"),
+            F.transform(afp_seq, _afp_h).alias("fp"),
+        )
+        .unionByName(
+            docs.where(doc_id % 10 == 0).select(
+                (doc_id + 1000000).alias("media_id"),
+                F.transform(
+                    afp_seq,
+                    lambda p: F.when(
+                        p == 1, _afp_h(p).bitwiseXOR(flip1)
+                    ).otherwise(_afp_h(p)),
+                ).alias("fp"),
+            )
+        )
+        .unionByName(
+            docs.where(doc_id % 20 == 0).select(
+                (doc_id + 2000000).alias("media_id"),
+                F.transform(
+                    afp_seq,
+                    lambda p: F.when(p == 1, _afp_h(p)).otherwise(
+                        _afp_h(p).bitwiseXOR(flip4)
+                    ),
+                ).alias("fp"),
+            )
+        )
+    )
+    afp_tier = audio_near_duplicates(afp, max_bit_error_rate=0.15).select(
+        F.lit("afp_pairs").alias("method"),
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("bit_error_rate").alias("score"),
+        F.lit(None).cast("long").alias("bits"),
+    )
+
+    # vsig_pairs: synthetic 60-bit frame signatures, 4 frames/clip
+    def _vsig_h(pos):
+        return _md5head(
+            F.concat(
+                doc_id.cast("string"), F.lit(":"),
+                pos.cast("string"), F.lit(":vsig"),
+            ),
+            15,
+        ).cast("long")
+
+    one = F.lit(1).cast("long")
+
+    def _mask3(pos):
+        # call_function: the shiftleft Python wrapper insists on a
+        # literal shift; the SQL registry form takes a column
+        return F.call_function(
+            "shiftleft", one, ((doc_id * 7 + pos) % 60).cast("int")
+        ).bitwiseOR(
+            F.call_function(
+                "shiftleft", one, ((doc_id * 13 + pos) % 60).cast("int")
+            )
+        ).bitwiseOR(
+            F.call_function(
+                "shiftleft", one, ((doc_id * 29 + pos) % 60).cast("int")
+            )
+        )
+
+    mask8 = F.call_function(
+        "shiftleft", F.lit(255).cast("long"), (doc_id % 52).cast("int")
+    )
+    vsig_seq = F.sequence(F.lit(1), F.lit(4))
+    vsig = (
+        docs.select(
+            doc_id.alias("media_id"),
+            F.transform(vsig_seq, _vsig_h).alias("sig"),
+        )
+        .unionByName(
+            docs.where(doc_id % 10 == 0).select(
+                (doc_id + 1000000).alias("media_id"),
+                F.transform(
+                    vsig_seq, lambda p: _vsig_h(p).bitwiseXOR(_mask3(p))
+                ).alias("sig"),
+            )
+        )
+        .unionByName(
+            docs.where(doc_id % 20 == 0).select(
+                (doc_id + 2000000).alias("media_id"),
+                F.transform(
+                    vsig_seq,
+                    lambda p: F.when(
+                        p == 1, _vsig_h(p).bitwiseXOR(mask8)
+                    ).otherwise(_vsig_h(p)),
+                ).alias("sig"),
+            )
+        )
+    )
+    vsig_tier = video_near_duplicates(vsig, max_frame_hamming=6).select(
+        F.lit("vsig_pairs").alias("method"),
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("mean_hamming").alias("score"),
+        F.col("max_hamming").cast("long").alias("bits"),
+    )
+
+    return (
+        mh.select(
+            F.lit("minhash_est").alias("method"),
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").cast("long").alias("id_b"),
+            F.col("est_jaccard").alias("score"),
+            F.lit(None).cast("long").alias("bits"),
+        )
+        .unionByName(
+            sh.select(
+                F.lit("simhash").alias("method"),
+                F.col("doc_id").alias("id_a"),
+                F.lit(None).cast("long").alias("id_b"),
+                F.lit(None).cast("double").alias("score"),
+                F.col("simhash").alias("bits"),
+            )
+        )
+        .unionByName(ph)
+        .unionByName(afp_tier)
+        .unionByName(vsig_tier)
+    )
 
 
 # `ngram_jaccard_same_source` and `embedding_near_dup_pairs` are now

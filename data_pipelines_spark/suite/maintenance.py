@@ -1108,6 +1108,19 @@ _FETCH_TASK_SQL = f"""
            CAST(SUM(n_nationkey * length('N ' || n_name)) AS BIGINT) AS w
     FROM nation GROUP BY n_regionkey
     UNION ALL
+    -- stream_warc: the streaming crawl ingest of the SAME warc fixtures
+    -- must land exactly the batch tier's rows at rest (exactly-once
+    -- batch_id partitions), so the reconstruction is identical
+    SELECT 'stream_warc', CAST(n_regionkey AS BIGINT), COUNT(*),
+           CAST(SUM(length(
+               'N ' || n_name || chr(10)
+               || CAST(n_nationkey AS VARCHAR) || ',' || n_name || ','
+               || CAST(n_regionkey AS VARCHAR) || chr(10)
+               || n_name || ' & caf' || chr(233)
+           )) AS BIGINT) AS total,
+           CAST(SUM(n_nationkey * length('N ' || n_name)) AS BIGINT) AS w
+    FROM nation GROUP BY n_regionkey
+    UNION ALL
     {_url_tier_sql()}
     UNION ALL
     SELECT 'robots', region, COUNT(*),
@@ -1181,6 +1194,16 @@ def fetch_task_suite(spark, sf_dir):
       and the key*title-length weight hash-check WARC framing, the
       HTTP envelope, the declared-charset decode, and the whole
       extraction chain against the oracle's direct reconstruction.
+    - ``stream_warc`` (r10): the same ``.warc.gz`` fixtures ingested
+      through the STREAMING crawl path (`streaming.crawl`): a
+      path-manifest file stream (one manifest per region,
+      ``maxFilesPerTrigger=1`` → one micro-batch per file) drives
+      `stream_warc_ingest`'s foreachBatch sink — `read_warc` + the
+      fused HTML text extraction landing under ``batch_id=<n>``
+      dynamic-overwrite partitions — and the store is read BACK as
+      plain parquet. The aggregate must equal the batch ``warc`` tier,
+      so the hash certifies the streaming ingest end-to-end at rest:
+      a dropped or double-ingested micro-batch breaks n/total/w.
     - ``manifest``: the fetch results are written as a JSON-lines
       manifest (`df.write.json`) and read back (`spark.read.json`,
       schema inferred), with byte totals and the nation key parsed
@@ -1385,6 +1408,57 @@ def fetch_task_suite(spark, sf_dir):
             F.sum(F.col("key") * F.col("title_len")).alias("w"),
         ).select(
             F.lit("warc").alias("method"), F.col("region").alias("k"),
+            "n", "total", "w",
+        )
+
+        # stream_warc tier (r10): the SAME warc fixtures ingested through
+        # the STREAMING crawl path — a manifest-file stream (one manifest
+        # per region; maxFilesPerTrigger=1 forces one micro-batch per
+        # file) → foreachBatch read_warc with fused text extraction →
+        # batch_id= dynamic-overwrite store → batch readback. The
+        # aggregate must equal the batch warc tier row-for-row (same
+        # records, same extraction chain), so the oracle restates the
+        # same reconstruction under method 'stream_warc'; a duplicate or
+        # dropped record in any micro-batch breaks n/total/w.
+        from data_pipelines_spark.streaming.crawl import (
+            read_path_manifest_stream,
+            stream_warc_ingest,
+        )
+
+        man2 = os.path.join(d, "warc_manifests")
+        os.makedirs(man2)
+        for i, p in enumerate(warc_paths):
+            with open(os.path.join(man2, f"m_{i}.txt"), "w") as f:
+                f.write(f"# landed\n{p}\n")
+        crawl_store = os.path.join(d, "crawl_store")
+        q = stream_warc_ingest(
+            read_path_manifest_stream(spark, man2, max_files_per_trigger=1),
+            crawl_store,
+            checkpoint=os.path.join(d, "crawl_ck"),
+        ).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "fetch_task_suite: crawl ingest did not drain in 300s"
+            )
+        stored = spark.read.parquet(crawl_store).where(
+            F.col("http_status") == 200
+        )
+        sw = stored.select(
+            F.split(F.split("extracted_text", "\n").getItem(1), ",")
+            .getItem(0).cast("long").alias("key"),
+            F.split(F.split("extracted_text", "\n").getItem(1), ",")
+            .getItem(2).cast("long").alias("region"),
+            F.length("extracted_text").alias("chars"),
+            F.length("title").alias("title_len"),
+        )
+        stream_warc_tier = sw.groupBy("region").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("chars").alias("total"),
+            F.sum(F.col("key") * F.col("title_len")).alias("w"),
+        ).select(
+            F.lit("stream_warc").alias("method"),
+            F.col("region").alias("k"),
             "n", "total", "w",
         )
 
@@ -1616,6 +1690,7 @@ def fetch_task_suite(spark, sf_dir):
             .unionByName(copy_tier)
             .unionByName(manifest_tier)
             .unionByName(warc_tier)
+            .unionByName(stream_warc_tier)
             .unionByName(url_tier)
             .unionByName(cap_tier)
             .unionByName(robots_tier)

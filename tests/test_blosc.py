@@ -120,9 +120,9 @@ def test_blosc_memcpy_and_gates():
         "<III", len(data), len(data), 16 + len(data)
     ) + data
     assert blosc_decompress(frame) == data
-    # zstd stays an honest gate; both-shuffle-flags frames are invalid
+    # blosclz stays an honest gate; both-shuffle-flags frames are invalid
     with pytest.raises(NotImplementedError, match="cname"):
-        blosc_compress(b"x", cname="zstd")
+        blosc_compress(b"x", cname="blosclz")
     both = bytes([1, 1, 0x5, 1]) + struct.pack("<III", 4, 4, 16 + 4) + b"xxxx"
     with pytest.raises(ValueError, match="both shuffle"):
         blosc_decompress(both)
@@ -183,6 +183,61 @@ def test_bitshuffle_round_trips():
     assert len(frame) < len(blosc_compress(data, typesize=1, shuffle=False))
 
 
+def test_lz4_differential_vs_liblz4():
+    """External-reference check: pyarrow's ``lz4_raw`` codec is the
+    real libLZ4 block codec — it must decode our blocks and our decoder
+    must decode its output, over a spread of data shapes."""
+    import pyarrow as pa
+
+    if not pa.Codec.is_available("lz4_raw"):
+        pytest.skip("pyarrow build without lz4_raw")
+    ref = pa.Codec("lz4_raw")
+    rng = np.random.default_rng(23)
+    cases = [
+        b"",
+        b"x",
+        b"abcd" * 1000,
+        bytes(rng.integers(0, 256, 7001, dtype=np.uint8)),
+        bytes(rng.integers(0, 4, 4096, dtype=np.uint8)),
+        (b"the quick brown fox " * 64)[:-3],
+        np.arange(3000, dtype="<i4").tobytes(),
+    ]
+    for data in cases:
+        theirs = bytes(ref.compress(data))
+        assert lz4_decompress_block(theirs, len(data)) == data
+        ours = lz4_compress_block(data)
+        assert bytes(ref.decompress(ours, len(data))) == data
+
+
+def test_blosc_zstd_snappy_cnames():
+    """zstd/snappy cnames ride pyarrow's bundled C codecs; frames
+    round-trip through the blosc container with every shuffle mode."""
+    import pyarrow as pa
+
+    if not pa.Codec.is_available("zstd"):
+        pytest.skip("pyarrow build without zstd")
+    rng = np.random.default_rng(31)
+    payloads = [
+        np.arange(5000, dtype="<i4").tobytes(),
+        bytes(rng.integers(0, 256, 4001, dtype=np.uint8)),
+        b"",
+    ]
+    for cname in ("zstd", "snappy"):
+        if not pa.Codec.is_available(cname):
+            continue
+        for data in payloads:
+            for shuffle in (False, True, 2):
+                frame = blosc_compress(
+                    data, typesize=4, cname=cname, shuffle=shuffle,
+                    blocksize=4096,
+                )
+                assert (frame[2] >> 5) & 0x7 == (5 if cname == "zstd" else 2)
+                assert blosc_decompress(frame) == data, (cname, shuffle)
+    # blosclz stays the honest gate
+    with pytest.raises(NotImplementedError, match="blosclz"):
+        blosc_compress(b"x", cname="blosclz")
+
+
 def test_blosc_typesize_over_255_disables_shuffle():
     """ADVICE r9: typesize > 255 cannot be recorded in the 1-byte header
     field; shuffling at the full typesize would be silently undecodable.
@@ -228,6 +283,39 @@ def test_zarr_blosc_bitshuffle_store_reads(tmp_path):
             f.write(blosc_compress(chunk, typesize=2, shuffle=2))
     back, attrs = read_zarr_minimal(d)
     np.testing.assert_array_equal(back, a)
+
+
+def test_zarr_zstd_round_trips(tmp_path):
+    """numcodecs-Zstd v2 stores and v3 zstd codec chains read/write via
+    pyarrow's bundled libzstd."""
+    import pyarrow as pa
+
+    if not pa.Codec.is_available("zstd"):
+        pytest.skip("pyarrow build without zstd")
+    from data_pipelines_spark.sources.raster import read_zarr_minimal
+    from data_pipelines_spark.sources.raster_encode import write_zarr_store
+
+    a = (np.arange(600, dtype="<f4") / 7.0).reshape(20, 30)
+    coords = {
+        "y": np.arange(20, dtype="<i4"), "x": np.arange(30, dtype="<i4"),
+    }
+    for fmt in (2, 3):
+        store = str(tmp_path / f"z{fmt}")
+        write_zarr_store(
+            store, "v", a, coords,
+            chunks=(8, 16), compressor="zstd", zarr_format=fmt,
+        )
+        back, _ = read_zarr_minimal(f"{store}/v")
+        np.testing.assert_array_equal(back, a)
+    # a chunk file is genuinely zstd (magic 28 B5 2F FD), not stored raw
+    import os
+
+    chunk = next(
+        p for p in os.listdir(str(tmp_path / "z2" / "v"))
+        if not p.startswith(".")
+    )
+    with open(str(tmp_path / "z2" / "v" / chunk), "rb") as f:
+        assert f.read(4) == b"\x28\xb5\x2f\xfd"
 
 
 def test_zarr_blosc_round_trip(tmp_path):

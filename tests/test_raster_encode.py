@@ -730,6 +730,57 @@ def test_tiff_deflate_roundtrip(tmp_path, tiled):
     assert np.array_equal(got, arr.astype("f8"))
 
 
+@pytest.mark.parametrize("tiled", [False, True])
+def test_tiff_zstd_roundtrip(tmp_path, tiled):
+    """COMPRESS=ZSTD (GDAL tag 50000, via pyarrow's bundled libzstd):
+    strips/tiles round-trip bit-exactly, predictors compose, and the
+    tag really says 50000."""
+    import pyarrow as pa
+
+    if not pa.Codec.is_available("zstd"):
+        pytest.skip("pyarrow build without zstd")
+    import struct
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 60000, size=(6, 9, 2)).astype("<u2")
+    path = str(tmp_path / f"zstd_{tiled}.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(
+                arr, origin_x=0.0, origin_y=0.0, pixel_w=1.0, pixel_h=1.0,
+                tile=(4, 4) if tiled else None, compression="zstd",
+            )
+        )
+    got, _, _ = read_tiff_minimal(path)
+    assert np.array_equal(got, arr.astype("f8"))
+    with open(path, "rb") as f:
+        data = f.read()
+    # classic TIFF little-endian: walk IFD entries for tag 259
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    tags = {
+        struct.unpack_from("<H", data, ifd_off + 2 + 12 * i)[0]:
+        struct.unpack_from("<H", data, ifd_off + 2 + 12 * i + 8)[0]
+        for i in range(n)
+    }
+    assert tags[259] == 50000
+
+    # predictor 2 (int) and 3 (float) compose with zstd chunks
+    smooth = (np.arange(48, dtype="<u2").reshape(6, 8) * 3).astype("<u2")
+    fl = (np.arange(48, dtype="<f4").reshape(6, 8) / 7.0).astype("<f4")
+    for a, dt in ((smooth, "u2"), (fl, "f4")):
+        p = str(tmp_path / f"zp_{dt}.tif")
+        with open(p, "wb") as f:
+            f.write(
+                encode_geotiff(
+                    a, origin_x=0.0, origin_y=0.0, pixel_w=1.0,
+                    pixel_h=1.0, compression="zstd", predictor=True,
+                )
+            )
+        got, _, _ = read_tiff_minimal(p)
+        assert np.array_equal(got, a.astype("f8"))
+
+
 def test_tiff_jpeg_wrapper_is_transparent(tmp_path):
     """COMPRESS=JPEG (new-style, compression 7): the TIFF layer must
     hand back EXACTLY what the JPEG kernel decodes from the same
