@@ -274,6 +274,61 @@ def minhash_band_buckets(
     return signatures.select(F.col(id_col), exploded.alias("band", "band_hash"))
 
 
+def _guard_band_buckets(
+    buckets: DataFrame,
+    max_bucket: int,
+    id_col: str,
+    op_name: str,
+) -> DataFrame:
+    """Bucket-size guard BEFORE a band self-join (the
+    `phash.phash_near_duplicates` pattern): bucket sizes ride back onto
+    the rows on the same (band, band_hash) keying the join reuses, and
+    `raise_error` fires row-wise the moment an oversized bucket is
+    touched — the job dies before the B²/2 candidate explosion
+    materializes. The guard is folded INTO the id column (a
+    side-channel column would be pruned away as unused). Found by the
+    r10 10× corpus probe: universal boilerplate shingles can pin many
+    docs' band minima to the same values, and 50k docs then produced
+    79M candidates without this guard."""
+    from pyspark.sql import Window
+
+    # Window count rather than agg+join-back: one pass over the bucket
+    # rows in the same (band, band_hash) hash distribution the
+    # candidate join uses, no second subtree and no blocking
+    # broadcast barrier (both alternatives measured slower on the
+    # headline query: agg+join-back +1.5 s, broadcast-oversized
+    # +1.3 s, window +0 s at sf0.1). `raise_error` fires row-wise the
+    # moment an oversized bucket's row is touched — before the B²/2
+    # candidate explosion materializes. The guard is folded INTO the
+    # id column (a side-channel column would be pruned away as
+    # unused).
+    sz = F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash"))
+    id_type = dict(zip(buckets.schema.names, buckets.schema.fields))[
+        id_col
+    ].dataType
+    return buckets.select(
+        F.when(
+            sz > max_bucket,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{op_name}: band bucket of "),
+                    sz.cast("string"),
+                    F.lit(
+                        f" docs exceeds max_bucket={max_bucket}; "
+                        "exact-dedup first (exact_duplicates, ideally "
+                        "over a ccnet_normalize key to collapse "
+                        "boilerplate families) or raise max_bucket"
+                    ),
+                )
+            ).cast(id_type),
+        )
+        .otherwise(F.col(id_col))
+        .alias(id_col),
+        "band",
+        "band_hash",
+    )
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
@@ -283,6 +338,7 @@ def minhash_near_duplicates(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     portable: bool = False,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """End-to-end near-dup detection.
 
@@ -291,6 +347,13 @@ def minhash_near_duplicates(
     bucketing (so only candidate pairs are ever compared).
     ``portable=True`` switches every hash to md5-derived values so the
     whole pipeline is reproducible by the DuckDB oracle.
+
+    ``max_bucket`` (r10) guards degenerate band buckets: corpus-wide
+    boilerplate (every page sharing a footer) can pin many documents'
+    band minima to identical values, and one bucket of B docs costs
+    B²/2 candidate pairs — one 10k bucket is already 50M pairs. The
+    job raises loudly BEFORE the join instead of exploding; the cure
+    is exact-dedup / boilerplate removal upstream, not a bigger join.
     """
     # The signature frame feeds three consumers (bucketing + both sides
     # of the verification join); persist so it is computed once.
@@ -298,8 +361,16 @@ def minhash_near_duplicates(
         docs, text_col, id_col, num_hashes, shingle_k, portable
     ).persist()
     buckets = minhash_band_buckets(sigs, num_hashes, num_bands, id_col, portable)
+    guarded = buckets
+    if max_bucket is not None:
+        # Guard ONE side only: every bucket reaches the join through the
+        # left side, so one guarded occurrence is enough to fire, and
+        # the agg+join-back subtree isn't paid twice.
+        guarded = _guard_band_buckets(
+            buckets, max_bucket, id_col, "minhash_near_duplicates"
+        )
 
-    left = buckets.select(
+    left = guarded.select(
         F.col("band"), F.col("band_hash"), F.col(id_col).alias("doc_a")
     )
     right = buckets.select(
@@ -343,6 +414,7 @@ def incremental_near_duplicates(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     corpus_buckets: DataFrame | None = None,
+    max_bucket: int | None = 10_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup detection of a NEW batch against an already-ingested
     corpus, without re-hashing the corpus: the production ingest shape,
@@ -384,6 +456,16 @@ def incremental_near_duplicates(
         new_docs, text_col, id_col, num_hashes, shingle_k
     ).persist()
     buckets_new = minhash_band_buckets(sigs_new, num_hashes, num_bands, id_col)
+    if max_bucket is not None:
+        # Guard the BATCH side only: batch-batch pairs are the only
+        # quadratic term here (store-store pairs never form, and
+        # batch-store work is linear in matched store occupancy — a
+        # scan-shaped cost, not a B² explosion). Store buckets were
+        # themselves guarded when their batches were ingested; counting
+        # them again per batch would re-scan the 100 TB side.
+        buckets_new = _guard_band_buckets(
+            buckets_new, max_bucket, id_col, "incremental_near_duplicates"
+        )
     if corpus_buckets is None:
         corpus_buckets = minhash_band_buckets(
             corpus_signatures, num_hashes, num_bands, id_col

@@ -1594,6 +1594,23 @@ _AFP_CTES = f"""
     )
 """
 
+# phash_inc (r10): the incremental batch-vs-store contract over the
+# same ph_all population — ids with id % 7 == 3 are the new batch, the
+# rest the ingested store. The oracle is the full brute-force pair set
+# restricted to pairs touching a batch id, reoriented so id_a is the
+# batch id (both-batch pairs keep id_a < id_b) — the same declarative
+# replay as `incremental_near_dup`; store-store pairs never appear.
+_PHASH_INC_SELECT = """
+    SELECT 'phash_inc' AS method,
+           CASE WHEN a.id % 7 = 3 THEN a.id ELSE b.id END AS id_a,
+           CASE WHEN a.id % 7 = 3 THEN b.id ELSE a.id END AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS DOUBLE) AS score,
+           CAST(NULL AS BIGINT) AS bits
+    FROM ph_all a JOIN ph_all b ON a.id < b.id
+    WHERE bit_count(xor(a.h, b.h)) <= 6
+      AND (a.id % 7 = 3 OR b.id % 7 = 3)
+"""
+
 _AFP_SELECT = """
     SELECT 'afp_pairs' AS method, id_a, id_b, ber AS score,
            CAST(NULL AS BIGINT) AS bits
@@ -1674,6 +1691,8 @@ _VSIG_SELECT = """
     UNION ALL
     {_PHASH_PAIRS_SELECT.strip()}
     UNION ALL
+    {_PHASH_INC_SELECT.strip()}
+    UNION ALL
     {_AFP_SELECT.strip()}
     UNION ALL
     {_VSIG_SELECT.strip()}
@@ -1703,6 +1722,13 @@ def portable_hash_suite(spark, sf_dir):
       the LSH path finds exactly the pairs exhaustive search finds.
       (The decode→DCT kernel that produces real pHashes is not SQL;
       it is golden-pinned in tests/test_phash.py, the BPE precedent.)
+    - ``phash_inc`` (r10): the incremental batch-vs-store image dedup
+      (`operators.phash.incremental_phash_near_duplicates`) over the
+      same population split at id % 7 == 3 — the oracle restates the
+      contract declaratively (full pair set restricted to pairs
+      touching a batch id, batch id first), so a store-store pair
+      forming, a dropped batch-batch pair, or a wrong orientation all
+      break the hash. Same replay pattern as `incremental_near_dup`.
     - ``afp_pairs`` (r10): the acoustic-fingerprint near-dup join
       (`operators.afingerprint.audio_near_duplicates` — exact-frame
       candidate equi-join + zip_with popcount BER verify) over
@@ -1753,10 +1779,28 @@ def portable_hash_suite(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("media_id"),
         h60.bitwiseXOR(flip_mask).alias("phash"),
     )
-    ph = phash_near_duplicates(
-        ph_base.unionByName(ph_planted), max_hamming=6
-    ).select(
+    ph_all = ph_base.unionByName(ph_planted)
+    ph = phash_near_duplicates(ph_all, max_hamming=6).select(
         F.lit("phash_pairs").alias("method"),
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("hamming").cast("double").alias("score"),
+        F.lit(None).cast("long").alias("bits"),
+    )
+
+    # phash_inc: the same population split batch-vs-store; the
+    # incremental operator must reproduce the restriction of the full
+    # pair set to pairs touching a batch id (store-store never forms)
+    from data_pipelines_spark.operators.phash import (
+        incremental_phash_near_duplicates,
+    )
+
+    is_batch = F.col("media_id") % 7 == 3
+    inc_pairs, _nb = incremental_phash_near_duplicates(
+        ph_all.where(is_batch), ph_all.where(~is_batch), max_hamming=6
+    )
+    ph_inc = inc_pairs.select(
+        F.lit("phash_inc").alias("method"),
         F.col("id_a"),
         F.col("id_b"),
         F.col("hamming").cast("double").alias("score"),
@@ -1905,6 +1949,7 @@ def portable_hash_suite(spark, sf_dir):
             )
         )
         .unionByName(ph)
+        .unionByName(ph_inc)
         .unionByName(afp_tier)
         .unionByName(vsig_tier)
     )

@@ -53,6 +53,54 @@ def test_minhash_finds_planted_near_dup(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_minhash_degenerate_bucket_guard(spark):
+    """r10 (found by the 10× corpus probe): corpus-wide boilerplate can
+    pin many docs' band minima to identical values, and one bucket of B
+    docs costs B²/2 candidate pairs. The guard must raise BEFORE the
+    join — and stay silent on healthy corpora."""
+    import pytest
+
+    # 12 docs sharing the same text -> every band bucket holds all 12
+    degenerate = spark.createDataFrame(
+        [(i, "the same boilerplate footer text everywhere") for i in range(12)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="max_bucket"):
+        minhash_near_duplicates(
+            degenerate, jaccard_threshold=0.5, max_bucket=5
+        ).count()
+    # healthy corpus: guarded result == unguarded result
+    guarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(
+            _docs(spark), jaccard_threshold=0.5, max_bucket=5
+        ).collect()
+    }
+    unguarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(
+            _docs(spark), jaccard_threshold=0.5, max_bucket=None
+        ).collect()
+    }
+    assert guarded == unguarded and guarded
+
+    # incremental path: batch-side guard fires on a degenerate batch
+    from data_pipelines_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_signatures,
+    )
+
+    store_sigs = minhash_signatures(_docs(spark))
+    with pytest.raises(Exception, match="max_bucket"):
+        pairs, _ = incremental_near_duplicates(
+            degenerate.withColumn("doc_id", F.col("doc_id") + 100),
+            store_sigs,
+            jaccard_threshold=0.5,
+            max_bucket=5,
+        )
+        pairs.count()
+
+
 def test_ngram_jaccard_exact_verification(spark):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
