@@ -303,9 +303,7 @@ def _guard_band_buckets(
     # id column (a side-channel column would be pruned away as
     # unused).
     sz = F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash"))
-    id_type = dict(zip(buckets.schema.names, buckets.schema.fields))[
-        id_col
-    ].dataType
+    id_type = buckets.schema[id_col].dataType
     return buckets.select(
         F.when(
             sz > max_bucket,

@@ -200,10 +200,15 @@ def _unshuffle_bytes(data: bytes, typesize: int) -> bytes:
 
 def _bitshuffle_bytes(data: bytes, typesize: int) -> bytes:
     """c-blosc bit-shuffle of one block: transpose the (nelem,
-    typesize*8) bit matrix (MSB-first within each byte — the bitshuffle
-    library's reference convention) so bit-plane j of every element is
-    contiguous. Per c-blosc's wrapper, only the largest multiple-of-8
-    element count is shuffled; trailing bytes are copied verbatim."""
+    typesize*8) bit matrix so bit-plane (byte b, bit k) of every
+    element is contiguous, byte-major then bit. Bit order is
+    LSB-FIRST on both axes — derived by hand-evaluating the scalar
+    kernel (bitshuffle's ``TRANS_BIT_8X8`` Hacker's-Delight transpose
+    on a little-endian 8-byte load, ``out[k*rows+i] = x; x >>= 8``):
+    eight 0x01 bytes land in output plane byte 0 as 0xFF (bit-0 plane
+    FIRST), and a lone element j sets bit j of its plane byte. Per
+    c-blosc's wrapper, only the largest multiple-of-8 element count is
+    shuffled; trailing bytes are copied verbatim."""
     import numpy as np
 
     nelem = (len(data) // typesize) & ~7
@@ -213,8 +218,9 @@ def _bitshuffle_bytes(data: bytes, typesize: int) -> bytes:
     bits = np.unpackbits(
         np.frombuffer(data[:cut], dtype="u1").reshape(nelem, typesize),
         axis=1,
+        bitorder="little",
     )
-    return np.packbits(bits.T).tobytes() + data[cut:]
+    return np.packbits(bits.T, bitorder="little").tobytes() + data[cut:]
 
 
 def _bit_unshuffle_bytes(data: bytes, typesize: int) -> bytes:
@@ -225,13 +231,13 @@ def _bit_unshuffle_bytes(data: bytes, typesize: int) -> bytes:
     if cut == 0:
         return data
     planes = np.unpackbits(
-        np.frombuffer(data[:cut], dtype="u1")
+        np.frombuffer(data[:cut], dtype="u1"), bitorder="little"
     ).reshape(typesize * 8, nelem)
-    return np.packbits(planes.T).tobytes() + data[cut:]
+    return np.packbits(planes.T, bitorder="little").tobytes() + data[cut:]
 
 
 def _decode_region(
-    region: bytes, neblock: int, nsplits: int, cname: int
+    region: bytes, neblock: int, nsplits: int, cname: int, codec=None
 ) -> bytes:
     """One block's compressed region → neblock bytes, given a split
     count; raises if the streams don't consume the region exactly."""
@@ -257,7 +263,8 @@ def _decode_region(
                 raise ValueError("blosc: zlib split size mismatch")
             out += raw
         elif cname in (_CNAME_ZSTD, _CNAME_SNAPPY):
-            codec = _arrow_codec("zstd" if cname == _CNAME_ZSTD else "snappy")
+            # codec resolved ONCE per frame by blosc_decompress (not per
+            # split per probe — a 1 GiB frame has thousands of splits)
             if codec is None:
                 raise NotImplementedError(
                     f"blosc cname {_CNAMES[cname]!r}: pyarrow build "
@@ -294,6 +301,11 @@ def blosc_decompress(src: bytes) -> bytes:
         # c-blosc memcpys the ORIGINAL buffer (no unshuffle on decode)
         return bytes(src[16 : 16 + nbytes])
     cname = (flags >> 5) & 0x7
+    codec = (
+        _arrow_codec("zstd" if cname == _CNAME_ZSTD else "snappy")
+        if cname in (_CNAME_ZSTD, _CNAME_SNAPPY)
+        else None
+    )
     nblocks = -(-nbytes // blocksize) if blocksize else 0
     bstarts = list(struct.unpack_from(f"<{nblocks}i", src, 16))
     ends = bstarts[1:] + [len(src)]
@@ -311,7 +323,7 @@ def blosc_decompress(src: bytes) -> bytes:
         block = None
         for nsplits in candidates:
             try:
-                block = _decode_region(region, neblock, nsplits, cname)
+                block = _decode_region(region, neblock, nsplits, cname, codec)
                 break
             except (
                 ValueError, IndexError, struct.error, zlib.error, OSError,

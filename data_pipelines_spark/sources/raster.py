@@ -1294,6 +1294,15 @@ def _parse_v3_codecs(codecs) -> tuple[str, str | None, list[int] | None]:
             cfg = codec.get("configuration") or {}
             endian = ">" if cfg.get("endian") == "big" else "<"
         elif name in ("gzip", "zstd"):
+            if comp is not None:
+                # spec-legal chains may stack bytes->bytes codecs; one
+                # compression stage is all we decode — keep the honest
+                # gate instead of silently applying only the last
+                raise NotImplementedError(
+                    f"Zarr v3 codec chain with multiple compression "
+                    f"stages ({comp!r} then {name!r}): use the zarr "
+                    "library path"
+                )
             comp = name
         elif name == "transpose":
             perm = list((codec.get("configuration") or {})["order"])
@@ -1383,20 +1392,24 @@ def _read_zarr3_minimal(path: str, meta: dict):
     fill = meta.get("fill_value")
     out = np.full(shape, fill if fill is not None else 0, dtype=dtype)
 
+    zstd_codec = None
+    if v3_comp == "zstd":
+        # resolve once per array, not per chunk/block
+        from data_pipelines_spark.sources.blosc import _arrow_codec
+
+        zstd_codec = _arrow_codec("zstd")
+        if zstd_codec is None:
+            raise NotImplementedError(
+                "Zarr v3 zstd: pyarrow build without zstd — use "
+                "the zarr library path"
+            )
+
     def decode_block(raw: bytes, chunk_shape, origin) -> None:
         if v3_comp == "gzip":
             raw = gzip.decompress(raw)
         elif v3_comp == "zstd":
-            from data_pipelines_spark.sources.blosc import _arrow_codec
-
-            codec = _arrow_codec("zstd")
-            if codec is None:
-                raise NotImplementedError(
-                    "Zarr v3 zstd: pyarrow build without zstd — use "
-                    "the zarr library path"
-                )
             raw = bytes(
-                codec.decompress(
+                zstd_codec.decompress(
                     raw, int(np.prod(chunk_shape)) * dtype.itemsize
                 )
             )
@@ -1525,6 +1538,17 @@ def read_zarr_minimal(path: str):
         raise NotImplementedError(
             f"Zarr compressor {comp_id!r}: use the zarr library path"
         )
+    zstd_codec = None
+    if comp_id == "zstd":
+        # resolve once per array, not per chunk
+        from data_pipelines_spark.sources.blosc import _arrow_codec
+
+        zstd_codec = _arrow_codec("zstd")
+        if zstd_codec is None:
+            raise NotImplementedError(
+                "Zarr zstd: pyarrow build without zstd — use the "
+                "zarr library path"
+            )
 
     shape, chunks = meta["shape"], meta["chunks"]
     dtype = np.dtype(meta["dtype"])
@@ -1548,16 +1572,8 @@ def read_zarr_minimal(path: str):
         elif comp_id == "zstd":
             # numcodecs Zstd: one standard zstd frame per chunk; v2
             # chunks are always full-size so the length is known
-            from data_pipelines_spark.sources.blosc import _arrow_codec
-
-            codec = _arrow_codec("zstd")
-            if codec is None:
-                raise NotImplementedError(
-                    "Zarr zstd: pyarrow build without zstd — use the "
-                    "zarr library path"
-                )
             raw = bytes(
-                codec.decompress(
+                zstd_codec.decompress(
                     raw, int(np.prod(chunks)) * dtype.itemsize
                 )
             )

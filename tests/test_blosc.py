@@ -129,23 +129,34 @@ def test_blosc_memcpy_and_gates():
 
 
 def test_bitshuffle_pinned_wire_vectors():
-    """Hand-computed from the bitshuffle reference semantics: transpose
-    the (nelem, typesize*8) bit matrix, MSB-first within each byte;
-    only the largest multiple-of-8 element count shuffles, trailing
-    bytes copy verbatim (c-blosc's wrapper behavior)."""
+    """Hand-evaluated against the bitshuffle scalar kernel
+    (TRANS_BIT_8X8 on a little-endian load + ``out[k]=x; x>>=8``):
+    LSB-first on both axes — the bit-0 plane comes FIRST, and element
+    j maps to bit j of its plane byte. Only the largest multiple-of-8
+    element count shuffles; trailing bytes copy verbatim (c-blosc's
+    wrapper behavior)."""
     from data_pipelines_spark.sources.blosc import (
         _bit_unshuffle_bytes,
         _bitshuffle_bytes,
     )
 
-    # typesize=1: eight 0x01 bytes -> planes 0-6 empty, plane 7 (LSB) full
-    assert _bitshuffle_bytes(b"\x01" * 8, 1) == b"\x00" * 7 + b"\xff"
+    # typesize=1: eight 0x01 bytes (bit 0 set) -> plane 0 full, rest 0
+    assert _bitshuffle_bytes(b"\x01" * 8, 1) == b"\xff" + b"\x00" * 7
+    # element j -> bit j of the plane byte (kernel single-element test:
+    # only element 3 set -> plane-0 byte 0x08)
+    assert _bitshuffle_bytes(
+        b"\x00\x00\x00\x01\x00\x00\x00\x00", 1
+    ) == b"\x08" + b"\x00" * 7
     # typesize=2: eight <u2 values of 1 (bytes 01 00) -> 16 planes,
-    # only plane 7 (LSB of byte 0) is set
+    # byte-major then bit: plane (byte0, bit0) FIRST is full
     assert (
         _bitshuffle_bytes(b"\x01\x00" * 8, 2)
-        == b"\x00" * 7 + b"\xff" + b"\x00" * 8
+        == b"\xff" + b"\x00" * 15
     )
+    # 16 elements, typesize=1: each bit plane is nelem/8 = 2 contiguous
+    # bytes (plane-contiguous layout, not per-8-element interleave)
+    data16 = b"\x01" * 16
+    assert _bitshuffle_bytes(data16, 1) == b"\xff\xff" + b"\x00" * 14
     # trailing non-multiple-of-8 elements are copied verbatim
     data = b"\x01" * 8 + b"\xab\xcd\xef\x99"
     got = _bitshuffle_bytes(data, 1)
