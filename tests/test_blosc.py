@@ -166,6 +166,66 @@ def test_bitshuffle_pinned_wire_vectors():
     assert _bitshuffle_bytes(b"\x12\x34", 1) == b"\x12\x34"
 
 
+def test_bitshuffle_matches_scalar_kernel():
+    """Differential against an INDEPENDENT scalar implementation of the
+    bitshuffle kernel, transcribed from its public definition: per
+    8-byte group, the Hacker's-Delight TRANS_BIT_8X8 mask transform on
+    a little-endian load, emitted low-byte-first (bshuf_trans_bit_byte),
+    composed with the byte-plane transpose (bshuf_trans_byte_elem) and
+    the (bit-row, byte) regrouping (bshuf_trans_bitrow_eight) so each
+    bit plane is contiguous, byte-major. Pins the wire convention
+    mechanically — a same-way inversion in both numpy directions would
+    round-trip but fail here."""
+    from data_pipelines_spark.sources.blosc import _bitshuffle_bytes
+
+    def trans_bit_8x8(x):
+        t = (x ^ (x >> 7)) & 0x00AA00AA00AA00AA
+        x = x ^ t ^ ((t << 7) & 0xFFFFFFFFFFFFFFFF)
+        t = (x ^ (x >> 14)) & 0x0000CCCC0000CCCC
+        x = x ^ t ^ ((t << 14) & 0xFFFFFFFFFFFFFFFF)
+        t = (x ^ (x >> 28)) & 0x00000000F0F0F0F0
+        x = x ^ t ^ ((t << 28) & 0xFFFFFFFFFFFFFFFF)
+        return x & 0xFFFFFFFFFFFFFFFF
+
+    def scalar_bitshuffle(data: bytes, typesize: int) -> bytes:
+        nelem = (len(data) // typesize) & ~7
+        cut = nelem * typesize
+        if cut == 0:
+            return data
+        # trans_byte_elem: byte-plane transpose
+        planes = bytearray(cut)
+        for e in range(nelem):
+            for b in range(typesize):
+                planes[b * nelem + e] = data[e * typesize + b]
+        # trans_bit_byte: per 8-byte group, bit transpose, low byte out
+        # first (group g, bit k) -> index k*ngroups + g
+        ngroups = cut // 8
+        bitbytes = bytearray(cut)
+        for g in range(ngroups):
+            x = int.from_bytes(planes[g * 8 : g * 8 + 8], "little")
+            x = trans_bit_8x8(x)
+            for k in range(8):
+                bitbytes[k * ngroups + g] = (x >> (8 * k)) & 0xFF
+        # trans_bitrow_eight: regroup (k, b, m) -> (b, k, m) with
+        # m-runs of nelem//8 bytes, so planes are contiguous byte-major
+        run = nelem // 8
+        out = bytearray(cut)
+        for k in range(8):
+            for b in range(typesize):
+                src = (k * typesize + b) * run
+                dst = (b * 8 + k) * run
+                out[dst : dst + run] = bitbytes[src : src + run]
+        return bytes(out) + data[cut:]
+
+    rng = np.random.default_rng(41)
+    for typesize in (1, 2, 4, 8):
+        for nbytes in (typesize * 8, typesize * 16, 256, 1027):
+            data = bytes(rng.integers(0, 256, nbytes, dtype=np.uint8))
+            assert _bitshuffle_bytes(data, typesize) == scalar_bitshuffle(
+                data, typesize
+            ), (typesize, nbytes)
+
+
 def test_bitshuffle_round_trips():
     from data_pipelines_spark.sources.blosc import (
         _bit_unshuffle_bytes,
