@@ -240,7 +240,12 @@ def read_grib1_minimal(path: str):
     """
     with open(path, "rb") as f:
         data = f.read()
+    return parse_grib1_bytes(data)
 
+
+def parse_grib1_bytes(data: bytes):
+    """GRIB1 message decode from in-memory bytes (see
+    :func:`parse_grib2_bytes` for why this is exposed)."""
     out = []
     pos = 0
     while pos < len(data):
@@ -363,7 +368,15 @@ def read_grib2_minimal(path: str):
     """
     with open(path, "rb") as f:
         data = f.read()
+    return parse_grib2_bytes(data)
 
+
+def parse_grib2_bytes(data: bytes):
+    """GRIB2 message decode from in-memory bytes — the per-message
+    kernel `read_grib2_minimal` wraps, exposed so selective readers
+    (`sources.gribidx.read_grib_selective`) can decode exactly the
+    byte ranges an .idx file names without touching the rest of the
+    file."""
     out = []
     pos = 0
     while pos < len(data):

@@ -177,6 +177,14 @@ _RASTER_SQL = """
     FROM buckets, range(0, 2) mm(m)
     WHERE NOT (m = 0 AND (i = 11 OR i BETWEEN 14 AND 27))
     UNION ALL
+    -- grib_idx: members 1 and 3 of a FOUR-member file, chosen via the
+    -- .idx sidecar's ENS= field and range-read selectively — the kept
+    -- members' values restated directly
+    SELECT 'grib_idx', COUNT(*), CAST(SUM(val + 11 * m) AS BIGINT),
+           ROUND(SUM((val + 11 * m) * lon + m * lat), 6)
+    FROM buckets, range(0, 4) mm(m)
+    WHERE m IN (1, 3)
+    UNION ALL
     SELECT 'tiff_f', COUNT(*), CAST(SUM(val + 0.25) AS BIGINT),
            ROUND(SUM((val + 0.25) * lon), 6)
     FROM buckets
@@ -250,6 +258,12 @@ def raster_roundtrip(spark, sf_dir):
     - ``tiff_f``: the +0.25-shifted grid as float32 behind
       PREDICTOR=3 (the TechNote-3 floating-point predictor:
       byte-plane split + byte differencing) over DEFLATE tiles.
+    - ``grib_idx`` (r10): a FOUR-member file read SELECTIVELY through
+      its wgrib2-style ``.idx`` sidecar (`sources/gribidx.py`) —
+      members 1 and 3 chosen from the idx's ``ENS=`` field and
+      byte-range seek+decoded; the hash certifies the idx offsets,
+      the range reads, and that unselected members never surface
+      (the NOMADS fetch-a-slice-of-a-multi-GB-archive shape).
 
     ``pos_weighted`` multiplies every value by its coordinate (and
     member by latitude), so a transposed axis, flipped scan order, or
@@ -405,6 +419,34 @@ def raster_roundtrip(spark, sf_dir):
                 )
             )
 
+        # grib_idx tier (r10): a FOUR-member file with a wgrib2-style
+        # .idx sidecar; members 1 and 3 are chosen from the idx's ENS=
+        # field and range-read selectively (sources/gribidx.py) — the
+        # NOMADS fetch-two-members-of-a-multi-GB-file shape. The hash
+        # certifies the idx offsets, the byte-range seek+decode, and
+        # that unselected members never surface.
+        from data_pipelines_spark.sources.gribidx import (
+            build_grib_index,
+            read_grib_selective,
+        )
+
+        grib_idx = os.path.join(tmp, "g_idx.grib2")
+        with open(grib_idx, "wb") as f:
+            f.write(
+                encode_grib2(
+                    [(m, vals + 11.0 * m) for m in range(4)],
+                    lat0=50.0, lon0=10.0, dlat=0.5, dlon=0.25, nbits=12,
+                )
+            )
+        with open(grib_idx + ".idx", "w") as f:
+            f.write(build_grib_index(grib_idx))
+        # localCheckpoint: unlike the grid readers (which materialize
+        # via pandas at construction), the selective read is lazy —
+        # eager-checkpoint it while the temp files still exist
+        grib_idx_df = read_grib_selective(
+            spark, [grib_idx], select=lambda e: e["member"] in (1, 3)
+        ).localCheckpoint(eager=True)
+
         tif_f = os.path.join(tmp, "g_f.tif")
         with open(tif_f, "wb") as f:
             f.write(
@@ -470,6 +512,9 @@ def raster_roundtrip(spark, sf_dir):
                                                  value_var="val"),
                               "grib_mvm", "val", "latitude", "longitude",
                               member_col="number"))
+            .unionByName(norm(grib_idx_df,
+                              "grib_idx", "value", "latitude", "longitude",
+                              member_col="member"))
             .unionByName(norm(read_geotiff(spark, tif_f, value_col="val"),
                               "tiff_f", "val", "y", "x"))
             .unionByName(norm(read_geotiff(spark, tif, value_col="val",
