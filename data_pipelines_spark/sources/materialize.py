@@ -85,12 +85,17 @@ def upsert_partitioned(
     rewrite cost.
 
     ``format`` is the table-format seam: ``"parquet"`` (default, tested
-    here) runs the read-merge-overwrite dataflow above; ``"delta"``
-    delegates to Delta Lake's transactional ``MERGE`` when the
-    ``delta-spark`` package is on the classpath (ImportError with a
-    pointer otherwise — no hard dependency). Transactionality,
-    concurrent-writer serialization, and key migration are then the
-    format's contract rather than this module's caveats.
+    here) runs the read-merge-overwrite dataflow above; ``"txn"``
+    delegates to the native transactional table format
+    (`sources/txlog.py`: atomic commits, snapshot isolation, time
+    travel, stats-pruned rewrite — live and fully tested in this
+    environment); ``"delta"`` delegates to Delta Lake's transactional
+    ``MERGE`` when the ``delta-spark`` package is on the classpath
+    (ImportError with a pointer otherwise — no hard dependency).
+    Under ``"txn"``/``"delta"`` transactionality, concurrent-writer
+    serialization, and key migration are the format's contract rather
+    than this module's caveats; ``"txn"`` tables read back via
+    ``txlog.read_table``, not a bare parquet scan.
 
     ``evolve_schema=True`` accepts update batches whose column set
     differs from the stored table (Delta's ``mergeSchema`` shape):
@@ -110,9 +115,31 @@ def upsert_partitioned(
     if format == "delta":
         _upsert_delta(spark, updates, path, keys, version_col)
         return
+    if format == "txn":
+        # The native transactional backend (sources/txlog.py): atomic
+        # commit, snapshot isolation, stats-pruned file rewrite —
+        # the same MERGE contract, with the table format's guarantees
+        # replacing this module's raw-parquet caveats. Key-clustered
+        # instead of hive-partitioned: footer-stats skipping subsumes
+        # dir pruning and also covers non-partition predicates.
+        from data_pipelines_spark.sources import txlog
+
+        if not txlog.table_exists(path):
+            if parts and updates.isEmpty():
+                return  # same empty-bootstrap contract as parquet
+            txlog.create_table(
+                spark, updates, path, key_cols=keys,
+                cluster_by=list(parts) + keys,
+            )
+            return
+        txlog.merge_upsert(
+            spark, updates, path, key_cols=keys,
+            version_col=version_col, evolve_schema=evolve_schema,
+        )
+        return
     if format != "parquet":
         raise ValueError(
-            f"unsupported format '{format}' (supported: parquet, delta)"
+            f"unsupported format '{format}' (supported: parquet, txn, delta)"
         )
     if not dataset_exists(spark, path):
         # Bootstrapping a PARTITIONED dataset from an empty batch would

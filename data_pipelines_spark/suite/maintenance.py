@@ -733,6 +733,41 @@ def upsert_readback(spark, sf_dir):
             F.col("ver").cast("long").alias("ver"),
             opt["note"].alias("note"),
         )
+        # Transactional-format leg (sources/txlog.py): the SAME
+        # lifecycle through the native commit-log backend — create(base)
+        # → versioned merge(upd) → evolving merge(ev) → compact — must
+        # reproduce the parquet path's content exactly, checked by
+        # symmetric exceptAll so any txlog divergence (merge semantics,
+        # snapshot resolution, schema evolution, compaction) fails this
+        # entry loudly even though the returned rows come from the
+        # parquet path. Time travel is pinned too: version 0 must still
+        # read back exactly the base batch's row count.
+        from data_pipelines_spark.sources import txlog
+
+        tx_path = os.path.join(d, "txn")
+        txlog.create_table(spark, base, tx_path, key_cols=["k"], num_files=4)
+        txlog.merge_upsert(spark, upd, tx_path, version_col="ver")
+        txlog.merge_upsert(
+            spark, ev, tx_path, version_col="ver", evolve_schema=True
+        )
+        txlog.compact_table(spark, tx_path, target_file_rows=1_000_000)
+        tx = txlog.read_table(spark, tx_path).select(
+            F.col("k").cast("long").alias("k"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("status").alias("status"),
+            F.col("price").cast("double").alias("price"),
+            F.col("ver").cast("long").alias("ver"),
+            F.col("note").alias("note"),
+        )
+        if (
+            tx.exceptAll(readback).limit(1).count()
+            or readback.exceptAll(tx).limit(1).count()
+        ):
+            raise RuntimeError(
+                "txlog MERGE lifecycle diverged from the parquet path"
+            )
+        if txlog.read_table(spark, tx_path, version=0).count() != base.count():
+            raise RuntimeError("txlog time-travel read lost the v0 snapshot")
         # Final leg: the same rows through the BUCKETED-table layout
         # (S-tier storage feature, sources/bucketed.py) — written as an
         # 8-bucket external table and read back via the catalog, so a

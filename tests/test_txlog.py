@@ -1,0 +1,374 @@
+"""Transactional table format (`sources/txlog.py`): commit protocol,
+snapshot isolation + time travel, stats-pruned MERGE/DELETE (files the
+batch cannot touch are carried forward by reference), optimistic
+concurrency under real thread races, checkpoint-bounded log replay,
+compaction, vacuum. The MERGE semantics are additionally pinned
+equivalent to `materialize.upsert_partitioned` on the same batches."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.sources import txlog
+from data_pipelines_spark.sources.txlog import (
+    ConcurrentWriteError,
+    append_table,
+    compact_table,
+    create_table,
+    delete_where,
+    merge_upsert,
+    overwrite_table,
+    read_table,
+    table_history,
+    table_version,
+    vacuum_table,
+)
+
+
+def _df(spark, rows, schema="k long, v string"):
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def _content(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def _live_files(path, version=None):
+    state = txlog._load_state(path, version)
+    return state.files
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = _df(spark, [(i, f"v{i}") for i in range(100)])
+    create_table(spark, base, path, key_cols=["k"], num_files=4)
+    return path
+
+
+def test_create_read_round_trip(spark, table):
+    out = read_table(spark, table)
+    assert _content(out) == [(i, f"v{i}") for i in range(100)]
+    assert table_version(table) == 0
+    hist = table_history(table)
+    assert hist[0]["op"] == "create"
+    assert hist[0]["rows_added"] == 100
+    # key-clustered create: 4 files with tight, disjoint k ranges
+    assert hist[0]["files_added"] == 4
+
+
+def test_create_refuses_existing(spark, table):
+    with pytest.raises(FileExistsError):
+        create_table(spark, _df(spark, [(1, "x")]), table, key_cols=["k"])
+
+
+def test_append_and_time_travel(spark, table):
+    append_table(spark, _df(spark, [(100, "v100"), (101, "v101")], ), table)
+    assert table_version(table) == 1
+    assert len(_content(read_table(spark, table))) == 102
+    # snapshot at version 0 is unchanged
+    assert _content(read_table(spark, table, version=0)) == [
+        (i, f"v{i}") for i in range(100)
+    ]
+
+
+def test_merge_semantics_and_pruning(spark, table):
+    files_before = set(_live_files(table))
+    # batch touches only keys 0..9: on a 4-file range-clustered table
+    # exactly one file overlaps
+    upd = _df(spark, [(k, f"new{k}") for k in range(5)] + [(200, "ins")])
+    report = merge_upsert(spark, upd, table)
+    # range boundaries are sample-placed, so allow 1-2 overlapping files
+    # — the point is that MOST of the table is provably skipped
+    assert report["files_rewritten"] <= 2
+    assert report["files_skipped"] >= 2
+    assert report["files_rewritten"] + report["files_skipped"] == 4
+    out = dict(_content(read_table(spark, table)))
+    for k in range(5):
+        assert out[k] == f"new{k}"
+    for k in range(5, 100):
+        assert out[k] == f"v{k}"
+    assert out[200] == "ins"
+    # the skipped files are carried forward by reference: identical
+    # relpaths live before and after
+    files_after = set(_live_files(table))
+    assert len(files_before & files_after) == report["files_skipped"]
+
+
+def test_merge_versioned_and_null_keys(spark, table):
+    # stored rows have no version column -> build a fresh table with one
+    path = table + "_ver"
+    base = _df(
+        spark,
+        [(1, "a", 5), (2, "b", 5), (None, "nullk", 5)],
+        "k long, v string, ver long",
+    )
+    create_table(spark, base, path, key_cols=["k"], num_files=1)
+    upd = _df(
+        spark,
+        [(1, "newer", 7), (2, "stale", 3), (None, "nullk2", 9)],
+        "k long, v string, ver long",
+    )
+    merge_upsert(spark, upd, path, version_col="ver")
+    got = set(_content(read_table(spark, path)))
+    # newer wins, stale loses, NULL keys never match: both survive
+    assert got == {
+        (1, "newer", 7), (2, "b", 5), (None, "nullk", 5), (None, "nullk2", 9)
+    }
+
+
+def test_merge_equivalent_to_upsert_partitioned(spark, tmp_path):
+    """Same batches through txlog merge and materialize's MERGE -> same
+    content (the two implementations pin each other)."""
+    from data_pipelines_spark.sources.materialize import upsert_partitioned
+
+    base = _df(
+        spark,
+        [(i, f"b{i}", 1) for i in range(50)],
+        "k long, v string, ver long",
+    )
+    upd = _df(
+        spark,
+        [(i, f"u{i}", 2) for i in range(0, 20)]
+        + [(i, f"stale{i}", 0) for i in range(20, 30)]
+        + [(i, f"n{i}", 1) for i in range(50, 60)],
+        "k long, v string, ver long",
+    )
+    tx = str(tmp_path / "tx")
+    create_table(spark, base, tx, key_cols=["k"], num_files=2)
+    merge_upsert(spark, upd, tx, version_col="ver")
+
+    plain = str(tmp_path / "plain")
+    upsert_partitioned(spark, base, plain, ["k"], version_col="ver")
+    upsert_partitioned(spark, upd, plain, ["k"], version_col="ver")
+
+    assert _content(read_table(spark, tx)) == _content(
+        spark.read.parquet(plain)
+    )
+
+
+def test_merge_empty_and_all_null_batch_touches_nothing(spark, table):
+    files_before = set(_live_files(table))
+    report = merge_upsert(
+        spark, _df(spark, [], "k long, v string"), table
+    )
+    assert report["files_rewritten"] == 0
+    report = merge_upsert(
+        spark, _df(spark, [(None, "nk")], "k long, v string"), table
+    )
+    assert report["files_rewritten"] == 0
+    assert files_before <= set(_live_files(table))
+    out = _content(read_table(spark, table))
+    assert (None, "nk") in out and len(out) == 101
+
+
+def test_merge_evolve_schema(spark, table):
+    ev = _df(spark, [(1, "evolved", "extra")], "k long, v string, note string")
+    merge_upsert(spark, ev, table, evolve_schema=True)
+    out = read_table(spark, table)
+    assert set(out.columns) == {"k", "v", "note"}
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[1]["note"] == "extra" and rows[2]["note"] is None
+    # old snapshot still reads with its own schema
+    assert set(read_table(spark, table, version=0).columns) == {"k", "v"}
+
+
+def test_read_bounds_zonemap_prunes_files(spark, table):
+    # bounds inside one range-cluster: only that file should be read
+    state = txlog._load_state(table)
+    pruned = [
+        e for e in state.files.values()
+        if not txlog._file_disjoint(e, {"k": (10, 12)})
+    ]
+    assert len(pruned) < 4  # stats genuinely skip files
+    out = read_table(spark, table, bounds={"k": (10, 12)})
+    assert _content(out) == [(10, "v10"), (11, "v11"), (12, "v12")]
+    # and the scan's file list is the pruned one, not all four
+    files_read = {os.path.basename(f) for f in out.inputFiles()}
+    assert files_read == {os.path.basename(e["path"]) for e in pruned}
+
+
+def test_delete_where_prunes_and_drops_empty_files(spark, table):
+    report = delete_where(
+        spark, table, F.col("k") < 25, bounds={"k": (0, 24)}
+    )
+    assert report["files_skipped"] >= 2
+    assert report["rows_deleted"] == 25
+    out = _content(read_table(spark, table))
+    assert len(out) == 75 and out[0] == (25, "v25")
+    # the rewritten file kept 0..24's file's survivors; deleting ALL
+    # remaining rows of a file removes it without an add
+    report2 = delete_where(spark, table, F.lit(True))
+    assert report2["rows_deleted"] == 75
+    assert _content(read_table(spark, table)) == []
+    # schema survives an empty table
+    assert read_table(spark, table).columns == ["k", "v"]
+
+
+def test_overwrite_atomic_replace(spark, table):
+    overwrite_table(spark, _df(spark, [(7, "only")]), table)
+    assert _content(read_table(spark, table)) == [(7, "only")]
+    assert len(_content(read_table(spark, table, version=0))) == 100
+
+
+def test_concurrent_appends_no_lost_update(spark, table):
+    """Two threads race blind appends: both must commit, all rows land."""
+    errs = []
+
+    def work(tag):
+        try:
+            append_table(
+                spark, _df(spark, [(1000 + tag, f"t{tag}")]), table
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert table_version(table) == 4
+    out = dict(_content(read_table(spark, table)))
+    for i in range(4):
+        assert out[1000 + i] == f"t{i}"
+
+
+def test_merge_retries_after_conflicting_append(spark, table):
+    """A commit that lands between a merge's snapshot and its commit
+    forces the merge to re-run from the new snapshot — the late append's
+    rows must survive the merge (no lost update)."""
+    orig = txlog._write_data_files
+    fired = {"done": False}
+
+    def sabotage(spark_, df, path, *args, **kwargs):
+        result = orig(spark_, df, path, *args, **kwargs)
+        if not fired["done"]:
+            fired["done"] = True
+            # sneak a commit in AFTER the merge wrote its files but
+            # BEFORE it commits: claims the next version
+            append_table(spark_, _df(spark_, [(999, "race")]), path)
+        return result
+
+    txlog._write_data_files = sabotage
+    try:
+        merge_upsert(spark, _df(spark, [(0, "merged")]), table)
+    finally:
+        txlog._write_data_files = orig
+    out = dict(_content(read_table(spark, table)))
+    assert out[0] == "merged"
+    assert out[999] == "race"
+    ops = [h["op"] for h in table_history(table)]
+    assert ops == ["create", "append", "merge"]
+
+
+def test_conflict_exhaustion_raises(spark, table):
+    next_v = table_version(table) + 1
+    blocker = os.path.join(
+        table, "_txlog", txlog._fmt_version(next_v) + ".json"
+    )
+
+    def always_block(path, snapshot_version, *a, **kw):
+        raise txlog._Conflict()
+
+    orig = txlog._commit_rmw
+    txlog._commit_rmw = always_block
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            merge_upsert(
+                spark, _df(spark, [(0, "x")]), table, max_retries=1
+            )
+    finally:
+        txlog._commit_rmw = orig
+    assert not os.path.exists(blocker)
+
+
+def test_checkpoint_bounds_log_replay(spark, table):
+    for i in range(12):
+        append_table(spark, _df(spark, [(500 + i, f"a{i}")]), table)
+    log_dir = os.path.join(table, "_txlog")
+    cps = [n for n in os.listdir(log_dir) if n.endswith(".checkpoint.json")]
+    assert cps == [txlog._fmt_version(10) + ".checkpoint.json"]
+    with open(os.path.join(log_dir, cps[0])) as fh:
+        payload = json.load(fh)
+    assert payload["version"] == 10
+    # the checkpoint is genuinely used: delete every pre-checkpoint
+    # commit file and the latest read still reconstructs fully
+    for v in range(0, 10):
+        os.unlink(os.path.join(log_dir, txlog._fmt_version(v) + ".json"))
+    out = _content(read_table(spark, table))
+    assert len(out) == 112
+    # a version below the (now vacuumed) checkpoint fails loudly
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, table, version=5)
+
+
+def test_compact_preserves_content_and_snapshots(spark, table):
+    for i in range(5):
+        append_table(spark, _df(spark, [(300 + i, f"c{i}")]), table)
+    before = _content(read_table(spark, table))
+    n_before = len(_live_files(table))
+    report = compact_table(spark, table, target_file_rows=10_000)
+    assert report["files_after"] < n_before
+    assert _content(read_table(spark, table)) == before
+    # pre-compaction snapshot still readable (old files not deleted)
+    assert len(_content(read_table(spark, table, version=2))) == 102
+
+
+def test_vacuum_removes_unreferenced_and_breaks_old_reads_loudly(
+    spark, table
+):
+    overwrite_table(spark, _df(spark, [(1, "new")]), table)
+    compact_table(spark, table, target_file_rows=10_000)
+    removed = vacuum_table(table, retain_versions=1)
+    assert removed >= 4  # the 4 create files at least
+    assert _content(read_table(spark, table)) == [(1, "new")]
+    with pytest.raises(Exception):
+        read_table(spark, table, version=0).collect()
+
+
+def test_object_store_scheme_raises(spark):
+    with pytest.raises(NotImplementedError):
+        txlog._local("s3a://bucket/tbl")
+
+
+def test_upsert_partitioned_txn_seam(spark, tmp_path):
+    """`materialize.upsert_partitioned(format='txn')` bootstraps and
+    merges through the transactional backend with identical content to
+    the parquet path on the same batches."""
+    from data_pipelines_spark.sources.materialize import upsert_partitioned
+
+    base = _df(spark, [(i, f"b{i}", 1) for i in range(30)],
+               "k long, v string, ver long")
+    upd = _df(spark, [(5, "u5", 2), (40, "n40", 1)],
+              "k long, v string, ver long")
+    tx = str(tmp_path / "txn_seam")
+    upsert_partitioned(spark, base, tx, ["k"], version_col="ver", format="txn")
+    upsert_partitioned(spark, upd, tx, ["k"], version_col="ver", format="txn")
+    plain = str(tmp_path / "plain_seam")
+    upsert_partitioned(spark, base, plain, ["k"], version_col="ver")
+    upsert_partitioned(spark, upd, plain, ["k"], version_col="ver")
+    assert _content(read_table(spark, tx)) == _content(
+        spark.read.parquet(plain)
+    )
+    assert table_version(tx) == 1
+
+
+def test_empty_table_create_and_read(spark, tmp_path):
+    path = str(tmp_path / "empty")
+    create_table(
+        spark, _df(spark, [], "k long, v string"), path, key_cols=["k"]
+    )
+    out = read_table(spark, path)
+    assert out.columns == ["k", "v"] and out.count() == 0
+    merge_upsert(spark, _df(spark, [(1, "first")]), path)
+    assert _content(read_table(spark, path)) == [(1, "first")]
