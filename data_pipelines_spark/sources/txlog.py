@@ -186,6 +186,7 @@ class Snapshot:
     version: int
     meta: dict
     files: dict[str, dict] = field(default_factory=dict)  # relpath -> add entry
+    txns: dict[str, int] = field(default_factory=dict)  # app id -> max batch
 
 
 def _read_actions(path: str, version: int) -> list[dict]:
@@ -214,6 +215,7 @@ def _load_state(path: str, version: int | None = None) -> Snapshot:
             payload = json.load(fh)
         state.meta = payload["meta"]
         state.files = {e["path"]: e for e in payload["files"]}
+        state.txns = dict(payload.get("txns", {}))
         start = cp + 1
     for v in range(start, target + 1):
         if v not in commits:
@@ -229,6 +231,9 @@ def _load_state(path: str, version: int | None = None) -> Snapshot:
                 state.files[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 state.files.pop(action["remove"]["path"], None)
+            elif "txn" in action:
+                app, batch = action["txn"]["app"], action["txn"]["batch"]
+                state.txns[app] = max(state.txns.get(app, batch), batch)
     return state
 
 
@@ -240,6 +245,7 @@ def _maybe_checkpoint(path: str, version: int) -> None:
         "version": version,
         "meta": state.meta,
         "files": sorted(state.files.values(), key=lambda e: e["path"]),
+        "txns": state.txns,
     }
     d = _log_dir(path)
     final = os.path.join(d, _fmt_version(version) + ".checkpoint.json")
@@ -581,6 +587,14 @@ def table_history(path: str) -> list[dict]:
     return out
 
 
+def last_committed_batch(path: str, app: str) -> int | None:
+    """Highest ``txn`` batch id committed for ``app`` (None if never).
+    The idempotent-writes primitive: a restarted streaming query asks
+    this before re-applying a replayed micro-batch."""
+    state = _load_state(path)
+    return state.txns.get(app)
+
+
 def _commit_rmw(
     path: str,
     snapshot_version: int,
@@ -588,6 +602,7 @@ def _commit_rmw(
     adds: list[dict],
     removes: list[str],
     meta: dict | None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit a read-modify-write txn: only valid as version
     snapshot_version + 1 — anything newer means a concurrent commit
@@ -597,6 +612,8 @@ def _commit_rmw(
     if meta is not None:
         lines.append({"meta": meta})
     lines.append({"commit": {"op": op}})
+    if txn is not None:
+        lines.append({"txn": {"app": txn[0], "batch": txn[1]}})
     lines += [{"remove": {"path": rel}} for rel in sorted(removes)]
     lines += [{"add": e} for e in adds]
     try:
@@ -613,15 +630,29 @@ def append_table(
     path: str,
     num_files: int | None = None,
     max_retries: int = 20,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Blind append: writes once, then retries only the version bump on
-    commit races (an append conflicts with nothing)."""
+    commit races (an append conflicts with nothing).
+
+    ``txn=(app_id, batch_id)`` makes the append IDEMPOTENT per app: if
+    the table already recorded a batch >= batch_id for app_id, the call
+    is a no-op — the exactly-once-at-rest primitive a restarted
+    Structured Streaming query needs when its checkpoint replays a
+    micro-batch the previous run already committed (the public Delta
+    `txnAppId`/`txnVersion` pattern). Contract: one live writer per
+    app_id (the streaming driver), as in that pattern."""
     state = _load_state(path)
+    if txn is not None and state.txns.get(txn[0], -1) >= txn[1]:
+        return state.version
     adds, staging = _write_data_files(
         spark, df, path, state.meta.get("stat_cols", []),
         state.meta.get("cluster_by", []), num_files,
     )
-    lines = [{"commit": {"op": "append"}}] + [{"add": e} for e in adds]
+    lines: list[dict] = [{"commit": {"op": "append"}}]
+    if txn is not None:
+        lines.append({"txn": {"app": txn[0], "batch": txn[1]}})
+    lines += [{"add": e} for e in adds]
     version = state.version + 1
     for _ in range(max_retries + 1):
         try:
@@ -629,7 +660,14 @@ def append_table(
             _maybe_checkpoint(path, version)
             return version
         except FileExistsError:
-            version = table_version(path) + 1
+            if txn is not None:
+                fresh = _load_state(path)
+                if fresh.txns.get(txn[0], -1) >= txn[1]:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    return fresh.version  # a rival attempt already landed it
+                version = fresh.version + 1
+            else:
+                version = table_version(path) + 1
     shutil.rmtree(staging, ignore_errors=True)
     raise ConcurrentWriteError(
         f"append to {path} lost the commit race {max_retries + 1} times"
@@ -705,10 +743,14 @@ def merge_upsert(
     version_col: str | None = None,
     evolve_schema: bool = False,
     max_retries: int = 5,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Transactional MERGE: replace matched keys, insert the rest,
     rewriting ONLY files whose footer stats overlap the batch's key
     bounds. Returns {"version", "files_rewritten", "files_skipped"}.
+    ``txn=(app_id, batch_id)`` makes the merge idempotent per app (see
+    :func:`append_table`) — here the re-check runs inside the retry
+    loop on a fresh snapshot, so it is race-free even across writers.
 
     On a key-clustered table this is the incremental-maintenance shape
     the reference's daily full rewrite cannot reach: a batch touching
@@ -717,6 +759,13 @@ def merge_upsert(
     identical relpaths in tests)."""
     for _ in range(max_retries + 1):
         state = _load_state(path)
+        if txn is not None and state.txns.get(txn[0], -1) >= txn[1]:
+            return {
+                "version": state.version,
+                "files_rewritten": 0,
+                "files_skipped": len(state.files),
+                "already_committed": True,
+            }
         keys = list(key_cols) if key_cols else list(state.meta.get("key_cols", []))
         if not keys:
             raise ValueError(
@@ -771,7 +820,7 @@ def merge_upsert(
         try:
             version = _commit_rmw(
                 path, state.version, "merge", adds, list(candidates),
-                meta if evolve_schema else None,
+                meta if evolve_schema else None, txn=txn,
             )
             return {
                 "version": version,
