@@ -944,6 +944,119 @@ def compact_table(
     )
 
 
+def _zorder_expr(df: DataFrame, cols: Sequence[str], bits: int) -> Column:
+    """Morton key over N arbitrary NUMERIC/temporal columns: equi-width
+    quantize each to ``bits`` bits over its [min, max] (one tiny agg),
+    then interleave natively — the multi-dimensional generalization of
+    `functions/grid.py::zorder_key` (which fixes the domain to lat/lon).
+    Equi-width is the scale-safe choice (no global rank window); under
+    heavy skew the buckets are uneven and clustering is weaker but
+    never wrong — stats pruning stays sound either way. NULLs sort to
+    bucket 0 (they cluster together, which is what you want)."""
+    n_cols = len(cols)
+    if bits * n_cols > 63:
+        raise ValueError(f"{bits} bits x {n_cols} cols exceeds a long")
+    aggs = []
+    for c in cols:
+        num = F.col(c).cast("double")
+        aggs += [F.min(num).alias(f"lo_{c}"), F.max(num).alias(f"hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    nb = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo is None or hi is None or hi <= lo:
+            continue  # constant / all-NULL column adds no information
+        num = F.col(c).cast("double")
+        q = F.least(
+            F.lit(nb).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((num - F.lit(lo)) / F.lit(hi - lo) * F.lit(nb + 1))
+                .cast("long"),
+            ),
+        )
+        q = F.coalesce(q, F.lit(0).cast("long"))
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q, i).bitwiseAND(F.lit(1).cast("long")),
+                    i * n_cols + j,
+                )
+            )
+    return z
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    zorder_by: Sequence[str],
+    target_file_rows: int = 1_000_000,
+    bits: int | None = None,
+    max_retries: int = 5,
+) -> dict:
+    """Rewrite the table clustered on a multi-column Z-order key, so
+    footer min/max stats prune on EVERY listed column — the layout
+    answer to multi-dimensional predicates that single-column range
+    clustering (and hive dir partitioning) cannot serve. Content is
+    logically unchanged; old snapshots stay readable until vacuum.
+    Future commits keep recording stats for the zorder columns (they
+    join the table's stat_cols)."""
+    cols = list(zorder_by)
+    if not cols:
+        raise ValueError("zorder_by must name at least one column")
+    if bits is None:
+        bits = min(16, 63 // len(cols))
+    for _ in range(max_retries + 1):
+        state = _load_state(path)
+        missing = [
+            c for c in cols
+            if c not in {
+                f["name"]
+                for f in json.loads(state.meta["schema"])["fields"]
+            }
+        ]
+        if missing:
+            raise ValueError(f"zorder columns {missing} not in table schema")
+        root = _local(path)
+        if not state.files:
+            return {"version": state.version, "files_before": 0,
+                    "files_after": 0}
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, rel) for rel in sorted(state.files)]
+        )
+        rows = sum(e["rows"] for e in state.files.values())
+        n = max(1, math.ceil(rows / target_file_rows))
+        keyed = df.withColumn("__z", _zorder_expr(df, cols, bits))
+        shaped = (
+            keyed.repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        meta = dict(state.meta)
+        meta["stat_cols"] = list(
+            dict.fromkeys(list(meta.get("stat_cols", [])) + cols)
+        )
+        adds, staging = _write_data_files(
+            spark, shaped, path, meta["stat_cols"]
+        )
+        try:
+            version = _commit_rmw(
+                path, state.version, "optimize", adds, list(state.files),
+                meta,
+            )
+            return {
+                "version": version,
+                "files_before": len(state.files),
+                "files_after": len(adds),
+            }
+        except _Conflict:
+            shutil.rmtree(staging, ignore_errors=True)
+    raise ConcurrentWriteError(
+        f"optimize of {path} lost the commit race {max_retries + 1} times"
+    )
+
+
 def vacuum_table(path: str, retain_versions: int = 1) -> int:
     """Delete data files referenced by NO retained snapshot (the last
     ``retain_versions`` versions). Trades time travel beyond the

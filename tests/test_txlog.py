@@ -22,6 +22,7 @@ from data_pipelines_spark.sources.txlog import (
     create_table,
     delete_where,
     merge_upsert,
+    optimize_table,
     overwrite_table,
     read_table,
     table_history,
@@ -372,3 +373,46 @@ def test_empty_table_create_and_read(spark, tmp_path):
     assert out.columns == ["k", "v"] and out.count() == 0
     merge_upsert(spark, _df(spark, [(1, "first")]), path)
     assert _content(read_table(spark, path)) == [(1, "first")]
+
+
+def test_optimize_zorder_multidim_pruning(spark, tmp_path):
+    """Z-order optimize makes footer stats prune on BOTH dimensions of
+    a 2-D predicate; a 1-D range-clustered layout can only prune on its
+    cluster column. Content is unchanged and the pre-optimize snapshot
+    stays readable."""
+    path = str(tmp_path / "grid")
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    # x-clustered baseline layout: 16 files of x-ranges
+    create_table(spark, grid, path, key_cols=["x"], num_files=16)
+    before = _content(read_table(spark, path))
+
+    def files_touched(box):
+        out = read_table(spark, path, bounds=box)
+        return len(out.inputFiles()), out
+
+    box = {"x": (8, 15), "y": (8, 15)}  # 64 cells of 4096
+    touched_linear, out = files_touched(box)
+    assert out.count() == 64
+    # a y-only bound prunes NOTHING on the x-clustered layout
+    touched_y_only, _ = files_touched({"y": (8, 15)})
+    assert touched_y_only == 16
+
+    report = optimize_table(
+        spark, path, zorder_by=["x", "y"], target_file_rows=256, bits=6
+    )
+    assert report["files_after"] == 16
+    touched_z, out2 = files_touched(box)
+    assert out2.count() == 64
+    assert _content(read_table(spark, path)) == before
+    # the z-layout localizes the 2-D box into a small file neighborhood
+    assert touched_z <= 4
+    assert touched_z < touched_linear or touched_linear <= 4
+    # y-only bounds now prune too (stats recorded for y after optimize)
+    touched_y_after, _ = files_touched({"y": (8, 15)})
+    assert touched_y_after < 16
+    # pre-optimize snapshot still readable
+    assert len(_content(read_table(spark, path, version=0))) == 4096
