@@ -944,6 +944,88 @@ def compact_table(
     )
 
 
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level change feed between two snapshots (the capability the
+    public Delta Change Data Feed exposes), derived from the log alone:
+    only files that left or joined the live set between the versions
+    are read — physical-only rewrites (compaction, z-order optimize)
+    carry their rows in BOTH sides and cancel in the multiset
+    difference, so they produce no phantom changes.
+
+    Output: the snapshot columns plus ``_change_type`` ∈ ``insert`` /
+    ``delete`` / ``update_pre`` / ``update_post``. Update
+    classification needs ``key_cols`` (stored table keys by default);
+    with no keys available every change reports as insert/delete.
+
+    Scale shape: cost ∝ churned files, not table size — the same
+    pruning economics as the merge that produced the changes. The
+    downstream use is incremental view maintenance: feed the changes to
+    a consumer instead of re-reading the table."""
+    state_to = _load_state(path, to_version)
+    state_from = _load_state(path, from_version)
+    if state_from.version > state_to.version:
+        raise ValueError(
+            f"from_version {state_from.version} is newer than "
+            f"to_version {state_to.version}"
+        )
+    removed = sorted(set(state_from.files) - set(state_to.files))
+    added = sorted(set(state_to.files) - set(state_from.files))
+    root = _local(path)
+
+    def read_side(rels: list[str], meta: dict) -> DataFrame:
+        if not rels:
+            return _empty_frame(spark, meta)
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, rel) for rel in rels]
+        )
+        # align both sides on the TO snapshot's schema so exceptAll
+        # compares like columns even across schema evolution
+        want = StructType.fromJson(json.loads(state_to.meta["schema"]))
+        for fld in want.fields:
+            if fld.name not in df.columns:
+                df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        return df.select(*[f.name for f in want.fields])
+
+    old = read_side(removed, state_to.meta)
+    new = read_side(added, state_to.meta)
+    deletes = old.exceptAll(new)
+    inserts = new.exceptAll(old)
+    keys = list(key_cols) if key_cols is not None else list(
+        state_to.meta.get("key_cols", [])
+    )
+    if not keys:
+        return deletes.withColumn(
+            "_change_type", F.lit("delete")
+        ).unionByName(inserts.withColumn("_change_type", F.lit("insert")))
+    # a key present on both sides is an update (pre/post images);
+    # NULL keys never pair, matching the merge's own semantics
+    upd_keys = (
+        deletes.select(*keys).where(
+            reduce(lambda a, b: a & b, [F.col(k).isNotNull() for k in keys])
+        ).distinct()
+        .join(inserts.select(*keys).distinct(), keys, "inner")
+    )
+    pre = deletes.join(upd_keys, keys, "left_semi").withColumn(
+        "_change_type", F.lit("update_pre")
+    )
+    dele = deletes.join(upd_keys, keys, "left_anti").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    post = inserts.join(upd_keys, keys, "left_semi").withColumn(
+        "_change_type", F.lit("update_post")
+    )
+    ins = inserts.join(upd_keys, keys, "left_anti").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    return pre.unionByName(post).unionByName(ins).unionByName(dele)
+
+
 def _zorder_expr(df: DataFrame, cols: Sequence[str], bits: int) -> Column:
     """Morton key over N arbitrary NUMERIC/temporal columns: equi-width
     quantize each to ``bits`` bits over its [min, max] (one tiny agg),

@@ -416,3 +416,36 @@ def test_optimize_zorder_multidim_pruning(spark, tmp_path):
     assert touched_y_after < 16
     # pre-optimize snapshot still readable
     assert len(_content(read_table(spark, path, version=0))) == 4096
+
+
+def test_table_changes_cdc(spark, table):
+    """Change feed between snapshots: updates classified pre/post by
+    key, inserts/deletes labeled, and physical-only rewrites
+    (compaction/optimize) produce NO phantom changes."""
+    from data_pipelines_spark.sources.txlog import table_changes
+
+    merge_upsert(spark, _df(spark, [(1, "NEW"), (200, "ins")]), table)  # v1
+    delete_where(spark, table, F.col("k") == 50, bounds={"k": (50, 50)})  # v2
+    changes = table_changes(spark, table, 0)
+    by_type = {}
+    for r in changes.collect():
+        by_type.setdefault(r["_change_type"], []).append((r["k"], r["v"]))
+    assert by_type["update_pre"] == [(1, "v1")]
+    assert by_type["update_post"] == [(1, "NEW")]
+    assert by_type["insert"] == [(200, "ins")]
+    assert by_type["delete"] == [(50, "v50")]
+    # the untouched 97 rows appear nowhere in the feed
+    assert changes.count() == 4
+
+    # physical-only rewrite: zero changes
+    v_before = table_version(table)
+    compact_table(spark, table, target_file_rows=10_000)
+    assert table_changes(spark, table, v_before).count() == 0
+
+    # no-key classification: insert/delete only
+    raw = table_changes(spark, table, 0, key_cols=[])
+    kinds = {r["_change_type"] for r in raw.collect()}
+    assert kinds <= {"insert", "delete"}
+    # inverted version order is loud
+    with pytest.raises(ValueError):
+        table_changes(spark, table, table_version(table), 0)
