@@ -645,6 +645,20 @@ def append_table(
     state = _load_state(path)
     if txn is not None and state.txns.get(txn[0], -1) >= txn[1]:
         return state.version
+    want = StructType.fromJson(json.loads(state.meta["schema"]))
+    got = df.schema
+    if {(f.name, f.dataType) for f in got.fields} != {
+        (f.name, f.dataType) for f in want.fields
+    }:
+        # silent drift would mix physical schemas under one column and
+        # corrupt later reads — the strict-by-default append contract
+        # (schema changes go through overwrite/merge evolve_schema)
+        raise ValueError(
+            f"append schema {got.simpleString()} does not match table "
+            f"schema {want.simpleString()} at {path}"
+        )
+    df = df.select(*[f.name for f in want.fields])
+    _enforce_constraints(df, state.meta, f"append to {path}")
     adds, staging = _write_data_files(
         spark, df, path, state.meta.get("stat_cols", []),
         state.meta.get("cluster_by", []), num_files,
@@ -686,6 +700,7 @@ def overwrite_table(
     for _ in range(max_retries + 1):
         state = _load_state(path)
         meta = dict(state.meta, schema=df.schema.json())
+        _enforce_constraints(df, state.meta, f"overwrite of {path}")
         adds, staging = _write_data_files(
             spark, df, path, meta.get("stat_cols", []),
             meta.get("cluster_by", []), num_files,
@@ -808,10 +823,15 @@ def merge_upsert(
                         col, F.lit(None).cast(updates.schema[col].dataType)
                     )
         merged = _merge_frames(existing, updates, keys, version_col, evolve_schema)
-        # No lineage cut needed: the rewrite lands in a FRESH data/
-        # subdir, never the files it read (they stay on disk until
-        # vacuum), so the same-path read-write hazard materialize.py
-        # checkpoints around cannot occur here.
+        # No lineage cut needed for the write itself: the rewrite lands
+        # in a FRESH data/ subdir, never the files it read (they stay
+        # on disk until vacuum), so the same-path read-write hazard
+        # materialize.py checkpoints around cannot occur here. With
+        # CHECK constraints the validation pass is a second action, so
+        # cut lineage once to avoid recomputing the merge.
+        if state.meta.get("constraints"):
+            merged = merged.localCheckpoint(eager=True)
+            _enforce_constraints(merged, state.meta, f"merge into {path}")
         meta = dict(state.meta, schema=merged.schema.json())
         adds, staging = _write_data_files(
             spark, merged, path, meta.get("stat_cols", []),
@@ -941,6 +961,85 @@ def compact_table(
             shutil.rmtree(staging, ignore_errors=True)
     raise ConcurrentWriteError(
         f"compaction of {path} lost the commit race {max_retries + 1} times"
+    )
+
+
+def _enforce_constraints(df: DataFrame, meta: dict, where: str) -> None:
+    """CHECK-constraint validation (SQL semantics: a row violates only
+    when the expression is FALSE — NULL passes). One aggregate job over
+    the rows about to be written, same as the public Delta writers'
+    validation pass; raises naming every violated constraint."""
+    constraints: dict[str, str] = meta.get("constraints") or {}
+    if not constraints:
+        return
+    aggs = [
+        F.min(F.coalesce(F.expr(sql), F.lit(True))).alias(name)
+        for name, sql in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    violated = [n for n in constraints if row[n] is False]
+    if violated:
+        raise ValueError(
+            f"CHECK constraint(s) violated on {where}: "
+            + ", ".join(f"{n} ({constraints[n]})" for n in violated)
+        )
+
+
+def add_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    check_sql: str,
+    max_retries: int = 5,
+) -> int:
+    """Add a named CHECK constraint (a SQL boolean expression over the
+    table's columns). EXISTING rows are validated first — a constraint
+    the current data violates is refused, so a table's constraints are
+    always trustworthy. Every subsequent append/merge/overwrite batch
+    is validated before its commit."""
+    for _ in range(max_retries + 1):
+        state = _load_state(path)
+        meta = dict(state.meta)
+        cons = dict(meta.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists at {path}")
+        cons[name] = check_sql
+        meta["constraints"] = cons
+        _enforce_constraints(
+            read_table(spark, path, version=state.version),
+            {"constraints": {name: check_sql}},
+            f"existing rows of {path}",
+        )
+        try:
+            return _commit_rmw(
+                path, state.version, "add_constraint", [], [], meta
+            )
+        except _Conflict:
+            continue
+    raise ConcurrentWriteError(
+        f"add_constraint on {path} lost the commit race {max_retries + 1} times"
+    )
+
+
+def drop_constraint(
+    spark: SparkSession, path: str, name: str, max_retries: int = 5
+) -> int:
+    for _ in range(max_retries + 1):
+        state = _load_state(path)
+        meta = dict(state.meta)
+        cons = dict(meta.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} at {path}")
+        del cons[name]
+        meta["constraints"] = cons
+        try:
+            return _commit_rmw(
+                path, state.version, "drop_constraint", [], [], meta
+            )
+        except _Conflict:
+            continue
+    raise ConcurrentWriteError(
+        f"drop_constraint on {path} lost the commit race {max_retries + 1} times"
     )
 
 
@@ -1143,7 +1242,14 @@ def vacuum_table(path: str, retain_versions: int = 1) -> int:
     """Delete data files referenced by NO retained snapshot (the last
     ``retain_versions`` versions). Trades time travel beyond the
     retained window for space; a read of a vacuumed version fails
-    loudly on its missing file. Returns files removed."""
+    loudly on its missing file (never silently partial). Writers are
+    safe by construction — an RMW transaction that loses the commit
+    race re-runs from a FRESH snapshot, and the latest version is
+    always retained — but a long-running READER pinned to an old
+    version can fail mid-query if vacuum removes its files: size
+    ``retain_versions`` to cover the longest reader, the version-count
+    analog of Delta's time-based retention window. Returns files
+    removed."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     latest = table_version(path)

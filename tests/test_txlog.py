@@ -449,3 +449,53 @@ def test_table_changes_cdc(spark, table):
     # inverted version order is loud
     with pytest.raises(ValueError):
         table_changes(spark, table, table_version(table), 0)
+
+
+def test_append_rejects_schema_drift(spark, table):
+    with pytest.raises(ValueError, match="does not match table schema"):
+        append_table(
+            spark, _df(spark, [(1, 2)], "k long, v long"), table
+        )
+    # column ORDER is not drift — names+types match, append reorders
+    append_table(
+        spark,
+        spark.createDataFrame([("re", 300)], "v string, k long"),
+        table,
+    )
+    assert dict(_content(read_table(spark, table)))[300] == "re"
+
+
+def test_check_constraints(spark, table):
+    """CHECK constraints: validated against existing data on add,
+    enforced on append/merge/overwrite, NULL passes (SQL semantics),
+    droppable."""
+    from data_pipelines_spark.sources.txlog import (
+        add_constraint,
+        drop_constraint,
+    )
+
+    # existing data violates -> refused, nothing committed
+    with pytest.raises(ValueError, match="existing rows"):
+        add_constraint(spark, table, "k_small", "k < 50")
+    add_constraint(spark, table, "k_nonneg", "k >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        add_constraint(spark, table, "k_nonneg", "k >= 0")
+
+    with pytest.raises(ValueError, match="k_nonneg"):
+        append_table(spark, _df(spark, [(-1, "bad")]), table)
+    with pytest.raises(ValueError, match="k_nonneg"):
+        merge_upsert(spark, _df(spark, [(5, "ok"), (-2, "bad")]), table)
+    with pytest.raises(ValueError, match="k_nonneg"):
+        overwrite_table(spark, _df(spark, [(-3, "bad")]), table)
+    # failed writes committed nothing
+    assert len(_content(read_table(spark, table))) == 100
+
+    # NULL passes a CHECK (SQL semantics); valid writes proceed
+    append_table(spark, _df(spark, [(None, "nullk")]), table)
+    merge_upsert(spark, _df(spark, [(1, "upd")]), table)
+    assert dict(_content(read_table(spark, table)))[1] == "upd"
+
+    drop_constraint(spark, table, "k_nonneg")
+    append_table(spark, _df(spark, [(-9, "now ok")]), table)
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_constraint(spark, table, "k_nonneg")
