@@ -127,11 +127,17 @@ def upsert_partitioned(
         if not txlog.table_exists(path):
             if parts and updates.isEmpty():
                 return  # same empty-bootstrap contract as parquet
-            txlog.create_table(
-                spark, updates, path, key_cols=keys,
-                cluster_by=list(parts) + keys,
-            )
-            return
+            try:
+                txlog.create_table(
+                    spark, updates, path, key_cols=keys,
+                    cluster_by=list(parts) + keys,
+                )
+                return
+            except FileExistsError:
+                # a concurrent first-batch writer won the bootstrap race
+                # (exists-probe TOCTOU) — fall through and MERGE this
+                # batch instead of dropping it
+                pass
         txlog.merge_upsert(
             spark, updates, path, key_cols=keys,
             version_col=version_col, evolve_schema=evolve_schema,
@@ -211,35 +217,13 @@ def upsert_partitioned(
             )
             existing = existing.join(F.broadcast(tuples), list(parts), "left_semi")
 
-    union_kw = {"allowMissingColumns": True} if evolve_schema else {}
-    if version_col is None:
-        merged = existing.join(
-            updates.select(*keys).distinct(), keys, "left_anti"
-        ).unionByName(updates, **union_kw)
-    else:
-        tagged = existing.withColumn("__src", F.lit(0)).unionByName(
-            updates.withColumn("__src", F.lit(1)), **union_kw
-        )
-        # SQL MERGE semantics for NULL keys: ON t.k = s.k is never true
-        # for NULLs, so NULL-key rows match nothing — they all survive
-        # (source rows insert, target rows stay). The window below would
-        # instead pool every NULL-key row into ONE partition and keep a
-        # single winner — silently deleting data the anti-join
-        # (unversioned) path preserves. Route them around the merge.
-        has_null_key = reduce(
-            lambda a, b: a | b, [F.col(k).isNull() for k in keys]
-        )
-        null_rows = tagged.where(has_null_key).drop("__src")
-        w = Window.partitionBy(*keys).orderBy(
-            F.desc(version_col), F.desc("__src")
-        )
-        merged = (
-            tagged.where(~has_null_key)
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn", "__src")
-            .unionByName(null_rows)
-        )
+    # The merge semantics live in ONE place shared with the
+    # transactional backend (anti-join or version window with NULL-key
+    # routing — SQL MERGE's ON-clause semantics); see
+    # txlog.merge_frames for the definition.
+    from data_pipelines_spark.sources.txlog import merge_frames
+
+    merged = merge_frames(existing, updates, keys, version_col, evolve_schema)
 
     # Cut lineage from the files about to be overwritten.
     merged = merged.localCheckpoint(eager=True)

@@ -71,6 +71,7 @@ import json
 import math
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass, field
@@ -668,20 +669,55 @@ def append_table(
         lines.append({"txn": {"app": txn[0], "batch": txn[1]}})
     lines += [{"add": e} for e in adds]
     version = state.version + 1
+    seen_schema = {(f.name, f.dataType) for f in want.fields}
+    seen_constraints = dict(state.meta.get("constraints") or {})
     for _ in range(max_retries + 1):
         try:
             _write_commit_exclusive(path, version, lines)
             _maybe_checkpoint(path, version)
             return version
         except FileExistsError:
-            if txn is not None:
-                fresh = _load_state(path)
-                if fresh.txns.get(txn[0], -1) >= txn[1]:
+            fresh = _load_state(path)
+            if txn is not None and fresh.txns.get(txn[0], -1) >= txn[1]:
+                shutil.rmtree(staging, ignore_errors=True)
+                return fresh.version  # a rival attempt already landed it
+            # An append conflicts with no DATA commit, but a concurrent
+            # METADATA change does conflict (Delta's append-vs-metadata
+            # rule): re-validate the staged batch against the fresh
+            # schema/constraints before blindly retrying the bump.
+            fresh_schema = {
+                (f.name, f.dataType)
+                for f in StructType.fromJson(
+                    json.loads(fresh.meta["schema"])
+                ).fields
+            }
+            if fresh_schema != seen_schema:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"append to {path}: table schema changed concurrently"
+                    f" — re-run the append against the new schema"
+                ) from None
+            fresh_cons = dict(fresh.meta.get("constraints") or {})
+            added_cons = {
+                n: sql
+                for n, sql in fresh_cons.items()
+                if seen_constraints.get(n) != sql
+            }
+            if added_cons and adds:
+                root = _local(path)
+                staged = spark.read.parquet(
+                    *[os.path.join(root, e["path"]) for e in adds]
+                )
+                try:
+                    _enforce_constraints(
+                        staged, {"constraints": added_cons},
+                        f"append to {path} (constraint added concurrently)",
+                    )
+                except ValueError:
                     shutil.rmtree(staging, ignore_errors=True)
-                    return fresh.version  # a rival attempt already landed it
-                version = fresh.version + 1
-            else:
-                version = table_version(path) + 1
+                    raise
+            seen_constraints = fresh_cons
+            version = fresh.version + 1
     shutil.rmtree(staging, ignore_errors=True)
     raise ConcurrentWriteError(
         f"append to {path} lost the commit race {max_retries + 1} times"
@@ -717,19 +753,21 @@ def overwrite_table(
     )
 
 
-def _merge_frames(
+def merge_frames(
     existing: DataFrame,
     updates: DataFrame,
     keys: list[str],
     version_col: str | None,
-    evolve_schema: bool,
+    evolve_schema: bool = False,
 ) -> DataFrame:
-    """The MERGE core, same semantics as
-    ``materialize.upsert_partitioned`` (matched replace / unmatched
-    insert; with ``version_col`` highest-version-wins, ties to the
-    update; NULL keys never match, so NULL-key rows route around the
-    window — SQL MERGE's ON-clause semantics). Equivalence between the
-    two implementations is pinned in tests/test_txlog.py."""
+    """THE merge core — the one definition of MERGE semantics both
+    backends share (``materialize.upsert_partitioned`` calls this too,
+    so the semantics cannot drift between them): matched replace /
+    unmatched insert; with ``version_col`` highest-version-wins, ties
+    to the update; NULL keys never match, so NULL-key rows route
+    around the window (SQL MERGE's ON-clause semantics — partitionBy
+    would otherwise pool every NULL-key row and keep a single winner,
+    silently deleting data)."""
     union_kw = {"allowMissingColumns": True} if evolve_schema else {}
     if version_col is None:
         return existing.join(
@@ -772,6 +810,32 @@ def merge_upsert(
     1% of the key space costs ~1% of the table in read and write, with
     untouched files carried forward by reference (asserted down to
     identical relpaths in tests)."""
+    # The batch feeds 3+ separate jobs (key bounds agg, a distinct
+    # collect per key column, the merge write) and every conflict retry
+    # re-runs them: materialize its lineage ONCE instead of recomputing
+    # an arbitrarily expensive upstream per job. (If the caller already
+    # persisted it, this is a no-op warning and the unpersist below
+    # releases their cache a touch early — acceptable for a write sink.)
+    updates.persist()
+    try:
+        return _merge_upsert_inner(
+            spark, updates, path, key_cols, version_col, evolve_schema,
+            max_retries, txn,
+        )
+    finally:
+        updates.unpersist()
+
+
+def _merge_upsert_inner(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: Sequence[str] | None,
+    version_col: str | None,
+    evolve_schema: bool,
+    max_retries: int,
+    txn: tuple[str, int] | None,
+) -> dict:
     for _ in range(max_retries + 1):
         state = _load_state(path)
         if txn is not None and state.txns.get(txn[0], -1) >= txn[1]:
@@ -822,7 +886,7 @@ def merge_upsert(
                     existing = existing.withColumn(
                         col, F.lit(None).cast(updates.schema[col].dataType)
                     )
-        merged = _merge_frames(existing, updates, keys, version_col, evolve_schema)
+        merged = merge_frames(existing, updates, keys, version_col, evolve_schema)
         # No lineage cut needed for the write itself: the rewrite lands
         # in a FRESH data/ subdir, never the files it read (they stay
         # on disk until vacuum), so the same-path read-write hazard
@@ -1238,7 +1302,9 @@ def optimize_table(
     )
 
 
-def vacuum_table(path: str, retain_versions: int = 1) -> int:
+def vacuum_table(
+    path: str, retain_versions: int = 1, min_age_seconds: float = 3600.0
+) -> int:
     """Delete data files referenced by NO retained snapshot (the last
     ``retain_versions`` versions). Trades time travel beyond the
     retained window for space; a read of a vacuumed version fails
@@ -1248,10 +1314,19 @@ def vacuum_table(path: str, retain_versions: int = 1) -> int:
     always retained — but a long-running READER pinned to an old
     version can fail mid-query if vacuum removes its files: size
     ``retain_versions`` to cover the longest reader, the version-count
-    analog of Delta's time-based retention window. Returns files
-    removed."""
+    analog of Delta's time-based retention window.
+
+    ``min_age_seconds`` protects IN-FLIGHT writers: a concurrent
+    append/merge has staged data files on disk before its commit lands,
+    and those files are not referenced by any snapshot yet — deleting
+    them would let the writer commit adds pointing at nothing
+    (committed data loss with no log-level conflict). Files younger
+    than the floor are therefore never vacuumed (Delta's
+    modification-time guard); size it above the longest write. Returns
+    files removed."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
+    cutoff = time.time() - min_age_seconds
     latest = table_version(path)
     live: set[str] = set()
     for v in range(max(0, latest - retain_versions + 1), latest + 1):
@@ -1266,7 +1341,7 @@ def vacuum_table(path: str, retain_versions: int = 1) -> int:
         for name in filenames:
             fpath = os.path.join(dirpath, name)
             rel = os.path.relpath(fpath, root)
-            if rel not in live:
+            if rel not in live and os.path.getmtime(fpath) < cutoff:
                 os.unlink(fpath)
                 removed += 1
     for dirpath, dirnames, filenames in list(os.walk(data_root, topdown=False)):

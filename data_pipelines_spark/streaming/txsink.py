@@ -29,6 +29,19 @@ Scale shape: per micro-batch the sink does one bounded-size log read
 (checkpoint-backed), one Spark write of the batch's rows, and one
 O(files-in-batch) commit. Merge mode adds the stats-pruned rewrite of
 matched files only.
+
+CAVEAT (inherent to the pattern, documented for Delta too): the
+watermark identifies batches by NUMBER, so it protects exactly the
+at-least-once replays Structured Streaming produces — a crash retry of
+the in-flight batch, or a restart re-delivering already-committed
+batches from the SAME checkpoint lineage. If the streaming checkpoint
+is LOST and new source data arrived since the last committed batch,
+the fresh query renumbers from 0 and may pack old+new data into a
+batch id at-or-below the watermark — which would be skipped, silently
+dropping the new rows. A lost checkpoint therefore requires a NEW
+``app_id`` (ingesting everything again, idempotently for merge mode,
+with duplicates for append mode) — the same contract the public Delta
+``txnVersion`` docs state.
 """
 
 from __future__ import annotations

@@ -330,7 +330,10 @@ def test_vacuum_removes_unreferenced_and_breaks_old_reads_loudly(
 ):
     overwrite_table(spark, _df(spark, [(1, "new")]), table)
     compact_table(spark, table, target_file_rows=10_000)
-    removed = vacuum_table(table, retain_versions=1)
+    # default min_age guard protects everything this young
+    assert vacuum_table(table, retain_versions=1) == 0
+    assert len(_content(read_table(spark, table, version=0))) == 100
+    removed = vacuum_table(table, retain_versions=1, min_age_seconds=0)
     assert removed >= 4  # the 4 create files at least
     assert _content(read_table(spark, table)) == [(1, "new")]
     with pytest.raises(Exception):
@@ -499,3 +502,56 @@ def test_check_constraints(spark, table):
     append_table(spark, _df(spark, [(-9, "now ok")]), table)
     with pytest.raises(ValueError, match="no constraint"):
         drop_constraint(spark, table, "k_nonneg")
+
+
+def test_append_retry_detects_concurrent_metadata_change(spark, table):
+    """An append that loses the commit race to a METADATA commit must
+    re-validate: a concurrently added constraint re-checks the staged
+    batch (violation aborts); a concurrent schema change aborts."""
+    from data_pipelines_spark.sources.txlog import add_constraint
+
+    orig = txlog._write_commit_exclusive
+    fired = {"n": 0}
+
+    def sabotage(path, version, lines):
+        # on the append's FIRST commit attempt only: sneak in a
+        # constraint the staged batch violates
+        if fired["n"] == 0 and any(
+            line.get("commit", {}).get("op") == "append" for line in lines
+        ):
+            fired["n"] = 1
+            txlog._write_commit_exclusive = orig
+            add_constraint(spark, path, "k_nonneg", "k >= 0")
+            txlog._write_commit_exclusive = sabotage
+        return orig(path, version, lines)
+
+    txlog._write_commit_exclusive = sabotage
+    try:
+        with pytest.raises(ValueError, match="k_nonneg"):
+            append_table(spark, _df(spark, [(-5, "bad")]), table)
+    finally:
+        txlog._write_commit_exclusive = orig
+    # nothing landed: the violating batch is absent
+    assert len(_content(read_table(spark, table))) == 100
+    # a batch satisfying the now-present constraint appends normally
+    append_table(spark, _df(spark, [(500, "ok")]), table)
+    assert dict(_content(read_table(spark, table)))[500] == "ok"
+
+
+def test_vacuum_age_guard_protects_staged_files(spark, table):
+    """Files younger than min_age_seconds are never vacuumed even when
+    unreferenced — the in-flight-writer protection."""
+    import os as _os
+
+    overwrite_table(spark, _df(spark, [(1, "new")]), table)
+    # simulate an in-flight writer's staging: an unreferenced young file
+    staged_dir = os.path.join(table, "data", "cinflight")
+    _os.makedirs(staged_dir)
+    staged = os.path.join(staged_dir, "part-inflight.parquet")
+    with open(staged, "wb") as fh:
+        fh.write(b"not yet committed")
+    assert vacuum_table(table, retain_versions=1, min_age_seconds=3600) == 0
+    assert os.path.exists(staged)
+    removed = vacuum_table(table, retain_versions=1, min_age_seconds=0)
+    assert removed >= 1
+    assert not os.path.exists(staged)
