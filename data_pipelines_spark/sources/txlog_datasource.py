@@ -40,11 +40,16 @@ from __future__ import annotations
 import json
 import os
 
+import uuid
+from dataclasses import dataclass, field
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -167,6 +172,144 @@ class _TxLogStreamReader(DataSourceStreamReader):
         pass  # the streaming checkpoint owns progress; the log is immutable
 
 
+@dataclass
+class _TxAdds(WriterCommitMessage):
+    entries: list = field(default_factory=list)
+
+
+class _TxLogWriter(DataSourceArrowWriter):
+    """The real table-format writer split: every TASK writes its Arrow
+    batches as one immutable parquet file (plus footer stats) and
+    reports the add entry in its commit message; the DRIVER turns the
+    collected messages into ONE atomic log commit. Failed/speculative
+    task attempts leave orphaned files that never enter the log —
+    age-guarded vacuum collects them, the same lifecycle as a failed
+    writer anywhere else in the format."""
+
+    def __init__(
+        self,
+        path: str,
+        overwrite: bool,
+        stat_cols: list[str],
+        schema_json: str,
+        constraints: dict[str, str],
+    ):
+        self.path = path
+        self.overwrite = overwrite
+        self.stat_cols = stat_cols
+        self.schema_json = schema_json
+        self.constraints = constraints
+        # one staging dir per WRITE JOB, fixed on the driver so all
+        # tasks co-locate their files under it
+        self.rel_dir = f"{txlog._DATA_DIR}/c{uuid.uuid4().hex[:12]}"
+
+    def _check_batch(self, batch) -> None:
+        """CHECK constraints on the Arrow write path, evaluated per
+        batch by DuckDB IN THE TASK (no SparkSession exists in the
+        write-commit worker). CHECK expressions therefore must stay in
+        the common SQL subset — the same standard the engine's oracle
+        SQL already holds every query to; NULL passes (SQL semantics).
+        A violation raises in the task, Spark aborts the job, and
+        abort() removes the staging dir."""
+        if not self.constraints:
+            return
+        import duckdb
+        import pyarrow as pa
+
+        con = duckdb.connect()
+        con.register("batch_tbl", pa.Table.from_batches([batch]))
+        for name, sql in self.constraints.items():
+            bad = con.execute(
+                f"SELECT count(*) FROM batch_tbl "
+                f"WHERE NOT coalesce(({sql}), true)"
+            ).fetchone()[0]
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint violated on write to {self.path}: "
+                    f"{name} ({sql}) — {bad} row(s)"
+                )
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        root = txlog._local(self.path)
+        out_dir = os.path.join(root, self.rel_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        fpath = os.path.join(out_dir, name)
+        writer = None
+        rows = 0
+        for batch in iterator:
+            self._check_batch(batch)
+            if writer is None:
+                writer = pq.ParquetWriter(fpath, batch.schema)
+            writer.write_table(pa.Table.from_batches([batch]))
+            rows += batch.num_rows
+        if writer is None:
+            return _TxAdds(entries=[])  # empty partition: no file
+        writer.close()
+        nrows, stats = txlog._file_stats(fpath, self.stat_cols)
+        return _TxAdds(
+            entries=[
+                {
+                    "path": f"{self.rel_dir}/{name}",
+                    "rows": nrows,
+                    "bytes": os.path.getsize(fpath),
+                    "stats": stats,
+                }
+            ]
+        )
+
+    def commit(self, messages):
+        adds = [e for m in messages if m is not None for e in m.entries]
+        for _attempt in range(6):
+            state = txlog._load_state(self.path)
+            if not self.overwrite:
+                # strict-append contract, re-checked per attempt so a
+                # concurrent schema commit cannot be bypassed. (A
+                # constraint added AFTER the tasks validated cannot be
+                # re-checked here — no SparkSession exists in this
+                # worker — so that narrow race is accepted on the
+                # write-API path; txlog.append_table re-validates.)
+                want = StructType.fromJson(
+                    json.loads(state.meta["schema"])
+                )
+                got = StructType.fromJson(json.loads(self.schema_json))
+                if {(f.name, f.dataType) for f in want.fields} != {
+                    (f.name, f.dataType) for f in got.fields
+                }:
+                    self.abort(messages)
+                    raise ValueError(
+                        f"append schema {got.simpleString()} does not "
+                        f"match table schema at {self.path}"
+                    )
+            removes = list(state.files) if self.overwrite else []
+            op = "overwrite" if self.overwrite else "append"
+            meta = (
+                dict(state.meta, schema=self.schema_json)
+                if self.overwrite
+                else None
+            )
+            try:
+                txlog._commit_rmw(
+                    self.path, state.version, op, adds, removes, meta
+                )
+                return
+            except txlog._Conflict:
+                continue  # files are already on disk; re-base and retry
+        self.abort(messages)
+        raise txlog.ConcurrentWriteError(
+            f"write to {self.path} lost the commit race repeatedly"
+        )
+
+    def abort(self, messages):
+        root = txlog._local(self.path)
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(root, self.rel_dir), ignore_errors=True)
+
+
 class TxLogDataSource(DataSource):
     """``format("txlog")``: see module docstring. Options: ``path``
     (required), ``version`` (batch time travel), ``startingVersion``
@@ -196,6 +339,42 @@ class TxLogDataSource(DataSource):
             self._path(),
             int(version) if version is not None else None,
             [f.name for f in schema.fields],
+        )
+
+    def writer(self, schema: StructType, overwrite: bool):
+        """``df.write.format("txlog").mode("append"|"overwrite")``.
+        A nonexistent table bootstraps (schema-only commit 0; pass
+        ``keyCols`` to set the merge key / stat columns) — the write
+        job's own commit then lands the data atomically as version 1.
+        Appends enforce the strict schema contract and CHECK
+        constraints (re-validated on commit-race retries); MERGE and
+        schema evolution stay API-level (`txlog.merge_upsert`)."""
+        path = self._path()
+        if not txlog.table_exists(path):
+            keys = [
+                c.strip()
+                for c in self.options.get("keycols", "").split(",")
+                if c.strip()
+            ]
+            meta = {
+                "schema": schema.json(),
+                "key_cols": keys,
+                "cluster_by": keys,
+                "stat_cols": keys,
+            }
+            try:
+                txlog._write_commit_exclusive(
+                    path, 0, [{"meta": meta}, {"commit": {"op": "create"}}]
+                )
+            except FileExistsError:
+                pass  # concurrent bootstrap: proceed as a normal write
+        state = txlog._load_state(path)
+        return _TxLogWriter(
+            path,
+            overwrite,
+            state.meta.get("stat_cols", []),
+            schema.json(),
+            dict(state.meta.get("constraints") or {}),
         )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:

@@ -149,3 +149,66 @@ def test_stream_starting_version(spark, table, tmp_path):
     )
     got = {r["k"] for r in spark.table("txs_sv").collect()}
     assert got == {200}
+
+
+def test_write_api_bootstrap_append_overwrite(spark, tmp_path):
+    register_txlog_source(spark)
+    path = str(tmp_path / "wtbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "k long, v string"
+    )
+    # bootstrap via the write API, with key columns for stats
+    (
+        df.repartition(2).write.format("txlog")
+        .option("path", path).option("keyCols", "k").mode("append").save()
+    )
+    assert {r["k"] for r in txlog.read_table(spark, path).collect()} == set(
+        range(30)
+    )
+    # task-side footer stats feed merge pruning like any other commit
+    report = txlog.merge_upsert(
+        spark,
+        spark.createDataFrame([(0, "upd")], "k long, v string"),
+        path,
+        key_cols=["k"],
+    )
+    assert report["files_skipped"] >= 1
+    # append more rows through the API
+    spark.createDataFrame([(100, "a")], "k long, v string").write.format(
+        "txlog"
+    ).option("path", path).mode("append").save()
+    assert txlog.read_table(spark, path).count() == 31
+    # schema drift rejected
+    with pytest.raises(Exception, match="does not match table schema"):
+        spark.createDataFrame([(1, 2)], "k long, v long").write.format(
+            "txlog"
+        ).option("path", path).mode("append").save()
+    # overwrite replaces content atomically; old snapshot time-travels
+    v_before = txlog.table_version(path)
+    spark.createDataFrame([(7, "only")], "k long, v string").write.format(
+        "txlog"
+    ).option("path", path).mode("overwrite").save()
+    assert [
+        (r["k"], r["v"]) for r in txlog.read_table(spark, path).collect()
+    ] == [(7, "only")]
+    assert txlog.read_table(spark, path, version=v_before).count() == 31
+
+
+def test_write_api_enforces_constraints(spark, tmp_path):
+    from data_pipelines_spark.sources.txlog import add_constraint
+
+    register_txlog_source(spark)
+    path = str(tmp_path / "ctbl")
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    txlog.create_table(spark, base, path, key_cols=["k"])
+    add_constraint(spark, path, "k_nonneg", "k >= 0")
+    with pytest.raises(Exception, match="k_nonneg"):
+        spark.createDataFrame([(-1, "bad")], "k long, v string").write.format(
+            "txlog"
+        ).option("path", path).mode("append").save()
+    # nothing landed, and the aborted write's staging files are gone
+    assert txlog.read_table(spark, path).count() == 1
+    spark.createDataFrame([(2, "ok")], "k long, v string").write.format(
+        "txlog"
+    ).option("path", path).mode("append").save()
+    assert txlog.read_table(spark, path).count() == 2
