@@ -555,3 +555,30 @@ def test_vacuum_age_guard_protects_staged_files(spark, table):
     removed = vacuum_table(table, retain_versions=1, min_age_seconds=0)
     assert removed >= 1
     assert not os.path.exists(staged)
+
+
+def test_crash_artifacts_are_invisible(spark, table):
+    """A crashed writer's leftovers — a .tmp commit file in _txlog and
+    an orphaned staging dir under data/ — are invisible to readers,
+    history, and new commits; age-expired orphans are vacuumable."""
+    log_dir = os.path.join(table, "_txlog")
+    with open(os.path.join(log_dir, ".tmp-deadbeef.json"), "w") as fh:
+        fh.write('{"commit": {"op": "torn"}}\n')
+    orphan_dir = os.path.join(table, "data", "ccrashed")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "part-orphan.parquet"), "wb") as fh:
+        fh.write(b"half-written garbage")
+    # readers, version resolution, and history ignore both artifacts
+    assert txlog.table_version(table) == 0
+    assert len(_content(read_table(spark, table))) == 100
+    assert [h["op"] for h in table_history(table)] == ["create"]
+    # new commits proceed normally
+    append_table(spark, _df(spark, [(777, "after")]), table)
+    assert len(_content(read_table(spark, table))) == 101
+    # the orphaned data file is vacuumable once age-expired (removed
+    # count also includes Spark's non-data markers like _SUCCESS, so
+    # assert the orphan specifically and that live data survives)
+    removed = vacuum_table(table, retain_versions=5, min_age_seconds=0)
+    assert removed >= 1
+    assert not os.path.exists(os.path.join(orphan_dir, "part-orphan.parquet"))
+    assert len(_content(read_table(spark, table))) == 101
