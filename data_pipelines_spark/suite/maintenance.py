@@ -768,6 +768,25 @@ def upsert_readback(spark, sf_dir):
             )
         if txlog.read_table(spark, tx_path, version=0).count() != base.count():
             raise RuntimeError("txlog time-travel read lost the v0 snapshot")
+        # and the SAME snapshot through the format("txlog") Python Data
+        # Source (planner-integrated read path) must agree with the API
+        # read — puts sources/txlog_datasource.py under this hash too
+        from data_pipelines_spark.sources.txlog_datasource import (
+            register_txlog_source,
+        )
+
+        register_txlog_source(spark)
+        ds = (
+            spark.read.format("txlog").option("path", tx_path).load()
+            .select(*tx.columns)
+        )
+        if (
+            ds.exceptAll(tx).limit(1).count()
+            or tx.exceptAll(ds).limit(1).count()
+        ):
+            raise RuntimeError(
+                "format('txlog') datasource read diverged from read_table"
+            )
         # Final leg: the same rows through the BUCKETED-table layout
         # (S-tier storage feature, sources/bucketed.py) — written as an
         # 8-bucket external table and read back via the catalog, so a
