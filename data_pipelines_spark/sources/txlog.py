@@ -813,17 +813,22 @@ def merge_upsert(
     # The batch feeds 3+ separate jobs (key bounds agg, a distinct
     # collect per key column, the merge write) and every conflict retry
     # re-runs them: materialize its lineage ONCE instead of recomputing
-    # an arbitrarily expensive upstream per job. (If the caller already
-    # persisted it, this is a no-op warning and the unpersist below
-    # releases their cache a touch early — acceptable for a write sink.)
-    updates.persist()
+    # an arbitrarily expensive upstream per job. A batch the CALLER
+    # already persisted is left alone — unpersisting their cache out
+    # from under them would silently recompute whatever they reuse it
+    # for after the merge.
+    lvl = updates.storageLevel
+    caller_cached = lvl.useMemory or lvl.useDisk
+    if not caller_cached:
+        updates.persist()
     try:
         return _merge_upsert_inner(
             spark, updates, path, key_cols, version_col, evolve_schema,
             max_retries, txn,
         )
     finally:
-        updates.unpersist()
+        if not caller_cached:
+            updates.unpersist()
 
 
 def _merge_upsert_inner(
@@ -1341,10 +1346,20 @@ def vacuum_table(
         for name in filenames:
             fpath = os.path.join(dirpath, name)
             rel = os.path.relpath(fpath, root)
-            if rel not in live and os.path.getmtime(fpath) < cutoff:
-                os.unlink(fpath)
-                removed += 1
+            try:
+                if rel not in live and os.path.getmtime(fpath) < cutoff:
+                    os.unlink(fpath)
+                    removed += 1
+            except FileNotFoundError:
+                continue  # a losing writer's own cleanup raced us — fine
     for dirpath, dirnames, filenames in list(os.walk(data_root, topdown=False)):
         if not dirnames and not filenames and dirpath != data_root:
-            os.rmdir(dirpath)
+            try:
+                # the age floor applies to DIRECTORIES too: a concurrent
+                # writer makedirs its staging dir before its first file
+                # lands, and rmdir-ing it would fail that write
+                if os.path.getmtime(dirpath) < cutoff:
+                    os.rmdir(dirpath)
+            except (FileNotFoundError, OSError):
+                continue
     return removed

@@ -9,18 +9,21 @@ format plug into the planner like any built-in source:
   live data file, rows shipped as Arrow record batches (the vectorized
   path, not row-at-a-time Python).
 - ``spark.readStream.format("txlog").option("path", p).load()`` — the
-  table AS a stream: each micro-batch emits the rows ADDED to the
-  table since the last committed offset, with log versions as the
-  offset domain, so a downstream query incrementally consumes a table
-  other jobs keep writing — the public Delta streaming-source shape.
+  table AS a stream: the FIRST batch emits the current snapshot (the
+  live file set, reflecting every merge/delete in the table's past),
+  then each micro-batch emits the rows ADDED since the last committed
+  offset, with log versions as the offset domain — the public Delta
+  streaming-source shape.
 
-Streaming contract (Delta's, adopted deliberately): the source is
-append-only. Data-changing commits that REMOVE files (merge, delete,
-overwrite) fail the stream by default — silently streaming their adds
-would double-emit rewritten rows; pass ``skipChangeCommits=true`` to
-ignore those commits entirely (downstream sees inserts only).
-Physical-only rewrites (compact, optimize) are always skipped: their
-adds duplicate content that already streamed.
+Streaming contract (Delta's, adopted deliberately): after the initial
+snapshot the source is append-only. Data-changing commits that REMOVE
+files (merge, delete, overwrite) fail the stream by default —
+silently streaming their adds would double-emit rewritten rows; pass
+``skipChangeCommits=true`` to ignore those commits entirely
+(downstream sees inserts only). Physical-only rewrites (compact,
+optimize) are always skipped: their adds duplicate content that
+already streamed. An explicit ``startingVersion=N`` (N >= 1) opts out
+of the snapshot and replays the commit log from version N.
 
 Offsets are ``{"version": N}``; replay of a committed range
 (``partitions(start, end)``) is deterministic because the log is
@@ -107,7 +110,11 @@ class _TxLogBatchReader(DataSourceReader):
             for rel in sorted(state.files)
         ]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition: _FilePartition | None):
+        # an EMPTY table yields zero partitions, which PySpark's worker
+        # substitutes with a single None partition — emit nothing
+        if partition is None:
+            return
         yield from _read_file_batches(partition.abs_path, self.columns)
 
 
@@ -133,6 +140,19 @@ class _TxLogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         root = txlog._local(self.path)
         out: list[_FilePartition] = []
+        if start["version"] < 0:
+            # Initial catch-up from "the beginning": emit the SNAPSHOT
+            # at the end offset (the live file set) instead of replaying
+            # commit history — the public Delta streaming-source
+            # behavior. This is what makes a table with merges in its
+            # PAST streamable and non-stale: the first batch reflects
+            # every rewrite up to stream start, and the append-only
+            # contract below applies only to commits AFTER it.
+            state = txlog._load_state(self.path, end["version"])
+            return [
+                _FilePartition(os.path.join(root, rel))
+                for rel in sorted(state.files)
+            ]
         for v in range(start["version"] + 1, end["version"] + 1):
             actions = txlog._read_actions(self.path, v)
             op = next(
@@ -165,7 +185,9 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     )
         return out
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition: _FilePartition | None):
+        if partition is None:
+            return  # empty range (see batch reader note)
         yield from _read_file_batches(partition.abs_path, self.columns)
 
     def commit(self, end: dict) -> None:
@@ -199,6 +221,7 @@ class _TxLogWriter(DataSourceArrowWriter):
         self.stat_cols = stat_cols
         self.schema_json = schema_json
         self.constraints = constraints
+        self._duck = None  # lazy per-task DuckDB connection
         # one staging dir per WRITE JOB, fixed on the driver so all
         # tasks co-locate their files under it
         self.rel_dir = f"{txlog._DATA_DIR}/c{uuid.uuid4().hex[:12]}"
@@ -216,7 +239,9 @@ class _TxLogWriter(DataSourceArrowWriter):
         import duckdb
         import pyarrow as pa
 
-        con = duckdb.connect()
+        con = self._duck
+        if con is None:
+            con = self._duck = duckdb.connect()  # once per task, not per batch
         con.register("batch_tbl", pa.Table.from_batches([batch]))
         for name, sql in self.constraints.items():
             bad = con.execute(
@@ -239,13 +264,11 @@ class _TxLogWriter(DataSourceArrowWriter):
         name = f"part-{uuid.uuid4().hex}.parquet"
         fpath = os.path.join(out_dir, name)
         writer = None
-        rows = 0
         for batch in iterator:
             self._check_batch(batch)
             if writer is None:
                 writer = pq.ParquetWriter(fpath, batch.schema)
             writer.write_table(pa.Table.from_batches([batch]))
-            rows += batch.num_rows
         if writer is None:
             return _TxAdds(entries=[])  # empty partition: no file
         writer.close()

@@ -110,17 +110,57 @@ def test_stream_incremental_appends(spark, table, tmp_path):
     assert set(got) == set(range(20)) | {100, 101, 102}
 
 
+def _drain_parquet(spark, table, ckpt, out, **opts):
+    r = spark.readStream.format("txlog").option("path", table)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (
+        r.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_initial_snapshot_reflects_past_merges(spark, table, tmp_path):
+    """A merge BEFORE stream start is reflected in the first batch (the
+    Delta initial-snapshot behavior) — no stale pre-merge rows, no
+    change-commit error for history that predates the stream."""
+    txlog.merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "rewritten"), (50, "ins")],
+                              "k long, v string"),
+        table,
+    )
+    _drain_stream(spark, table, str(tmp_path / "c0"), "txs_snap")
+    got = {r["k"]: r["v"] for r in spark.table("txs_snap").collect()}
+    assert len(got) == 21 and got[1] == "rewritten" and got[50] == "ins"
+
+
 def test_stream_fails_on_change_commit_by_default(spark, table, tmp_path):
+    """A merge AFTER stream start fails the stream (its adds would
+    re-emit rewritten rows past the already-streamed snapshot)."""
+    ckpt, out = str(tmp_path / "c1"), str(tmp_path / "o1")
+    _drain_parquet(spark, table, ckpt, out)
+    assert spark.read.parquet(out).count() == 20
     txlog.merge_upsert(
         spark,
         spark.createDataFrame([(1, "rewritten")], "k long, v string"),
         table,
     )
     with pytest.raises(StreamingQueryException, match="skipChangeCommits"):
-        _drain_stream(spark, table, str(tmp_path / "c1"), "txs_fail")
+        _drain_parquet(spark, table, ckpt, out)
 
 
 def test_stream_skip_change_commits(spark, table, tmp_path):
+    """skipChangeCommits: post-snapshot merges are skipped wholesale
+    (downstream keeps the stale value by explicit choice), appends
+    still flow, and compaction never re-emits."""
+    ckpt, out = str(tmp_path / "c2"), str(tmp_path / "o2")
+    _drain_parquet(spark, table, ckpt, out, skipChangeCommits="true")
     txlog.merge_upsert(
         spark,
         spark.createDataFrame([(1, "rewritten"), (50, "ins")],
@@ -128,15 +168,15 @@ def test_stream_skip_change_commits(spark, table, tmp_path):
         table,
     )
     txlog.compact_table(spark, table, target_file_rows=10_000)
-    _drain_stream(
-        spark, table, str(tmp_path / "c2"), "txs_skip",
-        skipChangeCommits="true",
+    txlog.append_table(
+        spark, spark.createDataFrame([(60, "app")], "k long, v string"), table
     )
-    got = {r["k"]: r["v"] for r in spark.table("txs_skip").collect()}
-    # the create's 20 rows stream; the merge commit is skipped wholesale
-    # (neither the rewrite nor its insert emits) and compaction never
-    # re-emits
-    assert len(got) == 20 and got[1] == "v1" and 50 not in got
+    _drain_parquet(spark, table, ckpt, out, skipChangeCommits="true")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    # snapshot's 20 + the append; the merge commit never emits (neither
+    # its rewrite nor its insert) and compaction re-emits nothing
+    assert len(got) == 21 and got[1] == "v1" and 50 not in got
+    assert got[60] == "app"
 
 
 def test_stream_starting_version(spark, table, tmp_path):
@@ -212,3 +252,19 @@ def test_write_api_enforces_constraints(spark, tmp_path):
         "txlog"
     ).option("path", path).mode("append").save()
     assert txlog.read_table(spark, path).count() == 2
+
+
+def test_batch_read_empty_table(spark, tmp_path):
+    """Zero live files -> zero partitions; PySpark hands read() a None
+    partition, which must emit nothing (was a crash)."""
+    register_txlog_source(spark)
+    path = str(tmp_path / "etbl")
+    txlog.create_table(
+        spark,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        path,
+        key_cols=["k"],
+    )
+    txlog.delete_where(spark, path, F.lit(True))
+    out = spark.read.format("txlog").option("path", path).load()
+    assert out.count() == 0 and out.columns == ["k", "v"]
