@@ -206,18 +206,25 @@ def _load_state(path: str, version: int | None = None) -> Snapshot:
         raise ValueError(f"version {target} not in [0, {latest}] at {path}")
     state = Snapshot(version=target, meta={}, files={})
     start = 0
-    usable_cp = [v for v in checkpoints if v <= target]
-    if usable_cp:
-        cp = max(usable_cp)
+    # newest usable checkpoint first; a checkpoint is a pure CACHE of
+    # replayable log state, so one that fails to parse (crash between
+    # rename and content reaching disk) degrades to the next older
+    # checkpoint — or a full replay — instead of bricking every read
+    for cp in sorted((v for v in checkpoints if v <= target), reverse=True):
         fname = os.path.join(
             _log_dir(path), _fmt_version(cp) + ".checkpoint.json"
         )
-        with open(fname, encoding="utf-8") as fh:
-            payload = json.load(fh)
-        state.meta = payload["meta"]
-        state.files = {e["path"]: e for e in payload["files"]}
-        state.txns = dict(payload.get("txns", {}))
+        try:
+            with open(fname, encoding="utf-8") as fh:
+                payload = json.load(fh)
+            state.meta = payload["meta"]
+            state.files = {e["path"]: e for e in payload["files"]}
+            state.txns = dict(payload.get("txns", {}))
+        except (json.JSONDecodeError, KeyError, TypeError, OSError):
+            state.meta, state.files, state.txns = {}, {}, {}
+            continue
         start = cp + 1
+        break
     for v in range(start, target + 1):
         if v not in commits:
             # the replay tail starts after the newest usable checkpoint,
@@ -253,6 +260,12 @@ def _maybe_checkpoint(path: str, version: int) -> None:
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(payload, fh)
+        # same durability bar as commits: without the fsync a crash can
+        # leave the RENAME visible with truncated content (metadata
+        # journaled before data) — _load_state tolerates that now, but
+        # a checkpoint should not depend on its own failure path
+        fh.flush()
+        os.fsync(fh.fileno())
     # checkpoint content for a version is deterministic, so last-write
     # -wins replace is safe even if two writers checkpoint concurrently
     os.replace(tmp, final)
@@ -863,6 +876,41 @@ def _merge_upsert_inner(
                     f"evolve_schema batch lacks key/version columns "
                     f"{missing} — these cannot be NULL-filled"
                 )
+        # Enforce the append-path (name, dataType) contract BEFORE any
+        # data file is written: a batch with a widened type (v double vs
+        # stored v bigint) would otherwise COMMIT — rewritten files get
+        # the new physical type while stats-skipped files keep the old
+        # one, and (without evolve_schema) the commit's meta still
+        # records the old schema, so every later read of the snapshot
+        # fails with CANNOT_MERGE_SCHEMAS: a committed transaction that
+        # leaves the table unreadable. evolve_schema admits NEW columns
+        # but never a type change to an existing one (Delta's rule —
+        # type changes go through overwrite).
+        want_fields = StructType.fromJson(
+            json.loads(state.meta["schema"])
+        ).fields
+        want_types = {f.name: f.dataType for f in want_fields}
+        mismatched = [
+            f"{f.name} (batch {f.dataType.simpleString()} vs table "
+            f"{want_types[f.name].simpleString()})"
+            for f in updates.schema.fields
+            if f.name in want_types and f.dataType != want_types[f.name]
+        ]
+        if mismatched:
+            raise ValueError(
+                f"merge into {path}: update batch changes column type(s) "
+                f"{', '.join(mismatched)} — cast the batch to the table "
+                f"schema (type changes require overwrite)"
+            )
+        if not evolve_schema and {f.name for f in updates.schema.fields} != set(
+            want_types
+        ):
+            raise ValueError(
+                f"merge into {path}: update batch columns "
+                f"{sorted(f.name for f in updates.schema.fields)} do not "
+                f"match table columns {sorted(want_types)} — pass "
+                f"evolve_schema=True to add columns"
+            )
         # NULL-key update rows match nothing (pure inserts), so pruning
         # runs over the non-null key values. A key column with NO
         # non-null batch value (empty batch, all-NULL column) makes

@@ -20,10 +20,24 @@ snapshot the source is append-only. Data-changing commits that REMOVE
 files (merge, delete, overwrite) fail the stream by default —
 silently streaming their adds would double-emit rewritten rows; pass
 ``skipChangeCommits=true`` to ignore those commits entirely
-(downstream sees inserts only). Physical-only rewrites (compact,
-optimize) are always skipped: their adds duplicate content that
-already streamed. An explicit ``startingVersion=N`` (N >= 1) opts out
-of the snapshot and replays the commit log from version N.
+(downstream sees inserts only). A merge/delete/overwrite that removed
+NO files (a pure-insert merge — the common txsink CDC shape for
+brand-new keys) adds only new logical rows and streams like an
+append. Physical-only rewrites (compact, optimize) are always
+skipped: their adds duplicate content that already streamed. An
+explicit ``startingVersion=N`` (N >= 1) opts out of the snapshot and
+replays the commit log from version N.
+
+``readChangeFeed=true`` switches the stream to Delta's CDF shape:
+every data-changing commit emits its ROW-LEVEL changes — the snapshot
+columns plus ``_change_type`` (insert / delete / update_pre /
+update_post, paired by the table's key columns exactly as the batch
+:func:`txlog.table_changes` does) and ``_commit_version`` — instead of
+failing or skipping. Physical-only rewrites emit nothing. The change
+rows for one commit are computed in that commit's task from the
+commit's own removed/added file sets (cost ∝ churned files, the same
+economics as the merge that produced them); commits land atomically,
+so a micro-batch boundary never splits a commit.
 
 Offsets are ``{"version": N}``; replay of a committed range
 (``partitions(start, end)``) is deterministic because the log is
@@ -51,7 +65,15 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualNullSafe,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -96,18 +118,108 @@ def _read_file_batches(abs_path: str, columns: list[str]):
         yield batch
 
 
+def _entry_survives(entry: dict, constraints: list[tuple]) -> bool:
+    """File-level zonemap check for planner-pushed filters: True unless
+    the log's footer stats PROVE no row of the file can satisfy some
+    pushed conjunct. Absent stats never prune; a cross-type comparison
+    (filter literal vs stored bound) never prunes — the conservative
+    contract `txlog._file_matches_keys`/`_file_disjoint` already hold."""
+    import bisect
+
+    stats = entry.get("stats") or {}
+    for kind, col, payload in constraints:
+        st = stats.get(col)
+        if st is None:
+            continue
+        if kind == "isnull":
+            # nulls counts are recorded alongside min/max: a file with
+            # zero nulls in the column provably has no `col IS NULL` row
+            if st.get("nulls") == 0:
+                return False
+            continue
+        fmin = txlog._decode_val(st["min"])
+        fmax = txlog._decode_val(st["max"])
+        try:
+            if kind == "set":
+                idx = bisect.bisect_left(payload, fmin)
+                if idx >= len(payload) or payload[idx] > fmax:
+                    return False
+            elif kind == "gt":
+                if fmax <= payload:
+                    return False
+            elif kind == "ge":
+                if fmax < payload:
+                    return False
+            elif kind == "lt":
+                if fmin >= payload:
+                    return False
+            elif kind == "le":
+                if fmin > payload:
+                    return False
+        except TypeError:
+            continue
+    return True
+
+
 class _TxLogBatchReader(DataSourceReader):
     def __init__(self, path: str, version: int | None, columns: list[str]):
         self.path = path
         self.version = version
         self.columns = columns
+        self._pruners: list[tuple] = []  # (kind, col, payload)
+
+    def pushFilters(self, filters):
+        """Planner-routed data skipping (SPARK-44076 filter pushdown,
+        honored when ``spark.sql.python.filterPushdown.enabled`` is on —
+        :func:`register_txlog_source` enables it): supported conjuncts
+        on top-level columns are translated into the SAME footer-stats
+        pruning `read_table(bounds=...)` uses, so
+        ``spark.read.format("txlog").load().where(...)`` plans only
+        surviving files. The log's stats are file-granular, so every
+        filter — including the translated ones — is returned to Spark
+        for row-level post-scan evaluation; pruning here can only drop
+        whole files the filter provably rejects, never change results."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr is None or len(attr) != 1:
+                continue  # nested field: the log records no stats for it
+            col = attr[0]
+            if isinstance(f, (EqualTo, EqualNullSafe)):
+                if f.value is not None:
+                    self._pruners.append(("set", col, [f.value]))
+                elif isinstance(f, EqualNullSafe):
+                    self._pruners.append(("isnull", col, None))
+            elif isinstance(f, In):
+                vals = [v for v in f.value if v is not None]
+                try:
+                    vals = sorted(vals)
+                except TypeError:
+                    continue  # mixed-type literal list: no pruning
+                if vals:
+                    self._pruners.append(("set", col, vals))
+            elif isinstance(f, GreaterThan):
+                if f.value is not None:
+                    self._pruners.append(("gt", col, f.value))
+            elif isinstance(f, GreaterThanOrEqual):
+                if f.value is not None:
+                    self._pruners.append(("ge", col, f.value))
+            elif isinstance(f, LessThan):
+                if f.value is not None:
+                    self._pruners.append(("lt", col, f.value))
+            elif isinstance(f, LessThanOrEqual):
+                if f.value is not None:
+                    self._pruners.append(("le", col, f.value))
+            elif isinstance(f, IsNull):
+                self._pruners.append(("isnull", col, None))
+        return filters
 
     def partitions(self):
         state = txlog._load_state(self.path, self.version)
         root = txlog._local(self.path)
         return [
             _FilePartition(os.path.join(root, rel))
-            for rel in sorted(state.files)
+            for rel, entry in sorted(state.files.items())
+            if _entry_survives(entry, self._pruners)
         ]
 
     def read(self, partition: _FilePartition | None):
@@ -165,10 +277,13 @@ class _TxLogStreamReader(DataSourceStreamReader):
             )
             if op in _PHYSICAL_OPS:
                 continue
-            if op in _CHANGE_OPS or (
-                op not in _APPEND_OPS
-                and any("remove" in a for a in actions)
-            ):
+            # a change commit is one that REMOVES files (its adds carry
+            # rewritten rows) — gate on that, not the op label alone: a
+            # pure-insert merge (no file matched, e.g. the txsink CDC
+            # path landing brand-new keys) removes nothing and its adds
+            # are new logical rows, exactly as streamable as an append
+            # (the Delta source streams removal-free adds the same way)
+            if op not in _APPEND_OPS and any("remove" in a for a in actions):
                 if self.skip_change_commits:
                     continue
                 raise ValueError(
@@ -215,12 +330,19 @@ class _TxLogWriter(DataSourceArrowWriter):
         stat_cols: list[str],
         schema_json: str,
         constraints: dict[str, str],
+        bootstrap_meta: dict | None = None,
     ):
         self.path = path
         self.overwrite = overwrite
         self.stat_cols = stat_cols
         self.schema_json = schema_json
         self.constraints = constraints
+        # table absent at PLAN time: creation is deferred into commit()
+        # so meta + first data land as ONE atomic commit 0 — a failed or
+        # aborted first write leaves NO table behind (create-as-select
+        # atomicity; a schema-only bootstrap at plan time would survive
+        # the abort and make a later create_table fail)
+        self.bootstrap_meta = bootstrap_meta
         self._duck = None  # lazy per-task DuckDB connection
         # one staging dir per WRITE JOB, fixed on the driver so all
         # tasks co-locate their files under it
@@ -287,6 +409,20 @@ class _TxLogWriter(DataSourceArrowWriter):
     def commit(self, messages):
         adds = [e for m in messages if m is not None for e in m.entries]
         for _attempt in range(6):
+            if not txlog.table_exists(self.path):
+                meta = self.bootstrap_meta or {
+                    "schema": self.schema_json,
+                    "key_cols": [],
+                    "cluster_by": [],
+                    "stat_cols": [],
+                }
+                lines = [{"meta": meta}, {"commit": {"op": "create"}}]
+                lines += [{"add": e} for e in adds]
+                try:
+                    txlog._write_commit_exclusive(self.path, 0, lines)
+                    return
+                except FileExistsError:
+                    continue  # concurrently created: retry as a normal write
             state = txlog._load_state(self.path)
             if not self.overwrite:
                 # strict-append contract, re-checked per attempt so a
@@ -366,38 +502,36 @@ class TxLogDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         """``df.write.format("txlog").mode("append"|"overwrite")``.
-        A nonexistent table bootstraps (schema-only commit 0; pass
-        ``keyCols`` to set the merge key / stat columns) — the write
-        job's own commit then lands the data atomically as version 1.
+        A nonexistent table bootstraps ATOMICALLY: table meta (pass
+        ``keyCols`` to set the merge key / stat columns) and the job's
+        data files land together as commit 0 inside the driver-side
+        commit, so a failed/aborted first write leaves no table behind.
         Appends enforce the strict schema contract and CHECK
         constraints (re-validated on commit-race retries); MERGE and
         schema evolution stay API-level (`txlog.merge_upsert`)."""
         path = self._path()
-        if not txlog.table_exists(path):
-            keys = [
-                c.strip()
-                for c in self.options.get("keycols", "").split(",")
-                if c.strip()
-            ]
-            meta = {
-                "schema": schema.json(),
-                "key_cols": keys,
-                "cluster_by": keys,
-                "stat_cols": keys,
-            }
-            try:
-                txlog._write_commit_exclusive(
-                    path, 0, [{"meta": meta}, {"commit": {"op": "create"}}]
-                )
-            except FileExistsError:
-                pass  # concurrent bootstrap: proceed as a normal write
-        state = txlog._load_state(path)
+        if txlog.table_exists(path):
+            state = txlog._load_state(path)
+            return _TxLogWriter(
+                path,
+                overwrite,
+                state.meta.get("stat_cols", []),
+                schema.json(),
+                dict(state.meta.get("constraints") or {}),
+            )
+        keys = [
+            c.strip()
+            for c in self.options.get("keycols", "").split(",")
+            if c.strip()
+        ]
+        meta = {
+            "schema": schema.json(),
+            "key_cols": keys,
+            "cluster_by": keys,
+            "stat_cols": keys,
+        }
         return _TxLogWriter(
-            path,
-            overwrite,
-            state.meta.get("stat_cols", []),
-            schema.json(),
-            dict(state.meta.get("constraints") or {}),
+            path, overwrite, keys, schema.json(), {}, bootstrap_meta=meta
         )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
@@ -411,5 +545,9 @@ class TxLogDataSource(DataSource):
 
 
 def register_txlog_source(spark) -> None:
-    """Register ``format("txlog")`` on this session (idempotent)."""
+    """Register ``format("txlog")`` on this session (idempotent), and
+    enable Python-datasource filter pushdown (off by default in Spark
+    4.1) so WHERE clauses reach :meth:`_TxLogBatchReader.pushFilters`
+    and prune files by the log's footer stats."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TxLogDataSource)

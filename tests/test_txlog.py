@@ -582,3 +582,55 @@ def test_crash_artifacts_are_invisible(spark, table):
     assert removed >= 1
     assert not os.path.exists(os.path.join(orphan_dir, "part-orphan.parquet"))
     assert len(_content(read_table(spark, table))) == 101
+
+
+def test_merge_rejects_type_change(spark, table):
+    """A widened-type batch (v double vs stored v bigint/string) must
+    never COMMIT: rewritten files would carry the new physical type
+    while stats-skipped files keep the old one, leaving the latest
+    snapshot unreadable (CANNOT_MERGE_SCHEMAS on every read) — a
+    committed transaction that bricks the table. The merge enforces the
+    append path's (name, dataType) contract up front instead."""
+    bad = _df(spark, [(1, 1.5)], "k long, v double")
+    v_before = table_version(table)
+    with pytest.raises(ValueError, match="column type"):
+        merge_upsert(spark, bad, table)
+    # evolve_schema admits NEW columns, never a type change (Delta rule)
+    with pytest.raises(ValueError, match="column type"):
+        merge_upsert(spark, bad, table, evolve_schema=True)
+    badkey = _df(spark, [(1, "x")], "k int, v string")
+    with pytest.raises(ValueError, match="column type"):
+        merge_upsert(spark, badkey, table)
+    assert table_version(table) == v_before
+    # the table is untouched and still fully readable
+    assert len(_content(read_table(spark, table))) == 100
+
+
+def test_merge_rejects_column_drift_without_evolve(spark, table):
+    extra = _df(spark, [(1, "x", "n")], "k long, v string, note string")
+    with pytest.raises(ValueError, match="evolve_schema"):
+        merge_upsert(spark, extra, table)
+    missing = _df(spark, [(1,)], "k long")
+    with pytest.raises(ValueError, match="evolve_schema"):
+        merge_upsert(spark, missing, table)
+    assert table_version(table) == 0
+
+
+def test_corrupt_checkpoint_falls_back_to_replay(spark, table):
+    """A checkpoint torn by a crash (rename survived, content truncated
+    before reaching disk) is a corrupted CACHE of replayable state —
+    reads must degrade to an older checkpoint / full log replay, not
+    fail every _load_state at or above it."""
+    for i in range(11):
+        append_table(spark, _df(spark, [(700 + i, f"t{i}")]), table)
+    log_dir = os.path.join(table, "_txlog")
+    cp = os.path.join(log_dir, txlog._fmt_version(10) + ".checkpoint.json")
+    content = open(cp).read()
+    with open(cp, "w") as fh:
+        fh.write(content[: len(content) // 2])  # truncated mid-JSON
+    out = _content(read_table(spark, table))
+    assert len(out) == 111 and (705, "t5") in out
+    assert table_version(table) == 11
+    # commits keep working past the corrupt checkpoint
+    append_table(spark, _df(spark, [(900, "after")]), table)
+    assert len(_content(read_table(spark, table))) == 112

@@ -268,3 +268,158 @@ def test_batch_read_empty_table(spark, tmp_path):
     txlog.delete_where(spark, path, F.lit(True))
     out = spark.read.format("txlog").option("path", path).load()
     assert out.count() == 0 and out.columns == ["k", "v"]
+
+
+def test_write_api_failed_first_write_leaves_no_table(spark, tmp_path):
+    """Atomic create-as-select: a first write whose job fails must
+    leave NO table behind (bootstrap meta commits together with the
+    data), so the path stays fully reusable — including by
+    create_table, which refuses existing tables."""
+    register_txlog_source(spark)
+    path = str(tmp_path / "atomic")
+    bad = spark.range(4).select(
+        F.col("id").alias("k"),
+        F.assert_true(F.col("id") < 3).cast("string").alias("v"),
+    )
+    with pytest.raises(Exception):
+        bad.write.format("txlog").option("path", path).mode(
+            "append"
+        ).save()
+    assert not txlog.table_exists(path)
+    txlog.create_table(
+        spark,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        path,
+        key_cols=["k"],
+    )
+    assert txlog.read_table(spark, path).count() == 1
+
+
+def test_write_api_bootstrap_is_one_commit(spark, tmp_path):
+    register_txlog_source(spark)
+    path = str(tmp_path / "one")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.format(
+        "txlog"
+    ).option("path", path).option("keyCols", "k").mode("append").save()
+    # meta + data landed as a single atomic commit 0
+    assert txlog.table_version(path) == 0
+    hist = txlog.table_history(path)
+    assert hist[0]["op"] == "create" and hist[0]["rows_added"] == 2
+
+
+def test_stream_allows_pure_insert_merge(spark, table, tmp_path):
+    """A merge that removed NO files (brand-new keys — the txsink CDC
+    shape) adds only new logical rows: it must stream like an append,
+    not fail the append-only contract (the Delta source streams
+    removal-free adds the same way)."""
+    ckpt, out = str(tmp_path / "c4"), str(tmp_path / "o4")
+    _drain_parquet(spark, table, ckpt, out)
+    rep = txlog.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(100, "i100"), (101, "i101")], "k long, v string"
+        ),
+        table,
+    )
+    assert rep["files_rewritten"] == 0  # genuinely pure-insert
+    _drain_parquet(spark, table, ckpt, out)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert len(got) == 22 and got[100] == "i100" and got[101] == "i101"
+
+
+def test_pushfilters_prunes_like_read_table_bounds(spark, tmp_path):
+    """Planner filter pushdown (DataSourceReader.pushFilters) reuses
+    the log's footer-stats zonemap: partitions() must plan exactly the
+    files read_table(bounds=...) would read, and every filter goes back
+    to Spark for row-level post-scan evaluation."""
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        In,
+        IsNull,
+        LessThanOrEqual,
+    )
+
+    from data_pipelines_spark.sources.txlog_datasource import (
+        _TxLogBatchReader,
+    )
+
+    register_txlog_source(spark)
+    path = str(tmp_path / "zcl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k long, v string"
+    )
+    txlog.create_table(spark, df, path, key_cols=["k"], num_files=20)
+    state = txlog._load_state(path)
+
+    reader = _TxLogBatchReader(path, None, ["k", "v"])
+    filters = [
+        GreaterThanOrEqual(("k",), 10),
+        LessThanOrEqual(("k",), 11),
+    ]
+    returned = list(reader.pushFilters(filters))
+    assert returned == filters  # file-granular pruning: Spark re-checks rows
+    want = [
+        e
+        for e in state.files.values()
+        if not txlog._file_disjoint(e, {"k": (10, 11)})
+    ]
+    assert len(reader.partitions()) == len(want) < 20
+
+    # In-list stabbing: two values in two distant files -> 2 partitions
+    r2 = _TxLogBatchReader(path, None, ["k", "v"])
+    r2.pushFilters([In(("k",), (5, 195))])
+    assert len(r2.partitions()) == 2
+
+    # IsNull on a column with zero recorded nulls prunes everything
+    r3 = _TxLogBatchReader(path, None, ["k", "v"])
+    r3.pushFilters([IsNull(("k",))])
+    assert len(r3.partitions()) == 0
+
+    # a filter on a column with NO stats prunes nothing
+    r4 = _TxLogBatchReader(path, None, ["k", "v"])
+    r4.pushFilters([GreaterThanOrEqual(("v",), "zzz")])
+    assert len(r4.partitions()) == 20
+
+
+def test_pushfilters_end_to_end_through_planner(spark, tmp_path):
+    """spark.read.format('txlog').load().where(...) plans only the
+    surviving files (scan-stage task count), returns exactly the right
+    rows, and evaluates unsupported conjuncts post-scan."""
+    register_txlog_source(spark)
+    path = str(tmp_path / "e2e")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k long, v string"
+    )
+    txlog.create_table(spark, df, path, key_cols=["k"], num_files=20)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def scan_tasks(frame, group):
+        sc.setJobGroup(group, group)
+        try:
+            rows = frame.collect()
+        finally:
+            sc.setJobGroup(None, None)
+        total = 0
+        for j in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(j)
+            for sid in info.stageIds:
+                si = tracker.getStageInfo(sid)
+                if si:
+                    total += si.numTasks
+        return rows, total
+
+    base = spark.read.format("txlog").option("path", path).load()
+    _, full_tasks = scan_tasks(base, "txpf-full")
+    assert full_tasks == 20
+    out = base.where((F.col("k") >= 10) & (F.col("k") <= 12))
+    rows, pruned_tasks = scan_tasks(out, "txpf-pruned")
+    assert {(r["k"], r["v"]) for r in rows} == {
+        (i, f"v{i}") for i in (10, 11, 12)
+    }
+    assert pruned_tasks == 1
+    # partially-supported conjunction: the modulo term is Spark's
+    mixed = base.where(
+        (F.col("k") >= 10) & (F.col("k") <= 12) & (F.col("k") % 2 == 0)
+    )
+    assert {r["k"] for r in mixed.collect()} == {10, 12}
