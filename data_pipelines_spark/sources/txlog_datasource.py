@@ -309,6 +309,206 @@ class _TxLogStreamReader(DataSourceStreamReader):
         pass  # the streaming checkpoint owns progress; the log is immutable
 
 
+class _CDCPartition(InputPartition):
+    def __init__(self, version: int, removed: list[str], added: list[str]):
+        self.version = version
+        self.removed = removed  # absolute paths of files the commit removed
+        self.added = added  # absolute paths of files the commit added
+
+
+def _qid(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _duck_type(dt) -> str:
+    """DuckDB type for a Spark type — needed only to CAST NULL for a
+    column absent from EVERY file of a CDC commit (pre-evolution
+    commits), so the emitted Arrow schema still matches the stream's."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return f"{_duck_type(dt.elementType)}[]"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    return {
+        T.StringType: "VARCHAR",
+        T.LongType: "BIGINT",
+        T.IntegerType: "INTEGER",
+        T.ShortType: "SMALLINT",
+        T.ByteType: "TINYINT",
+        T.DoubleType: "DOUBLE",
+        T.FloatType: "FLOAT",
+        T.BooleanType: "BOOLEAN",
+        T.DateType: "DATE",
+        T.TimestampType: "TIMESTAMPTZ",
+        T.TimestampNTZType: "TIMESTAMP",
+        T.BinaryType: "BLOB",
+    }.get(type(dt), "VARCHAR")
+
+
+class _TxLogCDCStreamReader(DataSourceStreamReader):
+    """``readChangeFeed=true``: the commit log AS a row-level change
+    stream (the public Delta CDF streaming shape). One input partition
+    per data-changing commit; the partition's task derives the commit's
+    changes from its own removed/added file sets with the SAME multiset
+    semantics as the batch :func:`txlog.table_changes` — deletes = old
+    EXCEPT ALL new, inserts = new EXCEPT ALL old, non-null keys present
+    on both sides pair as update_pre/update_post. The diff runs in
+    DuckDB inside the task (no SparkSession exists there; the engine
+    already uses task-side DuckDB for write-path CHECK constraints) and
+    streams out as Arrow record batches.
+
+    Scale shape: cost ∝ the commit's churned files, the same economics
+    as the merge that produced them — but the whole commit's churn is
+    diffed in ONE task, so CDC granularity is per-commit; tables with
+    single commits churning more than a task's memory should consume
+    changes through the batch `table_changes` instead. Vacuuming a
+    version's files makes its change feed unreadable (fails loudly on
+    the missing file — Delta CDF has the same retention coupling)."""
+
+    def __init__(
+        self,
+        path: str,
+        columns: list[str],
+        schema: StructType,
+        starting_version: int,
+        key_cols: list[str],
+    ):
+        self.path = path
+        self.columns = columns
+        self.schema_json = schema.json()
+        self.starting_version = starting_version
+        self.key_cols = key_cols
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": txlog.table_version(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        root = txlog._local(self.path)
+        out: list[_CDCPartition] = []
+        for v in range(max(start["version"] + 1, 0), end["version"] + 1):
+            actions = txlog._read_actions(self.path, v)
+            op = next(
+                (a["commit"].get("op") for a in actions if "commit" in a),
+                None,
+            )
+            if op in _PHYSICAL_OPS:
+                continue  # physical rewrite: rows cancel, no change rows
+            removed = [
+                os.path.join(root, a["remove"]["path"])
+                for a in actions
+                if "remove" in a
+            ]
+            added = [
+                os.path.join(root, a["add"]["path"])
+                for a in actions
+                if "add" in a
+            ]
+            if not removed and not added:
+                continue  # metadata-only commit (constraints, schema)
+            out.append(_CDCPartition(v, removed, added))
+        return out
+
+    def read(self, partition: _CDCPartition | None):
+        if partition is None:
+            return
+        import duckdb
+
+        schema = StructType.fromJson(json.loads(self.schema_json))
+        data_cols = [
+            c
+            for c in self.columns
+            if c not in ("_change_type", "_commit_version")
+        ]
+        con = duckdb.connect()
+
+        def side_view(name: str, paths: list[str], other: list[str]) -> None:
+            # union_by_name aligns physical schemas across evolution;
+            # an empty side borrows the other side's shape, WHERE false
+            src, guard = (paths, "") if paths else (other, " WHERE false")
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet({src!r}, union_by_name=true){guard}"
+            )
+
+        side_view("old_raw", partition.removed, partition.added)
+        side_view("new_raw", partition.added, partition.removed)
+        # per-side select lists: a side whose files predate a schema
+        # evolution lacks the evolved column and NULL-fills it (typed,
+        # so the emitted Arrow schema still matches the stream's)
+        for raw, aligned in (("old_raw", "old_v"), ("new_raw", "new_v")):
+            present = {
+                r[0] for r in con.execute(f"DESCRIBE {raw}").fetchall()
+            }
+            sel = ", ".join(
+                _qid(c)
+                if c in present
+                else (
+                    f"CAST(NULL AS {_duck_type(schema[c].dataType)}) "
+                    f"AS {_qid(c)}"
+                )
+                for c in data_cols
+            )
+            con.execute(f"CREATE VIEW {aligned} AS SELECT {sel} FROM {raw}")
+        con.execute(
+            "CREATE VIEW delr AS "
+            "SELECT * FROM old_v EXCEPT ALL SELECT * FROM new_v"
+        )
+        con.execute(
+            "CREATE VIEW insr AS "
+            "SELECT * FROM new_v EXCEPT ALL SELECT * FROM old_v"
+        )
+        keys = [k for k in self.key_cols if k in data_cols]
+        if keys:
+            klist = ", ".join(_qid(k) for k in keys)
+            notnull = " AND ".join(f"{_qid(k)} IS NOT NULL" for k in keys)
+            # non-null keys on BOTH sides pair as an update; NULL keys
+            # never join (SEMI/ANTI null semantics), so NULL-key rows
+            # classify as plain delete/insert — table_changes' rule
+            con.execute(
+                f"CREATE VIEW updk AS "
+                f"SELECT DISTINCT {klist} FROM delr WHERE {notnull} "
+                f"INTERSECT "
+                f"SELECT DISTINCT {klist} FROM insr WHERE {notnull}"
+            )
+            body = f"""
+                SELECT *, 'update_pre' AS _change_type
+                FROM delr SEMI JOIN updk USING ({klist})
+                UNION ALL BY NAME
+                SELECT *, 'delete' AS _change_type
+                FROM delr ANTI JOIN updk USING ({klist})
+                UNION ALL BY NAME
+                SELECT *, 'update_post' AS _change_type
+                FROM insr SEMI JOIN updk USING ({klist})
+                UNION ALL BY NAME
+                SELECT *, 'insert' AS _change_type
+                FROM insr ANTI JOIN updk USING ({klist})
+            """
+        else:
+            body = """
+                SELECT *, 'delete' AS _change_type FROM delr
+                UNION ALL BY NAME
+                SELECT *, 'insert' AS _change_type FROM insr
+            """
+        out_cols = ", ".join(
+            f"CAST({int(partition.version)} AS BIGINT) AS _commit_version"
+            if c == "_commit_version"
+            else _qid(c)
+            for c in self.columns
+        )
+        res = con.execute(f"SELECT {out_cols} FROM ({body})")
+        reader = res.fetch_record_batch(65_536)
+        for batch in reader:
+            if batch.num_rows:
+                yield batch
+
+    def commit(self, end: dict) -> None:
+        pass  # the streaming checkpoint owns progress; the log is immutable
+
+
 @dataclass
 class _TxAdds(WriterCommitMessage):
     entries: list = field(default_factory=list)
@@ -473,7 +673,9 @@ class TxLogDataSource(DataSource):
     """``format("txlog")``: see module docstring. Options: ``path``
     (required), ``version`` (batch time travel), ``startingVersion``
     (stream from a later version; default 0 = the whole table),
-    ``skipChangeCommits`` (stream past merge/delete/overwrite)."""
+    ``skipChangeCommits`` (stream past merge/delete/overwrite),
+    ``readChangeFeed`` (stream row-level changes with ``_change_type``
+    + ``_commit_version`` — Delta's CDF shape)."""
 
     @classmethod
     def name(cls) -> str:
@@ -485,14 +687,37 @@ class TxLogDataSource(DataSource):
             raise ValueError("format('txlog') needs .option('path', ...)")
         return path
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
+
     def schema(self) -> StructType:
         version = self.options.get("version")
         state = txlog._load_state(
             self._path(), int(version) if version is not None else None
         )
-        return StructType.fromJson(json.loads(state.meta["schema"]))
+        base = StructType.fromJson(json.loads(state.meta["schema"]))
+        if self._cdf():
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+        return base
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._cdf():
+            raise ValueError(
+                "readChangeFeed is a STREAMING option "
+                "(spark.readStream.format('txlog')); for a batch change "
+                "feed over a version range use txlog.table_changes(...)"
+            )
         version = self.options.get("version")
         return _TxLogBatchReader(
             self._path(),
@@ -535,6 +760,15 @@ class TxLogDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self._cdf():
+            state = txlog._load_state(self._path())
+            return _TxLogCDCStreamReader(
+                self._path(),
+                [f.name for f in schema.fields],
+                schema,
+                int(self.options.get("startingVersion", 0)),
+                list(state.meta.get("key_cols", [])),
+            )
         return _TxLogStreamReader(
             self._path(),
             [f.name for f in schema.fields],

@@ -423,3 +423,90 @@ def test_pushfilters_end_to_end_through_planner(spark, tmp_path):
         (F.col("k") >= 10) & (F.col("k") <= 12) & (F.col("k") % 2 == 0)
     )
     assert {r["k"] for r in mixed.collect()} == {10, 12}
+
+
+def test_stream_change_feed_matches_batch_table_changes(spark, table, tmp_path):
+    """readChangeFeed=true streams row-level CDC (Delta's CDF shape):
+    per-commit changes with pre/post image pairing must equal the batch
+    table_changes over the same version range, checkpoint restarts are
+    exactly-once, physical rewrites emit nothing, and pre-evolution
+    commits NULL-fill evolved columns."""
+    ckpt, out = str(tmp_path / "cdc_ck"), str(tmp_path / "cdc_out")
+    # v1: evolving merge BEFORE the stream starts — commit 0's change
+    # rows must NULL-fill `note` (absent from every v0 file)
+    txlog.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "r1", "n1"), (50, "i50", "n50")],
+            "k long, v string, note string",
+        ),
+        table,
+        evolve_schema=True,
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog").option("path", table)
+            .option("readChangeFeed", "true").load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def changes(frame, version):
+        return sorted(
+            (r["k"], r["v"], r["note"], r["_change_type"])
+            for r in frame.where(
+                F.col("_commit_version") == version
+            ).collect()
+        )
+
+    drain()
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {
+        "k", "v", "note", "_change_type", "_commit_version"
+    }
+    v0 = changes(got, 0)
+    assert len(v0) == 20 and all(
+        t[2] is None and t[3] == "insert" for t in v0
+    )
+    # v2: delete, v3: append, v4: compact (physical — must emit nothing)
+    txlog.delete_where(spark, table, F.col("k") == 5, bounds={"k": (5, 5)})
+    txlog.append_table(
+        spark,
+        spark.createDataFrame([(60, "a60", None)],
+                              "k long, v string, note string"),
+        table,
+    )
+    txlog.compact_table(spark, table, target_file_rows=10_000)
+    drain()
+    got = spark.read.parquet(out)
+    # exactly-once across the restart: commit 0 emitted exactly once
+    assert got.where(F.col("_commit_version") == 0).count() == 20
+    for v in (1, 2, 3, 4):
+        want = sorted(
+            (r["k"], r["v"], r["note"], r["_change_type"])
+            for r in txlog.table_changes(spark, table, v - 1, v).collect()
+        )
+        assert changes(got, v) == want, f"version {v} diverged"
+    assert got.where(F.col("_commit_version") == 4).count() == 0
+    # pre/post pairing visible: the evolving merge updated k=1
+    v1 = changes(got, 1)
+    assert (1, "v1", None, "update_pre") in v1
+    assert (1, "r1", "n1", "update_post") in v1
+    assert (50, "i50", "n50", "insert") in v1
+    # a third drain with nothing new emits nothing
+    drain()
+    assert spark.read.parquet(out).count() == got.count()
+
+
+def test_batch_read_rejects_change_feed_option(spark, table):
+    register_txlog_source(spark)
+    with pytest.raises(Exception, match="table_changes"):
+        (
+            spark.read.format("txlog").option("path", table)
+            .option("readChangeFeed", "true").load().collect()
+        )
