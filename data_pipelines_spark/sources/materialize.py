@@ -34,6 +34,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def dataset_exists(spark: SparkSession, path: str) -> bool:
@@ -551,4 +552,68 @@ def compact_dataset(
         "files_before": files_before,
         "files_after": files_after,
         "bytes_compacted": bytes_total,
+    }
+
+
+def migrate_store_schema(
+    spark: SparkSession,
+    path: str,
+    schema,
+    partition_cols: Sequence[str] = (),
+    num_files: int | None = None,
+) -> dict:
+    """One-pass PHYSICAL schema migration for a plain-parquet store
+    whose files carry mixed physical types under one column — e.g. a
+    crawl store whose ``record_offset`` was written int32 by a
+    pre-widening engine and int64 after. Such a store still answers
+    schema-inferred and explicit-schema reads (Spark 4's parquet reader
+    widens int32→int64), but every ``mergeSchema=true`` read — which
+    evolving-store maintenance like :func:`compact_dataset` relies on —
+    fails with ``CANNOT_MERGE_SCHEMAS``. This rewrites the store once
+    under one physical schema and the problem class is gone.
+
+    ``schema`` (DDL string or StructType) is the target LOGICAL schema,
+    including any hive partition columns; it defines the store's
+    columns after migration. The store is read under the explicit
+    target schema (the reader applies Spark-legal widenings per file;
+    an unsupported narrowing fails loudly), rewritten next to the store
+    (``<path>__migrating``), then swapped in via FileSystem
+    rename — so a crash mid-rewrite leaves the original store intact.
+    The final swap itself is delete+rename, NOT transactional for
+    concurrent readers (raw parquet's documented limit — run offline,
+    or use a txlog table where that matters)."""
+    target = (
+        schema
+        if not isinstance(schema, str)
+        else StructType.fromDDL(schema)
+    )
+    parts = list(partition_cols)
+    before = list_data_files(spark, path)
+    files_before = sum(len(f) for f in before.values())
+    df = spark.read.schema(target).parquet(path)
+    if num_files:
+        df = df.repartition(num_files)
+    tmp = path.rstrip("/") + "__migrating"
+    writer = df.write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(tmp)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+    if not fs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp),
+        jvm.org.apache.hadoop.fs.Path(path),
+    ):
+        raise IOError(
+            f"migration rename {tmp} -> {path} failed; migrated data "
+            f"is intact at {tmp}"
+        )
+    after = list_data_files(spark, path)
+    return {
+        "files_before": files_before,
+        "files_after": sum(len(f) for f in after.values()),
+        "rows": spark.read.parquet(path).count(),
     }

@@ -1035,31 +1035,54 @@ def compact_table(
     spark: SparkSession,
     path: str,
     target_file_rows: int = 1_000_000,
+    min_file_rows: int | None = None,
     max_retries: int = 5,
 ) -> dict:
     """Bin-pack small files into ~``target_file_rows``-row files —
     logical content unchanged, old snapshots still readable (until
     vacuum). The 100 TB small-files answer: streaming/merge commits
     fragment a table; compaction restores scan efficiency without a
-    logical rewrite."""
+    logical rewrite. Rewrite cost is proportional to the SMALL-FILE
+    MASS, never the table: files at or above the selection threshold
+    are carried forward by reference (identical relpaths), and when
+    packing cannot reduce the file count at all the call is a no-op
+    with no commit — so running it after every ingest batch is cheap
+    when there is nothing to do (see ``stream_txlog_sink``'s
+    ``compact_every``).
+
+    ``min_file_rows`` separates the SELECTION threshold from the
+    packing target (Delta OPTIMIZE's minFileSize/maxFileSize split):
+    only files below it are rewritten, into ~``target_file_rows``-row
+    bins. The default (= ``target_file_rows``) keeps the classic
+    "everything undersized" behavior; maintenance loops on
+    streaming-ingested tables should pass a lower threshold (e.g.
+    ``target // 2``) so near-target files stop being rewritten on
+    every pass."""
+    threshold = target_file_rows if min_file_rows is None else min_file_rows
     for _ in range(max_retries + 1):
         state = _load_state(path)
         small = {
             rel: e
             for rel, e in state.files.items()
-            if e["rows"] < target_file_rows
+            if e["rows"] < threshold
+        }
+        unchanged = {
+            "version": state.version,
+            "files_before": len(state.files),
+            "files_after": len(state.files),
         }
         if len(small) <= 1:
-            return {
-                "version": state.version,
-                "files_before": len(state.files),
-                "files_after": len(state.files),
-            }
+            return unchanged
+        rows = sum(e["rows"] for e in small.values())
+        if max(1, math.ceil(rows / target_file_rows)) >= len(small):
+            # packing would produce at least as many files as it
+            # removes — rewriting would only churn data (and re-emit
+            # nothing useful); leave the layout alone
+            return unchanged
         root = _local(path)
         df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(root, rel) for rel in sorted(small)]
         )
-        rows = sum(e["rows"] for e in small.values())
         n = max(1, math.ceil(rows / target_file_rows))
         adds, staging = _write_data_files(
             spark, df, path, state.meta.get("stat_cols", []),

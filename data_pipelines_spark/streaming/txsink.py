@@ -62,6 +62,8 @@ def stream_txlog_sink(
     version_col: str | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
+    compact_every: int | None = None,
+    compact_target_rows: int = 1_000_000,
 ):
     """foreachBatch sink landing each micro-batch in a txlog table as
     one idempotent transaction keyed by ``(app_id, batch_id)``.
@@ -70,6 +72,16 @@ def stream_txlog_sink(
     upserts them by ``key_cols`` (stored table keys by default) with
     optional ``version_col`` last-writer-wins — the streaming-CDC
     shape. The first batch bootstraps the table if it does not exist.
+
+    ``compact_every=N`` is the small-file auto-OPTIMIZE policy a
+    streaming-ingested table needs: every commit lands one file set per
+    micro-batch, so after every N batches the sink bin-packs the table's
+    undersized files (below ``compact_target_rows // 2``) into
+    ~``compact_target_rows``-row files. The compaction is a separate
+    PHYSICAL commit after the batch's data commit — content-invariant,
+    replay-safe (a replayed trigger re-runs it as a cheap no-op on an
+    already-packed layout), and cost-bounded by the small-file mass,
+    never the table size.
 
     Contract (as in the public Delta pattern): one live streaming query
     per ``app_id`` per table. Returns the un-started
@@ -105,6 +117,13 @@ def stream_txlog_sink(
                 key_cols=list(key_cols) or None,
                 version_col=version_col,
                 txn=(app_id, int(batch_id)),
+            )
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            txlog.compact_table(
+                spark,
+                table_path,
+                target_file_rows=compact_target_rows,
+                min_file_rows=max(1, compact_target_rows // 2),
             )
 
     writer = stream.writeStream.foreachBatch(_apply).outputMode("update")

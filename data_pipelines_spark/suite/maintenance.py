@@ -787,6 +787,33 @@ def upsert_readback(spark, sf_dir):
             raise RuntimeError(
                 "format('txlog') datasource read diverged from read_table"
             )
+        # Maintenance leg: Z-order OPTIMIZE (full physical rewrite,
+        # multi-column clustering) followed by a real VACUUM of every
+        # version but the latest — both content-INVARIANT by contract,
+        # certified here under the driver hash: the post-maintenance
+        # snapshot must still equal the parquet path's rows exactly.
+        from data_pipelines_spark.sources.txlog import (
+            optimize_table,
+            vacuum_table,
+        )
+
+        optimize_table(spark, tx_path, zorder_by=["k", "bucket"])
+        vacuum_table(tx_path, retain_versions=1, min_age_seconds=0.0)
+        post = txlog.read_table(spark, tx_path).select(
+            F.col("k").cast("long").alias("k"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("status").alias("status"),
+            F.col("price").cast("double").alias("price"),
+            F.col("ver").cast("long").alias("ver"),
+            F.col("note").alias("note"),
+        )
+        if (
+            post.exceptAll(readback).limit(1).count()
+            or readback.exceptAll(post).limit(1).count()
+        ):
+            raise RuntimeError(
+                "txlog OPTIMIZE/VACUUM changed table content"
+            )
         # Final leg: the same rows through the BUCKETED-table layout
         # (S-tier storage feature, sources/bucketed.py) — written as an
         # 8-bucket external table and read back via the catalog, so a

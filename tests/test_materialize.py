@@ -659,3 +659,88 @@ def test_delta_merge_construction_via_stub(spark, tmp_path, monkeypatch):
         [(1, "new", 2), (2, "b", 7), (None, "n1", 5), (None, "n2", 5)],
         key=repr,
     )
+
+
+def test_migrate_store_schema_mixed_width(spark, tmp_path):
+    """A store with int32 files from a pre-widening engine and int64
+    files after (the r10 `record_offset` caveat): plain reads widen but
+    every mergeSchema read — which compact_dataset relies on — fails
+    with CANNOT_MERGE_SCHEMAS. One migration pass normalizes the
+    physical schema and the problem class is gone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from data_pipelines_spark.sources.materialize import (
+        migrate_store_schema,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    pq.write_table(
+        pa.table(
+            {
+                "record_offset": pa.array([1, 2], pa.int32()),
+                "u": ["a", "b"],
+            }
+        ),
+        os.path.join(store, "old.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "record_offset": pa.array([3, 4], pa.int64()),
+                "u": ["c", "d"],
+            }
+        ),
+        os.path.join(store, "new.parquet"),
+    )
+    with pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS"):
+        spark.read.option("mergeSchema", "true").parquet(store).collect()
+    report = migrate_store_schema(
+        spark, store, "record_offset long, u string"
+    )
+    assert report["rows"] == 4
+    out = spark.read.option("mergeSchema", "true").parquet(store)
+    assert out.schema.simpleString() == (
+        "struct<record_offset:bigint,u:string>"
+    )
+    assert sorted((r[0], r[1]) for r in out.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    ]
+    # no migration litter left behind
+    assert not os.path.exists(store + "__migrating")
+
+
+def test_migrate_store_schema_partitioned(spark, tmp_path):
+    """Hive-partitioned stores keep their layout: partition dirs are
+    re-derived from the partition column on rewrite."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipelines_spark.sources.materialize import (
+        migrate_store_schema,
+    )
+
+    store = str(tmp_path / "pstore")
+    os.makedirs(os.path.join(store, "batch_id=0"))
+    os.makedirs(os.path.join(store, "batch_id=1"))
+    pq.write_table(
+        pa.table({"record_offset": pa.array([1], pa.int32()), "u": ["a"]}),
+        os.path.join(store, "batch_id=0", "f.parquet"),
+    )
+    pq.write_table(
+        pa.table({"record_offset": pa.array([2], pa.int64()), "u": ["b"]}),
+        os.path.join(store, "batch_id=1", "f.parquet"),
+    )
+    migrate_store_schema(
+        spark,
+        store,
+        "record_offset long, u string, batch_id int",
+        partition_cols=["batch_id"],
+    )
+    assert {"batch_id=0", "batch_id=1"} <= set(os.listdir(store))
+    out = spark.read.option("mergeSchema", "true").parquet(store)
+    assert sorted((r["record_offset"], r["batch_id"]) for r in out.collect()) == [
+        (1, 0), (2, 1),
+    ]

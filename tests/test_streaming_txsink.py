@@ -125,3 +125,28 @@ def test_stream_merge_cdc(spark, tmp_path):
     _drain(spark, src, table, ckpt, mode="merge", key_cols=["k"])
     got = {r["k"]: r["v"] for r in txlog.read_table(spark, table).collect()}
     assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_stream_sink_auto_compacts_every_n_batches(spark, tmp_path):
+    """compact_every: the sink bin-packs the table's micro-batch file
+    litter every N batches — content invariant, and the physical
+    commits interleave with the txn-watermarked data commits without
+    disturbing exactly-once."""
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    for i in range(6):
+        _write_manifest(src, f"w{i}.txt", [f"{10 * i + j},v{i}" for j in range(3)])
+    q = stream_txlog_sink(
+        _stream(spark, src), table, app_id="ac", mode="append",
+        checkpoint=ckpt, compact_every=3, compact_target_rows=10_000,
+    ).start()
+    q.awaitTermination(120)
+    hist = txlog.table_history(table)
+    assert "compact" in {h["op"] for h in hist}
+    assert txlog.read_table(spark, table).count() == 18
+    # packed layout: far fewer live files than one-per-batch litter
+    assert len(txlog._load_state(table).files) < 6
+    # exactly-once held: every batch landed exactly once
+    got = {r["k"] for r in txlog.read_table(spark, table).collect()}
+    assert got == {10 * i + j for i in range(6) for j in range(3)}

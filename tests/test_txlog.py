@@ -634,3 +634,64 @@ def test_corrupt_checkpoint_falls_back_to_replay(spark, table):
     # commits keep working past the corrupt checkpoint
     append_table(spark, _df(spark, [(900, "after")]), table)
     assert len(_content(read_table(spark, table))) == 112
+
+
+def test_compact_large_files_survive_by_reference(spark, tmp_path):
+    """Compaction cost ∝ small-file mass: files at/above the threshold
+    are carried forward with IDENTICAL relpaths (by reference, never
+    rewritten), only the undersized tail is read and packed."""
+    path = str(tmp_path / "bp")
+    create_table(
+        spark, _df(spark, [(i, "b") for i in range(3000)]), path,
+        key_cols=["k"], num_files=1,
+    )
+    for i in range(6):
+        append_table(spark, _df(spark, [(10_000 + i, "s")]), path)
+    big_rels = [
+        rel for rel, e in _live_files(path).items() if e["rows"] >= 1000
+    ]
+    assert len(big_rels) == 1
+    report = compact_table(spark, path, target_file_rows=1000)
+    live = _live_files(path)
+    assert big_rels[0] in live  # untouched, same relpath
+    assert report["files_before"] == 7 and report["files_after"] == 2
+    assert len(_content(read_table(spark, path))) == 3006
+
+
+def test_compact_noop_when_packing_cannot_reduce(spark, tmp_path):
+    """Two near-target files must NOT churn forever: when bin-packing
+    cannot reduce the file count, compaction commits nothing."""
+    path = str(tmp_path / "noop")
+    create_table(
+        spark, _df(spark, [(i, "x") for i in range(1800)]), path,
+        key_cols=["k"], num_files=2,
+    )
+    before = set(_live_files(path))
+    v = table_version(path)
+    report = compact_table(spark, path, target_file_rows=1000)
+    assert report["files_before"] == report["files_after"] == 2
+    assert table_version(path) == v  # no commit at all
+    assert set(_live_files(path)) == before
+
+
+def test_compact_min_file_rows_selects_below_threshold_only(spark, tmp_path):
+    """min_file_rows splits selection from the packing target (Delta's
+    minFileSize/maxFileSize): an 800-row file below the 1000-row TARGET
+    but above the 100-row THRESHOLD is left alone."""
+    path = str(tmp_path / "sel")
+    create_table(
+        spark, _df(spark, [(i, "m") for i in range(800)]), path,
+        key_cols=["k"], num_files=1,
+    )
+    append_table(spark, _df(spark, [(9000 + i, "s") for i in range(50)]), path)
+    append_table(spark, _df(spark, [(9500 + i, "s") for i in range(50)]), path)
+    mid_rel = [
+        rel for rel, e in _live_files(path).items() if e["rows"] == 800
+    ]
+    report = compact_table(
+        spark, path, target_file_rows=1000, min_file_rows=100
+    )
+    live = _live_files(path)
+    assert mid_rel[0] in live  # 800 < target but >= threshold: untouched
+    assert report["files_after"] == 2
+    assert len(_content(read_table(spark, path))) == 900
