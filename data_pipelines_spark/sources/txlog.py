@@ -1378,6 +1378,73 @@ def optimize_table(
     )
 
 
+def restore_table(
+    spark: SparkSession, path: str, version: int, max_retries: int = 5
+) -> dict:
+    """Roll the table's LATEST state back to ``version`` as a NEW
+    commit (the public Delta ``RESTORE TABLE`` shape): the target
+    snapshot's file list AND meta (schema, constraints, stat columns)
+    become current again, history is preserved — the undone commits
+    stay time-travelable, and the restore itself is one more commit
+    that a reader can inspect in ``table_history``. No data is
+    rewritten: files are re-referenced from the log, so restore cost is
+    O(log), not O(table).
+
+    Fails loudly (before committing) if any target-version file was
+    already vacuumed. Caveat shared with public Delta: restore
+    re-references files that only OLD snapshots held, so do not run it
+    concurrently with a vacuum whose retention would collect those
+    files — the vacuum age floor protects in-flight WRITES, not
+    historical files. Returns {"version", "files_added",
+    "files_removed"}."""
+    for _ in range(max_retries + 1):
+        state = _load_state(path)
+        target = _load_state(path, version)
+        if target.version == state.version:
+            return {
+                "version": state.version,
+                "files_added": 0,
+                "files_removed": 0,
+            }
+        root = _local(path)
+        missing = [
+            rel
+            for rel in sorted(target.files)
+            if rel not in state.files
+            and not os.path.exists(os.path.join(root, rel))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {path} to version {version}: "
+                f"{len(missing)} data file(s) were vacuumed "
+                f"(first: {missing[0]})"
+            )
+        adds = [
+            target.files[rel]
+            for rel in sorted(target.files)
+            if rel not in state.files
+        ]
+        removes = [rel for rel in sorted(state.files) if rel not in target.files]
+        # meta is restored too (schema/constraints as of the target
+        # version) — a restore across a schema evolution must put the
+        # old schema back or the snapshot would misread its files
+        meta = target.meta if target.meta != state.meta else None
+        try:
+            new_version = _commit_rmw(
+                path, state.version, "restore", adds, removes, meta
+            )
+            return {
+                "version": new_version,
+                "files_added": len(adds),
+                "files_removed": len(removes),
+            }
+        except _Conflict:
+            continue
+    raise ConcurrentWriteError(
+        f"restore of {path} lost the commit race {max_retries + 1} times"
+    )
+
+
 def vacuum_table(
     path: str, retain_versions: int = 1, min_age_seconds: float = 3600.0
 ) -> int:

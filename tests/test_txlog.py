@@ -695,3 +695,51 @@ def test_compact_min_file_rows_selects_below_threshold_only(spark, tmp_path):
     assert mid_rel[0] in live  # 800 < target but >= threshold: untouched
     assert report["files_after"] == 2
     assert len(_content(read_table(spark, path))) == 900
+
+
+def test_restore_table_rolls_back_as_new_commit(spark, table):
+    """RESTORE: the target snapshot's files AND meta become current
+    again as one new commit — no data rewrite, history preserved, the
+    undone commits still time-travelable; CDC over the restore commit
+    reports the logical rollback."""
+    merge_upsert(
+        spark, _df(spark, [(1, "changed"), (500, "ins")]), table
+    )  # v1
+    merge_upsert(
+        spark,
+        _df(spark, [(2, "evolved", "x")], "k long, v string, note string"),
+        table,
+        evolve_schema=True,
+    )  # v2: schema now has note
+    rep = txlog.restore_table(spark, table, 0)  # back to creation
+    assert rep["version"] == 3 and rep["files_added"] > 0
+    out = read_table(spark, table)
+    assert set(out.columns) == {"k", "v"}  # pre-evolution schema restored
+    assert _content(out) == [(i, f"v{i}") for i in range(100)]
+    # history preserved: the undone versions still read
+    assert len(_content(read_table(spark, table, version=2))) == 101
+    hist = table_history(table)
+    assert hist[-1]["op"] == "restore"
+    # CDC across the restore shows the rollback as row-level changes
+    ch = {
+        (r["k"], r["_change_type"])
+        for r in txlog.table_changes(spark, table, 2, 3).collect()
+    }
+    assert (500, "delete") in ch and (1, "update_post") in ch
+    # restoring to the current state is a no-op (no commit)
+    rep2 = txlog.restore_table(spark, table, 3)
+    assert rep2 == {"version": 3, "files_added": 0, "files_removed": 0}
+    assert table_version(table) == 3
+    # appends continue normally against the restored schema
+    append_table(spark, _df(spark, [(999, "after")]), table)
+    assert len(_content(read_table(spark, table))) == 101
+
+
+def test_restore_refuses_vacuumed_target(spark, table):
+    overwrite_table(spark, _df(spark, [(1, "only")]), table)  # v1
+    vacuum_table(table, retain_versions=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        txlog.restore_table(spark, table, 0)
+    # table is untouched by the failed restore
+    assert table_version(table) == 1
+    assert _content(read_table(spark, table)) == [(1, "only")]
