@@ -598,15 +598,24 @@ def migrate_store_schema(
     if parts:
         writer = writer.partitionBy(*parts)
     writer.parquet(tmp)
+    # count the MIGRATED copy before the destructive swap — one job
+    # that doubles as the readability check (a migration that cannot
+    # be read back must never replace the original)
+    rows = spark.read.parquet(tmp).count()
     jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
-    if not fs.rename(
+    jsrc, jdst = (
         jvm.org.apache.hadoop.fs.Path(tmp),
         jvm.org.apache.hadoop.fs.Path(path),
-    ):
+    )
+    fs = jdst.getFileSystem(spark._jsc.hadoopConfiguration())
+    # rename onto an EXISTING directory would nest tmp under it (Hadoop
+    # rename semantics) and double every row — verify the delete took
+    if not fs.delete(jdst, True) and fs.exists(jdst):
+        raise IOError(
+            f"migration could not delete {path}; migrated data is "
+            f"intact at {tmp}"
+        )
+    if not fs.rename(jsrc, jdst):
         raise IOError(
             f"migration rename {tmp} -> {path} failed; migrated data "
             f"is intact at {tmp}"
@@ -615,5 +624,5 @@ def migrate_store_schema(
     return {
         "files_before": files_before,
         "files_after": sum(len(f) for f in after.values()),
-        "rows": spark.read.parquet(path).count(),
+        "rows": rows,
     }

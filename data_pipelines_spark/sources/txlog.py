@@ -392,6 +392,51 @@ def _key_pruners(
     return out
 
 
+def _file_survives_constraints(entry: dict, constraints: list[tuple]) -> bool:
+    """One home for the file-level zonemap contract over pushed-down
+    filter conjuncts — ``(kind, col, payload)`` with kind ∈ set / gt /
+    ge / lt / le / isnull. True unless footer stats PROVE no row of the
+    file can satisfy some conjunct; absent stats and cross-type
+    comparisons never prune (the same conservative contract
+    :func:`_file_matches_keys` / :func:`_file_disjoint` hold). Used by
+    the ``format("txlog")`` datasource's ``pushFilters`` path."""
+    import bisect
+
+    stats = entry.get("stats") or {}
+    for kind, col, payload in constraints:
+        st = stats.get(col)
+        if st is None:
+            continue
+        if kind == "isnull":
+            # nulls counts are recorded alongside min/max: a file with
+            # zero nulls in the column provably has no `col IS NULL` row
+            if st.get("nulls") == 0:
+                return False
+            continue
+        fmin = _decode_val(st["min"])
+        fmax = _decode_val(st["max"])
+        try:
+            if kind == "set":
+                idx = bisect.bisect_left(payload, fmin)
+                if idx >= len(payload) or payload[idx] > fmax:
+                    return False
+            elif kind == "gt":
+                if fmax <= payload:
+                    return False
+            elif kind == "ge":
+                if fmax < payload:
+                    return False
+            elif kind == "lt":
+                if fmin >= payload:
+                    return False
+            elif kind == "le":
+                if fmin > payload:
+                    return False
+        except TypeError:
+            continue
+    return True
+
+
 def _file_matches_keys(entry: dict, pruners: dict) -> bool:
     """True unless footer stats PROVE no batch key can live in the file
     on some key column — absent stats never prune."""
@@ -492,6 +537,31 @@ def _abs_files(path: str, state: Snapshot) -> list[str]:
 def _empty_frame(spark: SparkSession, meta: dict) -> DataFrame:
     schema = StructType.fromJson(json.loads(meta["schema"]))
     return spark.createDataFrame([], schema=schema)
+
+
+def _norm_nullability(dt):
+    """The same dataType up to NESTED nullability flags (array
+    containsNull, map valueContainsNull, struct field nullable) — those
+    don't change the physical parquet type, so schema-contract checks
+    must not reject a batch over them (``F.array(lit(..))`` infers
+    containsNull=false where createDataFrame infers true)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_norm_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _norm_nullability(dt.keyType), _norm_nullability(dt.valueType),
+            True,
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _norm_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
 
 
 # ---------------------------------------------------------------------------
@@ -661,8 +731,8 @@ def append_table(
         return state.version
     want = StructType.fromJson(json.loads(state.meta["schema"]))
     got = df.schema
-    if {(f.name, f.dataType) for f in got.fields} != {
-        (f.name, f.dataType) for f in want.fields
+    if {(f.name, _norm_nullability(f.dataType)) for f in got.fields} != {
+        (f.name, _norm_nullability(f.dataType)) for f in want.fields
     }:
         # silent drift would mix physical schemas under one column and
         # corrupt later reads — the strict-by-default append contract
@@ -682,7 +752,9 @@ def append_table(
         lines.append({"txn": {"app": txn[0], "batch": txn[1]}})
     lines += [{"add": e} for e in adds]
     version = state.version + 1
-    seen_schema = {(f.name, f.dataType) for f in want.fields}
+    seen_schema = {
+        (f.name, _norm_nullability(f.dataType)) for f in want.fields
+    }
     seen_constraints = dict(state.meta.get("constraints") or {})
     for _ in range(max_retries + 1):
         try:
@@ -699,7 +771,7 @@ def append_table(
             # rule): re-validate the staged batch against the fresh
             # schema/constraints before blindly retrying the bump.
             fresh_schema = {
-                (f.name, f.dataType)
+                (f.name, _norm_nullability(f.dataType))
                 for f in StructType.fromJson(
                     json.loads(fresh.meta["schema"])
                 ).fields
@@ -889,12 +961,15 @@ def _merge_upsert_inner(
         want_fields = StructType.fromJson(
             json.loads(state.meta["schema"])
         ).fields
-        want_types = {f.name: f.dataType for f in want_fields}
+        want_types = {
+            f.name: _norm_nullability(f.dataType) for f in want_fields
+        }
         mismatched = [
             f"{f.name} (batch {f.dataType.simpleString()} vs table "
             f"{want_types[f.name].simpleString()})"
             for f in updates.schema.fields
-            if f.name in want_types and f.dataType != want_types[f.name]
+            if f.name in want_types
+            and _norm_nullability(f.dataType) != want_types[f.name]
         ]
         if mismatched:
             raise ValueError(

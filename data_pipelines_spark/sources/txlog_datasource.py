@@ -82,8 +82,10 @@ from data_pipelines_spark.sources import txlog
 
 # ops whose adds are NEW logical rows (safe to stream)
 _APPEND_OPS = {"create", "append"}
-# ops that rewrite existing rows (unsafe to stream adds from)
-_CHANGE_OPS = {"merge", "delete", "overwrite"}
+# ops that are ALWAYS change commits even with no remove action:
+# restore re-references files whose rows already streamed, so even an
+# adds-only restore (rolling back a delete) would double-emit
+_ALWAYS_CHANGE_OPS = {"restore"}
 # physical-only rewrites (adds duplicate already-streamed content)
 _PHYSICAL_OPS = {"compact", "optimize"}
 
@@ -116,49 +118,6 @@ def _read_file_batches(abs_path: str, columns: list[str]):
             # enforce requested column order
             batch = batch.select(columns)
         yield batch
-
-
-def _entry_survives(entry: dict, constraints: list[tuple]) -> bool:
-    """File-level zonemap check for planner-pushed filters: True unless
-    the log's footer stats PROVE no row of the file can satisfy some
-    pushed conjunct. Absent stats never prune; a cross-type comparison
-    (filter literal vs stored bound) never prunes — the conservative
-    contract `txlog._file_matches_keys`/`_file_disjoint` already hold."""
-    import bisect
-
-    stats = entry.get("stats") or {}
-    for kind, col, payload in constraints:
-        st = stats.get(col)
-        if st is None:
-            continue
-        if kind == "isnull":
-            # nulls counts are recorded alongside min/max: a file with
-            # zero nulls in the column provably has no `col IS NULL` row
-            if st.get("nulls") == 0:
-                return False
-            continue
-        fmin = txlog._decode_val(st["min"])
-        fmax = txlog._decode_val(st["max"])
-        try:
-            if kind == "set":
-                idx = bisect.bisect_left(payload, fmin)
-                if idx >= len(payload) or payload[idx] > fmax:
-                    return False
-            elif kind == "gt":
-                if fmax <= payload:
-                    return False
-            elif kind == "ge":
-                if fmax < payload:
-                    return False
-            elif kind == "lt":
-                if fmin >= payload:
-                    return False
-            elif kind == "le":
-                if fmin > payload:
-                    return False
-        except TypeError:
-            continue
-    return True
 
 
 class _TxLogBatchReader(DataSourceReader):
@@ -216,10 +175,13 @@ class _TxLogBatchReader(DataSourceReader):
     def partitions(self):
         state = txlog._load_state(self.path, self.version)
         root = txlog._local(self.path)
+        # the zonemap contract lives in ONE place (txlog's stats
+        # helpers) so the datasource and read_table(bounds=...) can
+        # never drift in how conservatively they prune
         return [
             _FilePartition(os.path.join(root, rel))
             for rel, entry in sorted(state.files.items())
-            if _entry_survives(entry, self._pruners)
+            if txlog._file_survives_constraints(entry, self._pruners)
         ]
 
     def read(self, partition: _FilePartition | None):
@@ -282,8 +244,13 @@ class _TxLogStreamReader(DataSourceStreamReader):
             # pure-insert merge (no file matched, e.g. the txsink CDC
             # path landing brand-new keys) removes nothing and its adds
             # are new logical rows, exactly as streamable as an append
-            # (the Delta source streams removal-free adds the same way)
-            if op not in _APPEND_OPS and any("remove" in a for a in actions):
+            # (the Delta source streams removal-free adds the same way).
+            # Restore is change-always: its adds re-reference files
+            # whose rows already streamed, remove actions or not.
+            if op not in _APPEND_OPS and (
+                op in _ALWAYS_CHANGE_OPS
+                or any("remove" in a for a in actions)
+            ):
                 if self.skip_change_commits:
                     continue
                 raise ValueError(
@@ -323,14 +290,24 @@ def _qid(name: str) -> str:
 def _duck_type(dt) -> str:
     """DuckDB type for a Spark type — needed only to CAST NULL for a
     column absent from EVERY file of a CDC commit (pre-evolution
-    commits), so the emitted Arrow schema still matches the stream's."""
+    commits), so the emitted Arrow schema still matches the stream's.
+    An unmapped type raises rather than silently emitting VARCHAR (the
+    worker would reject the mismatched Arrow schema anyway — raise with
+    the cause, not a schema riddle)."""
     from pyspark.sql import types as T
 
     if isinstance(dt, T.ArrayType):
         return f"{_duck_type(dt.elementType)}[]"
+    if isinstance(dt, T.MapType):
+        return f"MAP({_duck_type(dt.keyType)}, {_duck_type(dt.valueType)})"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{_qid(f.name)} {_duck_type(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT({inner})"
     if isinstance(dt, T.DecimalType):
         return f"DECIMAL({dt.precision},{dt.scale})"
-    return {
+    mapped = {
         T.StringType: "VARCHAR",
         T.LongType: "BIGINT",
         T.IntegerType: "INTEGER",
@@ -343,7 +320,22 @@ def _duck_type(dt) -> str:
         T.TimestampType: "TIMESTAMPTZ",
         T.TimestampNTZType: "TIMESTAMP",
         T.BinaryType: "BLOB",
-    }.get(type(dt), "VARCHAR")
+    }.get(type(dt))
+    if mapped is None:
+        raise NotImplementedError(
+            f"CDC NULL-fill has no DuckDB type mapping for Spark type "
+            f"{dt.simpleString()} — consume this commit range through "
+            f"the batch txlog.table_changes instead"
+        )
+    return mapped
+
+
+def _sql_paths(paths: list[str]) -> str:
+    """Proper SQL string-literal list for read_parquet — repr() is not
+    an escaper (a path with a single quote flips repr to double quotes,
+    which DuckDB parses as identifiers)."""
+    quoted = ", ".join("'" + p.replace("'", "''") + "'" for p in paths)
+    return f"[{quoted}]"
 
 
 class _TxLogCDCStreamReader(DataSourceStreamReader):
@@ -431,7 +423,8 @@ class _TxLogCDCStreamReader(DataSourceStreamReader):
             src, guard = (paths, "") if paths else (other, " WHERE false")
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM "
-                f"read_parquet({src!r}, union_by_name=true){guard}"
+                f"read_parquet({_sql_paths(src)}, union_by_name=true)"
+                f"{guard}"
             )
 
         side_view("old_raw", partition.removed, partition.added)
@@ -635,8 +628,12 @@ class _TxLogWriter(DataSourceArrowWriter):
                     json.loads(state.meta["schema"])
                 )
                 got = StructType.fromJson(json.loads(self.schema_json))
-                if {(f.name, f.dataType) for f in want.fields} != {
-                    (f.name, f.dataType) for f in got.fields
+                if {
+                    (f.name, txlog._norm_nullability(f.dataType))
+                    for f in want.fields
+                } != {
+                    (f.name, txlog._norm_nullability(f.dataType))
+                    for f in got.fields
                 }:
                     self.abort(messages)
                     raise ValueError(

@@ -743,3 +743,28 @@ def test_restore_refuses_vacuumed_target(spark, table):
     # table is untouched by the failed restore
     assert table_version(table) == 1
     assert _content(read_table(spark, table)) == [(1, "only")]
+
+
+def test_merge_accepts_nested_nullability_difference(spark, tmp_path):
+    """Nested nullability flags (array containsNull etc.) don't change
+    the physical parquet type: a batch built with F.array(lit(..))
+    (containsNull=false) must merge into a table created from
+    createDataFrame (containsNull=true) — only REAL type changes are
+    rejected."""
+    path = str(tmp_path / "nul")
+    base = spark.createDataFrame(
+        [(i, ["a"]) for i in range(3)], "k long, tags array<string>"
+    )
+    create_table(spark, base, path, key_cols=["k"])
+    upd = spark.range(1).select(
+        F.col("id").alias("k"), F.array(F.lit("b")).alias("tags")
+    )
+    merge_upsert(spark, upd, path)  # must not raise
+    append_table(spark, upd.withColumn("k", F.lit(7).cast("long")), path)
+    rows = {r["k"]: list(r["tags"]) for r in read_table(spark, path).collect()}
+    assert rows[0] == ["b"] and rows[7] == ["b"] and len(rows) == 4
+    bad = spark.range(1).select(
+        F.col("id").alias("k"), F.array(F.lit(1)).alias("tags")
+    )
+    with pytest.raises(ValueError, match="column type"):
+        merge_upsert(spark, bad, path)

@@ -510,3 +510,36 @@ def test_batch_read_rejects_change_feed_option(spark, table):
             spark.read.format("txlog").option("path", table)
             .option("readChangeFeed", "true").load().collect()
         )
+
+
+def test_stream_restore_is_change_commit_even_adds_only(spark, table, tmp_path):
+    """An adds-only restore (rolling back a whole-file delete) re-
+    references files whose rows already streamed — it must gate as a
+    change commit despite having zero remove actions, or the stream
+    double-emits."""
+    # ckpt A: starts at v0 with skipChangeCommits
+    _drain_parquet(
+        spark, table, str(tmp_path / "cka"), str(tmp_path / "oa"),
+        skipChangeCommits="true",
+    )
+    # v1: delete an entire file's rows — remove with no add
+    txlog.delete_where(spark, table, F.col("k") <= 9, bounds={"k": (0, 9)})
+    # ckpt B: starts AFTER the delete (initial snapshot = 10 rows)
+    _drain_parquet(spark, table, str(tmp_path / "ckb"), str(tmp_path / "ob"))
+    assert spark.read.parquet(str(tmp_path / "ob")).count() == 10
+    # v2: adds-only restore back to v0
+    rep = txlog.restore_table(spark, table, 0)
+    assert rep["files_removed"] == 0 and rep["files_added"] >= 1
+    # stream B (no skip): the restore is its only new commit and must
+    # fail the append-only contract even though it removes nothing
+    with pytest.raises(StreamingQueryException, match="skipChangeCommits"):
+        _drain_parquet(
+            spark, table, str(tmp_path / "ckb"), str(tmp_path / "ob")
+        )
+    # stream A (skip): both the delete and the restore skip wholesale —
+    # nothing re-emits, still exactly the original 20 rows
+    _drain_parquet(
+        spark, table, str(tmp_path / "cka"), str(tmp_path / "oa"),
+        skipChangeCommits="true",
+    )
+    assert spark.read.parquet(str(tmp_path / "oa")).count() == 20
