@@ -338,6 +338,183 @@ def _sql_paths(paths: list[str]) -> str:
     return f"[{quoted}]"
 
 
+def _cdc_partitions(
+    path: str, first_version: int, last_version: int
+) -> list[_CDCPartition]:
+    """One partition per data-changing commit in [first, last]; physical
+    rewrites and metadata-only commits contribute nothing."""
+    root = txlog._local(path)
+    out: list[_CDCPartition] = []
+    for v in range(first_version, last_version + 1):
+        actions = txlog._read_actions(path, v)
+        op = next(
+            (a["commit"].get("op") for a in actions if "commit" in a), None
+        )
+        if op in _PHYSICAL_OPS:
+            continue  # physical rewrite: rows cancel, no change rows
+        removed = [
+            os.path.join(root, a["remove"]["path"])
+            for a in actions
+            if "remove" in a
+        ]
+        added = [
+            os.path.join(root, a["add"]["path"])
+            for a in actions
+            if "add" in a
+        ]
+        if not removed and not added:
+            continue  # metadata-only commit (constraints, schema)
+        out.append(_CDCPartition(v, removed, added))
+    return out
+
+
+def _read_cdc_partition(
+    partition: _CDCPartition,
+    columns: list[str],
+    schema_json: str,
+    key_cols: list[str],
+):
+    """Derive one commit's row-level changes from its removed/added file
+    sets — the multiset semantics of batch :func:`txlog.table_changes`
+    (deletes = old EXCEPT ALL new, inserts = new EXCEPT ALL old,
+    non-null keys on both sides pair as update_pre/update_post) —
+    computed by task-side DuckDB and yielded as Arrow record batches."""
+    import duckdb
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    data_cols = [
+        c for c in columns if c not in ("_change_type", "_commit_version")
+    ]
+    con = duckdb.connect()
+
+    def side_view(name: str, paths: list[str], other: list[str]) -> None:
+        # union_by_name aligns physical schemas across evolution;
+        # an empty side borrows the other side's shape, WHERE false
+        src, guard = (paths, "") if paths else (other, " WHERE false")
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet({_sql_paths(src)}, union_by_name=true)"
+            f"{guard}"
+        )
+
+    side_view("old_raw", partition.removed, partition.added)
+    side_view("new_raw", partition.added, partition.removed)
+    # per-side select lists: a side whose files predate a schema
+    # evolution lacks the evolved column and NULL-fills it (typed,
+    # so the emitted Arrow schema still matches the stream's)
+    for raw, aligned in (("old_raw", "old_v"), ("new_raw", "new_v")):
+        present = {
+            r[0] for r in con.execute(f"DESCRIBE {raw}").fetchall()
+        }
+        sel = ", ".join(
+            _qid(c)
+            if c in present
+            else (
+                f"CAST(NULL AS {_duck_type(schema[c].dataType)}) "
+                f"AS {_qid(c)}"
+            )
+            for c in data_cols
+        )
+        con.execute(f"CREATE VIEW {aligned} AS SELECT {sel} FROM {raw}")
+    con.execute(
+        "CREATE VIEW delr AS "
+        "SELECT * FROM old_v EXCEPT ALL SELECT * FROM new_v"
+    )
+    con.execute(
+        "CREATE VIEW insr AS "
+        "SELECT * FROM new_v EXCEPT ALL SELECT * FROM old_v"
+    )
+    keys = [k for k in key_cols if k in data_cols]
+    if keys:
+        klist = ", ".join(_qid(k) for k in keys)
+        notnull = " AND ".join(f"{_qid(k)} IS NOT NULL" for k in keys)
+        # non-null keys on BOTH sides pair as an update; NULL keys
+        # never join (SEMI/ANTI null semantics), so NULL-key rows
+        # classify as plain delete/insert — table_changes' rule
+        con.execute(
+            f"CREATE VIEW updk AS "
+            f"SELECT DISTINCT {klist} FROM delr WHERE {notnull} "
+            f"INTERSECT "
+            f"SELECT DISTINCT {klist} FROM insr WHERE {notnull}"
+        )
+        body = f"""
+            SELECT *, 'update_pre' AS _change_type
+            FROM delr SEMI JOIN updk USING ({klist})
+            UNION ALL BY NAME
+            SELECT *, 'delete' AS _change_type
+            FROM delr ANTI JOIN updk USING ({klist})
+            UNION ALL BY NAME
+            SELECT *, 'update_post' AS _change_type
+            FROM insr SEMI JOIN updk USING ({klist})
+            UNION ALL BY NAME
+            SELECT *, 'insert' AS _change_type
+            FROM insr ANTI JOIN updk USING ({klist})
+        """
+    else:
+        body = """
+            SELECT *, 'delete' AS _change_type FROM delr
+            UNION ALL BY NAME
+            SELECT *, 'insert' AS _change_type FROM insr
+        """
+    out_cols = ", ".join(
+        f"CAST({int(partition.version)} AS BIGINT) AS _commit_version"
+        if c == "_commit_version"
+        else _qid(c)
+        for c in columns
+    )
+    res = con.execute(f"SELECT {out_cols} FROM ({body})")
+    reader = res.fetch_record_batch(65_536)
+    for batch in reader:
+        if batch.num_rows:
+            yield batch
+
+
+class _TxLogCDCBatchReader(DataSourceReader):
+    """Batch change-feed read (the public Delta batch CDF shape):
+    ``spark.read.format("txlog").option("readChangeFeed", "true")
+    .option("startingVersion", a)[.option("endingVersion", b)]`` emits
+    the per-commit row-level changes for every data-changing commit in
+    [a, b] (b defaults to the latest version), with the same columns
+    and semantics as the streaming feed and `txlog.table_changes`."""
+
+    def __init__(
+        self,
+        path: str,
+        columns: list[str],
+        schema: StructType,
+        starting_version: int,
+        ending_version: int | None,
+        key_cols: list[str],
+    ):
+        self.path = path
+        self.columns = columns
+        self.schema_json = schema.json()
+        self.starting_version = starting_version
+        self.ending_version = ending_version
+        self.key_cols = key_cols
+
+    def partitions(self):
+        last = (
+            self.ending_version
+            if self.ending_version is not None
+            else txlog.table_version(self.path)
+        )
+        if not 0 <= self.starting_version <= last:
+            raise ValueError(
+                f"readChangeFeed version range [{self.starting_version}, "
+                f"{last}] is not within [0, "
+                f"{txlog.table_version(self.path)}] at {self.path}"
+            )
+        return _cdc_partitions(self.path, self.starting_version, last)
+
+    def read(self, partition: _CDCPartition | None):
+        if partition is None:
+            return  # empty range (see batch reader note)
+        yield from _read_cdc_partition(
+            partition, self.columns, self.schema_json, self.key_cols
+        )
+
+
 class _TxLogCDCStreamReader(DataSourceStreamReader):
     """``readChangeFeed=true``: the commit log AS a row-level change
     stream (the public Delta CDF streaming shape). One input partition
@@ -379,124 +556,16 @@ class _TxLogCDCStreamReader(DataSourceStreamReader):
         return {"version": txlog.table_version(self.path)}
 
     def partitions(self, start: dict, end: dict):
-        root = txlog._local(self.path)
-        out: list[_CDCPartition] = []
-        for v in range(max(start["version"] + 1, 0), end["version"] + 1):
-            actions = txlog._read_actions(self.path, v)
-            op = next(
-                (a["commit"].get("op") for a in actions if "commit" in a),
-                None,
-            )
-            if op in _PHYSICAL_OPS:
-                continue  # physical rewrite: rows cancel, no change rows
-            removed = [
-                os.path.join(root, a["remove"]["path"])
-                for a in actions
-                if "remove" in a
-            ]
-            added = [
-                os.path.join(root, a["add"]["path"])
-                for a in actions
-                if "add" in a
-            ]
-            if not removed and not added:
-                continue  # metadata-only commit (constraints, schema)
-            out.append(_CDCPartition(v, removed, added))
-        return out
+        return _cdc_partitions(
+            self.path, max(start["version"] + 1, 0), end["version"]
+        )
 
     def read(self, partition: _CDCPartition | None):
         if partition is None:
             return
-        import duckdb
-
-        schema = StructType.fromJson(json.loads(self.schema_json))
-        data_cols = [
-            c
-            for c in self.columns
-            if c not in ("_change_type", "_commit_version")
-        ]
-        con = duckdb.connect()
-
-        def side_view(name: str, paths: list[str], other: list[str]) -> None:
-            # union_by_name aligns physical schemas across evolution;
-            # an empty side borrows the other side's shape, WHERE false
-            src, guard = (paths, "") if paths else (other, " WHERE false")
-            con.execute(
-                f"CREATE VIEW {name} AS SELECT * FROM "
-                f"read_parquet({_sql_paths(src)}, union_by_name=true)"
-                f"{guard}"
-            )
-
-        side_view("old_raw", partition.removed, partition.added)
-        side_view("new_raw", partition.added, partition.removed)
-        # per-side select lists: a side whose files predate a schema
-        # evolution lacks the evolved column and NULL-fills it (typed,
-        # so the emitted Arrow schema still matches the stream's)
-        for raw, aligned in (("old_raw", "old_v"), ("new_raw", "new_v")):
-            present = {
-                r[0] for r in con.execute(f"DESCRIBE {raw}").fetchall()
-            }
-            sel = ", ".join(
-                _qid(c)
-                if c in present
-                else (
-                    f"CAST(NULL AS {_duck_type(schema[c].dataType)}) "
-                    f"AS {_qid(c)}"
-                )
-                for c in data_cols
-            )
-            con.execute(f"CREATE VIEW {aligned} AS SELECT {sel} FROM {raw}")
-        con.execute(
-            "CREATE VIEW delr AS "
-            "SELECT * FROM old_v EXCEPT ALL SELECT * FROM new_v"
+        yield from _read_cdc_partition(
+            partition, self.columns, self.schema_json, self.key_cols
         )
-        con.execute(
-            "CREATE VIEW insr AS "
-            "SELECT * FROM new_v EXCEPT ALL SELECT * FROM old_v"
-        )
-        keys = [k for k in self.key_cols if k in data_cols]
-        if keys:
-            klist = ", ".join(_qid(k) for k in keys)
-            notnull = " AND ".join(f"{_qid(k)} IS NOT NULL" for k in keys)
-            # non-null keys on BOTH sides pair as an update; NULL keys
-            # never join (SEMI/ANTI null semantics), so NULL-key rows
-            # classify as plain delete/insert — table_changes' rule
-            con.execute(
-                f"CREATE VIEW updk AS "
-                f"SELECT DISTINCT {klist} FROM delr WHERE {notnull} "
-                f"INTERSECT "
-                f"SELECT DISTINCT {klist} FROM insr WHERE {notnull}"
-            )
-            body = f"""
-                SELECT *, 'update_pre' AS _change_type
-                FROM delr SEMI JOIN updk USING ({klist})
-                UNION ALL BY NAME
-                SELECT *, 'delete' AS _change_type
-                FROM delr ANTI JOIN updk USING ({klist})
-                UNION ALL BY NAME
-                SELECT *, 'update_post' AS _change_type
-                FROM insr SEMI JOIN updk USING ({klist})
-                UNION ALL BY NAME
-                SELECT *, 'insert' AS _change_type
-                FROM insr ANTI JOIN updk USING ({klist})
-            """
-        else:
-            body = """
-                SELECT *, 'delete' AS _change_type FROM delr
-                UNION ALL BY NAME
-                SELECT *, 'insert' AS _change_type FROM insr
-            """
-        out_cols = ", ".join(
-            f"CAST({int(partition.version)} AS BIGINT) AS _commit_version"
-            if c == "_commit_version"
-            else _qid(c)
-            for c in self.columns
-        )
-        res = con.execute(f"SELECT {out_cols} FROM ({body})")
-        reader = res.fetch_record_batch(65_536)
-        for batch in reader:
-            if batch.num_rows:
-                yield batch
 
     def commit(self, end: dict) -> None:
         pass  # the streaming checkpoint owns progress; the log is immutable
@@ -671,8 +740,9 @@ class TxLogDataSource(DataSource):
     (required), ``version`` (batch time travel), ``startingVersion``
     (stream from a later version; default 0 = the whole table),
     ``skipChangeCommits`` (stream past merge/delete/overwrite),
-    ``readChangeFeed`` (stream row-level changes with ``_change_type``
-    + ``_commit_version`` — Delta's CDF shape)."""
+    ``readChangeFeed`` (row-level changes with ``_change_type`` +
+    ``_commit_version`` — Delta's CDF shape; streaming, or batch with
+    ``startingVersion`` required and ``endingVersion`` optional)."""
 
     @classmethod
     def name(cls) -> str:
@@ -710,10 +780,23 @@ class TxLogDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         if self._cdf():
-            raise ValueError(
-                "readChangeFeed is a STREAMING option "
-                "(spark.readStream.format('txlog')); for a batch change "
-                "feed over a version range use txlog.table_changes(...)"
+            sv = self.options.get("startingversion")
+            if sv is None:
+                raise ValueError(
+                    "batch readChangeFeed needs .option('startingVersion',"
+                    " N); endingVersion is optional (default: latest) — "
+                    "the Delta batch-CDF contract. Equivalent API: "
+                    "txlog.table_changes(...)"
+                )
+            ev = self.options.get("endingversion")
+            state = txlog._load_state(self._path())
+            return _TxLogCDCBatchReader(
+                self._path(),
+                [f.name for f in schema.fields],
+                schema,
+                int(sv),
+                int(ev) if ev is not None else None,
+                list(state.meta.get("key_cols", [])),
             )
         version = self.options.get("version")
         return _TxLogBatchReader(

@@ -543,3 +543,44 @@ def test_stream_restore_is_change_commit_even_adds_only(spark, table, tmp_path):
         skipChangeCommits="true",
     )
     assert spark.read.parquet(str(tmp_path / "oa")).count() == 20
+
+
+def test_batch_change_feed_matches_table_changes(spark, table):
+    """Batch CDF: readChangeFeed + startingVersion[/endingVersion]
+    through spark.read emits the same per-commit changes as
+    txlog.table_changes over the same range."""
+    register_txlog_source(spark)
+    txlog.merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "r1"), (50, "i50")], "k long, v string"),
+        table,
+    )  # v1
+    txlog.delete_where(spark, table, F.col("k") == 5, bounds={"k": (5, 5)})
+    txlog.compact_table(spark, table, target_file_rows=10_000)  # v3 physical
+    txlog.append_table(
+        spark, spark.createDataFrame([(60, "a")], "k long, v string"), table
+    )  # v4
+    cdf = (
+        spark.read.format("txlog").option("path", table)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load()
+    )
+    assert set(cdf.columns) == {"k", "v", "_change_type", "_commit_version"}
+    for v in (1, 2, 3, 4):
+        want = sorted(
+            (r["k"], r["v"], r["_change_type"])
+            for r in txlog.table_changes(spark, table, v - 1, v).collect()
+        )
+        got = sorted(
+            (r["k"], r["v"], r["_change_type"])
+            for r in cdf.where(F.col("_commit_version") == v).collect()
+        )
+        assert got == want, f"version {v}"
+    # endingVersion bounds the range; version 0 emits the creates
+    head = (
+        spark.read.format("txlog").option("path", table)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0").option("endingVersion", "0").load()
+    )
+    assert head.count() == 20
+    assert {r["_change_type"] for r in head.collect()} == {"insert"}

@@ -92,10 +92,25 @@ class TxLogMachine(RuleBasedStateMachine):
         self.model = {k: v for k, v in self.model.items() if not lo <= k <= hi}
         self._record()
 
-    @rule()
-    def compact(self):
-        txlog.compact_table(self.spark, self.path, target_file_rows=1000)
+    @rule(threshold=st.sampled_from([None, 500]))
+    def compact(self, threshold):
+        txlog.compact_table(
+            self.spark, self.path, target_file_rows=1000,
+            min_file_rows=threshold,
+        )
         # physical only: model unchanged; no snapshot entry needed
+
+    @precondition(lambda self: len(self.snapshots) > 0)
+    @rule(data=st.data())
+    def restore(self, data):
+        # restore to any RETAINED snapshot (vacuum prunes self.snapshots
+        # in lockstep with the files it deletes, so the target's files
+        # exist); model rolls back to the captured state and the restore
+        # itself becomes a new recorded version
+        v = data.draw(st.sampled_from(sorted(self.snapshots)))
+        txlog.restore_table(self.spark, self.path, v)
+        self.model = dict(self.snapshots[v])
+        self._record()
 
     @rule()
     def optimize(self):
