@@ -494,16 +494,16 @@ class _TxLogCDCBatchReader(DataSourceReader):
         self.key_cols = key_cols
 
     def partitions(self):
+        latest = txlog.table_version(self.path)
         last = (
             self.ending_version
             if self.ending_version is not None
-            else txlog.table_version(self.path)
+            else latest
         )
-        if not 0 <= self.starting_version <= last:
+        if not 0 <= self.starting_version <= last <= latest:
             raise ValueError(
                 f"readChangeFeed version range [{self.starting_version}, "
-                f"{last}] is not within [0, "
-                f"{txlog.table_version(self.path)}] at {self.path}"
+                f"{last}] is not within [0, {latest}] at {self.path}"
             )
         return _cdc_partitions(self.path, self.starting_version, last)
 
