@@ -594,7 +594,7 @@ def create_table(
     adds, staging = _write_data_files(
         spark, df, path, stat_cols, cluster, num_files
     )
-    lines = [{"meta": meta}, {"commit": {"op": "create"}}]
+    lines = [{"meta": meta}, _commit_line("create")]
     lines += [{"add": e} for e in adds]
     try:
         _write_commit_exclusive(path, 0, lines)
@@ -606,16 +606,57 @@ def create_table(
     return 0
 
 
+def _commit_ts(path: str, version: int) -> float | None:
+    for action in _read_actions(path, version):
+        if "commit" in action:
+            return action["commit"].get("ts")
+    return None
+
+
+def version_at_timestamp(path: str, timestamp: float) -> int:
+    """Newest version whose commit timestamp is <= ``timestamp`` (epoch
+    seconds) — the `timestampAsOf` resolution rule of the public Delta
+    protocol, with the same caveat: commit timestamps come from writer
+    wall clocks, so the VERSION number remains the source of truth for
+    order. Raises if the table's first commit is newer than the asked
+    time. Commits predating the ts field resolve as candidates (their
+    ts reads as -inf), so pre-upgrade history stays addressable."""
+    commits, _ = _list_versions(path)
+    if not commits and not table_exists(path):
+        raise FileNotFoundError(f"no txlog table at {path}")
+    best = None
+    for v in commits:
+        ts = _commit_ts(path, v)
+        if ts is None or ts <= timestamp:
+            best = v
+        elif best is not None:
+            break  # timestamps are expected monotone; stop at first newer
+    if best is None:
+        raise ValueError(
+            f"no commit at-or-before timestamp {timestamp} at {path} "
+            f"(first commit is newer)"
+        )
+    return best
+
+
 def read_table(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     bounds: dict[str, tuple] | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
-    """Snapshot read at ``version`` (default: latest). ``bounds``
-    ({col: (lo, hi)}, inclusive) prunes files by footer stats BEFORE
-    Spark sees them — the file-level zonemap — and re-applies the range
-    as a filter so within-file rows outside it are dropped too."""
+    """Snapshot read at ``version`` (default: latest). ``timestamp``
+    (epoch seconds) is timestampAsOf time travel — resolved to a
+    version via :func:`version_at_timestamp`; passing both is an
+    error. ``bounds`` ({col: (lo, hi)}, inclusive) prunes files by
+    footer stats BEFORE Spark sees them — the file-level zonemap — and
+    re-applies the range as a filter so within-file rows outside it
+    are dropped too."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
     state = _load_state(path, version)
     files = list(state.files.values())
     if bounds:
@@ -650,10 +691,12 @@ def table_history(path: str) -> list[dict]:
     out = []
     for v in commits:
         op = None
+        ts = None
         adds = removes = rows = 0
         for action in _read_actions(path, v):
             if "commit" in action:
                 op = action["commit"].get("op")
+                ts = action["commit"].get("ts")
             elif "add" in action:
                 adds += 1
                 rows += action["add"]["rows"]
@@ -663,6 +706,7 @@ def table_history(path: str) -> list[dict]:
             {
                 "version": v,
                 "op": op,
+                "ts": ts,
                 "files_added": adds,
                 "files_removed": removes,
                 "rows_added": rows,
@@ -671,12 +715,44 @@ def table_history(path: str) -> list[dict]:
     return out
 
 
+def describe_table(path: str, version: int | None = None) -> dict:
+    """One-call table summary from the log alone (no data read):
+    version, commit timestamp, schema DDL, key/cluster/stat columns,
+    constraints, live file count, total rows and bytes, and the txn
+    watermarks — the DESCRIBE DETAIL surface of the table formats."""
+    state = _load_state(path, version)
+    schema = StructType.fromJson(json.loads(state.meta["schema"]))
+    return {
+        "version": state.version,
+        "ts": _commit_ts(path, state.version),
+        "schema": schema.simpleString(),
+        "key_cols": list(state.meta.get("key_cols", [])),
+        "cluster_by": list(state.meta.get("cluster_by", [])),
+        "stat_cols": list(state.meta.get("stat_cols", [])),
+        "constraints": dict(state.meta.get("constraints") or {}),
+        "num_files": len(state.files),
+        "total_rows": sum(e["rows"] for e in state.files.values()),
+        "total_bytes": sum(e["bytes"] for e in state.files.values()),
+        "txns": dict(state.txns),
+    }
+
+
 def last_committed_batch(path: str, app: str) -> int | None:
     """Highest ``txn`` batch id committed for ``app`` (None if never).
     The idempotent-writes primitive: a restarted streaming query asks
     this before re-applying a replayed micro-batch."""
     state = _load_state(path)
     return state.txns.get(app)
+
+
+def _commit_line(op: str) -> dict:
+    """The commit action: op label + wall-clock timestamp (epoch
+    seconds). The timestamp is INFORMATIONAL ordering metadata — the
+    version number is the source of truth for commit order; the ts
+    powers `timestampAsOf` time travel and history display, exactly
+    the role commit timestamps play in the public Delta protocol
+    (which documents the same clock-skew caveat)."""
+    return {"commit": {"op": op, "ts": time.time()}}
 
 
 def _commit_rmw(
@@ -695,7 +771,7 @@ def _commit_rmw(
     lines: list[dict] = []
     if meta is not None:
         lines.append({"meta": meta})
-    lines.append({"commit": {"op": op}})
+    lines.append(_commit_line(op))
     if txn is not None:
         lines.append({"txn": {"app": txn[0], "batch": txn[1]}})
     lines += [{"remove": {"path": rel}} for rel in sorted(removes)]
@@ -747,7 +823,7 @@ def append_table(
         spark, df, path, state.meta.get("stat_cols", []),
         state.meta.get("cluster_by", []), num_files,
     )
-    lines: list[dict] = [{"commit": {"op": "append"}}]
+    lines: list[dict] = [_commit_line("append")]
     if txn is not None:
         lines.append({"txn": {"app": txn[0], "batch": txn[1]}})
     lines += [{"add": e} for e in adds]
@@ -1521,7 +1597,10 @@ def restore_table(
 
 
 def vacuum_table(
-    path: str, retain_versions: int = 1, min_age_seconds: float = 3600.0
+    path: str,
+    retain_versions: int = 1,
+    min_age_seconds: float = 3600.0,
+    dry_run: bool = False,
 ) -> int:
     """Delete data files referenced by NO retained snapshot (the last
     ``retain_versions`` versions). Trades time travel beyond the
@@ -1541,7 +1620,8 @@ def vacuum_table(
     (committed data loss with no log-level conflict). Files younger
     than the floor are therefore never vacuumed (Delta's
     modification-time guard); size it above the longest write. Returns
-    files removed."""
+    files removed; ``dry_run=True`` only counts the files the same
+    retention would delete, touching nothing (VACUUM ... DRY RUN)."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     cutoff = time.time() - min_age_seconds
@@ -1561,11 +1641,14 @@ def vacuum_table(
             rel = os.path.relpath(fpath, root)
             try:
                 if rel not in live and os.path.getmtime(fpath) < cutoff:
-                    os.unlink(fpath)
+                    if not dry_run:
+                        os.unlink(fpath)
                     removed += 1
             except FileNotFoundError:
                 continue  # a losing writer's own cleanup raced us — fine
     for dirpath, dirnames, filenames in list(os.walk(data_root, topdown=False)):
+        if dry_run:
+            break
         if not dirnames and not filenames and dirpath != data_root:
             try:
                 # the age floor applies to DIRECTORIES too: a concurrent

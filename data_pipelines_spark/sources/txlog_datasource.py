@@ -678,7 +678,7 @@ class _TxLogWriter(DataSourceArrowWriter):
                     "cluster_by": [],
                     "stat_cols": [],
                 }
-                lines = [{"meta": meta}, {"commit": {"op": "create"}}]
+                lines = [{"meta": meta}, txlog._commit_line("create")]
                 lines += [{"add": e} for e in adds]
                 try:
                     txlog._write_commit_exclusive(self.path, 0, lines)
@@ -760,11 +760,22 @@ class TxLogDataSource(DataSource):
             == "true"
         )
 
-    def schema(self) -> StructType:
+    def _version(self) -> int | None:
+        """Resolve the snapshot pin: ``version`` or ``timestampAsOf``
+        (epoch seconds — Delta's option, resolved through
+        :func:`txlog.version_at_timestamp`)."""
         version = self.options.get("version")
-        state = txlog._load_state(
-            self._path(), int(version) if version is not None else None
-        )
+        ts = self.options.get("timestampasof")
+        if version is not None and ts is not None:
+            raise ValueError(
+                "pass option version OR timestampAsOf, not both"
+            )
+        if ts is not None:
+            return txlog.version_at_timestamp(self._path(), float(ts))
+        return int(version) if version is not None else None
+
+    def schema(self) -> StructType:
+        state = txlog._load_state(self._path(), self._version())
         base = StructType.fromJson(json.loads(state.meta["schema"]))
         if self._cdf():
             from pyspark.sql.types import LongType, StringType, StructField
@@ -798,10 +809,9 @@ class TxLogDataSource(DataSource):
                 int(ev) if ev is not None else None,
                 list(state.meta.get("key_cols", [])),
             )
-        version = self.options.get("version")
         return _TxLogBatchReader(
             self._path(),
-            int(version) if version is not None else None,
+            self._version(),
             [f.name for f in schema.fields],
         )
 

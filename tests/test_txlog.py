@@ -768,3 +768,42 @@ def test_merge_accepts_nested_nullability_difference(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="column type"):
         merge_upsert(spark, bad, path)
+
+
+def test_timestamp_time_travel_and_describe(spark, table):
+    """timestampAsOf: commit timestamps resolve to the newest version
+    at-or-before the asked time (Delta's rule; version numbers stay the
+    order source of truth). describe_table summarizes from the log
+    alone; vacuum dry_run counts without deleting."""
+    import time as _time
+
+    t_after_create = _time.time()
+    _time.sleep(0.05)
+    append_table(spark, _df(spark, [(200, "later")]), table)
+    assert txlog.version_at_timestamp(table, t_after_create) == 0
+    assert txlog.version_at_timestamp(table, _time.time()) == 1
+    out = read_table(spark, table, timestamp=t_after_create)
+    assert len(_content(out)) == 100  # pre-append snapshot
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, table, version=1, timestamp=t_after_create)
+    with pytest.raises(ValueError, match="first commit is newer"):
+        txlog.version_at_timestamp(table, t_after_create - 10_000)
+    hist = table_history(table)
+    assert all(h["ts"] is not None for h in hist)
+    assert hist[0]["ts"] <= hist[1]["ts"]
+    desc = txlog.describe_table(table)
+    assert desc["version"] == 1 and desc["num_files"] == 5
+    assert desc["total_rows"] == 101 and desc["key_cols"] == ["k"]
+    assert "k:bigint" in desc["schema"].replace(" ", "")
+    # dry_run: counts the same set a real vacuum would delete, deletes
+    # nothing
+    overwrite_table(spark, _df(spark, [(1, "only")]), table)
+    would = vacuum_table(
+        table, retain_versions=1, min_age_seconds=0, dry_run=True
+    )
+    assert would >= 5
+    assert len(_content(read_table(spark, table, version=0))) == 100
+    removed = vacuum_table(table, retain_versions=1, min_age_seconds=0)
+    assert removed == would
+    with pytest.raises(Exception):
+        read_table(spark, table, version=0).collect()

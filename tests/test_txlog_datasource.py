@@ -584,3 +584,20 @@ def test_batch_change_feed_matches_table_changes(spark, table):
     )
     assert head.count() == 20
     assert {r["_change_type"] for r in head.collect()} == {"insert"}
+
+
+def test_batch_timestamp_as_of(spark, table):
+    import time as _time
+
+    register_txlog_source(spark)
+    t0 = _time.time()
+    _time.sleep(0.05)
+    txlog.append_table(
+        spark, spark.createDataFrame([(99, "new")], "k long, v string"), table
+    )
+    old = (
+        spark.read.format("txlog").option("path", table)
+        .option("timestampAsOf", str(t0)).load()
+    )
+    assert old.count() == 20  # pre-append snapshot
+    assert _batch(spark, table).count() == 21
