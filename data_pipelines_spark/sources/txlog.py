@@ -607,7 +607,11 @@ def create_table(
 
 
 def _commit_ts(path: str, version: int) -> float | None:
-    for action in _read_actions(path, version):
+    try:
+        actions = _read_actions(path, version)
+    except FileNotFoundError:
+        return None  # checkpoint-only version after log truncation
+    for action in actions:
         if "commit" in action:
             return action["commit"].get("ts")
     return None
