@@ -787,6 +787,73 @@ def upsert_readback(spark, sf_dir):
             raise RuntimeError(
                 "format('txlog') datasource read diverged from read_table"
             )
+        # Change-feed leg: the batch CDF read (readChangeFeed +
+        # startingVersion/endingVersion through the planner — the SAME
+        # shared CDC implementation the streaming feed uses) must equal
+        # a re-derivation of the expected changes FROM THE INPUT
+        # FRAMES: v1 (versioned merge) pairs updated keys as
+        # update_pre/update_post with stale keys contributing NOTHING
+        # (their carried-through rows cancel in the multiset diff), v2
+        # (evolving merge) NULL-fills the evolved column on pre-images,
+        # and the compact commit (v3) must emit zero change rows. Runs
+        # BEFORE vacuum — CDC needs the churned versions' files.
+        m2 = F.col("k") % 100
+        cdf_cols = [
+            "k", "bucket", "status", "price", "ver", "note",
+            "_change_type", "_commit_version",
+        ]
+
+        def tag(df, note, ctype, ver_commit):
+            out = df
+            if "note" not in df.columns:
+                out = out.withColumn("note", F.lit(note).cast("string"))
+            return out.select(
+                "k", "bucket",
+                F.col("status").cast("string").alias("status"),
+                "price", "ver", "note",
+                F.lit(ctype).alias("_change_type"),
+                F.lit(ver_commit).cast("long").alias("_commit_version"),
+            )
+
+        ev_full = ev.withColumn("status", F.lit(None).cast("string"))
+        expected_cdf = (
+            tag(base.where(m2 < 20), None, "update_pre", 1)
+            .unionByName(tag(upd.where(m2 < 20), None, "update_post", 1))
+            .unionByName(
+                tag(upd.where((m2 >= 50) & (m2 < 60)), None, "insert", 1)
+            )
+            .unionByName(tag(upd.where(m2 < 10), None, "update_pre", 2))
+            .unionByName(
+                tag(ev_full.where(m2 < 10).drop("note")
+                    .withColumn("note", F.lit("evolved")), None,
+                    "update_post", 2)
+            )
+            .unionByName(
+                tag(ev_full.where((m2 >= 60) & (m2 < 65)).drop("note")
+                    .withColumn("note", F.lit("fresh")), None, "insert", 2)
+            )
+        ).select(*cdf_cols)
+        cdf = (
+            spark.read.format("txlog").option("path", tx_path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1").load()
+            .select(
+                F.col("k").cast("long").alias("k"),
+                F.col("bucket").cast("long").alias("bucket"),
+                F.col("status").cast("string").alias("status"),
+                F.col("price").cast("double").alias("price"),
+                F.col("ver").cast("long").alias("ver"),
+                F.col("note").cast("string").alias("note"),
+                "_change_type", "_commit_version",
+            )
+        )
+        if (
+            cdf.exceptAll(expected_cdf).limit(1).count()
+            or expected_cdf.exceptAll(cdf).limit(1).count()
+        ):
+            raise RuntimeError(
+                "txlog change feed diverged from the expected changes"
+            )
         # Maintenance leg: Z-order OPTIMIZE (full physical rewrite,
         # multi-column clustering) followed by a real VACUUM of every
         # version but the latest — both content-INVARIANT by contract,
