@@ -607,13 +607,21 @@ def create_table(
 
 
 def _commit_ts(path: str, version: int) -> float | None:
+    """Commit timestamp without parsing the add actions: the commit
+    line is written first (or right after meta), so the scan stops
+    after <= 2 parsed lines — a timestamp resolution over a long log
+    stays O(commits), not O(total log bytes)."""
+    fname = os.path.join(_log_dir(path), _fmt_version(version) + ".json")
     try:
-        actions = _read_actions(path, version)
+        with open(fname, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "commit" in action:
+                    return action["commit"].get("ts")
     except FileNotFoundError:
         return None  # checkpoint-only version after log truncation
-    for action in actions:
-        if "commit" in action:
-            return action["commit"].get("ts")
     return None
 
 
@@ -827,10 +835,10 @@ def append_table(
         spark, df, path, state.meta.get("stat_cols", []),
         state.meta.get("cluster_by", []), num_files,
     )
-    lines: list[dict] = [_commit_line("append")]
+    tail: list[dict] = []
     if txn is not None:
-        lines.append({"txn": {"app": txn[0], "batch": txn[1]}})
-    lines += [{"add": e} for e in adds]
+        tail.append({"txn": {"app": txn[0], "batch": txn[1]}})
+    tail += [{"add": e} for e in adds]
     version = state.version + 1
     seen_schema = {
         (f.name, _norm_nullability(f.dataType)) for f in want.fields
@@ -838,7 +846,13 @@ def append_table(
     seen_constraints = dict(state.meta.get("constraints") or {})
     for _ in range(max_retries + 1):
         try:
-            _write_commit_exclusive(path, version, lines)
+            # re-stamp the commit line PER ATTEMPT: a retry that lands
+            # at a bumped version with the original attempt's ts would
+            # publish a timestamp OLDER than the commit that beat it,
+            # and version_at_timestamp's monotone early-stop would then
+            # resolve timestampAsOf past the newer-numbered commit
+            # (_commit_rmw callers rebuild their line per retry too)
+            _write_commit_exclusive(path, version, [_commit_line("append")] + tail)
             _maybe_checkpoint(path, version)
             return version
         except FileExistsError:

@@ -763,19 +763,45 @@ class TxLogDataSource(DataSource):
     def _version(self) -> int | None:
         """Resolve the snapshot pin: ``version`` or ``timestampAsOf``
         (epoch seconds — Delta's option, resolved through
-        :func:`txlog.version_at_timestamp`)."""
+        :func:`txlog.version_at_timestamp`). Memoized — Spark calls
+        schema() and reader() on the same instance within one plan, and
+        a timestamp resolution walks commit files."""
+        if hasattr(self, "_version_cache"):
+            return self._version_cache
         version = self.options.get("version")
         ts = self.options.get("timestampasof")
+        if self._cdf() and (version is not None or ts is not None):
+            # a half-applied pin would be silent wrongness: schema()
+            # would freeze the OLD schema while the feed ranges to the
+            # latest commit, dropping evolved columns from change rows
+            raise ValueError(
+                "readChangeFeed takes startingVersion/endingVersion, "
+                "not version/timestampAsOf"
+            )
         if version is not None and ts is not None:
             raise ValueError(
                 "pass option version OR timestampAsOf, not both"
             )
         if ts is not None:
-            return txlog.version_at_timestamp(self._path(), float(ts))
-        return int(version) if version is not None else None
+            resolved = txlog.version_at_timestamp(self._path(), float(ts))
+        else:
+            resolved = int(version) if version is not None else None
+        self._version_cache = resolved
+        return resolved
+
+    def _state(self) -> "txlog.Snapshot":
+        """One log replay per plan: schema(), reader(), and
+        streamReader() all need the snapshot meta — memoized on the
+        instance (a DataSource instance lives for one plan, so the memo
+        can never serve a stale snapshot across plans)."""
+        if not hasattr(self, "_state_cache"):
+            self._state_cache = txlog._load_state(
+                self._path(), self._version()
+            )
+        return self._state_cache
 
     def schema(self) -> StructType:
-        state = txlog._load_state(self._path(), self._version())
+        state = self._state()
         base = StructType.fromJson(json.loads(state.meta["schema"]))
         if self._cdf():
             from pyspark.sql.types import LongType, StringType, StructField
@@ -800,7 +826,7 @@ class TxLogDataSource(DataSource):
                     "txlog.table_changes(...)"
                 )
             ev = self.options.get("endingversion")
-            state = txlog._load_state(self._path())
+            state = self._state()
             return _TxLogCDCBatchReader(
                 self._path(),
                 [f.name for f in schema.fields],
@@ -851,7 +877,7 @@ class TxLogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         if self._cdf():
-            state = txlog._load_state(self._path())
+            state = self._state()
             return _TxLogCDCStreamReader(
                 self._path(),
                 [f.name for f in schema.fields],

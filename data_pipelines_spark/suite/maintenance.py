@@ -803,10 +803,10 @@ def upsert_readback(spark, sf_dir):
             "_change_type", "_commit_version",
         ]
 
-        def tag(df, note, ctype, ver_commit):
+        def tag(df, ctype, ver_commit):
             out = df
             if "note" not in df.columns:
-                out = out.withColumn("note", F.lit(note).cast("string"))
+                out = out.withColumn("note", F.lit(None).cast("string"))
             return out.select(
                 "k", "bucket",
                 F.col("status").cast("string").alias("status"),
@@ -815,22 +815,17 @@ def upsert_readback(spark, sf_dir):
                 F.lit(ver_commit).cast("long").alias("_commit_version"),
             )
 
+        # ev already carries the right note values ('evolved'/'fresh');
+        # it only lacks the status column the evolving batch omitted
         ev_full = ev.withColumn("status", F.lit(None).cast("string"))
         expected_cdf = (
-            tag(base.where(m2 < 20), None, "update_pre", 1)
-            .unionByName(tag(upd.where(m2 < 20), None, "update_post", 1))
+            tag(base.where(m2 < 20), "update_pre", 1)
+            .unionByName(tag(upd.where(m2 < 20), "update_post", 1))
+            .unionByName(tag(upd.where((m2 >= 50) & (m2 < 60)), "insert", 1))
+            .unionByName(tag(upd.where(m2 < 10), "update_pre", 2))
+            .unionByName(tag(ev_full.where(m2 < 10), "update_post", 2))
             .unionByName(
-                tag(upd.where((m2 >= 50) & (m2 < 60)), None, "insert", 1)
-            )
-            .unionByName(tag(upd.where(m2 < 10), None, "update_pre", 2))
-            .unionByName(
-                tag(ev_full.where(m2 < 10).drop("note")
-                    .withColumn("note", F.lit("evolved")), None,
-                    "update_post", 2)
-            )
-            .unionByName(
-                tag(ev_full.where((m2 >= 60) & (m2 < 65)).drop("note")
-                    .withColumn("note", F.lit("fresh")), None, "insert", 2)
+                tag(ev_full.where((m2 >= 60) & (m2 < 65)), "insert", 2)
             )
         ).select(*cdf_cols)
         cdf = (

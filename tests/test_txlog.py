@@ -242,6 +242,12 @@ def test_concurrent_appends_no_lost_update(spark, table):
     out = dict(_content(read_table(spark, table)))
     for i in range(4):
         assert out[1000 + i] == f"t{i}"
+    # commit timestamps stay monotone ACROSS the race: every retry
+    # re-stamps its commit line, so a loser that lands at a bumped
+    # version can never publish a timestamp older than the commit that
+    # beat it (version_at_timestamp's early-stop relies on this)
+    ts = [h["ts"] for h in table_history(table)]
+    assert all(a <= b for a, b in zip(ts, ts[1:])), ts
 
 
 def test_merge_retries_after_conflicting_append(spark, table):

@@ -601,3 +601,17 @@ def test_batch_timestamp_as_of(spark, table):
     )
     assert old.count() == 20  # pre-append snapshot
     assert _batch(spark, table).count() == 21
+
+
+def test_change_feed_rejects_version_pins(spark, table):
+    """A version/timestampAsOf pin with readChangeFeed would be
+    half-applied (schema frozen old, feed ranging to latest) — the
+    combination is rejected outright."""
+    register_txlog_source(spark)
+    for opt, val in (("version", "0"), ("timestampAsOf", "1")):
+        with pytest.raises(Exception, match="startingVersion"):
+            (
+                spark.read.format("txlog").option("path", table)
+                .option("readChangeFeed", "true").option(opt, val)
+                .load().collect()
+            )
