@@ -813,3 +813,43 @@ def test_timestamp_time_travel_and_describe(spark, table):
     assert removed == would
     with pytest.raises(Exception):
         read_table(spark, table, version=0).collect()
+
+
+def test_restore_occ_race_rolls_back_racing_append(spark, table):
+    """RESTORE under a commit race: an append sneaking in between the
+    restore's snapshot and its commit forces an OCC retry from the
+    fresh snapshot, and the restore still lands — state becomes EXACTLY
+    the target version (the raced append's rows are rolled back too;
+    RESTORE is point-in-time, not a relative undo). Nothing is lost:
+    the append's version stays time-travelable, and a second restore
+    can bring it back."""
+    orig_rmw = txlog._commit_rmw
+    fired = {"done": False}
+
+    def sneaky(path, snapshot_version, op, adds, removes, meta, txn=None):
+        if not fired["done"] and op == "restore":
+            fired["done"] = True
+            append_table(spark, _df(spark, [(999, "race")]), path)
+        return orig_rmw(
+            path, snapshot_version, op, adds, removes, meta, txn=txn
+        )
+
+    overwrite_table(spark, _df(spark, [(1, "new")]), table)  # v1
+    txlog._commit_rmw = sneaky
+    try:
+        rep = txlog.restore_table(spark, table, 0)
+    finally:
+        txlog._commit_rmw = orig_rmw
+    assert fired["done"]
+    ops = [h["op"] for h in table_history(table)]
+    assert ops == ["create", "overwrite", "append", "restore"]
+    assert rep["version"] == 3
+    # exactly the v0 snapshot — the raced append is rolled back...
+    assert _content(read_table(spark, table)) == [
+        (i, f"v{i}") for i in range(100)
+    ]
+    # ...but not lost: its version still reads, and restoring to it
+    # recovers the row
+    assert dict(_content(read_table(spark, table, version=2)))[999] == "race"
+    txlog.restore_table(spark, table, 2)
+    assert dict(_content(read_table(spark, table)))[999] == "race"
