@@ -853,3 +853,69 @@ def test_restore_occ_race_rolls_back_racing_append(spark, table):
     assert dict(_content(read_table(spark, table, version=2)))[999] == "race"
     txlog.restore_table(spark, table, 2)
     assert dict(_content(read_table(spark, table)))[999] == "race"
+
+
+def test_concurrent_mixed_op_storm(spark, table):
+    """Appends, a versioned merge, and compactions race from real
+    threads: every append's rows must land (appends retry the version
+    bump), the merge's winners must hold (RMW re-runs from fresh
+    snapshots), compaction stays content-invariant, and the log stays
+    gapless — the multi-writer storm none of the single-race tests
+    cover."""
+    errs: list[Exception] = []
+
+    def run(fn):
+        def inner():
+            try:
+                fn()
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+        return inner
+
+    def appender(lo):
+        for j in range(3):
+            append_table(
+                spark,
+                _df(spark, [(lo + j, f"a{lo + j}")]),
+                table,
+                max_retries=60,
+            )
+
+    def merger():
+        merge_upsert(
+            spark,
+            _df(spark, [(k, f"m{k}") for k in range(5)]),
+            table,
+            max_retries=60,
+        )
+
+    def compactor():
+        for _ in range(2):
+            compact_table(spark, table, target_file_rows=10_000,
+                          max_retries=60)
+
+    threads = [
+        threading.Thread(target=run(lambda: appender(2000))),
+        threading.Thread(target=run(lambda: appender(3000))),
+        threading.Thread(target=run(merger)),
+        threading.Thread(target=run(compactor)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    out = dict(_content(read_table(spark, table)))
+    # every append landed exactly once
+    for lo in (2000, 3000):
+        for j in range(3):
+            assert out[lo + j] == f"a{lo + j}"
+    # the merge's winners hold no matter where it interleaved
+    for k in range(5):
+        assert out[k] == f"m{k}"
+    # nothing else changed; no duplicates (dict covers keys, count rows)
+    assert len(_content(read_table(spark, table))) == 106
+    versions = [h["version"] for h in table_history(table)]
+    assert versions == list(range(len(versions)))
+    ts = [h["ts"] for h in table_history(table)]
+    assert all(a <= b for a, b in zip(ts, ts[1:])), ts
