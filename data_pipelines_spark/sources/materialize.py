@@ -577,9 +577,11 @@ def migrate_store_schema(
     columns after migration. The store is read under the explicit
     target schema (the reader applies Spark-legal widenings per file;
     an unsupported narrowing fails loudly), rewritten next to the store
-    (``<path>__migrating``), then swapped in via FileSystem
-    rename — so a crash mid-rewrite leaves the original store intact.
-    The final swap itself is delete+rename, NOT transactional for
+    (``<path>__migrating``), then swapped in via two FileSystem
+    renames (original aside to ``<path>__backup``, migrated copy into
+    place, backup deleted) — a crash at ANY step leaves a complete
+    store under some name and the raised error names the one rename
+    that recovers it. The swap is still NOT transactional for
     concurrent readers (raw parquet's documented limit — run offline,
     or use a txlog table where that matters)."""
     target = (
@@ -588,6 +590,19 @@ def migrate_store_schema(
         else StructType.fromDDL(schema)
     )
     parts = list(partition_cols)
+    jvm = spark._jvm
+    backup = path.rstrip("/") + "__backup"
+    jbak = jvm.org.apache.hadoop.fs.Path(backup)
+    fs = jbak.getFileSystem(spark._jsc.hadoopConfiguration())
+    # Fail fast (before the rewrite) on a leftover backup from a
+    # previous crashed run: the aside-rename below would NEST into an
+    # existing directory (Hadoop rename semantics) and double rows.
+    if fs.exists(jbak):
+        raise IOError(
+            f"migration found a leftover backup at {backup} — a "
+            f"previous migration crashed mid-swap; inspect it (rename "
+            f"it back to {path} to recover, or delete it) and re-run"
+        )
     before = list_data_files(spark, path)
     files_before = sum(len(f) for f in before.values())
     df = spark.read.schema(target).parquet(path)
@@ -602,24 +617,26 @@ def migrate_store_schema(
     # that doubles as the readability check (a migration that cannot
     # be read back must never replace the original)
     rows = spark.read.parquet(tmp).count()
-    jvm = spark._jvm
     jsrc, jdst = (
         jvm.org.apache.hadoop.fs.Path(tmp),
         jvm.org.apache.hadoop.fs.Path(path),
     )
-    fs = jdst.getFileSystem(spark._jsc.hadoopConfiguration())
-    # rename onto an EXISTING directory would nest tmp under it (Hadoop
-    # rename semantics) and double every row — verify the delete took
-    if not fs.delete(jdst, True) and fs.exists(jdst):
+    # Swap via rename-aside, not delete-then-rename: every step leaves
+    # a complete copy of the data under SOME name, so any single
+    # failure is recoverable by one manual rename (the raised error
+    # says which).
+    if not fs.rename(jdst, jbak):
         raise IOError(
-            f"migration could not delete {path}; migrated data is "
-            f"intact at {tmp}"
+            f"migration could not move {path} aside to {backup}; "
+            f"original store untouched, migrated data intact at {tmp}"
         )
     if not fs.rename(jsrc, jdst):
         raise IOError(
-            f"migration rename {tmp} -> {path} failed; migrated data "
-            f"is intact at {tmp}"
+            f"migration rename {tmp} -> {path} failed; recover by "
+            f"renaming {backup} back to {path} (migrated data is "
+            f"intact at {tmp})"
         )
+    fs.delete(jbak, True)
     after = list_data_files(spark, path)
     return {
         "files_before": files_before,

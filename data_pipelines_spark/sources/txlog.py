@@ -317,6 +317,7 @@ def _file_stats(local_file: str, stat_cols: Sequence[str]) -> tuple[int, dict]:
     for col, idx in wanted.items():
         lo = hi = None
         nulls = 0
+        nulls_known = True
         ok = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
@@ -334,11 +335,20 @@ def _file_stats(local_file: str, stat_cols: Sequence[str]) -> tuple[int, dict]:
                 break
             lo = mn if lo is None or mn < lo else lo
             hi = mx if hi is None or mx > hi else hi
-            nulls += st.null_count if st.has_null_count else 0
+            if st.has_null_count:
+                nulls += st.null_count
+            else:
+                # a row group without a null count makes the FILE's
+                # null count unknown — recording 0 would let the
+                # `col IS NULL` pruner treat "no information" as
+                # "provably no nulls" and wrongly skip the file
+                nulls_known = False
         if ok and lo is not None:
             emin, emax = _encode_val(lo), _encode_val(hi)
             if emin is not None and emax is not None:
-                stats[col] = {"min": emin, "max": emax, "nulls": nulls}
+                stats[col] = {"min": emin, "max": emax}
+                if nulls_known:
+                    stats[col]["nulls"] = nulls
     return md.num_rows, stats
 
 
@@ -632,7 +642,15 @@ def version_at_timestamp(path: str, timestamp: float) -> int:
     wall clocks, so the VERSION number remains the source of truth for
     order. Raises if the table's first commit is newer than the asked
     time. Commits predating the ts field resolve as candidates (their
-    ts reads as -inf), so pre-upgrade history stays addressable."""
+    ts reads as -inf), so pre-upgrade history stays addressable.
+
+    Clock skew between CONCURRENT writers can publish non-monotone
+    timestamps (each writer stamps from its own wall clock), so the
+    scan covers EVERY commit — no monotonicity early-stop — and
+    returns the newest qualifying version, the resolution the public
+    Delta protocol reaches by adjusting timestamps to monotone. The
+    scan is O(commits) with a <=2-line parse per commit
+    (:func:`_commit_ts`), so the full walk costs nothing real."""
     commits, _ = _list_versions(path)
     if not commits and not table_exists(path):
         raise FileNotFoundError(f"no txlog table at {path}")
@@ -641,8 +659,6 @@ def version_at_timestamp(path: str, timestamp: float) -> int:
         ts = _commit_ts(path, v)
         if ts is None or ts <= timestamp:
             best = v
-        elif best is not None:
-            break  # timestamps are expected monotone; stop at first newer
     if best is None:
         raise ValueError(
             f"no commit at-or-before timestamp {timestamp} at {path} "

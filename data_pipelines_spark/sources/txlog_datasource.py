@@ -382,8 +382,16 @@ def _read_cdc_partition(
     import duckdb
 
     schema = StructType.fromJson(json.loads(schema_json))
+    # the multiset diff runs over the FULL table schema, never the
+    # requested projection: if a future Spark adds column pruning for
+    # Python data sources, an update whose changed columns were pruned
+    # out would otherwise cancel in the EXCEPT ALL and its change rows
+    # silently disappear — `columns` is applied only in the final
+    # projection below
     data_cols = [
-        c for c in columns if c not in ("_change_type", "_commit_version")
+        f.name
+        for f in schema.fields
+        if f.name not in ("_change_type", "_commit_version")
     ]
     con = duckdb.connect()
 

@@ -710,6 +710,39 @@ def test_migrate_store_schema_mixed_width(spark, tmp_path):
     ]
     # no migration litter left behind
     assert not os.path.exists(store + "__migrating")
+    assert not os.path.exists(store + "__backup")
+
+
+def test_migrate_refuses_leftover_backup(spark, tmp_path):
+    """The swap is rename-aside (original -> __backup, migrated -> path,
+    delete backup), so any single failed step leaves a complete store
+    under some name. A leftover __backup from a crashed prior run must
+    be refused loudly — renaming into it would nest and double rows —
+    and the original store must be untouched by the refusal."""
+    import pytest
+
+    from data_pipelines_spark.sources.materialize import (
+        migrate_store_schema,
+    )
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "record_offset int, u string"
+    ).write.parquet(store)
+    os.makedirs(store + "__backup")
+    with pytest.raises(IOError, match="leftover backup"):
+        migrate_store_schema(spark, store, "record_offset long, u string")
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(store).collect()
+    ) == [(1, "a"), (2, "b")]
+    # the refusal fails fast: no rewrite was attempted
+    assert not os.path.exists(store + "__migrating")
+    os.rmdir(store + "__backup")
+    report = migrate_store_schema(
+        spark, store, "record_offset long, u string"
+    )
+    assert report["rows"] == 2
+    assert not os.path.exists(store + "__backup")
 
 
 def test_migrate_store_schema_partitioned(spark, tmp_path):

@@ -919,3 +919,56 @@ def test_concurrent_mixed_op_storm(spark, table):
     assert versions == list(range(len(versions)))
     ts = [h["ts"] for h in table_history(table)]
     assert all(a <= b for a, b in zip(ts, ts[1:])), ts
+
+
+def test_isnull_pruner_requires_known_null_count():
+    """The `col IS NULL` pruner skips a file only when its null count is
+    KNOWN to be exactly 0 — stats recorded by a writer whose footers
+    lack null_count omit the key entirely (never a silent 0), and the
+    absent key must not prune (the 'absent stats never prune'
+    contract)."""
+    isnull = [("isnull", "k", None)]
+    mk = lambda st: {"path": "data/x/p.parquet", "rows": 1, "stats": st}
+    known_zero = mk({"k": {"min": {"t": "i", "v": 1},
+                           "max": {"t": "i", "v": 9}, "nulls": 0}})
+    known_some = mk({"k": {"min": {"t": "i", "v": 1},
+                           "max": {"t": "i", "v": 9}, "nulls": 3}})
+    unknown = mk({"k": {"min": {"t": "i", "v": 1},
+                        "max": {"t": "i", "v": 9}}})
+    assert txlog._file_survives_constraints(known_zero, isnull) is False
+    assert txlog._file_survives_constraints(known_some, isnull) is True
+    assert txlog._file_survives_constraints(unknown, isnull) is True
+
+
+def test_timestamp_resolution_survives_clock_skew(spark, table):
+    """Concurrent writers stamp commits from their own wall clocks, so
+    published timestamps can be NON-monotone across writers; the
+    resolution must still return the newest qualifying VERSION instead
+    of stopping at the first commit whose skewed ts looks newer."""
+    append_table(spark, _df(spark, [(201, "a")]), table)  # v1
+    append_table(spark, _df(spark, [(202, "b")]), table)  # v2
+
+    def _rewrite_ts(version, ts):
+        fname = os.path.join(
+            txlog._log_dir(table), txlog._fmt_version(version) + ".json"
+        )
+        lines = []
+        with open(fname, encoding="utf-8") as fh:
+            for line in fh:
+                action = json.loads(line)
+                if "commit" in action:
+                    action["commit"]["ts"] = ts
+                lines.append(json.dumps(action, separators=(",", ":")))
+        with open(fname, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    # v1's writer had a fast clock: ts order is 100, 300, 200
+    _rewrite_ts(0, 100.0)
+    _rewrite_ts(1, 300.0)
+    _rewrite_ts(2, 200.0)
+    # newest version with ts <= 250 is v2 (a monotone early-stop at
+    # v1's skewed 300 would wrongly resolve to v0)
+    assert txlog.version_at_timestamp(table, 250.0) == 2
+    with pytest.raises(ValueError, match="first commit is newer"):
+        txlog.version_at_timestamp(table, 99.0)
+    assert txlog.version_at_timestamp(table, 1e12) == 2
