@@ -79,7 +79,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 CHECKPOINT_EVERY = 10
 _LOG_DIR = "_txlog"
@@ -488,6 +488,187 @@ def _file_disjoint(entry: dict, bounds: dict[str, tuple]) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# deletion vectors (merge-on-read)
+#
+# A data file's add entry may carry ``"dv": {"path": <dv dataset
+# relpath>, "rows": <deleted-row count>}`` — the merge-on-read answer
+# to copy-on-write's write amplification (the public Delta/Iceberg
+# deletion-vector capability). The dv dataset is a directory of
+# parquet files under ``data/dv<hex>/`` with columns ``file`` (data
+# file relpath) and ``pos`` (row index within the PHYSICAL file,
+# 0-based); one dataset is written per committing operation and may be
+# shared by several entries of that commit. An entry's dv always holds
+# the file's FULL deletion set (a later delete unions the old
+# positions into a fresh dataset), so a single (entry, dv) pair fully
+# describes the file's live rows. Every read path applies dvs at scan
+# (position anti-join); compaction/optimize materialize them away.
+#
+# Commits that change a file's dv emit ``remove`` (old identity,
+# carrying the old dv so the change feed can read the pre-image) then
+# ``add`` (same path, new dv) — replay order in a commit is removes
+# before adds, so the log replays to the new identity.
+
+# data files land at data/<dir>/<name>: the last three path components
+# of a scan's _metadata.file_path ARE the table-relative path
+_REL_RE = r"(data/[^/]+/[^/]+)$"
+_DVDIR_RE = r"(data/[^/]+)/[^/]+$"
+
+
+def _dv_rows(entry: dict) -> int:
+    return (entry.get("dv") or {}).get("rows", 0)
+
+
+def _live_rows(entry: dict) -> int:
+    return entry["rows"] - _dv_rows(entry)
+
+
+def _dv_parquet_files(root: str, dv_rel: str) -> list[str]:
+    d = os.path.join(root, dv_rel)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+    )
+
+
+def _dv_files_checked(root: str, dv: dict) -> list[str]:
+    """The dv dataset's parquet files, VERIFIED against the part count
+    the entry recorded at commit time. A vacuumed (or half-vacuumed)
+    dataset must fail the read loudly — silently applying a partial
+    deletion set would resurrect deleted rows, strictly worse than the
+    missing-data-file error a vacuumed snapshot already raises."""
+    files = _dv_parquet_files(root, dv["path"])
+    want = dv.get("files")
+    if not files or (want is not None and len(files) != want):
+        raise FileNotFoundError(
+            f"deletion-vector dataset {dv['path']} is missing or "
+            f"partially vacuumed ({len(files)} of {want} part files) — "
+            f"this snapshot is no longer readable"
+        )
+    return files
+
+
+def _dv_positions_df(spark: SparkSession, root: str, entries) -> DataFrame:
+    """(file, pos) rows of the given entries' deletion vectors. A dv
+    DATASET may hold positions for files whose CURRENT dv lives in a
+    newer dataset (or for files outside ``entries``), so each dataset's
+    rows are scoped to the files the given entries actually assign to
+    it — a broadcast semi-join on (dataset dir, file)."""
+    pairs = sorted(
+        {(e["dv"]["path"], e["path"]) for e in entries if e.get("dv")}
+    )
+    by_dir = {}
+    for e in entries:
+        if e.get("dv"):
+            by_dir.setdefault(e["dv"]["path"], e["dv"])
+    files = [
+        f
+        for d in sorted(by_dir)
+        for f in _dv_files_checked(root, by_dir[d])
+    ]
+    dv = spark.read.parquet(*files).select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), _DVDIR_RE, 1
+        ).alias("__dvdir"),
+        "file",
+        "pos",
+    )
+    assign = spark.createDataFrame(pairs, "__dvdir string, file string")
+    return dv.join(
+        F.broadcast(assign), ["__dvdir", "file"], "left_semi"
+    ).select("file", "pos")
+
+
+def _write_dv_dataset(
+    spark: SparkSession,
+    path: str,
+    pos_df: DataFrame,
+    total_rows: int,
+    rows_per_file: int = 8_000_000,
+) -> tuple[str, str, int]:
+    """Write (file, pos) rows as a dv dataset directory, range-
+    clustered by (file, pos) so a per-file read prunes on the parquet
+    footer stats. Returns (relpath, staging dir, part-file count — the
+    entry records it so readers can detect a half-vacuumed dataset);
+    the caller commits or deletes the staging dir on conflict."""
+    root = _local(path)
+    rel = os.path.join(_DATA_DIR, f"dv{uuid.uuid4().hex[:12]}")
+    out_dir = os.path.join(root, rel)
+    n = max(1, math.ceil(total_rows / rows_per_file))
+    (
+        pos_df.repartitionByRange(n, "file", "pos")
+        .sortWithinPartitions("file", "pos")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return rel, out_dir, len(_dv_parquet_files(root, rel))
+
+
+def _scan_files(
+    spark: SparkSession,
+    path: str,
+    entries,
+    meta: dict,
+    with_location: bool = False,
+) -> DataFrame:
+    """THE one snapshot-scan primitive: a DataFrame over the given add
+    entries with deletion vectors APPLIED and the schema aligned to
+    ``meta`` (columns a later evolution added are NULL-filled for old
+    files). Every reader of table data — read_table, merge, delete,
+    compact, optimize, the change feed — goes through here so
+    merge-on-read semantics cannot drift between them.
+
+    ``with_location=True`` appends ``__file`` (table-relative data file
+    path) and ``__pos`` (row index within the physical file) — what the
+    dv write paths join on. Entries without dvs and no location request
+    take the plain multi-path parquet read (zero overhead vs the
+    pre-dv engine); dv application is a position ANTI-JOIN against the
+    dv rows, broadcast when the snapshot's total deleted-row count is
+    driver-known small."""
+    root = _local(path)
+    entries = sorted(entries, key=lambda e: e["path"])
+    want = StructType.fromJson(json.loads(meta["schema"]))
+    if not entries:
+        out = _empty_frame(spark, meta)
+        if with_location:
+            out = out.withColumn(
+                "__file", F.lit(None).cast("string")
+            ).withColumn("__pos", F.lit(None).cast("long"))
+        return out
+    dv_entries = [e for e in entries if e.get("dv")]
+    paths = [os.path.join(root, e["path"]) for e in entries]
+    out = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if with_location or dv_entries:
+        out = out.select(
+            "*",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), _REL_RE, 1
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+    if dv_entries:
+        dv = _dv_positions_df(spark, root, dv_entries).select(
+            F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+        )
+        total_dv = sum(_dv_rows(e) for e in dv_entries)
+        if total_dv <= 2_000_000:
+            dv = F.broadcast(dv)
+        out = out.join(
+            dv,
+            (F.col("__file") == F.col("__dv_file"))
+            & (F.col("__pos") == F.col("__dv_pos")),
+            "left_anti",
+        )
+    for fld in want.fields:
+        if fld.name not in out.columns:
+            out = out.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    cols = [f.name for f in want.fields]
+    if with_location:
+        cols += ["__file", "__pos"]
+    return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
 # data-file writes
 
 
@@ -689,23 +870,7 @@ def read_table(
     files = list(state.files.values())
     if bounds:
         files = [e for e in files if not _file_disjoint(e, bounds)]
-    paths = [
-        os.path.join(_local(path), e["path"])
-        for e in sorted(files, key=lambda e: e["path"])
-    ]
-    if not paths:
-        out = _empty_frame(spark, state.meta)
-    else:
-        out = spark.read.option("mergeSchema", "true").parquet(*paths)
-        # columns added by later schema evolution are absent from old
-        # files; surface the snapshot's full schema regardless
-        want = StructType.fromJson(json.loads(state.meta["schema"]))
-        for fld in want.fields:
-            if fld.name not in out.columns:
-                out = out.withColumn(
-                    fld.name, F.lit(None).cast(fld.dataType)
-                )
-        out = out.select(*[f.name for f in want.fields])
+    out = _scan_files(spark, path, files, state.meta)
     if bounds:
         for col, (lo, hi) in bounds.items():
             out = out.where(F.col(col).between(F.lit(lo), F.lit(hi)))
@@ -759,8 +924,12 @@ def describe_table(path: str, version: int | None = None) -> dict:
         "stat_cols": list(state.meta.get("stat_cols", [])),
         "constraints": dict(state.meta.get("constraints") or {}),
         "num_files": len(state.files),
-        "total_rows": sum(e["rows"] for e in state.files.values()),
+        # LIVE rows: physical rows minus deletion-vector rows — what a
+        # read of this snapshot returns
+        "total_rows": sum(_live_rows(e) for e in state.files.values()),
         "total_bytes": sum(e["bytes"] for e in state.files.values()),
+        "dv_files": sum(1 for e in state.files.values() if e.get("dv")),
+        "dv_rows": sum(_dv_rows(e) for e in state.files.values()),
         "txns": dict(state.txns),
     }
 
@@ -794,7 +963,11 @@ def _commit_rmw(
 ) -> int:
     """Commit a read-modify-write txn: only valid as version
     snapshot_version + 1 — anything newer means a concurrent commit
-    changed state this txn read, so the caller re-runs."""
+    changed state this txn read, so the caller re-runs.
+
+    ``removes`` items are relpath strings or full add entries; an
+    entry remove records the removed identity's dv so the change feed
+    can reconstruct the pre-image (replay itself keys on path only)."""
     version = snapshot_version + 1
     lines: list[dict] = []
     if meta is not None:
@@ -802,7 +975,19 @@ def _commit_rmw(
     lines.append(_commit_line(op))
     if txn is not None:
         lines.append({"txn": {"app": txn[0], "batch": txn[1]}})
-    lines += [{"remove": {"path": rel}} for rel in sorted(removes)]
+
+    def _remove_line(r) -> dict:
+        if isinstance(r, str):
+            return {"remove": {"path": r}}
+        rm = {"path": r["path"]}
+        if r.get("dv"):
+            rm["dv"] = r["dv"]
+        return {"remove": rm}
+
+    lines += sorted(
+        (_remove_line(r) for r in removes),
+        key=lambda ln: ln["remove"]["path"],
+    )
     lines += [{"add": e} for e in adds]
     try:
         _write_commit_exclusive(path, version, lines)
@@ -939,7 +1124,7 @@ def overwrite_table(
         try:
             return _commit_rmw(
                 path, state.version, "overwrite", adds,
-                list(state.files), meta,
+                list(state.files.values()), meta,
             )
         except _Conflict:
             shutil.rmtree(staging, ignore_errors=True)
@@ -992,19 +1177,43 @@ def merge_upsert(
     evolve_schema: bool = False,
     max_retries: int = 5,
     txn: tuple[str, int] | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Transactional MERGE: replace matched keys, insert the rest,
-    rewriting ONLY files whose footer stats overlap the batch's key
-    bounds. Returns {"version", "files_rewritten", "files_skipped"}.
+    touching ONLY files whose footer stats overlap the batch's key
+    bounds. Returns {"version", "files_rewritten", "files_skipped"}
+    (plus {"files_dv", "files_removed"} in dv mode).
     ``txn=(app_id, batch_id)`` makes the merge idempotent per app (see
     :func:`append_table`) — here the re-check runs inside the retry
     loop on a fresh snapshot, so it is race-free even across writers.
+
+    ``mode`` picks the physical strategy; the logical result is the
+    same either way:
+
+    - ``"cow"`` (copy-on-write, the default): matched files are
+      rewritten in full. Best when a batch REPLACES most of the files
+      it touches (key-clustered daily partitions); worst on scattered
+      keys, where a 0.1% update can rewrite the whole table.
+    - ``"dv"`` (merge-on-read): replaced rows are recorded in a
+      deletion vector (position list) per touched file and the batch's
+      winning rows land as NEW files — bytes written ∝ batch size +
+      deleted-row positions, never the touched files' size. Reads
+      apply the dv at scan; ``compact_table`` materializes it away.
+      This is the scattered-key answer (the public Delta/Iceberg
+      deletion-vector strategy). One documented divergence: dv mode
+      never rewrites rows it doesn't touch, so pre-existing DUPLICATE
+      key rows in a matched file whose key is absent from the batch
+      are left as-is (cow's full rewrite incidentally deduplicates
+      them); tables maintained through create/append/merge never hold
+      duplicate keys, making the two modes equal there (unit-pinned).
 
     On a key-clustered table this is the incremental-maintenance shape
     the reference's daily full rewrite cannot reach: a batch touching
     1% of the key space costs ~1% of the table in read and write, with
     untouched files carried forward by reference (asserted down to
     identical relpaths in tests)."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"merge mode must be 'cow' or 'dv', got {mode!r}")
     # The batch feeds 3+ separate jobs (key bounds agg, a distinct
     # collect per key column, the merge write) and every conflict retry
     # re-runs them: materialize its lineage ONCE instead of recomputing
@@ -1019,7 +1228,7 @@ def merge_upsert(
     try:
         return _merge_upsert_inner(
             spark, updates, path, key_cols, version_col, evolve_schema,
-            max_retries, txn,
+            max_retries, txn, mode,
         )
     finally:
         if not caller_cached:
@@ -1035,6 +1244,7 @@ def _merge_upsert_inner(
     evolve_schema: bool,
     max_retries: int,
     txn: tuple[str, int] | None,
+    mode: str = "cow",
 ) -> dict:
     for _ in range(max_retries + 1):
         state = _load_state(path)
@@ -1110,13 +1320,17 @@ def _merge_upsert_inner(
                 for rel, e in state.files.items()
                 if _file_matches_keys(e, pruners)
             }
-        root = _local(path)
-        if candidates:
-            existing = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(root, rel) for rel in sorted(candidates)]
+        if mode == "dv":
+            result = _merge_dv_attempt(
+                spark, updates, path, state, candidates, keys,
+                version_col, evolve_schema, txn,
             )
-        else:
-            existing = _empty_frame(spark, state.meta)
+            if result is not None:
+                return result
+            continue  # lost the commit race: retry from a fresh snapshot
+        existing = _scan_files(
+            spark, path, list(candidates.values()), state.meta
+        )
         if evolve_schema:
             for col in updates.columns:
                 if col not in existing.columns:
@@ -1141,7 +1355,8 @@ def _merge_upsert_inner(
         )
         try:
             version = _commit_rmw(
-                path, state.version, "merge", adds, list(candidates),
+                path, state.version, "merge", adds,
+                list(candidates.values()),
                 meta if evolve_schema else None, txn=txn,
             )
             return {
@@ -1156,22 +1371,188 @@ def _merge_upsert_inner(
     )
 
 
+def _merge_dv_attempt(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    state: Snapshot,
+    candidates: dict[str, dict],
+    keys: list[str],
+    version_col: str | None,
+    evolve_schema: bool,
+    txn: tuple[str, int] | None,
+) -> dict | None:
+    """One merge-on-read attempt against ``state``'s snapshot; returns
+    the result dict, or None when the commit race was lost (the caller
+    retries from a fresh snapshot).
+
+    The candidate scan is SLIM — key + version columns + row location
+    only, never the data columns — because replaced existing rows
+    contribute nothing but their (file, position) to the outcome: the
+    inserted rows all come from the update batch. That keeps the
+    merge's read cost ∝ key-column bytes of the touched files and its
+    write cost ∝ batch size + deleted positions, the property that
+    makes a 0.1% scattered-key update affordable at 100 TB."""
+    root = _local(path)
+    keysel = list(keys) + ([version_col] if version_col else [])
+    existing = _scan_files(
+        spark, path, list(candidates.values()), state.meta,
+        with_location=True,
+    )
+    for c in keysel:
+        if c not in existing.columns:
+            # an evolve_schema batch may introduce the version column
+            # itself: stored rows read it as NULL (sorts last under
+            # F.desc, so the batch's rows win — the cow path's NULL
+            # fill reaches the same outcome)
+            existing = existing.withColumn(
+                c, F.lit(None).cast(updates.schema[c].dataType)
+            )
+    existing = existing.select(*keysel, "__file", "__pos")
+    if version_col is None:
+        # every matched existing row is replaced; every update row
+        # lands (merge_frames' anti-join semantics, re-expressed as
+        # positions): NULL batch keys match nothing (semi-join NULL
+        # semantics), so NULL-key existing rows survive untouched
+        dv_pos = existing.join(
+            updates.select(*keys).distinct(), keys, "left_semi"
+        ).select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
+        inserts = updates
+    else:
+        # merge_frames' highest-version-wins window, run over slim
+        # existing rows + full update rows: the single winner per key
+        # stays (existing winner → file untouched; update winner →
+        # inserted); every other existing row's position is deleted
+        tagged = existing.withColumn("__src", F.lit(0)).unionByName(
+            updates.withColumn("__src", F.lit(1)),
+            allowMissingColumns=True,
+        )
+        has_null_key = reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc(version_col), F.desc("__src")
+        )
+        ranked = tagged.where(~has_null_key).withColumn(
+            "__rn", F.row_number().over(w)
+        )
+        dv_pos = ranked.where(
+            (F.col("__rn") > 1) & (F.col("__src") == 0)
+        ).select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
+        inserts = (
+            ranked.where((F.col("__rn") == 1) & (F.col("__src") == 1))
+            .select(*updates.columns)
+            .unionByName(updates.where(has_null_key))
+        )
+    # one evaluation of the position set: its counts steer the commit
+    # (full-file drops vs dv re-adds) and its rows feed the dv write —
+    # both must see the same set even where window tie-breaks are
+    # nondeterministic
+    dv_pos = dv_pos.localCheckpoint(eager=True)
+    new_counts = {
+        r["file"]: r["cnt"]
+        for r in dv_pos.groupBy("file").agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    if state.meta.get("constraints"):
+        inserts = inserts.localCheckpoint(eager=True)
+        _enforce_constraints(inserts, state.meta, f"merge into {path}")
+    meta = None
+    if evolve_schema:
+        want = StructType.fromJson(json.loads(state.meta["schema"]))
+        have = {f.name for f in want.fields}
+        new_fields = [
+            StructField(f.name, f.dataType, True)
+            for f in updates.schema.fields
+            if f.name not in have
+        ]
+        if new_fields:
+            meta = dict(
+                state.meta,
+                schema=StructType(list(want.fields) + new_fields).json(),
+            )
+    insert_adds, ins_staging = _write_data_files(
+        spark, inserts, path, state.meta.get("stat_cols", []),
+        state.meta.get("cluster_by", []),
+    )
+    stagings = [ins_staging]
+    removes: list[dict] = []
+    dv_adds: list[dict] = []
+    if new_counts:
+        touched = {rel: candidates[rel] for rel in new_counts}
+        totals = {
+            rel: new_counts[rel] + _dv_rows(e) for rel, e in touched.items()
+        }
+        # an already-deleted position can never re-match (the slim scan
+        # applied the old dv), so old + new counts add exactly
+        old_dv = [e for e in touched.values() if e.get("dv")]
+        ds = dv_pos
+        if old_dv:
+            ds = ds.unionByName(_dv_positions_df(spark, root, old_dv))
+        dv_rel, dv_staging, dv_nparts = _write_dv_dataset(
+            spark, path, ds, sum(totals.values())
+        )
+        stagings.append(dv_staging)
+        for rel, e in touched.items():
+            removes.append(e)
+            if totals[rel] < e["rows"]:
+                dv_adds.append(
+                    dict(
+                        e,
+                        dv={
+                            "path": dv_rel,
+                            "rows": totals[rel],
+                            "files": dv_nparts,
+                        },
+                    )
+                )
+            # else: every physical row is deleted — drop the file
+    try:
+        version = _commit_rmw(
+            path, state.version, "merge", dv_adds + insert_adds, removes,
+            meta, txn=txn,
+        )
+    except _Conflict:
+        for st in stagings:
+            shutil.rmtree(st, ignore_errors=True)
+        return None
+    return {
+        "version": version,
+        "files_rewritten": 0,
+        "files_skipped": len(state.files) - len(new_counts),
+        "files_dv": len(dv_adds),
+        "files_removed": len(removes) - len(dv_adds),
+    }
+
+
 def delete_where(
     spark: SparkSession,
     path: str,
     predicate: Column,
     bounds: dict[str, tuple] | None = None,
     max_retries: int = 5,
+    mode: str = "cow",
 ) -> dict:
     """Transactional DELETE of rows where ``predicate`` is true.
 
     ``bounds`` ({col: (lo, hi)}) is the caller's pruning promise: every
     row the predicate can match lies inside it, so stats-disjoint files
     are carried forward untouched (the GDPR-delete-at-100TB shape —
-    rewrite the files that can contain the subject, not the table).
-    Files whose rewrite comes back empty are removed without an add.
+    touch the files that can contain the subject, not the table).
     Returns {"version", "rows_deleted", "files_rewritten",
-    "files_skipped"}."""
+    "files_skipped"} (plus {"files_dv", "files_removed"} in dv mode).
+
+    ``mode="cow"`` (default) rewrites every candidate file without its
+    matching rows — write cost ∝ candidate-file mass. ``mode="dv"``
+    records the matched rows' positions as deletion vectors instead:
+    NOTHING is rewritten — a file losing all its live rows is dropped
+    from the log, a file losing some gets a dv — so write cost is the
+    position list alone, the merge-on-read shape a scattered
+    GDPR-delete needs (see :func:`merge_upsert`'s mode notes;
+    ``compact_table`` materializes dvs away). A dv delete with zero
+    matches commits nothing at all."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"delete mode must be 'cow' or 'dv', got {mode!r}")
     for _ in range(max_retries + 1):
         state = _load_state(path)
         candidates = {
@@ -1186,14 +1567,20 @@ def delete_where(
                 "files_rewritten": 0,
                 "files_skipped": len(state.files),
             }
-        root = _local(path)
-        existing = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(root, rel) for rel in sorted(candidates)]
+        if mode == "dv":
+            result = _delete_dv_attempt(
+                spark, path, predicate, state, candidates
+            )
+            if result is not None:
+                return result
+            continue  # lost the commit race: retry from a fresh snapshot
+        existing = _scan_files(
+            spark, path, list(candidates.values()), state.meta
         )
         # NULL predicate keeps the row — DELETE removes only proven
         # matches, SQL's WHERE-on-DELETE semantics
         kept = existing.where(~F.coalesce(predicate, F.lit(False)))
-        before = sum(e["rows"] for e in candidates.values())
+        before = sum(_live_rows(e) for e in candidates.values())
         adds, staging = _write_data_files(
             spark, kept, path, state.meta.get("stat_cols", []),
             state.meta.get("cluster_by", []),
@@ -1201,7 +1588,8 @@ def delete_where(
         after = sum(e["rows"] for e in adds)
         try:
             version = _commit_rmw(
-                path, state.version, "delete", adds, list(candidates), None
+                path, state.version, "delete", adds,
+                list(candidates.values()), None,
             )
             return {
                 "version": version,
@@ -1216,12 +1604,95 @@ def delete_where(
     )
 
 
+def _delete_dv_attempt(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    state: Snapshot,
+    candidates: dict[str, dict],
+) -> dict | None:
+    """One merge-on-read DELETE attempt against ``state``'s snapshot;
+    None = commit race lost, caller retries. Matched rows' (file,
+    position) pairs — predicate NULL keeps the row, SQL semantics —
+    become the touched files' new deletion vectors (old positions
+    unioned in, since an entry's dv is always the file's FULL deletion
+    set); a file whose every live row matched is dropped outright."""
+    root = _local(path)
+    matched = (
+        _scan_files(
+            spark, path, list(candidates.values()), state.meta,
+            with_location=True,
+        )
+        .where(F.coalesce(predicate, F.lit(False)))
+        .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
+    )
+    # one evaluation: the counts steer the commit and the rows feed
+    # the dv write — both must see the same set
+    matched = matched.localCheckpoint(eager=True)
+    new_counts = {
+        r["file"]: r["cnt"]
+        for r in matched.groupBy("file").agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    if not new_counts:
+        return {
+            "version": state.version,
+            "rows_deleted": 0,
+            "files_rewritten": 0,
+            "files_skipped": len(state.files),
+            "files_dv": 0,
+            "files_removed": 0,
+        }
+    touched = {rel: candidates[rel] for rel in new_counts}
+    totals = {
+        rel: new_counts[rel] + _dv_rows(e) for rel, e in touched.items()
+    }
+    old_dv = [e for e in touched.values() if e.get("dv")]
+    ds = matched
+    if old_dv:
+        ds = ds.unionByName(_dv_positions_df(spark, root, old_dv))
+    dv_rel, staging, dv_nparts = _write_dv_dataset(
+        spark, path, ds, sum(totals.values())
+    )
+    removes: list[dict] = []
+    adds: list[dict] = []
+    for rel, e in touched.items():
+        removes.append(e)
+        if totals[rel] < e["rows"]:
+            adds.append(
+                dict(
+                    e,
+                    dv={
+                        "path": dv_rel,
+                        "rows": totals[rel],
+                        "files": dv_nparts,
+                    },
+                )
+            )
+    try:
+        version = _commit_rmw(
+            path, state.version, "delete", adds, removes, None
+        )
+    except _Conflict:
+        shutil.rmtree(staging, ignore_errors=True)
+        return None
+    return {
+        "version": version,
+        "rows_deleted": sum(new_counts.values()),
+        "files_rewritten": 0,
+        "files_skipped": len(state.files) - len(new_counts),
+        "files_dv": len(adds),
+        "files_removed": len(removes) - len(adds),
+    }
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
     target_file_rows: int = 1_000_000,
     min_file_rows: int | None = None,
     max_retries: int = 5,
+    dv_min_ratio: float = 0.05,
 ) -> dict:
     """Bin-pack small files into ~``target_file_rows``-row files —
     logical content unchanged, old snapshots still readable (until
@@ -1242,45 +1713,57 @@ def compact_table(
     "everything undersized" behavior; maintenance loops on
     streaming-ingested tables should pass a lower threshold (e.g.
     ``target // 2``) so near-target files stop being rewritten on
-    every pass."""
+    every pass.
+
+    Compaction is also where deletion vectors get MATERIALIZED (the
+    Delta ``OPTIMIZE``-purges-DVs behavior): any file whose dv covers
+    at least ``dv_min_ratio`` of its rows is selected for rewrite even
+    when its live size is above the threshold — and such files are
+    rewritten even when packing cannot reduce the file count, because
+    purging the dv (dropping the position anti-join from every future
+    scan) is the point. Rewritten output never carries a dv."""
     threshold = target_file_rows if min_file_rows is None else min_file_rows
     for _ in range(max_retries + 1):
         state = _load_state(path)
         small = {
             rel: e
             for rel, e in state.files.items()
-            if e["rows"] < threshold
+            if _live_rows(e) < threshold
         }
+        purge = {
+            rel: e
+            for rel, e in state.files.items()
+            if e.get("dv") and _dv_rows(e) >= dv_min_ratio * e["rows"]
+        }
+        selected = {**small, **purge}
         unchanged = {
             "version": state.version,
             "files_before": len(state.files),
             "files_after": len(state.files),
         }
-        if len(small) <= 1:
-            return unchanged
-        rows = sum(e["rows"] for e in small.values())
-        if max(1, math.ceil(rows / target_file_rows)) >= len(small):
-            # packing would produce at least as many files as it
-            # removes — rewriting would only churn data (and re-emit
-            # nothing useful); leave the layout alone
-            return unchanged
-        root = _local(path)
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(root, rel) for rel in sorted(small)]
-        )
+        rows = sum(_live_rows(e) for e in selected.values())
         n = max(1, math.ceil(rows / target_file_rows))
+        if not purge and (len(small) <= 1 or n >= len(small)):
+            # without a dv to purge, packing must REDUCE the file
+            # count to be worth the churn; with one, the rewrite pays
+            # for itself by dropping the scan-time anti-join
+            return unchanged
+        df = _scan_files(
+            spark, path, list(selected.values()), state.meta
+        )
         adds, staging = _write_data_files(
             spark, df, path, state.meta.get("stat_cols", []),
             state.meta.get("cluster_by", []), num_files=n,
         )
         try:
             version = _commit_rmw(
-                path, state.version, "compact", adds, list(small), None
+                path, state.version, "compact", adds,
+                list(selected.values()), None,
             )
             return {
                 "version": version,
                 "files_before": len(state.files),
-                "files_after": len(state.files) - len(small) + len(adds),
+                "files_after": len(state.files) - len(selected) + len(adds),
             }
         except _Conflict:
             shutil.rmtree(staging, ignore_errors=True)
@@ -1398,26 +1881,30 @@ def table_changes(
             f"from_version {state_from.version} is newer than "
             f"to_version {state_to.version}"
         )
-    removed = sorted(set(state_from.files) - set(state_to.files))
-    added = sorted(set(state_to.files) - set(state_from.files))
-    root = _local(path)
+    # a file's IDENTITY is its entry (path + deletion vector): a dv
+    # change on an unchanged path is a real row-level change, and both
+    # identities enter the diff — old side reads the file minus its
+    # OLD dv, new side minus the NEW one, so exactly the newly-deleted
+    # rows survive the multiset difference. Entries identical on both
+    # sides contribute nothing and are never read.
+    removed = [
+        e
+        for rel, e in sorted(state_from.files.items())
+        if state_to.files.get(rel) != e
+    ]
+    added = [
+        e
+        for rel, e in sorted(state_to.files.items())
+        if state_from.files.get(rel) != e
+    ]
 
-    def read_side(rels: list[str], meta: dict) -> DataFrame:
-        if not rels:
-            return _empty_frame(spark, meta)
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(root, rel) for rel in rels]
-        )
+    def read_side(entries: list[dict]) -> DataFrame:
         # align both sides on the TO snapshot's schema so exceptAll
         # compares like columns even across schema evolution
-        want = StructType.fromJson(json.loads(state_to.meta["schema"]))
-        for fld in want.fields:
-            if fld.name not in df.columns:
-                df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
-        return df.select(*[f.name for f in want.fields])
+        return _scan_files(spark, path, entries, state_to.meta)
 
-    old = read_side(removed, state_to.meta)
-    new = read_side(added, state_to.meta)
+    old = read_side(removed)
+    new = read_side(added)
     deletes = old.exceptAll(new)
     inserts = new.exceptAll(old)
     keys = list(key_cols) if key_cols is not None else list(
@@ -1524,14 +2011,13 @@ def optimize_table(
         ]
         if missing:
             raise ValueError(f"zorder columns {missing} not in table schema")
-        root = _local(path)
         if not state.files:
             return {"version": state.version, "files_before": 0,
                     "files_after": 0}
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(root, rel) for rel in sorted(state.files)]
+        df = _scan_files(
+            spark, path, list(state.files.values()), state.meta
         )
-        rows = sum(e["rows"] for e in state.files.values())
+        rows = sum(_live_rows(e) for e in state.files.values())
         n = max(1, math.ceil(rows / target_file_rows))
         keyed = df.withColumn("__z", _zorder_expr(df, cols, bits))
         shaped = (
@@ -1548,7 +2034,8 @@ def optimize_table(
         )
         try:
             version = _commit_rmw(
-                path, state.version, "optimize", adds, list(state.files),
+                path, state.version, "optimize", adds,
+                list(state.files.values()),
                 meta,
             )
             return {
@@ -1592,24 +2079,40 @@ def restore_table(
                 "files_removed": 0,
             }
         root = _local(path)
-        missing = [
+        # identity = the full entry (path + deletion vector): a file
+        # whose dv changed since the target version must be re-added
+        # with the OLD dv (and its current identity removed) or the
+        # restore would silently keep the newer deletion set
+        changed = [
             rel
             for rel in sorted(target.files)
-            if rel not in state.files
-            and not os.path.exists(os.path.join(root, rel))
+            if state.files.get(rel) != target.files[rel]
         ]
+        missing = []
+        for rel in changed:
+            e = target.files[rel]
+            if rel not in state.files and not os.path.exists(
+                os.path.join(root, rel)
+            ):
+                missing.append(rel)
+            dv = e.get("dv")
+            if dv:
+                try:
+                    _dv_files_checked(root, dv)
+                except FileNotFoundError:
+                    missing.append(dv["path"])
         if missing:
             raise FileNotFoundError(
                 f"cannot restore {path} to version {version}: "
-                f"{len(missing)} data file(s) were vacuumed "
+                f"{len(missing)} data/dv file(s) were vacuumed "
                 f"(first: {missing[0]})"
             )
-        adds = [
-            target.files[rel]
-            for rel in sorted(target.files)
-            if rel not in state.files
+        adds = [target.files[rel] for rel in changed]
+        removes = [
+            state.files[rel]
+            for rel in sorted(state.files)
+            if state.files[rel] != target.files.get(rel)
         ]
-        removes = [rel for rel in sorted(state.files) if rel not in target.files]
         # meta is restored too (schema/constraints as of the target
         # version) — a restore across a schema evolution must put the
         # old schema back or the snapshot would misread its files
@@ -1661,11 +2164,20 @@ def vacuum_table(
     cutoff = time.time() - min_age_seconds
     latest = table_version(path)
     live: set[str] = set()
+    live_dv: set[str] = set()
     for v in range(max(0, latest - retain_versions + 1), latest + 1):
         try:
-            live |= set(_load_state(path, v).files)
+            st = _load_state(path, v)
         except FileNotFoundError:
             continue  # version below the oldest checkpoint after log vacuum
+        live |= set(st.files)
+        # deletion-vector datasets referenced by a retained snapshot
+        # are part of its read path — collecting one would break the
+        # snapshot exactly like collecting a data file
+        live_dv |= {
+            e["dv"]["path"] for e in st.files.values() if e.get("dv")
+        }
+    dv_prefixes = tuple(p + os.sep for p in sorted(live_dv))
     root = _local(path)
     data_root = os.path.join(root, _DATA_DIR)
     removed = 0
@@ -1674,7 +2186,11 @@ def vacuum_table(
             fpath = os.path.join(dirpath, name)
             rel = os.path.relpath(fpath, root)
             try:
-                if rel not in live and os.path.getmtime(fpath) < cutoff:
+                if (
+                    rel not in live
+                    and not rel.startswith(dv_prefixes)
+                    and os.path.getmtime(fpath) < cutoff
+                ):
                     if not dry_run:
                         os.unlink(fpath)
                     removed += 1

@@ -91,17 +91,76 @@ _PHYSICAL_OPS = {"compact", "optimize"}
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str):
+    def __init__(
+        self,
+        abs_path: str,
+        rel_path: str | None = None,
+        dv_files: list[str] | None = None,
+    ):
         self.abs_path = abs_path
+        # table-relative path + dv dataset parquet files (globbed on
+        # the DRIVER — the task never lists directories): set when the
+        # entry carries a deletion vector
+        self.rel_path = rel_path
+        self.dv_files = dv_files
 
 
-def _read_file_batches(abs_path: str, columns: list[str]):
+def _part_from_entry(root: str, entry: dict) -> _FilePartition:
+    dv = entry.get("dv")
+    return _FilePartition(
+        os.path.join(root, entry["path"]),
+        entry["path"],
+        txlog._dv_files_checked(root, dv) if dv else None,
+    )
+
+
+def _dv_positions(dv_files: list[str], rel_path: str):
+    """Sorted int64 row positions deleted from ``rel_path``, read from
+    its dv dataset with a (file == rel) predicate pushed into the
+    parquet scan (the dataset is written sorted by (file, pos), so the
+    filter prunes row groups)."""
+    import numpy as np
     import pyarrow.parquet as pq
 
+    parts = [
+        pq.read_table(
+            f, columns=["pos"], filters=[("file", "==", rel_path)]
+        )["pos"].to_numpy(zero_copy_only=False)
+        for f in dv_files
+    ]
+    return np.sort(np.concatenate(parts)) if parts else np.array([], "i8")
+
+
+def _read_file_batches(
+    abs_path: str,
+    columns: list[str],
+    dv_files: list[str] | None = None,
+    rel_path: str | None = None,
+):
+    import pyarrow.parquet as pq
+
+    positions = None
+    if dv_files:
+        import numpy as np
+
+        positions = _dv_positions(dv_files, rel_path)
     pf = pq.ParquetFile(abs_path)
     have = set(pf.schema_arrow.names)
     cols = [c for c in columns if c in have]
+    offset = 0
     for batch in pf.iter_batches(columns=cols):
+        n = batch.num_rows
+        if positions is not None:
+            import numpy as np
+            import pyarrow as pa
+
+            lo = np.searchsorted(positions, offset)
+            hi = np.searchsorted(positions, offset + n)
+            if hi > lo:
+                mask = np.ones(n, dtype=bool)
+                mask[positions[lo:hi] - offset] = False
+                batch = batch.filter(pa.array(mask))
+        offset += n
         if len(cols) < len(columns):
             # schema-evolved old file: missing columns fill NULL
             import pyarrow as pa
@@ -179,8 +238,8 @@ class _TxLogBatchReader(DataSourceReader):
         # helpers) so the datasource and read_table(bounds=...) can
         # never drift in how conservatively they prune
         return [
-            _FilePartition(os.path.join(root, rel))
-            for rel, entry in sorted(state.files.items())
+            _part_from_entry(root, entry)
+            for _rel, entry in sorted(state.files.items())
             if txlog._file_survives_constraints(entry, self._pruners)
         ]
 
@@ -189,7 +248,10 @@ class _TxLogBatchReader(DataSourceReader):
         # substitutes with a single None partition — emit nothing
         if partition is None:
             return
-        yield from _read_file_batches(partition.abs_path, self.columns)
+        yield from _read_file_batches(
+            partition.abs_path, self.columns,
+            partition.dv_files, partition.rel_path,
+        )
 
 
 class _TxLogStreamReader(DataSourceStreamReader):
@@ -224,8 +286,8 @@ class _TxLogStreamReader(DataSourceStreamReader):
             # contract below applies only to commits AFTER it.
             state = txlog._load_state(self.path, end["version"])
             return [
-                _FilePartition(os.path.join(root, rel))
-                for rel in sorted(state.files)
+                _part_from_entry(root, entry)
+                for _rel, entry in sorted(state.files.items())
             ]
         for v in range(start["version"] + 1, end["version"] + 1):
             actions = txlog._read_actions(self.path, v)
@@ -262,25 +324,31 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 )
             for a in actions:
                 if "add" in a:
-                    out.append(
-                        _FilePartition(os.path.join(root, a["add"]["path"]))
-                    )
+                    out.append(_part_from_entry(root, a["add"]))
         return out
 
     def read(self, partition: _FilePartition | None):
         if partition is None:
             return  # empty range (see batch reader note)
-        yield from _read_file_batches(partition.abs_path, self.columns)
+        yield from _read_file_batches(
+            partition.abs_path, self.columns,
+            partition.dv_files, partition.rel_path,
+        )
 
     def commit(self, end: dict) -> None:
         pass  # the streaming checkpoint owns progress; the log is immutable
 
 
 class _CDCPartition(InputPartition):
-    def __init__(self, version: int, removed: list[str], added: list[str]):
+    def __init__(self, version: int, removed: list[dict], added: list[dict]):
         self.version = version
-        self.removed = removed  # absolute paths of files the commit removed
-        self.added = added  # absolute paths of files the commit added
+        # per side: {"abs": data file path, "rel": table-relative path,
+        # "dv": dv dataset parquet files or None} — removes carry the
+        # OLD deletion vector (from the remove action), adds the new
+        # one, so each side reads the file minus ITS dv and exactly
+        # the newly-changed rows survive the multiset diff
+        self.removed = removed
+        self.added = added
 
 
 def _qid(name: str) -> str:
@@ -344,6 +412,15 @@ def _cdc_partitions(
     """One partition per data-changing commit in [first, last]; physical
     rewrites and metadata-only commits contribute nothing."""
     root = txlog._local(path)
+
+    def _side_file(entry: dict) -> dict:
+        dv = entry.get("dv")
+        return {
+            "abs": os.path.join(root, entry["path"]),
+            "rel": entry["path"],
+            "dv": txlog._dv_files_checked(root, dv) if dv else None,
+        }
+
     out: list[_CDCPartition] = []
     for v in range(first_version, last_version + 1):
         actions = txlog._read_actions(path, v)
@@ -353,15 +430,9 @@ def _cdc_partitions(
         if op in _PHYSICAL_OPS:
             continue  # physical rewrite: rows cancel, no change rows
         removed = [
-            os.path.join(root, a["remove"]["path"])
-            for a in actions
-            if "remove" in a
+            _side_file(a["remove"]) for a in actions if "remove" in a
         ]
-        added = [
-            os.path.join(root, a["add"]["path"])
-            for a in actions
-            if "add" in a
-        ]
+        added = [_side_file(a["add"]) for a in actions if "add" in a]
         if not removed and not added:
             continue  # metadata-only commit (constraints, schema)
         out.append(_CDCPartition(v, removed, added))
@@ -395,14 +466,43 @@ def _read_cdc_partition(
     ]
     con = duckdb.connect()
 
-    def side_view(name: str, paths: list[str], other: list[str]) -> None:
-        # union_by_name aligns physical schemas across evolution;
-        # an empty side borrows the other side's shape, WHERE false
-        src, guard = (paths, "") if paths else (other, " WHERE false")
+    def side_view(name: str, files: list[dict], other: list[dict]) -> None:
+        # union_by_name aligns physical schemas across evolution; an
+        # empty side borrows the other side's shape, WHERE false. A
+        # side with deletion vectors reads each file minus ITS dv
+        # positions: read_parquet's file_row_number is the same
+        # physical row index the dv records, and the anti-join keys on
+        # (table-relative path, position).
+        src, borrowed = (files, False) if files else (other, True)
+        paths = [f["abs"] for f in src]
+        dv_parts = [f for f in src if not borrowed and f["dv"]]
+        if not dv_parts:
+            guard = " WHERE false" if borrowed else ""
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet({_sql_paths(paths)}, union_by_name=true)"
+                f"{guard}"
+            )
+            return
+        dv_selects = []
+        for f in dv_parts:
+            rel_lit = "'" + f["rel"].replace("'", "''") + "'"
+            dv_selects.append(
+                f"SELECT file, pos FROM "
+                f"read_parquet({_sql_paths(f['dv'])}) "
+                f"WHERE file = {rel_lit}"
+            )
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet({_sql_paths(src)}, union_by_name=true)"
-            f"{guard}"
+            f"CREATE VIEW {name}_dv AS " + " UNION ALL ".join(dv_selects)
+        )
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT r.* FROM (SELECT * FROM read_parquet("
+            f"{_sql_paths(paths)}, union_by_name=true, filename=true, "
+            f"file_row_number=true)) r "
+            f"ANTI JOIN {name}_dv d ON d.file = "
+            f"regexp_extract(r.filename, 'data/[^/]+/[^/]+$') "
+            f"AND d.pos = r.file_row_number"
         )
 
     side_view("old_raw", partition.removed, partition.added)

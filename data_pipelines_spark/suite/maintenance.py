@@ -876,6 +876,58 @@ def upsert_readback(spark, sf_dir):
             raise RuntimeError(
                 "txlog OPTIMIZE/VACUUM changed table content"
             )
+        # Merge-on-read leg (deletion vectors): the SAME lifecycle with
+        # mode="dv" — replaced rows become (file, position) deletion
+        # vectors applied at scan instead of file rewrites — must
+        # reproduce the copy-on-write content exactly; then a dv DELETE
+        # of a key slice must equal the corresponding filter, and
+        # compaction must MATERIALIZE the dvs (dv_files drops to 0)
+        # without changing a row. Any merge-on-read divergence
+        # (position bookkeeping, dv union, scan-time anti-join,
+        # materialization) fails this entry's driver hash.
+        dv_path = os.path.join(d, "txdv")
+        txlog.create_table(spark, base, dv_path, key_cols=["k"], num_files=4)
+        txlog.merge_upsert(
+            spark, upd, dv_path, version_col="ver", mode="dv"
+        )
+        txlog.merge_upsert(
+            spark, ev, dv_path, version_col="ver", evolve_schema=True,
+            mode="dv",
+        )
+
+        def dv_read():
+            return txlog.read_table(spark, dv_path).select(
+                F.col("k").cast("long").alias("k"),
+                F.col("bucket").cast("long").alias("bucket"),
+                F.col("status").alias("status"),
+                F.col("price").cast("double").alias("price"),
+                F.col("ver").cast("long").alias("ver"),
+                F.col("note").alias("note"),
+            )
+
+        dv_tbl = dv_read()
+        if (
+            dv_tbl.exceptAll(readback).limit(1).count()
+            or readback.exceptAll(dv_tbl).limit(1).count()
+        ):
+            raise RuntimeError(
+                "merge-on-read (dv) lifecycle diverged from copy-on-write"
+            )
+        txlog.delete_where(
+            spark, dv_path, F.col("k") % 100 == 7, mode="dv"
+        )
+        expected_after = readback.where(F.col("k") % 100 != 7)
+        txlog.compact_table(spark, dv_path, target_file_rows=1_000_000)
+        if txlog.describe_table(dv_path)["dv_files"] != 0:
+            raise RuntimeError("compaction left deletion vectors behind")
+        dv_tbl = dv_read()
+        if (
+            dv_tbl.exceptAll(expected_after).limit(1).count()
+            or expected_after.exceptAll(dv_tbl).limit(1).count()
+        ):
+            raise RuntimeError(
+                "dv DELETE + materializing compaction changed content"
+            )
         # Final leg: the same rows through the BUCKETED-table layout
         # (S-tier storage feature, sources/bucketed.py) — written as an
         # 8-bucket external table and read back via the catalog, so a

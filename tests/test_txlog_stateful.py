@@ -73,21 +73,32 @@ class TxLogMachine(RuleBasedStateMachine):
         self.model = dict(rows)
         self._record()
 
-    @rule(rows=st.dictionaries(KEYS, VALS, min_size=1, max_size=6))
-    def merge(self, rows):
+    @rule(
+        rows=st.dictionaries(KEYS, VALS, min_size=1, max_size=6),
+        mode=st.sampled_from(["cow", "dv"]),
+    )
+    def merge(self, rows, mode):
+        # copy-on-write and merge-on-read (deletion vectors) must be
+        # indistinguishable to the model under ANY interleaving
         txlog.merge_upsert(
-            self.spark, self._df(sorted(rows.items())), self.path
+            self.spark, self._df(sorted(rows.items())), self.path,
+            mode=mode,
         )
         self.model.update(rows)
         self._record()
 
-    @rule(lo=KEYS, span=st.integers(min_value=0, max_value=10))
-    def delete_range(self, lo, span):
+    @rule(
+        lo=KEYS,
+        span=st.integers(min_value=0, max_value=10),
+        mode=st.sampled_from(["cow", "dv"]),
+    )
+    def delete_range(self, lo, span, mode):
         hi = lo + span
         txlog.delete_where(
             self.spark, self.path,
             (F.col("k") >= lo) & (F.col("k") <= hi),
             bounds={"k": (lo, hi)},
+            mode=mode,
         )
         self.model = {k: v for k, v in self.model.items() if not lo <= k <= hi}
         self._record()
@@ -99,6 +110,53 @@ class TxLogMachine(RuleBasedStateMachine):
             min_file_rows=threshold,
         )
         # physical only: model unchanged; no snapshot entry needed
+
+    @rule()
+    def describe_consistent(self):
+        # DESCRIBE's log-derived row count must equal the model's at
+        # every point (live rows = physical minus deletion vectors)
+        desc = txlog.describe_table(self.path)
+        assert desc["total_rows"] == len(self.model), (
+            desc["total_rows"], len(self.model),
+        )
+        assert desc["version"] == txlog.table_version(self.path)
+
+    @precondition(lambda self: len(self.snapshots) > 0)
+    @rule(data=st.data())
+    def timestamp_resolves_to_version(self, data):
+        # timestampAsOf at a retained version's exact commit ts must
+        # resolve to that version or a LATER one carrying the same ts
+        # (commits within one test step can share a wall-clock stamp);
+        # reading at the resolved version equals reading at the asked
+        # version whenever the ts was unique
+        v = data.draw(st.sampled_from(sorted(self.snapshots)))
+        ts = txlog._commit_ts(self.path, v)
+        if ts is None:
+            return
+        got = txlog.version_at_timestamp(self.path, ts)
+        assert got >= v, (got, v)
+        assert txlog._commit_ts(self.path, got) <= ts
+
+    @rule()
+    def vacuum_dry_run_touches_nothing(self):
+        before = {
+            rel: e["rows"]
+            for rel, e in txlog._load_state(self.path).files.items()
+        }
+        txlog.vacuum_table(
+            self.path, retain_versions=1, min_age_seconds=0, dry_run=True
+        )
+        # a dry run deletes no file and changes no snapshot
+        got = {
+            r["k"]: r["v"]
+            for r in txlog.read_table(self.spark, self.path).collect()
+        }
+        assert got == self.model
+        after = {
+            rel: e["rows"]
+            for rel, e in txlog._load_state(self.path).files.items()
+        }
+        assert after == before
 
     @precondition(lambda self: len(self.snapshots) > 0)
     @rule(data=st.data())
