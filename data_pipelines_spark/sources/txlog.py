@@ -54,14 +54,18 @@ Why this scales (the 100 TB story):
   end of Delta's conflict matrix, chosen because it is simple to
   verify and never wrong.
 
-Honest limits, stated loudly: the log requires atomic create-exclusive
-semantics, i.e. a local/POSIX or HDFS-like filesystem (`file:` paths
-accepted). Object stores without conditional PUT need a commit
-coordinator (as public Delta-on-S3 deployments use); constructing one
-is out of scope here, and non-local schemes raise with that pointer
-rather than corrupting silently. Vacuum trades old-version time travel
-for space — reading a vacuumed version fails loudly on the missing
-file, never silently returns partial data.
+Honest limits, stated loudly: the default :class:`FileLogStore`
+requires atomic create-exclusive semantics, i.e. a local/POSIX or
+HDFS-like filesystem (`file:` paths accepted); non-local schemes raise
+rather than corrupting silently. Object stores without conditional PUT
+need a commit coordinator — the :class:`LogStore` seam is that
+interface (the public Delta LogStore pattern): implement
+``put_if_absent`` over your coordinator, ``register_log_store`` it,
+and every protocol path (commits, checkpoints, replay, OCC) routes
+through it untouched — :class:`InMemoryLogStore` is the contract's
+executable spec and the whole test surface runs against it. Vacuum
+trades old-version time travel for space — reading a vacuumed version
+fails loudly on the missing file, never silently returns partial data.
 """
 
 from __future__ import annotations
@@ -92,6 +96,156 @@ class ConcurrentWriteError(RuntimeError):
 
 class _Conflict(Exception):
     """Internal: another commit landed since this txn's snapshot."""
+
+
+# ---------------------------------------------------------------------------
+# LogStore: the commit-coordination seam
+#
+# Everything the commit protocol needs from storage is four operations
+# on the table's log directory; the ATOMICITY of the whole format
+# reduces to `put_if_absent`. The default FileLogStore implements it
+# with create-exclusive hard links (local/POSIX/HDFS semantics); an
+# object-store deployment plugs a coordinator here (conditional PUT /
+# DynamoDB-style mutex — the public Delta LogStore pattern) WITHOUT
+# touching any protocol code, because every log read/write below goes
+# through the registered store. `InMemoryLogStore` is the contract's
+# executable spec (and proves the seam: the whole test surface,
+# including the Hypothesis state machine and real-thread races, runs
+# against it).
+
+
+class LogStore:
+    """Commit-coordination interface for one table's ``_txlog`` dir.
+
+    Contract:
+
+    - :meth:`put_if_absent` is the ONLY atomicity primitive the format
+      needs: publish ``payload`` under ``name`` iff ``name`` does not
+      exist, else raise ``FileExistsError`` — and never expose a torn
+      payload to a concurrent reader. Everything else (snapshot
+      isolation, OCC, idempotent txns) is derived from it.
+    - :meth:`put_replace` is last-write-wins, used ONLY for
+      checkpoints, whose content for a given version is deterministic.
+    - :meth:`list_names` / :meth:`read_lines` are plain reads; a name
+      returned by ``list_names`` must be fully readable (no torn
+      reads — implied by the put contract)."""
+
+    def list_names(self, log_dir: str) -> list[str]:
+        raise NotImplementedError
+
+    def read_lines(self, log_dir: str, name: str):
+        """Iterator over the entry's text lines. Raises
+        FileNotFoundError for a missing name."""
+        raise NotImplementedError
+
+    def put_if_absent(self, log_dir: str, name: str, payload: str) -> None:
+        raise NotImplementedError
+
+    def put_replace(self, log_dir: str, name: str, payload: str) -> None:
+        raise NotImplementedError
+
+
+class FileLogStore(LogStore):
+    """Default store: the filesystem itself coordinates commits via
+    create-exclusive hard links — atomic on local/POSIX and
+    HDFS-semantics filesystems (NOT on bare object stores; see
+    :func:`_local`)."""
+
+    def list_names(self, log_dir: str) -> list[str]:
+        if not os.path.isdir(log_dir):
+            return []
+        return os.listdir(log_dir)
+
+    def read_lines(self, log_dir: str, name: str):
+        with open(os.path.join(log_dir, name), encoding="utf-8") as fh:
+            yield from fh
+
+    def put_if_absent(self, log_dir: str, name: str, payload: str) -> None:
+        os.makedirs(log_dir, exist_ok=True)
+        final = os.path.join(log_dir, name)
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            # link is atomic and fails with EEXIST when another writer
+            # won the race — a torn half-written entry can never
+            # become visible
+            os.link(tmp, final)
+        finally:
+            os.unlink(tmp)
+
+    def put_replace(self, log_dir: str, name: str, payload: str) -> None:
+        os.makedirs(log_dir, exist_ok=True)
+        final = os.path.join(log_dir, name)
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+            # same durability bar as commits: without the fsync a
+            # crash can leave the rename visible with truncated
+            # content (metadata journaled before data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, final)
+
+
+class InMemoryLogStore(LogStore):
+    """Thread-safe in-memory coordinator — the put-if-absent contract
+    as an executable spec (what an object-store coordinator must
+    provide). Data files stay wherever the table root points; only
+    log-directory operations route here."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._entries: dict[tuple[str, str], str] = {}
+
+    def list_names(self, log_dir: str) -> list[str]:
+        with self._lock:
+            return [n for d, n in self._entries if d == log_dir]
+
+    def read_lines(self, log_dir: str, name: str):
+        with self._lock:
+            payload = self._entries.get((log_dir, name))
+        if payload is None:
+            raise FileNotFoundError(f"{name} not in memory log {log_dir}")
+        yield from payload.splitlines(keepends=True)
+
+    def put_if_absent(self, log_dir: str, name: str, payload: str) -> None:
+        with self._lock:
+            if (log_dir, name) in self._entries:
+                raise FileExistsError(name)
+            self._entries[(log_dir, name)] = payload
+
+    def put_replace(self, log_dir: str, name: str, payload: str) -> None:
+        with self._lock:
+            self._entries[(log_dir, name)] = payload
+
+
+_DEFAULT_STORE = FileLogStore()
+_LOG_STORES: list[tuple[str, LogStore]] = []  # (path prefix, store)
+
+
+def register_log_store(path_prefix: str, store: LogStore) -> None:
+    """Route the LOG of every table under ``path_prefix`` through
+    ``store`` (longest-prefix wins; data files are unaffected). Passing
+    the default :class:`FileLogStore` removes a previous registration
+    for the same prefix."""
+    _LOG_STORES[:] = [
+        (p, s) for p, s in _LOG_STORES if p != path_prefix
+    ]
+    if not isinstance(store, FileLogStore):
+        _LOG_STORES.append((path_prefix, store))
+        _LOG_STORES.sort(key=lambda ps: -len(ps[0]))
+
+
+def _store_for(path: str) -> LogStore:
+    for prefix, store in _LOG_STORES:
+        if path.startswith(prefix):
+            return store
+    return _DEFAULT_STORE
 
 
 # ---------------------------------------------------------------------------
@@ -131,10 +285,8 @@ def _fmt_version(v: int) -> str:
 def _list_versions(path: str) -> tuple[list[int], list[int]]:
     """(commit versions, checkpoint versions), each sorted ascending."""
     d = _log_dir(path)
-    if not os.path.isdir(d):
-        return [], []
     commits, checkpoints = [], []
-    for name in os.listdir(d):
+    for name in _store_for(path).list_names(d):
         if name.endswith(".checkpoint.json"):
             checkpoints.append(int(name[: -len(".checkpoint.json")]))
         elif name.endswith(".json"):
@@ -157,25 +309,15 @@ def table_version(path: str) -> int:
 
 
 def _write_commit_exclusive(path: str, version: int, lines: list[dict]) -> None:
-    """Atomically publish commit ``version`` or raise FileExistsError.
-
-    The payload is fully written to a temp file first, then
-    ``os.link``ed to its final name — link is atomic and fails with
-    EEXIST when another writer won the race, so a torn half-written
-    commit file can never become visible."""
-    d = _log_dir(path)
-    os.makedirs(d, exist_ok=True)
-    final = os.path.join(d, _fmt_version(version) + ".json")
-    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        for line in lines:
-            fh.write(json.dumps(line, separators=(",", ":")) + "\n")
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, final)
-    finally:
-        os.unlink(tmp)
+    """Atomically publish commit ``version`` or raise FileExistsError —
+    delegated to the table's :class:`LogStore` put-if-absent primitive
+    (create-exclusive hard link on the default file store)."""
+    payload = "".join(
+        json.dumps(line, separators=(",", ":")) + "\n" for line in lines
+    )
+    _store_for(path).put_if_absent(
+        _log_dir(path), _fmt_version(version) + ".json", payload
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -191,9 +333,10 @@ class Snapshot:
 
 
 def _read_actions(path: str, version: int) -> list[dict]:
-    fname = os.path.join(_log_dir(path), _fmt_version(version) + ".json")
-    with open(fname, encoding="utf-8") as fh:
-        return [json.loads(line) for line in fh if line.strip()]
+    lines = _store_for(path).read_lines(
+        _log_dir(path), _fmt_version(version) + ".json"
+    )
+    return [json.loads(line) for line in lines if line.strip()]
 
 
 def _load_state(path: str, version: int | None = None) -> Snapshot:
@@ -211,12 +354,15 @@ def _load_state(path: str, version: int | None = None) -> Snapshot:
     # rename and content reaching disk) degrades to the next older
     # checkpoint — or a full replay — instead of bricking every read
     for cp in sorted((v for v in checkpoints if v <= target), reverse=True):
-        fname = os.path.join(
-            _log_dir(path), _fmt_version(cp) + ".checkpoint.json"
-        )
         try:
-            with open(fname, encoding="utf-8") as fh:
-                payload = json.load(fh)
+            payload = json.loads(
+                "".join(
+                    _store_for(path).read_lines(
+                        _log_dir(path),
+                        _fmt_version(cp) + ".checkpoint.json",
+                    )
+                )
+            )
             state.meta = payload["meta"]
             state.files = {e["path"]: e for e in payload["files"]}
             state.txns = dict(payload.get("txns", {}))
@@ -255,20 +401,13 @@ def _maybe_checkpoint(path: str, version: int) -> None:
         "files": sorted(state.files.values(), key=lambda e: e["path"]),
         "txns": state.txns,
     }
-    d = _log_dir(path)
-    final = os.path.join(d, _fmt_version(version) + ".checkpoint.json")
-    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(payload, fh)
-        # same durability bar as commits: without the fsync a crash can
-        # leave the RENAME visible with truncated content (metadata
-        # journaled before data) — _load_state tolerates that now, but
-        # a checkpoint should not depend on its own failure path
-        fh.flush()
-        os.fsync(fh.fileno())
     # checkpoint content for a version is deterministic, so last-write
     # -wins replace is safe even if two writers checkpoint concurrently
-    os.replace(tmp, final)
+    _store_for(path).put_replace(
+        _log_dir(path),
+        _fmt_version(version) + ".checkpoint.json",
+        json.dumps(payload),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -802,15 +941,15 @@ def _commit_ts(path: str, version: int) -> float | None:
     line is written first (or right after meta), so the scan stops
     after <= 2 parsed lines — a timestamp resolution over a long log
     stays O(commits), not O(total log bytes)."""
-    fname = os.path.join(_log_dir(path), _fmt_version(version) + ".json")
     try:
-        with open(fname, encoding="utf-8") as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "commit" in action:
-                    return action["commit"].get("ts")
+        for line in _store_for(path).read_lines(
+            _log_dir(path), _fmt_version(version) + ".json"
+        ):
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "commit" in action:
+                return action["commit"].get("ts")
     except FileNotFoundError:
         return None  # checkpoint-only version after log truncation
     return None

@@ -55,6 +55,7 @@ checkpoint-restart behavior are unaffected (pinned in tests).
 from __future__ import annotations
 
 import json
+import math
 import os
 
 import uuid
@@ -340,7 +341,16 @@ class _TxLogStreamReader(DataSourceStreamReader):
 
 
 class _CDCPartition(InputPartition):
-    def __init__(self, version: int, removed: list[dict], added: list[dict]):
+    def __init__(
+        self,
+        version: int,
+        removed: list[dict],
+        added: list[dict],
+        key_col: str | None = None,
+        lo=None,
+        hi=None,
+        nulls_only: bool = False,
+    ):
         self.version = version
         # per side: {"abs": data file path, "rel": table-relative path,
         # "dv": dv dataset parquet files or None} — removes carry the
@@ -349,6 +359,109 @@ class _CDCPartition(InputPartition):
         # the newly-changed rows survive the multiset diff
         self.removed = removed
         self.added = added
+        # key-range slice of ONE commit (bounded per-task CDF): rows
+        # route to exactly one slice by key_col value — [lo, hi) with
+        # open ends when None, or the dedicated NULL-key slice — so the
+        # per-slice multiset diffs union to the whole commit's diff
+        # (equal rows share the key, hence the slice; update pairing
+        # joins on the full key list, whose first column this is)
+        self.key_col = key_col
+        self.lo = lo
+        self.hi = hi
+        self.nulls_only = nulls_only
+
+
+def _split_cdc_commit(
+    version: int,
+    removed: list[dict],
+    removed_entries: list[dict],
+    added: list[dict],
+    added_entries: list[dict],
+    key_cols: list[str],
+    max_bytes: int,
+) -> list[_CDCPartition] | None:
+    """Slice one commit's change derivation into key-range partitions
+    so no single task holds more than ~``max_bytes`` of churned files —
+    the bounded-memory answer for giant commits (a backfill MERGE, an
+    overwrite). Returns None when slicing is impossible (no key
+    column, missing/incomparable stats) — the caller falls back to the
+    single-task diff. Slicing is an optimization only: each slice
+    filters BOTH sides to its range, every row lands in exactly one
+    slice, and files are assigned to every slice their footer stats
+    overlap (files without stats conservatively join all slices)."""
+    if not key_cols:
+        return None
+    k = key_cols[0]
+    sides = list(zip(removed, removed_entries)) + list(
+        zip(added, added_entries)
+    )
+    total = sum(e.get("bytes", 0) for _f, e in sides)
+    n_parts = max(1, math.ceil(total / max_bytes))
+    if n_parts <= 1:
+        return None
+    starts = []
+    nulls_possible = False
+    for _f, e in sides:
+        st = (e.get("stats") or {}).get(k)
+        if st is None:
+            return None  # a stats-less file would join every slice
+        lo_v = txlog._decode_val(st["min"])
+        starts.append(lo_v)
+        if st.get("nulls") != 0:
+            nulls_possible = True
+    if not all(_sql_sliceable(v) for v in starts):
+        return None  # no safe SQL literal for this type: don't slice
+    try:
+        starts = sorted(set(starts))
+    except TypeError:
+        return None  # cross-type stats: no total order to slice on
+    if len(starts) < 2:
+        return None  # one distinct start: every file in every slice
+    # cut points from the file-start distribution: ranges then hold
+    # roughly equal numbers of files (and, for similar file sizes,
+    # roughly equal bytes)
+    n_parts = min(n_parts, len(starts))
+    cuts = [
+        starts[(i * len(starts)) // n_parts] for i in range(1, n_parts)
+    ]
+    cuts = sorted(set(cuts))
+    ranges = []
+    prev = None
+    for c in cuts:
+        ranges.append((prev, c))
+        prev = c
+    ranges.append((prev, None))
+
+    def overlap(e, lo, hi) -> bool:
+        st = (e.get("stats") or {}).get(k)
+        fmin = txlog._decode_val(st["min"])
+        fmax = txlog._decode_val(st["max"])
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin >= hi:
+            return False
+        return True
+
+    out = []
+    for lo, hi in ranges:
+        rem = [f for f, e in zip(removed, removed_entries) if overlap(e, lo, hi)]
+        add = [f for f, e in zip(added, added_entries) if overlap(e, lo, hi)]
+        if rem or add:
+            out.append(_CDCPartition(version, rem, add, k, lo, hi))
+    if nulls_possible:
+        rem = [
+            f
+            for f, e in zip(removed, removed_entries)
+            if ((e.get("stats") or {}).get(k) or {}).get("nulls") != 0
+        ]
+        add = [
+            f
+            for f, e in zip(added, added_entries)
+            if ((e.get("stats") or {}).get(k) or {}).get("nulls") != 0
+        ]
+        if rem or add:
+            out.append(_CDCPartition(version, rem, add, k, nulls_only=True))
+    return out if len(out) > 1 else None
 
 
 def _qid(name: str) -> str:
@@ -406,10 +519,47 @@ def _sql_paths(paths: list[str]) -> str:
     return f"[{quoted}]"
 
 
+def _sql_sliceable(v) -> bool:
+    """True when ``v`` has a safe DuckDB literal (:func:`_sql_lit`) —
+    checked at SPLIT time so an unsupported stats type falls back to
+    the single-task diff instead of failing in the task."""
+    import datetime
+
+    if isinstance(v, float):
+        return math.isfinite(v)
+    return isinstance(
+        v, (bool, int, str, datetime.date, datetime.datetime)
+    )
+
+
+def _sql_lit(v) -> str:
+    import datetime
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, datetime.datetime):
+        kind = "TIMESTAMPTZ" if v.tzinfo is not None else "TIMESTAMP"
+        return f"{kind} '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    raise NotImplementedError(f"no SQL literal for {type(v).__name__}")
+
+
 def _cdc_partitions(
-    path: str, first_version: int, last_version: int
+    path: str,
+    first_version: int,
+    last_version: int,
+    key_cols: list[str] | None = None,
+    max_bytes: int | None = None,
 ) -> list[_CDCPartition]:
-    """One partition per data-changing commit in [first, last]; physical
+    """One partition per data-changing commit in [first, last] —
+    sliced into key-range partitions when the commit's churned bytes
+    exceed ``max_bytes`` (see :func:`_split_cdc_commit`), so a giant
+    backfill commit no longer funnels through one task. Physical
     rewrites and metadata-only commits contribute nothing."""
     root = txlog._local(path)
 
@@ -429,13 +579,31 @@ def _cdc_partitions(
         )
         if op in _PHYSICAL_OPS:
             continue  # physical rewrite: rows cancel, no change rows
-        removed = [
-            _side_file(a["remove"]) for a in actions if "remove" in a
-        ]
-        added = [_side_file(a["add"]) for a in actions if "add" in a]
-        if not removed and not added:
+        removed_rels = [a["remove"] for a in actions if "remove" in a]
+        added_entries = [a["add"] for a in actions if "add" in a]
+        if not removed_rels and not added_entries:
             continue  # metadata-only commit (constraints, schema)
-        out.append(_CDCPartition(v, removed, added))
+        removed = [_side_file(r) for r in removed_rels]
+        added = [_side_file(e) for e in added_entries]
+        split = None
+        if max_bytes and key_cols:
+            adds_bytes = sum(e.get("bytes", 0) for e in added_entries)
+            # remove actions carry no stats/bytes; the prior snapshot
+            # is loaded only when the adds alone suggest a big commit
+            # (or many files churned), so small commits stay O(1)
+            if adds_bytes > max_bytes or len(removed_rels) >= 16:
+                prev = txlog._load_state(path, v - 1).files if v else {}
+                removed_entries = [
+                    prev.get(r["path"], r) for r in removed_rels
+                ]
+                split = _split_cdc_commit(
+                    v, removed, removed_entries, added, added_entries,
+                    key_cols, max_bytes,
+                )
+        if split is not None:
+            out.extend(split)
+        else:
+            out.append(_CDCPartition(v, removed, added))
     return out
 
 
@@ -524,13 +692,36 @@ def _read_cdc_partition(
             for c in data_cols
         )
         con.execute(f"CREATE VIEW {aligned} AS SELECT {sel} FROM {raw}")
+    # key-range slice of a big commit: BOTH sides restrict to the
+    # slice's rows before diffing, so per-task work is bounded by the
+    # slice, not the commit (the slices partition the key domain —
+    # their diffs union to the whole commit's diff)
+    old_side, new_side = "old_v", "new_v"
+    if partition.key_col is not None:
+        kq = _qid(partition.key_col)
+        if partition.nulls_only:
+            cond = f"{kq} IS NULL"
+        else:
+            parts = []
+            if partition.lo is not None:
+                parts.append(f"{kq} >= {_sql_lit(partition.lo)}")
+            if partition.hi is not None:
+                parts.append(f"{kq} < {_sql_lit(partition.hi)}")
+            parts.append(f"{kq} IS NOT NULL")
+            cond = " AND ".join(parts)
+        for side in ("old_v", "new_v"):
+            con.execute(
+                f"CREATE VIEW {side}_f AS "
+                f"SELECT * FROM {side} WHERE {cond}"
+            )
+        old_side, new_side = "old_v_f", "new_v_f"
     con.execute(
-        "CREATE VIEW delr AS "
-        "SELECT * FROM old_v EXCEPT ALL SELECT * FROM new_v"
+        f"CREATE VIEW delr AS "
+        f"SELECT * FROM {old_side} EXCEPT ALL SELECT * FROM {new_side}"
     )
     con.execute(
-        "CREATE VIEW insr AS "
-        "SELECT * FROM new_v EXCEPT ALL SELECT * FROM old_v"
+        f"CREATE VIEW insr AS "
+        f"SELECT * FROM {new_side} EXCEPT ALL SELECT * FROM {old_side}"
     )
     keys = [k for k in key_cols if k in data_cols]
     if keys:
@@ -593,6 +784,7 @@ class _TxLogCDCBatchReader(DataSourceReader):
         starting_version: int,
         ending_version: int | None,
         key_cols: list[str],
+        max_bytes: int,
     ):
         self.path = path
         self.columns = columns
@@ -600,6 +792,7 @@ class _TxLogCDCBatchReader(DataSourceReader):
         self.starting_version = starting_version
         self.ending_version = ending_version
         self.key_cols = key_cols
+        self.max_bytes = max_bytes
 
     def partitions(self):
         latest = txlog.table_version(self.path)
@@ -613,7 +806,10 @@ class _TxLogCDCBatchReader(DataSourceReader):
                 f"readChangeFeed version range [{self.starting_version}, "
                 f"{last}] is not within [0, {latest}] at {self.path}"
             )
-        return _cdc_partitions(self.path, self.starting_version, last)
+        return _cdc_partitions(
+            self.path, self.starting_version, last,
+            self.key_cols, self.max_bytes,
+        )
 
     def read(self, partition: _CDCPartition | None):
         if partition is None:
@@ -636,12 +832,14 @@ class _TxLogCDCStreamReader(DataSourceStreamReader):
     streams out as Arrow record batches.
 
     Scale shape: cost ∝ the commit's churned files, the same economics
-    as the merge that produced them — but the whole commit's churn is
-    diffed in ONE task, so CDC granularity is per-commit; tables with
-    single commits churning more than a task's memory should consume
-    changes through the batch `table_changes` instead. Vacuuming a
-    version's files makes its change feed unreadable (fails loudly on
-    the missing file — Delta CDF has the same retention coupling)."""
+    as the merge that produced them. A commit whose churn exceeds
+    ``maxBytesPerTask`` (default 256 MiB) is SLICED into key-range
+    partitions (:func:`_split_cdc_commit`) so per-task work stays
+    bounded no matter how big a backfill commit is; commits that
+    cannot be sliced (no key columns / no usable stats) fall back to
+    the single-task diff. Vacuuming a version's files makes its change
+    feed unreadable (fails loudly on the missing file — Delta CDF has
+    the same retention coupling)."""
 
     def __init__(
         self,
@@ -650,12 +848,14 @@ class _TxLogCDCStreamReader(DataSourceStreamReader):
         schema: StructType,
         starting_version: int,
         key_cols: list[str],
+        max_bytes: int,
     ):
         self.path = path
         self.columns = columns
         self.schema_json = schema.json()
         self.starting_version = starting_version
         self.key_cols = key_cols
+        self.max_bytes = max_bytes
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version - 1}
@@ -665,7 +865,8 @@ class _TxLogCDCStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         return _cdc_partitions(
-            self.path, max(start["version"] + 1, 0), end["version"]
+            self.path, max(start["version"] + 1, 0), end["version"],
+            self.key_cols, self.max_bytes,
         )
 
     def read(self, partition: _CDCPartition | None):
@@ -868,6 +1069,16 @@ class TxLogDataSource(DataSource):
             == "true"
         )
 
+    def _max_bytes_per_task(self) -> int:
+        """``maxBytesPerTask`` (default 256 MiB): a change-feed commit
+        whose churned files exceed this is SLICED into key-range
+        partitions so no single task diffs more than ~this many bytes
+        — the bound that keeps a giant backfill commit's CDF
+        derivation inside one executor's memory."""
+        return int(
+            self.options.get("maxbytespertask", 256 * 1024 * 1024)
+        )
+
     def _version(self) -> int | None:
         """Resolve the snapshot pin: ``version`` or ``timestampAsOf``
         (epoch seconds — Delta's option, resolved through
@@ -942,6 +1153,7 @@ class TxLogDataSource(DataSource):
                 int(sv),
                 int(ev) if ev is not None else None,
                 list(state.meta.get("key_cols", [])),
+                self._max_bytes_per_task(),
             )
         return _TxLogBatchReader(
             self._path(),
@@ -992,6 +1204,7 @@ class TxLogDataSource(DataSource):
                 schema,
                 int(self.options.get("startingVersion", 0)),
                 list(state.meta.get("key_cols", [])),
+                self._max_bytes_per_task(),
             )
         return _TxLogStreamReader(
             self._path(),

@@ -5,6 +5,8 @@ replay, skipChangeCommits)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.errors.exceptions.captured import StreamingQueryException
 from pyspark.sql import functions as F
@@ -615,3 +617,127 @@ def test_change_feed_rejects_version_pins(spark, table):
                 .option("readChangeFeed", "true").option(opt, val)
                 .load().collect()
             )
+
+
+def _sorted_rows(df):
+    return sorted(
+        tuple((v is None, v) for v in row) for row in df.collect()
+    )
+
+
+def test_cdf_key_range_slicing_bounds_task_work(spark, tmp_path):
+    """Bounded per-task CDF: a commit whose churned bytes exceed
+    maxBytesPerTask is SLICED into key-range partitions — the sliced
+    read must equal the single-task read exactly (rows route to one
+    slice by key; NULL keys get a dedicated slice), and per-slice file
+    bytes must actually shrink (the memory bound)."""
+    from data_pipelines_spark.sources.txlog_datasource import (
+        _cdc_partitions,
+    )
+
+    register_txlog_source(spark)
+    path = str(tmp_path / "big")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5000)], "k long, v string"
+    )
+    txlog.create_table(spark, base, path, key_cols=["k"], num_files=10)
+    upd = spark.createDataFrame(
+        [(i, "U") for i in range(0, 5000, 7)]
+        + [(None, "NK"), (99_999, "NEW")],
+        "k long, v string",
+    )
+    txlog.merge_upsert(spark, upd, path, mode="cow")  # big churn commit
+    txlog.delete_where(spark, path, F.col("k") % 11 == 0, mode="dv")
+
+    def read_cdf(**opts):
+        r = (
+            spark.read.format("txlog").option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    single = _sorted_rows(read_cdf())
+    sliced = _sorted_rows(read_cdf(maxBytesPerTask="1"))
+    assert sliced == single
+    # partition-level observables: slicing multiplies partitions,
+    # bounds per-task bytes, and carves a NULL-key slice
+    whole = _cdc_partitions(path, 1, 1, ["k"], None)
+    parts = _cdc_partitions(path, 1, 1, ["k"], 1)
+    assert len(whole) == 1 and len(parts) > 4
+    assert sum(1 for p in parts if p.nulls_only) == 1
+
+    def side_bytes(p):
+        return sum(
+            os.path.getsize(f["abs"]) for f in p.removed + p.added
+        )
+
+    assert max(side_bytes(p) for p in parts) < side_bytes(whole[0])
+    # every slice of one commit reports the same _commit_version
+    assert {p.version for p in parts} == {1}
+
+
+def test_cdf_slicing_falls_back_without_keys(spark, tmp_path):
+    """No key columns -> no slicing axis: the reader falls back to the
+    single-task diff rather than guessing, and stays correct."""
+    from data_pipelines_spark.sources.txlog_datasource import (
+        _cdc_partitions,
+    )
+
+    register_txlog_source(spark)
+    path = str(tmp_path / "nokeys")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    txlog.create_table(spark, base, path, num_files=4)  # no key_cols
+    txlog.overwrite_table(
+        spark,
+        spark.createDataFrame([(1, "only")], "k long, v string"),
+        path,
+    )
+    assert len(_cdc_partitions(path, 1, 1, [], 1)) == 1
+    feed = (
+        spark.read.format("txlog").option("path", path)
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .option("maxBytesPerTask", "1").load()
+    )
+    kinds = {r["_change_type"] for r in feed.collect()}
+    assert kinds == {"insert", "delete"}
+
+
+def test_stream_cdf_with_slicing_matches_default(spark, table, tmp_path):
+    """The STREAMING change feed slices big commits the same way; a
+    drained sliced stream equals a drained default stream."""
+    register_txlog_source(spark)
+    txlog.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(i, "U") for i in range(0, 20, 3)], "k long, v string"
+        ),
+        table,
+        mode="dv",
+    )
+    outs = {}
+    for name, opts in (
+        ("default", {}),
+        ("sliced", {"maxBytesPerTask": "1"}),
+    ):
+        out = str(tmp_path / f"out_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        reader = (
+            spark.readStream.format("txlog").option("path", table)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1")
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load().writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        outs[name] = _sorted_rows(spark.read.parquet(out))
+    assert outs["sliced"] == outs["default"] and outs["default"]

@@ -232,6 +232,38 @@ TxLogMachine.TestCase.settings = settings(
 TestTxLogStateMachine = TxLogMachine.TestCase
 
 
+class TxLogMemStoreMachine(TxLogMachine):
+    """The SAME randomized protocol model run against the
+    InMemoryLogStore mock coordinator: proves the LogStore seam —
+    every invariant the file-backed log holds must hold when commit
+    coordination routes through the put-if-absent contract alone (the
+    log never touches disk; data files still do)."""
+
+    def __init__(self):
+        super().__init__()
+        self.store = txlog.InMemoryLogStore()
+        txlog.register_log_store(self.dir, self.store)
+
+    @invariant()
+    def log_never_touches_disk(self):
+        import os
+
+        assert not os.path.isdir(os.path.join(self.path, "_txlog"))
+
+    def teardown(self):
+        txlog.register_log_store(self.dir, txlog.FileLogStore())
+        super().teardown()
+
+
+TxLogMemStoreMachine.TestCase.settings = settings(
+    max_examples=3,
+    stateful_step_count=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+TestTxLogMemStoreStateMachine = TxLogMemStoreMachine.TestCase
+
+
 @pytest.mark.usefixtures("spark")
 def test_placeholder_session_shared():
     """The machine reuses the session-scoped SparkSession via
