@@ -1122,6 +1122,7 @@ class TxLogDataSource(DataSource):
     def schema(self) -> StructType:
         state = self._state()
         base = StructType.fromJson(json.loads(state.meta["schema"]))
+        base = self._project(base)
         if self._cdf():
             from pyspark.sql.types import LongType, StringType, StructField
 
@@ -1133,6 +1134,34 @@ class TxLogDataSource(DataSource):
                 ]
             )
         return base
+
+    def _project(self, base: StructType) -> StructType:
+        """``option("columns", "a,b")`` — EXPLICIT column projection.
+
+        Spark 4.1's Python Data Source API has no planner column
+        pruning: ``.select(one_col)`` still ships every column through
+        the Arrow stream because the reader only ever sees the full
+        schema. The task-side reader already reads column subsets
+        (pyarrow ``iter_batches(columns=...)`` fetches only those
+        column chunks); this option is the escape hatch that makes the
+        saving reachable from the plan until Spark exposes pruning —
+        the projected schema flows to every reader (batch, stream,
+        change feed; CDF's diff still runs over the full table schema
+        so change semantics never depend on the projection). Unknown
+        names fail at plan time against the snapshot schema."""
+        spec = self.options.get("columns")
+        if spec is None:
+            return base
+        want = [c.strip() for c in str(spec).split(",") if c.strip()]
+        have = {f.name: f for f in base.fields}
+        unknown = [c for c in want if c not in have]
+        if not want or unknown:
+            raise ValueError(
+                f"option('columns', {spec!r}): unknown column(s) "
+                f"{unknown or ['<empty>']} — table columns are "
+                f"{sorted(have)}"
+            )
+        return StructType([have[c] for c in want])
 
     def reader(self, schema: StructType) -> DataSourceReader:
         if self._cdf():
