@@ -89,6 +89,47 @@ def probe(spark, rows: int, files: int = 20) -> dict:
     return out
 
 
+def cdf_probe(spark, rows: int, files: int = 20) -> dict:
+    """Bounded per-task CDF: one overwrite-scale merge commit at this
+    size, read through the change feed with a FIXED maxBytesPerTask —
+    the observable is max bytes any single task diffs. Flat across a
+    10x commit-size growth = the per-task memory bound holds (slices
+    multiply instead)."""
+    from data_pipelines_spark.sources.txlog_datasource import (
+        _cdc_partitions,
+    )
+
+    d = tempfile.mkdtemp(prefix="cdfprobe_")
+    path = os.path.join(d, "t")
+    try:
+        base = spark.range(rows).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("payload-" * 16), F.col("id")).alias("v"),
+        )
+        txlog.create_table(spark, base, path, key_cols=["k"],
+                           num_files=files)
+        # touch HALF the keys -> a giant churn commit
+        batch = spark.range(0, rows, 2).select(
+            F.col("id").alias("k"), F.lit("UPDATED").alias("v")
+        )
+        txlog.merge_upsert(spark, batch, path, mode="cow")
+        max_bytes = 2 * 1024 * 1024
+        parts = _cdc_partitions(path, 1, 1, ["k"], max_bytes)
+
+        def task_bytes(p):
+            return sum(
+                os.path.getsize(f["abs"]) for f in p.removed + p.added
+            )
+
+        return {
+            "rows": rows,
+            "slices": len(parts),
+            "max_task_bytes": max(task_bytes(p) for p in parts),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main():
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     rows10 = int(sys.argv[2]) if len(sys.argv) > 2 else rows * 10
@@ -104,6 +145,15 @@ def main():
         f"bytes growth at 10x table size: cow {growth_cow:.1f}x, "
         f"dv {growth_dv:.1f}x; cow/dv ratio at 10x: "
         f"{r10['cow_over_dv_bytes']}x"
+    )
+    c1 = cdf_probe(spark, rows)
+    c10 = cdf_probe(spark, rows10)
+    print("cdf 1x :", c1)
+    print("cdf 10x:", c10)
+    print(
+        f"cdf max per-task bytes growth at 10x commit churn: "
+        f"{c10['max_task_bytes'] / c1['max_task_bytes']:.2f}x "
+        f"(slices {c1['slices']} -> {c10['slices']})"
     )
 
 
