@@ -64,6 +64,7 @@ def stream_txlog_sink(
     available_now: bool = True,
     compact_every: int | None = None,
     compact_target_rows: int = 1_000_000,
+    merge_mode: str = "cow",
 ):
     """foreachBatch sink landing each micro-batch in a txlog table as
     one idempotent transaction keyed by ``(app_id, batch_id)``.
@@ -83,11 +84,21 @@ def stream_txlog_sink(
     already-packed layout), and cost-bounded by the small-file mass,
     never the table size.
 
+    ``merge_mode`` picks the merge's physical strategy (see
+    :func:`txlog.merge_upsert`): ``"cow"`` rewrites matched files,
+    ``"dv"`` (merge-on-read) records replaced rows as deletion vectors
+    — the right choice for streaming CDC whose keys scatter across the
+    table, where per-batch copy-on-write would rewrite the table over
+    and over; pair it with ``compact_every`` so the periodic OPTIMIZE
+    pass also materializes accumulated dvs.
+
     Contract (as in the public Delta pattern): one live streaming query
     per ``app_id`` per table. Returns the un-started
     ``DataStreamWriter``."""
     if mode not in ("append", "merge"):
         raise ValueError(f"mode must be append|merge, got {mode!r}")
+    if merge_mode not in ("cow", "dv"):
+        raise ValueError(f"merge_mode must be cow|dv, got {merge_mode!r}")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -117,6 +128,7 @@ def stream_txlog_sink(
                 key_cols=list(key_cols) or None,
                 version_col=version_col,
                 txn=(app_id, int(batch_id)),
+                mode=merge_mode,
             )
         if compact_every and (int(batch_id) + 1) % compact_every == 0:
             txlog.compact_table(

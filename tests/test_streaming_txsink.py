@@ -150,3 +150,55 @@ def test_stream_sink_auto_compacts_every_n_batches(spark, tmp_path):
     # exactly-once held: every batch landed exactly once
     got = {r["k"] for r in txlog.read_table(spark, table).collect()}
     assert got == {10 * i + j for i in range(6) for j in range(3)}
+
+
+def test_stream_merge_cdc_dv_mode_matches_cow(spark, tmp_path):
+    """Streaming CDC with merge_mode='dv' (merge-on-read): replaces by
+    key without rewriting matched files, stays idempotent across a
+    checkpoint-lost replay, and the periodic compaction pass
+    materializes the accumulated deletion vectors — final content
+    pinned equal to the cow-mode sink on the same batches."""
+    # two waves with a drain between them (same hazard the cdc test
+    # above documents: same-instant files can batch in either order,
+    # which matters for a merge)
+    src = str(tmp_path / "src")
+    _write_manifest(src, "w1.txt", [f"{k},base{k}" for k in range(40)])
+    tables = {}
+    for mm in ("cow", "dv"):
+        table = str(tmp_path / f"t_{mm}")
+        ckpt = str(tmp_path / f"ckpt_{mm}")
+        _drain(
+            spark, src, table, ckpt, mode="merge", key_cols=["k"],
+            merge_mode=mm,
+        )
+        tables[mm] = table
+    _write_manifest(src, "w2.txt", [f"{k},upd{k}" for k in range(0, 40, 7)])
+    for mm in ("cow", "dv"):
+        _drain(
+            spark, src, tables[mm], str(tmp_path / f"ckpt_{mm}"),
+            mode="merge", key_cols=["k"], merge_mode=mm,
+        )
+    read = lambda t: sorted(
+        tuple(r) for r in txlog.read_table(spark, t).collect()
+    )
+    assert read(tables["dv"]) == read(tables["cow"])
+    got = dict(read(tables["dv"]))
+    assert got[7] == "upd7" and got[1] == "base1" and len(got) == 40
+    # dv commits accumulated deletion vectors; a compaction pass (what
+    # compact_every runs) materializes them without changing content
+    assert txlog.describe_table(tables["dv"])["dv_rows"] > 0
+    before = read(tables["dv"])
+    txlog.compact_table(
+        spark, tables["dv"], target_file_rows=1000, min_file_rows=500
+    )
+    assert txlog.describe_table(tables["dv"])["dv_files"] == 0
+    assert read(tables["dv"]) == before
+    # checkpoint-lost replay with a fresh app id: dv merge re-ingest is
+    # idempotent by keys — zero duplicates
+    ckpt2 = str(tmp_path / "ckpt_dv2")
+    q = stream_txlog_sink(
+        _stream(spark, src), tables["dv"], app_id="q2", mode="merge",
+        key_cols=["k"], checkpoint=ckpt2, merge_mode="dv",
+    ).start()
+    q.awaitTermination(120)
+    assert read(tables["dv"]) == before
