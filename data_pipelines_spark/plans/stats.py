@@ -56,9 +56,11 @@ def analyze_dataset(
     spark.sql(f"ANALYZE TABLE {q} COMPUTE STATISTICS")
     if columns is None:
         # ANALYZE rejects nested/complex columns — default to atomics
+        # (quoted identifier: a hyphenated name must not fail here
+        # after the DDL above already ran)
         columns = [
             f.name
-            for f in spark.table(table_name).schema.fields
+            for f in spark.table(q).schema.fields
             if f.dataType.typeName()
             not in ("array", "map", "struct", "binary")
         ]

@@ -229,21 +229,37 @@ _LOG_STORES: list[tuple[str, LogStore]] = []  # (path prefix, store)
 
 
 def register_log_store(path_prefix: str, store: LogStore) -> None:
-    """Route the LOG of every table under ``path_prefix`` through
-    ``store`` (longest-prefix wins; data files are unaffected). Passing
-    the default :class:`FileLogStore` removes a previous registration
-    for the same prefix."""
+    """Route the LOG of every table at or under ``path_prefix`` through
+    ``store`` (longest matching prefix wins; matching is path-segment
+    aware, so ``/data/t`` never captures ``/data/t2``; data files are
+    unaffected). Passing exactly the default :class:`FileLogStore`
+    (subclasses register normally — a deployment may subclass it to
+    override only ``put_if_absent``) removes a previous registration
+    for the same prefix.
+
+    SCOPE, stated loudly: the registry is PROCESS-LOCAL state in this
+    Python process — it governs the ``txlog.*`` API surface (which
+    runs where you call it). The ``format("txlog")`` datasource plans
+    and executes in Spark-spawned Python worker processes where this
+    registry is empty, so datasource WRITES against a table behind a
+    custom coordinator would bypass it — keep writes to such tables on
+    the Python API. Datasource READS are either correct (a file-backed
+    coordinator's log is plainly readable — only writes need the
+    coordination primitive) or fail loudly ("no txlog table", e.g. the
+    in-memory store, whose log is invisible to other processes)."""
     _LOG_STORES[:] = [
         (p, s) for p, s in _LOG_STORES if p != path_prefix
     ]
-    if not isinstance(store, FileLogStore):
+    if type(store) is not FileLogStore:
         _LOG_STORES.append((path_prefix, store))
         _LOG_STORES.sort(key=lambda ps: -len(ps[0]))
 
 
 def _store_for(path: str) -> LogStore:
+    norm = path.rstrip(os.sep)
     for prefix, store in _LOG_STORES:
-        if path.startswith(prefix):
+        base = prefix.rstrip(os.sep)
+        if norm == base or norm.startswith(base + os.sep):
             return store
     return _DEFAULT_STORE
 
@@ -741,6 +757,54 @@ def _write_dv_dataset(
         .parquet(out_dir)
     )
     return rel, out_dir, len(_dv_parquet_files(root, rel))
+
+
+def _plan_dv_commit(
+    spark: SparkSession,
+    path: str,
+    candidates: dict[str, dict],
+    pos_df: DataFrame,
+    new_counts: dict[str, int],
+) -> tuple[list[dict], list[dict], str]:
+    """The one place dv-commit bookkeeping lives (merge and delete both
+    route here so the invariants cannot drift): union the touched
+    files' OLD dv positions into ``pos_df`` (an entry's dv is always
+    the file's FULL deletion set), write the dataset, and plan the
+    commit — every touched file's old identity is removed; files with
+    live rows left are re-added with the new dv (part count recorded
+    for half-vacuum detection); files whose every physical row is now
+    deleted are dropped outright. Returns (removes, adds, staging dir
+    for conflict cleanup); only call with nonempty ``new_counts``."""
+    root = _local(path)
+    touched = {rel: candidates[rel] for rel in new_counts}
+    totals = {
+        rel: new_counts[rel] + _dv_rows(e) for rel, e in touched.items()
+    }
+    # an already-deleted position can never re-match (every scan
+    # applied the old dv), so old + new counts add exactly
+    old_dv = [e for e in touched.values() if e.get("dv")]
+    ds = pos_df
+    if old_dv:
+        ds = ds.unionByName(_dv_positions_df(spark, root, old_dv))
+    dv_rel, staging, dv_nparts = _write_dv_dataset(
+        spark, path, ds, sum(totals.values())
+    )
+    removes: list[dict] = []
+    adds: list[dict] = []
+    for rel, e in touched.items():
+        removes.append(e)
+        if totals[rel] < e["rows"]:
+            adds.append(
+                dict(
+                    e,
+                    dv={
+                        "path": dv_rel,
+                        "rows": totals[rel],
+                        "files": dv_nparts,
+                    },
+                )
+            )
+    return removes, adds, staging
 
 
 def _scan_files(
@@ -1532,7 +1596,6 @@ def _merge_dv_attempt(
     merge's read cost ∝ key-column bytes of the touched files and its
     write cost ∝ batch size + deleted positions, the property that
     makes a 0.1% scattered-key update affordable at 100 TB."""
-    root = _local(path)
     keysel = list(keys) + ([version_col] if version_col else [])
     existing = _scan_files(
         spark, path, list(candidates.values()), state.meta,
@@ -1618,34 +1681,10 @@ def _merge_dv_attempt(
     removes: list[dict] = []
     dv_adds: list[dict] = []
     if new_counts:
-        touched = {rel: candidates[rel] for rel in new_counts}
-        totals = {
-            rel: new_counts[rel] + _dv_rows(e) for rel, e in touched.items()
-        }
-        # an already-deleted position can never re-match (the slim scan
-        # applied the old dv), so old + new counts add exactly
-        old_dv = [e for e in touched.values() if e.get("dv")]
-        ds = dv_pos
-        if old_dv:
-            ds = ds.unionByName(_dv_positions_df(spark, root, old_dv))
-        dv_rel, dv_staging, dv_nparts = _write_dv_dataset(
-            spark, path, ds, sum(totals.values())
+        removes, dv_adds, dv_staging = _plan_dv_commit(
+            spark, path, candidates, dv_pos, new_counts
         )
         stagings.append(dv_staging)
-        for rel, e in touched.items():
-            removes.append(e)
-            if totals[rel] < e["rows"]:
-                dv_adds.append(
-                    dict(
-                        e,
-                        dv={
-                            "path": dv_rel,
-                            "rows": totals[rel],
-                            "files": dv_nparts,
-                        },
-                    )
-                )
-            # else: every physical row is deleted — drop the file
     try:
         version = _commit_rmw(
             path, state.version, "merge", dv_adds + insert_adds, removes,
@@ -1700,12 +1739,15 @@ def delete_where(
             if not (bounds and _file_disjoint(e, bounds))
         }
         if not candidates:
-            return {
+            out = {
                 "version": state.version,
                 "rows_deleted": 0,
                 "files_rewritten": 0,
                 "files_skipped": len(state.files),
             }
+            if mode == "dv":
+                out.update(files_dv=0, files_removed=0)
+            return out
         if mode == "dv":
             result = _delete_dv_attempt(
                 spark, path, predicate, state, candidates
@@ -1756,7 +1798,6 @@ def _delete_dv_attempt(
     become the touched files' new deletion vectors (old positions
     unioned in, since an entry's dv is always the file's FULL deletion
     set); a file whose every live row matched is dropped outright."""
-    root = _local(path)
     matched = (
         _scan_files(
             spark, path, list(candidates.values()), state.meta,
@@ -1782,32 +1823,9 @@ def _delete_dv_attempt(
             "files_dv": 0,
             "files_removed": 0,
         }
-    touched = {rel: candidates[rel] for rel in new_counts}
-    totals = {
-        rel: new_counts[rel] + _dv_rows(e) for rel, e in touched.items()
-    }
-    old_dv = [e for e in touched.values() if e.get("dv")]
-    ds = matched
-    if old_dv:
-        ds = ds.unionByName(_dv_positions_df(spark, root, old_dv))
-    dv_rel, staging, dv_nparts = _write_dv_dataset(
-        spark, path, ds, sum(totals.values())
+    removes, adds, staging = _plan_dv_commit(
+        spark, path, candidates, matched, new_counts
     )
-    removes: list[dict] = []
-    adds: list[dict] = []
-    for rel, e in touched.items():
-        removes.append(e)
-        if totals[rel] < e["rows"]:
-            adds.append(
-                dict(
-                    e,
-                    dv={
-                        "path": dv_rel,
-                        "rows": totals[rel],
-                        "files": dv_nparts,
-                    },
-                )
-            )
     try:
         version = _commit_rmw(
             path, state.version, "delete", adds, removes, None

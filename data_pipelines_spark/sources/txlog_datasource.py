@@ -1018,7 +1018,9 @@ class _TxLogWriter(DataSourceArrowWriter):
                         f"append schema {got.simpleString()} does not "
                         f"match table schema at {self.path}"
                     )
-            removes = list(state.files) if self.overwrite else []
+            removes = (
+                list(state.files.values()) if self.overwrite else []
+            )
             op = "overwrite" if self.overwrite else "append"
             meta = (
                 dict(state.meta, schema=self.schema_json)
@@ -1175,10 +1177,15 @@ class TxLogDataSource(DataSource):
                 )
             ev = self.options.get("endingversion")
             state = self._state()
+            # the diff schema is ALWAYS the full table schema — the
+            # planner hands us the PROJECTED schema when
+            # option("columns") is set, and a diff over the projection
+            # would cancel updates confined to non-projected columns
+            full = StructType.fromJson(json.loads(state.meta["schema"]))
             return _TxLogCDCBatchReader(
                 self._path(),
                 [f.name for f in schema.fields],
-                schema,
+                full,
                 int(sv),
                 int(ev) if ev is not None else None,
                 list(state.meta.get("key_cols", [])),
@@ -1227,10 +1234,13 @@ class TxLogDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         if self._cdf():
             state = self._state()
+            # full table schema for the diff (see reader(): the planner
+            # passes the PROJECTED schema under option("columns"))
+            full = StructType.fromJson(json.loads(state.meta["schema"]))
             return _TxLogCDCStreamReader(
                 self._path(),
                 [f.name for f in schema.fields],
-                schema,
+                full,
                 int(self.options.get("startingVersion", 0)),
                 list(state.meta.get("key_cols", [])),
                 self._max_bytes_per_task(),

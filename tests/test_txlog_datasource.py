@@ -799,3 +799,82 @@ def test_reader_fetches_only_requested_columns(spark, table):
     assert parts
     for batch in reader.read(parts[0]):
         assert batch.schema.names == ["v"]
+
+
+def test_cdf_with_columns_projection_keeps_hidden_updates(spark, table):
+    """Review regression: combining option('columns') with
+    readChangeFeed must diff over the FULL table schema — an update
+    confined to a NON-projected column used to cancel in the EXCEPT
+    ALL (both sides identical under the projection) and silently
+    vanish from the feed."""
+    register_txlog_source(spark)
+    # change only v for k=3: invisible under a k-only projection
+    txlog.merge_upsert(
+        spark,
+        spark.createDataFrame([(3, "CHANGED")], "k long, v string"),
+        table,
+        mode="dv",
+    )
+    feed = (
+        spark.read.format("txlog").option("path", table)
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .option("columns", "k").load()
+    )
+    got = sorted((r["k"], r["_change_type"]) for r in feed.collect())
+    assert got == [(3, "update_post"), (3, "update_pre")]
+
+
+def test_writer_overwrite_of_dv_table_keeps_cdf_pre_image(spark, table):
+    """Review regression: the write-API overwrite's remove actions must
+    carry the removed entries' deletion vectors — without them the
+    change feed reads the full physical file as the pre-image and
+    emits already-deleted rows as spurious deletes (diverging from the
+    snapshot-diff table_changes)."""
+    register_txlog_source(spark)
+    txlog.delete_where(spark, table, F.col("k") < 5, mode="dv")  # v1
+    v_before = txlog.table_version(table)
+    (
+        spark.createDataFrame([(100, "only")], "k long, v string")
+        .write.format("txlog").mode("overwrite").save(table)
+    )
+    v_after = txlog.table_version(table)
+    feed = (
+        spark.read.format("txlog").option("path", table)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(v_after))
+        .option("endingVersion", str(v_after)).load()
+    )
+    got = _sorted_rows(feed.select("k", "v", "_change_type"))
+    expect = _sorted_rows(
+        txlog.table_changes(spark, table, v_before, v_after).select(
+            "k", "v", "_change_type"
+        )
+    )
+    assert got == expect
+    # the dv-deleted keys 0..4 were ALREADY gone before the overwrite:
+    # they must not reappear as deletes in the overwrite's change rows
+    ks = {row[0][1] for row in got}
+    assert ks.isdisjoint(set(range(5)))
+
+
+def test_datasource_fails_loudly_behind_memory_log_store(spark, tmp_path):
+    """The LogStore registry is process-local: format('txlog') plans in
+    Spark-spawned workers where it is empty. For an in-memory store the
+    table's log is invisible there — the read must fail LOUDLY (no
+    table found), never silently serve a stale/partial view."""
+    prefix = str(tmp_path)
+    store = txlog.InMemoryLogStore()
+    txlog.register_log_store(prefix, store)
+    path = str(tmp_path / "tbl")
+    try:
+        txlog.create_table(
+            spark,
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            path,
+            key_cols=["k"],
+        )
+        register_txlog_source(spark)
+        with pytest.raises(Exception, match="no txlog table"):
+            spark.read.format("txlog").option("path", path).load().collect()
+    finally:
+        txlog.register_log_store(prefix, txlog.FileLogStore())

@@ -192,3 +192,30 @@ def test_longest_prefix_routing(tmp_path):
     finally:
         register_log_store(base, txlog.FileLogStore())
         register_log_store(base + "/sub", txlog.FileLogStore())
+
+
+def test_prefix_matching_is_segment_aware_and_subclasses_register():
+    """Review regressions: a registration for /data/t must not capture
+    the sibling /data/t2 (segment-aware prefix match), and a
+    FileLogStore SUBCLASS (e.g. overriding only put_if_absent for an
+    object store) registers normally — only the exact default class
+    resets."""
+
+    class CoordinatedFileStore(txlog.FileLogStore):
+        def put_if_absent(self, log_dir, name, payload):  # pragma: no cover
+            raise AssertionError("routing marker")
+
+    mem = InMemoryLogStore()
+    sub = CoordinatedFileStore()
+    txlog.register_log_store("/data/t", mem)
+    txlog.register_log_store("/coord", sub)
+    try:
+        assert txlog._store_for("/data/t") is mem
+        assert txlog._store_for("/data/t/tbl") is mem
+        assert isinstance(txlog._store_for("/data/t2"), txlog.FileLogStore)
+        assert txlog._store_for("/coord/tbl") is sub
+    finally:
+        txlog.register_log_store("/data/t", txlog.FileLogStore())
+        txlog.register_log_store("/coord", txlog.FileLogStore())
+    assert isinstance(txlog._store_for("/data/t/tbl"), txlog.FileLogStore)
+    assert isinstance(txlog._store_for("/coord/tbl"), txlog.FileLogStore)
