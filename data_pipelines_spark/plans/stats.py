@@ -49,7 +49,20 @@ def analyze_dataset(
     (re)write and every later catalog read of ``table_name`` plans
     with CBO-grade statistics instead of a size-on-disk guess."""
     q = _q(table_name)
-    if replace:
+    if replace and spark.catalog.tableExists(table_name):
+        # refuse to clobber a MANAGED table: dropping one deletes its
+        # DATA, and this function's contract is "data untouched"
+        # (true only for external definitions)
+        detail = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {q}").collect()
+        }
+        if detail.get("Type", "").upper() == "MANAGED":
+            raise ValueError(
+                f"{table_name!r} is an existing MANAGED table — "
+                f"dropping it would delete its data; pick another "
+                f"name for the external stats registration"
+            )
         spark.sql(f"DROP TABLE IF EXISTS {q}")
     loc = path.replace("'", "\\'")
     spark.sql(f"CREATE TABLE IF NOT EXISTS {q} USING parquet LOCATION '{loc}'")

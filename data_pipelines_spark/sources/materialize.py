@@ -598,10 +598,16 @@ def migrate_store_schema(
     # previous crashed run: the aside-rename below would NEST into an
     # existing directory (Hadoop rename semantics) and double rows.
     if fs.exists(jbak):
+        # the recovery depends on WHICH step crashed: renaming the
+        # backup back while {path} exists would NEST it inside (Hadoop
+        # rename-onto-existing-dir semantics) and double every row
         raise IOError(
             f"migration found a leftover backup at {backup} — a "
-            f"previous migration crashed mid-swap; inspect it (rename "
-            f"it back to {path} to recover, or delete it) and re-run"
+            f"previous migration crashed mid-swap. If {path} is "
+            f"MISSING, rename {backup} back to {path}; if {path} "
+            f"exists (the swap completed), verify it reads and DELETE "
+            f"{backup} — never rename onto the existing directory "
+            f"(it would nest and double rows). Then re-run."
         )
     before = list_data_files(spark, path)
     files_before = sum(len(f) for f in before.values())

@@ -160,34 +160,33 @@ class FileLogStore(LogStore):
         with open(os.path.join(log_dir, name), encoding="utf-8") as fh:
             yield from fh
 
-    def put_if_absent(self, log_dir: str, name: str, payload: str) -> None:
+    @staticmethod
+    def _stage_tmp(log_dir: str, payload: str) -> str:
+        """ONE durability bar for commits and checkpoints: payload
+        fully written + fsynced to a temp file before any publish —
+        without the fsync a crash can expose the published name with
+        truncated content (metadata journaled before data)."""
         os.makedirs(log_dir, exist_ok=True)
-        final = os.path.join(log_dir, name)
         tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(payload)
             fh.flush()
             os.fsync(fh.fileno())
+        return tmp
+
+    def put_if_absent(self, log_dir: str, name: str, payload: str) -> None:
+        tmp = self._stage_tmp(log_dir, payload)
         try:
             # link is atomic and fails with EEXIST when another writer
             # won the race — a torn half-written entry can never
             # become visible
-            os.link(tmp, final)
+            os.link(tmp, os.path.join(log_dir, name))
         finally:
             os.unlink(tmp)
 
     def put_replace(self, log_dir: str, name: str, payload: str) -> None:
-        os.makedirs(log_dir, exist_ok=True)
-        final = os.path.join(log_dir, name)
-        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(payload)
-            # same durability bar as commits: without the fsync a
-            # crash can leave the rename visible with truncated
-            # content (metadata journaled before data)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, final)
+        tmp = self._stage_tmp(log_dir, payload)
+        os.replace(tmp, os.path.join(log_dir, name))
 
 
 class InMemoryLogStore(LogStore):
@@ -247,16 +246,21 @@ def register_log_store(path_prefix: str, store: LogStore) -> None:
     coordinator's log is plainly readable — only writes need the
     coordination primitive) or fail loudly ("no txlog table", e.g. the
     in-memory store, whose log is invisible to other processes)."""
+    # normalize BOTH sides through _local so a `file:` URI spelling of
+    # a registered prefix routes to the same store as the bare path —
+    # two spellings resolving to one log dir must never split between
+    # coordinators (that would let both claim the same version)
+    prefix_norm = _local(path_prefix)
     _LOG_STORES[:] = [
-        (p, s) for p, s in _LOG_STORES if p != path_prefix
+        (p, s) for p, s in _LOG_STORES if p != prefix_norm
     ]
     if type(store) is not FileLogStore:
-        _LOG_STORES.append((path_prefix, store))
+        _LOG_STORES.append((prefix_norm, store))
         _LOG_STORES.sort(key=lambda ps: -len(ps[0]))
 
 
 def _store_for(path: str) -> LogStore:
-    norm = path.rstrip(os.sep)
+    norm = _local(path).rstrip(os.sep)
     for prefix, store in _LOG_STORES:
         base = prefix.rstrip(os.sep)
         if norm == base or norm.startswith(base + os.sep):
@@ -1596,7 +1600,11 @@ def _merge_dv_attempt(
     merge's read cost ∝ key-column bytes of the touched files and its
     write cost ∝ batch size + deleted positions, the property that
     makes a 0.1% scattered-key update affordable at 100 TB."""
-    keysel = list(keys) + ([version_col] if version_col else [])
+    # dict.fromkeys: version_col may BE a key column — a duplicated
+    # name in the slim select would make the window ambiguous
+    keysel = list(dict.fromkeys(
+        list(keys) + ([version_col] if version_col else [])
+    ))
     existing = _scan_files(
         spark, path, list(candidates.values()), state.meta,
         with_location=True,

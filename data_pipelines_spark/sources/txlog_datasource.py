@@ -415,16 +415,41 @@ def _split_cdc_commit(
         starts = sorted(set(starts))
     except TypeError:
         return None  # cross-type stats: no total order to slice on
-    if len(starts) < 2:
-        return None  # one distinct start: every file in every slice
-    # cut points from the file-start distribution: ranges then hold
-    # roughly equal numbers of files (and, for similar file sizes,
-    # roughly equal bytes)
-    n_parts = min(n_parts, len(starts))
-    cuts = [
-        starts[(i * len(starts)) // n_parts] for i in range(1, n_parts)
-    ]
+    if len(starts) >= 2:
+        # cut points from the file-start distribution: ranges then
+        # hold roughly equal numbers of files (and, for similar file
+        # sizes, roughly equal bytes)
+        n_parts = min(n_parts, len(starts))
+        cuts = [
+            starts[(i * len(starts)) // n_parts]
+            for i in range(1, n_parts)
+        ]
+    else:
+        # one distinct file start (e.g. a single giant removed file):
+        # for NUMERIC keys, cut its [min, max] span into equal ranges
+        # instead — row-level work still divides because each slice's
+        # key filter pushes into the parquet row groups
+        lo_all, hi_all = None, None
+        for _f, e in sides:
+            st = (e.get("stats") or {}).get(k)
+            fmin = txlog._decode_val(st["min"])
+            fmax = txlog._decode_val(st["max"])
+            lo_all = fmin if lo_all is None or fmin < lo_all else lo_all
+            hi_all = fmax if hi_all is None or fmax > hi_all else hi_all
+        if (
+            not isinstance(lo_all, (int, float))
+            or isinstance(lo_all, bool)
+            or not isinstance(hi_all, (int, float))
+            or hi_all <= lo_all
+        ):
+            return None
+        step = (hi_all - lo_all) / n_parts
+        cuts = [lo_all + i * step for i in range(1, n_parts)]
+        if isinstance(lo_all, int) and isinstance(hi_all, int):
+            cuts = [int(c) for c in cuts]
     cuts = sorted(set(cuts))
+    if not cuts:
+        return None
     ranges = []
     prev = None
     for c in cuts:
@@ -588,10 +613,13 @@ def _cdc_partitions(
         split = None
         if max_bytes and key_cols:
             adds_bytes = sum(e.get("bytes", 0) for e in added_entries)
-            # remove actions carry no stats/bytes; the prior snapshot
-            # is loaded only when the adds alone suggest a big commit
-            # (or many files churned), so small commits stay O(1)
-            if adds_bytes > max_bytes or len(removed_rels) >= 16:
+            # remove actions carry no stats/bytes, so any commit WITH
+            # removes loads the prior snapshot to size its removed side
+            # (a remove-heavy commit — an overwrite of a big table, a
+            # whole-file dv delete — is exactly the one that must not
+            # funnel through one task); adds-only commits are sized
+            # from their own entries and stay O(1)
+            if adds_bytes > max_bytes or removed_rels:
                 prev = txlog._load_state(path, v - 1).files if v else {}
                 removed_entries = [
                     prev.get(r["path"], r) for r in removed_rels

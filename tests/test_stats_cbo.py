@@ -88,3 +88,20 @@ def test_cbo_builds_on_the_small_side_without_hints(spark, fact_dim):
         assert len(rows) == 50
     finally:
         cbo_session(spark, False)
+
+
+def test_analyze_refuses_to_clobber_managed_table(spark, tmp_path):
+    """Review regression: DROP TABLE on a MANAGED table deletes its
+    data — analyze_dataset's re-registration must refuse a name
+    collision with one instead of silently destroying it."""
+    spark.sql("DROP TABLE IF EXISTS stats_managed_tmp")
+    spark.range(3).write.saveAsTable("stats_managed_tmp")
+    try:
+        with pytest.raises(ValueError, match="MANAGED"):
+            analyze_dataset(
+                spark, str(tmp_path / "x"), "stats_managed_tmp"
+            )
+        # the managed table survived the refusal
+        assert spark.table("stats_managed_tmp").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_managed_tmp")

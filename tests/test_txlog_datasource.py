@@ -878,3 +878,40 @@ def test_datasource_fails_loudly_behind_memory_log_store(spark, tmp_path):
             spark.read.format("txlog").option("path", path).load().collect()
     finally:
         txlog.register_log_store(prefix, txlog.FileLogStore())
+
+
+def test_cdf_slices_remove_heavy_and_single_file_commits(spark, tmp_path):
+    """Review regression: the slicing gate must consider REMOVE-side
+    bytes (an overwrite of a big table has tiny adds), and a commit
+    churning ONE giant file still slices via numeric-span cuts on the
+    key — sliced output stays exactly equal to the single-task read."""
+    from data_pipelines_spark.sources.txlog_datasource import (
+        _cdc_partitions,
+    )
+
+    register_txlog_source(spark)
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4000)], "k long, v string"
+    )
+    # ONE data file: slicing must fall back to numeric-span cuts
+    txlog.create_table(spark, base, path, key_cols=["k"], num_files=1)
+    # remove-heavy commit: overwrite with a tiny frame
+    txlog.overwrite_table(
+        spark,
+        spark.createDataFrame([(9, "only")], "k long, v string"),
+        path,
+    )
+    parts = _cdc_partitions(path, 1, 1, ["k"], 1)
+    assert len(parts) > 1  # the old gate left this at one task
+    def read_cdf(**opts):
+        r = (
+            spark.read.format("txlog").option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1")
+        )
+        for kk, vv in opts.items():
+            r = r.option(kk, vv)
+        return _sorted_rows(r.load())
+
+    assert read_cdf(maxBytesPerTask="1") == read_cdf()

@@ -426,3 +426,19 @@ def test_dv_write_amplification_probe(spark, tmp_path):
         out = dict(_content(read_table(spark, p)))
         assert len(out) == 40_000 and out[1000] == "UPDATED"
     assert written["dv"] * 5 < written["cow"], written
+
+
+def test_dv_merge_version_col_same_as_key(spark, tmp_path):
+    """Review regression: version_col may BE a key column — the dv
+    merge's slim scan must not select it twice (ambiguous window)."""
+    p = str(tmp_path / "t")
+    create_table(
+        spark, _df(spark, [(1, "a"), (2, "b")]), p, key_cols=["k"],
+    )
+    r = merge_upsert(
+        spark, _df(spark, [(2, "B2"), (3, "c")]), p,
+        key_cols=["k"], version_col="k", mode="dv",
+    )
+    assert r["version"] == 1
+    out = dict(_content(read_table(spark, p)))
+    assert out == {1: "a", 2: "B2", 3: "c"}

@@ -219,3 +219,26 @@ def test_prefix_matching_is_segment_aware_and_subclasses_register():
         txlog.register_log_store("/coord", txlog.FileLogStore())
     assert isinstance(txlog._store_for("/data/t/tbl"), txlog.FileLogStore)
     assert isinstance(txlog._store_for("/coord/tbl"), txlog.FileLogStore)
+
+
+def test_registry_normalizes_file_uri_spelling(tmp_path):
+    """Review regression: a `file:` URI spelling of a registered prefix
+    resolves to the SAME log dir, so it must route to the same store —
+    two spellings splitting between coordinators would let both claim
+    one version."""
+    store = InMemoryLogStore()
+    base = str(tmp_path)
+    register_log_store(base, store)
+    try:
+        assert txlog._store_for(base + "/tbl") is store
+        assert txlog._store_for("file://" + base + "/tbl") is store
+        assert txlog._store_for("file:" + base + "/tbl") is store
+    finally:
+        register_log_store(base, txlog.FileLogStore())
+    # and registering under the URI spelling governs the bare path too
+    register_log_store("file://" + base, store)
+    try:
+        assert txlog._store_for(base + "/tbl") is store
+    finally:
+        register_log_store(base, txlog.FileLogStore())
+    assert isinstance(txlog._store_for(base + "/tbl"), txlog.FileLogStore)
