@@ -442,3 +442,52 @@ def test_dv_merge_version_col_same_as_key(spark, tmp_path):
     assert r["version"] == 1
     out = dict(_content(read_table(spark, p)))
     assert out == {1: "a", 2: "B2", 3: "c"}
+
+
+def test_dv_merge_enforces_check_constraints(spark, table):
+    """A dv merge validates CHECK constraints on the INSERTED rows
+    (replaced rows only lose positions — deletion cannot violate a
+    constraint): a violating batch raises, commits nothing, and leaves
+    no staged litter in the live state."""
+    txlog.add_constraint(spark, table, "k_nonneg", "k >= 0")
+    v = txlog.table_version(table)
+    with pytest.raises(ValueError, match="k_nonneg"):
+        merge_upsert(
+            spark, _df(spark, [(-5, "bad"), (1, "upd")]), table, mode="dv"
+        )
+    assert txlog.table_version(table) == v  # nothing committed
+    out = dict(_content(read_table(spark, table)))
+    assert out[1] == "v1" and -5 not in out and len(out) == 100
+    # a clean batch passes and the dv commit lands
+    r = merge_upsert(spark, _df(spark, [(1, "ok")]), table, mode="dv")
+    assert r["files_dv"] == 1
+    assert dict(_content(read_table(spark, table)))[1] == "ok"
+
+
+def test_datasource_reads_dv_plus_schema_evolution(spark, table):
+    """The Arrow-batch reader composes its two transforms correctly on
+    one file: position masking (dv) AND NULL-fill of columns a later
+    evolution added — old files read minus their deleted rows with the
+    evolved column NULL."""
+    from data_pipelines_spark.sources.txlog_datasource import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    merge_upsert(
+        spark,
+        _df(spark, [(7, "EV7", "x")], "k long, v string, extra string"),
+        table,
+        evolve_schema=True,
+        mode="dv",
+    )
+    delete_where(spark, table, F.col("k").isin(2, 8), mode="dv")
+    api = read_table(spark, table).select("k", "v", "extra")
+    ds = (
+        spark.read.format("txlog").option("path", table).load()
+        .select("k", "v", "extra")
+    )
+    assert _content(api) == _content(ds)
+    got = {r["k"]: (r["v"], r["extra"]) for r in ds.collect()}
+    assert got[7] == ("EV7", "x") and got[3] == ("v3", None)
+    assert 2 not in got and 8 not in got and len(got) == 98
