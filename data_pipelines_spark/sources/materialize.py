@@ -59,6 +59,7 @@ def upsert_partitioned(
     prune_partitions: bool = True,
     format: str = "parquet",
     evolve_schema: bool = False,
+    analyze: str | None = None,
 ) -> None:
     """MERGE ``updates`` into the dataset at ``path``.
 
@@ -110,9 +111,27 @@ def upsert_partitioned(
     so after an evolving upsert UNTOUCHED partitions keep their old
     physical schema — readers go through ``spark.read.parquet`` schema
     merging, which resolves the union (new columns read as NULL there).
+
+    ``analyze="catalog_name"`` (opt-in) runs
+    :func:`plans.stats.analyze_dataset` after the write, registering
+    the dataset as an external catalog table under that name with
+    fresh table+column statistics — so CBO-grade stats exist on every
+    materialization without a manual ANALYZE (the reference's
+    re-materialize-on-schedule shape, with the stats hook folded into
+    the lifecycle). ``format="parquet"`` only: a txn table's root
+    holds every retained VERSION of the data, so a path-registered
+    catalog table would double-count rewritten rows (the txlog store
+    carries its own footer-stats pruning; export a snapshot for
+    catalog analytics instead), and Delta maintains its own stats.
     """
     keys = list(key_cols)
     parts = list(partition_cols)
+    if analyze is not None and format != "parquet":
+        raise ValueError(
+            f"analyze= is parquet-format only (a {format!r} table's "
+            f"location holds multiple data versions — catalog stats "
+            f"over it would double-count rewritten rows)"
+        )
     if format == "delta":
         _upsert_delta(spark, updates, path, keys, version_col)
         return
@@ -160,6 +179,10 @@ def upsert_partitioned(
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(path)
+        if analyze is not None:
+            from data_pipelines_spark.plans.stats import analyze_dataset
+
+            analyze_dataset(spark, path, analyze)
         return
 
     if evolve_schema:
@@ -241,6 +264,10 @@ def upsert_partitioned(
     if parts:
         writer = writer.partitionBy(*parts)
     writer.parquet(path)
+    if analyze is not None:
+        from data_pipelines_spark.plans.stats import analyze_dataset
+
+        analyze_dataset(spark, path, analyze)
 
 
 def _upsert_delta(

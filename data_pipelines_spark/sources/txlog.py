@@ -18,6 +18,11 @@ Layout under the table root::
 
     <path>/_txlog/00000000000000000000.json      one JSON-lines commit
     <path>/_txlog/00000000000000000010.checkpoint.json
+    <path>/_txlog_ckpt/<version>-<hex>.parquet   big-table checkpoint
+                                                 sidecar (file list as
+                                                 parquet; the JSON
+                                                 checkpoint references
+                                                 it by relative path)
     <path>/data/<commit-uuid>/part-*.parquet     immutable data files
 
 A commit file holds one action per line: ``{"meta": ...}`` (schema,
@@ -88,6 +93,22 @@ from pyspark.sql.types import StructField, StructType
 CHECKPOINT_EVERY = 10
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
+# Checkpoints for tables with at least this many live files move the
+# file list OUT of the JSON payload into a parquet sidecar under
+# _txlog_ckpt/ (referenced from the JSON by relative path). Measured
+# motivation (examples/scale_probe_r13_metadata.py): an all-JSON
+# checkpoint costs ~187 MB / 7.6 s to parse at 1M files — the parquet
+# sidecar holds the same rows columnar, loads in well under a second,
+# and keeps per-file stats as raw JSON strings decoded only when a
+# pruning pass actually reads them.
+_CKPT_PARQUET_MIN = 20_000
+_CKPT_DIR = "_txlog_ckpt"
+# A data DIRECTORY whose on-disk parquet listing exactly matches the
+# snapshot's live entries collapses to one path in the scan plan (see
+# _entry_scan_paths) — but only when nothing touched the directory for
+# this many seconds, so a still-running write job's straggler task
+# files can never slip into a directory-granular read.
+_DIR_GROUP_MIN_AGE = 300.0
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -223,6 +244,140 @@ class InMemoryLogStore(LogStore):
             self._entries[(log_dir, name)] = payload
 
 
+class ObjectStoreApi:
+    """The THREE object-store operations :class:`ConditionalPutLogStore`
+    needs — each maps 1:1 onto a public object-store API. A deployment
+    binds a real client by implementing these against its SDK:
+
+    - ``put_object(key, body, if_none_match=True)`` → S3
+      ``PutObject`` + ``If-None-Match: *`` (conditional writes,
+      GA 2024), GCS ``ifGenerationMatch=0``, Azure Blob
+      ``If-None-Match: *``. The store's server answers the
+      compare-and-set: create iff absent, atomically, never torn.
+    - ``get_object`` → plain GET.
+    - ``list_keys`` → LIST by prefix.
+
+    No rename, no lock service, no mutex table — the conditional PUT
+    is the whole coordination story."""
+
+    def put_object(self, key: str, body: str, *, if_none_match: bool = False) -> None:
+        """Store ``body`` under ``key``. With ``if_none_match`` the put
+        MUST be the store's atomic conditional create: raise
+        :class:`FileExistsError` iff ``key`` already exists."""
+        raise NotImplementedError
+
+    def get_object(self, key: str) -> str:
+        """Full object text; :class:`FileNotFoundError` if absent."""
+        raise NotImplementedError
+
+    def list_keys(self, prefix: str) -> list[str]:
+        raise NotImplementedError
+
+
+class LocalObjectStoreEmulator(ObjectStoreApi):
+    """Directory-backed emulation of the conditional-put API for tests
+    and local runs: a FLAT key→file namespace (keys are quoted into
+    single filenames, as an object store's flat keyspace behaves), with
+    ``O_CREAT|O_EXCL`` standing in for the server-side atomic
+    conditional create. The point is the seam: every LogStore operation
+    below reaches this class only through :class:`ObjectStoreApi`, so
+    swapping a boto3/gcs client in touches zero protocol code."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _fname(self, key: str) -> str:
+        from urllib.parse import quote
+
+        return os.path.join(self.root, quote(key, safe=""))
+
+    def put_object(self, key: str, body: str, *, if_none_match: bool = False) -> None:
+        data = body.encode("utf-8")
+        if if_none_match:
+            # the emulator's stand-in for the store's atomic
+            # create-if-absent; a real client sends the header and
+            # maps HTTP 412 to FileExistsError
+            fd = os.open(
+                self._fname(key), os.O_WRONLY | os.O_CREAT | os.O_EXCL
+            )
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(data)
+                fh.flush()
+                os.fsync(fh.fileno())
+            return
+        tmp = self._fname(key) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._fname(key))
+
+    def get_object(self, key: str) -> str:
+        try:
+            with open(self._fname(key), encoding="utf-8") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            raise FileNotFoundError(key) from None
+
+    def list_keys(self, prefix: str) -> list[str]:
+        from urllib.parse import quote, unquote
+
+        q = quote(prefix, safe="")
+        return [
+            unquote(n)
+            for n in os.listdir(self.root)
+            if n.startswith(q) and ".tmp-" not in n
+        ]
+
+
+class ConditionalPutLogStore(LogStore):
+    """LogStore over a conditional-put object store — the deployable
+    pattern for S3 (conditional writes) / GCS (generation match) /
+    Azure Blob (ETag match), where :class:`FileLogStore`'s
+    create-exclusive ``os.link`` does not exist. The mapping is
+    direct because the LogStore contract was DESIGNED to reduce to one
+    compare-and-set:
+
+    - :meth:`put_if_absent` → one conditional PUT of the commit object
+      (compare-and-set on "the version object is absent"); the store's
+      server arbitrates concurrent writers, and object PUTs are atomic
+      (a GET sees the whole body or no object — no torn payloads).
+    - :meth:`put_replace` → plain PUT (checkpoint content per version
+      is deterministic, last-write-wins is safe).
+    - :meth:`list_names` / :meth:`read_lines` → LIST / GET.
+
+    Keys are ``<log_dir>/<name>`` verbatim, so a table's log occupies
+    one key prefix. docs/TXLOG.md shows the boto3 binding. The full
+    protocol suite (lifecycle, OCC races, Hypothesis state machine)
+    runs against this class over :class:`LocalObjectStoreEmulator` —
+    see tests/test_txlog_logstore.py."""
+
+    def __init__(self, client: ObjectStoreApi):
+        self.client = client
+
+    @staticmethod
+    def _key(log_dir: str, name: str = "") -> str:
+        return log_dir.rstrip("/") + "/" + name
+
+    def list_names(self, log_dir: str) -> list[str]:
+        pre = self._key(log_dir)
+        return [k[len(pre):] for k in self.client.list_keys(pre)]
+
+    def read_lines(self, log_dir: str, name: str):
+        yield from self.client.get_object(
+            self._key(log_dir, name)
+        ).splitlines(keepends=True)
+
+    def put_if_absent(self, log_dir: str, name: str, payload: str) -> None:
+        self.client.put_object(
+            self._key(log_dir, name), payload, if_none_match=True
+        )
+
+    def put_replace(self, log_dir: str, name: str, payload: str) -> None:
+        self.client.put_object(self._key(log_dir, name), payload)
+
+
 _DEFAULT_STORE = FileLogStore()
 _LOG_STORES: list[tuple[str, LogStore]] = []  # (path prefix, store)
 
@@ -240,12 +395,17 @@ def register_log_store(path_prefix: str, store: LogStore) -> None:
     Python process — it governs the ``txlog.*`` API surface (which
     runs where you call it). The ``format("txlog")`` datasource plans
     and executes in Spark-spawned Python worker processes where this
-    registry is empty, so datasource WRITES against a table behind a
-    custom coordinator would bypass it — keep writes to such tables on
-    the Python API. Datasource READS are either correct (a file-backed
-    coordinator's log is plainly readable — only writes need the
-    coordination primitive) or fail loudly ("no txlog table", e.g. the
-    in-memory store, whose log is invisible to other processes)."""
+    registry is empty — and ENFORCED (round 13): the first commit
+    through a custom coordinator records a store-requirement marker at
+    the table root, and any process that later tries to commit through
+    the default FileLogStore refuses with a RuntimeError instead of
+    silently bypassing the coordinator's ``put_if_absent`` (so
+    datasource writes to such tables fail loudly — keep them on the
+    Python API, registered). Datasource READS are either correct (a
+    file-backed coordinator's log is plainly readable — only writes
+    need the coordination primitive) or fail loudly ("no txlog table",
+    e.g. the in-memory store, whose log is invisible to other
+    processes)."""
     # normalize BOTH sides through _local so a `file:` URI spelling of
     # a registered prefix routes to the same store as the bare path —
     # two spellings resolving to one log dir must never split between
@@ -328,14 +488,74 @@ def table_version(path: str) -> int:
     return max(commits + checkpoints)
 
 
+# Store-requirement marker (Delta protocol-version style): a table
+# whose commits have EVER gone through a custom coordinator records
+# that fact in a tiny sentinel at the TABLE ROOT (not in the log — the
+# default store must be able to see the requirement precisely when it
+# cannot see the coordinator's log). _write_commit_exclusive refuses a
+# default-FileLogStore commit against a marked table, closing the
+# silent-bypass hole: register_log_store is process-local, so a
+# format("txlog") write planned in a Spark-spawned worker process (or
+# any process that forgot the registration) would otherwise commit
+# straight past the coordinator's put_if_absent — file-backed
+# coordinators would not even fail loudly.
+_STORE_MARKER = "_txlog_requires_store.json"
+
+
+def _store_marker_name(path: str) -> str | None:
+    try:
+        with open(
+            os.path.join(_local(path), _STORE_MARKER), encoding="utf-8"
+        ) as fh:
+            return json.load(fh).get("coordinator") or None
+    except (OSError, ValueError):
+        return None
+
+
+def _enforce_store_requirement(path: str, store: LogStore) -> None:
+    if type(store) is not FileLogStore:
+        # self-healing: the first commit through a custom coordinator
+        # records the requirement, so tables created before the
+        # registration (or created by older code) become protected too
+        marker = os.path.join(_local(path), _STORE_MARKER)
+        if not os.path.exists(marker):
+            try:
+                os.makedirs(_local(path), exist_ok=True)
+                tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    json.dump(
+                        {"coordinator": type(store).__name__}, fh
+                    )
+                os.replace(tmp, marker)
+            except OSError:
+                pass  # marker is best-effort defense, never a gate
+        return
+    required = _store_marker_name(path)
+    if required is not None:
+        raise RuntimeError(
+            f"table {path} requires commit coordination through "
+            f"{required!r} (recorded in {_STORE_MARKER}), but no log "
+            f"store is registered in this process — committing through "
+            f"the default FileLogStore would bypass the coordinator's "
+            f"put_if_absent and break OCC. Call register_log_store() "
+            f"in this process first (note: the registry is "
+            f"process-local; format('txlog') writes plan in Spark "
+            f"worker processes)."
+        )
+
+
 def _write_commit_exclusive(path: str, version: int, lines: list[dict]) -> None:
     """Atomically publish commit ``version`` or raise FileExistsError —
     delegated to the table's :class:`LogStore` put-if-absent primitive
-    (create-exclusive hard link on the default file store)."""
+    (create-exclusive hard link on the default file store). Refuses to
+    commit through the DEFAULT store against a table marked as
+    requiring a custom coordinator (see ``_STORE_MARKER``)."""
+    store = _store_for(path)
+    _enforce_store_requirement(path, store)
     payload = "".join(
         json.dumps(line, separators=(",", ":")) + "\n" for line in lines
     )
-    _store_for(path).put_if_absent(
+    store.put_if_absent(
         _log_dir(path), _fmt_version(version) + ".json", payload
     )
 
@@ -359,6 +579,47 @@ def _read_actions(path: str, version: int) -> list[dict]:
     return [json.loads(line) for line in lines if line.strip()]
 
 
+# Version-keyed snapshot cache for LARGE tables: the log is immutable,
+# so (table, version) fully determines the state — a repeated plan
+# against a million-file snapshot costs a dict lookup instead of a
+# multi-second sidecar reload. Only snapshots that came through a
+# parquet sidecar are cached (small tables load in microseconds), and
+# every hit is VALIDATED by an os.stat of the uuid-named sidecar file:
+# a table directory that was dropped and recreated at the same path
+# gets a different sidecar name, so stale state can never be served.
+# Entries in a cached snapshot are shared across callers — the engine
+# treats them as read-only (the only in-place mutation anywhere is
+# _ensure_stats_decoded's idempotent decode).
+_SNAPSHOT_CACHE_MAX = 4
+_snapshot_cache: dict[tuple[str, int], tuple[Snapshot, str, int]] = {}
+
+
+def _snapshot_cache_get(key: tuple[str, int]) -> "Snapshot | None":
+    hit = _snapshot_cache.get(key)
+    if hit is None:
+        return None
+    state, sidecar_abs, sidecar_size = hit
+    try:
+        if os.path.getsize(sidecar_abs) == sidecar_size:
+            return state
+    except OSError:
+        pass
+    _snapshot_cache.pop(key, None)
+    return None
+
+
+def _snapshot_cache_put(
+    key: tuple[str, int], state: Snapshot, sidecar_abs: str
+) -> None:
+    try:
+        size = os.path.getsize(sidecar_abs)
+    except OSError:
+        return  # sidecar vanished mid-load (vacuum race): don't cache
+    _snapshot_cache[key] = (state, sidecar_abs, size)
+    while len(_snapshot_cache) > _SNAPSHOT_CACHE_MAX:
+        _snapshot_cache.pop(next(iter(_snapshot_cache)))
+
+
 def _load_state(path: str, version: int | None = None) -> Snapshot:
     commits, checkpoints = _list_versions(path)
     if not commits and not checkpoints:
@@ -367,8 +628,13 @@ def _load_state(path: str, version: int | None = None) -> Snapshot:
     target = latest if version is None else version
     if target > latest or target < 0:
         raise ValueError(f"version {target} not in [0, {latest}] at {path}")
+    cache_key = (_local(path).rstrip(os.sep), target)
+    cached = _snapshot_cache_get(cache_key)
+    if cached is not None:
+        return cached
     state = Snapshot(version=target, meta={}, files={})
     start = 0
+    sidecar_rel = None
     # newest usable checkpoint first; a checkpoint is a pure CACHE of
     # replayable log state, so one that fails to parse (crash between
     # rename and content reaching disk) degrades to the next older
@@ -384,10 +650,20 @@ def _load_state(path: str, version: int | None = None) -> Snapshot:
                 )
             )
             state.meta = payload["meta"]
-            state.files = {e["path"]: e for e in payload["files"]}
+            if "files_parquet" in payload:
+                state.files = _read_ckpt_sidecar(
+                    path, payload["files_parquet"], payload["files_count"]
+                )
+                sidecar_rel = payload["files_parquet"]
+            else:
+                state.files = {e["path"]: e for e in payload["files"]}
             state.txns = dict(payload.get("txns", {}))
-        except (json.JSONDecodeError, KeyError, TypeError, OSError):
+        except Exception:
+            # a checkpoint is a pure CACHE: any unusable one (torn
+            # JSON, vacuumed/truncated sidecar, arrow parse error)
+            # degrades to the next older checkpoint or a full replay
             state.meta, state.files, state.txns = {}, {}, {}
+            sidecar_rel = None
             continue
         start = cp + 1
         break
@@ -408,21 +684,131 @@ def _load_state(path: str, version: int | None = None) -> Snapshot:
             elif "txn" in action:
                 app, batch = action["txn"]["app"], action["txn"]["batch"]
                 state.txns[app] = max(state.txns.get(app, batch), batch)
+    if sidecar_rel is not None and len(state.files) >= _CKPT_PARQUET_MIN:
+        _snapshot_cache_put(
+            cache_key, state, os.path.join(_local(path), sidecar_rel)
+        )
     return state
+
+
+def _read_ckpt_sidecar(path: str, rel: str, count: int) -> dict[str, dict]:
+    """Load a parquet checkpoint sidecar back into the snapshot file
+    map. Stats stay RAW JSON strings (decoded lazily by the first
+    pruning pass — :func:`_entry_stats`); dv entries are decoded
+    eagerly (they are rare and tiny, and entry identity compares on
+    them). A sidecar whose row count disagrees with the manifest is
+    unusable (truncated write) and fails the load — the caller
+    degrades to an older checkpoint or a full replay."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(_local(path), rel))
+    if t.num_rows != count:
+        raise OSError(
+            f"checkpoint sidecar {rel} holds {t.num_rows} rows, "
+            f"manifest says {count}"
+        )
+    files: dict[str, dict] = {}
+    for p, r, b, s, d in zip(
+        t.column("path").to_pylist(),
+        t.column("rows").to_pylist(),
+        t.column("bytes").to_pylist(),
+        t.column("stats").to_pylist(),
+        t.column("dv").to_pylist(),
+    ):
+        e: dict = {"path": p, "rows": r, "bytes": b}
+        if s:
+            e["stats"] = s  # raw JSON string — decoded on demand
+        if d:
+            e["dv"] = json.loads(d)
+        files[p] = e
+    return files
+
+
+def _ensure_stats_decoded(files: dict[str, dict]) -> None:
+    """Batch-decode every raw-string stats blob in a snapshot's file
+    map with ONE ``json.loads`` over the joined array — ~4x cheaper
+    than a million per-entry parses (measured in
+    examples/scale_probe_r13_metadata.py). Pruning passes (merge
+    candidates, bounds reads, datasource pushFilters) call this before
+    their per-entry loops; plain snapshot reads never pay it."""
+    raw = [
+        e for e in files.values() if isinstance(e.get("stats"), str)
+    ]
+    if not raw:
+        return
+    decoded = json.loads("[" + ",".join(e["stats"] for e in raw) + "]")
+    for e, d in zip(raw, decoded):
+        e["stats"] = d
+
+
+def _write_ckpt_sidecar(path: str, version: int, entries: list[dict]) -> str:
+    """Write the file list as a parquet sidecar under ``_txlog_ckpt/``
+    and return its table-root-relative path. The sidecar lives on the
+    table-root filesystem like data files do (only LOG entries route
+    through the LogStore); the JSON checkpoint references it by
+    relative path, so the table stays relocatable as a unit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = _local(path)
+    rel = f"{_CKPT_DIR}/{_fmt_version(version)}-{uuid.uuid4().hex[:12]}.parquet"
+    out = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+
+    def _stats_str(e: dict):
+        s = e.get("stats")
+        if not s:
+            return None
+        return s if isinstance(s, str) else json.dumps(s, separators=(",", ":"))
+
+    t = pa.table(
+        {
+            "path": pa.array([e["path"] for e in entries], pa.string()),
+            "rows": pa.array([e["rows"] for e in entries], pa.int64()),
+            "bytes": pa.array([e["bytes"] for e in entries], pa.int64()),
+            "stats": pa.array([_stats_str(e) for e in entries], pa.string()),
+            "dv": pa.array(
+                [
+                    json.dumps(e["dv"], separators=(",", ":"))
+                    if e.get("dv")
+                    else None
+                    for e in entries
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, out)
+    return rel
 
 
 def _maybe_checkpoint(path: str, version: int) -> None:
     if version % CHECKPOINT_EVERY != 0 or version == 0:
         return
     state = _load_state(path, version)
-    payload = {
-        "version": version,
-        "meta": state.meta,
-        "files": sorted(state.files.values(), key=lambda e: e["path"]),
-        "txns": state.txns,
-    }
+    entries = sorted(state.files.values(), key=lambda e: e["path"])
+    if len(entries) >= _CKPT_PARQUET_MIN:
+        rel = _write_ckpt_sidecar(path, version, entries)
+        payload = {
+            "version": version,
+            "meta": state.meta,
+            "files_parquet": rel,
+            "files_count": len(entries),
+            "txns": state.txns,
+        }
+    else:
+        payload = {
+            "version": version,
+            "meta": state.meta,
+            "files": [_entry_jsonable(e) for e in entries],
+            "txns": state.txns,
+        }
     # checkpoint content for a version is deterministic, so last-write
     # -wins replace is safe even if two writers checkpoint concurrently
+    # (two sidecar writers leave one orphan parquet file — vacuum
+    # collects unreferenced sidecars past the age floor)
     _store_for(path).put_replace(
         _log_dir(path),
         _fmt_version(version) + ".checkpoint.json",
@@ -459,6 +845,41 @@ def _decode_val(e):
     if t == "d":
         return datetime.date.fromisoformat(v)
     return v
+
+
+def _entry_stats(e: dict) -> dict:
+    """An add entry's decoded stats dict. Entries loaded from a parquet
+    sidecar checkpoint carry stats as a RAW JSON STRING (decoding a
+    million stats dicts nobody reads is what made cold loads slow);
+    the first pruning pass that touches an entry decodes and caches
+    in place. Every stats consumer goes through here."""
+    s = e.get("stats")
+    if isinstance(s, str):
+        s = json.loads(s) if s else {}
+        e["stats"] = s
+    return s or {}
+
+
+def _entry_jsonable(e: dict) -> dict:
+    """The entry as commit-line JSON expects it (stats decoded): an
+    entry re-referenced from a sidecar-loaded snapshot (restore, dv
+    re-add, carry-forward remove) must not double-encode its raw
+    stats string into the log."""
+    if isinstance(e.get("stats"), str):
+        _entry_stats(e)
+    return e
+
+
+def _entry_same(a: dict | None, b: dict | None) -> bool:
+    """Entry identity: (path, deletion vector). Sufficient because a
+    data file is immutable once written — rows/bytes/stats are pure
+    functions of the path's content, so two entries for one path can
+    differ only in their dv. Used instead of full-dict equality so a
+    sidecar-loaded entry (stats still a raw JSON string) compares
+    equal to its replayed twin (stats decoded)."""
+    if a is None or b is None:
+        return a is b
+    return a["path"] == b["path"] and a.get("dv") == b.get("dv")
 
 
 def _file_stats(local_file: str, stat_cols: Sequence[str]) -> tuple[int, dict]:
@@ -571,7 +992,7 @@ def _file_survives_constraints(entry: dict, constraints: list[tuple]) -> bool:
     the ``format("txlog")`` datasource's ``pushFilters`` path."""
     import bisect
 
-    stats = entry.get("stats") or {}
+    stats = _entry_stats(entry)
     for kind, col, payload in constraints:
         st = stats.get(col)
         if st is None:
@@ -612,7 +1033,7 @@ def _file_matches_keys(entry: dict, pruners: dict) -> bool:
     import bisect
 
     for col, (kind, payload) in pruners.items():
-        st = (entry.get("stats") or {}).get(col)
+        st = _entry_stats(entry).get(col)
         if st is None:
             continue
         fmin, fmax = _decode_val(st["min"]), _decode_val(st["max"])
@@ -634,7 +1055,7 @@ def _file_disjoint(entry: dict, bounds: dict[str, tuple]) -> bool:
     """True only when the footer stats PROVE the file cannot contain a
     row inside ``bounds`` on some column — absent stats never prune."""
     for col, (lo, hi) in bounds.items():
-        st = (entry.get("stats") or {}).get(col)
+        st = _entry_stats(entry).get(col)
         if st is None:
             continue
         fmin, fmax = _decode_val(st["min"]), _decode_val(st["max"])
@@ -811,6 +1232,54 @@ def _plan_dv_commit(
     return removes, adds, staging
 
 
+def _entry_scan_paths(root: str, entries) -> list[str]:
+    """The path list handed to ``spark.read.parquet`` for a snapshot
+    scan: per-file by default, but a data directory whose on-disk
+    ``*.parquet`` listing EXACTLY matches the snapshot's live entries
+    collapses to ONE directory path. At 1M files the per-file list is
+    the planning bottleneck (measured 36.7 s at 100k paths — py4j
+    marshalling plus per-path driver listing;
+    examples/scale_probe_r13_metadata.py); a compacted table's dirs
+    are fully live, so the grouped plan passes ~#commits directory
+    paths instead.
+
+    Soundness: a directory may hold parquet files the log never
+    admitted (failed/speculative task attempts of the datasource
+    writer stage files into the job's dir before the commit decides) —
+    a directory-granular read would silently include them. Grouping
+    therefore requires (a) the listing to match the entries exactly
+    and (b) the directory mtime to be older than
+    ``_DIR_GROUP_MIN_AGE`` (a straggler task landing a file bumps the
+    mtime, so a recently-touched dir always falls back to per-file
+    paths). Any listing error falls back too — grouping is an
+    optimization, never a semantics change."""
+    by_dir: dict[str, list[str]] = {}
+    for e in entries:
+        d, _slash, name = e["path"].rpartition("/")
+        by_dir.setdefault(d, []).append(name)
+    out: list[str] = []
+    cutoff = time.time() - _DIR_GROUP_MIN_AGE
+    for d, names in sorted(by_dir.items()):
+        absdir = os.path.join(root, d)
+        use_dir = False
+        if len(names) > 1 and d:
+            try:
+                if os.path.getmtime(absdir) < cutoff:
+                    on_disk = sorted(
+                        n
+                        for n in os.listdir(absdir)
+                        if n.endswith(".parquet")
+                    )
+                    use_dir = on_disk == sorted(names)
+            except OSError:
+                use_dir = False
+        if use_dir:
+            out.append(absdir)
+        else:
+            out.extend(os.path.join(absdir, n) for n in sorted(names))
+    return out
+
+
 def _scan_files(
     spark: SparkSession,
     path: str,
@@ -843,7 +1312,7 @@ def _scan_files(
             ).withColumn("__pos", F.lit(None).cast("long"))
         return out
     dv_entries = [e for e in entries if e.get("dv")]
-    paths = [os.path.join(root, e["path"]) for e in entries]
+    paths = _entry_scan_paths(root, entries)
     out = spark.read.option("mergeSchema", "true").parquet(*paths)
     if with_location or dv_entries:
         out = out.select(
@@ -1076,6 +1545,7 @@ def read_table(
     state = _load_state(path, version)
     files = list(state.files.values())
     if bounds:
+        _ensure_stats_decoded(state.files)
         files = [e for e in files if not _file_disjoint(e, bounds)]
     out = _scan_files(spark, path, files, state.meta)
     if bounds:
@@ -1195,7 +1665,10 @@ def _commit_rmw(
         (_remove_line(r) for r in removes),
         key=lambda ln: ln["remove"]["path"],
     )
-    lines += [{"add": e} for e in adds]
+    # an entry re-referenced from a sidecar-loaded snapshot (restore,
+    # dv re-add) may carry stats as a raw JSON string — decode before
+    # the line is serialized
+    lines += [{"add": _entry_jsonable(e)} for e in adds]
     try:
         _write_commit_exclusive(path, version, lines)
     except FileExistsError:
@@ -1407,12 +1880,16 @@ def merge_upsert(
       deleted-row positions, never the touched files' size. Reads
       apply the dv at scan; ``compact_table`` materializes it away.
       This is the scattered-key answer (the public Delta/Iceberg
-      deletion-vector strategy). One documented divergence: dv mode
-      never rewrites rows it doesn't touch, so pre-existing DUPLICATE
-      key rows in a matched file whose key is absent from the batch
-      are left as-is (cow's full rewrite incidentally deduplicates
-      them); tables maintained through create/append/merge never hold
-      duplicate keys, making the two modes equal there (unit-pinned).
+      deletion-vector strategy). One documented divergence, scoped to
+      ``version_col=None``: that path dv-deletes only rows whose key
+      is IN the batch, so pre-existing DUPLICATE key rows in a matched
+      file whose key is absent from the batch are left as-is (cow's
+      full rewrite incidentally deduplicates them). With a
+      ``version_col`` the dv ranking window covers ALL candidate-file
+      rows, so such duplicates are deduplicated exactly as cow does —
+      no divergence there. Tables maintained through
+      create/append/merge never hold duplicate keys, making the two
+      modes equal everywhere in practice (unit-pinned).
 
     On a key-clustered table this is the incremental-maintenance shape
     the reference's daily full rewrite cannot reach: a batch touching
@@ -1522,6 +1999,7 @@ def _merge_upsert_inner(
         if pruners is None:
             candidates: dict[str, dict] = {}
         else:
+            _ensure_stats_decoded(state.files)
             candidates = {
                 rel: e
                 for rel, e in state.files.items()
@@ -1741,6 +2219,8 @@ def delete_where(
         raise ValueError(f"delete mode must be 'cow' or 'dv', got {mode!r}")
     for _ in range(max_retries + 1):
         state = _load_state(path)
+        if bounds:
+            _ensure_stats_decoded(state.files)
         candidates = {
             rel: e
             for rel, e in state.files.items()
@@ -2055,12 +2535,12 @@ def table_changes(
     removed = [
         e
         for rel, e in sorted(state_from.files.items())
-        if state_to.files.get(rel) != e
+        if not _entry_same(state_to.files.get(rel), e)
     ]
     added = [
         e
         for rel, e in sorted(state_to.files.items())
-        if state_from.files.get(rel) != e
+        if not _entry_same(state_from.files.get(rel), e)
     ]
 
     def read_side(entries: list[dict]) -> DataFrame:
@@ -2251,7 +2731,7 @@ def restore_table(
         changed = [
             rel
             for rel in sorted(target.files)
-            if state.files.get(rel) != target.files[rel]
+            if not _entry_same(state.files.get(rel), target.files[rel])
         ]
         missing = []
         for rel in changed:
@@ -2276,7 +2756,7 @@ def restore_table(
         removes = [
             state.files[rel]
             for rel in sorted(state.files)
-            if state.files[rel] != target.files.get(rel)
+            if not _entry_same(state.files[rel], target.files.get(rel))
         ]
         # meta is restored too (schema/constraints as of the target
         # version) — a restore across a schema evolution must put the
@@ -2372,5 +2852,39 @@ def vacuum_table(
                 if os.path.getmtime(dirpath) < cutoff:
                     os.rmdir(dirpath)
             except (FileNotFoundError, OSError):
+                continue
+    # checkpoint SIDECARS: a sidecar is live iff the checkpoint JSON
+    # for its version still references it (put_replace re-checkpoints
+    # orphan the previous sidecar of the same version). Only versions
+    # with sidecar files present need their checkpoint read.
+    ckpt_root = os.path.join(root, _CKPT_DIR)
+    if os.path.isdir(ckpt_root):
+        refs: dict[int, str | None] = {}
+        for name in sorted(os.listdir(ckpt_root)):
+            stem = name.split("-", 1)[0]
+            if not stem.isdigit():
+                continue
+            v = int(stem)
+            if v not in refs:
+                try:
+                    payload = json.loads(
+                        "".join(
+                            _store_for(path).read_lines(
+                                _log_dir(path),
+                                _fmt_version(v) + ".checkpoint.json",
+                            )
+                        )
+                    )
+                    refs[v] = payload.get("files_parquet")
+                except Exception:
+                    refs[v] = None  # no/unreadable checkpoint: orphan
+            fpath = os.path.join(ckpt_root, name)
+            rel = f"{_CKPT_DIR}/{name}"
+            try:
+                if rel != refs[v] and os.path.getmtime(fpath) < cutoff:
+                    if not dry_run:
+                        os.unlink(fpath)
+                    removed += 1
+            except FileNotFoundError:
                 continue
     return removed

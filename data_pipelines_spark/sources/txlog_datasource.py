@@ -234,6 +234,8 @@ class _TxLogBatchReader(DataSourceReader):
 
     def partitions(self):
         state = txlog._load_state(self.path, self.version)
+        if self._pruners:
+            txlog._ensure_stats_decoded(state.files)
         root = txlog._local(self.path)
         # the zonemap contract lives in ONE place (txlog's stats
         # helpers) so the datasource and read_table(bounds=...) can
@@ -255,26 +257,153 @@ class _TxLogBatchReader(DataSourceReader):
         )
 
 
+
+def _offset_key(off: dict) -> tuple:
+    """Total order over stream offsets: an index-carrying offset
+    ({"version": S, "index": k}, a partially-emitted snapshot) sorts
+    BELOW the index-free {"version": S} (fully emitted)."""
+    return (off["version"], off.get("index", float("inf")))
+
+
 class _TxLogStreamReader(DataSourceStreamReader):
+    """Snapshot-then-appends stream over the commit log (module
+    docstring has the full contract).
+
+    ADMISSION CONTROL (``maxFilesPerTrigger`` / ``maxBytesPerTrigger``
+    — the public Delta source's rate-limit options): with a limit set,
+    ``latestOffset`` returns a BOUNDED offset instead of the table
+    head, so a large backlog drains across many checkpointed
+    micro-batches instead of one unbounded catch-up batch (incremental
+    progress, bounded redo on failure, bounded sink transactions). The
+    initial snapshot is chunked too, via an ``index`` field in the
+    offset ({"version": S, "index": k} = the first k files of the
+    snapshot at version S have been emitted; an index-free offset is a
+    fully-emitted version — exactly the shape checkpoints already
+    hold, so old checkpoints replay unchanged). A commit is never
+    split (atomic in the offset domain), so a single commit larger
+    than the budget still lands whole — the limit bounds batches, it
+    does not starve them.
+
+    How the cursor is learned (pyspark's stream-reader API passes no
+    start offset to ``latestOffset``, so the reader tracks it): the
+    engine hosts this reader in one long-lived worker process and, as
+    traced against pyspark 4.1's runner, (a) a FRESH query calls
+    ``latestOffset`` before ``initialOffset``, and (b) a RESTART first
+    replays the checkpointed range through ``partitions(start, end)``
+    (equal offsets when the last batch committed cleanly) before any
+    ``latestOffset``. So ``partitions``/``commit`` always teach the
+    reader the checkpointed position, and a ``None`` cursor can only
+    mean a fresh query — which is bounded from
+    ``startingVersion - 1``. If the engine ever violated (b), the
+    first bounded offset could regress below the checkpoint; the
+    ``partitions`` guard raises loudly on ``end < start`` rather than
+    re-emitting data."""
+
     def __init__(
         self,
         path: str,
         columns: list[str],
         starting_version: int,
         skip_change_commits: bool,
+        max_files: int | None = None,
+        max_bytes: int | None = None,
     ):
         self.path = path
         self.columns = columns
         self.starting_version = starting_version
         self.skip_change_commits = skip_change_commits
+        self.max_files = max_files
+        self.max_bytes = max_bytes
+        self._cursor: dict | None = None
 
     def initialOffset(self) -> dict:
-        return {"version": self.starting_version - 1}
+        off = {"version": self.starting_version - 1}
+        self._cursor = off
+        return off
+
+    def _snapshot_entries(self, version: int) -> list[dict]:
+        state = txlog._load_state(self.path, version)
+        return [e for _rel, e in sorted(state.files.items())]
+
+    def _budget_take(self, entries: list[dict], taken: int) -> int:
+        """How many more of ``entries[taken:]`` fit the per-trigger
+        budget (always at least one so progress never stalls)."""
+        files = bytes_ = 0
+        n = 0
+        for e in entries[taken:]:
+            files += 1
+            bytes_ += e.get("bytes", 0)
+            if n > 0 and (
+                (self.max_files is not None and files > self.max_files)
+                or (self.max_bytes is not None and bytes_ > self.max_bytes)
+            ):
+                break
+            n += 1
+            if (self.max_files is not None and files >= self.max_files) or (
+                self.max_bytes is not None and bytes_ >= self.max_bytes
+            ):
+                break
+        return n
 
     def latestOffset(self) -> dict:
-        return {"version": txlog.table_version(self.path)}
+        head = txlog.table_version(self.path)
+        if self.max_files is None and self.max_bytes is None:
+            return {"version": head}
+        cur = self._cursor
+        if cur is None:
+            # fresh query (latestOffset precedes initialOffset; a
+            # restart would have taught the cursor via partitions() —
+            # see class docstring), so bound from the starting version
+            cur = {"version": self.starting_version - 1}
+        if cur["version"] < 0:
+            # snapshot not started: pin it at the current head
+            entries = self._snapshot_entries(head)
+            n = self._budget_take(entries, 0)
+            if n >= len(entries):
+                return {"version": head}
+            return {"version": head, "index": n}
+        if "index" in cur:
+            # snapshot partially emitted: continue at the SAME version
+            s = cur["version"]
+            entries = self._snapshot_entries(s)
+            n = cur["index"] + self._budget_take(entries, cur["index"])
+            if n >= len(entries):
+                return {"version": s}
+            return {"version": s, "index": n}
+        # steady state: walk commits until the budget fills; at least
+        # one commit per batch, never split
+        files = bytes_ = 0
+        last = cur["version"]
+        for v in range(cur["version"] + 1, head + 1):
+            actions = txlog._read_actions(self.path, v)
+            op = next(
+                (a["commit"].get("op") for a in actions if "commit" in a),
+                None,
+            )
+            adds = [a["add"] for a in actions if "add" in a]
+            if op not in _PHYSICAL_OPS:
+                files += len(adds)
+                bytes_ += sum(e.get("bytes", 0) for e in adds)
+            if last > cur["version"] and (
+                (self.max_files is not None and files > self.max_files)
+                or (self.max_bytes is not None and bytes_ > self.max_bytes)
+            ):
+                break
+            last = v
+        return {"version": last}
 
     def partitions(self, start: dict, end: dict):
+        if _offset_key(end) < _offset_key(start):
+            # a bounded latestOffset regressed below the checkpointed
+            # start — only possible if the engine skipped the restart
+            # replay this design relies on (class docstring); fail
+            # loudly instead of re-emitting already-committed data
+            raise ValueError(
+                f"txlog stream over {self.path}: offset regression "
+                f"{start} -> {end}; restart the query without rate "
+                f"limits to recover, and report this ordering."
+            )
+        self._cursor = end
         root = txlog._local(self.path)
         out: list[_FilePartition] = []
         if start["version"] < 0:
@@ -285,12 +414,30 @@ class _TxLogStreamReader(DataSourceStreamReader):
             # PAST streamable and non-stale: the first batch reflects
             # every rewrite up to stream start, and the append-only
             # contract below applies only to commits AFTER it.
-            state = txlog._load_state(self.path, end["version"])
+            # A chunked end offset emits the snapshot's first `index`
+            # files; later batches continue the slice.
+            entries = self._snapshot_entries(end["version"])
             return [
-                _part_from_entry(root, entry)
-                for _rel, entry in sorted(state.files.items())
+                _part_from_entry(root, e)
+                for e in entries[: end.get("index", len(entries))]
             ]
-        for v in range(start["version"] + 1, end["version"] + 1):
+        first = start["version"] + 1
+        if "index" in start:
+            # resume a partially-emitted snapshot at start's version
+            entries = self._snapshot_entries(start["version"])
+            stop = (
+                end.get("index", len(entries))
+                if end["version"] == start["version"]
+                else len(entries)
+            )
+            out.extend(
+                _part_from_entry(root, e)
+                for e in entries[start["index"]: stop]
+            )
+            first = start["version"] + 1
+            if end["version"] == start["version"]:
+                return out
+        for v in range(first, end["version"] + 1):
             actions = txlog._read_actions(self.path, v)
             op = next(
                 (
@@ -337,7 +484,9 @@ class _TxLogStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # the streaming checkpoint owns progress; the log is immutable
+        # the streaming checkpoint owns progress (the log is
+        # immutable); the cursor feeds admission control only
+        self._cursor = end
 
 
 class _CDCPartition(InputPartition):
@@ -350,6 +499,8 @@ class _CDCPartition(InputPartition):
         lo=None,
         hi=None,
         nulls_only: bool = False,
+        n_buckets: int | None = None,
+        bucket: int | None = None,
     ):
         self.version = version
         # per side: {"abs": data file path, "rel": table-relative path,
@@ -369,6 +520,43 @@ class _CDCPartition(InputPartition):
         self.lo = lo
         self.hi = hi
         self.nulls_only = nulls_only
+        # residual HASH slice (when range slicing is impossible): rows
+        # route by hash(key_col) % n_buckets == bucket on BOTH sides
+        self.n_buckets = n_buckets
+        self.bucket = bucket
+
+
+# Residual hash slicing reads every churned file once per bucket (the
+# row filter can't prune files or row groups), so the bucket count is
+# capped: per-task MEMORY stays ~total/n while scan amplification stays
+# bounded at n×. Range slicing (no amplification) remains the primary.
+_HASH_SLICE_MAX_BUCKETS = 64
+
+
+def _split_cdc_hash(
+    version: int,
+    removed: list[dict],
+    added: list[dict],
+    key: str,
+    n_parts: int,
+) -> list[_CDCPartition]:
+    """Residual slicing for commits range slicing can't handle (a
+    stats-less file, one distinct file start over a non-numeric key,
+    stats types with no safe SQL literal): route ROWS by
+    ``hash(key) % n`` — both sides identically. DuckDB's ``hash()`` is
+    deterministic across connections for a given DuckDB version (both
+    sides of one partition hash inside ONE task process), and
+    ``hash(NULL)`` is a non-NULL constant, so NULL keys land in one
+    bucket consistently. Identical rows share a key, hence a bucket,
+    so the per-bucket multiset diffs union to the commit's diff and
+    update pairing (key equality ⇒ equal hash) stays within a bucket."""
+    n = min(max(2, n_parts), _HASH_SLICE_MAX_BUCKETS)
+    return [
+        _CDCPartition(
+            version, removed, added, key, n_buckets=n, bucket=b
+        )
+        for b in range(n)
+    ]
 
 
 def _split_cdc_commit(
@@ -383,12 +571,15 @@ def _split_cdc_commit(
     """Slice one commit's change derivation into key-range partitions
     so no single task holds more than ~``max_bytes`` of churned files —
     the bounded-memory answer for giant commits (a backfill MERGE, an
-    overwrite). Returns None when slicing is impossible (no key
-    column, missing/incomparable stats) — the caller falls back to the
-    single-task diff. Slicing is an optimization only: each slice
-    filters BOTH sides to its range, every row lands in exactly one
-    slice, and files are assigned to every slice their footer stats
-    overlap (files without stats conservatively join all slices)."""
+    overwrite). Key-RANGE slicing is the primary (files join only the
+    slices their footer stats overlap, so scans don't amplify); when
+    ranges are impossible (missing/incomparable stats, one distinct
+    start on a non-numeric key) it falls back to hash-of-key row
+    routing (:func:`_split_cdc_hash`). Returns None only when there is
+    no key column at all or the commit fits one task — the caller then
+    runs the single-task diff. Slicing is an optimization only: each
+    slice filters BOTH sides identically, every row lands in exactly
+    one slice, and the slice diffs union to the commit's diff."""
     if not key_cols:
         return None
     k = key_cols[0]
@@ -399,10 +590,30 @@ def _split_cdc_commit(
     n_parts = max(1, math.ceil(total / max_bytes))
     if n_parts <= 1:
         return None
+    ranged = _split_cdc_ranges(
+        version, removed, removed_entries, added, added_entries, k, n_parts
+    )
+    if ranged is not None:
+        return ranged
+    return _split_cdc_hash(version, removed, added, k, n_parts)
+
+
+def _split_cdc_ranges(
+    version: int,
+    removed: list[dict],
+    removed_entries: list[dict],
+    added: list[dict],
+    added_entries: list[dict],
+    k: str,
+    n_parts: int,
+) -> list[_CDCPartition] | None:
+    sides = list(zip(removed, removed_entries)) + list(
+        zip(added, added_entries)
+    )
     starts = []
     nulls_possible = False
     for _f, e in sides:
-        st = (e.get("stats") or {}).get(k)
+        st = txlog._entry_stats(e).get(k)
         if st is None:
             return None  # a stats-less file would join every slice
         lo_v = txlog._decode_val(st["min"])
@@ -431,7 +642,7 @@ def _split_cdc_commit(
         # key filter pushes into the parquet row groups
         lo_all, hi_all = None, None
         for _f, e in sides:
-            st = (e.get("stats") or {}).get(k)
+            st = txlog._entry_stats(e).get(k)
             fmin = txlog._decode_val(st["min"])
             fmax = txlog._decode_val(st["max"])
             lo_all = fmin if lo_all is None or fmin < lo_all else lo_all
@@ -458,7 +669,7 @@ def _split_cdc_commit(
     ranges.append((prev, None))
 
     def overlap(e, lo, hi) -> bool:
-        st = (e.get("stats") or {}).get(k)
+        st = txlog._entry_stats(e).get(k)
         fmin = txlog._decode_val(st["min"])
         fmax = txlog._decode_val(st["max"])
         if lo is not None and fmax < lo:
@@ -477,12 +688,12 @@ def _split_cdc_commit(
         rem = [
             f
             for f, e in zip(removed, removed_entries)
-            if ((e.get("stats") or {}).get(k) or {}).get("nulls") != 0
+            if (txlog._entry_stats(e).get(k) or {}).get("nulls") != 0
         ]
         add = [
             f
             for f, e in zip(added, added_entries)
-            if ((e.get("stats") or {}).get(k) or {}).get("nulls") != 0
+            if (txlog._entry_stats(e).get(k) or {}).get("nulls") != 0
         ]
         if rem or add:
             out.append(_CDCPartition(version, rem, add, k, nulls_only=True))
@@ -597,41 +808,57 @@ def _cdc_partitions(
         }
 
     out: list[_CDCPartition] = []
+    # Rolling file map for sizing removed sides: materialized by ONE
+    # snapshot replay at the first remove-bearing commit, then rolled
+    # forward commit-by-commit (apply each commit's removes/adds —
+    # including physical rewrites', which change the file set without
+    # emitting rows). Before this, planning a merge/delete-heavy range
+    # re-replayed the prior snapshot per commit: O(commits × replay).
+    prev_files: dict[str, dict] | None = None
     for v in range(first_version, last_version + 1):
         actions = txlog._read_actions(path, v)
         op = next(
             (a["commit"].get("op") for a in actions if "commit" in a), None
         )
-        if op in _PHYSICAL_OPS:
-            continue  # physical rewrite: rows cancel, no change rows
         removed_rels = [a["remove"] for a in actions if "remove" in a]
         added_entries = [a["add"] for a in actions if "add" in a]
-        if not removed_rels and not added_entries:
-            continue  # metadata-only commit (constraints, schema)
-        removed = [_side_file(r) for r in removed_rels]
-        added = [_side_file(e) for e in added_entries]
-        split = None
-        if max_bytes and key_cols:
-            adds_bytes = sum(e.get("bytes", 0) for e in added_entries)
-            # remove actions carry no stats/bytes, so any commit WITH
-            # removes loads the prior snapshot to size its removed side
-            # (a remove-heavy commit — an overwrite of a big table, a
-            # whole-file dv delete — is exactly the one that must not
-            # funnel through one task); adds-only commits are sized
-            # from their own entries and stay O(1)
-            if adds_bytes > max_bytes or removed_rels:
-                prev = txlog._load_state(path, v - 1).files if v else {}
-                removed_entries = [
-                    prev.get(r["path"], r) for r in removed_rels
-                ]
-                split = _split_cdc_commit(
-                    v, removed, removed_entries, added, added_entries,
-                    key_cols, max_bytes,
-                )
-        if split is not None:
-            out.extend(split)
-        else:
-            out.append(_CDCPartition(v, removed, added))
+        # physical rewrite: rows cancel, no change rows; no removes and
+        # no adds: metadata-only commit (constraints, schema)
+        if op not in _PHYSICAL_OPS and (removed_rels or added_entries):
+            removed = [_side_file(r) for r in removed_rels]
+            added = [_side_file(e) for e in added_entries]
+            split = None
+            if max_bytes and key_cols:
+                adds_bytes = sum(e.get("bytes", 0) for e in added_entries)
+                # remove actions carry no stats/bytes, so a commit WITH
+                # removes sizes its removed side from the rolling map
+                # (a remove-heavy commit — an overwrite of a big table,
+                # a whole-file dv delete — is exactly the one that must
+                # not funnel through one task); adds-only commits are
+                # sized from their own entries and stay O(1)
+                if adds_bytes > max_bytes or removed_rels:
+                    if prev_files is None:
+                        prev_files = (
+                            dict(txlog._load_state(path, v - 1).files)
+                            if v
+                            else {}
+                        )
+                    removed_entries = [
+                        prev_files.get(r["path"], r) for r in removed_rels
+                    ]
+                    split = _split_cdc_commit(
+                        v, removed, removed_entries, added, added_entries,
+                        key_cols, max_bytes,
+                    )
+            if split is not None:
+                out.extend(split)
+            else:
+                out.append(_CDCPartition(v, removed, added))
+        if prev_files is not None:
+            for r in removed_rels:
+                prev_files.pop(r["path"], None)
+            for e in added_entries:
+                prev_files[e["path"]] = e
     return out
 
 
@@ -680,6 +907,55 @@ def _read_cdc_partition(
                 f"{guard}"
             )
             return
+        if {"filename", "file_row_number"} & {c.lower() for c in data_cols}:
+            # DuckDB 1.0's injected filename/file_row_number columns
+            # can't be renamed and hard-error when the table itself has
+            # a column of that name — mask the dv rows in pyarrow
+            # instead (no injected columns at all) and register the
+            # result; plain files still stream through read_parquet.
+            # Memory note: only this partition's dv-carrying files
+            # materialize, and partitions are sized by maxBytesPerTask.
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            masked = []
+            for f in dv_parts:
+                t = pq.read_table(f["abs"])
+                pos = set()
+                for dvf in f["dv"]:
+                    dt = pq.read_table(dvf, columns=["file", "pos"])
+                    for fi, po in zip(
+                        dt.column("file").to_pylist(),
+                        dt.column("pos").to_pylist(),
+                    ):
+                        if fi == f["rel"]:
+                            pos.add(po)
+                if pos:
+                    t = t.filter(
+                        pa.array(
+                            [i not in pos for i in range(t.num_rows)]
+                        )
+                    )
+                masked.append(t)
+            arrow_tbl = (
+                masked[0]
+                if len(masked) == 1
+                else pa.concat_tables(masked, promote_options="default")
+            )
+            con.register(f"{name}_dvarrow", arrow_tbl)
+            plain = [f["abs"] for f in src if not f["dv"]]
+            if plain:
+                con.execute(
+                    f"CREATE VIEW {name} AS SELECT * FROM read_parquet("
+                    f"{_sql_paths(plain)}, union_by_name=true) "
+                    f"UNION ALL BY NAME SELECT * FROM {name}_dvarrow"
+                )
+            else:
+                con.execute(
+                    f"CREATE VIEW {name} AS "
+                    f"SELECT * FROM {name}_dvarrow"
+                )
+            return
         dv_selects = []
         for f in dv_parts:
             rel_lit = "'" + f["rel"].replace("'", "''") + "'"
@@ -727,7 +1003,14 @@ def _read_cdc_partition(
     old_side, new_side = "old_v", "new_v"
     if partition.key_col is not None:
         kq = _qid(partition.key_col)
-        if partition.nulls_only:
+        if partition.bucket is not None:
+            # residual hash slice: hash() is NULL-safe (hash(NULL) is a
+            # non-NULL constant), so one bucket owns the NULL keys too
+            cond = (
+                f"hash({kq}) % {int(partition.n_buckets)} = "
+                f"{int(partition.bucket)}"
+            )
+        elif partition.nulls_only:
             cond = f"{kq} IS NULL"
         else:
             parts = []
@@ -877,6 +1160,7 @@ class _TxLogCDCStreamReader(DataSourceStreamReader):
         starting_version: int,
         key_cols: list[str],
         max_bytes: int,
+        max_commits: int | None = None,
     ):
         self.path = path
         self.columns = columns
@@ -884,14 +1168,39 @@ class _TxLogCDCStreamReader(DataSourceStreamReader):
         self.starting_version = starting_version
         self.key_cols = key_cols
         self.max_bytes = max_bytes
+        # maxCommitsPerBatch admission control: bound how many commits
+        # one micro-batch derives changes for, so a CDF stream starting
+        # against a deep commit backlog checkpoints incremental
+        # progress instead of diffing the whole history in one batch.
+        # Cursor protocol identical to _TxLogStreamReader (see its
+        # docstring): fresh queries bound from startingVersion - 1,
+        # restarts re-learn the cursor from the engine's checkpointed
+        # partitions() replay, and partitions() raises on regression.
+        self.max_commits = max_commits
+        self._cursor: dict | None = None
 
     def initialOffset(self) -> dict:
-        return {"version": self.starting_version - 1}
+        off = {"version": self.starting_version - 1}
+        self._cursor = off
+        return off
 
     def latestOffset(self) -> dict:
-        return {"version": txlog.table_version(self.path)}
+        head = txlog.table_version(self.path)
+        if self.max_commits is None:
+            return {"version": head}
+        cur = self._cursor
+        if cur is None:
+            cur = {"version": self.starting_version - 1}
+        return {"version": min(head, cur["version"] + self.max_commits)}
 
     def partitions(self, start: dict, end: dict):
+        if end["version"] < start["version"]:
+            raise ValueError(
+                f"txlog change-feed stream over {self.path}: offset "
+                f"regression {start} -> {end}; restart the query "
+                f"without maxCommitsPerBatch to recover."
+            )
+        self._cursor = end
         return _cdc_partitions(
             self.path, max(start["version"] + 1, 0), end["version"],
             self.key_cols, self.max_bytes,
@@ -905,7 +1214,9 @@ class _TxLogCDCStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # the streaming checkpoint owns progress; the log is immutable
+        # the streaming checkpoint owns progress (the log is
+        # immutable); the cursor feeds admission control only
+        self._cursor = end
 
 
 @dataclass
@@ -1081,7 +1392,12 @@ class TxLogDataSource(DataSource):
     ``skipChangeCommits`` (stream past merge/delete/overwrite),
     ``readChangeFeed`` (row-level changes with ``_change_type`` +
     ``_commit_version`` — Delta's CDF shape; streaming, or batch with
-    ``startingVersion`` required and ``endingVersion`` optional)."""
+    ``startingVersion`` required and ``endingVersion`` optional),
+    ``maxFilesPerTrigger``/``maxBytesPerTrigger`` (streaming admission
+    control: bound each micro-batch's file count / bytes, chunking the
+    initial snapshot too), ``maxCommitsPerBatch`` (CDF-stream
+    admission control: commits per micro-batch),
+    ``maxBytesPerTask`` (CDF: slice one commit's diff across tasks)."""
 
     @classmethod
     def name(cls) -> str:
@@ -1265,6 +1581,7 @@ class TxLogDataSource(DataSource):
             # full table schema for the diff (see reader(): the planner
             # passes the PROJECTED schema under option("columns"))
             full = StructType.fromJson(json.loads(state.meta["schema"]))
+            mc = self.options.get("maxCommitsPerBatch")
             return _TxLogCDCStreamReader(
                 self._path(),
                 [f.name for f in schema.fields],
@@ -1272,13 +1589,18 @@ class TxLogDataSource(DataSource):
                 int(self.options.get("startingVersion", 0)),
                 list(state.meta.get("key_cols", [])),
                 self._max_bytes_per_task(),
+                int(mc) if mc is not None else None,
             )
+        mf = self.options.get("maxFilesPerTrigger")
+        mb = self.options.get("maxBytesPerTrigger")
         return _TxLogStreamReader(
             self._path(),
             [f.name for f in schema.fields],
             int(self.options.get("startingVersion", 0)),
             str(self.options.get("skipChangeCommits", "false")).lower()
             == "true",
+            int(mf) if mf is not None else None,
+            int(mb) if mb is not None else None,
         )
 
 

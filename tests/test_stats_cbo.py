@@ -105,3 +105,73 @@ def test_analyze_refuses_to_clobber_managed_table(spark, tmp_path):
         assert spark.table("stats_managed_tmp").count() == 3
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_managed_tmp")
+
+
+def test_materialize_lifecycle_auto_analyze(spark, tmp_path):
+    """Round 13: the opt-in ``analyze=`` hook on upsert_partitioned
+    runs ANALYZE as part of the normal materialization lifecycle —
+    the hint-free CBO broadcast pin must hold against tables produced
+    by the materialize path alone (bootstrap AND merge re-analyze),
+    with no manual analyze_dataset call anywhere."""
+    from data_pipelines_spark.sources.materialize import (
+        upsert_partitioned,
+    )
+
+    fpath, dpath = str(tmp_path / "factm"), str(tmp_path / "dimm")
+    fact = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).alias("dim_id"),
+        (F.col("id") * 2).cast("double").alias("amount"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("dim_id"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+    )
+    try:
+        # bootstrap writes analyze too
+        upsert_partitioned(
+            spark, fact, fpath, ["k"], analyze="stats_factm_tmp"
+        )
+        upsert_partitioned(
+            spark, dim, dpath, ["dim_id"], analyze="stats_dimm_tmp"
+        )
+        assert (
+            table_stats(spark, "stats_factm_tmp")["row_count"] == 20_000
+        )
+        # a later MERGE refreshes the stats through the same hook
+        upsert_partitioned(
+            spark,
+            spark.range(50, 60).select(
+                F.col("id").alias("dim_id"),
+                F.lit("late").alias("name"),
+            ),
+            dpath,
+            ["dim_id"],
+            analyze="stats_dimm_tmp",
+        )
+        assert table_stats(spark, "stats_dimm_tmp")["row_count"] == 60
+        cbo_session(spark, True)
+        try:
+            joined = (
+                spark.table("stats_factm_tmp")
+                .join(spark.table("stats_dimm_tmp"), "dim_id")
+                .groupBy("name")
+                .agg(F.sum("amount").alias("total"))
+            )
+            plan = explain_str(joined)
+            assert "BroadcastHashJoin" in plan
+            assert "SortMergeJoin" not in plan
+            bcast_idx = plan.index("BroadcastExchange")
+            assert "stats_dimm_tmp" in plan[bcast_idx:], plan
+            assert joined.count() == 50
+        finally:
+            cbo_session(spark, False)
+        # the hook is parquet-format only, loudly
+        with pytest.raises(ValueError, match="parquet-format only"):
+            upsert_partitioned(
+                spark, dim, str(tmp_path / "txn"), ["dim_id"],
+                format="txn", analyze="nope_tmp",
+            )
+    finally:
+        for t in ("stats_factm_tmp", "stats_dimm_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -915,3 +915,192 @@ def test_cdf_slices_remove_heavy_and_single_file_commits(spark, tmp_path):
         return _sorted_rows(r.load())
 
     assert read_cdf(maxBytesPerTask="1") == read_cdf()
+
+
+def test_cdf_hash_slicing_string_single_start(spark, tmp_path):
+    """Round-13 residual slicing: a STRING-keyed commit whose churned
+    files share one distinct footer min (range cut points impossible)
+    now slices by hash(key) — the sliced read equals the single-task
+    read, and the partitions carry hash buckets, not ranges."""
+    from data_pipelines_spark.sources.txlog_datasource import (
+        _cdc_partitions,
+    )
+
+    register_txlog_source(spark)
+    path = str(tmp_path / "strkey")
+    base = spark.createDataFrame(
+        [(f"key{i:05d}", i) for i in range(3000)], "k string, n long"
+    )
+    txlog.create_table(spark, base, path, key_cols=["k"], num_files=1)
+    upd = spark.createDataFrame(
+        [(f"key{i:05d}", -i) for i in range(0, 3000, 5)]
+        + [("zzz_new", 1)],
+        "k string, n long",
+    )
+    txlog.merge_upsert(spark, upd, path, mode="cow")  # v1: rewrites file 0
+
+    def read_cdf(**opts):
+        r = (
+            spark.read.format("txlog").option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1")
+        )
+        for kk, vv in opts.items():
+            r = r.option(kk, vv)
+        return _sorted_rows(r.load())
+
+    assert read_cdf(maxBytesPerTask="1") == read_cdf()
+    parts = _cdc_partitions(path, 1, 1, ["k"], 1)
+    assert len(parts) >= 2
+    assert all(p.bucket is not None and p.lo is None for p in parts)
+    assert sorted(p.bucket for p in parts) == list(range(len(parts)))
+    assert len({p.n_buckets for p in parts}) == 1
+
+
+def test_cdf_hash_slicing_missing_stats(spark, tmp_path):
+    """A commit whose files carry NO footer stats for the key (a
+    legacy/imported writer — stats are optional by contract) slices by
+    hash instead of falling back to one task."""
+    import json as _json
+
+    from data_pipelines_spark.sources.txlog_datasource import (
+        _cdc_partitions,
+    )
+
+    register_txlog_source(spark)
+    path = str(tmp_path / "nostats")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(2000)], "k long, v string"
+    )
+    txlog.create_table(spark, base, path, key_cols=["k"], num_files=3)
+    txlog.overwrite_table(
+        spark,
+        spark.createDataFrame(
+            [(i, "OW") for i in range(500)], "k long, v string"
+        ),
+        path,
+    )  # v1: removes 3 files, adds new ones
+    # strip every add action's stats from the log, as a writer that
+    # records none would have produced it
+    log_dir = os.path.join(path, "_txlog")
+    for name in os.listdir(log_dir):
+        if not name.endswith(".json") or "checkpoint" in name:
+            continue
+        fp = os.path.join(log_dir, name)
+        with open(fp) as fh:
+            lines = [_json.loads(ln) for ln in fh if ln.strip()]
+        for ln in lines:
+            if "add" in ln:
+                ln["add"].pop("stats", None)
+        with open(fp, "w") as fh:
+            fh.writelines(_json.dumps(ln) + "\n" for ln in lines)
+
+    def read_cdf(**opts):
+        r = (
+            spark.read.format("txlog").option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1")
+        )
+        for kk, vv in opts.items():
+            r = r.option(kk, vv)
+        return _sorted_rows(r.load())
+
+    assert read_cdf(maxBytesPerTask="1") == read_cdf()
+    parts = _cdc_partitions(path, 1, 1, ["k"], 1)
+    assert len(parts) >= 2
+    assert all(p.bucket is not None for p in parts)
+
+
+def test_cdf_with_reserved_duckdb_column_names(spark, tmp_path):
+    """A table whose SCHEMA contains DuckDB's injected column names
+    (`filename`, `file_row_number`) previously broke change-feed reads
+    of dv-carrying commits (binder error on read_parquet filename=true)
+    — the pyarrow dv-mask fallback keeps them readable, matching batch
+    table_changes exactly."""
+    register_txlog_source(spark)
+    path = str(tmp_path / "reserved")
+    base = spark.createDataFrame(
+        [(i, f"f{i}", i * 10) for i in range(200)],
+        "k long, filename string, file_row_number long",
+    )
+    txlog.create_table(spark, base, path, key_cols=["k"], num_files=2)
+    txlog.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(7, "UPD", 70), (201, "NEW", 2010)],
+            "k long, filename string, file_row_number long",
+        ),
+        path,
+        mode="dv",
+    )  # v1: dv-carrying merge
+    txlog.delete_where(spark, path, F.col("k") % 50 == 3, mode="dv")  # v2
+    cdf = (
+        spark.read.format("txlog").option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load()
+    )
+    got = sorted(
+        (r["k"], r["filename"], r["file_row_number"],
+         r["_change_type"], r["_commit_version"])
+        for r in cdf.collect()
+    )
+    want = []
+    for v in (1, 2):
+        want += [
+            (r["k"], r["filename"], r["file_row_number"],
+             r["_change_type"], v)
+            for r in txlog.table_changes(spark, path, v - 1, v).collect()
+        ]
+    assert got == sorted(want) and len(got) > 0
+    assert {"update_pre", "update_post", "insert", "delete"} == {
+        t[3] for t in got
+    }
+
+
+def test_cdc_planning_rolls_snapshot_forward(spark, tmp_path, monkeypatch):
+    """Advice r12: CDF planning re-replayed the prior snapshot once PER
+    remove-bearing commit (O(commits × replay) on merge/delete-heavy
+    histories). The planner now materializes the file map once and
+    rolls it forward across the range — at most ONE _load_state call —
+    while still sizing every commit's removed side."""
+    from data_pipelines_spark.sources.txlog_datasource import (
+        _cdc_partitions,
+    )
+
+    register_txlog_source(spark)
+    path = str(tmp_path / "churny")
+    txlog.create_table(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1000)], "k long, v string"
+        ),
+        path,
+        key_cols=["k"],
+        num_files=4,
+    )
+    for j in range(3):  # remove-bearing commits v1..v3
+        txlog.merge_upsert(
+            spark,
+            spark.createDataFrame(
+                [(i, f"m{j}") for i in range(j, 1000, 9)],
+                "k long, v string",
+            ),
+            path,
+            mode="cow",
+        )
+    txlog.delete_where(spark, path, F.col("k") % 13 == 0, mode="dv")  # v4
+    head = txlog.table_version(path)
+    assert head == 4
+    calls = []
+    orig = txlog._load_state
+
+    def counting(p, version=None):
+        calls.append(version)
+        return orig(p, version)
+
+    monkeypatch.setattr(txlog, "_load_state", counting)
+    parts = _cdc_partitions(path, 1, head, ["k"], 1)
+    assert calls == [0]  # one replay for the whole 4-commit range
+    # every commit still planned (and sliced — removed sides were sized)
+    assert {p.version for p in parts} == {1, 2, 3, 4}
+    assert len(parts) > 4

@@ -1,11 +1,13 @@
 """The LogStore seam (`sources/txlog.py`): commit coordination reduced
 to one put-if-absent primitive, pluggable per table-path prefix. The
-`InMemoryLogStore` mock is the contract's executable spec — these
-tests run the real protocol (create/append/merge/delete/compact/time
-travel/OCC races) against it, proving that NOTHING in the protocol
-depends on filesystem atomicity beyond what the interface promises:
-an object-store coordinator that implements the same contract gets
-the whole format."""
+`InMemoryLogStore` mock is the contract's executable spec, and
+`ConditionalPutLogStore` (round 13) is the deployable object-store
+pattern — put-if-absent as ONE conditional PUT (S3 If-None-Match:*,
+GCS ifGenerationMatch=0), run here over the directory-backed
+`LocalObjectStoreEmulator`. These tests run the real protocol
+(create/append/merge/delete/compact/time travel/OCC races) against
+BOTH coordinators, proving that NOTHING in the protocol depends on
+filesystem atomicity beyond what the interface promises."""
 
 from __future__ import annotations
 
@@ -39,13 +41,27 @@ def _content(df):
     )
 
 
-@pytest.fixture()
-def mem_table(spark, tmp_path):
-    """A txlog table whose LOG lives in an InMemoryLogStore (data files
-    stay on disk under tmp_path) — registered for this table's prefix
-    only and deregistered afterwards."""
+def _make_store(kind: str, tmp_path):
+    if kind == "memory":
+        return InMemoryLogStore()
+    return txlog.ConditionalPutLogStore(
+        txlog.LocalObjectStoreEmulator(str(tmp_path / "objstore"))
+    )
+
+
+@pytest.fixture(params=["memory", "condput"])
+def contract_store(request, tmp_path):
+    return _make_store(request.param, tmp_path)
+
+
+@pytest.fixture(params=["memory", "condput"])
+def mem_table(spark, tmp_path, request):
+    """A txlog table whose LOG lives in a non-filesystem coordinator —
+    the in-memory contract spec or the conditional-put object-store
+    pattern (data files stay on disk under tmp_path) — registered for
+    this table's prefix only and deregistered afterwards."""
     prefix = str(tmp_path)
-    store = InMemoryLogStore()
+    store = _make_store(request.param, tmp_path)
     register_log_store(prefix, store)
     path = str(tmp_path / "tbl")
     try:
@@ -58,11 +74,11 @@ def mem_table(spark, tmp_path):
         register_log_store(prefix, txlog.FileLogStore())
 
 
-def test_put_if_absent_contract():
+def test_put_if_absent_contract(contract_store):
     """The one atomicity primitive: first write wins, the loser gets
     FileExistsError, the winner's payload is intact, and put_replace
-    is last-write-wins (checkpoints only)."""
-    store = InMemoryLogStore()
+    is last-write-wins (checkpoints only) — for every coordinator."""
+    store = contract_store
     store.put_if_absent("/t/_txlog", "0.json", "first\n")
     with pytest.raises(FileExistsError):
         store.put_if_absent("/t/_txlog", "0.json", "second\n")
@@ -77,10 +93,10 @@ def test_put_if_absent_contract():
         list(store.read_lines("/t/_txlog", "missing.json"))
 
 
-def test_put_if_absent_under_thread_contention():
+def test_put_if_absent_under_thread_contention(contract_store):
     """N threads race the same name: exactly one wins, every loser
     sees FileExistsError — the property OCC is built on."""
-    store = InMemoryLogStore()
+    store = contract_store
     wins, losses = [], []
     barrier = threading.Barrier(8)
 
@@ -104,8 +120,8 @@ def test_put_if_absent_under_thread_contention():
 
 def test_full_lifecycle_against_memory_store(spark, mem_table):
     """create → merge (cow + dv) → delete → compact → checkpoint-bounded
-    replay → time travel, with the log living ONLY in memory: no
-    _txlog directory ever appears on disk."""
+    replay → time travel, with the log living ONLY in the coordinator:
+    no _txlog directory ever appears on disk."""
     import os
 
     path, store = mem_table
@@ -242,3 +258,80 @@ def test_registry_normalizes_file_uri_spelling(tmp_path):
     finally:
         register_log_store(base, txlog.FileLogStore())
     assert isinstance(txlog._store_for(base + "/tbl"), txlog.FileLogStore)
+
+
+def test_object_store_emulator_flat_keyspace(tmp_path):
+    """The emulator models an object store faithfully where it matters:
+    a FLAT keyspace (keys with slashes are single objects, not
+    directories), staged `.tmp-` objects invisible to LIST, and
+    conditional-create arbitration per key."""
+    em = txlog.LocalObjectStoreEmulator(str(tmp_path / "obj"))
+    em.put_object("/a/b/_txlog/0.json", "x", if_none_match=True)
+    # no directory tree materializes — one file per key
+    assert not (tmp_path / "obj" / "a").exists()
+    assert em.list_keys("/a/b/_txlog/") == ["/a/b/_txlog/0.json"]
+    assert em.list_keys("/a/b2/") == []  # prefix is exact, not fuzzy
+    with pytest.raises(FileExistsError):
+        em.put_object("/a/b/_txlog/0.json", "y", if_none_match=True)
+    assert em.get_object("/a/b/_txlog/0.json") == "x"
+    em.put_object("/a/b/_txlog/0.json.tmp-deadbeef", "staged")
+    assert em.list_keys("/a/b/_txlog/") == ["/a/b/_txlog/0.json"]
+    with pytest.raises(FileNotFoundError):
+        em.get_object("/a/b/_txlog/1.json")
+
+
+def test_store_requirement_marker_blocks_default_store(spark, tmp_path):
+    """Advice r12: register_log_store is process-local, so a process
+    without the registration (a Spark worker planning a
+    format('txlog') write, a fresh driver) would silently commit
+    through the default FileLogStore — for a FILE-BACKED coordinator
+    the log is readable and nothing fails loudly, bypassing OCC. The
+    first coordinated commit records a store-requirement marker at the
+    table root; a default-store commit against a marked table now
+    refuses instead of bypassing."""
+    import os
+
+    class _Coordinator(txlog.FileLogStore):
+        """Stands in for a subclass coordinating via an external
+        mutex — the log itself stays plainly readable on disk."""
+
+    prefix = str(tmp_path)
+    store = _Coordinator()
+    register_log_store(prefix, store)
+    path = str(tmp_path / "tbl")
+    try:
+        create_table(
+            spark, _df(spark, [(1, "a"), (2, "b")]), path, key_cols=["k"]
+        )
+        marker = os.path.join(path, "_txlog_requires_store.json")
+        assert os.path.exists(marker)  # recorded on first commit
+        append_table(spark, _df(spark, [(3, "c")]), path)  # coordinated
+    finally:
+        register_log_store(prefix, txlog.FileLogStore())
+    # the registry is now empty for this prefix — the forgotten-process
+    # scenario: reads still work (file-backed log), writes must refuse
+    assert read_table(spark, path).count() == 3
+    with pytest.raises(RuntimeError, match="requires commit coordination"):
+        append_table(spark, _df(spark, [(4, "d")]), path)
+    assert read_table(spark, path).count() == 3  # nothing committed
+    # re-registering the coordinator restores writes
+    register_log_store(prefix, store)
+    try:
+        append_table(spark, _df(spark, [(4, "d")]), path)
+    finally:
+        register_log_store(prefix, txlog.FileLogStore())
+    assert read_table(spark, path).count() == 4
+
+
+def test_unmarked_tables_unaffected_by_marker_gate(spark, tmp_path):
+    """Tables that never saw a custom coordinator carry no marker and
+    commit through the default store exactly as before."""
+    import os
+
+    path = str(tmp_path / "plain")
+    create_table(spark, _df(spark, [(1, "a")]), path, key_cols=["k"])
+    append_table(spark, _df(spark, [(2, "b")]), path)
+    assert not os.path.exists(
+        os.path.join(path, "_txlog_requires_store.json")
+    )
+    assert read_table(spark, path).count() == 2

@@ -264,6 +264,41 @@ TxLogMemStoreMachine.TestCase.settings = settings(
 TestTxLogMemStoreStateMachine = TxLogMemStoreMachine.TestCase
 
 
+class TxLogCondPutMachine(TxLogMachine):
+    """The SAME randomized protocol model against the deployable
+    object-store coordinator: ConditionalPutLogStore over the local
+    conditional-put emulator. Every invariant must hold when the only
+    atomicity the log gets is one conditional PUT per commit object —
+    the S3/GCS deployment pattern, proven by the full state machine
+    rather than by the lifecycle test alone."""
+
+    def __init__(self):
+        super().__init__()
+        self.store = txlog.ConditionalPutLogStore(
+            txlog.LocalObjectStoreEmulator(f"{self.dir}/objstore")
+        )
+        txlog.register_log_store(self.dir, self.store)
+
+    @invariant()
+    def log_never_touches_disk(self):
+        import os
+
+        assert not os.path.isdir(os.path.join(self.path, "_txlog"))
+
+    def teardown(self):
+        txlog.register_log_store(self.dir, txlog.FileLogStore())
+        super().teardown()
+
+
+TxLogCondPutMachine.TestCase.settings = settings(
+    max_examples=3,
+    stateful_step_count=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+TestTxLogCondPutStateMachine = TxLogCondPutMachine.TestCase
+
+
 @pytest.mark.usefixtures("spark")
 def test_placeholder_session_shared():
     """The machine reuses the session-scoped SparkSession via
