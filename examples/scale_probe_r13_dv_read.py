@@ -20,10 +20,13 @@ Run: python examples/scale_probe_r13_dv_read.py [row_count]
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
@@ -76,8 +79,12 @@ def main() -> None:
             )
             assert "LeftAnti" in scan_plan(spark, path), "dv scan shape"
             t_dv = timed(lambda: full_scan(spark, path))
+            # keep the file count (and so scan parallelism) comparable
+            # to the pre-compaction table — the probe measures dv
+            # overhead, not task-count effects
             res = txlog.compact_table(
-                spark, path, target_file_rows=rows, dv_min_ratio=0.0005
+                spark, path, target_file_rows=rows // 16,
+                dv_min_ratio=0.0005,
             )
             plan_after = scan_plan(spark, path)
             assert "LeftAnti" not in plan_after, "compaction left dvs"
@@ -89,7 +96,8 @@ def main() -> None:
                     "dv_scan_s": round(t_dv, 3),
                     "dv_overhead_x": round(t_dv / t_plain, 2),
                     "compacted_s": round(t_compacted, 3),
-                    "compact_rewrote_files": res.get("files_rewritten"),
+                    "files_before": res.get("files_before"),
+                    "files_after": res.get("files_after"),
                 }
             )
             print(json.dumps(out["densities"][-1]))

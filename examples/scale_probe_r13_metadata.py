@@ -26,6 +26,8 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from data_pipelines_spark.sources import txlog
 
 
