@@ -149,7 +149,16 @@ class LogStore:
       checkpoints, whose content for a given version is deterministic.
     - :meth:`list_names` / :meth:`read_lines` are plain reads; a name
       returned by ``list_names`` must be fully readable (no torn
-      reads — implied by the put contract)."""
+      reads — implied by the put contract).
+    - ``persistent_log``: True (default) when the store's log outlives
+      this process — such tables record the store-requirement marker
+      (see ``_enforce_store_requirement``). An EPHEMERAL store (the
+      in-memory spec) sets False: its table dies with the process, so
+      a lingering marker would only block a future unrelated table at
+      the same path (and the default store already fails loudly on the
+      invisible log)."""
+
+    persistent_log = True
 
     def list_names(self, log_dir: str) -> list[str]:
         raise NotImplementedError
@@ -215,6 +224,8 @@ class InMemoryLogStore(LogStore):
     as an executable spec (what an object-store coordinator must
     provide). Data files stay wherever the table root points; only
     log-directory operations route here."""
+
+    persistent_log = False  # dies with the process: no marker
 
     def __init__(self):
         import threading
@@ -514,6 +525,8 @@ def _store_marker_name(path: str) -> str | None:
 
 def _enforce_store_requirement(path: str, store: LogStore) -> None:
     if type(store) is not FileLogStore:
+        if not store.persistent_log:
+            return  # ephemeral log: no durable table to protect
         # self-healing: the first commit through a custom coordinator
         # records the requirement, so tables created before the
         # registration (or created by older code) become protected too
@@ -591,31 +604,48 @@ def _read_actions(path: str, version: int) -> list[dict]:
 # treats them as read-only (the only in-place mutation anywhere is
 # _ensure_stats_decoded's idempotent decode).
 _SNAPSHOT_CACHE_MAX = 4
-_snapshot_cache: dict[tuple[str, int], tuple[Snapshot, str, int]] = {}
+_snapshot_cache: dict[
+    tuple[str, int], tuple[Snapshot, str, int, str, str]
+] = {}
 
 
 def _snapshot_cache_get(key: tuple[str, int]) -> "Snapshot | None":
     hit = _snapshot_cache.get(key)
     if hit is None:
         return None
-    state, sidecar_abs, sidecar_size = hit
+    state, sidecar_abs, sidecar_size, ckpt_name, sidecar_rel = hit
     try:
-        if os.path.getsize(sidecar_abs) == sidecar_size:
-            return state
-    except OSError:
-        pass
-    _snapshot_cache.pop(key, None)
-    return None
+        # two-sided validation: the sidecar file is unchanged AND the
+        # checkpoint that referenced it STILL references it (re-read
+        # through the LogStore — a small meta/txns/ref JSON). The size
+        # check alone misses a wipe-and-rebuild that left _txlog_ckpt
+        # behind: the rebuilt table's checkpoint names a NEW uuid
+        # sidecar while the old file lingers on disk.
+        if os.path.getsize(sidecar_abs) != sidecar_size:
+            raise OSError("sidecar changed")
+        payload = json.loads(
+            "".join(_store_for(key[0]).read_lines(_log_dir(key[0]), ckpt_name))
+        )
+        if payload.get("files_parquet") != sidecar_rel:
+            raise OSError("checkpoint re-pointed")
+        return state
+    except (OSError, ValueError, KeyError):
+        _snapshot_cache.pop(key, None)
+        return None
 
 
 def _snapshot_cache_put(
-    key: tuple[str, int], state: Snapshot, sidecar_abs: str
+    key: tuple[str, int], state: Snapshot, sidecar_rel: str, ckpt: int
 ) -> None:
+    sidecar_abs = os.path.join(key[0], sidecar_rel)
     try:
         size = os.path.getsize(sidecar_abs)
     except OSError:
         return  # sidecar vanished mid-load (vacuum race): don't cache
-    _snapshot_cache[key] = (state, sidecar_abs, size)
+    _snapshot_cache[key] = (
+        state, sidecar_abs, size,
+        _fmt_version(ckpt) + ".checkpoint.json", sidecar_rel,
+    )
     while len(_snapshot_cache) > _SNAPSHOT_CACHE_MAX:
         _snapshot_cache.pop(next(iter(_snapshot_cache)))
 
@@ -635,6 +665,7 @@ def _load_state(path: str, version: int | None = None) -> Snapshot:
     state = Snapshot(version=target, meta={}, files={})
     start = 0
     sidecar_rel = None
+    sidecar_ckpt = -1
     # newest usable checkpoint first; a checkpoint is a pure CACHE of
     # replayable log state, so one that fails to parse (crash between
     # rename and content reaching disk) degrades to the next older
@@ -655,13 +686,21 @@ def _load_state(path: str, version: int | None = None) -> Snapshot:
                     path, payload["files_parquet"], payload["files_count"]
                 )
                 sidecar_rel = payload["files_parquet"]
+                sidecar_ckpt = cp
             else:
                 state.files = {e["path"]: e for e in payload["files"]}
             state.txns = dict(payload.get("txns", {}))
-        except Exception:
+        except (
+            json.JSONDecodeError, KeyError, TypeError, ValueError, OSError,
+        ):
             # a checkpoint is a pure CACHE: any unusable one (torn
-            # JSON, vacuumed/truncated sidecar, arrow parse error)
-            # degrades to the next older checkpoint or a full replay
+            # JSON, vacuumed/truncated sidecar, arrow parse error —
+            # pyarrow's ArrowInvalid/ArrowIOError are ValueError/
+            # OSError subclasses) degrades to the next older
+            # checkpoint or a full replay. Deliberately NOT a bare
+            # Exception: an environment bug (broken pyarrow import, a
+            # reader regression) must surface, not silently replay the
+            # full log on every load.
             state.meta, state.files, state.txns = {}, {}, {}
             sidecar_rel = None
             continue
@@ -685,9 +724,7 @@ def _load_state(path: str, version: int | None = None) -> Snapshot:
                 app, batch = action["txn"]["app"], action["txn"]["batch"]
                 state.txns[app] = max(state.txns.get(app, batch), batch)
     if sidecar_rel is not None and len(state.files) >= _CKPT_PARQUET_MIN:
-        _snapshot_cache_put(
-            cache_key, state, os.path.join(_local(path), sidecar_rel)
-        )
+        _snapshot_cache_put(cache_key, state, sidecar_rel, sidecar_ckpt)
     return state
 
 

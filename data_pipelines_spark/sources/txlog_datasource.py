@@ -393,11 +393,18 @@ class _TxLogStreamReader(DataSourceStreamReader):
         return {"version": last}
 
     def partitions(self, start: dict, end: dict):
-        if _offset_key(end) < _offset_key(start):
-            # a bounded latestOffset regressed below the checkpointed
-            # start — only possible if the engine skipped the restart
-            # replay this design relies on (class docstring); fail
-            # loudly instead of re-emitting already-committed data
+        if _offset_key(end) < _offset_key(start) or (
+            "index" in end and "index" not in start and start["version"] >= 0
+        ):
+            # Either a bounded latestOffset regressed below the
+            # checkpointed start, or it proposed a snapshot CHUNK after
+            # a fully-emitted version (a chunked end is only legal
+            # following the initial offset or another chunk of the same
+            # snapshot — continuing one would re-emit snapshot rows the
+            # commit walk already delivered). Both are only possible if
+            # the engine skipped the restart replay this design relies
+            # on (class docstring); fail loudly instead of emitting
+            # duplicates.
             raise ValueError(
                 f"txlog stream over {self.path}: offset regression "
                 f"{start} -> {end}; restart the query without rate "
@@ -434,7 +441,6 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 _part_from_entry(root, e)
                 for e in entries[start["index"]: stop]
             )
-            first = start["version"] + 1
             if end["version"] == start["version"]:
                 return out
         for v in range(first, end["version"] + 1):
@@ -892,29 +898,24 @@ def _read_cdc_partition(
     def side_view(name: str, files: list[dict], other: list[dict]) -> None:
         # union_by_name aligns physical schemas across evolution; an
         # empty side borrows the other side's shape, WHERE false. A
-        # side with deletion vectors reads each file minus ITS dv
-        # positions: read_parquet's file_row_number is the same
-        # physical row index the dv records, and the anti-join keys on
-        # (table-relative path, position).
+        # side with deletion vectors reads each dv-carrying file
+        # through its OWN subquery: the file's table-relative path is
+        # known statically, so only `file_row_number` (the physical
+        # row index the dv records) is ever injected — no `filename`
+        # column, which DuckDB 1.0 cannot rename and which would
+        # collide with a table column of that name.
         src, borrowed = (files, False) if files else (other, True)
-        paths = [f["abs"] for f in src]
         dv_parts = [f for f in src if not borrowed and f["dv"]]
-        if not dv_parts:
-            guard = " WHERE false" if borrowed else ""
-            con.execute(
-                f"CREATE VIEW {name} AS SELECT * FROM "
-                f"read_parquet({_sql_paths(paths)}, union_by_name=true)"
-                f"{guard}"
-            )
-            return
-        if {"filename", "file_row_number"} & {c.lower() for c in data_cols}:
-            # DuckDB 1.0's injected filename/file_row_number columns
-            # can't be renamed and hard-error when the table itself has
-            # a column of that name — mask the dv rows in pyarrow
-            # instead (no injected columns at all) and register the
-            # result; plain files still stream through read_parquet.
-            # Memory note: only this partition's dv-carrying files
-            # materialize, and partitions are sized by maxBytesPerTask.
+        if dv_parts and "file_row_number" in {c.lower() for c in data_cols}:
+            # The one remaining collision: a table column literally
+            # named file_row_number. Mask the dv rows in pyarrow (no
+            # injected columns at all) and register the result; plain
+            # files still stream through read_parquet. Memory note:
+            # the partition's dv-carrying files materialize fully —
+            # bounded by maxBytesPerTask under range slicing, but NOT
+            # under the hash-slice residual (every bucket carries
+            # every churned file); that corner-of-a-corner trades
+            # memory for correctness rather than failing the read.
             import pyarrow as pa
             import pyarrow.parquet as pq
 
@@ -956,25 +957,26 @@ def _read_cdc_partition(
                     f"SELECT * FROM {name}_dvarrow"
                 )
             return
-        dv_selects = []
+        plain = [f["abs"] for f in src if borrowed or not f["dv"]]
+        selects = []
+        if plain:
+            guard = " WHERE false" if borrowed else ""
+            selects.append(
+                f"SELECT * FROM read_parquet({_sql_paths(plain)}, "
+                f"union_by_name=true){guard}"
+            )
         for f in dv_parts:
             rel_lit = "'" + f["rel"].replace("'", "''") + "'"
-            dv_selects.append(
-                f"SELECT file, pos FROM "
+            selects.append(
+                f"SELECT * EXCLUDE (file_row_number) FROM read_parquet("
+                f"{_sql_paths([f['abs']])}, file_row_number=true) "
+                f"WHERE file_row_number NOT IN (SELECT pos FROM "
                 f"read_parquet({_sql_paths(f['dv'])}) "
-                f"WHERE file = {rel_lit}"
+                f"WHERE file = {rel_lit})"
             )
         con.execute(
-            f"CREATE VIEW {name}_dv AS " + " UNION ALL ".join(dv_selects)
-        )
-        con.execute(
             f"CREATE VIEW {name} AS "
-            f"SELECT r.* FROM (SELECT * FROM read_parquet("
-            f"{_sql_paths(paths)}, union_by_name=true, filename=true, "
-            f"file_row_number=true)) r "
-            f"ANTI JOIN {name}_dv d ON d.file = "
-            f"regexp_extract(r.filename, 'data/[^/]+/[^/]+$') "
-            f"AND d.pos = r.file_row_number"
+            + " UNION ALL BY NAME ".join(selects)
         )
 
     side_view("old_raw", partition.removed, partition.added)
@@ -1581,7 +1583,7 @@ class TxLogDataSource(DataSource):
             # full table schema for the diff (see reader(): the planner
             # passes the PROJECTED schema under option("columns"))
             full = StructType.fromJson(json.loads(state.meta["schema"]))
-            mc = self.options.get("maxCommitsPerBatch")
+            mc = self._positive_option("maxCommitsPerBatch")
             return _TxLogCDCStreamReader(
                 self._path(),
                 [f.name for f in schema.fields],
@@ -1589,19 +1591,32 @@ class TxLogDataSource(DataSource):
                 int(self.options.get("startingVersion", 0)),
                 list(state.meta.get("key_cols", [])),
                 self._max_bytes_per_task(),
-                int(mc) if mc is not None else None,
+                mc,
             )
-        mf = self.options.get("maxFilesPerTrigger")
-        mb = self.options.get("maxBytesPerTrigger")
         return _TxLogStreamReader(
             self._path(),
             [f.name for f in schema.fields],
             int(self.options.get("startingVersion", 0)),
             str(self.options.get("skipChangeCommits", "false")).lower()
             == "true",
-            int(mf) if mf is not None else None,
-            int(mb) if mb is not None else None,
+            self._positive_option("maxFilesPerTrigger"),
+            self._positive_option("maxBytesPerTrigger"),
         )
+
+    def _positive_option(self, name: str) -> int | None:
+        """An admission-control limit must be a positive int: 0 would
+        either stall the stream forever (a commit cursor that never
+        advances) or silently behave as 1 — both worse than an error
+        at plan time."""
+        v = self.options.get(name)
+        if v is None:
+            return None
+        iv = int(v)
+        if iv <= 0:
+            raise ValueError(
+                f"option {name} must be a positive integer, got {v!r}"
+            )
+        return iv
 
 
 def register_txlog_source(spark) -> None:

@@ -310,3 +310,33 @@ def test_e2e_cdf_stream_bounded_matches_unbounded(
     unbounded, nu = drain("cdf_unbounded")
     assert bounded == unbounded and len(bounded) > 0
     assert nb > nu
+
+
+def test_snapshot_chunk_after_full_version_raises(spark, backlog_table):
+    """Review fix (r13): an index-carrying END offset is only legal
+    after the initial offset or another chunk of the same snapshot —
+    following an index-free start >= 0 it would re-emit snapshot rows
+    the commit walk already delivered, so partitions() must refuse."""
+    r = _TxLogStreamReader(backlog_table, ["k", "v"], 0, False, max_files=1)
+    with pytest.raises(ValueError, match="offset regression"):
+        r.partitions({"version": 2}, {"version": 3, "index": 1})
+
+
+def test_zero_rate_limit_options_rejected(spark, backlog_table):
+    """maxCommitsPerBatch=0 would stall the stream forever (the cursor
+    never advances); all three admission options reject <= 0 at plan
+    time instead."""
+    from data_pipelines_spark.sources.txlog_datasource import (
+        TxLogDataSource,
+    )
+
+    for opt in ("maxFilesPerTrigger", "maxBytesPerTrigger",
+                "maxCommitsPerBatch"):
+        ds = TxLogDataSource({"path": backlog_table, opt: "0"})
+        with pytest.raises(ValueError, match="positive integer"):
+            ds._positive_option(opt)
+        ds_ok = TxLogDataSource({"path": backlog_table, opt: "3"})
+        assert ds_ok._positive_option(opt) == 3
+    assert TxLogDataSource({"path": backlog_table})._positive_option(
+        "maxFilesPerTrigger"
+    ) is None

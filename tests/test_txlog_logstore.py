@@ -335,3 +335,25 @@ def test_unmarked_tables_unaffected_by_marker_gate(spark, tmp_path):
         os.path.join(path, "_txlog_requires_store.json")
     )
     assert read_table(spark, path).count() == 2
+
+
+def test_ephemeral_store_writes_no_marker(spark, tmp_path):
+    """Review fix (r13): an InMemoryLogStore table dies with the
+    process — recording a persistent marker would only block a future
+    unrelated table at the same path. Persistent coordinators
+    (ConditionalPutLogStore) still record it."""
+    import os
+
+    prefix = str(tmp_path)
+    register_log_store(prefix, InMemoryLogStore())
+    path = str(tmp_path / "mem_tbl")
+    try:
+        create_table(spark, _df(spark, [(1, "a")]), path, key_cols=["k"])
+        assert not os.path.exists(
+            os.path.join(path, "_txlog_requires_store.json")
+        )
+    finally:
+        register_log_store(prefix, txlog.FileLogStore())
+    # the path is reusable by a default-store table afterwards
+    create_table(spark, _df(spark, [(2, "b")]), path, key_cols=["k"])
+    assert read_table(spark, path).count() == 1

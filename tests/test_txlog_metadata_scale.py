@@ -330,3 +330,36 @@ def test_cold_load_shape_is_linear(tmp_path, monkeypatch):
 
     t_small, t_big = timed_load(20_000), timed_load(100_000)
     assert t_big / max(t_small, 1e-4) < 5 * 2.5, (t_small, t_big)
+
+
+def test_snapshot_cache_refuses_repointed_checkpoint(tmp_path, monkeypatch):
+    """Review fix (r13): the sidecar-size stat alone misses a
+    wipe-and-rebuild that leaves _txlog_ckpt behind (the old uuid file
+    lingers, unchanged). The cache also re-reads the checkpoint JSON:
+    one that no longer references the cached sidecar is a different
+    table — refuse the hit."""
+    monkeypatch.setattr(txlog, "_CKPT_PARQUET_MIN", 100)
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, txlog._LOG_DIR))
+    _build_log(root, 150)
+    s1 = txlog._load_state(root)
+    assert txlog._load_state(root) is s1
+    # simulate the rebuild: log wiped and re-made to the same version,
+    # referencing a NEW sidecar, while the old sidecar file survives
+    shutil.rmtree(os.path.join(root, txlog._LOG_DIR))
+    os.makedirs(os.path.join(root, txlog._LOG_DIR))
+    entries = _synth_entries(120)
+    for v in range(10):
+        txlog._write_commit_exclusive(
+            root, v,
+            [{"meta": _META}, {"commit": {"op": "append", "ts": float(v)}}],
+        )
+    txlog._write_commit_exclusive(
+        root, 10,
+        [{"commit": {"op": "append", "ts": 10.0}}]
+        + [{"add": e} for e in entries],
+    )
+    txlog._maybe_checkpoint(root, 10)  # new checkpoint, new sidecar uuid
+    s2 = txlog._load_state(root)
+    assert s2 is not s1
+    assert len(s2.files) == 120
