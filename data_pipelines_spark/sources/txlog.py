@@ -605,15 +605,30 @@ def _read_actions(path: str, version: int) -> list[dict]:
 # _ensure_stats_decoded's idempotent decode).
 _SNAPSHOT_CACHE_MAX = 4
 _snapshot_cache: dict[
-    tuple[str, int], tuple[Snapshot, str, int, str, str]
+    tuple[str, int], tuple[Snapshot, str, int, int, str]
 ] = {}
+
+
+def _read_ckpt_payload(path: str, version: int) -> dict:
+    """The checkpoint JSON for ``version``, read through the table's
+    LogStore — the ONE definition of where a checkpoint lives and how
+    it parses (cache validation, state load, and vacuum's sidecar
+    collection all route here). Raises like the underlying read/parse;
+    callers treat any failure as "checkpoint unusable"."""
+    return json.loads(
+        "".join(
+            _store_for(path).read_lines(
+                _log_dir(path), _fmt_version(version) + ".checkpoint.json"
+            )
+        )
+    )
 
 
 def _snapshot_cache_get(key: tuple[str, int]) -> "Snapshot | None":
     hit = _snapshot_cache.get(key)
     if hit is None:
         return None
-    state, sidecar_abs, sidecar_size, ckpt_name, sidecar_rel = hit
+    state, sidecar_abs, sidecar_size, ckpt, sidecar_rel = hit
     try:
         # two-sided validation: the sidecar file is unchanged AND the
         # checkpoint that referenced it STILL references it (re-read
@@ -623,10 +638,9 @@ def _snapshot_cache_get(key: tuple[str, int]) -> "Snapshot | None":
         # sidecar while the old file lingers on disk.
         if os.path.getsize(sidecar_abs) != sidecar_size:
             raise OSError("sidecar changed")
-        payload = json.loads(
-            "".join(_store_for(key[0]).read_lines(_log_dir(key[0]), ckpt_name))
-        )
-        if payload.get("files_parquet") != sidecar_rel:
+        if _read_ckpt_payload(key[0], ckpt).get("files_parquet") != (
+            sidecar_rel
+        ):
             raise OSError("checkpoint re-pointed")
         return state
     except (OSError, ValueError, KeyError):
@@ -642,10 +656,7 @@ def _snapshot_cache_put(
         size = os.path.getsize(sidecar_abs)
     except OSError:
         return  # sidecar vanished mid-load (vacuum race): don't cache
-    _snapshot_cache[key] = (
-        state, sidecar_abs, size,
-        _fmt_version(ckpt) + ".checkpoint.json", sidecar_rel,
-    )
+    _snapshot_cache[key] = (state, sidecar_abs, size, ckpt, sidecar_rel)
     while len(_snapshot_cache) > _SNAPSHOT_CACHE_MAX:
         _snapshot_cache.pop(next(iter(_snapshot_cache)))
 
@@ -672,14 +683,7 @@ def _load_state(path: str, version: int | None = None) -> Snapshot:
     # checkpoint — or a full replay — instead of bricking every read
     for cp in sorted((v for v in checkpoints if v <= target), reverse=True):
         try:
-            payload = json.loads(
-                "".join(
-                    _store_for(path).read_lines(
-                        _log_dir(path),
-                        _fmt_version(cp) + ".checkpoint.json",
-                    )
-                )
-            )
+            payload = _read_ckpt_payload(path, cp)
             state.meta = payload["meta"]
             if "files_parquet" in payload:
                 state.files = _read_ckpt_sidecar(
@@ -2904,16 +2908,10 @@ def vacuum_table(
             v = int(stem)
             if v not in refs:
                 try:
-                    payload = json.loads(
-                        "".join(
-                            _store_for(path).read_lines(
-                                _log_dir(path),
-                                _fmt_version(v) + ".checkpoint.json",
-                            )
-                        )
+                    refs[v] = _read_ckpt_payload(path, v).get(
+                        "files_parquet"
                     )
-                    refs[v] = payload.get("files_parquet")
-                except Exception:
+                except (OSError, ValueError, KeyError, TypeError):
                     refs[v] = None  # no/unreadable checkpoint: orphan
             fpath = os.path.join(ckpt_root, name)
             rel = f"{_CKPT_DIR}/{name}"

@@ -124,9 +124,12 @@ def _dv_positions(dv_files: list[str], rel_path: str):
     import pyarrow.parquet as pq
 
     parts = [
+        # drop_null: a NULL pos (torn/buggy dv writer) must at worst
+        # resurrect its one row — matching the SQL and anti-join read
+        # paths — not poison the int positions into floats
         pq.read_table(
             f, columns=["pos"], filters=[("file", "==", rel_path)]
-        )["pos"].to_numpy(zero_copy_only=False)
+        )["pos"].drop_null().to_numpy(zero_copy_only=False)
         for f in dv_files
     ]
     return np.sort(np.concatenate(parts)) if parts else np.array([], "i8")
@@ -967,12 +970,17 @@ def _read_cdc_partition(
             )
         for f in dv_parts:
             rel_lit = "'" + f["rel"].replace("'", "''") + "'"
+            # pos IS NOT NULL: a NULL in a torn/buggy dv parquet would
+            # make NOT IN evaluate NULL for EVERY row and silently
+            # empty the whole file — with the filter, the worst a
+            # corrupt position can do is resurrect its one row (the
+            # old ANTI JOIN's behavior), never lose data
             selects.append(
                 f"SELECT * EXCLUDE (file_row_number) FROM read_parquet("
                 f"{_sql_paths([f['abs']])}, file_row_number=true) "
                 f"WHERE file_row_number NOT IN (SELECT pos FROM "
                 f"read_parquet({_sql_paths(f['dv'])}) "
-                f"WHERE file = {rel_lit})"
+                f"WHERE file = {rel_lit} AND pos IS NOT NULL)"
             )
         con.execute(
             f"CREATE VIEW {name} AS "

@@ -1104,3 +1104,101 @@ def test_cdc_planning_rolls_snapshot_forward(spark, tmp_path, monkeypatch):
     # every commit still planned (and sliced — removed sides were sized)
     assert {p.version for p in parts} == {1, 2, 3, 4}
     assert len(parts) > 4
+
+
+def test_cdf_with_filename_column_uses_sql_path(spark, tmp_path):
+    """Review pin (r13): a table whose schema has ONLY a `filename`
+    column must read dv-carrying commits through the per-file SQL
+    subqueries (no injected filename column, no pyarrow fallback) —
+    matching batch table_changes exactly."""
+    register_txlog_source(spark)
+    path = str(tmp_path / "fnonly")
+    base = spark.createDataFrame(
+        [(i, f"f{i}") for i in range(200)], "k long, filename string"
+    )
+    txlog.create_table(spark, base, path, key_cols=["k"], num_files=2)
+    txlog.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(7, "UPD"), (201, "NEW")], "k long, filename string"
+        ),
+        path,
+        mode="dv",
+    )  # v1
+    txlog.delete_where(spark, path, F.col("k") % 50 == 3, mode="dv")  # v2
+    cdf = (
+        spark.read.format("txlog").option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load()
+    )
+    got = sorted(
+        (r["k"], r["filename"], r["_change_type"], r["_commit_version"])
+        for r in cdf.collect()
+    )
+    want = []
+    for v in (1, 2):
+        want += [
+            (r["k"], r["filename"], r["_change_type"], v)
+            for r in txlog.table_changes(spark, path, v - 1, v).collect()
+        ]
+    assert got == sorted(want) and len(got) > 0
+    assert {"update_pre", "update_post", "insert", "delete"} == {
+        t[2] for t in got
+    }
+
+
+def test_cdf_null_dv_position_never_empties_a_file(spark, tmp_path):
+    """Review pin (r13): a NULL position in a torn/buggy dv parquet
+    must not silently EMPTY the file's change rows (NOT IN over a
+    NULL-bearing set evaluates NULL for every row) — the pos IS NOT
+    NULL guard bounds the damage to resurrecting that one row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    register_txlog_source(spark)
+    path = str(tmp_path / "nullpos")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    txlog.create_table(spark, base, path, key_cols=["k"], num_files=1)
+    txlog.delete_where(
+        spark, path, F.col("k").isin(5, 50), mode="dv"
+    )  # v1: dv with 2 positions
+    # corrupt the dv dataset: append a NULL position row
+    state = txlog._load_state(path)
+    dv_rel = next(e["dv"]["path"] for e in state.files.values() if e.get("dv"))
+    dv_dir = os.path.join(path, dv_rel)
+    part = next(
+        f for f in sorted(os.listdir(dv_dir)) if f.endswith(".parquet")
+    )
+    fp = os.path.join(dv_dir, part)
+    t = pq.read_table(fp)
+    rel_file = t.column("file")[0].as_py()
+    nullable = pa.schema(
+        [pa.field(f.name, f.type, nullable=True) for f in t.schema]
+    )
+    corrupted = pa.concat_tables(
+        [
+            t.cast(nullable),
+            pa.table(
+                {
+                    "file": pa.array([rel_file], pa.string()),
+                    "pos": pa.array([None], t.schema.field("pos").type),
+                },
+                schema=nullable,
+            ),
+        ]
+    )
+    pq.write_table(corrupted, fp)
+    cdf = (
+        spark.read.format("txlog").option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load()
+    )
+    rows = [(r["k"], r["_change_type"]) for r in cdf.collect()]
+    # the two real deletions still surface — the file was NOT emptied
+    assert sorted(rows) == [(5, "delete"), (50, "delete")]
+    # the Arrow-mask snapshot path tolerates the NULL identically
+    snap = spark.read.format("txlog").option("path", path).load()
+    ks = sorted(r["k"] for r in snap.collect())
+    assert ks == [k for k in range(100) if k not in (5, 50)]
