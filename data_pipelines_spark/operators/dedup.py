@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 _MERSENNE = 2_147_483_647  # 2^31 - 1
 
 
+from data_pipelines_spark.functions.text import let
 from data_pipelines_spark.plans.parallelism import spread as _spread
 
 
@@ -223,26 +224,41 @@ def minhash_signatures(
         # rank value from the high bits — independent of the bucket bits
         F.shiftrightunsigned(h, max(1, num_hashes.bit_length() - 1)).alias("__hv"),
     )
-    per_bucket = hashed.groupBy(id_col, "__bkt").agg(F.min("__hv").alias("__mh"))
-    assembled = per_bucket.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("__bkt"), F.col("__mh")))
-        ).alias("__m")
+    # ONE groupBy(id) with num_hashes conditional minima instead of
+    # groupBy(id, bkt) → groupBy(id): the per-bucket minima partials
+    # compose map-side exactly the same (shuffle volume unchanged —
+    # ≤ num_hashes values per doc per input partition either way), but
+    # the second exchange and the ObjectHashAggregate
+    # (collect_list + map_from_entries) disappear — the whole signature
+    # assembly stays in whole-stage codegen with one shuffle (guide
+    # §2.4). The extra cost is num_hashes branch tests per exploded
+    # shingle row inside codegen, measured cheaper than the exchange it
+    # replaces at every SF tried.
+    assembled = hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.when(F.col("__bkt") == i, F.col("__hv"))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
     )
-    raw = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.element_at(F.col("__m"), i.cast("int")),
-    )
-    gmin = F.array_min(F.map_values(F.col("__m")))
-    dense = F.transform(
-        raw,
-        # Knuth multiplicative rehash of (global min, position) fills the
-        # rare empty bucket deterministically from the doc's content.
-        lambda x, i: F.coalesce(
-            x, F.pmod(gmin + (i + 1).cast("long") * 2654435761, F.lit(1 << 61))
-        ),
-    )
-    return assembled.select(F.col(id_col), dense.alias("minhash"))
+    raw = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    from data_pipelines_spark.functions.text import let
+
+    def densify(arr: Column) -> Column:
+        # array_min skips NULL entries, so this is the min over the
+        # non-empty buckets — the same global minimum as before.
+        gmin = F.array_min(arr)
+        return F.transform(
+            arr,
+            # Knuth multiplicative rehash of (global min, position)
+            # fills the rare empty bucket deterministically from the
+            # doc's content.
+            lambda x, i: F.coalesce(
+                x,
+                F.pmod(gmin + (i + 1).cast("long") * 2654435761, F.lit(1 << 61)),
+            ),
+        )
+
+    return assembled.select(F.col(id_col), let(raw, densify).alias("minhash"))
 
 
 def minhash_band_buckets(
@@ -804,6 +820,143 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(x)
 
 
+# Multiplier packing (doc_id, pos) into one long for the canonical
+# first-occurrence min: min over the packed key equals min over the
+# lexicographic (doc, pos) struct whenever pos < _POS_PACK (and ids are
+# non-negative), and it keeps the gram aggregate a HashAggregate — a
+# struct-valued min has no mutable primitive buffer, so Catalyst
+# demotes the whole gram aggregation to SortAggregate, paying a full
+# sort of the exploded gram stream on both sides of the exchange
+# (measured in the r14 plans). 1e6 is the same packing the DuckDB
+# oracle uses for this tie-break; the guard raises loudly on docs long
+# enough to break the equivalence instead of silently reordering.
+_POS_PACK = 1_000_000
+
+
+def _packed_first(id_col: str) -> Column:
+    pos = F.col("pos")
+    return F.when(
+        pos < _POS_PACK, F.col(id_col) * F.lit(_POS_PACK) + pos
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "duplicate span dedup: token position "
+                ),
+                pos.cast("string"),
+                F.lit(
+                    f" exceeds the packing cap {_POS_PACK}; split "
+                    "documents over 1M tokens before span dedup"
+                ),
+            )
+        ).cast("long")
+    )
+
+
+def _span_gaps(positions: Column) -> Column:
+    """Consecutive-position gaps of a sorted int array: [p1-p0, p2-p1, …].
+
+    Empty/singleton arrays yield an empty gap array."""
+    ln = F.greatest(F.size(positions) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(positions, 2, ln),
+        F.slice(positions, 1, ln),
+        lambda a, b: a - b,
+    )
+
+
+def _span_stat_struct(positions: Column, n: int) -> Column:
+    """struct<n_dup_grams, n_dup_spans, dup_tokens> (all long) from a
+    SORTED array of duplicated positions — the array-arithmetic
+    equivalent of the old lag-window island pass, row-local instead of
+    a shuffle+sort:
+
+    - islands split where a gap exceeds ``n``  → spans = 1 + #big gaps;
+    - each island [p_a..p_b] covers p_b - p_a + n tokens, and summing
+      ``min(gap, n)`` over ALL consecutive gaps counts within-island
+      gaps exactly and each island boundary as the ``n``-token tail of
+      the finished island → covered = Σ min(gap, n) + n (the final
+      island's tail). Equality with the window formulation is pinned in
+      tests/test_dedup.py.
+    """
+
+    def stats(p: Column) -> Column:
+        def from_gaps(gaps: Column) -> Column:
+            spans = F.when(
+                F.size(p) > 0,
+                F.size(F.filter(gaps, lambda g: g > n)) + 1,
+            ).otherwise(F.lit(0))
+            covered = F.when(
+                F.size(p) > 0,
+                F.aggregate(
+                    gaps, F.lit(0), lambda acc, g: acc + F.least(g, F.lit(n))
+                )
+                + n,
+            ).otherwise(F.lit(0))
+            return F.struct(
+                F.size(p).cast("long").alias("n_dup_grams"),
+                spans.cast("long").alias("n_dup_spans"),
+                covered.cast("long").alias("dup_tokens"),
+            )
+
+        return let(_span_gaps(p), from_gaps)
+
+    return let(positions, stats)
+
+
+def _cut_ranges_expr(positions: Column, n: int) -> Column:
+    """Merged cut ranges array<struct<start:int,end:int>> from a SORTED
+    array of cut positions: islands merge at gap <= ``n`` and each
+    island [p_a..p_b] cuts tokens [p_a, p_b + n - 1] — identical to the
+    old window+groupBy range derivation, computed row-locally. All
+    element_at indexing is guarded by lazy CASE WHEN branches (ANSI
+    mode raises on out-of-bounds access)."""
+
+    def over(q: Column) -> Column:
+        # 1-based indices where a new island starts.
+        bidx = F.filter(
+            F.sequence(F.lit(1), F.size(q)),
+            lambda i: F.when(i == 1, F.lit(True)).otherwise(
+                F.element_at(q, i) - F.element_at(q, i - 1) > n
+            ),
+        )
+
+        def ranges(b: Column) -> Column:
+            last = F.size(b)
+            return F.transform(
+                F.sequence(F.lit(1), last),
+                lambda j: F.struct(
+                    F.element_at(q, F.element_at(b, j)).alias("start"),
+                    (
+                        F.element_at(
+                            q,
+                            F.when(
+                                j < last, F.element_at(b, j + 1) - 1
+                            ).otherwise(F.size(q)),
+                        )
+                        + F.lit(n - 1)
+                    ).alias("end"),
+                ),
+            )
+
+        return F.when(F.size(q) > 0, let(bidx, ranges)).otherwise(
+            F.array().cast("array<struct<start:int,end:int>>")
+        )
+
+    return let(positions, over)
+
+
+def _kept_tokens(toks: Column, ranges: Column) -> Column:
+    """Tokens surviving the cut ranges (0-based index containment)."""
+    return F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            ranges,
+            lambda r: (i >= r.getField("start")) & (i <= r.getField("end")),
+        ),
+    )
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     n: int = 8,
@@ -833,16 +986,18 @@ def duplicate_span_stats(
     narrow posexplode (~tokens-per-doc rows per doc); duplication is a
     map-side-combined groupBy(gram) count, and the positions frame is
     LEFT SEMI joined against the duplicated-gram set — never an
-    all-pairs comparison. The only per-doc window runs over each doc's
-    *duplicated positions* (doc-sized partitions, bounded by document
-    length). ``hash_grams=True`` shrinks both shuffles by grouping on
-    ``xxhash64(gram)`` instead of the gram string — the scale mode; a
-    64-bit collision can only mark a unique gram as duplicated, with
+    all-pairs comparison. Each doc's duplicated positions then collapse
+    to ONE sorted array row (bounded by document length — the same
+    bound the old per-doc window partition had) and the island/span
+    arithmetic runs row-locally over that array, so the whole span
+    derivation costs one groupBy instead of a window shuffle+sort plus
+    two grouping passes (r14; equality with the window formulation is
+    unit-pinned). ``hash_grams=True`` shrinks both shuffles by grouping
+    on ``xxhash64(gram)`` instead of the gram string — the scale mode;
+    a 64-bit collision can only mark a unique gram as duplicated, with
     probability ~N^2/2^64. The default keeps raw gram strings so
     external engines (the DuckDB oracle) reproduce the result exactly.
     """
-    from pyspark.sql import Window
-
     from data_pipelines_spark.functions.text import tokens
     from data_pipelines_spark.operators.corpus import _word_ngrams_from_tokens
 
@@ -873,40 +1028,23 @@ def duplicate_span_stats(
     )
     marked = grams.join(dup_keys, "__k", "left_semi").select(id_col, "pos")
 
-    w = Window.partitionBy(id_col).orderBy("pos")
-    lag_pos = F.lag("pos").over(w)
-    new_span = F.when(
-        lag_pos.isNull() | (F.col("pos") - lag_pos > n), F.lit(1)
-    ).otherwise(F.lit(0))
-    spans = (
-        marked.withColumn(
-            "__span",
-            F.sum(new_span).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .groupBy(id_col, "__span")
-        .agg(
-            F.count(F.lit(1)).alias("__g"),
-            (F.max("pos") - F.min("pos") + n).alias("__covered"),
-        )
+    per_doc = marked.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("__P")
     )
-    per_doc = spans.groupBy(id_col).agg(
-        F.sum("__g").alias("n_dup_grams"),
-        F.count(F.lit(1)).alias("n_dup_spans"),
-        F.sum("__covered").alias("dup_tokens"),
+    st = _span_stat_struct(
+        F.coalesce(F.col("__P"), F.array().cast("array<int>")), n
     )
-    zero = F.lit(0).cast("long")
     return (
         toked.select(id_col, F.size("__toks").alias("__n_tok"))
         .join(per_doc, id_col, "left")
+        .select(F.col(id_col), F.col("__n_tok"), st.alias("__st"))
         .select(
             id_col,
-            F.coalesce("n_dup_grams", zero).alias("n_dup_grams"),
-            F.coalesce("n_dup_spans", zero).alias("n_dup_spans"),
-            F.coalesce("dup_tokens", zero).alias("dup_tokens"),
+            F.col("__st.n_dup_grams").alias("n_dup_grams"),
+            F.col("__st.n_dup_spans").alias("n_dup_spans"),
+            F.col("__st.dup_tokens").alias("dup_tokens"),
             F.round(
-                F.coalesce("dup_tokens", zero)
+                F.col("__st.dup_tokens")
                 / F.greatest(F.col("__n_tok"), F.lit(1)).cast("double"),
                 6,
             ).alias("dup_token_frac"),
@@ -939,12 +1077,12 @@ def remove_duplicate_spans(
 
     Plan shape: the gram-duplication aggregate additionally carries
     ``min(struct(doc, pos))`` — same single shuffle as the stats
-    operator; cut ranges per doc are a doc-sized array joined back, and
-    the removal itself is one row-local higher-order filter over the
-    token array (no UDF).
+    operator; each doc's cut positions collapse to ONE sorted array row
+    (bounded by document length) whose merged ranges are derived
+    row-locally (r14 — no window shuffle+sort, no per-span grouping
+    pass), and the removal itself is one row-local higher-order filter
+    over the token array (no UDF).
     """
-    from pyspark.sql import Window
-
     from data_pipelines_spark.functions.text import tokens
     from data_pipelines_spark.operators.corpus import _word_ngrams_from_tokens
 
@@ -965,65 +1103,33 @@ def remove_duplicate_spans(
         grams.groupBy("__k")
         .agg(
             F.count(F.lit(1)).alias("__cnt"),
-            F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__first"),
+            F.min(_packed_first("__id")).alias("__first"),
         )
         .where(F.col("__cnt") >= min_count)
         .select("__k", "__first")
     )
     marked = grams.join(dup, "__k")
     if keep_first:
-        marked = marked.where(
-            ~(
-                (F.col("__id") == F.col("__first.__id"))
-                & (F.col("pos") == F.col("__first.pos"))
-            )
-        )
+        marked = marked.where(_packed_first("__id") != F.col("__first"))
     marked = marked.select(F.col("__id").alias(id_col), "pos")
 
-    w = Window.partitionBy(id_col).orderBy("pos")
-    lag_pos = F.lag("pos").over(w)
-    new_span = F.when(
-        lag_pos.isNull() | (F.col("pos") - lag_pos > n), F.lit(1)
-    ).otherwise(F.lit(0))
-    ranges = (
-        marked.withColumn(
-            "__span",
-            F.sum(new_span).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .groupBy(id_col, "__span")
-        .agg(
-            F.min("pos").alias("start"),
-            (F.max("pos") + n - 1).alias("end"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.collect_list(F.struct(F.col("start"), F.col("end"))).alias(
-                "__cuts"
-            )
-        )
+    per_doc = marked.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("__Q")
     )
-
-    cuts = F.coalesce(
-        F.col("__cuts"),
-        F.array().cast("array<struct<start:int,end:int>>"),
+    ranges = _cut_ranges_expr(
+        F.coalesce(F.col("__Q"), F.array().cast("array<int>")), n
     )
-    kept = F.filter(
-        F.col("__toks"),
-        lambda t, i: ~F.exists(
-            cuts, lambda r: (i >= r.getField("start")) & (i <= r.getField("end"))
-        ),
-    )
+    kept = let(ranges, lambda r: _kept_tokens(F.col("__toks"), r))
     zero = F.lit(0).cast("long")
     return (
-        toked.join(ranges, id_col, "left")
+        toked.join(per_doc, id_col, "left")
+        .select(F.col(id_col), F.col("__toks"), kept.alias("__kept"))
         .select(
             id_col,
-            F.concat_ws(" ", kept).alias("clean_text"),
+            F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
             F.coalesce(F.size("__toks").cast("long"), zero).alias("n_tokens"),
             F.coalesce(
-                (F.size("__toks") - F.size(kept)).cast("long"), zero
+                (F.size("__toks") - F.size("__kept")).cast("long"), zero
             ).alias("n_removed_tokens"),
         )
     )
@@ -1040,26 +1146,21 @@ def duplicate_span_report(
     """:func:`duplicate_span_stats` + keep-first
     :func:`remove_duplicate_spans` in ONE shared gram pipeline — one
     explode, one gram aggregate (count + canonical-first together), one
-    probe join; the two doc-window passes (all duplicated positions for
-    the profile, non-canonical ones for the cut) share the shuffled
-    frame (persisted — duplicated-positions-sized, the tiny end of the
-    pipeline).
-
-    When to use which, measured honestly: on local[32] the standalone
-    pair is FASTER at both 5k and 50k docs (~25-30% — the two
-    pipelines run as concurrent independent DAG branches and the
-    persist barrier here serializes), so the suite entry composes the
-    pair. This fused form halves the gram-shuffle volume, which is the
-    term that matters once the shuffle saturates cluster I/O rather
-    than the core pool — prefer it there, and measure. Equality with
-    the standalone pair is unit-asserted either way.
+    probe join, and ONE groupBy(doc) collecting each doc's duplicated
+    positions as a sorted (pos, is_cut) array. Both profiles — span
+    stats over ALL positions, cut ranges over the non-canonical ones —
+    are then derived row-locally from that array in the final
+    projection (r14): no persist barrier, no per-branch window
+    shuffle+sort, no duplicated subtree. Compared to composing the two
+    standalone operators this halves the gram explode+aggregate work
+    AND drops the two window passes, so it is now the faster form at
+    every scale tried as well as the lower-shuffle one at 100 TB.
+    Equality with the standalone pair is unit-asserted.
 
     Output: (id, n_dup_grams, n_dup_spans, dup_tokens, dup_token_frac,
     clean_text, n_tokens, n_removed_tokens) — column-for-column equal
     to the two standalone operators (unit-asserted).
     """
-    from pyspark.sql import Window
-
     from data_pipelines_spark.functions.text import tokens
     from data_pipelines_spark.operators.corpus import _word_ngrams_from_tokens
 
@@ -1080,96 +1181,65 @@ def duplicate_span_report(
         grams.groupBy("__k")
         .agg(
             F.count(F.lit(1)).alias("__cnt"),
-            F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__first"),
+            F.min(_packed_first("__id")).alias("__first"),
         )
         .where(F.col("__cnt") >= min_count)
         .select("__k", "__first")
     )
-    # Both downstream branches (profile spans over ALL duplicated
-    # positions, cut spans over the non-canonical ones) consume this
-    # frame; persisting it runs the gram explode + aggregate + probe
-    # join ONCE instead of once per branch (measured ~25% off the fused
-    # entry). The cache is duplicated-POSITIONS-sized — the tiny end of
-    # the pipeline — and session-scoped like the corpus suite's
-    # persists (bench.py clearCache()s between passes).
     marked = grams.join(dup, "__k").select(
         F.col("__id").alias(id_col),
         "pos",
-        (
-            ~(
-                (F.col("__id") == F.col("__first.__id"))
-                & (F.col("pos") == F.col("__first.pos"))
-            )
-        ).alias("__cut"),
-    ).persist()
+        (_packed_first("__id") != F.col("__first")).alias("__cut"),
+    )
+    # sort_array on (pos, cut) structs orders by pos (positions are
+    # unique within a doc), so both derived arrays are sorted.
+    per_doc = marked.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("pos"), F.col("__cut")))
+        ).alias("__pl")
+    )
 
-    def _spans(frame):
-        w = Window.partitionBy(id_col).orderBy("pos")
-        lag_pos = F.lag("pos").over(w)
-        new_span = F.when(
-            lag_pos.isNull() | (F.col("pos") - lag_pos > n), F.lit(1)
-        ).otherwise(F.lit(0))
-        return (
-            frame.withColumn(
-                "__span",
-                F.sum(new_span).over(
-                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                ),
-            )
-            .groupBy(id_col, "__span")
-            .agg(
-                F.count(F.lit(1)).alias("__g"),
-                F.min("pos").alias("__minp"),
-                F.max("pos").alias("__maxp"),
-            )
+    pl = F.coalesce(
+        F.col("__pl"), F.array().cast("array<struct<pos:int,__cut:boolean>>")
+    )
+
+    def derive(pl_b: Column) -> Column:
+        st = _span_stat_struct(
+            F.transform(pl_b, lambda x: x.getField("pos")), n
         )
-
-    per_doc = _spans(marked.select(id_col, "pos")).groupBy(id_col).agg(
-        F.sum("__g").alias("n_dup_grams"),
-        F.count(F.lit(1)).alias("n_dup_spans"),
-        F.sum(F.col("__maxp") - F.col("__minp") + n).alias("dup_tokens"),
-    )
-    ranges = (
-        _spans(marked.where(F.col("__cut")).select(id_col, "pos"))
-        .groupBy(id_col)
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("__minp").alias("start"),
-                    (F.col("__maxp") + n - 1).alias("end"),
-                )
-            ).alias("__cuts")
+        ranges = _cut_ranges_expr(
+            F.transform(
+                F.filter(pl_b, lambda x: x.getField("__cut")),
+                lambda x: x.getField("pos"),
+            ),
+            n,
         )
-    )
+        kept = let(ranges, lambda r: _kept_tokens(F.col("__toks"), r))
+        return F.struct(st.alias("st"), kept.alias("kept"))
 
-    cuts = F.coalesce(
-        F.col("__cuts"), F.array().cast("array<struct<start:int,end:int>>")
-    )
-    kept = F.filter(
-        F.col("__toks"),
-        lambda t, i: ~F.exists(
-            cuts, lambda r: (i >= r.getField("start")) & (i <= r.getField("end"))
-        ),
-    )
     zero = F.lit(0).cast("long")
     n_tok = F.coalesce(F.size("__toks").cast("long"), zero)
     return (
         toked.join(per_doc, id_col, "left")
-        .join(ranges, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            let(pl, derive).alias("__d"),
+        )
         .select(
             id_col,
-            F.coalesce("n_dup_grams", zero).alias("n_dup_grams"),
-            F.coalesce("n_dup_spans", zero).alias("n_dup_spans"),
-            F.coalesce("dup_tokens", zero).alias("dup_tokens"),
+            F.col("__d.st.n_dup_grams").alias("n_dup_grams"),
+            F.col("__d.st.n_dup_spans").alias("n_dup_spans"),
+            F.col("__d.st.dup_tokens").alias("dup_tokens"),
             F.round(
-                F.coalesce("dup_tokens", zero)
+                F.col("__d.st.dup_tokens")
                 / F.greatest(n_tok, F.lit(1)).cast("double"),
                 6,
             ).alias("dup_token_frac"),
-            F.concat_ws(" ", kept).alias("clean_text"),
+            F.concat_ws(" ", F.col("__d.kept")).alias("clean_text"),
             n_tok.alias("n_tokens"),
             F.coalesce(
-                (F.size("__toks") - F.size(kept)).cast("long"), zero
+                (F.size("__toks") - F.size("__d.kept")).cast("long"), zero
             ).alias("n_removed_tokens"),
         )
     )

@@ -286,10 +286,7 @@ def text_stats(spark, sf_dir):
       one copy of each duplicated passage survives (canonical = global
       min (doc, pos)); the oracle reproduces the full cut + reassembly
       and hashes the cleaned text."""
-    from data_pipelines_spark.operators.dedup import (
-        duplicate_span_stats,
-        remove_duplicate_spans,
-    )
+    from data_pipelines_spark.operators.dedup import duplicate_span_report
     from data_pipelines_spark.operators.ranking import bm25_scores
 
     tune(spark)
@@ -305,23 +302,42 @@ def text_stats(spark, sf_dir):
             F.regexp_extract_all(t, F.lit(_BPE_PATTERN), F.lit(0))
         ).cast("long").alias("n_bpe_tokens"),
     )
-    # Two independent gram pipelines, deliberately: they run as
-    # concurrent DAG branches across the core pool and beat the
-    # single-pass `duplicate_span_report` by ~25-30% at BOTH 5k and
-    # 50k docs on local[32] (measured; the fused form's halved
-    # gram-shuffle volume only pays once shuffle I/O, not the core
-    # pool, is the bottleneck - equality is unit-asserted either way).
-    spans = duplicate_span_stats(docs, n=_SPAN_N)
-    bm25 = bm25_scores(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B).select(
-        "doc_id", "bm25_score"
-    )
-    removed = remove_duplicate_spans(docs, n=_SPAN_N).select(
+    # ONE shared gram pipeline for both span families (r14): the
+    # array-based `duplicate_span_report` computes the duplication
+    # profile and the keep-first removal from a single gram
+    # explode+aggregate and a single groupBy(doc) — the pre-r14
+    # two-standalone-operator composition ran the gram pipeline twice
+    # and paid a window shuffle+sort per branch, and its concurrency
+    # advantage disappeared once the report dropped its persist
+    # barrier (re-measured at sf0.1: whole query 2.4-3.0 s warm split
+    # vs 1.7 s fused, same oracle hash).
+    report = duplicate_span_report(docs, n=_SPAN_N).select(
         "doc_id",
+        "n_dup_grams",
+        "n_dup_spans",
+        "dup_tokens",
+        "dup_token_frac",
         F.md5(F.encode(F.col("clean_text"), "UTF-8")).alias("span_clean_md5"),
         "n_removed_tokens",
     )
-    return (
-        base.join(spans, "doc_id").join(bm25, "doc_id").join(removed, "doc_id")
+    bm25 = bm25_scores(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B).select(
+        "doc_id", "bm25_score"
+    )
+    joined = base.join(report, "doc_id").join(bm25, "doc_id")
+    return joined.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_bytes",
+        "n_tokens",
+        "n_punct",
+        "n_bpe_tokens",
+        "n_dup_grams",
+        "n_dup_spans",
+        "dup_tokens",
+        "dup_token_frac",
+        "bm25_score",
+        "span_clean_md5",
+        "n_removed_tokens",
     )
 
 
