@@ -297,36 +297,40 @@ def _guard_band_buckets(
     op_name: str,
 ) -> DataFrame:
     """Bucket-size guard BEFORE a band self-join (the
-    `phash.phash_near_duplicates` pattern): bucket sizes ride back onto
-    the rows on the same (band, band_hash) keying the join reuses, and
-    `raise_error` fires row-wise the moment an oversized bucket is
-    touched — the job dies before the B²/2 candidate explosion
-    materializes. The guard is folded INTO the id column (a
-    side-channel column would be pruned away as unused). Found by the
-    r10 10× corpus probe: universal boilerplate shingles can pin many
-    docs' band minima to the same values, and 50k docs then produced
-    79M candidates without this guard."""
-    from pyspark.sql import Window
+    `phash.phash_near_duplicates` pattern): `raise_error` fires
+    row-wise the moment an oversized bucket is touched — the job dies
+    before the B²/2 candidate explosion materializes. The guard is
+    folded INTO the id column (a side-channel column would be pruned
+    away as unused). Found by the r10 10× corpus probe: universal
+    boilerplate shingles can pin many docs' band minima to the same
+    values, and 50k docs then produced 79M candidates without this
+    guard.
 
-    # Window count rather than agg+join-back: one pass over the bucket
-    # rows in the same (band, band_hash) hash distribution the
-    # candidate join uses, no second subtree and no blocking
-    # broadcast barrier (both alternatives measured slower on the
-    # headline query: agg+join-back +1.5 s, broadcast-oversized
-    # +1.3 s, window +0 s at sf0.1). `raise_error` fires row-wise the
-    # moment an oversized bucket's row is touched — before the B²/2
-    # candidate explosion materializes. The guard is folded INTO the
-    # id column (a side-channel column would be pruned away as
-    # unused).
-    sz = F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash"))
+    Shape (r14): bucket sizes come from a map-side-combined
+    groupBy(band, band_hash) count filtered to OVERSIZED buckets only —
+    an almost-always-empty frame broadcast back onto the bucket rows as
+    a left join. The earlier window-count formulation shuffled AND
+    sorted the entire bucket table on (band, band_hash) just to carry a
+    size every row already implied; the oversized-only aggregate ships
+    bytes proportional to the number of *violating* buckets (normally
+    zero) and leaves the bucket rows' distribution untouched (guide
+    §2.3/§2.4 — measured ~0.4 s off the minhash headline at sf0.1,
+    and at cluster scale it removes a full bucket-table sort)."""
+    oversized = (
+        buckets.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .where(F.col("__bsz") > max_bucket)
+    )
     id_type = buckets.schema[id_col].dataType
-    return buckets.select(
+    return buckets.join(
+        F.broadcast(oversized), ["band", "band_hash"], "left"
+    ).select(
         F.when(
-            sz > max_bucket,
+            F.col("__bsz").isNotNull(),
             F.raise_error(
                 F.concat(
                     F.lit(f"{op_name}: band bucket of "),
-                    sz.cast("string"),
+                    F.col("__bsz").cast("string"),
                     F.lit(
                         f" docs exceeds max_bucket={max_bucket}; "
                         "exact-dedup first (exact_duplicates, ideally "
@@ -1135,7 +1139,7 @@ def remove_duplicate_spans(
     )
 
 
-def duplicate_span_report(
+def _span_positions(
     docs: DataFrame,
     n: int = 8,
     min_count: int = 2,
@@ -1143,24 +1147,13 @@ def duplicate_span_report(
     id_col: str = "doc_id",
     hash_grams: bool = False,
 ) -> DataFrame:
-    """:func:`duplicate_span_stats` + keep-first
-    :func:`remove_duplicate_spans` in ONE shared gram pipeline — one
-    explode, one gram aggregate (count + canonical-first together), one
-    probe join, and ONE groupBy(doc) collecting each doc's duplicated
-    positions as a sorted (pos, is_cut) array. Both profiles — span
-    stats over ALL positions, cut ranges over the non-canonical ones —
-    are then derived row-locally from that array in the final
-    projection (r14): no persist barrier, no per-branch window
-    shuffle+sort, no duplicated subtree. Compared to composing the two
-    standalone operators this halves the gram explode+aggregate work
-    AND drops the two window passes, so it is now the faster form at
-    every scale tried as well as the lower-shuffle one at 100 TB.
-    Equality with the standalone pair is unit-asserted.
-
-    Output: (id, n_dup_grams, n_dup_spans, dup_tokens, dup_token_frac,
-    clean_text, n_tokens, n_removed_tokens) — column-for-column equal
-    to the two standalone operators (unit-asserted).
-    """
+    """Per-doc SORTED duplicated-position list: (id, __pl) where __pl is
+    array<struct<pos:int, __cut:boolean>> — every position whose n-gram
+    occurs >= min_count times corpus-wide, ``__cut`` marking the
+    non-canonical occurrences (everything but the global-first copy).
+    The shared heart of the span operators and the fused text_stats
+    suite entry: one gram explode+aggregate, one probe join, one
+    groupBy(doc)."""
     from data_pipelines_spark.functions.text import tokens
     from data_pipelines_spark.operators.corpus import _word_ngrams_from_tokens
 
@@ -1193,11 +1186,45 @@ def duplicate_span_report(
     )
     # sort_array on (pos, cut) structs orders by pos (positions are
     # unique within a doc), so both derived arrays are sorted.
-    per_doc = marked.groupBy(id_col).agg(
+    return marked.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("pos"), F.col("__cut")))
         ).alias("__pl")
     )
+
+
+def duplicate_span_report(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """:func:`duplicate_span_stats` + keep-first
+    :func:`remove_duplicate_spans` in ONE shared gram pipeline — one
+    explode, one gram aggregate (count + canonical-first together), one
+    probe join, and ONE groupBy(doc) collecting each doc's duplicated
+    positions as a sorted (pos, is_cut) array. Both profiles — span
+    stats over ALL positions, cut ranges over the non-canonical ones —
+    are then derived row-locally from that array in the final
+    projection (r14): no persist barrier, no per-branch window
+    shuffle+sort, no duplicated subtree. Compared to composing the two
+    standalone operators this halves the gram explode+aggregate work
+    AND drops the two window passes, so it is now the faster form at
+    every scale tried as well as the lower-shuffle one at 100 TB.
+    Equality with the standalone pair is unit-asserted.
+
+    Output: (id, n_dup_grams, n_dup_spans, dup_tokens, dup_token_frac,
+    clean_text, n_tokens, n_removed_tokens) — column-for-column equal
+    to the two standalone operators (unit-asserted).
+    """
+    from data_pipelines_spark.functions.text import tokens
+
+    toked = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    per_doc = _span_positions(docs, n, min_count, text_col, id_col, hash_grams)
 
     pl = F.coalesce(
         F.col("__pl"), F.array().cast("array<struct<pos:int,__cut:boolean>>")

@@ -76,8 +76,6 @@ def compute_detailed_forecast(
     forecast_df = round_grid_keys(forecast_df)
     threshold_df = round_grid_keys(threshold_df)
 
-    joined = forecast_df.join(F.broadcast(threshold_df), CELL_KEY, "left")
-    joined = exceedance_flags(joined, "dis24", periods)
     # NOTE on partitioning: a manual repartition(CELL_KEY) here cannot
     # be reused by the groupBy — Spark normalizes floating-point group
     # keys (knownfloatingpointnormalized), so the aggregate's required
@@ -89,11 +87,17 @@ def compute_detailed_forecast(
 
     dis = F.col("dis24")
     group_keys = [*CELL_KEY, "issued_on", "valid_for", "step"]
-    prob_aggs = [
-        F.avg(F.col(f"exceed_{p}y")).alias(f"p_above_{p}y") for p in periods
-    ]
 
     if not exact_quantiles:
+        # Sketch path: partial aggregation compresses each group to a
+        # fixed-size buffer BEFORE the exchange, so joining thresholds
+        # at fact grain costs no shuffle bytes here — keep the
+        # classic join → flags → aggregate shape.
+        joined = forecast_df.join(F.broadcast(threshold_df), CELL_KEY, "left")
+        joined = exceedance_flags(joined, "dis24", periods)
+        prob_aggs = [
+            F.avg(F.col(f"exceed_{p}y")).alias(f"p_above_{p}y") for p in periods
+        ]
         fractions = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
         qs = F.approx_percentile(dis, fractions, F.lit(approx_accuracy))
         out = joined.groupBy(*group_keys).agg(
@@ -118,6 +122,19 @@ def compute_detailed_forecast(
     # groups are small (members x 1), so the array stays tiny. The
     # interpolation is the same type-7 formula percentile()/DuckDB
     # quantile_cont use: pos = q*(n-1); lo + (hi-lo)*frac.
+    #
+    # r14: the aggregation runs FIRST and the threshold join moves to
+    # the aggregate grain (members×steps fewer probe rows), with the
+    # exceedance probabilities read off the already-collected sorted
+    # array instead of pre-join 0/1 flags — the exchange no longer
+    # carries the three flag columns and the broadcast join evaluates
+    # once per ensemble group instead of once per member row (guide
+    # §1.2/§2.3; measured 1.74 s → 1.24 s for the detailed stage at
+    # sf0.1). NULL semantics are preserved exactly: collect_list drops
+    # NULL dis, so size(__v) is the old avg()'s denominator (flags were
+    # NULL ⇔ dis or threshold NULL), the numerator counts x >= t over
+    # non-null values only, and a NULL threshold or an all-NULL group
+    # yields NULL — the same cases avg() returned NULL for.
     def q_expr(v, q: float):
         n = F.size(v)
         pos = F.lit(q) * (n - 1).cast("double")
@@ -127,10 +144,20 @@ def compute_detailed_forecast(
         hi_val = F.element_at(v, F.least(lo + 2, n))
         return lo_val + (hi_val - lo_val) * frac
 
-    out = joined.groupBy(*group_keys).agg(
-        F.sort_array(F.collect_list(dis)).alias("__v"), *prob_aggs
+    out = forecast_df.groupBy(*group_keys).agg(
+        F.sort_array(F.collect_list(dis)).alias("__v")
     )
+    out = out.join(F.broadcast(threshold_df), CELL_KEY, "left")
     v = F.col("__v")
+
+    def prob(p: int):
+        t = F.col(f"threshold_{p}y")
+        return F.when(
+            t.isNotNull() & (F.size(v) > 0),
+            F.size(F.filter(v, lambda x: x >= t)).cast("double")
+            / F.size(v).cast("double"),
+        )
+
     return out.select(
         *group_keys,
         F.element_at(v, 1).alias("min_dis"),
@@ -138,7 +165,7 @@ def compute_detailed_forecast(
         q_expr(v, 0.5).alias("median_dis"),
         q_expr(v, 0.75).alias("q3_dis"),
         F.element_at(v, -1).alias("max_dis"),
-        *[f"p_above_{p}y" for p in periods],
+        *[prob(p).alias(f"p_above_{p}y") for p in periods],
     )
 
 
@@ -292,11 +319,24 @@ def compute_summary_forecast(
             F.col("p_above_20y"), F.col("p_above_5y"), F.col("p_above_2y")
         )
         ranked = detailed_with_control.withColumn("condition", cond)
-        peak_val = F.struct(
-            F.col("step").alias("peak_step"), F.col("valid_for").alias("peak_day")
-        )
-        peak_ord = F.struct(
-            F.col("condition"), F.col("median_dis"), (-F.col("step")).alias("neg_step")
+        # r14: the peak argmax is array_max over a collected
+        # (condition, median_dis, -step, …) struct list rather than
+        # max_by(value_struct, order_struct). A struct-ordered
+        # max_by has no mutable aggregation buffer, so Catalyst demoted
+        # the ENTIRE fused aggregate to SortAggregate — a full sort of
+        # the detailed frame on both sides of the exchange just for the
+        # one argmax column. collect_list keeps the aggregate
+        # hash-based (ObjectHashAggregate; see session.py's
+        # sortBased.fallbackThreshold note), the buffer is bounded by
+        # steps-per-cell (the forecast horizon), and lexicographic
+        # struct comparison reproduces the (condition, median_dis,
+        # -step) total order exactly — the trailing peak fields can
+        # only break ties the old order left nondeterministic.
+        peak_item = F.struct(
+            F.col("condition"),
+            F.col("median_dis"),
+            (-F.col("step")).alias("neg_step"),
+            F.col("valid_for").alias("peak_day"),
         )
         control_agg = (
             F.max("control_dis")
@@ -306,7 +346,7 @@ def compute_summary_forecast(
             )
         )
         g = ranked.groupBy(*CELL_KEY).agg(
-            F.max_by(peak_val, peak_ord).alias("peak"),
+            F.array_max(F.collect_list(peak_item)).alias("peak"),
             F.max(
                 F.when(F.col("step").between(1, 10), F.col("p_above_2y"))
             ).alias("max_2y_start"),
@@ -321,10 +361,10 @@ def compute_summary_forecast(
         )
         summary = g.select(
             *CELL_KEY,
-            F.col("peak.peak_step").alias("peak_step"),
+            (-F.col("peak.neg_step")).alias("peak_step"),
             F.col("peak.peak_day").alias("peak_day"),
             peak_timing_label(
-                F.col("peak.peak_step"), F.col("max_2y_start")
+                -F.col("peak.neg_step"), F.col("max_2y_start")
             ).alias("peak_timing"),
             "max_median_dis",
             "min_median_dis",

@@ -29,6 +29,22 @@ _RUNTIME_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Dimension tables in this engine are small; let more joins broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # ObjectHashAggregate (collect_list/percentile/typed-imperative
+    # aggregates — the ensemble-quantile, span-position and argmax
+    # collects in this engine) silently degrades to SORT-based
+    # aggregation once a task's hash map holds more than this many
+    # groups; the Spark default of 128 means effectively every such
+    # aggregate here was sorting its entire partition. The engine's
+    # collected buffers are all bounded by design (ensemble width,
+    # steps-per-cell, tokens-per-doc, lines-per-order), so the memory
+    # per entry is small and a six-figure group count per task is
+    # well inside executor memory; the fallback still exists as the
+    # safety valve past this point. Scale-dependent, so overridable:
+    # size it to expected groups-per-task × buffer bytes on a real
+    # cluster ($SPARK_GRAFT_OBJ_AGG_FALLBACK).
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": os.environ.get(
+        "SPARK_GRAFT_OBJ_AGG_FALLBACK", str(128 * 1024)
+    ),
 }
 
 

@@ -286,13 +286,103 @@ def text_stats(spark, sf_dir):
       one copy of each duplicated passage survives (canonical = global
       min (doc, pos)); the oracle reproduces the full cut + reassembly
       and hashes the cleaned text."""
-    from data_pipelines_spark.operators.dedup import duplicate_span_report
-    from data_pipelines_spark.operators.ranking import bm25_scores
+    from data_pipelines_spark.functions.text import let, tokens
+    from data_pipelines_spark.operators.dedup import (
+        _cut_ranges_expr,
+        _kept_tokens,
+        _span_positions,
+        _span_stat_struct,
+    )
+    from data_pipelines_spark.operators.ranking import _term_freq
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    base = docs.select(
+    n_terms = len(_BM25_TERMS)
+
+    # Fully fused plan (r14): ONE streamed scan carries text + lowered
+    # tokens; the only other subtrees are the shared gram pipeline
+    # (`_span_positions` — one explode+aggregate+probe+groupBy(doc) for
+    # BOTH span families; the pre-r14 composition ran it twice with a
+    # window shuffle+sort per branch) and the single-row BM25 corpus
+    # statistics, both broadcast back. Every output column — base
+    # stats, span profile, keep-first removal hash, BM25 — is computed
+    # in one final projection, so the three per-doc joins and two extra
+    # tokenizing scans of the old base ⨝ report ⨝ bm25 shape disappear
+    # (whole query re-measured at sf0.1: 2.4-3.0 s warm split → 1.7 s
+    # operator-fused → ~1.2 s this shape, same oracle hash).
+    toked = docs.select(
+        "doc_id", "text", tokens(F.lower(t)).alias("__toks")
+    )
+    per_doc = _span_positions(docs, n=_SPAN_N)
+
+    tokl = tokens(F.lower(t))
+    stats = docs.select(
+        F.size(tokl).cast("long").alias("dl"),
+        *[
+            _term_freq(tokl, term).alias(f"__tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("dl").alias("__sum_dl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(n_terms)
+        ],
+    )
+
+    joined = toked.join(per_doc, "doc_id", "left").join(F.broadcast(stats))
+
+    pl = F.coalesce(
+        F.col("__pl"), F.array().cast("array<struct<pos:int,__cut:boolean>>")
+    )
+    toks = F.col("__toks")
+
+    # BM25 with the exact `bm25_scores` arithmetic: idf rounded to 6
+    # before the multiply, each term contribution rounded to 6, row
+    # total rounded to 6; dl/tf recomputed from the carried token
+    # array (identical values — lowering does not change token counts).
+    n_corpus = F.col("__n").cast("double")
+    avgdl = F.col("__sum_dl").cast("double") / n_corpus
+    dl = F.size(toks).cast("double")
+    norm = F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * dl / avgdl
+    )
+    contribs = []
+    for i, term in enumerate(_BM25_TERMS):
+        tf = _term_freq(toks, term).cast("double")
+        df = F.col(f"__df_{i}").cast("double")
+        idf6 = F.round(F.log((n_corpus - df + 0.5) / (df + 0.5) + 1.0), 6)
+        sat = tf * F.lit(_BM25_K1 + 1.0) / (tf + norm)
+        contribs.append(
+            F.when(tf > 0, F.round(idf6 * sat, 6)).otherwise(F.lit(0.0))
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    bm25 = F.round(
+        F.when(F.size(toks) > 0, score).otherwise(F.lit(0.0)), 6
+    ).alias("bm25_score")
+
+    def derive(pl_b):
+        st = _span_stat_struct(
+            F.transform(pl_b, lambda x: x.getField("pos")), _SPAN_N
+        )
+        ranges = _cut_ranges_expr(
+            F.transform(
+                F.filter(pl_b, lambda x: x.getField("__cut")),
+                lambda x: x.getField("pos"),
+            ),
+            _SPAN_N,
+        )
+        kept = let(ranges, lambda r: _kept_tokens(toks, r))
+        return F.struct(st.alias("st"), kept.alias("kept"))
+
+    n_tok = F.size(toks).cast("long")
+    return joined.select(
+        "doc_id", "text", "__toks", let(pl, derive).alias("__d"), bm25
+    ).select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars_calc"),
         byte_length(t).alias("n_bytes"),
@@ -301,43 +391,21 @@ def text_stats(spark, sf_dir):
         F.size(
             F.regexp_extract_all(t, F.lit(_BPE_PATTERN), F.lit(0))
         ).cast("long").alias("n_bpe_tokens"),
-    )
-    # ONE shared gram pipeline for both span families (r14): the
-    # array-based `duplicate_span_report` computes the duplication
-    # profile and the keep-first removal from a single gram
-    # explode+aggregate and a single groupBy(doc) — the pre-r14
-    # two-standalone-operator composition ran the gram pipeline twice
-    # and paid a window shuffle+sort per branch, and its concurrency
-    # advantage disappeared once the report dropped its persist
-    # barrier (re-measured at sf0.1: whole query 2.4-3.0 s warm split
-    # vs 1.7 s fused, same oracle hash).
-    report = duplicate_span_report(docs, n=_SPAN_N).select(
-        "doc_id",
-        "n_dup_grams",
-        "n_dup_spans",
-        "dup_tokens",
-        "dup_token_frac",
-        F.md5(F.encode(F.col("clean_text"), "UTF-8")).alias("span_clean_md5"),
-        "n_removed_tokens",
-    )
-    bm25 = bm25_scores(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B).select(
-        "doc_id", "bm25_score"
-    )
-    joined = base.join(report, "doc_id").join(bm25, "doc_id")
-    return joined.select(
-        "doc_id",
-        "n_chars_calc",
-        "n_bytes",
-        "n_tokens",
-        "n_punct",
-        "n_bpe_tokens",
-        "n_dup_grams",
-        "n_dup_spans",
-        "dup_tokens",
-        "dup_token_frac",
+        F.col("__d.st.n_dup_grams").alias("n_dup_grams"),
+        F.col("__d.st.n_dup_spans").alias("n_dup_spans"),
+        F.col("__d.st.dup_tokens").alias("dup_tokens"),
+        F.round(
+            F.col("__d.st.dup_tokens")
+            / F.greatest(n_tok, F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_token_frac"),
         "bm25_score",
-        "span_clean_md5",
-        "n_removed_tokens",
+        F.md5(
+            F.encode(F.concat_ws(" ", F.col("__d.kept")), "UTF-8")
+        ).alias("span_clean_md5"),
+        (F.size(toks) - F.size("__d.kept")).cast("long").alias(
+            "n_removed_tokens"
+        ),
     )
 
 

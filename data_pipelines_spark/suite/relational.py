@@ -13,7 +13,6 @@ from data_pipelines_spark.plans.dense import dense_agg, key_universe
 from data_pipelines_spark.plans.windows import (
     constant_from_marker,
     group_max_broadcast,
-    top1_per_group,
 )
 from data_pipelines_spark.session import tune
 from data_pipelines_spark.sources.tables import load_table
@@ -180,18 +179,39 @@ def control_marker_window(spark, sf_dir):
     """,
 )
 def argmax_per_group(spark, sf_dir):
-    """A5/O2: deterministic top-1 per group via a ranking window (the
-    reference's sort-then-first `transforms.py:128-139`, with the total
-    order covering every output column so ties are value-identical)."""
+    """A5/O2: deterministic top-1 per group under the total order
+    (quantity DESC, linenumber ASC).
+
+    r14: expressed as ``array_max(collect_list(struct(quantity,
+    -linenumber)))`` — a map-side-combinable hash aggregate — instead
+    of a row_number window. The window form sorts every partition
+    twice (WindowGroupLimit partial + post-exchange) just to pick one
+    row per group, and a struct-ordered ``max_by`` would demote the
+    aggregate to SortAggregate (no mutable buffer); the collected-list
+    argmax keeps the whole aggregate hash-based with buffers bounded
+    by lines-per-order (≤ 7) and shuffles only the per-group partials
+    (guide §2.4). Lexicographic struct max == first row under
+    (quantity DESC, linenumber ASC), including NaN-greatest semantics
+    (total order, so the argmax is unique; value-equality pinned by
+    the oracle hash). `top1_per_group` stays the general helper for
+    whole-row callers."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    top = top1_per_group(
-        li, ["l_orderkey"], [F.desc("l_quantity"), F.asc("l_linenumber")]
+    peak = F.array_max(
+        F.collect_list(
+            F.struct(
+                F.col("l_quantity"), (-F.col("l_linenumber")).alias("__nl")
+            )
+        )
     )
-    return top.select(
-        "l_orderkey",
-        F.col("l_linenumber").cast("long").alias("peak_linenumber"),
-        F.col("l_quantity").alias("peak_qty"),
+    return (
+        li.groupBy("l_orderkey")
+        .agg(peak.alias("__peak"))
+        .select(
+            "l_orderkey",
+            (-F.col("__peak.__nl")).cast("long").alias("peak_linenumber"),
+            F.col("__peak.l_quantity").alias("peak_qty"),
+        )
     )
 
 

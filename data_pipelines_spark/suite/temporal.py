@@ -97,33 +97,81 @@ def events_windowed_agg(spark, sf_dir):
     tune(spark)
     ev = load_events(spark, sf_dir)
 
-    def windowed(win, q: str):
-        return (
-            ev.groupBy(win.alias("w"), "event_type")
-            .agg(
-                F.count(F.lit(1)).alias("event_cnt"),
-                F.min("value").alias("min_value"),
-                F.max("value").alias("max_value"),
-                F.sum(F.col("value").cast("decimal(18,6)"))
-                .cast("double")
-                .alias("sum_value"),
-            )
-            .select(
-                F.lit(q).alias("q"),
-                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                    "window_start"
-                ),
-                "event_type",
-                "event_cnt",
-                "min_value",
-                "max_value",
-                "sum_value",
-            )
+    # r14: two-level aggregation instead of two fact-sized window aggs.
+    # Every output window start is 30-min aligned, so ONE pass
+    # pre-aggregates the stream at exact 30-min grain (count/min/max
+    # compose; the DECIMAL sum is exact and associative, cast to double
+    # only at the end), then each tiny pre-aggregated bucket fans out to
+    # its window assignments — the 1 h tumble bucket, and the two 1 h/
+    # 30 min sliding windows F.window() would have assigned each event
+    # to — and a second bucket-grained aggregate finishes. The fact
+    # table is scanned and shuffled ONCE (partial-agg-compressed)
+    # instead of twice with an Expand doubling the slide branch's rows
+    # (guide §2.3 "aggregate before you shuffle"). The null-ts filter
+    # mirrors F.window's null-dropping semantics.
+    step_us = 30 * 60 * 1_000_000  # 30-min slide/bucket width in µs
+    us = F.unix_micros(F.col("ts"))
+    l1 = (
+        ev.where(F.col("ts").isNotNull())
+        .select(
+            (us - F.pmod(us, F.lit(step_us))).alias("__b"),
+            "event_type",
+            "value",
         )
-
-    tumble = windowed(F.window(F.col("ts"), "1 hour"), "tumble")
-    slide = windowed(F.window(F.col("ts"), "1 hour", "30 minutes"), "slide")
-    return tumble.unionByName(slide)
+        .groupBy("__b", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min("value").alias("__mn"),
+            F.max("value").alias("__mx"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__s"),
+        )
+    )
+    b = F.col("__b")
+    hour_start = b - F.pmod(b, F.lit(2 * step_us))
+    assigned = l1.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("tumble").alias("q"), hour_start.alias("ws")),
+                F.struct(F.lit("slide").alias("q"), b.alias("ws")),
+                F.struct(
+                    F.lit("slide").alias("q"), (b - step_us).alias("ws")
+                ),
+            )
+        ).alias("__w"),
+        "__c",
+        "__mn",
+        "__mx",
+        "__s",
+        "event_type",
+    ).select(
+        F.col("__w.q").alias("q"),
+        F.col("__w.ws").alias("__ws"),
+        "event_type",
+        "__c",
+        "__mn",
+        "__mx",
+        "__s",
+    )
+    return (
+        assigned.groupBy("q", "__ws", "event_type")
+        .agg(
+            F.sum("__c").alias("event_cnt"),
+            F.min("__mn").alias("min_value"),
+            F.max("__mx").alias("max_value"),
+            F.sum("__s").cast("double").alias("sum_value"),
+        )
+        .select(
+            "q",
+            F.date_format(
+                F.timestamp_micros(F.col("__ws")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "event_type",
+            "event_cnt",
+            "min_value",
+            "max_value",
+            "sum_value",
+        )
+    )
 
 
 _RESAMPLE_SEC = 6 * 3600  # 6-hour buckets over the 30-day event span
