@@ -204,6 +204,12 @@ def point_in_polygon_join(
         & (F.col("__py") >= F.col("min_y"))
         & (F.col("__py") <= F.col("max_y"))
     )
+    # Keep ONLY the columns the exact test reads (guide §4.1): the
+    # bucket ids and bbox columns are spent on the prefilter above, and
+    # leaving them in would both widen the skew-repartition shuffle
+    # below and serialize them into every Arrow batch crossing the
+    # Python boundary.
+    cand = cand.select(point_id, "__zone_id", wkt_col, "__px", "__py")
 
     from data_pipelines_spark.plans.parallelism import spread
 
