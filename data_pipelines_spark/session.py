@@ -116,6 +116,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Janino-compiled class cache (static conf — build time only).
+        # The default of 100 entries thrashes as soon as one session
+        # executes a mixed workload: the 16 headline bench queries alone
+        # plan >100 WholeStageCodegen/aggregate classes per pass, so the
+        # widest plans (the 64-column minhash signature aggregate, the
+        # est/verify stages) were Janino-RECOMPILED on every repetition —
+        # measured +48 classes and ~+1.5 s per bench pass on
+        # minhash_near_dup_pairs alone (probe: bench-context 4.8-5.0 s vs
+        # 0 recompiles / ~3.2 s standalone, same JVM). Long-lived
+        # sessions at scale run far more than 100 distinct plans; cached
+        # generated classes are a few KB-100 KB each, so 4096 entries is
+        # bounded by ~100s of MB of metaspace in the worst case.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
     )
     for key, value in _RUNTIME_CONF.items():
         builder = builder.config(key, value)
