@@ -289,9 +289,14 @@ def minhash_band_buckets(
                 for j in range(rows_per_band)
             ],
         )
-        # Fast path hashes the band to an 8-byte shuffle key; portable
-        # mode keeps the raw string so external engines group identically.
-        return joined if portable else F.xxhash64(joined).cast("string")
+        # Fast path hashes the band to an 8-byte LONG shuffle key —
+        # narrower than the ~20-char decimal string it used to carry
+        # (guide §2.3: the bucket table is corpus×bands rows, and band
+        # equality on xxhash64-as-long is the same relation as on its
+        # string rendering, so every downstream join/agg is unchanged);
+        # portable mode keeps the raw string so external engines group
+        # identically.
+        return joined if portable else F.xxhash64(joined)
 
     exploded = F.posexplode(F.array(*[band_key(b) for b in range(num_bands)]))
     return signatures.select(F.col(id_col), exploded.alias("band", "band_hash"))

@@ -97,6 +97,35 @@ def test_summary_forecast_hash_aggregate(spark):
     assert ") Window" not in plan, plan
 
 
+def test_band_hash_is_long(docs):
+    """Fast-path band keys shuffle as 8-byte longs, not their ~20-char
+    decimal string rendering (same equality relation, narrower exchange
+    on the corpus×bands bucket table); portable mode keeps the raw
+    string because external engines must group identically."""
+    from data_pipelines_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+
+    fast = minhash_band_buckets(minhash_signatures(docs))
+    assert dict(fast.dtypes)["band_hash"] == "bigint"
+    portable = minhash_band_buckets(
+        minhash_signatures(docs, portable=True), portable=True
+    )
+    assert dict(portable.dtypes)["band_hash"] == "string"
+
+
+def test_codegen_cache_sized_for_mixed_workloads(spark):
+    """get_spark raises the Janino class-cache static conf: at the
+    default 100 entries one mixed-workload session (the 16-query bench
+    alone) evicts and recompiles the widest plans' classes on every
+    repetition (measured +48 classes / ~1.5 s per bench pass on
+    minhash_near_dup_pairs)."""
+    assert (
+        int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1024
+    )
+
+
 def test_detailed_forecast_joins_after_aggregation(spark):
     """The exact-quantile detailed forecast aggregates BEFORE the
     threshold join: the broadcast join's streamed side is the
