@@ -194,19 +194,30 @@ def minhash_signatures(
     hashes, min per doc, because the DuckDB oracle reproduces exactly
     that arithmetic (suite/llmdata.py `_minhash_oracle_sql`).
 
-    Both paths collapse to ``num_hashes`` longs per doc before any
-    shuffle (hash-aggregate partials), so the shuffle volume at 100 TB
-    is signature-sized, never shingle-sized.
+    The fast path is **row-local** (r14): a document's shingles are
+    already an array column, so the per-bucket minima are derived with
+    higher-order functions inside ONE projection — no explode, no
+    aggregate, no exchange (beyond the `spread` of a narrow scan).
+    The signature stage vanishes from the shuffle plan entirely, and
+    the very wide 64-column aggregate codegen (the largest generated
+    class in the engine — the dominant cold-start JIT cost measured in
+    r14) is gone with it. Input docs must be unique per ``id_col``
+    (the explode+groupBy form merged duplicate ids; every caller feeds
+    uniquely-keyed docs).
+
+    The portable path still collapses to ``num_hashes`` longs per doc
+    before its one shuffle (hash-aggregate partials), so shuffle volume
+    at 100 TB is signature-sized, never shingle-sized.
     """
     docs = _spread(docs)
-    ex = docs.select(
-        F.col(id_col),
-        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("__sh"),
-    )
     if portable:
         # Explode distinct shingles to rows and take the 64 minima with
         # plain aggregate expressions — the same arithmetic the oracle
         # restates, inside whole-stage codegen.
+        ex = docs.select(
+            F.col(id_col),
+            F.explode(char_shingles(F.col(text_col), shingle_k)).alias("__sh"),
+        )
         hashed = ex.select(
             F.col(id_col), _shingle_hash32(F.col("__sh")).alias("x")
         )
@@ -224,48 +235,53 @@ def minhash_signatures(
         # ranges when num_hashes is a power of two; otherwise pmod and
         # the shift share bits and per-bucket minima correlate.
         raise ValueError(f"num_hashes must be a power of two, got {num_hashes}")
-    h = F.xxhash64("__sh")
-    hashed = ex.select(
-        F.col(id_col),
-        F.pmod(h, F.lit(num_hashes)).cast("int").alias("__bkt"),
-        # rank value from the high bits — independent of the bucket bits
-        F.shiftrightunsigned(h, max(1, num_hashes.bit_length() - 1)).alias("__hv"),
-    )
-    # ONE groupBy(id) with num_hashes conditional minima instead of
-    # groupBy(id, bkt) → groupBy(id): the per-bucket minima partials
-    # compose map-side exactly the same (shuffle volume unchanged —
-    # ≤ num_hashes values per doc per input partition either way), but
-    # the second exchange and the ObjectHashAggregate
-    # (collect_list + map_from_entries) disappear — the whole signature
-    # assembly stays in whole-stage codegen with one shuffle (guide
-    # §2.4). The extra cost is num_hashes branch tests per exploded
-    # shingle row inside codegen, measured cheaper than the exchange it
-    # replaces at every SF tried.
-    assembled = hashed.groupBy(id_col).agg(
-        *[
-            F.min(F.when(F.col("__bkt") == i, F.col("__hv"))).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    raw = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
     from data_pipelines_spark.functions.text import let
 
-    def densify(arr: Column) -> Column:
-        # array_min skips NULL entries, so this is the min over the
-        # non-empty buckets — the same global minimum as before.
-        gmin = F.array_min(arr)
-        return F.transform(
-            arr,
-            # Knuth multiplicative rehash of (global min, position)
-            # fills the rare empty bucket deterministically from the
-            # doc's content.
-            lambda x, i: F.coalesce(
-                x,
-                F.pmod(gmin + (i + 1).cast("long") * 2654435761, F.lit(1 << 61)),
-            ),
-        )
+    shift = max(1, num_hashes.bit_length() - 1)
 
-    return assembled.select(F.col(id_col), let(raw, densify).alias("minhash"))
+    # Row-local assembly (guide §2.4 — remove shuffles outright): every
+    # shingle is hashed ONCE into an array bound by `let`; signature
+    # element i is the min of the rank bits over the shingles whose low
+    # bits select bucket i. The per-element arithmetic is byte-for-byte
+    # the explode+groupBy formulation's (same xxhash64, same pmod/shift
+    # split), so the minima — and every band key downstream — are
+    # identical; only WHERE they are computed moves (into one
+    # projection). Cost: num_hashes interpreted filter/min passes over
+    # the doc's hash array — the same O(num_hashes·shingles) work the
+    # codegen'd aggregate update did, without the explode, the
+    # aggregate hash table, or the exchange.
+    def build(hs: Column) -> Column:
+        def bucket_min(i: int) -> Column:
+            return F.array_min(
+                F.transform(
+                    F.filter(hs, lambda h: F.pmod(h, F.lit(num_hashes)) == i),
+                    lambda h: F.shiftrightunsigned(h, shift),
+                )
+            )
+
+        raw = F.array(*[bucket_min(i) for i in range(num_hashes)])
+
+        def densify(arr: Column) -> Column:
+            # array_min skips NULL entries, so this is the min over the
+            # non-empty buckets — the same global minimum as before.
+            gmin = F.array_min(arr)
+            return F.transform(
+                arr,
+                # Knuth multiplicative rehash of (global min, position)
+                # fills the rare empty bucket deterministically from the
+                # doc's content.
+                lambda x, i: F.coalesce(
+                    x,
+                    F.pmod(gmin + (i + 1).cast("long") * 2654435761, F.lit(1 << 61)),
+                ),
+            )
+
+        return let(raw, densify)
+
+    hashes = F.transform(
+        char_shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+    )
+    return docs.select(F.col(id_col), let(hashes, build).alias("minhash"))
 
 
 def minhash_band_buckets(
@@ -577,6 +593,7 @@ def verify_pairs_exact(
     shingle_k: int = 5,
     broadcast_pairs: bool = False,
     min_jaccard: float | None = None,
+    single_scan: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs — the confirm
     stage after any sketch tier (minhash/simhash/embedding).
@@ -598,6 +615,18 @@ def verify_pairs_exact(
     set, and sketch false positives (inflated estimates on unrelated
     docs — observed from OPH at larger corpus sizes) are dropped
     instead of shipped.
+
+    ``single_scan=True`` (r14, guide §2.4): the two per-side joins
+    stream the corpus TWICE — one full scan per side. The single-scan
+    shape explodes each pair into (pair, side, doc_id) rows, joins the
+    corpus ONCE, and regroups per pair (a pairs-sized exchange), so a
+    100 TB corpus is read once instead of twice. Preconditions, both
+    guaranteed by every caller: ``pairs`` distinct on (doc_a, doc_b)
+    and ``docs`` unique per ``id_col`` (the join-per-side form would
+    multiply rows for duplicates; this form collapses them). Presence
+    semantics match the inner joins exactly: a pair whose doc is
+    absent from ``docs`` is dropped, NULL text propagates to a NULL
+    jaccard.
     """
     # Join raw texts first and shingle AFTER the join: the shingle
     # expression then runs only on the matched pair rows, not over the
@@ -625,6 +654,48 @@ def verify_pairs_exact(
             char_shingles(F.col("__tb"), shingle_k), lambda sb: jac(sa, sb)
         ),
     )
+    if single_scan:
+        sides = pairs.select("doc_a", "doc_b").select(
+            "doc_a",
+            "doc_b",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(True).alias("__is_a"),
+                        F.col("doc_a").alias(id_col),
+                    ),
+                    F.struct(
+                        F.lit(False).alias("__is_a"),
+                        F.col("doc_b").alias(id_col),
+                    ),
+                )
+            ).alias("__s"),
+        ).select(
+            "doc_a", "doc_b", F.col("__s.__is_a").alias("__is_a"),
+            F.col(f"__s.{id_col}").alias(id_col),
+        )
+        if broadcast_pairs:
+            sides = F.broadcast(sides)
+        joined = sides.join(docs.select(id_col, text_col), id_col)
+        is_a = F.col("__is_a")
+        both = (
+            joined.groupBy("doc_a", "doc_b")
+            .agg(
+                F.max(F.when(is_a, F.col(text_col))).alias("__ta"),
+                F.max(F.when(~is_a, F.col(text_col))).alias("__tb"),
+                # presence flags, independent of text nullity: the
+                # per-side inner joins dropped a pair iff a side had no
+                # docs row, NOT when its text was NULL.
+                F.count(F.when(is_a, F.lit(1))).alias("__ca"),
+                F.count(F.when(~is_a, F.lit(1))).alias("__cb"),
+            )
+            .where((F.col("__ca") > 0) & (F.col("__cb") > 0))
+        )
+        out = both.select("doc_a", "doc_b", exact.alias("exact_jaccard"))
+        if min_jaccard is not None:
+            out = out.where(F.col("exact_jaccard") >= float(min_jaccard))
+        return out
+
     p = pairs.select("doc_a", "doc_b")
     if broadcast_pairs:
         # Hint BOTH pair-sized sides (the raw pairs and the pairs+text_a

@@ -1510,7 +1510,11 @@ def minhash_near_dup_pairs(spark, sf_dir):
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
-    return verify_pairs_exact(docs, pairs, broadcast_pairs=True, min_jaccard=0.5)
+    # single_scan: pairs are distinct and doc_ids unique, so the verify
+    # stage reads the corpus once instead of once per pair side.
+    return verify_pairs_exact(
+        docs, pairs, broadcast_pairs=True, min_jaccard=0.5, single_scan=True
+    )
 
 
 @register(
@@ -1554,7 +1558,7 @@ def incremental_near_dup(spark, sf_dir):
     )
     return verify_pairs_exact(
         docs, pairs.select("doc_a", "doc_b"),
-        broadcast_pairs=True, min_jaccard=0.5,
+        broadcast_pairs=True, min_jaccard=0.5, single_scan=True,
     )
 
 

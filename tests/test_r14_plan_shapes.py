@@ -38,15 +38,79 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def test_minhash_signatures_single_exchange(docs):
-    """OPH signature assembly is ONE hash aggregate: exactly one
-    Exchange (the groupBy(id) shuffle; the spread() repartition of a
-    narrow in-memory input does not apply here) and no
-    ObjectHashAggregate / second-level aggregate."""
+def test_minhash_signatures_row_local(docs):
+    """OPH signature assembly is row-local (r14): one projection over
+    the docs scan — no explode, no aggregate of any kind, and no
+    Exchange at all (the spread() repartition of a narrow file scan is
+    the only shuffle that may ever appear, and an in-memory input does
+    not get one)."""
     plan = _plan(minhash_signatures(docs))
-    assert plan.count(") Exchange") == 1, plan
+    assert plan.count(") Exchange") == 0, plan
+    assert "HashAggregate" not in plan, plan
     assert "ObjectHashAggregate" not in plan, plan
     assert "SortAggregate" not in plan, plan
+    assert ") Generate" not in plan, plan  # no explode
+
+    # The portable (oracle-replayable) path keeps its explode+groupBy
+    # shape: one exchange, hash aggregate.
+    pplan = _plan(minhash_signatures(docs, portable=True))
+    assert "HashAggregate" in pplan, pplan
+
+
+def test_verify_pairs_exact_single_scan_equivalence(spark, docs):
+    """single_scan=True reads the corpus once (plan pin below) and is
+    value-identical to the two-join form, including pairs whose doc is
+    missing from the corpus and the no-threshold mode."""
+    from data_pipelines_spark.operators.dedup import verify_pairs_exact
+
+    pairs = spark.createDataFrame(
+        [(0, 3), (1, 4), (2, 39), (5, 999)],  # 999 absent from docs
+        "doc_a long, doc_b long",
+    )
+    for mj in (None, 0.5):
+        base = sorted(
+            map(tuple, verify_pairs_exact(docs, pairs, min_jaccard=mj).collect())
+        )
+        one = sorted(
+            map(
+                tuple,
+                verify_pairs_exact(
+                    docs, pairs, min_jaccard=mj, single_scan=True
+                ).collect(),
+            )
+        )
+        assert base == one, (mj, base, one)
+    # presence semantics: the absent-doc pair is dropped in both forms
+    assert all(r[1] != 999 for r in base)
+
+
+def test_verify_pairs_exact_single_scan_one_corpus_scan(spark):
+    """The single-scan verify touches the corpus parquet exactly once;
+    the per-side-join form scans it twice."""
+    import os
+
+    import pytest as _pytest
+
+    from data_pipelines_spark.operators.dedup import verify_pairs_exact
+    from data_pipelines_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        _pytest.skip("testdata not present")
+    corpus = load_table(spark, sf_dir, "documents")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    one = _plan(
+        verify_pairs_exact(
+            corpus, pairs, broadcast_pairs=True, min_jaccard=0.5, single_scan=True
+        )
+    )
+    two = _plan(
+        verify_pairs_exact(corpus, pairs, broadcast_pairs=True, min_jaccard=0.5)
+    )
+    # count the numbered detail entries ("(n) Scan parquet"), not the
+    # tree lines — formatted plans print each operator twice.
+    assert one.count(") Scan parquet") == 1, one
+    assert two.count(") Scan parquet") == 2, two
 
 
 def test_span_operators_no_window_no_sortagg(docs):
