@@ -1867,7 +1867,16 @@ def portable_hash_suite(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("media_id"),
         h60.bitwiseXOR(flip_mask).alias("phash"),
     )
-    ph_all = ph_base.unionByName(ph_planted)
+    # Each near-dup operator references its input several times (band
+    # explode, bucket-size guard, candidate self-join, verify join) and
+    # the batch/store split below reads it twice more; without a
+    # persist every reference re-scans documents and re-derives the
+    # md5 hashes (measured: 138 parquet scans in this suite's plan,
+    # ~4.4 s warm at sf0.01 — the most expensive sweep entry). The
+    # persisted frames are id+hash proxies (a few longs per doc), the
+    # guide-§8 "decide over lightweight metadata" shape — never
+    # corpus-sized text.
+    ph_all = ph_base.unionByName(ph_planted).persist()
     ph = phash_near_duplicates(ph_all, max_hamming=6).select(
         F.lit("phash_pairs").alias("method"),
         F.col("id_a"),
@@ -1946,7 +1955,7 @@ def portable_hash_suite(spark, sf_dir):
                 ).alias("fp"),
             )
         )
-    )
+    ).persist()
     afp_tier = audio_near_duplicates(afp, max_bit_error_rate=0.15).select(
         F.lit("afp_pairs").alias("method"),
         F.col("id_a"),
@@ -2010,7 +2019,7 @@ def portable_hash_suite(spark, sf_dir):
                 ).alias("sig"),
             )
         )
-    )
+    ).persist()
     vsig_tier = video_near_duplicates(vsig, max_frame_hamming=6).select(
         F.lit("vsig_pairs").alias("method"),
         F.col("id_a"),
