@@ -31,11 +31,67 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 _RING_RE = None  # compiled lazily so import stays cheap
+
+
+def wkt_rings_expr(wkt: Column) -> Column:
+    """Native-expression twin of :func:`parse_wkt_rings`:
+    ``array<array<struct<x:double,y:double>>>`` — one inner array per
+    parenthesized ring of a POLYGON/MULTIPOLYGON WKT. Both engines
+    parse coordinate text with correctly-rounded decimal→binary
+    conversion, so the doubles are bit-identical to the Python path's.
+    Assumes well-formed polygon WKT (the Python parser raises on
+    non-polygons; this expression is for callers that construct or
+    pre-validate their geometry)."""
+
+    def parse_pt(pt: Column) -> Column:
+        xy = F.split(F.trim(pt), r"\s+")
+        return F.struct(
+            xy[0].cast("double").alias("x"), xy[1].cast("double").alias("y")
+        )
+
+    bodies = F.regexp_extract_all(wkt, F.lit(r"\(([^()]+)\)"), 1)
+    return F.transform(
+        bodies, lambda b: F.transform(F.split(b, ","), parse_pt)
+    )
+
+
+def points_in_rings_expr(rings: Column, px: Column, py: Column) -> Column:
+    """Native-expression twin of :func:`points_in_rings`: even-odd
+    ray-cast containment of (px, py) in the parsed ring array, as a
+    boolean Column. The edge arithmetic — ``px < x1 + (py - y1) *
+    (x2 - x1) / (y2 - y1)`` with horizontal edges skipped — is the
+    identical IEEE sequence the numpy kernel runs, so the verdicts
+    match bit-for-bit; the division is evaluated lazily (CASE WHEN)
+    only on crossing edges."""
+
+    def ring_parity(ring: Column) -> Column:
+        def step(acc: Column, i: Column) -> Column:
+            p1 = F.element_at(ring, i)
+            p2 = F.element_at(ring, i + 1)
+            x1, y1 = p1.getField("x"), p1.getField("y")
+            x2, y2 = p2.getField("x"), p2.getField("y")
+            crossed = (y1 > py) != (y2 > py)
+            hit = F.when(
+                crossed, px < x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            ).otherwise(F.lit(False))
+            return acc != hit  # boolean != is XOR
+
+        n_edges = F.size(ring) - 1
+        return F.when(
+            n_edges >= 1,
+            F.aggregate(
+                F.sequence(F.lit(1), n_edges), F.lit(False), step
+            ),
+        ).otherwise(F.lit(False))
+
+    return F.aggregate(
+        rings, F.lit(False), lambda acc, ring: acc != ring_parity(ring)
+    )
 
 
 def parse_wkt_rings(wkt: str) -> list[np.ndarray]:
@@ -140,6 +196,7 @@ def point_in_polygon_join(
     broadcast: bool | None = None,
     max_broadcast_zones: int = 100_000,
     max_broadcast_bytes: int = 64 * 1024 * 1024,
+    exact: str = "python",
 ) -> DataFrame:
     """(point_id, zone_id) pairs for points contained in polygons.
 
@@ -155,7 +212,27 @@ def point_in_polygon_join(
     derived frames get Catalyst's (over)estimate, which conservatively
     falls back to the shuffle join. Callers that know their zone table
     (as the suite does) pass ``broadcast`` explicitly.
+
+    ``exact`` picks the exact-containment implementation:
+
+    - ``"python"`` (default) — vectorized numpy ray casting over Arrow
+      batches. Right when polygons are complex (hundreds+ of edges):
+      the per-task ring cache parses each WKT once and numpy tests a
+      whole batch of points per edge, amortizing the Python boundary.
+    - ``"native"`` (r14, guide §4.1) — the rings are parsed ONCE per
+      polygon with native expressions on the build side and the
+      even-odd test runs as a JVM expression per candidate row: the
+      two Python stages (bbox parse + exact test), their Arrow
+      serialization, and the skew re-spread exchange all disappear
+      from the plan. Right for simple geometry (the suite's
+      rectangular zones: 4 edges), where the per-candidate HOF cost is
+      trivial and the fixed Python-stage latency dominated. Verdicts
+      are bit-identical to the numpy kernel (same IEEE edge
+      arithmetic — pinned in tests/test_spatial_joins.py); requires
+      well-formed polygon WKT.
     """
+    if exact not in ("python", "native"):
+        raise ValueError(f"exact must be 'python' or 'native', got {exact!r}")
     if broadcast is None:
         stats = polygons._jdf.queryExecution().optimizedPlan().stats()
         row_count = stats.rowCount()
@@ -163,12 +240,47 @@ def point_in_polygon_join(
             broadcast = int(str(row_count.get())) <= max_broadcast_zones
         else:
             broadcast = int(str(stats.sizeInBytes())) <= max_broadcast_bytes
-    polys = polygons_with_bbox(polygons, poly_id, wkt_col)
+
+    if exact == "native":
+        from data_pipelines_spark.functions.text import let
+
+        # Parse rings once per polygon and derive the bbox from them in
+        # the same projection — no Python stage on the build side.
+        def with_bbox(rings: Column) -> Column:
+            def bbox(pts: Column) -> Column:
+                xs = F.transform(pts, lambda p: p.getField("x"))
+                ys = F.transform(pts, lambda p: p.getField("y"))
+                return F.struct(
+                    F.array_min(xs).alias("min_x"),
+                    F.array_min(ys).alias("min_y"),
+                    F.array_max(xs).alias("max_x"),
+                    F.array_max(ys).alias("max_y"),
+                )
+
+            return F.struct(
+                rings.alias("rings"), let(F.flatten(rings), bbox).alias("bb")
+            )
+
+        polys = polygons.select(
+            F.col(poly_id),
+            let(wkt_rings_expr(F.col(wkt_col)), with_bbox).alias("__g"),
+        ).select(
+            poly_id,
+            F.col("__g.rings").alias("__rings"),
+            F.col("__g.bb.min_x").alias("min_x"),
+            F.col("__g.bb.min_y").alias("min_y"),
+            F.col("__g.bb.max_x").alias("max_x"),
+            F.col("__g.bb.max_y").alias("max_y"),
+        )
+        geom_col = "__rings"
+    else:
+        polys = polygons_with_bbox(polygons, poly_id, wkt_col)
+        geom_col = wkt_col
 
     # Explode each polygon onto every bucket its bbox covers.
     poly_buckets = polys.select(
         F.col(poly_id).alias("__zone_id"),
-        wkt_col,
+        geom_col,
         "min_x",
         "min_y",
         "max_x",
@@ -196,6 +308,17 @@ def point_in_polygon_join(
         F.floor(F.col(x_col) / bucket_size).alias("bx"),
         F.floor(F.col(y_col) / bucket_size).alias("by"),
     )
+    if exact == "native" and broadcast:
+        from data_pipelines_spark.plans.parallelism import spread
+
+        # The ray-cast lambda below is evaluated OUTSIDE whole-stage
+        # codegen (higher-order functions interpret), so a narrow input
+        # would serialize the per-candidate work onto one core. Widen
+        # the POINT side before the broadcast join — the exchange then
+        # carries narrow point rows, not candidates with ring arrays —
+        # and join + exact filter run in that same widened stage.
+        # spread() is a no-op at real scale (input already wide).
+        pts = spread(pts)
 
     build = F.broadcast(poly_buckets) if broadcast else poly_buckets
     cand = pts.join(build, ["bx", "by"]).where(
@@ -209,7 +332,23 @@ def point_in_polygon_join(
     # leaving them in would both widen the skew-repartition shuffle
     # below and serialize them into every Arrow batch crossing the
     # Python boundary.
-    cand = cand.select(point_id, "__zone_id", wkt_col, "__px", "__py")
+    cand = cand.select(point_id, "__zone_id", geom_col, "__px", "__py")
+
+    if exact == "native":
+        # Pure-JVM exact test: one filter expression per candidate row —
+        # no Python stage, no Arrow batches (point-side spread above
+        # keeps the interpreted lambda parallel on narrow local
+        # fixtures; the shuffle path is already wide after its join).
+        return cand.where(
+            points_in_rings_expr(
+                F.col("__rings"), F.col("__px"), F.col("__py")
+            )
+        ).select(
+            point_id,
+            # the python path's output schema declares zone_id long —
+            # mirror it so both impls are drop-in interchangeable
+            F.col("__zone_id").cast("long").alias("zone_id"),
+        )
 
     from data_pipelines_spark.plans.parallelism import spread
 

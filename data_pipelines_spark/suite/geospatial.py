@@ -63,8 +63,15 @@ def spatial_join_zones(spark, sf_dir):
         (((F.col("c_custkey") * 7) % 50) + 0.5).cast("double").alias("y"),
     )
     # zones is the nation dimension (25 rows) — known broadcast-safe,
-    # so skip the size probe; broadcast=None would count() first.
-    return point_in_polygon_join(points, zones, bucket_size=10.0, broadcast=True)
+    # so skip the size probe (broadcast=None would count() first).
+    # exact="native" (r14): the zones are 4-edge rectangles, so the
+    # JVM-expression ray cast replaces both Python stages (bbox parse +
+    # exact test) and the re-spread exchange — the whole query becomes
+    # one scan-stage broadcast join + filter (guide §4.1; verdict
+    # equality with the numpy kernel pinned in tests).
+    return point_in_polygon_join(
+        points, zones, bucket_size=10.0, broadcast=True, exact="native"
+    )
 
 
 @register(

@@ -701,3 +701,41 @@ def test_pip_join_shuffle_path_balances_giant_zone_and_hot_bucket(spark):
     a = sorted((r["point_id"], r["zone_id"]) for r in shuffled.collect())
     b = sorted((r["point_id"], r["zone_id"]) for r in bcast.collect())
     assert a == b and len(a) > 8000  # continent matches every point
+
+
+def test_native_exact_matches_python_on_all_shapes(spark):
+    """r14: the JVM-expression exact test (exact="native") must agree
+    with the numpy ray-cast verdict point-for-point on every geometry
+    class — donut holes, multipolygon parts, concave notches — on both
+    join paths, and its plan must contain no Python stage."""
+    zones = spark.createDataFrame(
+        [(1, DONUT), (2, MULTI), (3, CONCAVE), (4, TRIANGLE)],
+        "id long, geometry string",
+    )
+    points = spark.createDataFrame(
+        [(i, float(i % 26) - 0.5, float((i * 7) % 26) - 0.5) for i in range(200)]
+        # on-edge points follow the same even-odd convention
+        + [(900, 0.0, 5.0), (901, 10.0, 5.0), (902, 5.0, 0.0), (903, 3.0, 5.0)],
+        "point_id long, x double, y double",
+    )
+    for bc in (True, False):
+        py = point_in_polygon_join(
+            points, zones, bucket_size=6.0, broadcast=bc, exact="python"
+        )
+        nat = point_in_polygon_join(
+            points, zones, bucket_size=6.0, broadcast=bc, exact="native"
+        )
+        a = {(r["point_id"], r["zone_id"]) for r in py.collect()}
+        b = {(r["point_id"], r["zone_id"]) for r in nat.collect()}
+        assert a == b, (bc, a - b, b - a)
+        assert py.schema == nat.schema
+        plan = nat._jdf.queryExecution().executedPlan().toString()
+        for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+            assert node not in plan, (bc, node)
+
+
+def test_native_exact_rejects_bad_mode():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exact"):
+        point_in_polygon_join(None, None, 1.0, exact="banana")
