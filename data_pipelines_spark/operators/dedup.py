@@ -954,6 +954,38 @@ def _packed_first(id_col: str) -> Column:
     )
 
 
+def _gram_key_frame(
+    toked: DataFrame, n: int, id_col: str, hash_grams: bool, out_id: str
+) -> DataFrame:
+    """(out_id, pos, __k) exploded n-gram key rows from a
+    (id, __toks) frame — the shared front of every span operator.
+
+    ``hash_grams=True`` (the scale mode) hashes the n token fields
+    DIRECTLY (`_word_ngram_hashes_from_tokens`): no ~n·8-byte gram
+    string is ever built per position, and the groupBy/probe keys are
+    8-byte longs instead of gram strings (guide §2.3 — narrower
+    types, project before the exchange). The default keeps raw gram
+    strings so external engines reproduce the grouping exactly."""
+    from data_pipelines_spark.operators.corpus import (
+        _word_ngram_hashes_from_tokens,
+        _word_ngrams_from_tokens,
+    )
+
+    if hash_grams:
+        return toked.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                _word_ngram_hashes_from_tokens(F.col("__toks"), n)
+            ).alias("pos", "__k"),
+        )
+    return toked.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(_word_ngrams_from_tokens(F.col("__toks"), n)).alias(
+            "pos", "gram"
+        ),
+    ).select(out_id, "pos", F.col("gram").alias("__k"))
+
+
 def _span_gaps(positions: Column) -> Column:
     """Consecutive-position gaps of a sorted int array: [p1-p0, p2-p1, …].
 
@@ -1100,7 +1132,6 @@ def duplicate_span_stats(
     external engines (the DuckDB oracle) reproduce the result exactly.
     """
     from data_pipelines_spark.functions.text import tokens
-    from data_pipelines_spark.operators.corpus import _word_ngrams_from_tokens
 
     # Bind the token array ONE projection below the generator and feed
     # the n-gram transform straight into posexplode — materializing the
@@ -1111,15 +1142,7 @@ def duplicate_span_stats(
     toked = docs.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
     )
-    key = (
-        F.xxhash64(F.col("gram")) if hash_grams else F.col("gram")
-    ).alias("__k")
-    grams = toked.select(
-        id_col,
-        F.posexplode(_word_ngrams_from_tokens(F.col("__toks"), n)).alias(
-            "pos", "gram"
-        ),
-    ).select(id_col, "pos", key)
+    grams = _gram_key_frame(toked, n, id_col, hash_grams, id_col)
 
     dup_keys = (
         grams.groupBy("__k")
@@ -1185,20 +1208,11 @@ def remove_duplicate_spans(
     over the token array (no UDF).
     """
     from data_pipelines_spark.functions.text import tokens
-    from data_pipelines_spark.operators.corpus import _word_ngrams_from_tokens
 
     toked = docs.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
     )
-    key = (
-        F.xxhash64(F.col("gram")) if hash_grams else F.col("gram")
-    ).alias("__k")
-    grams = toked.select(
-        id_col,
-        F.posexplode(_word_ngrams_from_tokens(F.col("__toks"), n)).alias(
-            "pos", "gram"
-        ),
-    ).select(F.col(id_col).alias("__id"), "pos", key)
+    grams = _gram_key_frame(toked, n, id_col, hash_grams, "__id")
 
     dup = (
         grams.groupBy("__k")
@@ -1252,20 +1266,11 @@ def _span_positions(
     suite entry: one gram explode+aggregate, one probe join, one
     groupBy(doc)."""
     from data_pipelines_spark.functions.text import tokens
-    from data_pipelines_spark.operators.corpus import _word_ngrams_from_tokens
 
     toked = docs.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
     )
-    key = (
-        F.xxhash64(F.col("gram")) if hash_grams else F.col("gram")
-    ).alias("__k")
-    grams = toked.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(_word_ngrams_from_tokens(F.col("__toks"), n)).alias(
-            "pos", "gram"
-        ),
-    ).select("__id", "pos", key)
+    grams = _gram_key_frame(toked, n, id_col, hash_grams, "__id")
 
     dup = (
         grams.groupBy("__k")

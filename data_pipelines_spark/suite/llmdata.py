@@ -314,7 +314,15 @@ def text_stats(spark, sf_dir):
     toked = docs.select(
         "doc_id", "text", tokens(F.lower(t)).alias("__toks")
     )
-    per_doc = _span_positions(docs, n=_SPAN_N)
+    # hash_grams (r14, guide §2.3): the 8-word gram strings existed
+    # only to be grouped and probed; hashing the 8 token fields
+    # directly shuffles 8-byte longs instead of ~50-byte strings and
+    # never materializes the gram text. The duplicated-position sets —
+    # and every downstream span/cut/stat column — are identical unless
+    # a 64-bit collision pairs two distinct grams (~N²/2⁶⁴; the
+    # deterministic fixtures are collision-free, re-verified against
+    # the oracle at sf0.001/0.01/0.1 after the switch).
+    per_doc = _span_positions(docs, n=_SPAN_N, hash_grams=True)
 
     tokl = tokens(F.lower(t))
     stats = docs.select(
