@@ -274,9 +274,11 @@ def text_stats(spark, sf_dir):
       (`operators.dedup.duplicate_span_stats`, the Lee et al. 2022
       shape): positions whose 8-gram occurs >= 2 times corpus-wide,
       merged into maximal spans (gap <= n), and the token coverage of
-      those spans. Gram-string groupBy here for oracle portability;
-      ``hash_grams=True`` is the shuffle-shrinking scale mode
-      (equivalence unit-tested).
+      those spans. Runs the ``hash_grams=True`` scale mode (r14):
+      8-byte token-tuple hashes instead of gram strings in the
+      duplication shuffle — output identical short of a 64-bit
+      collision (equivalence unit-tested, oracle re-verified at
+      sf0.001/0.01/0.1).
     - ``bm25_score`` — Okapi BM25 (`operators.ranking.bm25_scores`)
       against a pinned 4-term query; corpus stats (N, avgdl, df) are a
       single-row broadcast, idf rounded to 6 before the multiply so the
