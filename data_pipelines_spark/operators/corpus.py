@@ -864,30 +864,6 @@ def _word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _word_ngram_hashes_from_tokens(toks: Column, n: int) -> Column:
-    """64-bit n-gram keys straight from the token array: one
-    multi-argument ``xxhash64(tok_i, …, tok_{i+n-1})`` per position,
-    with NO gram string ever materialized (r14, guide §2.3 — the
-    string form built ~n·8 bytes per position just to be hashed or
-    shuffled away). Key equality matches gram-string equality modulo
-    64-bit collisions: tokens are whitespace-free, so the space-joined
-    string was injective, and multi-arg xxhash64 chains per-field
-    seeds, so distinct token tuples collide only with the same
-    ~N²/2⁶⁴ bound the old ``xxhash64(gram_string)`` key had. Same
-    caller contract as :func:`_word_ngrams_from_tokens`: bind ``toks``
-    to a real column first."""
-    cnt = F.size(toks)
-    return F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(1), cnt - n + 1),
-            lambda i: F.xxhash64(
-                *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-
-
 def _word_ngrams(text: Column, n: int) -> Column:
     return _word_ngrams_from_tokens(tokens(F.lower(text)), n)
 

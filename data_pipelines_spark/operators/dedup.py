@@ -961,22 +961,39 @@ def _gram_key_frame(
     (id, __toks) frame — the shared front of every span operator.
 
     ``hash_grams=True`` (the scale mode) hashes the n token fields
-    DIRECTLY (`_word_ngram_hashes_from_tokens`): no ~n·8-byte gram
-    string is ever built per position, and the groupBy/probe keys are
-    8-byte longs instead of gram strings (guide §2.3 — narrower
-    types, project before the exchange). The default keeps raw gram
-    strings so external engines reproduce the grouping exactly."""
-    from data_pipelines_spark.operators.corpus import (
-        _word_ngram_hashes_from_tokens,
-        _word_ngrams_from_tokens,
-    )
+    DIRECTLY with one multi-argument xxhash64 per position: no
+    ~n·8-byte gram string is ever built, and the groupBy/probe keys
+    are 8-byte longs instead of gram strings (guide §2.3 — narrower
+    types, project before the exchange). The explode generates a bare
+    POSITION sequence and the hash is computed after it, in
+    whole-stage codegen — hashing inside a `transform` lambda runs
+    interpreted, measured ~20% slower on the same chain with
+    byte-identical keys. Key equality matches gram-string equality
+    modulo 64-bit collisions (~N²/2⁶⁴): tokens are whitespace-free,
+    so the space-joined string was injective, and multi-arg xxhash64
+    chains per-field seeds. The default keeps raw gram strings so
+    external engines reproduce the grouping exactly."""
+    from data_pipelines_spark.operators.corpus import _word_ngrams_from_tokens
 
     if hash_grams:
-        return toked.select(
-            F.col(id_col).alias(out_id),
-            F.posexplode(
-                _word_ngram_hashes_from_tokens(F.col("__toks"), n)
-            ).alias("pos", "__k"),
+        cnt = F.size("__toks")
+        return (
+            toked.where(cnt >= n)
+            .select(
+                F.col(id_col).alias(out_id),
+                "__toks",
+                F.explode(F.sequence(F.lit(0), cnt - n)).alias("pos"),
+            )
+            .select(
+                out_id,
+                "pos",
+                F.xxhash64(
+                    *[
+                        F.element_at(F.col("__toks"), F.col("pos") + 1 + j)
+                        for j in range(n)
+                    ]
+                ).alias("__k"),
+            )
         )
     return toked.select(
         F.col(id_col).alias(out_id),
