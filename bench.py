@@ -140,6 +140,14 @@ def main() -> None:
         "sf": sf,
         "cold_value": round(sum(cold.values()), 3),
         "cold_queries": cold,
+        # Additions only (r15): echo the parallelism this run actually
+        # used so a low-core scaling run is self-describing — the r14
+        # driver flagged `suspect_cpus_ignored` because nothing in the
+        # output proved which core count produced it. `cpus` is the
+        # resolved thread count of the local master; `master` is the
+        # exact master URL the session runs under.
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
     }
     if errors:
         payload["errors"] = errors

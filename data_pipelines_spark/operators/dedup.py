@@ -375,6 +375,37 @@ def _guard_band_buckets(
     )
 
 
+def _first_equal_band(sig_a, sig_b, num_bands: int, rows_per_band: int):
+    """0-based index of the FIRST band whose signature segments are
+    element-equal between the two docs, NULL if no band matches.
+
+    First-band-wins dedup of LSH candidate pairs (guide §2.4 — remove
+    shuffles outright): a pair joins once per shared band, so keeping
+    only the row whose join band IS the pair's first segment-equal band
+    yields exactly one row per pair with NO distinct exchange. Segment
+    equality is decided on the signature arrays already present at the
+    est stage, so this is a row-local filter evaluated (left-to-right
+    AND) only on est-filter survivors.
+
+    Equivalence: in portable mode band keys are injective renderings of
+    the segments, so key equality ⇔ segment equality and the kept set is
+    EXACTLY the old distinct's. In fast mode band keys are xxhash64 of
+    the segment rendering; a hash collision (≈ pairs×bands/2⁶⁴) could
+    emit a candidate at a band whose segments differ — such rows only
+    survive here if the pair ALSO shares a genuinely-equal band, i.e.
+    collision-only candidates are dropped (they were accidental
+    candidates, tightening toward true LSH semantics). Same collision
+    class as the hashed gram keys (r14); oracle-verified at 3 SFs."""
+    eq_bands = F.filter(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.slice(sig_a, b * rows_per_band + 1, rows_per_band)
+        == F.slice(sig_b, b * rows_per_band + 1, rows_per_band),
+    )
+    # F.get is 0-based and NULL-safe on the empty array (element_at
+    # would abort under ANSI); NULL never equals the join band.
+    return F.get(eq_bands, 0)
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
@@ -403,6 +434,12 @@ def minhash_near_duplicates(
     """
     # The signature frame feeds three consumers (bucketing + both sides
     # of the verification join); persist so it is computed once.
+    # Lifecycle: the returned frame references these cached blocks
+    # lazily, so this function cannot unpersist them itself — the
+    # CALLER owns the cache entry and should `spark.catalog.clearCache()`
+    # (or unpersist via the plan's cached relation) once the result has
+    # been consumed, exactly as a long-lived driver serving many queries
+    # must. The bench/driver harnesses clear the cache between runs.
     sigs = minhash_signatures(
         docs, text_col, id_col, num_hashes, shingle_k, portable
     ).persist()
@@ -426,16 +463,18 @@ def minhash_near_duplicates(
     # a pair appears once per shared band, and the measured duplication
     # is ~1.03x (most candidates share exactly one band), so a full
     # exchange+aggregate of the candidate table bought a 3% row
-    # reduction. Deduplicating AFTER the est filter costs one tiny
-    # exchange of the surviving near-dups instead (est_jaccard is a
-    # pure function of the pair, so the distinct set is identical —
-    # A/B'd at sf0.1: est chain 1.9-2.9 s -> 0.7-1.1 s, equal output).
+    # reduction (r14 measurement). r15 removes the remaining
+    # est-survivor `.distinct()` exchange too: the join band is carried
+    # through the est stage and FIRST-BAND-WINS keeps exactly one row
+    # per pair row-locally (see `_first_equal_band`) — the candidate
+    # chain is now exchange-free past the band join.
     cand = (
         left.join(right, ["band", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("band", "doc_a", "doc_b")
     )
 
+    rows_per_band = num_hashes // num_bands
     sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b"))
     est = (
@@ -451,9 +490,16 @@ def minhash_near_duplicates(
             ).cast("double")
             / F.size("sig_a"),
         )
-        .where(F.col("est_jaccard") >= jaccard_threshold)
+        .where(
+            (F.col("est_jaccard") >= jaccard_threshold)
+            & (
+                F.col("band")
+                == _first_equal_band(
+                    F.col("sig_a"), F.col("sig_b"), num_bands, rows_per_band
+                )
+            )
+        )
         .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
-        .distinct()
     )
     return est
 
@@ -506,6 +552,10 @@ def incremental_near_duplicates(
     must be globally unique across corpus and batches (the store's
     contract).
     """
+    # Caller-owned cache entry, same lifecycle note as
+    # `minhash_near_duplicates`: both returned frames (pairs AND
+    # new_signatures) read these blocks lazily, so the callee cannot
+    # unpersist; clear after consuming the results.
     sigs_new = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_k
     ).persist()
@@ -549,15 +599,15 @@ def incremental_near_duplicates(
         )
         .where(F.col("doc_a") < F.col("doc_b"))
     )
-    # Same distinct-late shape as minhash_near_duplicates: band
-    # duplicates are ~3% of candidate rows, so the pre-join distinct's
-    # full exchange of the candidate table is dropped and the surviving
-    # near-dups deduplicate after the est filter instead (the
-    # corpus/new legs are disjoint by construction — doc_b is a corpus
-    # id in one and a batch id in the other — so the union itself
-    # introduces no duplicates).
-    cand = cand_corpus.select("doc_a", "doc_b").unionByName(
-        cand_new.select("doc_a", "doc_b")
+    # Same first-band-wins shape as minhash_near_duplicates: band
+    # duplicates (~3% of candidate rows) are resolved row-locally at
+    # the est stage by keeping only the pair's first segment-equal
+    # band (`_first_equal_band`) — no candidate distinct, no
+    # est-survivor distinct. The corpus/new legs are disjoint by
+    # construction — doc_b is a corpus id in one and a batch id in the
+    # other — so the union itself introduces no duplicates.
+    cand = cand_corpus.select("band", "doc_a", "doc_b").unionByName(
+        cand_new.select("band", "doc_a", "doc_b")
     )
 
     all_sigs = sigs_new.unionByName(
@@ -578,9 +628,19 @@ def incremental_near_duplicates(
             ).cast("double")
             / F.size("sig_a"),
         )
-        .where(F.col("est_jaccard") >= jaccard_threshold)
+        .where(
+            (F.col("est_jaccard") >= jaccard_threshold)
+            & (
+                F.col("band")
+                == _first_equal_band(
+                    F.col("sig_a"),
+                    F.col("sig_b"),
+                    num_bands,
+                    num_hashes // num_bands,
+                )
+            )
+        )
         .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
-        .distinct()
     )
     return pairs, sigs_new
 

@@ -67,7 +67,15 @@ def points_in_rings_expr(rings: Column, px: Column, py: Column) -> Column:
     (x2 - x1) / (y2 - y1)`` with horizontal edges skipped — is the
     identical IEEE sequence the numpy kernel runs, so the verdicts
     match bit-for-bit; the division is evaluated lazily (CASE WHEN)
-    only on crossing edges."""
+    only on crossing edges.
+
+    Cost model (caller contract): higher-order ``aggregate`` is
+    CodegenFallback, so this runs INTERPRETED at O(edges) per candidate
+    row — the right trade for few-vertex polygons (the suite's zones
+    are 4-edge rectangles). For many-vertex geometry, keep the numpy
+    ``points_in_rings`` path (the ``exact="python"`` default of
+    ``point_in_polygon_join``), which vectorizes hundreds of edges over
+    whole Arrow batches."""
 
     def ring_parity(ring: Column) -> Column:
         def step(acc: Column, i: Column) -> Column:

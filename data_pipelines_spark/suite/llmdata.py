@@ -1885,7 +1885,12 @@ def portable_hash_suite(spark, sf_dir):
     # ~4.4 s warm at sf0.01 — the most expensive sweep entry). The
     # persisted frames are id+hash proxies (a few longs per doc), the
     # guide-§8 "decide over lightweight metadata" shape — never
-    # corpus-sized text.
+    # corpus-sized text. Lifecycle: the suite's returned union reads
+    # these blocks lazily, so the query builder cannot unpersist them —
+    # the CALLER (driver/bench, which clear the cache between runs)
+    # owns the entries; a resident session should clearCache() after
+    # consuming the result. Applies to all three persists here
+    # (ph_all, afp, vsig).
     ph_all = ph_base.unionByName(ph_planted).persist()
     ph = phash_near_duplicates(ph_all, max_hamming=6).select(
         F.lit("phash_pairs").alias("method"),
