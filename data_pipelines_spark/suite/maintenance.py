@@ -429,7 +429,24 @@ def quality_report(spark, sf_dir):
     )
 
     lo, hi, n_bins = 0.5, 50.5, 50
-    sk_all = histogram_sketch(li, [], "l_quantity", lo, hi, n_bins)
+    # r15 (guide §6/§2.3): ONE grouped scan builds both parity-half
+    # histograms; the full-corpus histogram is their exact roll-up
+    # (merge_histogram_sketches is bit-identical to a direct histogram
+    # of the union — integer bin sums, the store's pinned contract), so
+    # the three separate lineitem scans (all/h0/h1) collapse to one.
+    # The 2-row store frame is persisted because FOUR tiny consumers
+    # (hist_row x2, drift_row's two sides) would otherwise each re-scan
+    # lineitem; caller-owned lifecycle as in suite/llmdata.py (the
+    # driver/bench clear the cache between runs).
+    halves = F.col("l_orderkey") % 2
+    from data_pipelines_spark.operators.sketches import (
+        merge_histogram_sketches,
+    )
+
+    hs_halves = histogram_sketch(
+        li.withColumn("__half", halves), ["__half"], "l_quantity", lo, hi, n_bins
+    ).persist()
+    sk_all = merge_histogram_sketches(hs_halves, [], n_bins)
     hist_row = (
         histogram_quantiles(sk_all, [], [0.5], lo, hi, n_bins)
         .crossJoin(F.broadcast(sk_all.select(F.col("n").alias("__tot"))))
@@ -453,10 +470,9 @@ def quality_report(spark, sf_dir):
         F.col("frac").alias("metric"),
     )
 
-    halves = F.col("l_orderkey") % 2
     drift_row = histogram_drift(
-        histogram_sketch(li.where(halves == 0), [], "l_quantity", lo, hi, n_bins),
-        histogram_sketch(li.where(halves == 1), [], "l_quantity", lo, hi, n_bins),
+        hs_halves.where(F.col("__half") == 0).drop("__half"),
+        hs_halves.where(F.col("__half") == 1).drop("__half"),
         [],
         n_bins,
     ).select(
@@ -480,7 +496,17 @@ def quality_report(spark, sf_dir):
     )
 
     alpha = _DDS_ALPHA
-    dds = quantile_sketch(li, [], "l_extendedprice", alpha=alpha)
+    # r15 (guide §6/§2.3): the direct store is kept as its own scan —
+    # merge_ok must stay a genuine direct-vs-merged comparison — but it
+    # feeds FIVE consumers (dds_rows, both exceptAll sides, the row
+    # count, the quantile read-back), and the two parity-half stores
+    # (two more scans before) now come from ONE grouped scan. Both
+    # frames are few-hundred-row (side, bucket, cnt) stores; persisted
+    # with the same caller-owned lifecycle as the histogram store above.
+    dds = quantile_sketch(li, [], "l_extendedprice", alpha=alpha).persist()
+    dds_halves = quantile_sketch(
+        li.withColumn("__half", halves), ["__half"], "l_extendedprice", alpha=alpha
+    ).persist()
     dds_rows = dds.select(
         F.concat(
             F.lit("dds:l_extendedprice:"),
@@ -494,12 +520,8 @@ def quality_report(spark, sf_dir):
         F.lit(None).cast("double").alias("metric"),
     )
 
-    dds_h0 = quantile_sketch(
-        li.where(halves == 0), [], "l_extendedprice", alpha=alpha
-    )
-    dds_h1 = quantile_sketch(
-        li.where(halves == 1), [], "l_extendedprice", alpha=alpha
-    )
+    dds_h0 = dds_halves.where(F.col("__half") == 0).drop("__half")
+    dds_h1 = dds_halves.where(F.col("__half") == 1).drop("__half")
     merged = merge_quantile_sketches(dds_h0.unionByName(dds_h1), [])
     sym_diff = merged.exceptAll(dds).unionByName(dds.exceptAll(merged))
     merge_row = (
