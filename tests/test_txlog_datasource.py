@@ -659,20 +659,26 @@ def test_cdf_key_range_slicing_bounds_task_work(spark, tmp_path):
             r = r.option(k, v)
         return r.load()
 
-    single = _sorted_rows(read_cdf())
-    sliced = _sorted_rows(read_cdf(maxBytesPerTask="1"))
-    assert sliced == single
-    # partition-level observables: slicing multiplies partitions,
-    # bounds per-task bytes, and carves a NULL-key slice
-    whole = _cdc_partitions(path, 1, 1, ["k"], None)
-    parts = _cdc_partitions(path, 1, 1, ["k"], 1)
-    assert len(whole) == 1 and len(parts) > 4
-    assert sum(1 for p in parts if p.nulls_only) == 1
-
     def side_bytes(p):
         return sum(
             os.path.getsize(f["abs"]) for f in p.removed + p.added
         )
+
+    # Size maxBytesPerTask from the commit's REAL churn so the slicer
+    # still splits (>4 slices incl. the NULL slice) but the slice count
+    # stays bounded: each slice pays a full per-task diff, so the old
+    # maxBytesPerTask="1" produced thousands of slices and a ~17-minute
+    # test for assertions that 7 slices prove identically.
+    whole = _cdc_partitions(path, 1, 1, ["k"], None)
+    budget = max(1, side_bytes(whole[0]) // 6)
+    single = _sorted_rows(read_cdf())
+    sliced = _sorted_rows(read_cdf(maxBytesPerTask=str(budget)))
+    assert sliced == single
+    # partition-level observables: slicing multiplies partitions,
+    # bounds per-task bytes, and carves a NULL-key slice
+    parts = _cdc_partitions(path, 1, 1, ["k"], budget)
+    assert len(whole) == 1 and len(parts) > 4
+    assert sum(1 for p in parts if p.nulls_only) == 1
 
     assert max(side_bytes(p) for p in parts) < side_bytes(whole[0])
     # every slice of one commit reports the same _commit_version
