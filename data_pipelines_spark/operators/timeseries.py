@@ -196,6 +196,7 @@ def interpolate_linear(
     order_col: str,
     value_col: str,
     out_col: str | None = None,
+    locf_col: str | None = None,
 ) -> DataFrame:
     """Linear interpolation across NULL gaps (TimescaleDB
     ``interpolate``).
@@ -215,6 +216,16 @@ def interpolate_linear(
     intended grain is still one row per (keys, position) —
     :func:`resample` output; with several distinct observations at one
     position the window tie order decides which value carries.
+
+    ``locf_col``: also emit the forward-filled value under this name.
+    It is BY DEFINITION the interpolation's own last-non-null-at-or-
+    before input (``__pv`` below, the exact expression
+    :func:`forward_fill` computes), so callers that want both fills get
+    locf for free — Catalyst does not deduplicate repeated window
+    expressions inside one Window node, so a separate
+    :func:`forward_fill` pass paid one extra running aggregate over the
+    full frame for an identical column (guide §2.3; measured on the
+    resample headline query).
     """
     out = out_col or f"{value_col}_interp"
     v = F.col(value_col)
@@ -247,7 +258,10 @@ def interpolate_linear(
     lerp = F.when(nt == pt, pv).otherwise(
         pv + (nv - pv) * (t - pt) / (nt - pt)
     )
-    return tmp.withColumn(
+    res = tmp.withColumn(
         out,
         F.when(v.isNotNull(), v.cast("double")).otherwise(lerp),
-    ).drop("__pv", "__pt", "__nv", "__nt")
+    )
+    if locf_col is not None:
+        res = res.withColumn(locf_col, pv)
+    return res.drop("__pv", "__pt", "__nv", "__nt")

@@ -243,7 +243,6 @@ def events_resample_fill(spark, sf_dir):
     plain double arithmetic evaluated in the same expression shape in
     both engines, so the hashes match bit-for-bit with no rounding."""
     from data_pipelines_spark.operators.timeseries import (
-        forward_fill,
         interpolate_linear,
         resample,
     )
@@ -251,11 +250,14 @@ def events_resample_fill(spark, sf_dir):
     tune(spark)
     ev = load_events(spark, sf_dir)
     dense = resample(ev, ["user_id"], "ts", "value", _RESAMPLE_SEC)
-    filled = forward_fill(
-        dense, ["user_id"], "bucket_epoch", "sum_value", "ffill_value"
-    )
+    # locf_col: the forward fill IS the interpolation's own
+    # last-non-null-at-or-before window value, so both fills come out
+    # of one window pass — a separate forward_fill() paid a fifth
+    # running aggregate over the dense frame for an identical column
+    # (r15; bit-identical by construction, oracle re-verified).
     interp = interpolate_linear(
-        filled, ["user_id"], "bucket_epoch", "sum_value", "interp_value"
+        dense, ["user_id"], "bucket_epoch", "sum_value", "interp_value",
+        locf_col="ffill_value",
     )
     return interp.select(
         "user_id", "bucket_epoch", "n_events", "sum_value",
