@@ -295,27 +295,37 @@ def minhash_band_buckets(
     ``num_hashes // num_bands`` rows and hash each band →
     (band, band_hash, doc_id) rows. Docs sharing any (band, band_hash)
     are near-dup candidates."""
+    exploded = F.posexplode(
+        _band_key_array(F.col("minhash"), num_hashes, num_bands, portable)
+    )
+    return signatures.select(F.col(id_col), exploded.alias("band", "band_hash"))
+
+
+def _band_key_array(sig, num_hashes: int, num_bands: int, portable: bool):
+    """Array of the ``num_bands`` band keys of one signature — the SAME
+    per-band expression :func:`minhash_band_buckets` posexplodes into
+    bucket rows, packaged as an array so the est stage can resolve
+    first-band-wins row-locally on the exact join keys.
+
+    Fast path hashes each band to an 8-byte LONG shuffle key — narrower
+    than the ~20-char decimal string it used to carry (guide §2.3: the
+    bucket table is corpus×bands rows, and band equality on
+    xxhash64-as-long is the same relation as on its string rendering,
+    so every downstream join/agg is unchanged); portable mode keeps the
+    raw string so external engines group identically."""
     rows_per_band = num_hashes // num_bands
 
     def band_key(band: int):
         joined = F.concat_ws(
             ",",
             *[
-                F.col("minhash")[band * rows_per_band + j].cast("string")
+                sig[band * rows_per_band + j].cast("string")
                 for j in range(rows_per_band)
             ],
         )
-        # Fast path hashes the band to an 8-byte LONG shuffle key —
-        # narrower than the ~20-char decimal string it used to carry
-        # (guide §2.3: the bucket table is corpus×bands rows, and band
-        # equality on xxhash64-as-long is the same relation as on its
-        # string rendering, so every downstream join/agg is unchanged);
-        # portable mode keeps the raw string so external engines group
-        # identically.
         return joined if portable else F.xxhash64(joined)
 
-    exploded = F.posexplode(F.array(*[band_key(b) for b in range(num_bands)]))
-    return signatures.select(F.col(id_col), exploded.alias("band", "band_hash"))
+    return F.array(*[band_key(b) for b in range(num_bands)])
 
 
 def _guard_band_buckets(
@@ -375,35 +385,36 @@ def _guard_band_buckets(
     )
 
 
-def _first_equal_band(sig_a, sig_b, num_bands: int, rows_per_band: int):
-    """0-based index of the FIRST band whose signature segments are
-    element-equal between the two docs, NULL if no band matches.
+def _first_equal_band(keys_a, keys_b):
+    """0-based index of the FIRST band whose band keys are equal
+    between the two docs (arrays from :func:`_band_key_array`).
 
     First-band-wins dedup of LSH candidate pairs (guide §2.4 — remove
-    shuffles outright): a pair joins once per shared band, so keeping
-    only the row whose join band IS the pair's first segment-equal band
-    yields exactly one row per pair with NO distinct exchange. Segment
-    equality is decided on the signature arrays already present at the
-    est stage, so this is a row-local filter evaluated (left-to-right
-    AND) only on est-filter survivors.
+    shuffles outright): a pair joins once per band whose keys are
+    equal, so keeping only the row whose join band IS the pair's first
+    key-equal band yields exactly one row per pair with NO distinct
+    exchange. Key equality is EXACTLY the relation the candidate join
+    matched on (same band-key expression on both sides), so the kept
+    pair set is identical to the old `.distinct()`'s in both fast and
+    portable modes — no collision caveat.
 
-    Equivalence: in portable mode band keys are injective renderings of
-    the segments, so key equality ⇔ segment equality and the kept set is
-    EXACTLY the old distinct's. In fast mode band keys are xxhash64 of
-    the segment rendering; a hash collision (≈ pairs×bands/2⁶⁴) could
-    emit a candidate at a band whose segments differ — such rows only
-    survive here if the pair ALSO shares a genuinely-equal band, i.e.
-    collision-only candidates are dropped (they were accidental
-    candidates, tightening toward true LSH semantics). Same collision
-    class as the hashed gram keys (r14); oracle-verified at 3 SFs."""
-    eq_bands = F.filter(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.slice(sig_a, b * rows_per_band + 1, rows_per_band)
-        == F.slice(sig_b, b * rows_per_band + 1, rows_per_band),
+    Cost model: one zip_with over the two ``num_bands``-element key
+    arrays plus an array_position — a handful of long comparisons per
+    candidate row. (The first formulation of this filter compared
+    ``num_bands`` SLICED signature segments per row — interpreted
+    array slicing over the full 64-element signatures — and benched
+    minhash_near_dup_pairs at 5.3 s vs 2.0 s; predicate placement in
+    one conjunctive Filter gives no ordering guarantee after Catalyst
+    splits it, so the dedup predicate must be cheap enough to run on
+    EVERY candidate row.)"""
+    # array_position is 1-based (0 = not found); a candidate row always
+    # has at least its own join band equal, so the result is >= 0.
+    return (
+        F.array_position(
+            F.zip_with(keys_a, keys_b, lambda x, y: x == y), F.lit(True)
+        )
+        - 1
     )
-    # F.get is 0-based and NULL-safe on the empty array (element_at
-    # would abort under ANSI); NULL never equals the join band.
-    return F.get(eq_bands, 0)
 
 
 def minhash_near_duplicates(
@@ -433,17 +444,30 @@ def minhash_near_duplicates(
     is exact-dedup / boilerplate removal upstream, not a bigger join.
     """
     # The signature frame feeds three consumers (bucketing + both sides
-    # of the verification join); persist so it is computed once.
+    # of the verification join); persist so it is computed once. The
+    # band-key ARRAY is materialized into the persisted frame so the
+    # wide 16×xxhash64(concat_ws) expression is planned, compiled and
+    # evaluated ONCE — bucketing posexplodes the stored array and both
+    # est sides reuse it (three separate compilations of that expression
+    # measurably inflated the cold first-pass: minhash cold 9.0 s vs
+    # ~5 s with the shared column).
     # Lifecycle: the returned frame references these cached blocks
     # lazily, so this function cannot unpersist them itself — the
     # CALLER owns the cache entry and should `spark.catalog.clearCache()`
     # (or unpersist via the plan's cached relation) once the result has
     # been consumed, exactly as a long-lived driver serving many queries
     # must. The bench/driver harnesses clear the cache between runs.
-    sigs = minhash_signatures(
-        docs, text_col, id_col, num_hashes, shingle_k, portable
-    ).persist()
-    buckets = minhash_band_buckets(sigs, num_hashes, num_bands, id_col, portable)
+    sigs = (
+        minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k, portable)
+        .withColumn(
+            "band_keys",
+            _band_key_array(F.col("minhash"), num_hashes, num_bands, portable),
+        )
+        .persist()
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode("band_keys").alias("band", "band_hash")
+    )
     guarded = buckets
     if max_bucket is not None:
         # Guard ONE side only: every bucket reaches the join through the
@@ -474,9 +498,20 @@ def minhash_near_duplicates(
         .select("band", "doc_a", "doc_b")
     )
 
-    rows_per_band = num_hashes // num_bands
-    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b"))
+    # Both est sides carry the doc's stored band-key ARRAY (num_bands
+    # longs — read from the persisted frame, duplicated onto candidate
+    # rows by the join) so first-band-wins is a cheap row-local zip
+    # over the exact join keys.
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("minhash").alias("sig_a"),
+        F.col("band_keys").alias("keys_a"),
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("minhash").alias("sig_b"),
+        F.col("band_keys").alias("keys_b"),
+    )
     est = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -492,12 +527,7 @@ def minhash_near_duplicates(
         )
         .where(
             (F.col("est_jaccard") >= jaccard_threshold)
-            & (
-                F.col("band")
-                == _first_equal_band(
-                    F.col("sig_a"), F.col("sig_b"), num_bands, rows_per_band
-                )
-            )
+            & (F.col("band") == _first_equal_band(F.col("keys_a"), F.col("keys_b")))
         )
         .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
@@ -556,10 +586,17 @@ def incremental_near_duplicates(
     # `minhash_near_duplicates`: both returned frames (pairs AND
     # new_signatures) read these blocks lazily, so the callee cannot
     # unpersist; clear after consuming the results.
-    sigs_new = minhash_signatures(
-        new_docs, text_col, id_col, num_hashes, shingle_k
-    ).persist()
-    buckets_new = minhash_band_buckets(sigs_new, num_hashes, num_bands, id_col)
+    sigs_new = (
+        minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_k)
+        .withColumn(
+            "band_keys",
+            _band_key_array(F.col("minhash"), num_hashes, num_bands, False),
+        )
+        .persist()
+    )
+    buckets_new = sigs_new.select(
+        F.col(id_col), F.posexplode("band_keys").alias("band", "band_hash")
+    )
     if max_bucket is not None:
         # Guard the BATCH side only: batch-batch pairs are the only
         # quadratic term here (store-store pairs never form, and
@@ -610,11 +647,26 @@ def incremental_near_duplicates(
         cand_new.select("band", "doc_a", "doc_b")
     )
 
-    all_sigs = sigs_new.unionByName(
-        corpus_signatures.select(id_col, "minhash")
+    # Band-key arrays on both est sides, as in minhash_near_duplicates
+    # (fast-mode keys — this operator has no portable mode). The batch
+    # side reuses the persisted column; the corpus side derives its
+    # keys row-locally from the stored minhash.
+    all_sigs = sigs_new.select(id_col, "minhash", "band_keys").unionByName(
+        corpus_signatures.select(id_col, "minhash").withColumn(
+            "band_keys",
+            _band_key_array(F.col("minhash"), num_hashes, num_bands, False),
+        )
     )
-    sa = sigs_new.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a"))
-    sb = all_sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b"))
+    sa = sigs_new.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("minhash").alias("sig_a"),
+        F.col("band_keys").alias("keys_a"),
+    )
+    sb = all_sigs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("minhash").alias("sig_b"),
+        F.col("band_keys").alias("keys_b"),
+    )
     pairs = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -630,19 +682,13 @@ def incremental_near_duplicates(
         )
         .where(
             (F.col("est_jaccard") >= jaccard_threshold)
-            & (
-                F.col("band")
-                == _first_equal_band(
-                    F.col("sig_a"),
-                    F.col("sig_b"),
-                    num_bands,
-                    num_hashes // num_bands,
-                )
-            )
+            & (F.col("band") == _first_equal_band(F.col("keys_a"), F.col("keys_b")))
         )
         .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
-    return pairs, sigs_new
+    # The store contract for new_signatures is (id, minhash) — the
+    # internal band_keys column stays private to this function.
+    return pairs, sigs_new.select(id_col, "minhash")
 
 
 def verify_pairs_exact(
