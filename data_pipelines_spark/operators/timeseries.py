@@ -166,6 +166,128 @@ def resample(
     )
 
 
+def resample_filled(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    interval_sec: int,
+    interp_col: str = "interp_value",
+    locf_col: str = "ffill_value",
+    max_gap_buckets: int | None = 1_000_000,
+) -> DataFrame:
+    """Dense :func:`resample` + :func:`forward_fill` + linear
+    interpolation fused into ONE pass — same output as
+
+        dense = resample(df, keys, ts, value, interval)
+        interpolate_linear(dense, keys, "bucket_epoch", "sum_value",
+                           interp_col, locf_col=locf_col)
+
+    but with every fill input resolved at BUCKET grain, before the gap
+    explode (guide §2.3/§2.4). The composed form re-sorts the DENSE
+    grid after the generate and runs two more window passes over it —
+    at scale the dense grid is keys × span/interval rows, each paying
+    a sort plus four running aggregates. Here the interpolation
+    neighbours are per-bucket window values (lead + last/first over the
+    bucket aggregate, one sort, sharing the exchange the gap explode
+    already needed), and every generated grid row computes its fills
+    ROW-LOCALLY from the five carried columns. Nothing downstream of
+    the generate shuffles, sorts, or windows.
+
+    Exact-equivalence argument (per dense-grid row at position g,
+    generated by bucket row R with successor position nxt):
+
+    - own row (g == R.bucket): prev-non-null-at-or-before and
+      first-non-null-at-or-after g are the SAME window values computed
+      at R (frames include R itself for prev; for next, a non-null R
+      supplies its own value via the pass-through branch and a null R
+      reduces the at-or-after frame to strictly-after — ``__nv/__nt``).
+    - gap row (R.bucket < g < nxt): no observations exist in
+      (R.bucket, g], so prev-non-null ≤ g equals prev-non-null ≤
+      R.bucket (``__pv/__pt``); the first row after position g is at
+      nxt, so next-non-null ≥ g equals first-non-null strictly after R
+      (``__nv/__nt``).
+
+    The lerp is the byte-identical expression tree of
+    :func:`interpolate_linear` (same casts, same operand order, same
+    ``t_next == t_prev`` guard), so results are bit-for-bit equal —
+    including all-NULL observed buckets, leading/trailing gaps, and
+    single-observation keys (pinned in tests/test_timeseries.py).
+    """
+    keys = list(key_cols)
+    bucketed = resample(
+        df, keys, ts_col, value_col, interval_sec, dense=False
+    )
+    v = F.col("sum_value")
+    t = F.col("bucket_epoch").cast("double")
+    obs_t = F.when(v.isNotNull(), t)
+    w = Window.partitionBy(*keys).orderBy("bucket_epoch")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_after = w.rowsBetween(1, Window.unboundedFollowing)
+    stepped = bucketed.select(
+        *keys,
+        "bucket_epoch",
+        "n_events",
+        "sum_value",
+        F.lead("bucket_epoch").over(w).alias("__nxt"),
+        F.last(v, ignorenulls=True).over(w_prev).alias("__pv"),
+        F.last(obs_t, ignorenulls=True).over(w_prev).alias("__pt"),
+        F.first(v, ignorenulls=True).over(w_after).alias("__nv"),
+        F.first(obs_t, ignorenulls=True).over(w_after).alias("__nt"),
+    )
+    step = F.lit(int(interval_sec)).cast("long")
+    seq = F.sequence(
+        F.col("bucket_epoch"),
+        F.coalesce(F.col("__nxt") - step, F.col("bucket_epoch")),
+        step,
+    )
+    if max_gap_buckets is not None:
+        gap = F.coalesce(F.col("__nxt") - F.col("bucket_epoch"), F.lit(0))
+        seq = F.when(
+            gap <= F.lit(int(max_gap_buckets)) * step, seq
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "resample: one gap needs more than "
+                        f"{max_gap_buckets} buckets of {interval_sec}s "
+                        "(bucket_epoch="
+                    ),
+                    F.col("bucket_epoch").cast("string"),
+                    F.lit(", next="),
+                    F.col("__nxt").cast("string"),
+                    F.lit(
+                        "); widen interval_sec, split the key, or raise "
+                        "max_gap_buckets"
+                    ),
+                )
+            ).cast("array<long>")
+        )
+    own = F.col("__grid") == F.col("bucket_epoch")
+    g = F.col("__grid").cast("double")
+    pv, pt = F.col("__pv"), F.col("__pt")
+    nv, nt = F.col("__nv"), F.col("__nt")
+    # Byte-identical lerp tree to interpolate_linear's (guard first,
+    # same operand order) — g is the dense row's order position.
+    lerp = F.when(nt == pt, pv).otherwise(
+        pv + (nv - pv) * (g - pt) / (nt - pt)
+    )
+    gap_value = F.when(own, F.col("sum_value"))
+    return (
+        stepped.withColumn("__grid", F.explode(seq))
+        .select(
+            *keys,
+            F.col("__grid").alias("bucket_epoch"),
+            F.when(own, F.col("n_events")).otherwise(F.lit(0)).alias("n_events"),
+            gap_value.alias("sum_value"),
+            pv.alias(locf_col),
+            F.when(gap_value.isNotNull(), gap_value.cast("double"))
+            .otherwise(lerp)
+            .alias(interp_col),
+        )
+    )
+
+
 def forward_fill(
     df: DataFrame,
     key_cols: Sequence[str],

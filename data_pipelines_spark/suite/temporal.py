@@ -242,22 +242,20 @@ def events_resample_fill(spark, sf_dir):
     per-key state — nothing global, nothing quadratic. The lerp is
     plain double arithmetic evaluated in the same expression shape in
     both engines, so the hashes match bit-for-bit with no rounding."""
-    from data_pipelines_spark.operators.timeseries import (
-        interpolate_linear,
-        resample,
-    )
+    from data_pipelines_spark.operators.timeseries import resample_filled
 
     tune(spark)
     ev = load_events(spark, sf_dir)
-    dense = resample(ev, ["user_id"], "ts", "value", _RESAMPLE_SEC)
-    # locf_col: the forward fill IS the interpolation's own
-    # last-non-null-at-or-before window value, so both fills come out
-    # of one window pass — a separate forward_fill() paid a fifth
-    # running aggregate over the dense frame for an identical column
-    # (r15; bit-identical by construction, oracle re-verified).
-    interp = interpolate_linear(
-        dense, ["user_id"], "bucket_epoch", "sum_value", "interp_value",
-        locf_col="ffill_value",
+    # Fused resample+locf+lerp (r15): the fill neighbours are resolved
+    # at BUCKET grain inside the gap explode's own window pass, so the
+    # dense grid is never re-sorted or re-windowed — bit-identical to
+    # the resample() -> interpolate_linear(locf_col=...) composition
+    # (equivalence pinned in tests/test_timeseries.py, oracle
+    # re-verified; the composed form paid a dense-grid sort plus four
+    # running aggregates over keys x span/interval rows).
+    interp = resample_filled(
+        ev, ["user_id"], "ts", "value", _RESAMPLE_SEC,
+        interp_col="interp_value", locf_col="ffill_value",
     )
     return interp.select(
         "user_id", "bucket_epoch", "n_events", "sum_value",

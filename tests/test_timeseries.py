@@ -320,3 +320,60 @@ def test_resample_runaway_grid_guard(spark):
     # guard at default settings does not fire on a sane series
     sane = resample(df.limit(1), ["key"], "ts", "v", 1)
     assert sane.count() == 1
+
+
+def test_resample_filled_matches_composition(spark):
+    """r15 fused operator: resample_filled == resample ->
+    interpolate_linear(locf_col=...) bit-for-bit on adversarial inputs —
+    all-NULL observed buckets (n_events > 0, sum_value NULL), interior
+    gaps, single-observation keys, and a NULL-valued first bucket. Plan
+    pin: nothing windows or re-sorts the dense grid after the generate
+    (every Window line sits BELOW the Generate in the fused tree)."""
+    from data_pipelines_spark.operators.timeseries import (
+        interpolate_linear,
+        resample,
+        resample_filled,
+    )
+
+    rows = [
+        # "a": obs h0, NULL-valued obs h1 (all-null bucket), gap h2, obs h3
+        Row(user="a", ts=_ts(10.0), value=1.0),
+        Row(user="a", ts=_ts(H + 20.0), value=None),
+        Row(user="a", ts=_ts(3 * H + 30.0), value=7.0),
+        # "b": single NULL-valued observation
+        Row(user="b", ts=_ts(5 * H), value=None),
+        # "c": single real observation
+        Row(user="c", ts=_ts(2 * H), value=9.0),
+        # "d": NULL-valued first bucket, then two real obs with a gap
+        Row(user="d", ts=_ts(0.5), value=None),
+        Row(user="d", ts=_ts(H + 1), value=2.0),
+        Row(user="d", ts=_ts(4 * H + 2), value=8.0),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, value double")
+    composed = interpolate_linear(
+        resample(df, ["user"], "ts", "value", H),
+        ["user"], "bucket_epoch", "sum_value", "interp_value",
+        locf_col="ffill_value",
+    ).select(
+        "user", "bucket_epoch", "n_events", "sum_value",
+        "ffill_value", "interp_value",
+    )
+    fused = resample_filled(df, ["user"], "ts", "value", H)
+    key = lambda r: (r[0], r[1])  # noqa: E731
+    a = sorted([tuple(r) for r in composed.collect()], key=key)
+    b = sorted([tuple(r) for r in fused.collect()], key=key)
+    assert a == b, f"\ncomposed={a}\nfused={b}"
+    # a's NULL-valued h1 bucket must interpolate, not pass through
+    byk = {(r[0], r[1]): r for r in b}
+    assert byk[("a", H)][2] == 1            # n_events counts the null event
+    assert byk[("a", H)][3] is None         # sum_value stays NULL
+    assert byk[("a", H)][5] == 1.0 + (7.0 - 1.0) * (1.0 / 3.0)
+
+    plan = fused._sc._jvm.PythonSQLUtils.explainString(
+        fused._jdf.queryExecution(), "formatted"
+    )
+    lines = plan.splitlines()
+    gen = next(i for i, ln in enumerate(lines) if "Generate" in ln)
+    assert not any(
+        "Window" in ln for ln in lines[:gen]
+    ), "a Window consumes the dense grid:\n" + plan
