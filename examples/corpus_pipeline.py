@@ -67,6 +67,19 @@ def curate(
     docs = docs.where(passes_gopher_rules(F.col("text"), min_words=5,
                                           min_stopword_hits=0))
 
+    # Stage-boundary plan truncation (guide §3.3): most stages below
+    # JOIN a derived frame back onto `docs`, so every reference
+    # duplicates the upstream subtree and the LOGICAL plan grows
+    # exponentially with stage count — by the packing stage every new
+    # action re-ANALYZES a tree with thousands of copies of the ingest
+    # scan (measured: the 23-doc e2e test spent ~4 min, almost all of
+    # it Catalyst re-analysis; a persist() alone does NOT help because
+    # cache substitution happens after analysis). localCheckpoint
+    # materializes the stage output and replaces the plan with a leaf;
+    # the lost lineage fault-tolerance is irrelevant for a checkpointed
+    # pipeline stage, exactly the guide's trade.
+    docs = docs.localCheckpoint()
+
     # 3. Exact dedup: min-id representative per content hash.
     keepers = exact_duplicates(docs).select(F.col("keeper_id").alias("doc_id"))
     docs = docs.join(keepers, "doc_id", "left_semi")
@@ -83,7 +96,7 @@ def curate(
     #    broadcast exactly; results are identical to the exact join.
     flagged = contamination_check(docs, benchmark, ngram_n=8,
                                   prefilter="bloom", bench_ngrams=1_000)
-    docs = docs.join(flagged, "doc_id", "left_anti")
+    docs = docs.join(flagged, "doc_id", "left_anti").localCheckpoint()
 
     # 6. Data mixing: deterministic per-source rates.
     docs = stratified_sample(docs, {"books": 1.0, "crawl": 0.5},
@@ -111,7 +124,7 @@ def curate(
     # 8. Per-source quality floor: drop each source's worst-scoring
     #    decile (approx-percentile cutoff, groups-sized join back).
     docs = filter_by_group_quantile(docs, "lm_logprob10", ["source"],
-                                    q=0.1, keep="above")
+                                    q=0.1, keep="above").localCheckpoint()
 
     # 9. Train a BPE tokenizer ON the curated corpus (distributed
     #    word histogram → bounded merge loop) and re-tokenize every
