@@ -146,10 +146,10 @@ def test_bucketed_minhash_store_one_sided_shuffle(spark, tmp_path):
             batch, store_sigs, jaccard_threshold=0.5,
             corpus_buckets=spark.table("bt_bands"),
         )
-        assert sorted(map(tuple, buck_pairs.collect())) == sorted(
-            map(tuple, base_pairs.collect())
-        )
-        assert base_pairs.count() > 0, "fixture must plant a cross pair"
+        base_rows = sorted(map(tuple, base_pairs.collect()))
+        assert sorted(map(tuple, buck_pairs.collect())) == base_rows
+        # single-collect: the count() re-executed the whole est chain
+        assert len(base_rows) > 0, "fixture must plant a cross pair"
 
         def shuffles(right):
             with _forced_smj(spark):
