@@ -643,7 +643,11 @@ def corpus_doc_curation(spark, sf_dir):
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    bench = docs.where(F.col("doc_id") < _BENCH_MAX_ID)
+    # The benchmark slice feeds every decontamination/DSIR branch (gram
+    # sets, both multinomials) — unpersisted it re-read the documents
+    # parquet 32 times in one plan (r15 plan audit). Same D1
+    # persist-at-reuse and caller-owned lifecycle as `corpus` below.
+    bench = docs.where(F.col("doc_id") < _BENCH_MAX_ID).persist()
     # Five curation stages (sampling, contamination, boilerplate, LM
     # scoring, packing) all re-derive from this frame; without the
     # persist each re-scans the corpus parquet (measured: 21 scans in
@@ -694,6 +698,11 @@ def corpus_doc_curation(spark, sf_dir):
     )
     dupw = duplicate_aware_weights(corpus, clusters, alpha=0.5)
 
+    # `decided` (doc-grain, 4 narrow columns) feeds the packing branch
+    # AND the final join; `lm` feeds the packing branch and the final
+    # join too. Unpersisted, each extra consumer re-ran the whole
+    # contamination / unigram-LM sub-pipeline. Same D1 persist shape
+    # and lifecycle as `corpus`.
     decided = (
         corpus.join(flagged, "doc_id", "left")
         .select(
@@ -702,7 +711,9 @@ def corpus_doc_curation(spark, sf_dir):
             keep.alias("keep_sample"),
             F.coalesce(F.col("matched_ngrams"), F.lit(0)).alias("matched_ngrams"),
         )
+        .persist()
     )
+    lm = lm.persist()
     curated = (
         decided.where(F.col("keep_sample") & (F.col("matched_ngrams") == 0))
         .join(lm.select("doc_id", "n_tokens"), "doc_id", "left")
