@@ -245,38 +245,90 @@ def minhash_signatures(
     # bits select bucket i. The per-element arithmetic is byte-for-byte
     # the explode+groupBy formulation's (same xxhash64, same pmod/shift
     # split), so the minima — and every band key downstream — are
-    # identical; only WHERE they are computed moves (into one
-    # projection). Cost: num_hashes interpreted filter/min passes over
-    # the doc's hash array — the same O(num_hashes·shingles) work the
-    # codegen'd aggregate update did, without the explode, the
-    # aggregate hash table, or the exchange.
+    # identical; only WHERE and HOW they are computed moves.
+    #
+    # ONE-PASS extraction (r15): the first formulation ran num_hashes
+    # interpreted filter+min passes over the hash array —
+    # O(num_hashes·shingles) lambda evaluations, and the signature
+    # stage was ~65% of the whole minhash headline query. Instead,
+    # rotate each hash right by `shift` bits so (bucket, rank) becomes
+    # ONE natively-sortable long — the bucket in the top bits, the rank
+    # in the low bits — `array_sort` it (native long comparisons), and
+    # keep the first key of each bucket run: within a bucket the top
+    # bits are equal, so signed key order IS unsigned rank order, and
+    # the run head carries exactly `min(rank)` of the old per-bucket
+    # pass. O(shingles · log shingles) native comparisons + O(shingles)
+    # lambda evaluations, identical output bit-for-bit (pinned against
+    # the per-bucket formulation in tests/test_dedup.py).
+    rot = 64 - shift
+    mask = (1 << rot) - 1
+
     def build(hs: Column) -> Column:
-        def bucket_min(i: int) -> Column:
-            return F.array_min(
-                F.transform(
-                    F.filter(hs, lambda h: F.pmod(h, F.lit(num_hashes)) == i),
-                    lambda h: F.shiftrightunsigned(h, shift),
-                )
-            )
-
-        raw = F.array(*[bucket_min(i) for i in range(num_hashes)])
-
-        def densify(arr: Column) -> Column:
-            # array_min skips NULL entries, so this is the min over the
-            # non-empty buckets — the same global minimum as before.
-            gmin = F.array_min(arr)
-            return F.transform(
-                arr,
-                # Knuth multiplicative rehash of (global min, position)
-                # fills the rare empty bucket deterministically from the
-                # doc's content.
-                lambda x, i: F.coalesce(
-                    x,
-                    F.pmod(gmin + (i + 1).cast("long") * 2654435761, F.lit(1 << 61)),
+        keys = F.array_sort(
+            F.transform(
+                hs,
+                lambda h: F.shiftleft(h, rot).bitwiseOR(
+                    F.shiftrightunsigned(h, shift)
                 ),
             )
+        )
 
-        return let(raw, densify)
+        def run_heads(ks: Column) -> Column:
+            # prev[i] = ks[i-1]; a key whose bucket differs from its
+            # predecessor's starts a new run and is that bucket's min.
+            prev = F.concat(
+                F.array(F.lit(None).cast("long")),
+                F.slice(ks, 1, F.greatest(F.size(ks) - 1, F.lit(0))),
+            )
+            marked = F.zip_with(
+                ks,
+                prev,
+                lambda cur, prv: F.when(
+                    prv.isNull()
+                    | (
+                        F.shiftrightunsigned(cur, rot)
+                        != F.shiftrightunsigned(prv, rot)
+                    ),
+                    cur,
+                ),
+            )
+            return F.filter(marked, lambda x: x.isNotNull())
+
+        def assemble(fs: Column) -> Column:
+            # fs holds <= num_hashes keys sorted by bucket; per-bucket
+            # lookup scans that tiny array, not the shingle array.
+            def bucket_rank(i: int) -> Column:
+                return F.get(
+                    F.filter(
+                        fs, lambda k: F.shiftrightunsigned(k, rot) == i
+                    ),
+                    0,
+                ).bitwiseAND(F.lit(mask))
+
+            raw = F.array(*[bucket_rank(i) for i in range(num_hashes)])
+
+            def densify(arr: Column) -> Column:
+                # array_min skips NULL entries, so this is the min over
+                # the non-empty buckets — the same global minimum as
+                # before.
+                gmin = F.array_min(arr)
+                return F.transform(
+                    arr,
+                    # Knuth multiplicative rehash of (global min,
+                    # position) fills the rare empty bucket
+                    # deterministically from the doc's content.
+                    lambda x, i: F.coalesce(
+                        x,
+                        F.pmod(
+                            gmin + (i + 1).cast("long") * 2654435761,
+                            F.lit(1 << 61),
+                        ),
+                    ),
+                )
+
+            return let(raw, densify)
+
+        return let(keys, lambda ks: let(run_heads(ks), assemble))
 
     hashes = F.transform(
         char_shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)

@@ -373,3 +373,61 @@ def test_exact_duplicates_policies_single_pass_matches_two_calls(spark):
 
     plan = plan_string(exact_duplicates_policies(docs, quality_col="q"))
     assert plan.count("Exchange") == 1
+
+
+def test_signature_run_head_extraction_matches_per_bucket_minima(spark):
+    """r15: the one-pass rotate-sort-run-head signature build is
+    bit-identical to the per-bucket filter+min formulation (the r14
+    shape), including empty/short/NULL texts where buckets densify."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.functions.text import let
+    from data_pipelines_spark.operators.dedup import (
+        char_shingles,
+        minhash_signatures,
+    )
+
+    num_hashes, shift, k = 64, 6, 5
+
+    def old_build(hs):
+        def bucket_min(i):
+            return F.array_min(
+                F.transform(
+                    F.filter(hs, lambda h: F.pmod(h, F.lit(num_hashes)) == i),
+                    lambda h: F.shiftrightunsigned(h, shift),
+                )
+            )
+
+        raw = F.array(*[bucket_min(i) for i in range(num_hashes)])
+
+        def densify(arr):
+            gmin = F.array_min(arr)
+            return F.transform(
+                arr,
+                lambda x, i: F.coalesce(
+                    x,
+                    F.pmod(
+                        gmin + (i + 1).cast("long") * 2654435761,
+                        F.lit(1 << 61),
+                    ),
+                ),
+            )
+
+        return let(raw, densify)
+
+    rows = [(i, f"document {i} text body with shared words {i % 7}")
+            for i in range(40)]
+    rows += [(100, ""), (101, "ab"), (102, "abcd"), (103, "abcde"),
+             (104, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hashes = F.transform(
+        char_shingles(F.col("text"), k), lambda s: F.xxhash64(s)
+    )
+    old = docs.select(
+        F.col("doc_id"), let(hashes, old_build).alias("m_old")
+    )
+    joined = minhash_signatures(docs, shingle_k=k).join(old, "doc_id")
+    bad = joined.where(
+        ~F.col("minhash").eqNullSafe(F.col("m_old"))
+    ).count()
+    assert bad == 0
