@@ -283,7 +283,11 @@ def test_duplicate_clusters_nonconvergence_guard(spark):
 
     from data_pipelines_spark.operators.dedup import duplicate_clusters
 
-    n = 25
+    # 13-node path: 12 propagation rounds to converge — still far past
+    # the max_iterations=5 bound below, so the contract triple
+    # (raise / partial-split / converge) is exercised identically to a
+    # longer chain at half the iteration wall time.
+    n = 13
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
     )
