@@ -1432,6 +1432,7 @@ def _span_positions(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_grams: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-doc SORTED duplicated-position list: (id, __pl) where __pl is
     array<struct<pos:int, __cut:boolean>> — every position whose n-gram
@@ -1439,12 +1440,22 @@ def _span_positions(
     non-canonical occurrences (everything but the global-first copy).
     The shared heart of the span operators and the fused text_stats
     suite entry: one gram explode+aggregate, one probe join, one
-    groupBy(doc)."""
+    groupBy(doc).
+
+    ``tokens_col``: the caller already holds the lowered token array
+    (the exact value of ``tokens(lower(text_col))``) — use it instead
+    of re-tokenizing. The gram frame feeds BOTH sides of the probe join
+    (the dup aggregate and the per-position mark), so an un-persisted
+    text input pays the regex tokenizer twice; a caller that persists
+    its tokenized frame pays it zero times here."""
     from data_pipelines_spark.functions.text import tokens
 
-    toked = docs.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
-    )
+    if tokens_col is None:
+        toked = docs.select(
+            F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+        )
+    else:
+        toked = docs.select(F.col(id_col), F.col(tokens_col).alias("__toks"))
     grams = _gram_key_frame(toked, n, id_col, hash_grams, "__id")
 
     dup = (
